@@ -1,0 +1,226 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels shared by interpreted eval and generated code. Keeping the
+  * logic in static methods lets `doGenCode` emit a single call so the
+  * expressions stay inside whole-stage codegen spans. */
+object Kernels {
+
+  /** Longest prefix of `s` whose UTF-8 encoding is at most `maxBytes` bytes,
+    * never splitting a multi-byte character.
+    *
+    * Behavior of the reference's `cut_str_to_bytes`
+    * (`cdc_kafka/tracked_tables.py:361-395`), restated over the raw UTF-8
+    * bytes Spark already holds in `UTF8String` — no transcoding needed:
+    * back up from the byte limit to the previous character start.
+    */
+  def truncateUtf8(s: UTF8String, maxBytes: Int): UTF8String = {
+    if (maxBytes <= 0) return UTF8String.EMPTY_UTF8
+    val n = s.numBytes()
+    if (n <= maxBytes) return s
+    val bytes = s.getBytes
+    var cut = maxBytes
+    // A continuation byte is 10xxxxxx; walk back to the char's first byte.
+    while (cut > 0 && (bytes(cut) & 0xc0) == 0x80) cut -= 1
+    UTF8String.fromBytes(bytes, 0, cut)
+  }
+
+  /** Decode a CDC `__$update_mask` into the list of changed column names.
+    *
+    * SQL Server stores the mask as a big-endian unsigned integer where the
+    * column with (1-based) capture ordinal `k` occupies bit `k-1` counting
+    * from the least-significant bit — i.e. from the END of the byte array.
+    * The reference decodes it the same way (`serializers/avro.py:583-589`:
+    * bitarray frombytes + reverse ≡ LSB-first from the last byte).
+    */
+  def maskToNames(mask: Array[Byte], names: ArrayData): ArrayData = {
+    val n = mask.length * 8
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    val total = names.numElements()
+    while (i < n && i < total) {
+      val byte = mask(mask.length - 1 - (i >> 3)) & 0xff
+      if (((byte >> (i & 7)) & 1) == 1) out.add(names.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def maskBitSet(mask: Array[Byte], ordinal: Int): Boolean = {
+    val i = ordinal
+    if (i < 0 || i >= mask.length * 8) false
+    else ((mask(mask.length - 1 - (i >> 3)) >> (i & 7)) & 1) == 1
+  }
+
+  /** Byte permutation that makes unsigned-lexicographic comparison of the
+    * result equal SQL Server's `uniqueidentifier` ordering (node bytes
+    * 10-15 most significant, then 8-9, then 7..0 reversed) — behavior of
+    * `cdc_kafka/validation.py:19-41`. Input is the canonical hyphenated
+    * string form; output 16 bytes. */
+  def sqlServerUuidSortKey(uuid: UTF8String): Array[Byte] = {
+    val hex = uuid.toString.replace("-", "")
+    require(hex.length == 32, s"not a UUID: $uuid")
+    val b = new Array[Byte](16)
+    var i = 0
+    while (i < 16) {
+      b(i) = Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    val order = SqlServerUuidByteOrder
+    val out = new Array[Byte](16)
+    i = 0
+    while (i < 16) { out(i) = b(order(i)); i += 1 }
+    out
+  }
+
+  val SqlServerUuidByteOrder: Array[Int] =
+    Array(10, 11, 12, 13, 14, 15, 8, 9, 7, 6, 5, 4, 3, 2, 1, 0)
+
+  /** Deterministic UUIDv5 (RFC 4122, SHA-1 name-based) over `name` within
+    * the namespace UUID formed from the MD5 of `seed`.
+    *
+    * Spec'd replacement for the reference's PK-less row key
+    * (`cdc_kafka/tracked_tables.py:417-426`): the reference hashes
+    * `str(zip(names, values))` which is a *process-local object repr* and
+    * therefore not deterministic across runs; we keep its shape
+    * (md5-derived namespace + uuid5 of the table fq-name) but hash a
+    * deterministic serialization of the row instead. */
+  def uuid5(seed: UTF8String, name: UTF8String): UTF8String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val nsBytes = md5.digest(seed.getBytes)
+    val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+    sha1.update(nsBytes) // namespace UUID bytes = raw md5 digest
+    sha1.update(name.getBytes)
+    val d = sha1.digest()
+    val b = java.util.Arrays.copyOf(d, 16)
+    b(6) = ((b(6) & 0x0f) | 0x50).toByte // version 5
+    b(8) = ((b(8) & 0x3f) | 0x80).toByte // RFC 4122 variant
+    val sb = new java.lang.StringBuilder(36)
+    var i = 0
+    while (i < 16) {
+      if (i == 4 || i == 6 || i == 8 || i == 10) sb.append('-')
+      val v = b(i) & 0xff
+      sb.append(Character.forDigit(v >> 4, 16)).append(Character.forDigit(v & 0xf, 16))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `truncateUtf8(str, maxBytes)` — UTF-8-boundary-safe byte-limit
+  * truncation (SURVEY §2 B6). Codegen-capable: emits a static call. */
+case class TruncateUtf8(child: Expression, maxBytes: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = maxBytes
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(str: Any, max: Any): Any =
+    Kernels.truncateUtf8(str.asInstanceOf[UTF8String], max.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, m) => s"graft.expr.Kernels.truncateUtf8($s, $m)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, maxBytes = r)
+}
+
+/** `maskToNames(mask, namesArrayLiteral)` — CDC update-mask bitmap →
+  * array of changed column names (SURVEY §2 F3). */
+case class MaskToNames(mask: Expression, names: Expression)
+    extends BinaryExpression {
+  override def left: Expression = mask
+  override def right: Expression = names
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(m: Any, n: Any): Any =
+    Kernels.maskToNames(m.asInstanceOf[Array[Byte]], n.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (m, n) => s"graft.expr.Kernels.maskToNames($m, $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(mask = l, names = r)
+}
+
+/** `sqlServerUuidSortKey(uuidString)` — 16-byte key whose unsigned binary
+  * ordering equals SQL Server `uniqueidentifier` ordering (SURVEY §2 F6). */
+case class SqlServerUuidSortKey(child: Expression)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.sqlServerUuidSortKey(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.Kernels.sqlServerUuidSortKey($s)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `uuid5(seedString, nameString)` — deterministic name-based UUID for
+  * PK-less row keys (SURVEY §2 B7). */
+case class Uuid5(seed: Expression, name: Expression)
+    extends BinaryExpression {
+  override def left: Expression = seed
+  override def right: Expression = name
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    Kernels.uuid5(s.asInstanceOf[UTF8String], n.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.expr.Kernels.uuid5($s, $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(seed = l, name = r)
+}
+
+/** Column-level entry points for the custom expressions. */
+object functions {
+  import org.apache.spark.sql.functions.{lit, array}
+
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def expr(c: Column): Expression = Bridge.expression(c)
+
+  /** UTF-8-boundary truncation to `maxBytes` bytes (B6). */
+  def truncate_utf8(c: Column, maxBytes: Int): Column =
+    col(TruncateUtf8(expr(c), expr(lit(maxBytes))))
+
+  /** Update-mask bitmap → changed column names, `names` in capture-ordinal
+    * order (F3). */
+  def mask_to_names(mask: Column, names: Seq[String]): Column =
+    col(MaskToNames(expr(mask), expr(array(names.map(lit): _*))))
+
+  /** SQL-Server-ordered UUID sort key (F6). */
+  def sqlserver_uuid_sort_key(uuid: Column): Column =
+    col(SqlServerUuidSortKey(expr(uuid)))
+
+  /** Deterministic UUIDv5 of `name` in the md5(seed) namespace (B7). */
+  def uuid5(seed: Column, name: Column): Column =
+    col(Uuid5(expr(seed), expr(name)))
+
+  /** `0x`-prefixed lowercase hex rendering of a binary column (F1). */
+  def lsn_hex(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    concat(lit("0x"), lower(hex(c)))
+  }
+
+  /** Parse `0x`-prefixed hex back to binary (F1). */
+  def lsn_unhex(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    unhex(substring(c, 3, 20))
+  }
+}

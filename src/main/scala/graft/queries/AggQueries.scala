@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.SyntheticCdc
+
+/** SURVEY §2 group D — the aggregation inventory (count-by-operation,
+  * bounded counts, keyed range counts, schema checksums, rates, the topic
+  * summary multi-aggregate, and the max_by snapshot-history fold). All
+  * map-side-combinable `groupBy().agg()` plans — partial aggregation
+  * before the shuffle is what keeps these linear at 100 TB.
+  */
+object AggQueries {
+
+  private val cr = SyntheticCdc.changeRowsSql
+
+  // D1 ★ count by operation below a change-index ceiling
+  // (`sql_queries.py:170-192`).
+  def d1CountByOperation(spark: SparkSession, dir: String): DataFrame =
+    SyntheticCdc.changeRows(spark, dir)
+      .filter(col("lsn_num") <= 400L)
+      .groupBy(col("operation"))
+      .agg(count(lit(1)).as("cnt"))
+
+  val d1Sql: String =
+    s"""WITH change_rows AS ($cr)
+       |SELECT operation, count(*) AS cnt FROM change_rows
+       |WHERE lsn_num <= 400 GROUP BY operation""".stripMargin
+
+  // D2 ★ bounded existence/size probe: COUNT over TOP(n)
+  // (`sql_queries.py:136-145`).
+  def d2BoundedCount(spark: SparkSession, dir: String): DataFrame =
+    SyntheticCdc.changeRows(spark, dir)
+      .limit(5000)
+      .agg(count(lit(1)).as("cnt"))
+
+  val d2Sql: String =
+    s"""WITH change_rows AS ($cr)
+       |SELECT count(*) AS cnt FROM (SELECT * FROM change_rows LIMIT 5000)""".stripMargin
+
+  // D3 ★ keyed range count between composite PK bounds
+  // (`sql_queries.py:120-133`).
+  def d3KeyedRangeCount(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(
+        struct(col("l_orderkey"), col("l_linenumber")) >=
+          struct(lit(100L).as("l_orderkey"), lit(2).as("l_linenumber")) &&
+        struct(col("l_orderkey"), col("l_linenumber")) <=
+          struct(lit(900L).as("l_orderkey"), lit(3).as("l_linenumber")))
+      .agg(count(lit(1)).as("cnt"))
+
+  val d3Sql: String =
+    """SELECT count(*) AS cnt FROM lineitem
+      |WHERE (l_orderkey > 100 OR (l_orderkey = 100 AND l_linenumber >= 2))
+      |  AND (l_orderkey < 900 OR (l_orderkey = 900 AND l_linenumber <= 3))""".stripMargin
+
+  // D4 ★ order-insensitive schema checksum: commutative SUM of a per-row
+  // arithmetic hash, the shape of `CHECKSUM_AGG(CHECKSUM(...))`
+  // (`sql_queries.py:20-25`).
+  def d4ChecksumAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
+      .groupBy(col("p_brand"))
+      .agg(sum(col("p_partkey") * 31L + length(col("p_name")) * 7L + col("p_size"))
+        .as("schema_checksum"))
+
+  val d4Sql: String =
+    """SELECT p_brand,
+      |       sum(p_partkey * 31 + length(p_name) * 7 + p_size) AS schema_checksum
+      |FROM part GROUP BY p_brand""".stripMargin
+
+  // D5 ★ rows-per-second rate: COUNT / DATEDIFF(second, MIN, MAX)
+  // (`sql_queries.py:68-74`; feeds the topic-partition sizing rule
+  // `build_startup_state.py:111-119`).
+  def d5RowsPerSecond(spark: SparkSession, dir: String): DataFrame =
+    SyntheticCdc.events(spark, dir)
+      .agg(count(lit(1)).as("cnt"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("seconds"))
+      .select(col("cnt"), col("seconds"),
+        (col("cnt").cast("double") / col("seconds")).as("rows_per_sec"))
+
+  val d5Sql: String =
+    """SELECT cnt, seconds, CAST(cnt AS DOUBLE) / seconds AS rows_per_sec
+      |FROM (SELECT count(*) AS cnt,
+      |             date_diff('second', min(ts), max(ts)) AS seconds
+      |      FROM events)""".stripMargin
+
+  // D6 ★ topic summary multi-aggregate (`validation.py:56-197`): one pass
+  // computing per-"topic" operation counts, exact distinct keys, and
+  // change-index extrema. Exact count_distinct matches the reference's
+  // Python set; approx_count_distinct is the documented 100 TB variant.
+  def d6TopicSummary(spark: SparkSession, dir: String): DataFrame =
+    SyntheticCdc.changeRows(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("total_msgs"),
+        count(when(col("operation") === 1, 1)).as("deletes"),
+        count(when(col("operation") === 2, 1)).as("inserts"),
+        count(when(col("operation") === 3, 1)).as("pre_updates"),
+        count(when(col("operation") === 4, 1)).as("post_updates"),
+        countDistinct(col("user_id")).as("distinct_keys"),
+        min(col("seqval_num")).as("min_idx"),
+        max(col("seqval_num")).as("max_idx"))
+
+  val d6Sql: String =
+    s"""WITH change_rows AS ($cr)
+       |SELECT event_type,
+       |       count(*) AS total_msgs,
+       |       count(*) FILTER (WHERE operation = 1) AS deletes,
+       |       count(*) FILTER (WHERE operation = 2) AS inserts,
+       |       count(*) FILTER (WHERE operation = 3) AS pre_updates,
+       |       count(*) FILTER (WHERE operation = 4) AS post_updates,
+       |       count(DISTINCT user_id) AS distinct_keys,
+       |       min(seqval_num) AS min_idx,
+       |       max(seqval_num) AS max_idx
+       |FROM change_rows GROUP BY event_type""".stripMargin
+
+  // D8 ★ snapshot-history fold: latest value per group via max_by
+  // (`show_snapshot_history.py:32-128`, `find_truncation_opportunities
+  // .py:28-66`).
+  def d8LatestPerKey(spark: SparkSession, dir: String): DataFrame =
+    SyntheticCdc.changeRows(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_type"), col("seqval_num")).as("last_event_type"),
+        max(col("seqval_num")).as("last_seqval"))
+
+  val d8Sql: String =
+    s"""WITH change_rows AS ($cr)
+       |SELECT user_id, arg_max(event_type, seqval_num) AS last_event_type,
+       |       max(seqval_num) AS last_seqval
+       |FROM change_rows GROUP BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_count_by_operation" -> (d1CountByOperation _),
+    "d2_bounded_count" -> (d2BoundedCount _),
+    "d3_keyed_range_count" -> (d3KeyedRangeCount _),
+    "d4_checksum_agg" -> (d4ChecksumAgg _),
+    "d5_rows_per_second" -> (d5RowsPerSecond _),
+    "d6_topic_summary" -> (d6TopicSummary _),
+    "d8_latest_per_key" -> (d8LatestPerKey _))
+
+  val oracle: Map[String, String] = Map(
+    "d1_count_by_operation" -> d1Sql,
+    "d2_bounded_count" -> d2Sql,
+    "d3_keyed_range_count" -> d3Sql,
+    "d4_checksum_agg" -> d4Sql,
+    "d5_rows_per_second" -> d5Sql,
+    "d6_topic_summary" -> d6Sql,
+    "d8_latest_per_key" -> d8Sql)
+}

@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.SyntheticCdc
+
+/** SURVEY §2 groups A/B/C/E — scans, predicates, projections, joins, merge
+  * and window operators over the synthetic CDC fixture. Each entry returns
+  * a deterministic DataFrame whose rows a DuckDB oracle reproduces with
+  * [[oracle]]'s SQL (same column names; driver hash-compares).
+  */
+object CdcQueries {
+
+  private val cr = SyntheticCdc.changeRowsSql
+  private val ltm = SyntheticCdc.lsnTimeMappingSql
+  private val ocr = SyntheticCdc.ordersChangeRowsSql
+
+  /** Composite change-index columns in order (B2). */
+  private def idxCols = Seq(col("lsn_num"), col("command_id"), col("seqval_num"), col("operation"))
+
+  // A1 ★ incremental change-table scan: composite > lower bound, <= LSN
+  // ceiling, ordered, TOP(batch). Reference `sql_queries.py:218-267`. The
+  // composite `>` is one struct comparison — Catalyst turns it into the
+  // same seek-friendly conjunction the reference hand-builds.
+  def a1ChangeScan(spark: SparkSession, dir: String): DataFrame =
+    SyntheticCdc.changeRows(spark, dir)
+      .filter(struct(idxCols: _*) > struct(lit(30L).as("lsn_num"), lit(1).as("command_id"),
+        lit(245L).as("seqval_num"), lit(2).as("operation")) &&
+        col("lsn_num") <= 800L)
+      .orderBy(idxCols.map(_.asc): _*)
+      .limit(2000)
+      .select(col("lsn_hex"), col("command_id"), col("seqval_num"),
+        col("operation"), col("event_id"))
+
+  val a1Sql: String =
+    s"""WITH change_rows AS ($cr)
+       |SELECT lsn_hex, command_id, seqval_num, operation, event_id
+       |FROM change_rows
+       |WHERE (lsn_num > 30 OR (lsn_num = 30 AND command_id > 1)
+       |       OR (lsn_num = 30 AND command_id = 1 AND seqval_num > 245)
+       |       OR (lsn_num = 30 AND command_id = 1 AND seqval_num = 245 AND operation > 2))
+       |  AND lsn_num <= 800
+       |ORDER BY lsn_num, command_id, seqval_num, operation
+       |LIMIT 2000""".stripMargin
+
+  // A2 ★ snapshot scan: reverse keyset pagination from a key bound
+  // (`sql_queries.py:270-309`).
+  def a2SnapshotKeyset(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") < 1200L)
+      .orderBy(col("o_orderkey").desc)
+      .limit(500)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+
+  val a2Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+      |FROM orders WHERE o_orderkey < 1200
+      |ORDER BY o_orderkey DESC LIMIT 500""".stripMargin
+
+  // A2 composite-key variant: the multi-column keyset WHERE builder
+  // (`sql_queries.py:312-367`) — row-value `<` over (l_orderkey, l_linenumber).
+  def a2CompositeKeyset(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(struct(col("l_orderkey"), col("l_linenumber")) <
+        struct(lit(800L).as("l_orderkey"), lit(3).as("l_linenumber")))
+      .orderBy(col("l_orderkey").desc, col("l_linenumber").desc)
+      .limit(1000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  val a2cSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey < 800 OR (l_orderkey = 800 AND l_linenumber < 3)
+      |ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 1000""".stripMargin
+
+  // A3 ★ max/min key probe (`sql_queries.py:148-167`).
+  def a3KeyProbe(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .agg(max(col("o_orderkey")).as("max_key"), min(col("o_orderkey")).as("min_key"))
+
+  val a3Sql: String =
+    "SELECT max(o_orderkey) AS max_key, min(o_orderkey) AS min_key FROM orders"
+
+  // B1 ★ operation filter: drop PreUpdate rows (`sql_queries.py:265`).
+  def b1OperationFilter(spark: SparkSession, dir: String): DataFrame =
+    SyntheticCdc.changeRows(spark, dir)
+      .filter(col("operation").isin(1, 2, 4))
+      .select(col("event_id"), col("operation"), col("lsn_hex"))
+
+  val b1Sql: String =
+    s"""WITH change_rows AS ($cr)
+       |SELECT event_id, operation, lsn_hex FROM change_rows
+       |WHERE operation IN (1, 2, 4)""".stripMargin
+
+  // B4 ★ column projection with __-rename (`sql_queries.py:255-262`).
+  def b4Projection(spark: SparkSession, dir: String): DataFrame =
+    SyntheticCdc.changeRows(spark, dir)
+      .select(col("operation").as("__operation"), col("lsn_hex").as("__log_lsn"),
+        col("command_id").as("__command_id"), col("seqval_hex").as("__log_seqval"),
+        col("event_id"), col("user_id"), col("event_type"))
+
+  val b4Sql: String =
+    s"""WITH change_rows AS ($cr)
+       |SELECT operation AS "__operation", lsn_hex AS "__log_lsn",
+       |       command_id AS "__command_id", seqval_hex AS "__log_seqval",
+       |       event_id, user_id, event_type
+       |FROM change_rows""".stripMargin
+
+  // B5 ★ dropped-column NULL projection (`sql_queries.py:274-280`).
+  def b5DroppedColumn(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), lit(null).cast("string").as("o_comment"),
+        col("o_orderstatus"))
+
+  val b5Sql: String =
+    """SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_comment, o_orderstatus
+      |FROM orders""".stripMargin
+
+  // C1 ★ change ⋈ lsn_time_mapping — small dimension side broadcast
+  // (reference hints FORCESEEK, `sql_queries.py:263-264`; Spark analog =
+  // broadcast hash join, no shuffle of the big side).
+  def c1LsnTimeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val changes = SyntheticCdc.changeRows(spark, dir)
+    val mapping = SyntheticCdc.lsnTimeMapping(spark, dir)
+      .select(col("lsn_num"), col("tran_end_time"))
+    changes.join(broadcast(mapping), Seq("lsn_num"), "inner")
+      .select(col("event_id"),
+        date_format(col("tran_end_time"), "yyyy-MM-dd'T'HH:mm:ss.SSS").as("__event_time"),
+        col("operation"))
+  }
+
+  val c1Sql: String =
+    s"""WITH change_rows AS ($cr), lsn_time AS ($ltm)
+       |SELECT c.event_id,
+       |       strftime(l.tran_end_time, '%Y-%m-%dT%H:%M:%S.%g') AS "__event_time",
+       |       c.operation
+       |FROM change_rows c JOIN lsn_time l USING (lsn_num)""".stripMargin
+
+  // C3 ★ delete anti-application (`replayer.py:372-379`): rows surviving a
+  // batch of keyed deletes = target ANTI JOIN deletes.
+  def c3DeleteAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val target = spark.read.parquet(s"$dir/orders.parquet")
+    val deletes = target.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"))
+    target.join(deletes, Seq("o_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  }
+
+  val c3Sql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0)""".stripMargin
+
+  // C4 ★ upsert MERGE reconstructed with a full outer join + coalesce
+  // (`replayer.py:387-416`): batch rows win over target rows; inserts
+  // appear; untouched target rows survive.
+  def c4MergeFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val target = spark.read.parquet(s"$dir/orders.parquet")
+    // Synthetic upsert batch: every 5th order re-priced (update arm) plus
+    // shifted new keys (insert arm); deterministic arithmetic only.
+    val updates = target.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        lit("U").as("o_orderstatus"))
+    val inserts = target.filter(col("o_orderkey") % 500 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_totalprice"), lit("N").as("o_orderstatus"))
+    val batch = updates.unionByName(inserts)
+    target.as("t").join(batch.as("s"), Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("s.o_totalprice"), col("t.o_totalprice")).as("o_totalprice"),
+        coalesce(col("s.o_orderstatus"), col("t.o_orderstatus")).as("o_orderstatus"))
+  }
+
+  val c4Sql: String =
+    """WITH batch AS (
+      |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, 'U' AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice, 'N' AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 500 = 0)
+      |SELECT o_orderkey,
+      |       coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+      |       coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus
+      |FROM orders t FULL OUTER JOIN batch s USING (o_orderkey)""".stripMargin
+
+  // E1 ★ k-way ordered merge: union of two change streams in global
+  // change-index order, with the min-ceiling barrier (`main.py:299-350`).
+  // The global rank makes the merge order itself oracle-checkable.
+  def e1GlobalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = SyntheticCdc.changeRows(spark, dir)
+      .select(lit("events").as("src"), col("lsn_hex"), col("command_id"),
+        col("seqval_num"), col("operation"))
+    val or = SyntheticCdc.ordersChangeRows(spark, dir)
+      .select(lit("orders").as("src"), col("lsn_hex"), col("command_id"),
+        col("seqval_num").cast("long").as("seqval_num"), col("operation"))
+    val ceiling = 700L // common_lsn_limit barrier: min of per-table maxima
+    val w = Window.orderBy(col("lsn_hex"), col("command_id"), col("seqval_num"),
+      col("operation"), col("src"))
+    ev.unionByName(or)
+      .filter(col("lsn_hex") <= lpad(lower(hex(lit(ceiling))), 20, "0"))
+      .withColumn("global_rank", row_number().over(w))
+  }
+
+  val e1Sql: String =
+    s"""WITH ev AS ($cr), oc AS ($ocr),
+       |merged AS (
+       |  SELECT 'events' AS src, lsn_hex, command_id, seqval_num, operation FROM ev
+       |  UNION ALL
+       |  SELECT 'orders' AS src, lsn_hex, command_id, CAST(seqval_num AS BIGINT), operation FROM oc)
+       |SELECT src, lsn_hex, command_id, seqval_num, operation,
+       |       CAST(row_number() OVER (ORDER BY lsn_hex, command_id, seqval_num, operation, src) AS INT) AS global_rank
+       |FROM merged
+       |WHERE lsn_hex <= lpad(lower(to_hex(700)), 20, '0')""".stripMargin
+
+  // E2 ★ top-k by change index (TakeOrderedAndProject — no global sort).
+  def e2TopK(spark: SparkSession, dir: String): DataFrame =
+    SyntheticCdc.changeRows(spark, dir)
+      .orderBy(idxCols.map(_.desc): _*)
+      .limit(100)
+      .select(col("lsn_hex"), col("command_id"), col("seqval_num"), col("operation"))
+
+  val e2Sql: String =
+    s"""WITH change_rows AS ($cr)
+       |SELECT lsn_hex, command_id, seqval_num, operation FROM change_rows
+       |ORDER BY lsn_num DESC, command_id DESC, seqval_num DESC, operation DESC
+       |LIMIT 100""".stripMargin
+
+  // E3 ★ last-wins dedup by key (`progress_tracking.py:236-246`,
+  // `replayer.py:519`): latest change per key via a ranked window.
+  def e3LastWinsDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("lsn_num").desc, col("command_id").desc,
+        col("seqval_num").desc, col("operation").desc)
+    SyntheticCdc.changeRows(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("seqval_num").as("last_seqval"),
+        col("operation").as("last_operation"))
+  }
+
+  val e3Sql: String =
+    s"""WITH change_rows AS ($cr), ranked AS (
+       |  SELECT user_id, seqval_num, operation,
+       |         row_number() OVER (PARTITION BY user_id
+       |           ORDER BY lsn_num DESC, command_id DESC, seqval_num DESC, operation DESC) AS rn
+       |  FROM change_rows)
+       |SELECT user_id, seqval_num AS last_seqval, operation AS last_operation
+       |FROM ranked WHERE rn = 1""".stripMargin
+
+  // E4 ★ ordering-regression detection via lag window
+  // (`validation.py:148-160`): a deterministically permuted read order
+  // stands in for Kafka partition offsets.
+  def e4OrderingRegressions(spark: SparkSession, dir: String): DataFrame = {
+    val permuted = SyntheticCdc.changeRows(spark, dir)
+      .withColumn("part", (col("event_id") % 4).cast("int"))
+      .withColumn("offset", (col("event_id") * 7919) % 104729)
+    val w = Window.partitionBy(col("part")).orderBy(col("offset"))
+    permuted
+      .withColumn("prev_seqval", lag(col("seqval_num"), 1).over(w))
+      .filter(col("prev_seqval") > col("seqval_num"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("regressions"))
+  }
+
+  val e4Sql: String =
+    s"""WITH change_rows AS ($cr), permuted AS (
+       |  SELECT CAST(event_id % 4 AS INT) AS part,
+       |         (event_id * 7919) % 104729 AS "offset", seqval_num
+       |  FROM change_rows), lagged AS (
+       |  SELECT part, seqval_num,
+       |         lag(seqval_num) OVER (PARTITION BY part ORDER BY "offset") AS prev_seqval
+       |  FROM permuted)
+       |SELECT part, count(*) AS regressions FROM lagged
+       |WHERE prev_seqval > seqval_num GROUP BY part""".stripMargin
+
+  // E5 ★ offset-gap detection (`validation.py:123-127`): sum of holes in a
+  // per-partition offset sequence.
+  def e5OffsetGaps(spark: SparkSession, dir: String): DataFrame = {
+    val sparse = SyntheticCdc.changeRows(spark, dir)
+      .filter(col("event_id") % 10 < 7) // deterministic holes
+      .withColumn("part", (col("event_id") % 4).cast("int"))
+      .withColumn("offset", col("event_id"))
+    val w = Window.partitionBy(col("part")).orderBy(col("offset"))
+    sparse
+      .withColumn("prev_offset", lag(col("offset"), 1).over(w))
+      .groupBy(col("part"))
+      .agg(sum(when(col("prev_offset").isNotNull,
+        ((col("offset") - col("prev_offset")) / 4).cast("long") - 1)
+        .otherwise(0L)).as("missing"))
+  }
+
+  val e5Sql: String =
+    s"""WITH change_rows AS ($cr), sparse AS (
+       |  SELECT CAST(event_id % 4 AS INT) AS part, event_id AS "offset"
+       |  FROM change_rows WHERE event_id % 10 < 7), lagged AS (
+       |  SELECT part, "offset",
+       |         lag("offset") OVER (PARTITION BY part ORDER BY "offset") AS prev_offset
+       |  FROM sparse)
+       |SELECT part, CAST(sum(CASE WHEN prev_offset IS NOT NULL
+       |       THEN ("offset" - prev_offset) // 4 - 1 ELSE 0 END) AS BIGINT) AS missing
+       |FROM lagged GROUP BY part""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_change_scan" -> (a1ChangeScan _),
+    "a2_snapshot_keyset" -> (a2SnapshotKeyset _),
+    "a2_composite_keyset" -> (a2CompositeKeyset _),
+    "a3_key_probe" -> (a3KeyProbe _),
+    "b1_operation_filter" -> (b1OperationFilter _),
+    "b4_projection" -> (b4Projection _),
+    "b5_dropped_column" -> (b5DroppedColumn _),
+    "c1_lsn_time_join" -> (c1LsnTimeJoin _),
+    "c3_delete_anti_join" -> (c3DeleteAntiJoin _),
+    "c4_merge_full_outer" -> (c4MergeFullOuter _),
+    "e1_global_merge" -> (e1GlobalMerge _),
+    "e2_topk" -> (e2TopK _),
+    "e3_last_wins_dedup" -> (e3LastWinsDedup _),
+    "e4_ordering_regressions" -> (e4OrderingRegressions _),
+    "e5_offset_gaps" -> (e5OffsetGaps _))
+
+  val oracle: Map[String, String] = Map(
+    "a1_change_scan" -> a1Sql,
+    "a2_snapshot_keyset" -> a2Sql,
+    "a2_composite_keyset" -> a2cSql,
+    "a3_key_probe" -> a3Sql,
+    "b1_operation_filter" -> b1Sql,
+    "b4_projection" -> b4Sql,
+    "b5_dropped_column" -> b5Sql,
+    "c1_lsn_time_join" -> c1Sql,
+    "c3_delete_anti_join" -> c3Sql,
+    "c4_merge_full_outer" -> c4Sql,
+    "e1_global_merge" -> e1Sql,
+    "e2_topk" -> e2Sql,
+    "e3_last_wins_dedup" -> e3Sql,
+    "e4_ordering_regressions" -> e4Sql,
+    "e5_offset_gaps" -> e5Sql)
+}
