@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.Kernels
+
+/** Property + vector tests for the custom scalar kernels (SURVEY §2 B6, B7,
+  * F3, F6). Vectors were generated with independent model implementations
+  * (Python `uuid` stdlib; the byte-permutation from
+  * `cdc_kafka/validation.py:19-41`). */
+class KernelsSpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(42)
+  // Whole code points (the emoji is a surrogate pair — never split it).
+  private val alphabet = Seq("a", "b", "X", " ", "0", "!", "é", "中", "😀")
+  private def randomStr(max: Int): String =
+    Seq.fill(rng.nextInt(max + 1))(alphabet(rng.nextInt(alphabet.length))).mkString
+
+  private def t(s: String, max: Int): String =
+    Kernels.truncateUtf8(UTF8String.fromString(s), max).toString
+
+  test("truncateUtf8: ASCII truncates at the byte limit") {
+    assert(t("hello world", 5) == "hello")
+    assert(t("hi", 5) == "hi")
+    assert(t("hi", 0) == "")
+    assert(t("hi", -3) == "")
+  }
+
+  test("truncateUtf8: never splits a multibyte character") {
+    assert(t("aé", 2) == "a")     // é = 2 bytes; cutting at 2 would split it
+    assert(t("aé", 3) == "aé")
+    assert(t("中文", 4) == "中")   // each CJK char = 3 bytes
+    assert(t("😀x", 3) == "") // emoji = 4 bytes
+    assert(t("😀x", 4) == "😀")
+  }
+
+  test("truncateUtf8 properties: bounded, prefix-preserving, valid UTF-8") {
+    for (_ <- 1 to 500) {
+      val s = randomStr(20)
+      val max = rng.nextInt(43) - 2
+      val out = t(s, max)
+      val outBytes = out.getBytes("UTF-8")
+      assert(outBytes.length <= math.max(0, max))
+      assert(s.startsWith(out))
+      // valid UTF-8 roundtrip (no split surrogate/partial char)
+      assert(new String(outBytes, "UTF-8") == out)
+    }
+  }
+
+  private def mask(names: Seq[String], bytes: Int*): Seq[String] = {
+    val arr = new GenericArrayData(names.map(UTF8String.fromString).toArray[Any])
+    val res = Kernels.maskToNames(bytes.map(_.toByte).toArray, arr)
+    (0 until res.numElements()).map(res.getUTF8String(_).toString)
+  }
+
+  test("maskToNames: LSB-first from the last byte (SQL Server bit order)") {
+    val names = Seq("c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8", "c9")
+    assert(mask(names, 0x00, 0x01) == Seq("c0"))
+    assert(mask(names, 0x00, 0x05) == Seq("c0", "c2"))
+    assert(mask(names, 0x01, 0x00) == Seq("c8"))
+    assert(mask(names, 0x03, 0xff) == names.take(10))
+    assert(mask(names, 0x00, 0x00) == Seq.empty)
+  }
+
+  test("maskToNames: mask wider than the name list is safely bounded") {
+    assert(mask(Seq("a"), 0xff, 0xff) == Seq("a"))
+  }
+
+  test("sqlServerUuidSortKey vectors (reference permutation)") {
+    def key(u: String): String =
+      Kernels.sqlServerUuidSortKey(UTF8String.fromString(u))
+        .map(b => f"${b & 0xff}%02x").mkString
+    assert(key("00112233-4455-6677-8899-aabbccddeeff") ==
+      "aabbccddeeff88997766554433221100")
+    assert(key("fe42b271-621b-5a7e-83d8-f4b2e490868c") ==
+      "f4b2e490868c83d87e5a1b6271b242fe")
+  }
+
+  test("sqlServerUuidSortKey is a byte permutation") {
+    for (_ <- 1 to 300) {
+      val h = Seq.fill(32)("0123456789abcdef"(rng.nextInt(16))).mkString
+      val u = s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-${h.substring(16, 20)}-${h.substring(20)}"
+      val key = Kernels.sqlServerUuidSortKey(UTF8String.fromString(u))
+      assert(key.length == 16)
+      val origPairs = h.grouped(2).toSeq.sorted
+      val keyPairs = key.map(b => f"${b & 0xff}%02x").toSeq.sorted
+      assert(origPairs == keyPairs)
+    }
+  }
+
+  test("uuid5 vectors (Python uuid.uuid5 with md5(seed) namespace)") {
+    def u5(seed: String, name: String): String =
+      Kernels.uuid5(UTF8String.fromString(seed), UTF8String.fromString(name)).toString
+    assert(u5("dbo.events", "") == "08702170-cde2-5680-a793-59d45d597a48")
+    assert(u5("dbo.events", "42signup{\"k\": 0}") ==
+      "68621edd-7037-58ff-a726-51b79a3781c6")
+    assert(u5("a.b", "hello world") == "fe42b271-621b-5a7e-83d8-f4b2e490868c")
+    assert(u5("x", "é中文") == "aade7128-096b-5d85-86b8-b1874f024d2e")
+  }
+
+  test("uuid5 has RFC 4122 version and variant bits") {
+    for (_ <- 1 to 300) {
+      val seed = randomStr(10); val name = randomStr(20)
+      val out = Kernels.uuid5(UTF8String.fromString(seed), UTF8String.fromString(name)).toString
+      assert(out.length == 36)
+      assert(out.charAt(14) == '5')
+      assert("89ab".contains(out.charAt(19)))
+    }
+  }
+}
