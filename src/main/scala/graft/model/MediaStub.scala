@@ -1,0 +1,38 @@
+package graft.model
+
+/** STUB media codec for multimodal columns.
+  *
+  * The real engine would link an image/audio decoder here (not available
+  * in this environment). The container header layout is real and parsed
+  * for real — 4-byte big-endian width, 4-byte height, 1-byte format id —
+  * only the pixel-level work (`meanLuma`) is a deterministic fake so the
+  * surrounding Spark plumbing (binary columns, per-partition codec reuse,
+  * typed Dataset output) can be exercised and tested.
+  */
+object MediaStub {
+
+  final case class Decoded(width: Int, height: Int, format: String, meanLuma: Double)
+
+  /** Placeholder for an expensive native codec context; real decoders
+    * must be opened once per partition, not per row. */
+  final class Codec private[MediaStub] ()
+
+  def openCodec(): Codec = new Codec
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  val formats: Array[String] = Array("png", "jpeg", "webp")
+
+  def decode(codec: Codec, media: Array[Byte]): Decoded = {
+    require(media.length >= 9, s"truncated media header: ${media.length} bytes")
+    val w = be32(media, 0)
+    val h = be32(media, 4)
+    val f = formats(media(8) & 0xff)
+    // STUB pixel statistic: deterministic function of the header bytes.
+    // A real decoder would scan the frame buffer here.
+    val luma = ((w.toLong * 31 + h) % 256).toDouble / 255.0
+    Decoded(w, h, f, luma)
+  }
+}

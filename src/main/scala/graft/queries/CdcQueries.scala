@@ -188,7 +188,9 @@ object CdcQueries {
 
   // E1 ★ k-way ordered merge: union of two change streams in global
   // change-index order, with the min-ceiling barrier (`main.py:299-350`).
-  // The global rank makes the merge order itself oracle-checkable.
+  // The global rank makes the merge order itself oracle-checkable; it is
+  // computed with the TeraSort-style range-partitioned rank
+  // ([[graft.operators.GlobalOrder]]) — NOT a single-reducer window.
   def e1GlobalMerge(spark: SparkSession, dir: String): DataFrame = {
     val ev = SyntheticCdc.changeRows(spark, dir)
       .select(lit("events").as("src"), col("lsn_hex"), col("command_id"),
@@ -197,11 +199,11 @@ object CdcQueries {
       .select(lit("orders").as("src"), col("lsn_hex"), col("command_id"),
         col("seqval_num").cast("long").as("seqval_num"), col("operation"))
     val ceiling = 700L // common_lsn_limit barrier: min of per-table maxima
-    val w = Window.orderBy(col("lsn_hex"), col("command_id"), col("seqval_num"),
-      col("operation"), col("src"))
-    ev.unionByName(or)
+    val merged = ev.unionByName(or)
       .filter(col("lsn_hex") <= lpad(lower(hex(lit(ceiling))), 20, "0"))
-      .withColumn("global_rank", row_number().over(w))
+    graft.operators.GlobalOrder.withGlobalRank(merged,
+      Seq(col("lsn_hex"), col("command_id"), col("seqval_num"),
+        col("operation"), col("src")), "global_rank")
   }
 
   val e1Sql: String =

@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data deduplication operators over the `documents` /
+  * `embeddings` tables: exact hash dedup, MinHash+LSH banding, SimHash,
+  * n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Both engines evaluate the same arithmetic: the shared primitive is an
+  * engine-independent 60-bit hash `H(s) = int(md5(s)[:15 hex], 16)` so
+  * every minhash/simhash value is reproducible in the DuckDB oracle.
+  *
+  * Scale notes (100 TB): every query here is shuffle-minimal by design —
+  * exact dedup is one hash-partitioned aggregation; MinHash banding
+  * shuffles `bands` rows (4 per doc) on the band key, which is the
+  * standard LSH join; candidate generation never compares all pairs.
+  * Skewed band buckets (boilerplate shingles) would be salted or capped
+  * with a bucket-size limit at scale; AQE skew-join handles moderate skew.
+  */
+object DedupQueries {
+
+  /** Deterministic duplicate-bearing corpus: every 5th document is
+    * re-inserted under doc_id+100000 (simulates a re-crawled page). */
+  private val corpusSparkSql =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  private val corpusDuckSql = corpusSparkSql
+
+  /** Engine-shared 60-bit hash of a string expression. */
+  private def hSpark(e: String) = s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
+  private def hDuck(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  // The doc table arrives as a single parquet file at test scale; without
+  // an explicit repartition the per-shingle hashing stages would run on
+  // ONE core (file-split parallelism, not row-count parallelism governs
+  // the scan). On a real corpus the scan is already thousands of splits.
+  private def viewDocs(spark: SparkSession, dir: String): Unit =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .createOrReplaceTempView("documents")
+
+  private def viewEmb(spark: SparkSession, dir: String): Unit =
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+
+  // ── dd_exact ★ — hash-groupBy exact dedup: one partial-aggregated
+  // shuffle on the content hash; keeper = min doc_id.
+  def ddExact(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH corpus AS ($corpusSparkSql)
+         |SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+         |       count(*) AS copies
+         |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin)
+  }
+
+  val ddExactSql: String =
+    s"""WITH corpus AS ($corpusDuckSql)
+       |SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+       |       count(*) AS copies
+       |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin
+
+  // ── dd_minhash_lsh ★ — char-8-gram shingles → 16 minhashes → 4 bands
+  // of 4 → band-bucket self-join → candidate pairs with estimated
+  // Jaccard ≥ 0.5. The only shuffle of consequence is the band-key join.
+  private val P = 2147483647L
+
+  // Shingles are char-8-grams at stride 2 — half the hashing for the same
+  // dup-detection power on these fixtures; both engines use the identical
+  // shingle set.
+  private def minhashSpark: String =
+    s"""SELECT doc_id,
+       |  transform(sequence(0, 15), j -> array_min(transform(hs,
+       |    h -> ((h % $P) * (2*j + 3) + (7919*j + 13)) % $P))) AS mh
+       |FROM (SELECT doc_id,
+       |        transform(sequence(1, greatest(length(text) - 7, 1), 2),
+       |          i -> ${hSpark("substring(text, i, 8)")}) AS hs
+       |      FROM corpus)""".stripMargin
+
+  private def minhashDuck: String =
+    s"""SELECT doc_id,
+       |  list_transform(range(0, 16), j -> list_min(list_transform(hs,
+       |    h -> ((h % $P) * (2*j + 3) + (7919*j + 13)) % $P))) AS mh
+       |FROM (SELECT doc_id,
+       |        list_transform(range(1, greatest(strlen(text) - 7, 1) + 1, 2),
+       |          i -> ${hDuck("substr(text, i, 8)")}) AS hs
+       |      FROM corpus)""".stripMargin
+
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    // Materialize the minhash signatures ONCE: Catalyst inlines CTEs, so
+    // referencing mh_t from the band explode and both pair sides would
+    // re-run the shingle hashing three times over. At cluster scale this
+    // stage is a checkpoint / exchange-reuse point for the same reason.
+    spark.sql(s"WITH corpus AS ($corpusSparkSql) $minhashSpark")
+      .localCheckpoint()
+      .createOrReplaceTempView("mh_t")
+    spark.sql(
+      """WITH bands AS (
+        |  SELECT doc_id, band_idx,
+        |         array_join(transform(slice(mh, band_idx*4 + 1, 4),
+        |           x -> cast(x as string)), '-') AS band_key
+        |  FROM mh_t LATERAL VIEW explode(sequence(0, 3)) AS band_idx),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id),
+        |cand AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |         size(filter(sequence(1, 16),
+        |           i -> element_at(ma.mh, i) = element_at(mb.mh, i))) / 16.0
+        |           AS est_jaccard
+        |  FROM pairs p
+        |  JOIN mh_t ma ON ma.doc_id = p.doc_a
+        |  JOIN mh_t mb ON mb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.5""".stripMargin)
+  }
+
+  val ddMinhashLshSql: String =
+    s"""WITH corpus AS ($corpusDuckSql),
+       |mh_t AS ($minhashDuck),
+       |bands AS (
+       |  SELECT doc_id, band_idx,
+       |         array_to_string(list_slice(mh, band_idx*4 + 1, band_idx*4 + 4), '-')
+       |           AS band_key
+       |  FROM mh_t CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |cand AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         len(list_filter(range(1, 17), i -> ma.mh[i] = mb.mh[i])) / 16.0
+       |           AS est_jaccard
+       |  FROM pairs p
+       |  JOIN mh_t ma ON ma.doc_id = p.doc_a
+       |  JOIN mh_t mb ON mb.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.5""".stripMargin
+
+  // ── dd_simhash ★ — 16-bit SimHash over word hashes; bit i is set when
+  // more than half the words have bit i set in H(word). Groups with >1
+  // member are dup clusters (exact copies collapse; near-dups may).
+  private def simhashDuck: String =
+    s"""SELECT doc_id,
+       |  list_sum(list_transform(range(0, 16), i ->
+       |    CASE WHEN 2 * len(list_filter(wh, h -> (h >> i) & 1 = 1)) > n
+       |         THEN (1::BIGINT << i) ELSE 0 END)) AS simhash
+       |FROM (SELECT doc_id,
+       |             list_transform(string_split(text, ' '), w -> ${hDuck("w")}) AS wh,
+       |             len(string_split(text, ' ')) AS n
+       |      FROM corpus)""".stripMargin
+
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    // Materialize word hashes once: the 16 per-bit filters over `wh` would
+    // otherwise each re-run the md5 pass (Catalyst collapses projections).
+    spark.sql(
+      s"""WITH corpus AS ($corpusSparkSql)
+         |SELECT doc_id, transform(split(text, ' '), w -> ${hSpark("w")}) AS wh,
+         |       size(split(text, ' ')) AS n
+         |FROM corpus""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("wh_t")
+    spark.sql(
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    aggregate(transform(sequence(0, 15), i ->
+        |      if(2 * size(filter(wh, h -> (h >> i) & 1 = 1)) > n, shiftleft(1L, i), 0L)),
+        |      0L, (acc, x) -> acc + x) AS simhash
+        |  FROM wh_t)
+        |SELECT simhash, count(*) AS members, min(doc_id) AS keeper_doc_id
+        |FROM sh GROUP BY simhash HAVING count(*) > 1""".stripMargin)
+  }
+
+  val ddSimhashSql: String =
+    s"""WITH corpus AS ($corpusDuckSql), sh AS ($simhashDuck)
+       |SELECT CAST(simhash AS BIGINT) AS simhash, count(*) AS members,
+       |       min(doc_id) AS keeper_doc_id
+       |FROM sh GROUP BY simhash HAVING count(*) > 1""".stripMargin
+
+  // ── dd_ngram_jaccard ★ — exact word-bigram Jaccard over blocked
+  // candidate pairs (same source, |Δn_chars| ≤ 2, doc_a < doc_b). The
+  // blocking predicate is what keeps this from being an all-pairs join.
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    // Blocking is an EQUI-join on (source, n_chars div 8): a hash join
+    // with small buckets instead of a per-source quadratic theta-join.
+    // Grams are materialized once so neither join side recomputes them.
+    spark.sql(
+      s"""WITH corpus AS ($corpusSparkSql)
+         |SELECT doc_id, source, cast(floor(n_chars / 8) as int) AS size_bucket,
+         |       array_distinct(transform(sequence(1, greatest(size(ws) - 1, 1)),
+         |         i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) AS g
+         |FROM (SELECT doc_id, source, n_chars, split(text, ' ') AS ws FROM corpus)""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("grams_t")
+    spark.sql(
+      """WITH cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         size(array_intersect(a.g, b.g)) * 1.0 / size(array_union(a.g, b.g))
+        |           AS jaccard
+        |  FROM grams_t a JOIN grams_t b
+        |    ON a.source = b.source AND a.size_bucket = b.size_bucket
+        |   AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= 0.2""".stripMargin)
+  }
+
+  val ddNgramJaccardSql: String =
+    s"""WITH corpus AS ($corpusDuckSql),
+       |grams AS (
+       |  SELECT doc_id, source, CAST(n_chars // 8 AS INT) AS size_bucket,
+       |         list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+       |           i -> ws[i] || ' ' || ws[i + 1])) AS g
+       |  FROM (SELECT doc_id, source, n_chars, string_split(text, ' ') AS ws FROM corpus)),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(a.g || b.g))
+       |           AS jaccard
+       |  FROM grams a JOIN grams b
+       |    ON a.source = b.source AND a.size_bucket = b.size_bucket
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= 0.2""".stripMargin
+
+  // ── dd_embedding_cosine ★ — embedding near-dup: label-blocked pairs
+  // with cosine ≥ 0.95. Dot products are explicit left-to-right double
+  // folds in BOTH engines so the floats agree bit-for-bit; output rounded
+  // to 6 decimals. At scale the label block becomes an IVF/LSH bucket.
+  private val embCorpusSpark =
+    """SELECT vec_id, embedding, label FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 100000 AS vec_id, embedding, label
+      |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
+
+  def ddEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    spark.sql(
+      s"""WITH corpus AS ($embCorpusSpark),
+         |normed AS (
+         |  SELECT vec_id, label, embedding,
+         |         sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),
+         |           cast(0.0 as double), (acc, v) -> acc + v)) AS nrm
+         |  FROM corpus)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(aggregate(zip_with(a.embedding, b.embedding,
+         |               (x, y) -> cast(x as double) * cast(y as double)),
+         |             cast(0.0 as double), (acc, v) -> acc + v) / (a.nrm * b.nrm), 6)
+         |         AS cos_sim
+         |FROM normed a JOIN normed b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE aggregate(zip_with(a.embedding, b.embedding,
+         |        (x, y) -> cast(x as double) * cast(y as double)),
+         |      cast(0.0 as double), (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.95""".stripMargin)
+  }
+
+  val ddEmbeddingCosineSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, embedding, label
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |normed AS (
+       |  SELECT vec_id, label, embedding,
+       |         sqrt(list_reduce([0.0] || list_transform(embedding,
+       |           x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) AS nrm
+       |  FROM corpus)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round(list_reduce([0.0] || list_transform(range(1, 65),
+       |               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+       |             (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim
+       |FROM normed a JOIN normed b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE list_reduce([0.0] || list_transform(range(1, 65),
+       |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+       |      (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.95""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> (ddExact _),
+    "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_simhash" -> (ddSimhash _),
+    "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_embedding_cosine" -> (ddEmbeddingCosine _))
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" -> ddExactSql,
+    "dd_minhash_lsh" -> ddMinhashLshSql,
+    "dd_simhash" -> ddSimhashSql,
+    "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_embedding_cosine" -> ddEmbeddingCosineSql)
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.MediaStub
+
+/** Multimodal-column plumbing: media payloads are opaque `binary` columns
+  * with typed metadata. The codec itself is STUBBED (no image/audio libs
+  * in this environment) behind [[graft.model.MediaStub]] — a deterministic
+  * fake whose header layout stands in for a container format — but the
+  * Spark-side plumbing (binary columns, schema, batch-shaped partition
+  * processing, frame-sampling fan-out) is real and oracle-checked.
+  *
+  * Scale notes: media rows are wide (MBs each at production); the
+  * partition sizing lever is `spark.sql.files.maxPartitionBytes`, and the
+  * decode pass is a narrow per-partition transform (`mapPartitions`) with
+  * no shuffle — decode cost dominates so the plan must never resort to a
+  * wide exchange before sampling/filtering cuts volume.
+  */
+object MultimodalQueries {
+
+  /** Synthetic media fixture: a binary "container" per document, header =
+    * 4-byte width | 4-byte height | 1-byte format, all derived from
+    * doc_id. The hex-level layout matches [[MediaStub.header]]. */
+  private val assetsSpark =
+    """SELECT doc_id,
+      |       64 + (doc_id % 16) * 16 AS width,
+      |       64 + (doc_id % 9) * 32 AS height,
+      |       cast(doc_id % 3 as int) AS format_id,
+      |       cast(1 + doc_id % 240 as int) AS n_frames,
+      |       unhex(concat(lpad(hex(64 + (doc_id % 16) * 16), 8, '0'),
+      |                    lpad(hex(64 + (doc_id % 9) * 32), 8, '0'),
+      |                    lpad(hex(doc_id % 3), 2, '0'))) AS media
+      |FROM documents""".stripMargin
+
+  private val assetsDuck =
+    """SELECT doc_id,
+      |       64 + (doc_id % 16) * 16 AS width,
+      |       64 + (doc_id % 9) * 32 AS height,
+      |       CAST(doc_id % 3 AS INT) AS format_id,
+      |       CAST(1 + doc_id % 240 AS INT) AS n_frames,
+      |       unhex(lpad(hex(64 + (doc_id % 16) * 16), 8, '0') ||
+      |             lpad(hex(64 + (doc_id % 9) * 32), 8, '0') ||
+      |             lpad(hex(doc_id % 3), 2, '0')) AS media
+      |FROM documents""".stripMargin
+
+  private def viewDocs(spark: SparkSession, dir: String): Unit =
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+
+  // ── mm_metadata_extract ★ — parse the typed metadata back OUT of the
+  // opaque binary column (the "probe the container header" step): both
+  // engines slice the hex rendering of the blob.
+  def mmMetadataExtract(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH assets AS ($assetsSpark)
+         |SELECT doc_id,
+         |       cast(conv(substr(hex(media), 1, 8), 16, 10) as int) AS parsed_width,
+         |       cast(conv(substr(hex(media), 9, 8), 16, 10) as int) AS parsed_height,
+         |       CASE cast(conv(substr(hex(media), 17, 2), 16, 10) as int)
+         |         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+         |       length(media) AS media_bytes
+         |FROM assets""".stripMargin)
+  }
+
+  val mmMetadataExtractSql: String =
+    s"""WITH assets AS ($assetsDuck)
+       |SELECT doc_id,
+       |       ('0x' || substr(hex(media), 1, 8))::INT AS parsed_width,
+       |       ('0x' || substr(hex(media), 9, 8))::INT AS parsed_height,
+       |       CASE ('0x' || substr(hex(media), 17, 2))::INT
+       |         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+       |       CAST(octet_length(media) AS INT) AS media_bytes
+       |FROM assets""".stripMargin
+
+  // ── mm_frame_sample ★ — per-"video" frame-index sampling: every
+  // ceil(n/8)-th frame, exploded to one row per sampled frame.
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH assets AS ($assetsSpark)
+         |SELECT doc_id, frame_idx
+         |FROM assets
+         |LATERAL VIEW explode(sequence(0, n_frames - 1,
+         |  greatest(cast(ceil(n_frames / 8.0) as int), 1))) AS frame_idx
+         |WHERE doc_id % 10 = 0""".stripMargin)
+  }
+
+  val mmFrameSampleSql: String =
+    s"""WITH assets AS ($assetsDuck)
+       |SELECT doc_id, CAST(unnest(range(0, n_frames,
+       |         greatest(CAST(ceil(n_frames / 8.0) AS INT), 1))) AS BIGINT) AS frame_idx
+       |FROM assets WHERE doc_id % 10 = 0""".stripMargin
+
+  // ── mm_decode_stub — the typed-Dataset decode pass: mapPartitions over
+  // (doc_id, media) with the stubbed codec, producing per-asset feature
+  // rows. Rows-only check (the stub's "pixel stats" are Scala-side).
+  def mmDecodeStub(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    import spark.implicits._
+    val assets = spark.sql(s"WITH assets AS ($assetsSpark) SELECT doc_id, media FROM assets")
+      .as[(Long, Array[Byte])]
+    // Batch-shaped per-partition decode: one stub "codec context" per
+    // partition, reused across rows — the shape a real (native) decoder
+    // needs. No shuffle.
+    assets.mapPartitions { it =>
+      val codec = MediaStub.openCodec()
+      it.map { case (docId, media) =>
+        val d = MediaStub.decode(codec, media)
+        (docId, d.width, d.height, d.format, d.meanLuma)
+      }
+    }.toDF("doc_id", "width", "height", "format", "mean_luma")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_metadata_extract" -> (mmMetadataExtract _),
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_decode_stub" -> (mmDecodeStub _))
+
+  val oracle: Map[String, String] = Map(
+    "mm_metadata_extract" -> mmMetadataExtractSql,
+    "mm_frame_sample" -> mmFrameSampleSql)
+    // mm_decode_stub: rows-only (stubbed codec output is not SQL-expressible)
+}

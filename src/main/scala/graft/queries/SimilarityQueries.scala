@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table:
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane-LSH bucketed variant as the 100 TB scale path.
+  *
+  * Scale notes: brute-force is O(Q·N) with the query side broadcast — the
+  * N side never shuffles and the top-k is a per-partition partial top-k
+  * (TakeOrdered pattern via window on a small Q·N product here; at real
+  * scale Q is batched and the window is per-query). The LSH variant cuts
+  * the candidate set to one bucket per query: candidates shuffle once on
+  * the bucket id, which is the IVF/LSH routing join.
+  *
+  * All dot products are explicit left-to-right double folds in BOTH
+  * engines so float results agree bit-for-bit; outputs round to 6 dp.
+  */
+object SimilarityQueries {
+
+  private def viewEmb(spark: SparkSession, dir: String): Unit =
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+
+  private val dotSpark =
+    """aggregate(zip_with(%s, %s, (x, y) -> cast(x as double) * cast(y as double)),
+      |      cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin
+
+  private def dotS(a: String, b: String) = dotSpark.format(a, b)
+
+  private def dotD(a: String, b: String) =
+    s"""list_reduce([0.0] || list_transform(range(1, 65),
+       |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
+
+  // ── ann_bruteforce_topk ★ — exact cosine top-5 for each query vector
+  // (vec_id < 3), ties broken by vec_id.
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    spark.sql(
+      s"""WITH normed AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotS("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |queries AS (SELECT * FROM normed WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |         ${dotS("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cs
+         |  FROM queries q JOIN normed c ON q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cs,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, cast(rnk as int) AS rnk, round(cs, 6) AS cos_sim
+         |FROM ranked WHERE rnk <= 5""".stripMargin)
+  }
+
+  val annBruteforceSql: String =
+    s"""WITH normed AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce([0.0] || list_transform(embedding,
+       |           x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |queries AS (SELECT * FROM normed WHERE vec_id < 3),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |         ${dotD("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cs
+       |  FROM queries q JOIN normed c ON q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cs,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, round(cs, 6) AS cos_sim
+       |FROM ranked WHERE rnk <= 5""".stripMargin
+
+  // ── ann_lsh_topk ★ — 8 deterministic pseudo-random hyperplanes (LCG
+  // over plane×dim index) hash every vector to an 8-bit bucket; queries
+  // only score candidates in their own bucket, top-3 each.
+  //
+  // Plane value for plane j, dim d (0-based):
+  //   ((1103515245*(j*64+d) + 12345) % 2001 - 1000) / 1000.0
+  private val bucketSpark =
+    """aggregate(transform(sequence(0, 7), j ->
+      |    if(aggregate(zip_with(embedding,
+      |         transform(sequence(0, 63), d ->
+      |           (((1103515245L*(j*64 + d) + 12345) % 2001) - 1000) / 1000.0),
+      |         (x, p) -> cast(x as double) * p),
+      |       cast(0.0 as double), (acc, v) -> acc + v) > 0.0,
+      |       shiftleft(1, j), 0)),
+      |    0, (acc, x) -> acc + x)""".stripMargin
+
+  private val bucketDuck =
+    """list_sum(list_transform(range(0, 8), j ->
+      |    CASE WHEN list_reduce([0.0] || list_transform(range(1, 65), d ->
+      |           embedding[d]::DOUBLE *
+      |           ((((1103515245*(j*64 + d - 1) + 12345) % 2001) - 1000) / 1000.0)),
+      |         (x, y) -> x + y) > 0.0
+      |    THEN (1 << j) ELSE 0 END))""".stripMargin
+
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    spark.sql(
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotS("embedding", "embedding")}) AS nrm,
+         |         $bucketSpark AS bucket
+         |  FROM embeddings),
+         |queries AS (SELECT * FROM bucketed WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, q.bucket AS bucket,
+         |         ${dotS("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cs
+         |  FROM queries q JOIN bucketed c
+         |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, bucket, cs,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, cast(bucket as int) AS bucket, cast(rnk as int) AS rnk,
+         |       round(cs, 6) AS cos_sim
+         |FROM ranked WHERE rnk <= 3""".stripMargin)
+  }
+
+  val annLshTopkSql: String =
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce([0.0] || list_transform(embedding,
+       |           x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) AS nrm,
+       |         $bucketDuck AS bucket
+       |  FROM embeddings),
+       |queries AS (SELECT * FROM bucketed WHERE vec_id < 3),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, q.bucket AS bucket,
+       |         ${dotD("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cs
+       |  FROM queries q JOIN bucketed c
+       |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, bucket, cs,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, CAST(bucket AS INT) AS bucket, CAST(rnk AS INT) AS rnk,
+       |       round(cs, 6) AS cos_sim
+       |FROM ranked WHERE rnk <= 3""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce_topk" -> (annBruteforce _),
+    "ann_lsh_topk" -> (annLshTopk _))
+
+  val oracle: Map[String, String] = Map(
+    "ann_bruteforce_topk" -> annBruteforceSql,
+    "ann_lsh_topk" -> annLshTopkSql)
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * stopword-heuristic language ID, quality scoring, token counting, and
+  * content fingerprinting. All single-pass narrow transforms — no shuffle
+  * at all except where a groupBy is the point; these run at scan speed on
+  * 100 TB.
+  */
+object TextQueries {
+
+  private def viewDocs(spark: SparkSession, dir: String): Unit =
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+
+  // ── text_langid ★ — stopword-list scoring; highest count wins, ties
+  // resolved in fixed language order (en, es, de, fr).
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "en", "los", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "von", "mit"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une", "dans", "pour"))
+
+  private def scoreSpark(words: Seq[String]) =
+    s"size(filter(ws, w -> array_contains(array(${words.map("'" + _ + "'").mkString(",")}), w)))"
+  private def scoreDuck(words: Seq[String]) =
+    s"len(list_filter(ws, w -> list_contains([${words.map("'" + _ + "'").mkString(",")}], w)))"
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    val scores = stopwords.map { case (l, w) => s"${scoreSpark(w)} AS s_$l" }.mkString(",\n  ")
+    val caseChain = stopwords.map { case (l, _) =>
+      s"WHEN s_$l >= greatest(${stopwords.map("s_" + _._1).mkString(", ")}) THEN '$l'"
+    }.mkString(" ")
+    spark.sql(
+      s"""WITH scored AS (
+         |  SELECT doc_id, $scores
+         |  FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents))
+         |SELECT doc_id, s_en, s_es, s_de, s_fr,
+         |       CASE $caseChain ELSE 'und' END AS predicted_lang
+         |FROM scored""".stripMargin)
+  }
+
+  val textLangidSql: String = {
+    val scores = stopwords.map { case (l, w) => s"${scoreDuck(w)} AS s_$l" }.mkString(",\n  ")
+    val caseChain = stopwords.map { case (l, _) =>
+      s"WHEN s_$l >= greatest(${stopwords.map("s_" + _._1).mkString(", ")}) THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, $scores
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+       |SELECT doc_id, s_en, s_es, s_de, s_fr,
+       |       CASE $caseChain ELSE 'und' END AS predicted_lang
+       |FROM scored""".stripMargin
+  }
+
+  // ── text_quality ★ — length / repetition / digit-ratio features folded
+  // into a bounded quality score.
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH feats AS (
+        |  SELECT doc_id,
+        |         size(split(text, ' ')) AS n_words,
+        |         size(array_distinct(split(text, ' '))) AS n_distinct,
+        |         length(text) AS len,
+        |         length(text) - length(regexp_replace(text, '[0-9]', '')) AS n_digits
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |       round(n_distinct * 1.0 / n_words, 6) AS distinct_ratio,
+        |       round(n_digits * 1.0 / len, 6) AS digit_ratio,
+        |       round(0.4 * least(n_words / 100.0, 1.0)
+        |           + 0.3 * (n_distinct * 1.0 / n_words)
+        |           + 0.3 * (1.0 - n_digits * 1.0 / len), 6) AS quality
+        |FROM feats""".stripMargin)
+  }
+
+  val textQualitySql: String =
+    """WITH feats AS (
+      |  SELECT doc_id,
+      |         len(string_split(text, ' ')) AS n_words,
+      |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |         length(text) AS len,
+      |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+      |       round(n_distinct * 1.0 / n_words, 6) AS distinct_ratio,
+      |       round(n_digits * 1.0 / len, 6) AS digit_ratio,
+      |       round(0.4 * least(n_words / 100.0, 1.0)
+      |           + 0.3 * (n_distinct * 1.0 / n_words)
+      |           + 0.3 * (1.0 - n_digits * 1.0 / len), 6) AS quality
+      |FROM feats""".stripMargin
+
+  // ── text_token_count ★ — whitespace tokens, a BPE-ish regex token
+  // count (letter runs / digit runs / single punctuation), and the
+  // chars/4 estimate.
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """SELECT doc_id,
+        |       size(split(trim(text), '\\s+')) AS ws_tokens,
+        |       size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS bpe_tokens,
+        |       cast(ceil(length(text) / 4.0) as bigint) AS est_tokens
+        |FROM documents""".stripMargin)
+  }
+
+  val textTokenCountSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens,
+      |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+      |FROM documents""".stripMargin
+
+  // ── text_fingerprint ★ — polynomial (Horner) rolling hash over the
+  // character stream, mod 1e9+7; plus the same over the lowercased text.
+  // Left fold in both engines → identical values.
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """SELECT doc_id,
+        |  aggregate(transform(sequence(1, length(text)),
+        |      i -> cast(ascii(substring(text, i, 1)) as bigint)),
+        |    0L, (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
+        |  aggregate(transform(sequence(1, length(text)),
+        |      i -> cast(ascii(substring(lower(text), i, 1)) as bigint)),
+        |    0L, (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint_lower
+        |FROM documents""".stripMargin)
+  }
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce([0] || list_transform(range(1, strlen(text) + 1),
+      |      i -> ascii(substr(text, i, 1))::BIGINT),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
+      |  list_reduce([0] || list_transform(range(1, strlen(text) + 1),
+      |      i -> ascii(substr(lower(text), i, 1))::BIGINT),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint_lower
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "text_token_count" -> (textTokenCount _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" -> textLangidSql,
+    "text_quality" -> textQualitySql,
+    "text_token_count" -> textTokenCountSql,
+    "text_fingerprint" -> textFingerprintSql)
+}
