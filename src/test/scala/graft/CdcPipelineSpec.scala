@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CdcPipeline
+
+/** End-to-end Structured Streaming pipeline tests: the staged change feed
+  * streams through the stateful last-wins/tombstone stage into the
+  * idempotent parquet sink, and the compacted state must equal the batch
+  * oracle (last change per key, tombstoned keys dropped). A second run
+  * appends late chunks and resumes from the checkpoint — the reference's
+  * progress-topic recovery (G2) via Spark checkpoints. */
+class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+  private var work: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("cdc-pipeline-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    work = Files.createTempDirectory("cdc-pipeline").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Batch oracle: per key, the highest-index published row; keys whose
+    * latest operation is Delete are absent. */
+  private def expectedState() = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("lsn_num").desc, col("command_id").desc,
+        col("seqval_num").desc, col("operation").desc)
+    graft.fixtures.SyntheticCdc.changeRows(spark, sfDir)
+      .filter(col("operation").isin(1, 2, 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("operation") =!= 1)
+      .select(col("user_id"), col("seqval_num"), col("event_type"), col("value"))
+  }
+
+  test("streamed compacted state equals the batch last-wins oracle") {
+    val feed = s"$work/feed1"; val sink = s"$work/sink1"; val ckpt = s"$work/ckpt1"
+    CdcPipeline.stageChangeFeed(spark, sfDir, feed, nChunks = 5)
+    CdcPipeline.runToParquet(spark, feed, sink, ckpt)
+
+    val got = CdcPipeline.compactedState(spark, sink)
+      .select(col("userId").as("user_id"), col("seqvalNum").as("seqval_num"),
+        col("eventType").as("event_type"), col("value"))
+    val exp = expectedState()
+    assert(got.count() === exp.count())
+    assert(got.except(exp).count() === 0)
+    assert(exp.except(got).count() === 0)
+  }
+
+  test("restart resumes from checkpoint without duplicating batches") {
+    val feed = s"$work/feed2"; val sink = s"$work/sink2"; val ckpt = s"$work/ckpt2"
+    // Phase 1: only the first 3 poll windows exist.
+    CdcPipeline.stageChangeFeed(spark, sfDir, feed, nChunks = 5, Some(0 until 3))
+    CdcPipeline.runToParquet(spark, feed, sink, ckpt)
+    val batchesAfterPhase1 = spark.read.parquet(s"$sink/log")
+      .select("batch_id").distinct().count()
+
+    // Phase 2: the remaining windows arrive; same checkpoint → resume.
+    CdcPipeline.stageChangeFeed(spark, sfDir, feed, nChunks = 5, Some(3 until 5))
+    CdcPipeline.runToParquet(spark, feed, sink, ckpt)
+
+    val log = spark.read.parquet(s"$sink/log")
+    val batchesTotal = log.select("batch_id").distinct().count()
+    assert(batchesTotal > batchesAfterPhase1, "phase 2 must add new batches")
+
+    // No event published twice at the same change index for the same key
+    // (exactly-once at the log level).
+    val dups = log.filter(!col("isTombstone"))
+      .groupBy("userId", "lsnNum", "commandId", "seqvalNum", "operation")
+      .count().filter(col("count") > 1)
+    assert(dups.count() === 0)
+
+    // Final compacted state still equals the batch oracle.
+    val got = CdcPipeline.compactedState(spark, sink)
+      .select(col("userId").as("user_id"), col("seqvalNum").as("seqval_num"),
+        col("eventType").as("event_type"), col("value"))
+    val exp = expectedState()
+    assert(got.except(exp).count() === 0 && exp.except(got).count() === 0)
+  }
+
+  test("tombstones follow deletes in the published log (G4)") {
+    val log = spark.read.parquet(s"$work/sink1/log")
+    val deletes = log.filter(col("operation") === 1 && !col("isTombstone"))
+    val tombs = log.filter(col("isTombstone"))
+    // Every tombstone pairs with a delete at the same change index.
+    assert(tombs.join(deletes,
+      Seq("userId", "lsnNum", "commandId", "seqvalNum"), "left_anti").count() === 0)
+    assert(tombs.count() > 0)
+  }
+}
