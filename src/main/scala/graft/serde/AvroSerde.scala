@@ -1,0 +1,127 @@
+package graft.serde
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Avro serialization with Confluent wire framing (SURVEY §2 F4/F5).
+  *
+  * Schema-generation rules follow the reference (`serializers/avro.py:
+  * 270-343`): every VALUE field is nullable (CDC change tables make all
+  * columns nullable), KEY fields are non-null; decimals are bytes with
+  * the decimal logical type; datetimes serialize as ISO-8601 strings at
+  * this boundary. The frame is magic byte 0x00 + big-endian 4-byte schema
+  * id + Avro binary body (`avro.py:514-516`).
+  *
+  * Scale: writers/readers are allocated once per partition and reused
+  * across rows (see [[AvroSerde.rowEncoder]]) — per-row codec setup is
+  * the classic serializer bottleneck at 100 TB.
+  */
+object AvroSerde {
+
+  /** Build the Avro record schema for a Spark struct. `forceNullable`
+    * applies the all-value-fields-nullable rule. */
+  def avroSchema(st: StructType, recordName: String, namespace: String,
+      forceNullable: Boolean): Schema = {
+    val fields = st.fields.map { f =>
+      val base = baseType(f.dataType)
+      val (schema, default) =
+        if (forceNullable || f.nullable)
+          (Schema.createUnion(List(Schema.create(Schema.Type.NULL), base).asJava),
+            Schema.Field.NULL_DEFAULT_VALUE)
+        else (base, null)
+      new Schema.Field(f.name, schema, null, default)
+    }
+    val rec = Schema.createRecord(recordName, null, namespace, false)
+    rec.setFields(fields.toList.asJava)
+    rec
+  }
+
+  private def baseType(dt: DataType): Schema = dt match {
+    case LongType => Schema.create(Schema.Type.LONG)
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case StringType | TimestampType => Schema.create(Schema.Type.STRING) // ISO-8601
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case ArrayType(et, _) =>
+      Schema.createArray(baseType(et))
+    case other => sys.error(s"unsupported Avro mapping for $other")
+  }
+
+  /** Per-partition reusable encoder: feed it Rows, get Confluent frames. */
+  final class RowEncoder(schema: Schema, schemaId: Int) extends Serializable {
+    @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
+    @transient private lazy val out = new ByteArrayOutputStream(256)
+    @transient private var encoder: BinaryEncoder = _
+
+    def encode(row: Row): Array[Byte] = {
+      val rec = new GenericData.Record(schema)
+      schema.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+        rec.put(f.pos(), toAvro(row, i, f.schema()))
+      }
+      out.reset()
+      out.write(0) // Confluent magic byte
+      out.write(ByteBuffer.allocate(4).putInt(schemaId).array())
+      encoder = EncoderFactory.get().binaryEncoder(out, encoder)
+      writer.write(rec, encoder)
+      encoder.flush()
+      out.toByteArray
+    }
+  }
+
+  private def toAvro(row: Row, i: Int, fieldSchema: Schema): AnyRef = {
+    if (row.isNullAt(i)) return null
+    val effective = unionNonNull(fieldSchema)
+    row.get(i) match {
+      case b: Array[Byte] => ByteBuffer.wrap(b)
+      case d: java.math.BigDecimal =>
+        ByteBuffer.wrap(d.unscaledValue().toByteArray)
+      case d: scala.math.BigDecimal =>
+        ByteBuffer.wrap(d.underlying().unscaledValue().toByteArray)
+      case t: java.sql.Timestamp => t.toInstant.toString
+      case s: Seq[_] => s.map(_.asInstanceOf[AnyRef]).asJava
+      case other if effective.getType == Schema.Type.STRING => other.toString
+      case other => other.asInstanceOf[AnyRef]
+    }
+  }
+
+  private def unionNonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  def rowEncoder(st: StructType, recordName: String, namespace: String,
+      schemaId: Int, forceNullable: Boolean = true): RowEncoder =
+    new RowEncoder(avroSchema(st, recordName, namespace, forceNullable), schemaId)
+
+  /** Per-partition reusable Confluent-frame decoder. */
+  final class FrameDecoder(schemaJson: String) extends Serializable {
+    @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+    @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+    @transient private var decoder: BinaryDecoder = _
+
+    /** Returns (schemaId, record). */
+    def decode(frame: Array[Byte]): (Int, GenericRecord) = {
+      require(frame.length > 5 && frame(0) == 0, "not a Confluent-framed message")
+      val schemaId = ByteBuffer.wrap(frame, 1, 4).getInt
+      decoder = DecoderFactory.get().binaryDecoder(frame, 5, frame.length - 5, decoder)
+      (schemaId, reader.read(null, decoder))
+    }
+  }
+
+  def frameDecoder(schema: Schema): FrameDecoder = new FrameDecoder(schema.toString)
+}
