@@ -1,0 +1,128 @@
+package graft.metrics
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+
+/** Metrics interval record — the engine's self-reported health surface,
+  * mirroring the reference's interval metrics (`metric_reporting/
+  * metrics.py:5-53`): produced counts per operation, tombstones, source
+  * read totals, end-to-end latency, and interval bounds. Collected from
+  * Structured Streaming progress events instead of hand-maintained
+  * accumulators (`accumulator.py:53-243`). */
+final case class IntervalMetrics(
+    metricsNamespace: String,
+    processHostname: String,
+    intervalStartEpochSec: Double,
+    intervalEndEpochSec: Double,
+    intervalDeltaSec: Double,
+    batchId: Long,
+    inputRowsCount: Long,
+    inputRowsPerSec: Double,
+    processedRowsPerSec: Double,
+    batchDurationMs: Long,
+    stateRowsTotal: Long,
+    stateRowsUpdated: Long,
+    producedDeleteChangesCount: Long = 0L,
+    producedInsertChangesCount: Long = 0L,
+    producedUpdateChangesCount: Long = 0L,
+    producedSnapshotRecordsCount: Long = 0L,
+    producedDeletionTombstonesCount: Long = 0L) {
+
+  def toJson: String = {
+    def kv(k: String, v: Any): String = v match {
+      case s: String => s""""$k": "$s""""
+      case other => s""""$k": $other"""
+    }
+    Seq(
+      kv("metrics_namespace", metricsNamespace),
+      kv("process_hostname", processHostname),
+      kv("interval_start_epoch_sec", intervalStartEpochSec),
+      kv("interval_end_epoch_sec", intervalEndEpochSec),
+      kv("interval_delta_sec", intervalDeltaSec),
+      kv("batch_id", batchId),
+      kv("input_rows_count", inputRowsCount),
+      kv("input_rows_per_sec", inputRowsPerSec),
+      kv("processed_rows_per_sec", processedRowsPerSec),
+      kv("batch_duration_ms", batchDurationMs),
+      kv("state_rows_total", stateRowsTotal),
+      kv("state_rows_updated", stateRowsUpdated),
+      kv("produced_delete_changes_count", producedDeleteChangesCount),
+      kv("produced_insert_changes_count", producedInsertChangesCount),
+      kv("produced_update_changes_count", producedUpdateChangesCount),
+      kv("produced_snapshot_records_count", producedSnapshotRecordsCount),
+      kv("produced_deletion_tombstones_count", producedDeletionTombstonesCount)
+    ).mkString("{", ", ", "}")
+  }
+}
+
+/** Reporter interface (A12): the reference ships stdout, local-file, HTTP
+  * POST, and Kafka reporters; stdout and local-file are implemented here,
+  * the remote pair is a straightforward extension point. */
+trait MetricsReporter {
+  def emit(m: IntervalMetrics): Unit
+}
+
+final class StdoutReporter extends MetricsReporter {
+  override def emit(m: IntervalMetrics): Unit = println(m.toJson)
+}
+
+final class LocalFileReporter(path: String) extends MetricsReporter {
+  override def emit(m: IntervalMetrics): Unit =
+    Files.write(Paths.get(path), (m.toJson + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+}
+
+/** In-memory sink for tests and programmatic access. */
+final class CollectingReporter extends MetricsReporter {
+  private val buf = new ConcurrentLinkedQueue[IntervalMetrics]()
+  override def emit(m: IntervalMetrics): Unit = buf.add(m)
+  def all: Seq[IntervalMetrics] = buf.iterator().asScala.toSeq
+}
+
+/** StreamingQueryListener translating per-batch progress into the
+  * interval metrics record and fanning out to the configured reporters
+  * (D7: the accumulator surface; A12: the reporter surface). */
+final class CdcMetricsListener(
+    reporters: Seq[MetricsReporter],
+    namespace: String = "graft") extends StreamingQueryListener {
+
+  private val hostname =
+    try java.net.InetAddress.getLocalHost.getHostName catch { case _: Throwable => "unknown" }
+  @volatile private var lastEndEpochSec: Double = 0.0
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryIdle(event: QueryIdleEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    val end = java.time.Instant.parse(p.timestamp).toEpochMilli / 1000.0
+    val start = if (lastEndEpochSec > 0) lastEndEpochSec else end
+    lastEndEpochSec = end
+    val state = Option(p.stateOperators).filter(_.nonEmpty)
+    val m = IntervalMetrics(
+      metricsNamespace = namespace,
+      processHostname = hostname,
+      intervalStartEpochSec = start,
+      intervalEndEpochSec = end,
+      intervalDeltaSec = end - start,
+      batchId = p.batchId,
+      inputRowsCount = p.numInputRows,
+      inputRowsPerSec = zeroIfNaN(p.inputRowsPerSecond),
+      processedRowsPerSec = zeroIfNaN(p.processedRowsPerSecond),
+      batchDurationMs = p.batchDuration,
+      stateRowsTotal = state.map(_.map(_.numRowsTotal).sum).getOrElse(0L),
+      stateRowsUpdated = state.map(_.map(_.numRowsUpdated).sum).getOrElse(0L))
+    reporters.foreach { r =>
+      try r.emit(m) catch { case _: Throwable => () } // a reporter must never kill the stream
+    }
+  }
+
+  private def zeroIfNaN(d: Double): Double = if (d.isNaN || d.isInfinite) 0.0 else d
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SchemaInference
+import graft.sources.SchemaInference.CatalogRow
+import graft.tools.Replayer
+
+/** Replayer MERGE semantics (A11) and catalog-driven schema inference
+  * (A4) over in-memory fixtures. */
+class ReplayerSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .appName("replayer-schema-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("replayer applies deletes, updates, inserts with last-wins batches") {
+    val ss = spark
+    import ss.implicits._
+    val target = Seq(
+      (1L, 10L, "old", 1.0), (2L, 11L, "stay", 2.0), (3L, 12L, "doomed", 3.0))
+      .toDF("userId", "seqvalNum", "eventType", "value")
+    // log: key 1 updated twice (second wins), key 3 deleted (tombstone),
+    // key 9 inserted; operation 4=update, 2=insert, 1=delete.
+    val log = Seq(
+      (1L, 1L, 0, 20L, 4, "upd-a", 10.0, false),
+      (1L, 1L, 0, 25L, 4, "upd-b", 11.0, false),
+      (3L, 1L, 0, 30L, 1, "del", 0.0, false),
+      (3L, 1L, 0, 30L, 1, "del", 0.0, true), // tombstone
+      (9L, 1L, 0, 40L, 2, "new", 9.0, false))
+      .toDF("userId", "lsnNum", "commandId", "seqvalNum", "operation",
+        "eventType", "value", "isTombstone")
+
+    val merged = Replayer.applyLog(spark, log, target)
+      .orderBy("userId").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(merged.toSeq == Seq(
+      (1L, 25L, "upd-b", 11.0), // last update in batch won
+      (2L, 11L, "stay", 2.0),   // untouched target row survives
+      (9L, 40L, "new", 9.0)))   // insert landed; key 3 gone
+  }
+
+  test("schema inference assembles tables from catalog rows (A4)") {
+    val rows = Seq(
+      CatalogRow("dbo", "orders", "dbo_orders", "0a", "id", "bigint", 1, 1, 0, 0),
+      CatalogRow("dbo", "orders", "dbo_orders", "0a", "total", "decimal", 2, 0, 18, 2),
+      CatalogRow("dbo", "orders", "dbo_orders", "0a", "memo", "nvarchar", 3, 0, 0, 0),
+      // a newer capture instance for the same table wins
+      CatalogRow("dbo", "orders", "dbo_orders_v2", "0b", "id", "bigint", 1, 1, 0, 0),
+      CatalogRow("dbo", "orders", "dbo_orders_v2", "0b", "total", "decimal", 2, 0, 18, 2),
+      CatalogRow("dbo", "audit", "dbo_audit", "0a", "at", "datetime2", 1, 0, 0, 0))
+    val tables = SchemaInference.fromCatalogRows(rows,
+      excludeRegex = Some(".*audit.*"))
+    assert(tables.map(_.fqName) == Seq("dbo.orders"))
+    val t = tables.head
+    assert(t.captureInstanceName == "dbo_orders_v2")
+    assert(t.topicName == "dbo_orders_cdc")
+    assert(t.keyFields.map(_.name) == Seq("id"))
+    assert(t.valueSchema.fields.map(_.name).toSeq == Seq("id", "total"))
+    assert(t.valueSchema("total").dataType.typeName == "decimal(18,2)")
+    // value schema is all-nullable; key schema is not (SURVEY §1.2)
+    assert(t.valueSchema.fields.forall(_.nullable))
+    assert(t.keySchema.fields.forall(!_.nullable))
+  }
+}
