@@ -14,7 +14,10 @@ object Bench {
     // Warm up the JVM/codegen/parquet paths once so the first timed query
     // doesn't absorb one-time JIT + reader initialization.
     try {
-      spark.read.parquet(s"$sfDir/events.parquet")
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+      }
       spark.range(1000000).selectExpr("sum(id)", "md5(cast(id as string))").count()
       SparkEntry.queries.get("d1_count_by_operation").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }

@@ -54,6 +54,66 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Left-to-right double fold of the element-wise product of two float
+    * vectors (shorter length wins). Matches DuckDB's list_reduce fold. */
+  def floatDot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5(bytes) — equals parsing the first 15 hex chars of
+    * the digest, the engine-shared hash H(s) used by the dedup oracle. */
+  def md5Top60(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Single-pass MinHash signature over char shingles.
+    *
+    * Semantics identical to the SQL formulation the DuckDB oracle runs
+    * (shingle starts 1, 1+stride, ... <= max(len-shingleLen+1, 1); each
+    * shingle = substring(text, i, shingleLen); hash j of shingle h =
+    * ((h % p) * (2j+3) + (7919j+13)) % p; signature = per-j minimum) but
+    * one fused pass: no shingle array, no per-element Expression eval, a
+    * thread-local digest (MessageDigest.getInstance contends across
+    * threads — the interpreted version got SLOWER with more cores). */
+  def minhashSignature(text: UTF8String, k: Int, shingleLen: Int,
+      stride: Int, p: Long): ArrayData = {
+    val n = text.numChars()
+    val hi = math.max(n - shingleLen + 1, 1)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 1
+    while (i <= hi) {
+      val shingle = text.substringSQL(i, shingleLen)
+      val h = md5Top60(shingle.getBytes) % p
+      var j = 0
+      while (j < k) {
+        val v = (h * (2 * j + 3) + (7919 * j + 13)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += stride
+    }
+    new GenericArrayData(mins)
+  }
+
   def maskBitSet(mask: Array[Byte], ordinal: Int): Boolean = {
     val i = ordinal
     if (i < 0 || i >= mask.length * 8) false
@@ -222,5 +282,68 @@ object functions {
   def lsn_unhex(c: Column): Column = {
     import org.apache.spark.sql.functions._
     unhex(substring(c, 3, 20))
+  }
+}
+
+/** `float_dot(a, b)` — dot product of two float vectors as a left-to-right
+  * double fold. A custom codegen'd Expression instead of
+  * `aggregate(zip_with(...))` because higher-order functions evaluate
+  * interpreted (lambda per element, no whole-stage codegen) — on a 64-dim
+  * embedding join this expression is ~an-order-of-magnitude cheaper and
+  * allocates nothing per row. Fold order matches the DuckDB oracle's
+  * `list_reduce` exactly, so floats agree bit-for-bit. */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.floatDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.Kernels.floatDot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `minhash_signature(text)` — fused shingle→MinHash signature (see
+  * [[Kernels.minhashSignature]]); parameters are plan-time constants. */
+case class MinhashSignature(child: Expression, k: Int, shingleLen: Int,
+    stride: Int, p: Long) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.minhashSignature(v.asInstanceOf[UTF8String], k, shingleLen, stride, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.expr.Kernels.minhashSignature($s, $k, $shingleLen, $stride, ${p}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Session-level SQL registration for the custom expressions, so
+  * `spark.sql` text can use them alongside built-ins. */
+object GraftFunctions {
+  import org.apache.spark.sql.SparkSession
+  val MinhashK = 16
+  val ShingleLen = 8
+  val ShingleStride = 2
+  val MinhashP = 2147483647L
+  def register(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "minhash_signature",
+      args => MinhashSignature(args(0), MinhashK, ShingleLen, ShingleStride, MinhashP))
+    Bridge.registerFunction(spark, "float_dot",
+      args => FloatDotProduct(args(0), args(1)))
+    Bridge.registerFunction(spark, "truncate_utf8",
+      args => TruncateUtf8(args(0), args(1)))
+    Bridge.registerFunction(spark, "mask_to_names",
+      args => MaskToNames(args(0), args(1)))
+    Bridge.registerFunction(spark, "sqlserver_uuid_sort_key",
+      args => SqlServerUuidSortKey(args(0)))
+    Bridge.registerFunction(spark, "uuid5",
+      args => Uuid5(args(0), args(1)))
   }
 }

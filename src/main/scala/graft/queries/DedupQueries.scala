@@ -67,18 +67,9 @@ object DedupQueries {
   // Jaccard ≥ 0.5. The only shuffle of consequence is the band-key join.
   private val P = 2147483647L
 
-  // Shingles are char-8-grams at stride 2 — half the hashing for the same
-  // dup-detection power on these fixtures; both engines use the identical
-  // shingle set.
-  private def minhashSpark: String =
-    s"""SELECT doc_id,
-       |  transform(sequence(0, 15), j -> array_min(transform(hs,
-       |    h -> ((h % $P) * (2*j + 3) + (7919*j + 13)) % $P))) AS mh
-       |FROM (SELECT doc_id,
-       |        transform(sequence(1, greatest(length(text) - 7, 1), 2),
-       |          i -> ${hSpark("substring(text, i, 8)")}) AS hs
-       |      FROM corpus)""".stripMargin
-
+  // Shingles are char-8-grams at stride 2; both engines use the identical
+  // shingle set and hash formula (the DuckDB oracle keeps the explicit SQL
+  // formulation in minhashDuck).
   private def minhashDuck: String =
     s"""SELECT doc_id,
        |  list_transform(range(0, 16), j -> list_min(list_transform(hs,
@@ -90,11 +81,17 @@ object DedupQueries {
 
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
-    // Materialize the minhash signatures ONCE: Catalyst inlines CTEs, so
+    graft.expr.GraftFunctions.register(spark)
+    // Signatures come from the fused single-pass minhash_signature
+    // expression (codegen + thread-local digest — the interpreted HOF
+    // formulation serialized on MessageDigest.getInstance and got slower
+    // with more cores). Materialize ONCE: Catalyst inlines CTEs, so
     // referencing mh_t from the band explode and both pair sides would
-    // re-run the shingle hashing three times over. At cluster scale this
-    // stage is a checkpoint / exchange-reuse point for the same reason.
-    spark.sql(s"WITH corpus AS ($corpusSparkSql) $minhashSpark")
+    // re-run the hashing three times over. At cluster scale this stage is
+    // a checkpoint / exchange-reuse point for the same reason.
+    spark.sql(
+      s"""WITH corpus AS ($corpusSparkSql)
+         |SELECT doc_id, minhash_signature(text) AS mh FROM corpus""".stripMargin)
       .localCheckpoint()
       .createOrReplaceTempView("mh_t")
     spark.sql(
@@ -237,23 +234,19 @@ object DedupQueries {
 
   def ddEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
     spark.sql(
       s"""WITH corpus AS ($embCorpusSpark),
          |normed AS (
          |  SELECT vec_id, label, embedding,
-         |         sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),
-         |           cast(0.0 as double), (acc, v) -> acc + v)) AS nrm
-         |  FROM corpus)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |       round(aggregate(zip_with(a.embedding, b.embedding,
-         |               (x, y) -> cast(x as double) * cast(y as double)),
-         |             cast(0.0 as double), (acc, v) -> acc + v) / (a.nrm * b.nrm), 6)
-         |         AS cos_sim
-         |FROM normed a JOIN normed b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE aggregate(zip_with(a.embedding, b.embedding,
-         |        (x, y) -> cast(x as double) * cast(y as double)),
-         |      cast(0.0 as double), (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.95""".stripMargin)
+         |         sqrt(float_dot(embedding, embedding)) AS nrm
+         |  FROM corpus),
+         |scored AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         float_dot(a.embedding, b.embedding) / (a.nrm * b.nrm) AS cs
+         |  FROM normed a JOIN normed b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM scored WHERE cs >= 0.95""".stripMargin)
   }
 
   val ddEmbeddingCosineSql: String =
@@ -266,16 +259,15 @@ object DedupQueries {
        |  SELECT vec_id, label, embedding,
        |         sqrt(list_reduce([0.0] || list_transform(embedding,
        |           x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) AS nrm
-       |  FROM corpus)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       round(list_reduce([0.0] || list_transform(range(1, 65),
-       |               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
-       |             (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim
-       |FROM normed a JOIN normed b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE list_reduce([0.0] || list_transform(range(1, 65),
-       |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
-       |      (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.95""".stripMargin
+       |  FROM corpus),
+       |scored AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         list_reduce([0.0] || list_transform(range(1, 65),
+       |             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+       |           (x, y) -> x + y) / (a.nrm * b.nrm) AS cs
+       |  FROM normed a JOIN normed b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM scored WHERE cs >= 0.95""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
