@@ -34,4 +34,23 @@ object Policies {
   /** E8: a table with no publishes for 2x this interval re-emits progress
     * at its polled ceiling (`constants.py:10`). */
   val SlowTableHeartbeatIntervalSeconds = 180
+
+  /** E6: lagging-table admission — a table whose last change read returned
+    * a full batch is "lagging": while any table lags, snapshots pause and
+    * only lagging tables are polled until the glut drains
+    * (`main.py:209-215,263-284`). Returns (tablesToPoll, snapshotsAllowed). */
+  def admissionPlan(allTables: Seq[String],
+      laggingTables: Set[String]): (Seq[String], Boolean) =
+    if (laggingTables.isEmpty) (allTables, true)
+    else (allTables.filter(laggingTables.contains), false)
+
+  /** E8: decide whether a slow table needs a progress heartbeat — no
+    * publish for 2x the heartbeat interval → emit one at the polled
+    * ceiling with the recognizable all-0xff seqval / operation 4 shape
+    * (`main.py:174-182`; `change_index.py:74-76`). */
+  def heartbeatIndex(lastProducedEpochSec: Long, nowEpochSec: Long,
+      polledCeilingLsn: Array[Byte]): Option[ChangeIndex] =
+    if (nowEpochSec - lastProducedEpochSec < 2L * SlowTableHeartbeatIntervalSeconds) None
+    else Some(ChangeIndex(polledCeilingLsn, 0,
+      Array.fill(ChangeIndex.LsnBytes)(0xff.toByte), 4))
 }

@@ -22,6 +22,21 @@ class ModelPoliciesSpec extends AnyFunSuite {
     assert(Policies.topicName("s", "t", "cdc.{schema}.{table}") == "cdc.s.t")
   }
 
+  test("admission plan: lagging tables preempt snapshots (E6)") {
+    val all = Seq("a", "b", "c")
+    assert(Policies.admissionPlan(all, Set.empty) == (all, true))
+    assert(Policies.admissionPlan(all, Set("b")) == (Seq("b"), false))
+    assert(Policies.admissionPlan(all, Set("c", "a")) == (Seq("a", "c"), false))
+  }
+
+  test("heartbeat: only after 2x interval, recognizable shape (E8)") {
+    val ceiling = ChangeIndex.lsnFromLong(500)
+    assert(Policies.heartbeatIndex(1000, 1000 + 359, ceiling).isEmpty)
+    val hb = Policies.heartbeatIndex(1000, 1000 + 360, ceiling)
+    assert(hb.isDefined && hb.get.isProbablyHeartbeat)
+    assert(java.util.Arrays.equals(hb.get.lsn, ceiling))
+  }
+
   test("LSN gap detection (G5)") {
     val lo = ChangeIndex(ChangeIndex.lsnFromLong(10), 0, ChangeIndex.lsnFromLong(0), 0)
     val hi = ChangeIndex(ChangeIndex.lsnFromLong(20), 0, ChangeIndex.lsnFromLong(0), 0)
