@@ -73,6 +73,56 @@ object CdcPipeline {
     }
   }
 
+  /** Stage a snapshot-backfill + change feed for the `orders` table: the
+    * snapshot walks the key space in DESCENDING keyset chunks (A2's
+    * reverse pagination, one file per page, operation 0 at change index
+    * zero), followed by change poll windows carrying updates (op 4 on
+    * every 3rd key), deletes (op 1 on every 17th) and inserts (op 2, new
+    * keys). Because snapshot rows sit at the bottom of the change-index
+    * order, the stateful last-wins stage resolves snapshot-vs-change
+    * precedence with no special casing — arrival order cannot matter. */
+  def stageOrdersSnapshotAndChanges(spark: SparkSession, sfDir: String,
+      outDir: String, nSnapshotPages: Int): Unit = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val per = math.max(1L, (maxKey + nSnapshotPages) / nSnapshotPages)
+    val snap = orders.select(
+      lit(0L).as("lsn_num"), lit(0).as("command_id"), lit(0L).as("seqval_num"),
+      lit(0).as("operation"), col("o_orderkey").as("event_id"),
+      col("o_orderkey").as("user_id"), col("o_orderstatus").as("event_type"),
+      col("o_totalprice").as("value"), col("o_orderpriority").as("props"))
+    // Reverse keyset: page 0 holds the HIGHEST keys.
+    (0 until nSnapshotPages).foreach { k =>
+      val lo = maxKey - (k + 1) * per
+      val hi = maxKey - k * per
+      snap.filter(col("event_id") > lo && col("event_id") <= hi)
+        .coalesce(1)
+        .write.mode(if (k == 0) "overwrite" else "append").parquet(outDir)
+    }
+    val changes = orders.select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderstatus"), col("o_orderpriority"))
+    val updates = changes.filter(col("o_orderkey") % 3 === 0).select(
+      (col("o_orderkey") / 8 + 1).cast("long").as("lsn_num"), lit(0).as("command_id"),
+      col("o_orderkey").as("seqval_num"), lit(4).as("operation"),
+      col("o_orderkey").as("event_id"), col("o_orderkey").as("user_id"),
+      lit("U").as("event_type"), (col("o_totalprice") + 1000.0).as("value"),
+      col("o_orderpriority").as("props"))
+    val deletes = changes.filter(col("o_orderkey") % 17 === 0).select(
+      (col("o_orderkey") / 8 + 2).cast("long").as("lsn_num"), lit(0).as("command_id"),
+      (col("o_orderkey") + 100000000L).as("seqval_num"), lit(1).as("operation"),
+      col("o_orderkey").as("event_id"), col("o_orderkey").as("user_id"),
+      lit("D").as("event_type"), lit(0.0).as("value"), col("o_orderpriority").as("props"))
+    val inserts = changes.filter(col("o_orderkey") % 1000 === 0).select(
+      (col("o_orderkey") / 8 + 3).cast("long").as("lsn_num"), lit(0).as("command_id"),
+      (col("o_orderkey") + 200000000L).as("seqval_num"), lit(2).as("operation"),
+      (col("o_orderkey") + 10000000L).as("event_id"),
+      (col("o_orderkey") + 10000000L).as("user_id"),
+      lit("N").as("event_type"), col("o_totalprice").as("value"),
+      col("o_orderpriority").as("props"))
+    updates.unionByName(deletes).unionByName(inserts)
+      .coalesce(1).write.mode("append").parquet(outDir)
+  }
+
   /** The streaming change feed: B1 operation filter + envelope columns.
     * `maxFilesPerTrigger 1` = one poll window per micro-batch. */
   def changeStream(spark: SparkSession, feedDir: String): Dataset[CdcEvent] = {
@@ -82,7 +132,9 @@ object CdcPipeline {
         "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(feedDir)
-      .filter(col("operation").isin(1, 2, 4))
+      // B1: only PreUpdate images are dropped; Snapshot(0), Delete(1),
+      // Insert(2), PostUpdate(4) all publish (`sql_queries.py:265`).
+      .filter(col("operation") =!= 3)
       .select(col("lsn_num").as("lsnNum"), col("command_id").as("commandId"),
         col("seqval_num").as("seqvalNum"), col("operation"),
         col("event_id").as("eventId"), col("user_id").as("userId"),

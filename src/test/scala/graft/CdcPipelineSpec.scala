@@ -94,6 +94,28 @@ class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.except(exp).count() === 0 && exp.except(got).count() === 0)
   }
 
+  test("snapshot backfill + changes converge to the merged state (A2/G3)") {
+    val feed = s"$work/feed3"; val sink = s"$work/sink3"; val ckpt = s"$work/ckpt3"
+    CdcPipeline.stageOrdersSnapshotAndChanges(spark, sfDir, feed, nSnapshotPages = 4)
+    CdcPipeline.runToParquet(spark, feed, sink, ckpt)
+
+    val got = CdcPipeline.compactedState(spark, sink)
+      .select(col("userId"), col("value"))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    // Oracle: snapshot base, minus deleted keys, updates applied, inserts
+    // added (inserted keys are never deleted/updated: key+10M).
+    val exp = orders
+      .filter(col("o_orderkey") % 17 =!= 0)
+      .select(col("o_orderkey").as("userId"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")).as("value"))
+      .unionByName(orders.filter(col("o_orderkey") % 1000 === 0)
+        .select((col("o_orderkey") + 10000000L).as("userId"),
+          col("o_totalprice").as("value")))
+    assert(got.count() === exp.count())
+    assert(got.except(exp).count() === 0 && exp.except(got).count() === 0)
+  }
+
   test("tombstones follow deletes in the published log (G4)") {
     val log = spark.read.parquet(s"$work/sink1/log")
     val deletes = log.filter(col("operation") === 1 && !col("isTombstone"))

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests (SURVEY §4): the optimizations that
+  * matter at 100 TB must be visible in the executed plan, not assumed —
+  * broadcast joins on dimension sides, filter pushdown reaching the
+  * parquet scan, TakeOrderedAndProject for top-k, no single-reducer
+  * global windows. */
+class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("plan-assertions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("C1/C2: dimension joins broadcast (no shuffled fact side)") {
+    assert(plan("c1_lsn_time_join").contains("BroadcastHashJoin"))
+    val c2 = plan("c2_metadata_join")
+    assert("BroadcastHashJoin".r.findAllIn(c2).size == 3)
+    assert(!c2.contains("SortMergeJoin"))
+  }
+
+  test("C3: delete application is a broadcast anti join") {
+    val p = plan("c3_delete_anti_join")
+    assert(p.contains("LeftAnti") && p.contains("Broadcast"))
+  }
+
+  test("A2/B2: keyset predicates are pushed to the parquet scan") {
+    val p = plan("a2_snapshot_keyset")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,1200)]"))
+  }
+
+  test("A2/E2: ordered limits plan as TakeOrderedAndProject (no global sort)") {
+    assert(plan("a2_snapshot_keyset").contains("TakeOrderedAndProject"))
+    assert(plan("e2_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("E1: global rank has no single-reducer window") {
+    // The window must be partitioned by the physical partition id — a bare
+    // `Window [.. ORDER BY ..]` with an Exchange SinglePartition under it
+    // is the anti-pattern.
+    val p = plan("e1_global_merge")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("column pruning: projection-only query reads only needed columns") {
+    val p = plan("b4_projection")
+    // events has 6 physical columns; the query needs all payload cols but
+    // the scan must not read `ts` (unused by the projection).
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("value:") || readSchema.contains("value:double"))
+    assert(plan("a1_change_scan").linesIterator
+      .filter(_.contains("ReadSchema"))
+      .forall(l => !l.contains("props") && !l.contains("user_id")))
+  }
+
+  test("custom expressions stay inside whole-stage codegen") {
+    // Codegen stages print as `*(n)` prefixes; the projection holding the
+    // custom expression must carry one (no interpreted fallback).
+    val star = "\\*\\(\\d+\\) Project \\[.*"
+    assert((star + "truncateutf8").r.findFirstIn(plan("b6_truncate_utf8")).isDefined)
+    assert((star + "masktonames").r.findFirstIn(plan("f3_mask_decode")).isDefined)
+  }
+}
