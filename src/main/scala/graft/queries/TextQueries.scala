@@ -137,15 +137,56 @@ object TextQueries {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint_lower
       |FROM documents""".stripMargin
 
+  // ── text_ngram_topk ★ — most frequent word bigrams per language:
+  // explode → partial-aggregated count → per-group top-k window. The
+  // classic corpus-statistics shape; the groupBy count is map-side
+  // combined so the shuffle carries (lang, gram) partials, not rows.
+  def textNgramTopk(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH grams AS (
+        |  SELECT lang, gram
+        |  FROM (SELECT lang, split(text, ' ') AS ws FROM documents)
+        |  LATERAL VIEW explode(transform(sequence(1, greatest(size(ws) - 1, 1)),
+        |    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) AS gram
+        |  WHERE size(ws) >= 2),
+        |counts AS (
+        |  SELECT lang, gram, count(*) AS cnt FROM grams GROUP BY lang, gram),
+        |ranked AS (
+        |  SELECT lang, gram, cnt,
+        |         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rnk
+        |  FROM counts)
+        |SELECT lang, gram, cnt, cast(rnk as int) AS rnk
+        |FROM ranked WHERE rnk <= 3""".stripMargin)
+  }
+
+  val textNgramTopkSql: String =
+    """WITH grams AS (
+      |  SELECT lang,
+      |         unnest(list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+      |           i -> ws[i] || ' ' || ws[i + 1])) AS gram
+      |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 2),
+      |counts AS (
+      |  SELECT lang, gram, count(*) AS cnt FROM grams GROUP BY lang, gram),
+      |ranked AS (
+      |  SELECT lang, gram, cnt,
+      |         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rnk
+      |  FROM counts)
+      |SELECT lang, gram, cnt, CAST(rnk AS INT) AS rnk
+      |FROM ranked WHERE rnk <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_token_count" -> (textTokenCount _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_ngram_topk" -> (textNgramTopk _))
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_token_count" -> textTokenCountSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_ngram_topk" -> textNgramTopkSql)
 }
