@@ -33,8 +33,12 @@ object SyntheticCdc {
     * oracle compares — is unaffected by the truncation. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `ts div 1000`, NOT `ts / 1000`: `/` on longs is DOUBLE division, and
+    // epoch-nanos (~1.7e18) exceed double's 53-bit mantissa — the rounding
+    // can shift the truncated microsecond (and thus the rendered
+    // millisecond) up by one. Integer division truncates like the oracle.
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   val allColumnsJoined: String = payloadColumns.mkString(",")

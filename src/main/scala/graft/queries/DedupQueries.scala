@@ -246,7 +246,7 @@ object DedupQueries {
          |         float_dot(a.embedding, b.embedding) / (a.nrm * b.nrm) AS cs
          |  FROM normed a JOIN normed b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM scored WHERE cs >= 0.95""".stripMargin)
+         |SELECT vec_a, vec_b, cs AS cos_sim FROM scored WHERE cs >= 0.95""".stripMargin)
   }
 
   val ddEmbeddingCosineSql: String =
@@ -267,7 +267,7 @@ object DedupQueries {
        |           (x, y) -> x + y) / (a.nrm * b.nrm) AS cs
        |  FROM normed a JOIN normed b
        |    ON a.label = b.label AND a.vec_id < b.vec_id)
-       |SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM scored WHERE cs >= 0.95""".stripMargin
+       |SELECT vec_a, vec_b, cs AS cos_sim FROM scored WHERE cs >= 0.95""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),

@@ -49,7 +49,7 @@ object SimilarityQueries {
          |  SELECT q_id, vec_id, cs,
          |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk
          |  FROM scored)
-         |SELECT q_id, vec_id, cast(rnk as int) AS rnk, round(cs, 6) AS cos_sim
+         |SELECT q_id, vec_id, cast(rnk as int) AS rnk, cs AS cos_sim
          |FROM ranked WHERE rnk <= 5""".stripMargin)
   }
 
@@ -68,7 +68,7 @@ object SimilarityQueries {
        |  SELECT q_id, vec_id, cs,
        |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk
        |  FROM scored)
-       |SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, round(cs, 6) AS cos_sim
+       |SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, cs AS cos_sim
        |FROM ranked WHERE rnk <= 5""".stripMargin
 
   // ── ann_lsh_topk ★ — 8 deterministic pseudo-random hyperplanes (LCG
@@ -115,7 +115,7 @@ object SimilarityQueries {
          |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk
          |  FROM scored)
          |SELECT q_id, vec_id, cast(bucket as int) AS bucket, cast(rnk as int) AS rnk,
-         |       round(cs, 6) AS cos_sim
+         |       cs AS cos_sim
          |FROM ranked WHERE rnk <= 3""".stripMargin)
   }
 
@@ -137,7 +137,7 @@ object SimilarityQueries {
        |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk
        |  FROM scored)
        |SELECT q_id, vec_id, CAST(bucket AS INT) AS bucket, CAST(rnk AS INT) AS rnk,
-       |       round(cs, 6) AS cos_sim
+       |       cs AS cos_sim
        |FROM ranked WHERE rnk <= 3""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -67,11 +67,11 @@ object TextQueries {
         |         length(text) - length(regexp_replace(text, '[0-9]', '')) AS n_digits
         |  FROM documents)
         |SELECT doc_id, n_words,
-        |       round(n_distinct * 1.0 / n_words, 6) AS distinct_ratio,
-        |       round(n_digits * 1.0 / len, 6) AS digit_ratio,
-        |       round(0.4 * least(n_words / 100.0, 1.0)
+        |       n_distinct * 1.0 / n_words AS distinct_ratio,
+        |       n_digits * 1.0 / len AS digit_ratio,
+        |       0.4 * least(n_words / 100.0, 1.0)
         |           + 0.3 * (n_distinct * 1.0 / n_words)
-        |           + 0.3 * (1.0 - n_digits * 1.0 / len), 6) AS quality
+        |           + 0.3 * (1.0 - n_digits * 1.0 / len) AS quality
         |FROM feats""".stripMargin)
   }
 
@@ -84,11 +84,11 @@ object TextQueries {
       |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
       |  FROM documents)
       |SELECT doc_id, CAST(n_words AS INT) AS n_words,
-      |       round(n_distinct * 1.0 / n_words, 6) AS distinct_ratio,
-      |       round(n_digits * 1.0 / len, 6) AS digit_ratio,
-      |       round(0.4 * least(n_words / 100.0, 1.0)
+      |       n_distinct * 1.0 / n_words AS distinct_ratio,
+      |       n_digits * 1.0 / len AS digit_ratio,
+      |       0.4 * least(n_words / 100.0, 1.0)
       |           + 0.3 * (n_distinct * 1.0 / n_words)
-      |           + 0.3 * (1.0 - n_digits * 1.0 / len), 6) AS quality
+      |           + 0.3 * (1.0 - n_digits * 1.0 / len) AS quality
       |FROM feats""".stripMargin
 
   // ── text_token_count ★ — whitespace tokens, a BPE-ish regex token
