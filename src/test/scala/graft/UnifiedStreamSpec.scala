@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{CdcPipeline, UnifiedStream}
+
+/** Unified multi-table stream: two tables' change feeds published as one
+  * stream, each produce window in global change-index order, validated by
+  * the engine's own order check (the reference's strict-order assert and
+  * validator, run against our output). */
+class UnifiedStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+  private var work: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("unified-stream-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    work = Files.createTempDirectory("unified-spec").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("two-table unified stream publishes every window in global order") {
+    val feedA = s"$work/feedA"; val feedB = s"$work/feedB"
+    CdcPipeline.stageChangeFeed(spark, sfDir, feedA, nChunks = 3)
+    CdcPipeline.stageOrdersSnapshotAndChanges(spark, sfDir, feedB, nSnapshotPages = 2)
+    UnifiedStream.run(spark,
+      Map("events" -> feedA, "orders" -> feedB),
+      s"$work/unified", s"$work/ckpt")
+
+    val out = spark.read.parquet(s"$work/unified")
+    // Both tables present, nothing lost: unified row count = sum of
+    // published (non-PreUpdate) rows of both feeds.
+    val expected =
+      spark.read.parquet(feedA).filter(col("operation") =!= 3).count() +
+        spark.read.parquet(feedB).filter(col("operation") =!= 3).count()
+    assert(out.count() === expected)
+    assert(out.select("src").distinct().count() === 2)
+    assert(out.select("batch_id").distinct().count() >= 2)
+
+    // The strict-order production guarantee, checked like the reference
+    // checks itself: zero ordering regressions inside any produce window.
+    assert(UnifiedStream.orderValidation(spark, s"$work/unified").count() === 0)
+  }
+}
