@@ -35,6 +35,16 @@ object Policies {
     * at its polled ceiling (`constants.py:10`). */
   val SlowTableHeartbeatIntervalSeconds = 180
 
+  /** F9: clock-skew estimation between the database and this process
+    * (`clock_sync.py:11-39`): sample (dbNow, localNow) pairs and take the
+    * median delta; timestamps from the DB are corrected by it in the
+    * latency metrics. */
+  def clockSkewMillis(samples: Seq[(Long, Long)]): Long = {
+    require(samples.nonEmpty, "need at least one (dbNow, localNow) sample")
+    val deltas = samples.map { case (db, local) => db - local }.sorted
+    deltas(deltas.size / 2)
+  }
+
   /** E6: lagging-table admission — a table whose last change read returned
     * a full batch is "lagging": while any table lags, snapshots pause and
     * only lagging tables are polled until the glut drains

@@ -44,9 +44,15 @@ object Replayer {
         coalesce(col("s.value"), col("t.value")).as("value"))
   }
 
-  /** CLI: runMain graft.tools.Replayer <logDir> <targetDir>. Reads the
-    * published log, merges into the (possibly absent) target parquet
-    * table, rewrites it. */
+  /** A8: bounded replay — restrict the log to a batch-id range before
+    * applying; the predicate prunes whole `batch_id=` partitions at the
+    * scan (partition pruning, no data read outside the window). */
+  def boundedLog(log: DataFrame, fromBatch: Long, toBatch: Long): DataFrame =
+    log.filter(col("batch_id") >= fromBatch && col("batch_id") <= toBatch)
+
+  /** CLI: runMain graft.tools.Replayer <logDir> <targetDir> [fromBatch toBatch].
+    * Reads the published log (optionally a bounded batch window), merges
+    * into the (possibly absent) target parquet table, rewrites it. */
   def main(args: Array[String]): Unit = {
     val Array(logDir, targetDir) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -57,7 +63,11 @@ object Replayer {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val log = spark.read.parquet(logDir)
+    val fullLog = spark.read.parquet(logDir)
+    val log = (args.lift(2), args.lift(3)) match {
+      case (Some(lo), Some(hi)) => boundedLog(fullLog, lo.toLong, hi.toLong)
+      case _ => fullLog
+    }
     val target =
       try spark.read.parquet(targetDir)
       catch {

@@ -37,6 +37,12 @@ class ModelPoliciesSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(hb.get.lsn, ceiling))
   }
 
+  test("clock skew: median of sampled deltas (F9)") {
+    assert(Policies.clockSkewMillis(Seq((1000L, 900L))) == 100L)
+    assert(Policies.clockSkewMillis(
+      Seq((1000L, 900L), (1000L, 1010L), (1000L, 950L))) == 50L)
+  }
+
   test("LSN gap detection (G5)") {
     val lo = ChangeIndex(ChangeIndex.lsnFromLong(10), 0, ChangeIndex.lsnFromLong(0), 0)
     val hi = ChangeIndex(ChangeIndex.lsnFromLong(20), 0, ChangeIndex.lsnFromLong(0), 0)
