@@ -269,17 +269,87 @@ object DedupQueries {
        |    ON a.label = b.label AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cs AS cos_sim FROM scored WHERE cs >= 0.95""".stripMargin
 
+  // ── dd_cluster ★ — duplicate CLUSTERING: connected components over the
+  // LSH candidate graph, so each group of mutual near-dups collapses to
+  // one keeper (min doc_id = cluster id). Spark side: iterative min-label
+  // propagation (converges in graph-diameter rounds; dup clusters are
+  // tiny, so 2-4). Each round is one shuffle join — the standard
+  // large-scale connected-components shape; large-star/small-star is the
+  // documented upgrade for high-diameter graphs. Oracle: DuckDB recursive
+  // CTE computing the reachable-set minimum.
+  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = ddMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("neighbor_min"))
+      val next = labels.join(prop, labels("node") === prop("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("neighbor_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .join(labels, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  val ddClusterSql: String =
+    s"""WITH RECURSIVE corpus AS ($corpusDuckSql),
+       |mh_t AS ($minhashDuck),
+       |bands AS (
+       |  SELECT doc_id, band_idx,
+       |         array_to_string(list_slice(mh, band_idx*4 + 1, band_idx*4 + 4), '-')
+       |           AS band_key
+       |  FROM mh_t CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |cand AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM pairs p
+       |  JOIN mh_t ma ON ma.doc_id = p.doc_a
+       |  JOIN mh_t mb ON mb.doc_id = p.doc_b
+       |  WHERE len(list_filter(range(1, 17), i -> ma.mh[i] = mb.mh[i])) / 16.0 >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |reach(node, peer) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src)
+       |SELECT node AS doc_id, min(peer) AS cluster_id, count(*) AS cluster_size
+       |FROM reach GROUP BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
-    "dd_embedding_cosine" -> (ddEmbeddingCosine _))
+    "dd_embedding_cosine" -> (ddEmbeddingCosine _),
+    "dd_cluster" -> (ddCluster _))
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
-    "dd_embedding_cosine" -> ddEmbeddingCosineSql)
+    "dd_embedding_cosine" -> ddEmbeddingCosineSql,
+    "dd_cluster" -> ddClusterSql)
 }
