@@ -1,0 +1,173 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.ChangeIndex
+
+/** The custom CDC `MicroBatchStream` source (SURVEY §7.4): a DataSource V2
+  * streaming source whose offset is the engine's own [[CdcOffset]] (change
+  * index per table) and whose pacing is the reference's
+  * `db_row_batch_size` — each micro-batch advances at most `batchSize`
+  * rows in strict change-index order.
+  *
+  * Fixture mode (this implementation): the "change table" is a staged
+  * parquet directory; the driver plans each poll window by running the
+  * bounded ordered scan (A1's shape: `> start`, `<= ceiling`, ordered,
+  * TOP batch) and ships the window's rows inside the InputPartition. A
+  * JDBC deployment swaps `loadWindow` for per-partition readers that
+  * execute [[SqlServerDialect.changeQuery]] against the database — the
+  * offset/admission mechanics are identical.
+  *
+  * Usage:
+  *   spark.readStream.format("graft.sources.CdcTableProvider")
+  *     .option("feedDir", dir).option("tableName", t)
+  *     .option("batchSize", "2000").load()
+  */
+class CdcTableProvider extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcTableProvider.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CdcTable(properties.asScala.toMap)
+}
+
+object CdcTableProvider {
+  /** Staged change-feed layout (matches CdcPipeline.stageChangeFeed). */
+  val schema: StructType = StructType(Seq(
+    StructField("lsn_num", LongType), StructField("command_id", IntegerType),
+    StructField("seqval_num", LongType), StructField("operation", IntegerType),
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("value", DoubleType),
+    StructField("props", StringType)))
+}
+
+private class CdcTable(options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = options.getOrElse("tablename", "cdc_feed")
+  override def schema(): StructType = CdcTableProvider.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    // Read options surface here (case-insensitive), not in the table
+    // properties map.
+    val merged = options.map { case (k, v) => k.toLowerCase -> v } ++
+      opts.asCaseSensitiveMap().asScala.map { case (k, v) => k.toLowerCase -> v }
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = CdcTableProvider.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new CdcMicroBatchStream(
+            merged.getOrElse("feeddir", sys.error("feedDir option required")),
+            merged.getOrElse("tablename", "cdc_feed"),
+            merged.getOrElse("batchsize", "2000").toInt)
+      }
+    }
+  }
+}
+
+/** Offset = the serialized CdcOffset for this one table. */
+private case class CdcStreamOffset(offset: CdcOffset) extends Offset {
+  override def json(): String = offset.json
+}
+
+private class CdcMicroBatchStream(feedDir: String, tableName: String,
+    batchSize: Int) extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def spark = SparkSession.active
+
+  private def pos(o: Offset): ChangeIndex =
+    o.asInstanceOf[CdcStreamOffset].offset.tables
+      .get(tableName).map(_.changeIndex).getOrElse(ChangeIndex.Lowest)
+
+  private def mkOffset(idx: ChangeIndex): CdcStreamOffset =
+    CdcStreamOffset(CdcOffset(Map(tableName -> TablePosition(idx, SnapshotNotStarted))))
+
+  override def initialOffset(): Offset = mkOffset(ChangeIndex.Lowest)
+
+  override def deserializeOffset(json: String): Offset =
+    CdcStreamOffset(CdcOffset.fromJson(json))
+
+  /** Admission control: advance at most `batchSize` rows past the
+    * committed start — the reference's TOP(batch_size) pacing (E6/E7).
+    * The max-LSN ceiling probe (A5) is the feed's current maximum. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = pos(start)
+    val window = loadWindow(from)
+    val end = if (window.isEmpty) from else toIndex(window.last)
+    mkOffset(end)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "SupportsAdmissionControl.latestOffset(start, limit) is used")
+
+  private def toIndex(r: org.apache.spark.sql.Row): ChangeIndex =
+    ChangeIndex(ChangeIndex.lsnFromLong(r.getLong(0)), r.getInt(1),
+      ChangeIndex.lsnFromLong(r.getLong(2)), r.getInt(3))
+
+  /** The bounded ordered scan: rows strictly after `start`, in change
+    * index order, at most batchSize (A1's query shape over the fixture). */
+  private def loadWindow(start: ChangeIndex): Array[org.apache.spark.sql.Row] = {
+    val startLsn = java.nio.ByteBuffer.wrap(start.lsn.drop(2)).getLong
+    val startSeq = java.nio.ByteBuffer.wrap(start.seqval.drop(2)).getLong
+    spark.read.schema(CdcTableProvider.schema).parquet(feedDir)
+      .filter(struct(col("lsn_num"), col("command_id"), col("seqval_num"), col("operation")) >
+        struct(lit(startLsn).as("lsn_num"), lit(start.commandId).as("command_id"),
+          lit(startSeq).as("seqval_num"), lit(start.operation).as("operation")))
+      .orderBy(col("lsn_num"), col("command_id"), col("seqval_num"), col("operation"))
+      .limit(batchSize)
+      .collect()
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = pos(start); val e = pos(end)
+    if (s >= e) return Array.empty
+    val rows = loadWindow(s).filter(r => toIndex(r) <= e)
+    // Fixture mode ships the window's externalized values; a JDBC
+    // deployment would instead give each partition its keyset query.
+    Array(CdcRowsPartition(rows.map(r =>
+      Array[Any](r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getDouble(7), r.getString(8)))))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val rows = partition.asInstanceOf[CdcRowsPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = {
+            val v = rows(i)
+            new GenericInternalRow(Array[Any](
+              v(0), v(1), v(2), v(3), v(4), v(5),
+              UTF8String.fromString(v(6).asInstanceOf[String]), v(7),
+              UTF8String.fromString(v(8).asInstanceOf[String])))
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private case class CdcRowsPartition(rows: Array[Array[Any]]) extends InputPartition
