@@ -176,7 +176,56 @@ object TextQueries {
       |SELECT lang, gram, cnt, CAST(rnk AS INT) AS rnk
       |FROM ranked WHERE rnk <= 3""".stripMargin
 
+  // ── sample_stratified ★ — deterministic stratified sampling: a
+  // hash-gated 20% Bernoulli sample (reproducible across runs/engines,
+  // unlike rand()), then a per-source quota of 10 via ranked window — the
+  // standard "cap per domain" mix-building step.
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH sampled AS (
+        |  SELECT doc_id, source, n_chars
+        |  FROM documents
+        |  WHERE cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100 < 20),
+        |ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+        |  FROM sampled)
+        |SELECT doc_id, source, n_chars FROM ranked WHERE rnk <= 10""".stripMargin)
+  }
+
+  val sampleStratifiedSql: String =
+    """WITH sampled AS (
+      |  SELECT doc_id, source, n_chars
+      |  FROM documents
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 20),
+      |ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+      |  FROM sampled)
+      |SELECT doc_id, source, n_chars FROM ranked WHERE rnk <= 10""".stripMargin
+
+  // ── text_length_histogram ★ — corpus length distribution in 50-char
+  // buckets: the single-pass profiling aggregate run before filtering
+  // decisions.
+  def textLengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """SELECT cast(floor(n_chars / 50) as int) AS bucket,
+        |       count(*) AS docs,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin)
+  }
+
+  val textLengthHistogramSql: String =
+    """SELECT CAST(n_chars // 50 AS INT) AS bucket,
+      |       count(*) AS docs,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleStratified _),
+    "text_length_histogram" -> (textLengthHistogram _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_token_count" -> (textTokenCount _),
@@ -184,6 +233,8 @@ object TextQueries {
     "text_ngram_topk" -> (textNgramTopk _))
 
   val oracle: Map[String, String] = Map(
+    "sample_stratified" -> sampleStratifiedSql,
+    "text_length_histogram" -> textLengthHistogramSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_token_count" -> textTokenCountSql,
