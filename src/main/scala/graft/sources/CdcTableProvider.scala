@@ -74,7 +74,8 @@ private class CdcTable(options: Map[String, String]) extends Table with Supports
           new CdcMicroBatchStream(
             merged.getOrElse("feeddir", sys.error("feedDir option required")),
             merged.getOrElse("tablename", "cdc_feed"),
-            merged.getOrElse("batchsize", "2000").toInt)
+            merged.getOrElse("batchsize", "2000").toInt,
+            merged.get("snapshotdir"))
       }
     }
   }
@@ -86,30 +87,61 @@ private case class CdcStreamOffset(offset: CdcOffset) extends Offset {
 }
 
 private class CdcMicroBatchStream(feedDir: String, tableName: String,
-    batchSize: Int) extends MicroBatchStream with SupportsAdmissionControl {
+    batchSize: Int, snapshotDir: Option[String])
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
 
-  private def pos(o: Offset): ChangeIndex =
+  private def pos(o: Offset): TablePosition =
     o.asInstanceOf[CdcStreamOffset].offset.tables
-      .get(tableName).map(_.changeIndex).getOrElse(ChangeIndex.Lowest)
+      .getOrElse(tableName, TablePosition(ChangeIndex.Lowest, initialSnapshot))
 
-  private def mkOffset(idx: ChangeIndex): CdcStreamOffset =
-    CdcStreamOffset(CdcOffset(Map(tableName -> TablePosition(idx, SnapshotNotStarted))))
+  private def initialSnapshot: SnapshotPosition =
+    if (snapshotDir.isDefined) SnapshotNotStarted else SnapshotDone
 
-  override def initialOffset(): Offset = mkOffset(ChangeIndex.Lowest)
+  private def mkOffset(p: TablePosition): CdcStreamOffset =
+    CdcStreamOffset(CdcOffset(Map(tableName -> p)))
+
+  override def initialOffset(): Offset =
+    mkOffset(TablePosition(ChangeIndex.Lowest, initialSnapshot))
+
+  private def keyHex(k: Long): String = f"$k%016x"
+  private def keyFromHex(h: String): Long = java.lang.Long.parseLong(h, 16)
+
+  /** Next reverse-keyset snapshot page strictly below `belowKey`:
+    * descending keys, at most batchSize (A2's query shape). */
+  private def snapshotPage(belowKey: Option[Long]): Array[org.apache.spark.sql.Row] = {
+    val base = spark.read.schema(CdcTableProvider.schema)
+      .parquet(snapshotDir.get)
+    val bounded = belowKey.map(k => base.filter(col("user_id") < k)).getOrElse(base)
+    bounded.orderBy(col("user_id").desc).limit(batchSize).collect()
+  }
 
   override def deserializeOffset(json: String): Offset =
     CdcStreamOffset(CdcOffset.fromJson(json))
 
-  /** Admission control: advance at most `batchSize` rows past the
-    * committed start — the reference's TOP(batch_size) pacing (E6/E7).
-    * The max-LSN ceiling probe (A5) is the feed's current maximum. */
+  /** Admission control: the snapshot dimension advances first — one
+    * reverse-keyset page per trigger until the short-page probe declares
+    * SnapshotDone (G3) — then the change dimension advances at most
+    * `batchSize` rows per trigger (the reference's TOP(batch_size)
+    * pacing, E6/E7; interleaving policy `main.py:214-267`). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = pos(start)
-    val window = loadWindow(from)
-    val end = if (window.isEmpty) from else toIndex(window.last)
-    mkOffset(end)
+    val p = pos(start)
+    p.snapshot match {
+      case SnapshotNotStarted | SnapshotAt(_) =>
+        val below = p.snapshot match {
+          case SnapshotAt(h) => Some(keyFromHex(h))
+          case _ => None
+        }
+        val page = snapshotPage(below)
+        if (page.isEmpty) mkOffset(p.copy(snapshot = SnapshotDone))
+        else mkOffset(p.copy(snapshot =
+          SnapshotAt(keyHex(page.last.getLong(5))))) // min key of the page
+      case SnapshotDone =>
+        val window = loadWindow(p.changeIndex)
+        val end = if (window.isEmpty) p.changeIndex else toIndex(window.last)
+        mkOffset(p.copy(changeIndex = end))
+    }
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
@@ -138,8 +170,23 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = pos(start); val e = pos(end)
-    if (s >= e) return Array.empty
-    val rows = loadWindow(s).filter(r => toIndex(r) <= e)
+    val rows: Array[org.apache.spark.sql.Row] = (s.snapshot, e.snapshot) match {
+      case (sp, ep) if sp != ep && ep != SnapshotDone =>
+        // A snapshot page: keys strictly below the start bound, down to
+        // and including the end position's key.
+        val upper = sp match {
+          case SnapshotAt(h) => Some(keyFromHex(h))
+          case _ => None
+        }
+        val lower = ep match { case SnapshotAt(h) => keyFromHex(h); case _ => 0L }
+        snapshotPage(upper).filter(_.getLong(5) >= lower)
+      case (sp, SnapshotDone) if sp != SnapshotDone =>
+        Array.empty // the done-transition batch carries no rows
+      case _ =>
+        if (s.changeIndex >= e.changeIndex) Array.empty
+        else loadWindow(s.changeIndex).filter(r => toIndex(r) <= e.changeIndex)
+    }
+    if (rows.isEmpty) return Array.empty
     // Fixture mode ships the window's externalized values; a JDBC
     // deployment would instead give each partition its keyset query.
     Array(CdcRowsPartition(rows.map(r =>

@@ -83,6 +83,69 @@ class CdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("two-dimensional offset: snapshot keyset pages drain before changes") {
+    // Stage a base table (orders) for the snapshot dimension.
+    val snapDir = s"$work/snapshot"
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(lit(0L).as("lsn_num"), lit(0).as("command_id"),
+        lit(0L).as("seqval_num"), lit(0).as("operation"),
+        col("o_orderkey").as("event_id"), col("o_orderkey").as("user_id"),
+        col("o_orderstatus").as("event_type"), col("o_totalprice").as("value"),
+        col("o_orderpriority").as("props"))
+      .coalesce(2).write.mode("overwrite").parquet(snapDir)
+    val nSnap = spark.read.parquet(snapDir).count()
+
+    val sink = s"$work/sink3"; val ckpt = s"$work/ckpt3"
+    val q = spark.readStream.format("graft.sources.CdcTableProvider")
+      .option("feedDir", s"$work/feed")
+      .option("snapshotDir", snapDir)
+      .option("tableName", "events")
+      .option("batchSize", "300")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(sink)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(sink)
+    // Everything delivered exactly once: full snapshot + all changes.
+    assert(out.filter(col("operation") === 0).count() === nSnap)
+    assert(out.filter(col("operation") =!= 0).count() === 1000)
+    assert(out.select("operation", "user_id", "seqval_num").distinct().count()
+      === out.count())
+    // Snapshot phase completes before any change window (the source's
+    // interleaving policy) and pages walk the key space downward.
+    val snapMaxBatch = out.filter(col("operation") === 0)
+      .agg(max("batch_id")).head().getAs[Number](0).longValue()
+    val changeMinBatch = out.filter(col("operation") =!= 0)
+      .agg(min("batch_id")).head().getAs[Number](0).longValue()
+    assert(snapMaxBatch < changeMinBatch)
+    val pageBounds = out.filter(col("operation") === 0)
+      .groupBy("batch_id")
+      .agg(min("user_id").as("lo"), max("user_id").as("hi"), count(lit(1)).as("n"))
+      .orderBy("batch_id").collect()
+    assert(pageBounds.forall(_.getAs[Number](3).longValue() <= 300))
+    pageBounds.sliding(2).foreach {
+      case Array(a, b) => assert(
+        b.getAs[Number](2).longValue() < a.getAs[Number](1).longValue(),
+        s"pages must descend: $a then $b")
+      case _ => ()
+    }
+    // The final offset records the completed snapshot sentinel.
+    val offsetFiles = new java.io.File(s"$ckpt/offsets").listFiles().sortBy(_.getName)
+    val last = scala.io.Source.fromFile(offsetFiles.last).getLines().toSeq.last
+    assert(last.contains("\"done\""), last)
+  }
+
   test("offset log holds CdcOffset JSON and restart resumes cleanly") {
     val sink = s"$work/sink2"; val ckpt = s"$work/ckpt2"
     runToSink(sink, ckpt)
