@@ -146,6 +146,44 @@ class CdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last.contains("\"done\""), last)
   }
 
+  test("full custom stack: DSv2 source -> stateful last-wins -> compacted state") {
+    import org.apache.spark.sql.expressions.Window
+    val sink = s"$work/sink4"; val ckpt = s"$work/ckpt4"
+    val events = stream()
+      .filter(col("operation") =!= 3) // B1, applied at the pipeline layer
+      .select(col("lsn_num").as("lsnNum"), col("command_id").as("commandId"),
+        col("seqval_num").as("seqvalNum"), col("operation"),
+        col("event_id").as("eventId"), col("user_id").as("userId"),
+        col("event_type").as("eventType"), col("value"), col("props"))
+      .as[CdcPipeline.CdcEvent](org.apache.spark.sql.Encoders.product[CdcPipeline.CdcEvent])
+    val q = CdcPipeline.keyedUpdates(events).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[CdcPipeline.KeyedUpdate], batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.toDF().withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(s"$sink/log")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = CdcPipeline.compactedState(spark, sink)
+      .select(col("userId").as("user_id"), col("seqvalNum").as("seqval_num"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("lsn_num").desc, col("command_id").desc,
+        col("seqval_num").desc, col("operation").desc)
+    val exp = graft.fixtures.SyntheticCdc.changeRows(spark, sfDir)
+      .filter(col("operation") =!= 3)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("operation") =!= 1)
+      .select(col("user_id"), col("seqval_num"))
+    assert(got.except(exp).count() === 0 && exp.except(got).count() === 0)
+  }
+
   test("offset log holds CdcOffset JSON and restart resumes cleanly") {
     val sink = s"$work/sink2"; val ckpt = s"$work/ckpt2"
     runToSink(sink, ckpt)
