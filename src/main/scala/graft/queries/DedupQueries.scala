@@ -292,13 +292,15 @@ object DedupQueries {
     while (changed > 0 && rounds < 20) {
       val prop = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("neighbor_min"))
+      // Carry the change flag through the propagation so convergence is a
+      // cheap scan of the materialized round, not an extra join job.
       val next = labels.join(prop, labels("node") === prop("src"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("neighbor_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("neighbor_min"), col("label"))).as("label"),
+          (coalesce(col("neighbor_min"), col("label")) < col("label")).as("chg"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
       rounds += 1
     }
     labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
