@@ -153,10 +153,17 @@ object Kernels {
     * therefore not deterministic across runs; we keep its shape
     * (md5-derived namespace + uuid5 of the table fq-name) but hash a
     * deterministic serialization of the row instead. */
+  private val sha1Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-1")
+  }
+
   def uuid5(seed: UTF8String, name: UTF8String): UTF8String = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val md5 = md5Local.get()
+    md5.reset()
     val nsBytes = md5.digest(seed.getBytes)
-    val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+    val sha1 = sha1Local.get()
+    sha1.reset()
     sha1.update(nsBytes) // namespace UUID bytes = raw md5 digest
     sha1.update(name.getBytes)
     val d = sha1.digest()

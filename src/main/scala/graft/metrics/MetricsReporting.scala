@@ -94,7 +94,10 @@ final class CdcMetricsListener(
 
   private val hostname =
     try java.net.InetAddress.getLocalHost.getHostName catch { case _: Throwable => "unknown" }
-  @volatile private var lastEndEpochSec: Double = 0.0
+  // Interval bounds are tracked PER QUERY — the listener is registered
+  // session-wide and several queries may report interleaved.
+  private val lastEndByQuery =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Double]()
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
   override def onQueryIdle(event: QueryIdleEvent): Unit = ()
@@ -103,8 +106,8 @@ final class CdcMetricsListener(
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
     val end = java.time.Instant.parse(p.timestamp).toEpochMilli / 1000.0
-    val start = if (lastEndEpochSec > 0) lastEndEpochSec else end
-    lastEndEpochSec = end
+    val prev = lastEndByQuery.put(p.id, end)
+    val start = if (prev != null) prev.doubleValue() else end
     val state = Option(p.stateOperators).filter(_.nonEmpty)
     val m = IntervalMetrics(
       metricsNamespace = namespace,

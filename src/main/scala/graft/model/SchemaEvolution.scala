@@ -84,13 +84,17 @@ object SchemaEvolution {
         return Decision(resnapshot = true, s"newly-captured column $c is NOT NULL")
     }
 
+    // SQL Server identifiers are case-insensitive by default; probe sets
+    // are matched case-insensitively so callers need not pre-normalize.
+    val indexedLower = probes.leadingIndexedCols.map(_.toLowerCase)
+    val recentLower = probes.recentlyAddedCols.map(_.toLowerCase)
     added.toSeq.sorted.foreach { c =>
-      val cheapToProbe = probes.tableIsSmall || probes.leadingIndexedCols.contains(c)
+      val cheapToProbe = probes.tableIsSmall || indexedLower.contains(c.toLowerCase)
       if (cheapToProbe) {
         if (probes.colHasNonNull(c))
           return Decision(resnapshot = true,
             s"direct scan found non-null values in newly-tracked column $c")
-      } else if (!probes.recentlyAddedCols.contains(c.toLowerCase)) {
+      } else if (!recentLower.contains(c.toLowerCase)) {
         return Decision(resnapshot = true,
           s"newly-tracked column $c was added too long ago to presume all-NULL")
       }

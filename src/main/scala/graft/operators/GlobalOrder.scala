@@ -41,7 +41,7 @@ object GlobalOrder {
     }
     val w = Window.partitionBy(col("__pid")).orderBy(cols: _*)
     sorted
-      .withColumn(rankCol, (row_number().over(w) + offsetExpr).cast("int"))
+      .withColumn(rankCol, row_number().over(w).cast("long") + offsetExpr)
       .drop("__pid")
   }
 }

@@ -213,7 +213,7 @@ object CdcQueries {
        |  UNION ALL
        |  SELECT 'orders' AS src, lsn_hex, command_id, CAST(seqval_num AS BIGINT), operation FROM oc)
        |SELECT src, lsn_hex, command_id, seqval_num, operation,
-       |       CAST(row_number() OVER (ORDER BY lsn_hex, command_id, seqval_num, operation, src) AS INT) AS global_rank
+       |       CAST(row_number() OVER (ORDER BY lsn_hex, command_id, seqval_num, operation, src) AS BIGINT) AS global_rank
        |FROM merged
        |WHERE lsn_hex <= lpad(lower(to_hex(700)), 20, '0')""".stripMargin
 

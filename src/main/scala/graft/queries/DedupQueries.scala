@@ -192,7 +192,8 @@ object DedupQueries {
          |SELECT doc_id, source, cast(floor(n_chars / 8) as int) AS size_bucket,
          |       array_distinct(transform(sequence(1, greatest(size(ws) - 1, 1)),
          |         i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) AS g
-         |FROM (SELECT doc_id, source, n_chars, split(text, ' ') AS ws FROM corpus)""".stripMargin)
+         |FROM (SELECT doc_id, source, n_chars, split(text, ' ') AS ws FROM corpus)
+         |WHERE size(ws) >= 2""".stripMargin)
       .localCheckpoint()
       .createOrReplaceTempView("grams_t")
     spark.sql(
@@ -212,7 +213,8 @@ object DedupQueries {
        |  SELECT doc_id, source, CAST(n_chars // 8 AS INT) AS size_bucket,
        |         list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
        |           i -> ws[i] || ' ' || ws[i + 1])) AS g
-       |  FROM (SELECT doc_id, source, n_chars, string_split(text, ' ') AS ws FROM corpus)),
+       |  FROM (SELECT doc_id, source, n_chars, string_split(text, ' ') AS ws FROM corpus)
+       |  WHERE len(ws) >= 2),
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(a.g || b.g))

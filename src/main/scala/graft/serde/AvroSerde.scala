@@ -93,6 +93,8 @@ object AvroSerde {
       case d: scala.math.BigDecimal =>
         ByteBuffer.wrap(d.underlying().unscaledValue().toByteArray)
       case t: java.sql.Timestamp => t.toInstant.toString
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt: java.lang.Integer
+      case d: java.time.LocalDate => d.toEpochDay.toInt: java.lang.Integer
       case s: Seq[_] => s.map(_.asInstanceOf[AnyRef]).asJava
       case other if effective.getType == Schema.Type.STRING => other.toString
       case other => other.asInstanceOf[AnyRef]

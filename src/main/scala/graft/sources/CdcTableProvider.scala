@@ -105,16 +105,30 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
   override def initialOffset(): Offset =
     mkOffset(TablePosition(ChangeIndex.Lowest, initialSnapshot))
 
-  private def keyHex(k: Long): String = f"$k%016x"
-  private def keyFromHex(h: String): Long = java.lang.Long.parseLong(h, 16)
+  // Snapshot pages walk a COMPOSITE key (user_id, event_id): paging on
+  // user_id alone would drop rows whenever duplicate key values straddle
+  // a page boundary (the strictly-below filter excludes the remainder of
+  // the split group forever). The reference pages on the full PK for the
+  // same reason (`sql_queries.py:312-367`). CONTRACT: the composite
+  // (user_id, event_id) must be UNIQUE in the snapshot table — keyset
+  // pagination over non-unique keys cannot be lossless.
+  private def keyHex(k: Long, e: Long): String = f"$k%016x$e%016x"
+  private def keyFromHex(h: String): (Long, Long) =
+    (java.lang.Long.parseLong(h.substring(0, 16), 16),
+      java.lang.Long.parseLong(h.substring(16), 16))
 
-  /** Next reverse-keyset snapshot page strictly below `belowKey`:
-    * descending keys, at most batchSize (A2's query shape). */
-  private def snapshotPage(belowKey: Option[Long]): Array[org.apache.spark.sql.Row] = {
+  private def belowPredicate(k: Long, e: Long) =
+    col("user_id") < k || (col("user_id") === k && col("event_id") < e)
+
+  /** Next reverse-keyset snapshot page strictly below the composite
+    * bound: descending, at most batchSize (A2's query shape). */
+  private def snapshotPage(below: Option[(Long, Long)]): Array[org.apache.spark.sql.Row] = {
     val base = spark.read.schema(CdcTableProvider.schema)
       .parquet(snapshotDir.get)
-    val bounded = belowKey.map(k => base.filter(col("user_id") < k)).getOrElse(base)
-    bounded.orderBy(col("user_id").desc).limit(batchSize).collect()
+    val bounded = below.map { case (k, e) => base.filter(belowPredicate(k, e)) }
+      .getOrElse(base)
+    bounded.orderBy(col("user_id").desc, col("event_id").desc)
+      .limit(batchSize).collect()
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -135,8 +149,8 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
         }
         val page = snapshotPage(below)
         if (page.isEmpty) mkOffset(p.copy(snapshot = SnapshotDone))
-        else mkOffset(p.copy(snapshot =
-          SnapshotAt(keyHex(page.last.getLong(5))))) // min key of the page
+        else mkOffset(p.copy(snapshot = // min composite key of the page
+          SnapshotAt(keyHex(page.last.getLong(5), page.last.getLong(4)))))
       case SnapshotDone =>
         val window = loadWindow(p.changeIndex)
         val end = if (window.isEmpty) p.changeIndex else toIndex(window.last)
@@ -173,13 +187,19 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
     val rows: Array[org.apache.spark.sql.Row] = (s.snapshot, e.snapshot) match {
       case (sp, ep) if sp != ep && ep != SnapshotDone =>
         // A snapshot page: keys strictly below the start bound, down to
-        // and including the end position's key.
+        // and including the end position's composite key.
         val upper = sp match {
           case SnapshotAt(h) => Some(keyFromHex(h))
           case _ => None
         }
-        val lower = ep match { case SnapshotAt(h) => keyFromHex(h); case _ => 0L }
-        snapshotPage(upper).filter(_.getLong(5) >= lower)
+        val (lk, le) = ep match {
+          case SnapshotAt(h) => keyFromHex(h)
+          case _ => (Long.MinValue, Long.MinValue)
+        }
+        snapshotPage(upper).filter { r =>
+          val (u, e) = (r.getLong(5), r.getLong(4))
+          u > lk || (u == lk && e >= le)
+        }
       case (sp, SnapshotDone) if sp != SnapshotDone =>
         Array.empty // the done-transition batch carries no rows
       case _ =>

@@ -76,7 +76,10 @@ object SchemaInference {
         r.getAs[String]("schema_name"),
         r.getAs[String]("table_name"),
         r.getAs[String]("capture_instance"),
-        Option(r.getAs[Any]("start_lsn")).map(_.toString).getOrElse(""),
+        Option(r.getAs[Any]("start_lsn")).map {
+          case b: Array[Byte] => b.map(x => f"${x & 0xff}%02x").mkString
+          case other => other.toString
+        }.getOrElse(""),
         r.getAs[String]("column_name"),
         r.getAs[String]("column_type"),
         intAt("column_ordinal"),

@@ -36,12 +36,17 @@ object Replayer {
       .select(col("userId"), col("seqvalNum"), col("eventType"), col("value"))
 
     val survivors = target.join(deletes, Seq("userId"), "left_anti")
+    // MERGE WHEN MATCHED UPDATE overwrites ALL columns from the batch row,
+    // including legitimate NULLs — so matched rows take the batch side
+    // wholesale (a per-column coalesce would resurrect stale values).
     survivors.as("t").join(upserts.as("s"), Seq("userId"), "full_outer")
-      .filter(col("s.userId").isNotNull || col("t.userId").isNotNull)
+      .withColumn("__matched", col("s.seqvalNum").isNotNull ||
+        col("s.eventType").isNotNull || col("s.value").isNotNull)
       .select(col("userId"),
-        coalesce(col("s.seqvalNum"), col("t.seqvalNum")).as("seqvalNum"),
-        coalesce(col("s.eventType"), col("t.eventType")).as("eventType"),
-        coalesce(col("s.value"), col("t.value")).as("value"))
+        when(col("__matched"), col("s.seqvalNum")).otherwise(col("t.seqvalNum")).as("seqvalNum"),
+        when(col("__matched"), col("s.eventType")).otherwise(col("t.eventType")).as("eventType"),
+        when(col("__matched"), col("s.value")).otherwise(col("t.value")).as("value"))
+      .drop("__matched")
   }
 
   /** A8: bounded replay — restrict the log to a batch-id range before

@@ -28,22 +28,38 @@ object Validate {
     }
 
     // The c5/c6 fixtures deliberately perturb the "topic" side, so a
-    // correct engine REPORTS those mismatches; here we check the checks:
-    // counts must equal the deterministic perturbation sizes.
+    // correct engine REPORTS those mismatches; each check compares the
+    // validator's output to the independently-computed expected size of
+    // the deterministic perturbation.
+    import org.apache.spark.sql.functions.col
     val q = graft.SparkEntry.queries
-    val reconciliation = q("c5_count_reconciliation")(spark, sfDir)
-    check("count_reconciliation", 0L,
-      s"${reconciliation.count()} operation(s) with count drift (expected >0 on the perturbed fixture)")
-    val diff = q("c6_ordered_compare")(spark, sfDir)
-    check("ordered_differential", 0L,
-      s"${diff.count()} row-level mismatches surfaced (expected >0 on the perturbed fixture)")
-    val regressions = q("e4_ordering_regressions")(spark, sfDir)
-    check("ordering_regressions", 0L,
-      s"${regressions.count()} partitions with regressions on the permuted fixture")
-    val gaps = q("e5_offset_gaps")(spark, sfDir)
-    check("offset_gaps", 0L, s"${gaps.count()} partitions summarized")
-    val summary = q("d6_topic_summary")(spark, sfDir)
-    check("topic_summary", 0L, s"${summary.count()} topics summarized")
+    val events = graft.fixtures.SyntheticCdc.events(spark, sfDir)
+
+    // c5 drops event_id % 97 == 13 → every operation (4 of them) drifts.
+    val reconCount = q("c5_count_reconciliation")(spark, sfDir).count()
+    check("count_reconciliation", if (reconCount == 4) 0 else 1,
+      s"$reconCount operation(s) with count drift (expect 4)")
+
+    // c6 drops event_id % 101 == 7 and adds phantoms at % 503 == 11.
+    val expDiff = events.filter(col("event_id") % 101 === 7).count() +
+      events.filter(col("event_id") % 503 === 11).count()
+    val diffCount = q("c6_ordered_compare")(spark, sfDir).count()
+    check("ordered_differential", if (diffCount == expDiff) 0 else 1,
+      s"$diffCount row-level mismatches (expect $expDiff)")
+
+    // e4's permuted read order regresses in all 4 synthetic partitions.
+    val regCount = q("e4_ordering_regressions")(spark, sfDir).count()
+    check("ordering_regressions", if (regCount == 4) 0 else 1,
+      s"$regCount partitions with regressions (expect 4)")
+
+    val gapCount = q("e5_offset_gaps")(spark, sfDir).count()
+    check("offset_gaps", if (gapCount == 4) 0 else 1,
+      s"$gapCount partitions summarized (expect 4)")
+
+    val expTopics = events.select("event_type").distinct().count()
+    val sumCount = q("d6_topic_summary")(spark, sfDir).count()
+    check("topic_summary", if (sumCount == expTopics) 0 else 1,
+      s"$sumCount topics summarized (expect $expTopics)")
 
     // Self-validation of the engine's own streaming output: run the
     // pipeline and assert zero real anomalies.

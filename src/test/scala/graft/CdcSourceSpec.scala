@@ -146,6 +146,53 @@ class CdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last.contains("\"done\""), last)
   }
 
+  test("snapshot pages never drop rows when duplicate keys straddle a page boundary") {
+    // lineitem keyed by l_orderkey has many rows per key — paging on the
+    // bare key would lose the remainder of a split group; the source
+    // pages on the composite (key, event_id). event_id is a staged
+    // row_number because the composite keyset key MUST be unique (the
+    // reference pages on the table's true PK for the same reason — the
+    // synthetic lineitem even has duplicate (orderkey, linenumber)).
+    import org.apache.spark.sql.expressions.Window
+    val snapDir = s"$work/snapshot_dup"
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("event_id", row_number().over(
+        Window.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice")).cast("long"))
+      .select(lit(0L).as("lsn_num"), lit(0).as("command_id"),
+        lit(0L).as("seqval_num"), lit(0).as("operation"),
+        col("event_id"), col("l_orderkey").as("user_id"),
+        lit("line").as("event_type"), col("l_quantity").as("value"),
+        lit("").as("props"))
+      .coalesce(2).write.mode("overwrite").parquet(snapDir)
+    val nSnap = spark.read.parquet(snapDir).count()
+
+    val sink = s"$work/sink5"
+    val q = spark.readStream.format("graft.sources.CdcTableProvider")
+      .option("feedDir", s"$work/feed")
+      .option("snapshotDir", snapDir)
+      .option("tableName", "events")
+      .option("batchSize", "97") // deliberately not aligned to group sizes
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt5")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(sink)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val snapOut = spark.read.parquet(sink).filter(col("operation") === 0)
+    assert(snapOut.count() === nSnap)
+    assert(snapOut.select("event_id").distinct().count() === nSnap)
+  }
+
   test("full custom stack: DSv2 source -> stateful last-wins -> compacted state") {
     import org.apache.spark.sql.expressions.Window
     val sink = s"$work/sink4"; val ckpt = s"$work/ckpt4"
