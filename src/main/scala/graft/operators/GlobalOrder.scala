@@ -35,13 +35,15 @@ object GlobalOrder {
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
       .init.map(_._2) // offsets(i) = rows before partition ordinal i
-    val pidToOffset = counts.map(_._1).zip(offsets).toMap
-    val offsetExpr = pidToOffset.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(acc)
-    }
+    // Offsets attach via a broadcast join on the partition id: N rows of
+    // driver-side metadata, not an N-deep CASE expression (which would
+    // stop codegen-compiling at cluster partition counts).
+    val offsetDf = spark.createDataFrame(counts.map(_._1).zip(offsets).toSeq)
+      .toDF("__pid", "__offset")
     val w = Window.partitionBy(col("__pid")).orderBy(cols: _*)
     sorted
-      .withColumn(rankCol, row_number().over(w).cast("long") + offsetExpr)
-      .drop("__pid")
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(rankCol, row_number().over(w).cast("long") + col("__offset"))
+      .drop("__pid", "__offset")
   }
 }
