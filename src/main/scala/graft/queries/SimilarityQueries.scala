@@ -140,11 +140,70 @@ object SimilarityQueries {
        |       cs AS cos_sim
        |FROM ranked WHERE rnk <= 3""".stripMargin
 
+  // ── emb_normalize ★ — unit-norm embeddings (the pre-index step every
+  // vector store wants); norm emitted alongside for the oracle. Purely
+  // narrow per-row arithmetic: scan speed at any scale.
+  def embNormalize(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      s"""SELECT vec_id,
+         |       round(sqrt(${dotS("embedding", "embedding")}), 6) AS norm,
+         |       round(element_at(embedding, 1) / sqrt(${dotS("embedding", "embedding")}), 6)
+         |         AS first_component_normed,
+         |       size(embedding) AS dim
+         |FROM embeddings WHERE vec_id % 7 = 0""".stripMargin)
+  }
+
+  val embNormalizeSql: String =
+    s"""SELECT vec_id,
+       |       round(sqrt(${dotD("embedding", "embedding").replace("range(1, 65)", "range(1, len(embedding) + 1)")}), 6) AS norm,
+       |       round(embedding[1] / sqrt(${dotD("embedding", "embedding").replace("range(1, 65)", "range(1, len(embedding) + 1)")}), 6)
+       |         AS first_component_normed,
+       |       CAST(len(embedding) AS INT) AS dim
+       |FROM embeddings WHERE vec_id % 7 = 0""".stripMargin
+
+  // ── emb_quantize ★ — symmetric int8 quantization: per-vector scale =
+  // max|x| / 127; components round half-away-from-zero to [-127, 127].
+  // The compression step before shipping vectors to an index.
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    spark.sql(
+      """WITH scaled AS (
+        |  SELECT vec_id,
+        |         aggregate(embedding, cast(0.0 as double),
+        |           (acc, x) -> greatest(acc, abs(cast(x as double)))) / 127.0 AS scale,
+        |         embedding
+        |  FROM embeddings WHERE vec_id % 11 = 0)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |       cast(round(cast(element_at(embedding, 1) as double) / scale, 0) as int) AS q1,
+        |       cast(round(cast(element_at(embedding, 2) as double) / scale, 0) as int) AS q2,
+        |       cast(round(cast(element_at(embedding, 3) as double) / scale, 0) as int) AS q3
+        |FROM scaled""".stripMargin)
+  }
+
+  val embQuantizeSql: String =
+    """WITH scaled AS (
+      |  SELECT vec_id,
+      |         list_reduce([0.0] || list_transform(embedding,
+      |           x -> abs(x::DOUBLE)), (a, b) -> greatest(a, b)) / 127.0 AS scale,
+      |         embedding
+      |  FROM embeddings WHERE vec_id % 11 = 0)
+      |SELECT vec_id, round(scale, 9) AS scale,
+      |       CAST(round(embedding[1]::DOUBLE / scale, 0) AS INT) AS q1,
+      |       CAST(round(embedding[2]::DOUBLE / scale, 0) AS INT) AS q2,
+      |       CAST(round(embedding[3]::DOUBLE / scale, 0) AS INT) AS q3
+      |FROM scaled""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (annBruteforce _),
-    "ann_lsh_topk" -> (annLshTopk _))
+    "ann_lsh_topk" -> (annLshTopk _),
+    "emb_normalize" -> (embNormalize _),
+    "emb_quantize" -> (embQuantize _))
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce_topk" -> annBruteforceSql,
-    "ann_lsh_topk" -> annLshTopkSql)
+    "ann_lsh_topk" -> annLshTopkSql,
+    "emb_normalize" -> embNormalizeSql,
+    "emb_quantize" -> embQuantizeSql)
 }
