@@ -101,7 +101,10 @@ final class CdcMetricsListener(
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
   override def onQueryIdle(event: QueryIdleEvent): Unit = ()
-  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    lastEndByQuery.remove(event.id) // no leak; a restarted query id starts
+                                    // a fresh interval, not one spanning
+                                    // the downtime
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress

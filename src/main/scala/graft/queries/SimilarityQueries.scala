@@ -26,8 +26,8 @@ object SimilarityQueries {
   // quadratic scoring stage.
   private def dotS(a: String, b: String) = s"float_dot($a, $b)" 
 
-  private def dotD(a: String, b: String) =
-    s"""list_reduce([0.0] || list_transform(range(1, 65),
+  private def dotD(a: String, b: String, range: String = "range(1, 65)") =
+    s"""list_reduce([0.0] || list_transform($range,
        |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
 
   // ── ann_bruteforce_topk ★ — exact cosine top-5 for each query vector
@@ -157,8 +157,8 @@ object SimilarityQueries {
 
   val embNormalizeSql: String =
     s"""SELECT vec_id,
-       |       round(sqrt(${dotD("embedding", "embedding").replace("range(1, 65)", "range(1, len(embedding) + 1)")}), 6) AS norm,
-       |       round(embedding[1] / sqrt(${dotD("embedding", "embedding").replace("range(1, 65)", "range(1, len(embedding) + 1)")}), 6)
+       |       round(sqrt(${dotD("embedding", "embedding", "range(1, len(embedding) + 1)")}), 6) AS norm,
+       |       round(embedding[1] / sqrt(${dotD("embedding", "embedding", "range(1, len(embedding) + 1)")}), 6)
        |         AS first_component_normed,
        |       CAST(len(embedding) AS INT) AS dim
        |FROM embeddings WHERE vec_id % 7 = 0""".stripMargin

@@ -113,9 +113,13 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
   // (user_id, event_id) must be UNIQUE in the snapshot table — keyset
   // pagination over non-unique keys cannot be lossless.
   private def keyHex(k: Long, e: Long): String = f"$k%016x$e%016x"
+  // parseUnsignedLong round-trips the two's-complement hex of negative
+  // keys; a 16-char value (an offset written before the composite-key
+  // format) degrades losslessly to (key, MIN) = the old key-only bound.
   private def keyFromHex(h: String): (Long, Long) =
-    (java.lang.Long.parseLong(h.substring(0, 16), 16),
-      java.lang.Long.parseLong(h.substring(16), 16))
+    if (h.length <= 16) (java.lang.Long.parseUnsignedLong(h, 16), Long.MinValue)
+    else (java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16),
+      java.lang.Long.parseUnsignedLong(h.substring(16), 16))
 
   private def belowPredicate(k: Long, e: Long) =
     col("user_id") < k || (col("user_id") === k && col("event_id") < e)

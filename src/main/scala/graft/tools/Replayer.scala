@@ -38,10 +38,13 @@ object Replayer {
     val survivors = target.join(deletes, Seq("userId"), "left_anti")
     // MERGE WHEN MATCHED UPDATE overwrites ALL columns from the batch row,
     // including legitimate NULLs — so matched rows take the batch side
-    // wholesale (a per-column coalesce would resurrect stale values).
-    survivors.as("t").join(upserts.as("s"), Seq("userId"), "full_outer")
-      .withColumn("__matched", col("s.seqvalNum").isNotNull ||
-        col("s.eventType").isNotNull || col("s.value").isNotNull)
+    // wholesale, detected by an explicit presence marker (inferring the
+    // match from payload non-nullness would misclassify an all-NULL
+    // update).
+    survivors.as("t")
+      .join(upserts.withColumn("__matched", lit(true)).as("s"),
+        Seq("userId"), "full_outer")
+      .withColumn("__matched", coalesce(col("__matched"), lit(false)))
       .select(col("userId"),
         when(col("__matched"), col("s.seqvalNum")).otherwise(col("t.seqvalNum")).as("seqvalNum"),
         when(col("__matched"), col("s.eventType")).otherwise(col("t.eventType")).as("eventType"),

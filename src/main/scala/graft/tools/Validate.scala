@@ -35,10 +35,13 @@ object Validate {
     val q = graft.SparkEntry.queries
     val events = graft.fixtures.SyntheticCdc.events(spark, sfDir)
 
-    // c5 drops event_id % 97 == 13 → every operation (4 of them) drifts.
+    // c5 drops event_id % 97 == 13: exactly the operation classes of the
+    // dropped rows drift.
+    val expDrift = events.filter(col("event_id") % 97 === 13)
+      .select(((col("event_id") % 4) + 1).as("op")).distinct().count()
     val reconCount = q("c5_count_reconciliation")(spark, sfDir).count()
-    check("count_reconciliation", if (reconCount == 4) 0 else 1,
-      s"$reconCount operation(s) with count drift (expect 4)")
+    check("count_reconciliation", if (reconCount == expDrift) 0 else 1,
+      s"$reconCount operation(s) with count drift (expect $expDrift)")
 
     // c6 drops event_id % 101 == 7 and adds phantoms at % 503 == 11.
     val expDiff = events.filter(col("event_id") % 101 === 7).count() +
@@ -47,14 +50,16 @@ object Validate {
     check("ordered_differential", if (diffCount == expDiff) 0 else 1,
       s"$diffCount row-level mismatches (expect $expDiff)")
 
-    // e4's permuted read order regresses in all 4 synthetic partitions.
+    // e4/e5 report per synthetic partition (event_id % 4): expect one row
+    // per populated partition.
+    val expParts = events.select((col("event_id") % 4).as("p")).distinct().count()
     val regCount = q("e4_ordering_regressions")(spark, sfDir).count()
-    check("ordering_regressions", if (regCount == 4) 0 else 1,
-      s"$regCount partitions with regressions (expect 4)")
+    check("ordering_regressions", if (regCount == expParts) 0 else 1,
+      s"$regCount partitions with regressions (expect $expParts)")
 
     val gapCount = q("e5_offset_gaps")(spark, sfDir).count()
-    check("offset_gaps", if (gapCount == 4) 0 else 1,
-      s"$gapCount partitions summarized (expect 4)")
+    check("offset_gaps", if (gapCount == expParts) 0 else 1,
+      s"$gapCount partitions summarized (expect $expParts)")
 
     val expTopics = events.select("event_type").distinct().count()
     val sumCount = q("d6_topic_summary")(spark, sfDir).count()
