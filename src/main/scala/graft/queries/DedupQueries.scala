@@ -341,7 +341,30 @@ object DedupQueries {
        |SELECT node AS doc_id, min(peer) AS cluster_id, count(*) AS cluster_size
        |FROM reach GROUP BY node""".stripMargin
 
+  // ── dd_exact_normalized ★ — exact dedup after canonicalization
+  // (lowercase + collapsed whitespace): catches trivially-reformatted
+  // copies that byte-exact hashing misses. Same single-shuffle shape.
+  def ddExactNormalized(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH corpus AS ($corpusSparkSql)
+         |SELECT md5(regexp_replace(lower(text), ' +', ' ')) AS content_hash,
+         |       min(doc_id) AS keeper_doc_id, count(*) AS copies
+         |FROM corpus
+         |GROUP BY md5(regexp_replace(lower(text), ' +', ' '))
+         |HAVING count(*) > 1""".stripMargin)
+  }
+
+  val ddExactNormalizedSql: String =
+    s"""WITH corpus AS ($corpusDuckSql)
+       |SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS content_hash,
+       |       min(doc_id) AS keeper_doc_id, count(*) AS copies
+       |FROM corpus
+       |GROUP BY md5(regexp_replace(lower(text), ' +', ' ', 'g'))
+       |HAVING count(*) > 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact_normalized" -> (ddExactNormalized _),
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
@@ -350,6 +373,7 @@ object DedupQueries {
     "dd_cluster" -> (ddCluster _))
 
   val oracle: Map[String, String] = Map(
+    "dd_exact_normalized" -> ddExactNormalizedSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_simhash" -> ddSimhashSql,

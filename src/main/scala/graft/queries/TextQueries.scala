@@ -223,7 +223,26 @@ object TextQueries {
       |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ── text_scrub ★ — redaction pass: mask digit runs (the stand-in for
+  // PII patterns like phone numbers), report how much was redacted. A
+  // narrow regexp transform — scan-speed at any scale.
+  def textScrub(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """SELECT doc_id,
+        |       regexp_replace(text, '[0-9]+', '<NUM>') AS scrubbed,
+        |       size(regexp_extract_all(text, '[0-9]+', 0)) AS redactions
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin)
+  }
+
+  val textScrubSql: String =
+    """SELECT doc_id,
+      |       regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+      |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS redactions
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_scrub" -> (textScrub _),
     "sample_stratified" -> (sampleStratified _),
     "text_length_histogram" -> (textLengthHistogram _),
     "text_langid" -> (textLangid _),
@@ -233,6 +252,7 @@ object TextQueries {
     "text_ngram_topk" -> (textNgramTopk _))
 
   val oracle: Map[String, String] = Map(
+    "text_scrub" -> textScrubSql,
     "sample_stratified" -> sampleStratifiedSql,
     "text_length_histogram" -> textLengthHistogramSql,
     "text_langid" -> textLangidSql,
