@@ -12,7 +12,7 @@ import graft.expr._
   *   spark.sql.extensions=graft.GraftExtensions
   *
   * so every session (including SQL-only users) gets `truncate_utf8`,
-  * `mask_to_names`, `sqlserver_uuid_sort_key`, `uuid5`, `float_dot`, and
+  * `mask_to_names`, `sqlserver_uuid_sort_key`, `row_uuid`, `float_dot`, and
   * `minhash_signature` as first-class functions. Programmatic sessions
   * can also call [[graft.expr.GraftFunctions.register]].
   */
@@ -31,13 +31,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => MaskToNames(args(0), args(1))))
     ext.injectFunction(entry("sqlserver_uuid_sort_key",
       args => SqlServerUuidSortKey(args(0))))
-    ext.injectFunction(entry("uuid5",
-      args => Uuid5(args(0), args(1))))
+    ext.injectFunction(entry("row_uuid",
+      args => RowUuid(args(0), args(1))))
     ext.injectFunction(entry("float_dot",
       args => FloatDotProduct(args(0), args(1))))
     ext.injectFunction(entry("minhash_signature",
       args => MinhashSignature(args(0), GraftFunctions.MinhashK,
         GraftFunctions.ShingleLen, GraftFunctions.ShingleStride,
         GraftFunctions.MinhashP)))
+    ext.injectFunction(entry("hyperplane_bucket",
+      args => HyperplaneBucket(args(0))))
+    ext.injectFunction(entry("normalize_text",
+      args => NormalizeText(args(0))))
   }
 }

@@ -114,6 +114,69 @@ object Kernels {
     new GenericArrayData(mins)
   }
 
+  /** Precomputed LCG hyperplane table for [[hyperplaneBucket]]: plane j,
+    * dim d (0-based) = (((1103515245*(j*64+d) + 12345) % 2001) - 1000) / 1000. */
+  private val HyperPlanes: Array[Double] = Array.tabulate(8 * 64) { i =>
+    (((1103515245L * i + 12345L) % 2001L) - 1000L) / 1000.0
+  }
+
+  /** 8-bit random-hyperplane LSH bucket of a float vector: bit j is set
+    * when the dot product with pseudo-random plane j is positive. One fused
+    * pass replacing the interpreted `aggregate(transform(sequence(...)))`
+    * formulation, which allocated the 64-element plane array per row per
+    * plane and evaluated outside whole-stage codegen (round-1 verdict: 26%
+    * of total bench time). Accumulation is a left-to-right double fold so
+    * the result is bit-identical to the SQL/DuckDB formulation. */
+  def hyperplaneBucket(v: ArrayData): Int = {
+    val n = v.numElements()
+    var bucket = 0
+    var j = 0
+    while (j < 8) {
+      val base = j * 64
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val idx = base + d
+        val plane =
+          if (idx < HyperPlanes.length) HyperPlanes(idx)
+          else (((1103515245L * idx + 12345L) % 2001L) - 1000L) / 1000.0
+        acc += v.getFloat(d).toDouble * plane
+        d += 1
+      }
+      if (acc > 0.0) bucket |= 1 << j
+      j += 1
+    }
+    bucket
+  }
+
+  /** Canonicalize text for normalized exact dedup: Unicode lowercase, then
+    * collapse runs of ASCII spaces to one. Byte-level single pass over the
+    * lowered UTF-8 (continuation bytes are >= 0x80, so a 0x20 byte is
+    * always a real space char); replaces `regexp_replace(lower(text),
+    * ' +', ' ')`, which paid a JVM regex over every document (round-1
+    * verdict: 11 s vs 0.9 s for the non-normalized variant). */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val n = bytes.length
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    var prevSpace = false
+    while (i < n) {
+      val b = bytes(i)
+      if (b == 0x20) {
+        if (!prevSpace) { out(o) = b; o += 1 }
+        prevSpace = true
+      } else {
+        out(o) = b; o += 1
+        prevSpace = false
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
   def maskBitSet(mask: Array[Byte], ordinal: Int): Boolean = {
     val i = ordinal
     if (i < 0 || i >= mask.length * 8) false
@@ -144,31 +207,36 @@ object Kernels {
   val SqlServerUuidByteOrder: Array[Int] =
     Array(10, 11, 12, 13, 14, 15, 8, 9, 7, 6, 5, 4, 3, 2, 1, 0)
 
-  /** Deterministic UUIDv5 (RFC 4122, SHA-1 name-based) over `name` within
-    * the namespace UUID formed from the MD5 of `seed`.
+  /** Deterministic name-based UUID (RFC 4122 version 3, md5) over `name`
+    * within the namespace derived from `seed`: the digest is
+    * `md5(md5_hex(seed) ++ name)` with version/variant nibbles patched.
     *
     * Spec'd replacement for the reference's PK-less row key
     * (`cdc_kafka/tracked_tables.py:417-426`): the reference hashes
     * `str(zip(names, values))` which is a *process-local object repr* and
     * therefore not deterministic across runs; we keep its shape
-    * (md5-derived namespace + uuid5 of the table fq-name) but hash a
-    * deterministic serialization of the row instead. */
-  private val sha1Local = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("SHA-1")
-  }
-
-  def uuid5(seed: UTF8String, name: UTF8String): UTF8String = {
+    * (md5-derived namespace + name-based UUID of the row) but hash a
+    * deterministic serialization instead. The namespace enters as its
+    * lowercase hex rendering (not raw digest bytes) so the whole recipe
+    * stays in the string domain and is expressible in ANSI SQL engines
+    * for independent verification. */
+  def rowUuid(seed: UTF8String, name: UTF8String): UTF8String = {
     val md5 = md5Local.get()
     md5.reset()
     val nsBytes = md5.digest(seed.getBytes)
-    val sha1 = sha1Local.get()
-    sha1.reset()
-    sha1.update(nsBytes) // namespace UUID bytes = raw md5 digest
-    sha1.update(name.getBytes)
-    val d = sha1.digest()
-    val b = java.util.Arrays.copyOf(d, 16)
-    b(6) = ((b(6) & 0x0f) | 0x50).toByte // version 5
+    val nsHex = new Array[Byte](32)
+    var j = 0
+    while (j < 16) {
+      val v = nsBytes(j) & 0xff
+      nsHex(2 * j) = Character.forDigit(v >> 4, 16).toByte
+      nsHex(2 * j + 1) = Character.forDigit(v & 0xf, 16).toByte
+      j += 1
+    }
+    md5.reset()
+    md5.update(nsHex)
+    md5.update(name.getBytes)
+    val b = md5.digest()
+    b(6) = ((b(6) & 0x0f) | 0x30).toByte // version 3 (md5 name-based)
     b(8) = ((b(8) & 0x3f) | 0x80).toByte // RFC 4122 variant
     val sb = new java.lang.StringBuilder(36)
     var i = 0
@@ -236,9 +304,9 @@ case class SqlServerUuidSortKey(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** `uuid5(seedString, nameString)` — deterministic name-based UUID for
+/** `row_uuid(seedString, nameString)` — deterministic name-based UUID for
   * PK-less row keys (SURVEY §2 B7). */
-case class Uuid5(seed: Expression, name: Expression)
+case class RowUuid(seed: Expression, name: Expression)
     extends BinaryExpression {
   override def left: Expression = seed
   override def right: Expression = name
@@ -246,10 +314,10 @@ case class Uuid5(seed: Expression, name: Expression)
   override def dataType: DataType = StringType
 
   override protected def nullSafeEval(s: Any, n: Any): Any =
-    Kernels.uuid5(s.asInstanceOf[UTF8String], n.asInstanceOf[UTF8String])
+    Kernels.rowUuid(s.asInstanceOf[UTF8String], n.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (s, n) => s"graft.expr.Kernels.uuid5($s, $n)")
+    defineCodeGen(ctx, ev, (s, n) => s"graft.expr.Kernels.rowUuid($s, $n)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(seed = l, name = r)
@@ -275,9 +343,9 @@ object functions {
   def sqlserver_uuid_sort_key(uuid: Column): Column =
     col(SqlServerUuidSortKey(expr(uuid)))
 
-  /** Deterministic UUIDv5 of `name` in the md5(seed) namespace (B7). */
-  def uuid5(seed: Column, name: Column): Column =
-    col(Uuid5(expr(seed), expr(name)))
+  /** Deterministic md5-based UUID of `name` in the md5(seed) namespace (B7). */
+  def row_uuid(seed: Column, name: Column): Column =
+    col(RowUuid(expr(seed), expr(name)))
 
   /** `0x`-prefixed lowercase hex rendering of a binary column (F1). */
   def lsn_hex(c: Column): Column = {
@@ -331,6 +399,36 @@ case class MinhashSignature(child: Expression, k: Int, shingleLen: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `hyperplane_bucket(vec)` — fused 8-plane LSH bucket id (see
+  * [[Kernels.hyperplaneBucket]]). */
+case class HyperplaneBucket(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.hyperplaneBucket(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.Kernels.hyperplaneBucket($s)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `normalize_text(str)` — lowercase + space-run collapse (see
+  * [[Kernels.normalizeText]]). */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.normalizeText(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.Kernels.normalizeText($s)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Session-level SQL registration for the custom expressions, so
   * `spark.sql` text can use them alongside built-ins. */
 object GraftFunctions {
@@ -350,7 +448,11 @@ object GraftFunctions {
       args => MaskToNames(args(0), args(1)))
     Bridge.registerFunction(spark, "sqlserver_uuid_sort_key",
       args => SqlServerUuidSortKey(args(0)))
-    Bridge.registerFunction(spark, "uuid5",
-      args => Uuid5(args(0), args(1)))
+    Bridge.registerFunction(spark, "row_uuid",
+      args => RowUuid(args(0), args(1)))
+    Bridge.registerFunction(spark, "hyperplane_bucket",
+      args => HyperplaneBucket(args(0)))
+    Bridge.registerFunction(spark, "normalize_text",
+      args => NormalizeText(args(0)))
   }
 }

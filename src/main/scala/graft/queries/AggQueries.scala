@@ -66,7 +66,7 @@ object AggQueries {
 
   val d4Sql: String =
     """SELECT p_brand,
-      |       sum(p_partkey * 31 + length(p_name) * 7 + p_size) AS schema_checksum
+      |       CAST(sum(p_partkey * 31 + length(p_name) * 7 + p_size) AS BIGINT) AS schema_checksum
       |FROM part GROUP BY p_brand""".stripMargin
 
   // D5 ★ rows-per-second rate: COUNT / DATEDIFF(second, MIN, MAX)

@@ -107,8 +107,8 @@ object DedupQueries {
         |   AND a.doc_id < b.doc_id),
         |cand AS (
         |  SELECT p.doc_a, p.doc_b,
-        |         size(filter(sequence(1, 16),
-        |           i -> element_at(ma.mh, i) = element_at(mb.mh, i))) / 16.0
+        |         CAST(size(filter(sequence(1, 16),
+        |           i -> element_at(ma.mh, i) = element_at(mb.mh, i))) AS DOUBLE) / 16.0
         |           AS est_jaccard
         |  FROM pairs p
         |  JOIN mh_t ma ON ma.doc_id = p.doc_a
@@ -131,7 +131,7 @@ object DedupQueries {
        |   AND a.doc_id < b.doc_id),
        |cand AS (
        |  SELECT p.doc_a, p.doc_b,
-       |         len(list_filter(range(1, 17), i -> ma.mh[i] = mb.mh[i])) / 16.0
+       |         CAST(len(list_filter(range(1, 17), i -> ma.mh[i] = mb.mh[i])) AS DOUBLE) / 16.0
        |           AS est_jaccard
        |  FROM pairs p
        |  JOIN mh_t ma ON ma.doc_id = p.doc_a
@@ -199,8 +199,8 @@ object DedupQueries {
     spark.sql(
       """WITH cand AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         size(array_intersect(a.g, b.g)) * 1.0 / size(array_union(a.g, b.g))
-        |           AS jaccard
+        |         CAST(size(array_intersect(a.g, b.g)) AS DOUBLE)
+        |           / size(array_union(a.g, b.g)) AS jaccard
         |  FROM grams_t a JOIN grams_t b
         |    ON a.source = b.source AND a.size_bucket = b.size_bucket
         |   AND a.doc_id < b.doc_id)
@@ -217,8 +217,8 @@ object DedupQueries {
        |  WHERE len(ws) >= 2),
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(a.g || b.g))
-       |           AS jaccard
+       |         CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |           / len(list_distinct(a.g || b.g)) AS jaccard
        |  FROM grams a JOIN grams b
        |    ON a.source = b.source AND a.size_bucket = b.size_bucket
        |   AND a.doc_id < b.doc_id)
@@ -281,7 +281,12 @@ object DedupQueries {
   // CTE computing the reachable-set minimum.
   def ddCluster(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // Materialize the LSH pair list ONCE: it is referenced twice by the
+    // symmetrization union, and every propagation round below re-reads the
+    // edge list — without this checkpoint the whole band join would re-run
+    // per reference (round-1 verdict: ~1.5 s of pure recompute).
     val pairs = ddMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
@@ -344,14 +349,20 @@ object DedupQueries {
   // ── dd_exact_normalized ★ — exact dedup after canonicalization
   // (lowercase + collapsed whitespace): catches trivially-reformatted
   // copies that byte-exact hashing misses. Same single-shuffle shape.
+  // Canonicalization is the codegen'd single-pass `normalize_text` kernel
+  // (graft.expr.NormalizeText) — the regexp_replace formulation paid a JVM
+  // regex over every document (round-1 verdict: 11 s vs 0.9 s for
+  // dd_exact). The DuckDB oracle keeps the regex form; both agree on any
+  // input (same lowercase + space-run collapse).
   def ddExactNormalized(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
     spark.sql(
       s"""WITH corpus AS ($corpusSparkSql)
-         |SELECT md5(regexp_replace(lower(text), ' +', ' ')) AS content_hash,
+         |SELECT md5(normalize_text(text)) AS content_hash,
          |       min(doc_id) AS keeper_doc_id, count(*) AS copies
          |FROM corpus
-         |GROUP BY md5(regexp_replace(lower(text), ' +', ' '))
+         |GROUP BY md5(normalize_text(text))
          |HAVING count(*) > 1""".stripMargin)
   }
 

@@ -86,15 +86,32 @@ object EnvelopeQueries {
       |       CAST(strlen(CASE WHEN strlen(props) <= 6 THEN props ELSE substring(props, 1, 6) END) AS INT) AS new_bytes
       |FROM events""".stripMargin
 
-  // B7 row-hash key for PK-less tables: deterministic UUIDv5 in the
-  // md5(fq-table-name) namespace (`tracked_tables.py:417-426`). No DuckDB
-  // sha1 → rows-only check here; exact vectors in ScalaTest.
+  // B7 ★ row-hash key for PK-less tables: deterministic RFC 4122 v3 UUID
+  // in the md5(fq-table-name) namespace (`tracked_tables.py:417-426`).
+  // String-domain md5 recipe (see Kernels.rowUuid) replaces round-1's
+  // SHA-1 uuid5 precisely so an independent SQL engine can replay it
+  // (DuckDB has no sha1): d = md5(md5(seed) || name), then patch nibble 13
+  // to '3' (version) and nibble 17 to (x & 3) | 8 (variant). Fields join
+  // on U+0001 (chr(1) in the oracle) so adjacent values can't collide
+  // across a field boundary. Exact vectors locked in ScalaTest.
   def b7RowHash(spark: SparkSession, dir: String): DataFrame =
     SyntheticCdc.events(spark, dir)
       .select(col("event_id"),
-        gf.uuid5(lit("dbo.events"),
-          concat_ws("", col("event_id"), col("user_id"),
+        gf.row_uuid(lit("dbo.events"),
+          concat_ws("\u0001", col("event_id"), col("user_id"),
             col("event_type"), col("props"))).as("row_hash"))
+
+  val b7Sql: String =
+    """WITH r AS (
+      |  SELECT event_id,
+      |         md5(md5('dbo.events') ||
+      |             concat_ws(chr(1), event_id, user_id, event_type, props)) AS d
+      |  FROM events)
+      |SELECT event_id,
+      |       substr(d,1,8) || '-' || substr(d,9,4) || '-3' || substr(d,14,3) || '-' ||
+      |       substr('89ab', (strpos('0123456789abcdef', substr(d,17,1)) - 1) % 4 + 1, 1) ||
+      |       substr(d,18,3) || '-' || substr(d,21,12) AS row_hash
+      |FROM r""".stripMargin
 
   // F6 ★ SQL-Server-ordered UUID sort key (`validation.py:19-41`): uuids
   // synthesized from md5 so both engines derive identical inputs; ordering
@@ -178,7 +195,7 @@ object EnvelopeQueries {
     "envelope" -> envelopeSql,
     "f3_mask_decode" -> f3Sql,
     "b6_truncate_utf8" -> b6Sql,
-    // b7_row_hash: intentionally omitted (rows-only check; no sha1 in DuckDB)
+    "b7_row_hash" -> b7Sql,
     "f6_uuid_sort" -> f6Sql,
     "f7_casefold" -> f7Sql,
     "f8_iso_format" -> f8Sql,

@@ -77,16 +77,12 @@ object SimilarityQueries {
   //
   // Plane value for plane j, dim d (0-based):
   //   ((1103515245*(j*64+d) + 12345) % 2001 - 1000) / 1000.0
-  private val bucketSpark =
-    """aggregate(transform(sequence(0, 7), j ->
-      |    if(aggregate(zip_with(embedding,
-      |         transform(sequence(0, 63), d ->
-      |           (((1103515245L*(j*64 + d) + 12345) % 2001) - 1000) / 1000.0),
-      |         (x, p) -> cast(x as double) * p),
-      |       cast(0.0 as double), (acc, v) -> acc + v) > 0.0,
-      |       shiftleft(1, j), 0)),
-      |    0, (acc, x) -> acc + x)""".stripMargin
-
+  // Spark side computes it via the fused codegen'd `hyperplane_bucket`
+  // kernel (graft.expr.HyperplaneBucket) — the interpreted HOF
+  // formulation re-allocated the plane array per row per plane and, being
+  // a CTE referenced from both join sides, was inlined and computed twice
+  // over the full table (round-1 verdict: 17.8 s). The bucketed relation
+  // is materialized ONCE via localCheckpoint for the same reason.
   private val bucketDuck =
     """list_sum(list_transform(range(0, 8), j ->
       |    CASE WHEN list_reduce([0.0] || list_transform(range(1, 65), d ->
@@ -99,11 +95,14 @@ object SimilarityQueries {
     viewEmb(spark, dir)
     graft.expr.GraftFunctions.register(spark)
     spark.sql(
-      s"""WITH bucketed AS (
-         |  SELECT vec_id, embedding,
-         |         sqrt(${dotS("embedding", "embedding")}) AS nrm,
-         |         $bucketSpark AS bucket
-         |  FROM embeddings),
+      s"""SELECT vec_id, embedding,
+         |       sqrt(${dotS("embedding", "embedding")}) AS nrm,
+         |       hyperplane_bucket(embedding) AS bucket
+         |FROM embeddings""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("ann_bucketed_t")
+    spark.sql(
+      s"""WITH bucketed AS (SELECT * FROM ann_bucketed_t),
          |queries AS (SELECT * FROM bucketed WHERE vec_id < 3),
          |scored AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, q.bucket AS bucket,

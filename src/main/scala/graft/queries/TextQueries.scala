@@ -67,11 +67,11 @@ object TextQueries {
         |         length(text) - length(regexp_replace(text, '[0-9]', '')) AS n_digits
         |  FROM documents)
         |SELECT doc_id, n_words,
-        |       n_distinct * 1.0 / n_words AS distinct_ratio,
-        |       n_digits * 1.0 / len AS digit_ratio,
-        |       0.4 * least(n_words / 100.0, 1.0)
-        |           + 0.3 * (n_distinct * 1.0 / n_words)
-        |           + 0.3 * (1.0 - n_digits * 1.0 / len) AS quality
+        |       CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+        |       CAST(n_digits AS DOUBLE) / len AS digit_ratio,
+        |       0.4 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+        |           + 0.3 * (CAST(n_distinct AS DOUBLE) / n_words)
+        |           + 0.3 * (1.0 - CAST(n_digits AS DOUBLE) / len) AS quality
         |FROM feats""".stripMargin)
   }
 
@@ -84,11 +84,11 @@ object TextQueries {
       |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
       |  FROM documents)
       |SELECT doc_id, CAST(n_words AS INT) AS n_words,
-      |       n_distinct * 1.0 / n_words AS distinct_ratio,
-      |       n_digits * 1.0 / len AS digit_ratio,
-      |       0.4 * least(n_words / 100.0, 1.0)
-      |           + 0.3 * (n_distinct * 1.0 / n_words)
-      |           + 0.3 * (1.0 - n_digits * 1.0 / len) AS quality
+      |       CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+      |       CAST(n_digits AS DOUBLE) / len AS digit_ratio,
+      |       0.4 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+      |           + 0.3 * (CAST(n_distinct AS DOUBLE) / n_words)
+      |           + 0.3 * (1.0 - CAST(n_digits AS DOUBLE) / len) AS quality
       |FROM feats""".stripMargin
 
   // ── text_token_count ★ — whitespace tokens, a BPE-ish regex token

@@ -90,22 +90,22 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
-  test("uuid5 vectors (Python uuid.uuid5 with md5(seed) namespace)") {
-    def u5(seed: String, name: String): String =
-      Kernels.uuid5(UTF8String.fromString(seed), UTF8String.fromString(name)).toString
-    assert(u5("dbo.events", "") == "08702170-cde2-5680-a793-59d45d597a48")
-    assert(u5("dbo.events", "42signup{\"k\": 0}") ==
-      "68621edd-7037-58ff-a726-51b79a3781c6")
-    assert(u5("a.b", "hello world") == "fe42b271-621b-5a7e-83d8-f4b2e490868c")
-    assert(u5("x", "é中文") == "aade7128-096b-5d85-86b8-b1874f024d2e")
+  test("row_uuid vectors (Python: md5(md5hex(seed) + name) with v3/variant nibbles)") {
+    def u3(seed: String, name: String): String =
+      Kernels.rowUuid(UTF8String.fromString(seed), UTF8String.fromString(name)).toString
+    assert(u3("dbo.events", "") == "5d4ac34a-82f6-3aa6-b321-d78cd831ad20")
+    assert(u3("dbo.events", "42signup{\"k\": 0}") ==
+      "939e5401-35ba-3d8f-a780-30c1f6b99af6")
+    assert(u3("a.b", "hello world") == "6d90d9be-6bed-3dfe-9a5c-b84303449564")
+    assert(u3("x", "é中文") == "46a49edf-6792-374b-a390-2a1d6b03e768")
   }
 
-  test("uuid5 has RFC 4122 version and variant bits") {
+  test("row_uuid has RFC 4122 version and variant bits") {
     for (_ <- 1 to 300) {
       val seed = randomStr(10); val name = randomStr(20)
-      val out = Kernels.uuid5(UTF8String.fromString(seed), UTF8String.fromString(name)).toString
+      val out = Kernels.rowUuid(UTF8String.fromString(seed), UTF8String.fromString(name)).toString
       assert(out.length == 36)
-      assert(out.charAt(14) == '5')
+      assert(out.charAt(14) == '3')
       assert("89ab".contains(out.charAt(19)))
     }
   }
