@@ -66,6 +66,24 @@ object CdcOffset {
     CdcOffset(tables)
   }
 
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  /** Exact inverse of [[CdcOffset.json]]'s esc: \uXXXX control-character
+    * escapes decode too, so a table name containing a control char
+    * round-trips through the checkpoint instead of silently losing its
+    * position (the entry regex matches the escaped form). */
+  private def unescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case n => out.append(n); i += 2
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 }

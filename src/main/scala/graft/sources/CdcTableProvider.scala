@@ -24,13 +24,19 @@ import graft.model.ChangeIndex
   * `db_row_batch_size` — each micro-batch advances at most `batchSize`
   * rows in strict change-index order.
   *
-  * Fixture mode (this implementation): the "change table" is a staged
-  * parquet directory; the driver plans each poll window by running the
-  * bounded ordered scan (A1's shape: `> start`, `<= ceiling`, ordered,
-  * TOP batch) and ships the window's rows inside the InputPartition. A
-  * JDBC deployment swaps `loadWindow` for per-partition readers that
-  * execute [[SqlServerDialect.changeQuery]] against the database — the
-  * offset/admission mechanics are identical.
+  * Scale shape (round-2 redesign): the driver runs exactly ONE small job
+  * per trigger — a boundary probe that returns a single aggregated row
+  * (the batch's end key), never the window itself — and each
+  * InputPartition carries only the PREDICATE (the offset range) plus a
+  * file split; executors read the staged parquet directly. Round 1
+  * computed every window twice (ordered scan in `latestOffset`, re-scan in
+  * `planInputPartitions`) and shipped all rows driver→executor, which
+  * caps throughput at driver memory — the reference has the same
+  * single-process bottleneck by design (`tracked_tables.py` row queues),
+  * and this source exists to remove it. A JDBC deployment swaps the
+  * parquet readers for per-partition keyset queries built from
+  * [[SqlServerDialect.changeQuery]]; the offset/admission mechanics are
+  * identical.
   *
   * Usage:
   *   spark.readStream.format("graft.sources.CdcTableProvider")
@@ -124,22 +130,56 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
   private def belowPredicate(k: Long, e: Long) =
     col("user_id") < k || (col("user_id") === k && col("event_id") < e)
 
-  /** Next reverse-keyset snapshot page strictly below the composite
-    * bound: descending, at most batchSize (A2's query shape). */
-  private def snapshotPage(below: Option[(Long, Long)]): Array[org.apache.spark.sql.Row] = {
+  /** Boundary probe for the next reverse-keyset snapshot page: the MIN
+    * composite key among the `batchSize` keys strictly below the bound
+    * (A2's query shape, reduced to its last row). One job, one row back
+    * to the driver; None when the page is empty (snapshot drained, G3). */
+  private def snapshotPageBoundary(below: Option[(Long, Long)]): Option[(Long, Long)] = {
     val base = spark.read.schema(CdcTableProvider.schema)
       .parquet(snapshotDir.get)
     val bounded = below.map { case (k, e) => base.filter(belowPredicate(k, e)) }
       .getOrElse(base)
-    bounded.orderBy(col("user_id").desc, col("event_id").desc)
-      .limit(batchSize).collect()
+    val r = bounded.orderBy(col("user_id").desc, col("event_id").desc)
+      .limit(batchSize)
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("user_id"), col("event_id"))).as("lo"))
+      .head()
+    if (r.getLong(0) == 0L) None
+    else Some((r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))
+  }
+
+  private def idxParts(i: ChangeIndex): (Long, Int, Long, Int) =
+    (java.nio.ByteBuffer.wrap(i.lsn.drop(2)).getLong, i.commandId,
+      java.nio.ByteBuffer.wrap(i.seqval.drop(2)).getLong, i.operation)
+
+  /** Boundary probe for the next change window: the MAX change index among
+    * the `batchSize` rows strictly after `start` (A1's ordered TOP scan,
+    * reduced to its last row). None when no new rows exist. */
+  private def changeBoundary(start: ChangeIndex): Option[ChangeIndex] = {
+    val (sl, sc, ss, so) = idxParts(start)
+    val r = spark.read.schema(CdcTableProvider.schema).parquet(feedDir)
+      .filter(struct(col("lsn_num"), col("command_id"), col("seqval_num"), col("operation")) >
+        struct(lit(sl).as("lsn_num"), lit(sc).as("command_id"),
+          lit(ss).as("seqval_num"), lit(so).as("operation")))
+      .orderBy(col("lsn_num"), col("command_id"), col("seqval_num"), col("operation"))
+      .limit(batchSize)
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("lsn_num"), col("command_id"),
+          col("seqval_num"), col("operation"))).as("hi"))
+      .head()
+    if (r.getLong(0) == 0L) None
+    else {
+      val s = r.getStruct(1)
+      Some(ChangeIndex(ChangeIndex.lsnFromLong(s.getLong(0)), s.getInt(1),
+        ChangeIndex.lsnFromLong(s.getLong(2)), s.getInt(3)))
+    }
   }
 
   override def deserializeOffset(json: String): Offset =
     CdcStreamOffset(CdcOffset.fromJson(json))
 
   /** Admission control: the snapshot dimension advances first — one
-    * reverse-keyset page per trigger until the short-page probe declares
+    * reverse-keyset page per trigger until the empty-page probe declares
     * SnapshotDone (G3) — then the change dimension advances at most
     * `batchSize` rows per trigger (the reference's TOP(batch_size)
     * pacing, E6/E7; interleaving policy `main.py:214-267`). */
@@ -151,13 +191,12 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
           case SnapshotAt(h) => Some(keyFromHex(h))
           case _ => None
         }
-        val page = snapshotPage(below)
-        if (page.isEmpty) mkOffset(p.copy(snapshot = SnapshotDone))
-        else mkOffset(p.copy(snapshot = // min composite key of the page
-          SnapshotAt(keyHex(page.last.getLong(5), page.last.getLong(4)))))
+        snapshotPageBoundary(below) match {
+          case None => mkOffset(p.copy(snapshot = SnapshotDone))
+          case Some((u, e)) => mkOffset(p.copy(snapshot = SnapshotAt(keyHex(u, e))))
+        }
       case SnapshotDone =>
-        val window = loadWindow(p.changeIndex)
-        val end = if (window.isEmpty) p.changeIndex else toIndex(window.last)
+        val end = changeBoundary(p.changeIndex).getOrElse(p.changeIndex)
         mkOffset(p.copy(changeIndex = end))
     }
   }
@@ -168,27 +207,20 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
     throw new UnsupportedOperationException(
       "SupportsAdmissionControl.latestOffset(start, limit) is used")
 
-  private def toIndex(r: org.apache.spark.sql.Row): ChangeIndex =
-    ChangeIndex(ChangeIndex.lsnFromLong(r.getLong(0)), r.getInt(1),
-      ChangeIndex.lsnFromLong(r.getLong(2)), r.getInt(3))
-
-  /** The bounded ordered scan: rows strictly after `start`, in change
-    * index order, at most batchSize (A1's query shape over the fixture). */
-  private def loadWindow(start: ChangeIndex): Array[org.apache.spark.sql.Row] = {
-    val startLsn = java.nio.ByteBuffer.wrap(start.lsn.drop(2)).getLong
-    val startSeq = java.nio.ByteBuffer.wrap(start.seqval.drop(2)).getLong
-    spark.read.schema(CdcTableProvider.schema).parquet(feedDir)
-      .filter(struct(col("lsn_num"), col("command_id"), col("seqval_num"), col("operation")) >
-        struct(lit(startLsn).as("lsn_num"), lit(start.commandId).as("command_id"),
-          lit(startSeq).as("seqval_num"), lit(start.operation).as("operation")))
-      .orderBy(col("lsn_num"), col("command_id"), col("seqval_num"), col("operation"))
-      .limit(batchSize)
-      .collect()
+  private def listParquet(dir: String): Array[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(path).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
   }
 
+  /** Partitions carry the offset-range PREDICATE and a file split — never
+    * rows. Replay after restart therefore depends only on the committed
+    * offset pair: re-planning a batch with a different configured
+    * batchSize yields exactly the same rows (no limit() in this path). */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = pos(start); val e = pos(end)
-    val rows: Array[org.apache.spark.sql.Row] = (s.snapshot, e.snapshot) match {
+    (s.snapshot, e.snapshot) match {
       case (sp, ep) if sp != ep && ep != SnapshotDone =>
         // A snapshot page: keys strictly below the start bound, down to
         // and including the end position's composite key.
@@ -196,49 +228,98 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
           case SnapshotAt(h) => Some(keyFromHex(h))
           case _ => None
         }
-        val (lk, le) = ep match {
+        val lower = ep match {
           case SnapshotAt(h) => keyFromHex(h)
           case _ => (Long.MinValue, Long.MinValue)
         }
-        snapshotPage(upper).filter { r =>
-          val (u, e) = (r.getLong(5), r.getLong(4))
-          u > lk || (u == lk && e >= le)
-        }
+        listParquet(snapshotDir.get).map(f =>
+          SnapshotRangePartition(f, upper, lower): InputPartition)
       case (sp, SnapshotDone) if sp != SnapshotDone =>
         Array.empty // the done-transition batch carries no rows
       case _ =>
         if (s.changeIndex >= e.changeIndex) Array.empty
-        else loadWindow(s.changeIndex).filter(r => toIndex(r) <= e.changeIndex)
+        else listParquet(feedDir).map(f =>
+          ChangeRangePartition(f, idxParts(s.changeIndex), idxParts(e.changeIndex)): InputPartition)
     }
-    if (rows.isEmpty) return Array.empty
-    // Fixture mode ships the window's externalized values; a JDBC
-    // deployment would instead give each partition its keyset query.
-    Array(CdcRowsPartition(rows.map(r =>
-      Array[Any](r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
-        r.getLong(4), r.getLong(5), r.getString(6), r.getDouble(7), r.getString(8)))))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val rows = partition.asInstanceOf[CdcRowsPartition].rows
-        new PartitionReader[InternalRow] {
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
-          override def get(): InternalRow = {
-            val v = rows(i)
-            new GenericInternalRow(Array[Any](
-              v(0), v(1), v(2), v(3), v(4), v(5),
-              UTF8String.fromString(v(6).asInstanceOf[String]), v(7),
-              UTF8String.fromString(v(8).asInstanceOf[String])))
-          }
-          override def close(): Unit = ()
-        }
-      }
-    }
+  override def createReaderFactory(): PartitionReaderFactory = CdcPredicateReaderFactory
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-private case class CdcRowsPartition(rows: Array[Array[Any]]) extends InputPartition
+/** A change-window split: rows of `file` with start < index <= end. */
+private case class ChangeRangePartition(file: String,
+    start: (Long, Int, Long, Int), end: (Long, Int, Long, Int)) extends InputPartition
+
+/** A snapshot-page split: rows of `file` with lower <= key (< upper). */
+private case class SnapshotRangePartition(file: String,
+    upper: Option[(Long, Long)], lower: (Long, Long)) extends InputPartition
+
+/** Executor-side parquet scan of a staged CDC file, filtered by the
+  * partition's offset-range predicate. Uses the parquet-hadoop Group API
+  * directly (no SparkSession on executors); per-file cost is one
+  * sequential pass, and file splits give the same parallelism shape a
+  * JDBC deployment gets from per-partition keyset queries. */
+private object CdcPredicateReaderFactory extends PartitionReaderFactory {
+
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  private def cmp4(a: (Long, Int, Long, Int), b: (Long, Int, Long, Int)): Int = {
+    var c = java.lang.Long.compare(a._1, b._1)
+    if (c == 0) c = Integer.compare(a._2, b._2)
+    if (c == 0) c = java.lang.Long.compare(a._3, b._3)
+    if (c == 0) c = Integer.compare(a._4, b._4)
+    c
+  }
+
+  private def cmp2(a: (Long, Long), b: (Long, Long)): Int = {
+    val c = java.lang.Long.compare(a._1, b._1)
+    if (c == 0) java.lang.Long.compare(a._2, b._2) else c
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val (file, keep): (String, Group => Boolean) = partition match {
+      case ChangeRangePartition(f, s, e) =>
+        (f, g => {
+          val k = (g.getLong("lsn_num", 0), g.getInteger("command_id", 0),
+            g.getLong("seqval_num", 0), g.getInteger("operation", 0))
+          cmp4(k, s) > 0 && cmp4(k, e) <= 0
+        })
+      case SnapshotRangePartition(f, upper, lower) =>
+        (f, g => {
+          val k = (g.getLong("user_id", 0), g.getLong("event_id", 0))
+          cmp2(k, lower) >= 0 && upper.forall(u => cmp2(k, u) < 0)
+        })
+    }
+    new PartitionReader[InternalRow] {
+      private val reader: ParquetReader[Group] = ParquetReader
+        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
+        .withConf(new org.apache.hadoop.conf.Configuration())
+        .build()
+      private var current: Group = _
+
+      override def next(): Boolean = {
+        current = reader.read()
+        while (current != null && !keep(current)) current = reader.read()
+        current != null
+      }
+
+      override def get(): InternalRow = {
+        val g = current
+        new GenericInternalRow(Array[Any](
+          g.getLong("lsn_num", 0), g.getInteger("command_id", 0),
+          g.getLong("seqval_num", 0), g.getInteger("operation", 0),
+          g.getLong("event_id", 0), g.getLong("user_id", 0),
+          UTF8String.fromString(g.getString("event_type", 0)),
+          g.getDouble("value", 0),
+          UTF8String.fromString(g.getString("props", 0))))
+      }
+
+      override def close(): Unit = reader.close()
+    }
+  }
+}

@@ -76,15 +76,17 @@ object Replayer {
       case (Some(lo), Some(hi)) => boundedLog(fullLog, lo.toLong, hi.toLong)
       case _ => fullLog
     }
+    // Only a MISSING target falls back to the empty table; any other read
+    // failure (permissions, corrupt footer) must abort the run — falling
+    // through would overwrite surviving target state with log-only rows.
+    val targetPath = new org.apache.hadoop.fs.Path(targetDir)
+    val targetFs = targetPath.getFileSystem(spark.sessionState.newHadoopConf())
     val target =
-      try spark.read.parquet(targetDir)
-      catch {
-        case _: Throwable =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "userId LONG, seqvalNum LONG, eventType STRING, value DOUBLE"))
-      }
+      if (targetFs.exists(targetPath)) spark.read.parquet(targetDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "userId LONG, seqvalNum LONG, eventType STRING, value DOUBLE"))
     // Materialize before overwriting the directory we read from.
     val merged = applyLog(spark, log, target).localCheckpoint()
     merged.write.mode("overwrite").parquet(targetDir)

@@ -78,6 +78,18 @@ class SqlServerDialectSpec extends AnyFunSuite {
     assert(off.json == CdcOffset.fromJson(off.json).json)
   }
 
+  test("offset JSON roundtrips control characters in table names") {
+    // \uXXXX-escaped control chars must decode on the way back in —
+    // otherwise the table's position is silently dropped from the offset.
+    val off = CdcOffset(Map(
+      "dbo.tab\tle" -> TablePosition(
+        ChangeIndex(ChangeIndex.lsnFromLong(5), 1,
+          ChangeIndex.lsnFromLong(2), 2), SnapshotDone),
+      "dbo.nl\nname" -> TablePosition(ChangeIndex.Lowest, SnapshotAt("0a"))))
+    assert(off.json.contains("\\u0009") || off.json.contains("\\t"))
+    assert(CdcOffset.fromJson(off.json) == off)
+  }
+
   test("quoted identifiers escape closing brackets") {
     val sql = SqlServerDialect.snapshotQuery("dbo", "we]ird",
       Seq("a"), Set.empty,
