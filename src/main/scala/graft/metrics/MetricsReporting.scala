@@ -62,8 +62,9 @@ final case class IntervalMetrics(
 }
 
 /** Reporter interface (A12): the reference ships stdout, local-file, HTTP
-  * POST, and Kafka reporters; stdout and local-file are implemented here,
-  * the remote pair is a straightforward extension point. */
+  * POST, and Kafka reporters (`metric_reporting/stdout_reporter.py`,
+  * `local_file_reporter.py`, `http_post_reporter.py:24-46`,
+  * `kafka_reporter.py:15-29`); all four shapes are implemented here. */
 trait MetricsReporter {
   def emit(m: IntervalMetrics): Unit
 }
@@ -76,6 +77,56 @@ final class LocalFileReporter(path: String) extends MetricsReporter {
   override def emit(m: IntervalMetrics): Unit =
     Files.write(Paths.get(path), (m.toJson + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+}
+
+/** HTTP-POST reporter (`http_post_reporter.py:24-46`): POSTs the interval
+  * record as a JSON body to `url` with optional extra headers; a non-2xx
+  * response raises so the listener's per-reporter guard records the
+  * failure without killing the stream (the reference logs-and-continues
+  * the same way). Uses the JDK's HttpURLConnection — no client library
+  * dependency to keep the zero-egress build closed. */
+final class HttpPostReporter(url: String,
+    headers: Map[String, String] = Map.empty,
+    connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 5000)
+    extends MetricsReporter {
+  override def emit(m: IntervalMetrics): Unit = {
+    val conn = java.net.URI.create(url).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      val body = m.toJson.getBytes(StandardCharsets.UTF_8)
+      conn.setFixedLengthStreamingMode(body.length)
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        sys.error(s"metrics POST to $url returned HTTP $code")
+    } finally conn.disconnect()
+  }
+}
+
+/** The executor-side seam a real Kafka client plugs into: the engine only
+  * ever needs fire-and-forget keyed byte publishing for metrics. */
+trait MetricsProducer {
+  def send(topic: String, key: Array[Byte], value: Array[Byte]): Unit
+}
+
+/** Kafka-shaped reporter (`kafka_reporter.py:15-29`): publishes each
+  * interval record to the metrics topic keyed by the metrics namespace
+  * (so one topic carries many pipelines, compacting per namespace). The
+  * environment has no Kafka broker, so the producer is injected — a real
+  * deployment passes a thin KafkaProducer adapter, tests pass a stub. */
+final class KafkaReporter(producer: MetricsProducer, topic: String)
+    extends MetricsReporter {
+  override def emit(m: IntervalMetrics): Unit =
+    producer.send(topic,
+      m.metricsNamespace.getBytes(StandardCharsets.UTF_8),
+      m.toJson.getBytes(StandardCharsets.UTF_8))
 }
 
 /** In-memory sink for tests and programmatic access. */

@@ -178,33 +178,92 @@ object CdcPipeline {
       }
   }
 
-  /** Run the pipeline over the staged feed with exactly-once sink
-    * semantics: per micro-batch, append the batch to the published log
-    * (idempotent: the batch id is a partition column, replayed batches
-    * overwrite themselves) and atomically rewrite the compacted current
-    * state. Returns after all available data is processed. */
-  def runToParquet(spark: SparkSession, feedDir: String, sinkDir: String,
-      checkpointDir: String): Unit = {
+  /** Sink strategy for the published stream (A6/G1): one call per
+    * micro-batch with the batch id; implementations must be idempotent on
+    * replay of the same (batch, batchId) after crash-restart. */
+  trait CdcSink extends Serializable {
+    def writeBatch(batch: Dataset[KeyedUpdate], batchId: Long): Unit
+  }
+
+  /** Parquet log sink: one partition dir per batch id; a replayed batch
+    * overwrites its own directory only (dynamic partition overwrite),
+    * never duplicating (G1). */
+  final class ParquetPartitionedSink(sinkDir: String) extends CdcSink {
+    override def writeBatch(batch: Dataset[KeyedUpdate], batchId: Long): Unit = {
+      batch.sparkSession.conf
+        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      batch.toDF().withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(s"$sinkDir/log")
+    }
+  }
+
+  /** Per-partition handle to a keyed-record broker (the Kafka seam, A6).
+    * The factory runs ON EXECUTORS — a real deployment returns a thin
+    * KafkaProducer adapter (`enable.idempotence=true` plus a
+    * `transactional.id` derived from the batch id gives the broker-side
+    * half of exactly-once; the checkpoint gives the source half, G1/G2 —
+    * the role the reference's progress topic + producer flush plays,
+    * `kafka.py:158-342`). No broker ships in this environment, so tests
+    * inject a recording stub. */
+  trait RecordProducer {
+    def send(topic: String, key: Array[Byte], value: Array[Byte]): Unit
+    def flush(): Unit
+    def close(): Unit
+  }
+
+  /** Kafka-shaped sink: each update publishes as a record keyed by the
+    * row key; a tombstone publishes the key with a NULL value (G4 — log
+    * compaction then drops the key). Rows fan out per partition on the
+    * executors; `flush()` completes before the batch commits so the
+    * checkpoint can never outrun delivery. */
+  final class KeyedRecordSink(producerFactory: () => RecordProducer,
+      topic: String) extends CdcSink {
+    override def writeBatch(batch: Dataset[KeyedUpdate], batchId: Long): Unit = {
+      val t = topic
+      val pf = producerFactory
+      batch.foreachPartition { (rows: Iterator[KeyedUpdate]) =>
+        val p = pf()
+        try {
+          rows.foreach { u =>
+            val key = u.userId.toString.getBytes("UTF-8")
+            val value =
+              if (u.isTombstone) null
+              else (s"""{"userId": ${u.userId}, "lsnNum": ${u.lsnNum}, """ +
+                s""""commandId": ${u.commandId}, "seqvalNum": ${u.seqvalNum}, """ +
+                s""""operation": ${u.operation}, "eventType": "${u.eventType}", """ +
+                s""""value": ${u.value}}""").getBytes("UTF-8")
+            p.send(t, key, value)
+          }
+          p.flush()
+        } finally p.close()
+      }
+    }
+  }
+
+  /** Run the pipeline over the staged feed through a [[CdcSink]] with
+    * exactly-once semantics: the checkpoint commits after the sink's
+    * idempotent per-batch write. Returns after all available data is
+    * processed. */
+  def run(spark: SparkSession, feedDir: String, checkpointDir: String,
+      sink: CdcSink): Unit = {
     val updates = keyedUpdates(changeStream(spark, feedDir))
     val query = updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[KeyedUpdate], batchId: Long) =>
-        // Idempotent publish: one partition dir per batch id; a replayed
-        // batch after crash-restart overwrites its own directory only
-        // (dynamic partition overwrite), never duplicating (G1).
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.toDF().withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .partitionBy("batch_id")
-          .parquet(s"$sinkDir/log")
-        ()
+        sink.writeBatch(batch, batchId)
       }
       .start()
     query.awaitTermination()
   }
+
+  /** Parquet convenience wrapper over [[run]] (the test/bench default). */
+  def runToParquet(spark: SparkSession, feedDir: String, sinkDir: String,
+      checkpointDir: String): Unit =
+    run(spark, feedDir, checkpointDir, new ParquetPartitionedSink(sinkDir))
 
   /** Compact the published log to the current state table: last update
     * per key, dropping tombstoned keys (A7/E3 — the compacted-topic

@@ -9,6 +9,25 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.CdcPipeline
 
+/** Static in-JVM broker stub for the Kafka-shaped sink test: producers
+  * created on (local-mode) executors record into one shared queue. */
+object RecordingBroker {
+  private val queue =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+  def clear(): Unit = queue.clear()
+  def all: Seq[(String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    queue.iterator().asScala.toSeq
+  }
+  def newProducer(): CdcPipeline.RecordProducer = new CdcPipeline.RecordProducer {
+    override def send(topic: String, key: Array[Byte], value: Array[Byte]): Unit =
+      queue.add((topic, new String(key, "UTF-8"),
+        if (value == null) null else new String(value, "UTF-8")))
+    override def flush(): Unit = ()
+    override def close(): Unit = ()
+  }
+}
+
 /** End-to-end Structured Streaming pipeline tests: the staged change feed
   * streams through the stateful last-wins/tombstone stage into the
   * idempotent parquet sink, and the compacted state must equal the batch
@@ -114,6 +133,30 @@ class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
           col("o_totalprice").as("value")))
     assert(got.count() === exp.count())
     assert(got.except(exp).count() === 0 && exp.except(got).count() === 0)
+  }
+
+  test("Kafka-shaped sink publishes keyed records with null-value tombstones through the trait") {
+    val feed = s"$work/feed4"; val ckpt = s"$work/ckpt4"
+    CdcPipeline.stageChangeFeed(spark, sfDir, feed, nChunks = 3)
+    RecordingBroker.clear()
+    CdcPipeline.run(spark, feed, ckpt,
+      new CdcPipeline.KeyedRecordSink(() => RecordingBroker.newProducer(), "events_cdc"))
+
+    val sent = RecordingBroker.all
+    assert(sent.nonEmpty)
+    assert(sent.forall(_._1 == "events_cdc"))
+    // Cross-check against the parquet sink on the SAME feed: identical
+    // record count and tombstone count — the trait changes transport only.
+    val sinkP = s"$work/sink4p"
+    CdcPipeline.runToParquet(spark, feed, sinkP, s"$work/ckpt4p")
+    val log = spark.read.parquet(s"$sinkP/log")
+    assert(sent.size.toLong === log.count())
+    val nullValued = sent.count(_._3 == null)
+    assert(nullValued.toLong === log.filter(col("isTombstone")).count())
+    assert(nullValued > 0)
+    // Non-tombstone payloads are JSON carrying the key they were sent with.
+    val (_, key, value) = sent.find(_._3 != null).get
+    assert(value.contains(s""""userId": $key"""))
   }
 
   test("tombstones follow deletes in the published log (G4)") {

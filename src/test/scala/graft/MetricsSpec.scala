@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.metrics.{CdcMetricsListener, CollectingReporter, IntervalMetrics, LocalFileReporter}
+import graft.metrics.{CdcMetricsListener, CollectingReporter, HttpPostReporter, IntervalMetrics, KafkaReporter, LocalFileReporter, MetricsProducer}
 import graft.streaming.CdcPipeline
 
 /** The metrics surface (A12/D7): a streaming run must produce one
@@ -57,5 +57,59 @@ class MetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lines.size == got.size)
     assert(lines.forall(l => l.startsWith("{") && l.endsWith("}") &&
       l.contains("\"metrics_namespace\": \"graft\"")))
+  }
+
+  private def sampleMetrics(batchId: Long): IntervalMetrics =
+    IntervalMetrics(
+      metricsNamespace = "graft-test", processHostname = "host",
+      intervalStartEpochSec = 1.0, intervalEndEpochSec = 2.5,
+      intervalDeltaSec = 1.5, batchId = batchId,
+      inputRowsCount = 10L, inputRowsPerSec = 6.6,
+      processedRowsPerSec = 7.7, batchDurationMs = 42L,
+      stateRowsTotal = 3L, stateRowsUpdated = 1L)
+
+  test("HTTP-POST reporter delivers the JSON body with headers; non-2xx raises") {
+    val received = new java.util.concurrent.LinkedBlockingQueue[(String, String)]()
+    val server = com.sun.net.httpserver.HttpServer
+      .create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/metrics", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      received.put((body, exchange.getRequestHeaders.getFirst("X-Api-Key")))
+      exchange.sendResponseHeaders(200, -1)
+      exchange.close()
+    })
+    server.createContext("/broken", { exchange =>
+      exchange.sendResponseHeaders(503, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      new HttpPostReporter(s"$base/metrics", Map("X-Api-Key" -> "k1"))
+        .emit(sampleMetrics(7))
+      val (body, apiKey) = received.take()
+      assert(body.contains("\"batch_id\": 7") &&
+        body.contains("\"metrics_namespace\": \"graft-test\""))
+      assert(apiKey == "k1")
+      intercept[RuntimeException] {
+        new HttpPostReporter(s"$base/broken").emit(sampleMetrics(8))
+      }
+    } finally server.stop(0)
+  }
+
+  test("Kafka-shaped reporter publishes records keyed by namespace") {
+    val sent = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    val stub = new MetricsProducer {
+      override def send(topic: String, key: Array[Byte], value: Array[Byte]): Unit =
+        sent += ((topic, new String(key, "UTF-8"), new String(value, "UTF-8")))
+    }
+    val reporter = new KafkaReporter(stub, "graft_metrics")
+    reporter.emit(sampleMetrics(1))
+    reporter.emit(sampleMetrics(2))
+    assert(sent.size == 2)
+    assert(sent.forall(_._1 == "graft_metrics"))
+    assert(sent.forall(_._2 == "graft-test"))
+    assert(sent.map(_._3).exists(_.contains("\"batch_id\": 2")))
   }
 }
