@@ -32,6 +32,27 @@ final case class CdcOffset(tables: Map[String, TablePosition]) {
   }
 }
 
+/** Hex codec + ordering for the composite snapshot key carried by
+  * [[SnapshotAt]]. The hex rendering is two's-complement per component,
+  * so LEXICOGRAPHIC comparison of the strings is wrong for negative keys
+  * (and for legacy 16-char key-only bounds) — always decode and compare
+  * the signed (key, event) tuple. */
+object SnapshotKey {
+  def toHex(k: Long, e: Long): String = f"$k%016x$e%016x"
+  /** parseUnsignedLong round-trips two's-complement hex; a 16-char value
+    * (written before the composite format) degrades losslessly to
+    * (key, MIN) = the old key-only bound. */
+  def fromHex(h: String): (Long, Long) =
+    if (h.length <= 16) (java.lang.Long.parseUnsignedLong(h, 16), Long.MinValue)
+    else (java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16),
+      java.lang.Long.parseUnsignedLong(h.substring(16), 16))
+  def compare(a: String, b: String): Int = {
+    val (ak, ae) = fromHex(a); val (bk, be) = fromHex(b)
+    val c = java.lang.Long.compare(ak, bk)
+    if (c == 0) java.lang.Long.compare(ae, be) else c
+  }
+}
+
 sealed trait SnapshotPosition
 /** Backfill finished (`<< completed snapshot >>` sentinel, G3). */
 case object SnapshotDone extends SnapshotPosition

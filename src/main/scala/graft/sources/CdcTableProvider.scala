@@ -117,15 +117,10 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
   // the split group forever). The reference pages on the full PK for the
   // same reason (`sql_queries.py:312-367`). CONTRACT: the composite
   // (user_id, event_id) must be UNIQUE in the snapshot table — keyset
-  // pagination over non-unique keys cannot be lossless.
-  private def keyHex(k: Long, e: Long): String = f"$k%016x$e%016x"
-  // parseUnsignedLong round-trips the two's-complement hex of negative
-  // keys; a 16-char value (an offset written before the composite-key
-  // format) degrades losslessly to (key, MIN) = the old key-only bound.
-  private def keyFromHex(h: String): (Long, Long) =
-    if (h.length <= 16) (java.lang.Long.parseUnsignedLong(h, 16), Long.MinValue)
-    else (java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16),
-      java.lang.Long.parseUnsignedLong(h.substring(16), 16))
+  // pagination over non-unique keys cannot be lossless. Codec + signed
+  // ordering live in [[SnapshotKey]] (shared with the inspection tools).
+  private def keyHex(k: Long, e: Long): String = SnapshotKey.toHex(k, e)
+  private def keyFromHex(h: String): (Long, Long) = SnapshotKey.fromHex(h)
 
   private def belowPredicate(k: Long, e: Long) =
     col("user_id") < k || (col("user_id") === k && col("event_id") < e)

@@ -2,7 +2,7 @@ package graft.tools
 
 import java.io.File
 
-import graft.sources.{CdcOffset, SnapshotAt, SnapshotDone, SnapshotNotStarted}
+import graft.sources.{CdcOffset, SnapshotAt, SnapshotDone, SnapshotKey, SnapshotNotStarted}
 
 /** Progress inspection (SURVEY §3.3 tooling: `progress_topic_validator`,
   * `show_snapshot_history`, `progress_reset_tool` — read side): walks a
@@ -43,7 +43,10 @@ object OffsetInspect {
           if (p2.changeIndex < p1.changeIndex)
             violations += s"$t: change index regressed between batch $b1 and $b2"
           (p1.snapshot, p2.snapshot) match {
-            case (SnapshotAt(k1), SnapshotAt(k2)) if k2 > k1 =>
+            // Compare DECODED (key, event) tuples with signed ordering —
+            // raw hex compares backwards for negative keys (two's
+            // complement) and misorders legacy 16-char key-only bounds.
+            case (SnapshotAt(k1), SnapshotAt(k2)) if SnapshotKey.compare(k2, k1) > 0 =>
               violations += s"$t: snapshot key ascended between batch $b1 and $b2"
             case (SnapshotDone, SnapshotAt(_)) =>
               violations += s"$t: snapshot restarted after completion at batch $b2"

@@ -80,6 +80,25 @@ class CdcSourcePlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"$jobs jobs for $batches batches — the source is re-scanning windows")
   }
 
+  test("progress reset rewinds a table and the stream re-delivers from the start") {
+    val sink = s"$work/sinkReset"; val ckpt = s"$work/ckptReset"
+    runToSink(sink, ckpt, batchSize = 300)
+    val firstRun = spark.read.parquet(sink)
+    assert(firstRun.count() === 1000)
+    val maxBatchBefore = firstRun.agg(max("batch_id")).head().getAs[Number](0).longValue()
+
+    val newId = graft.tools.ProgressReset.writeReset(ckpt, "events", "changes")
+    assert(newId > maxBatchBefore)
+
+    // Restart against the same checkpoint: the reset entry replays as an
+    // empty batch, then the source re-walks the whole feed.
+    runToSink(sink, ckpt, batchSize = 300)
+    val after = spark.read.parquet(sink)
+    assert(after.count() === 2000, "every row must be re-delivered after the reset")
+    assert(after.filter(col("batch_id") > newId)
+      .select("seqval_num").distinct().count() === 1000)
+  }
+
   test("replay of a committed batch is independent of the configured batchSize") {
     val sink = s"$work/sinkReplay"; val ckpt = s"$work/ckptReplay"
     runToSink(sink, ckpt, batchSize = 300)
