@@ -27,11 +27,28 @@ import org.apache.spark.sql.types._
 object AvroSerde {
 
   /** Build the Avro record schema for a Spark struct. `forceNullable`
-    * applies the all-value-fields-nullable rule. */
+    * applies the all-value-fields-nullable rule.
+    *
+    * `typeOverrides` maps a column name to an Avro type spec — a bare
+    * primitive name ("long") or a JSON schema fragment — replacing the
+    * default Spark→Avro mapping for that field (reference
+    * `avro.py:654-664`: future-proof a 32-bit INT column as Avro long
+    * before the DB migration happens). `alwaysUseLongs` widens every
+    * integral column the same way (`--always-use-avro-longs`). Overrides
+    * change the generated schema only; the encoder widens integral/float
+    * values to match, any other mismatch is the caller's contract. */
   def avroSchema(st: StructType, recordName: String, namespace: String,
-      forceNullable: Boolean): Schema = {
+      forceNullable: Boolean, typeOverrides: Map[String, String] = Map.empty,
+      alwaysUseLongs: Boolean = false): Schema = {
     val fields = st.fields.map { f =>
-      val base = baseType(f.dataType)
+      val base = typeOverrides.get(f.name) match {
+        case Some(spec) => parseTypeSpec(spec)
+        case None =>
+          val b = baseType(f.dataType)
+          if (alwaysUseLongs && b.getType == Schema.Type.INT)
+            Schema.create(Schema.Type.LONG)
+          else b
+      }
       val (schema, default) =
         if (forceNullable || f.nullable)
           (Schema.createUnion(List(Schema.create(Schema.Type.NULL), base).asJava),
@@ -42,6 +59,13 @@ object AvroSerde {
     val rec = Schema.createRecord(recordName, null, namespace, false)
     rec.setFields(fields.toList.asJava)
     rec
+  }
+
+  private def parseTypeSpec(spec: String): Schema = {
+    val trimmed = spec.trim
+    if (trimmed.startsWith("{") || trimmed.startsWith("["))
+      new Schema.Parser().parse(trimmed)
+    else Schema.create(Schema.Type.valueOf(trimmed.toUpperCase))
   }
 
   private def baseType(dt: DataType): Schema = dt match {
@@ -97,6 +121,12 @@ object AvroSerde {
       case d: java.time.LocalDate => d.toEpochDay.toInt: java.lang.Integer
       case s: Seq[_] => s.map(_.asInstanceOf[AnyRef]).asJava
       case other if effective.getType == Schema.Type.STRING => other.toString
+      // Widen under a type-overridden schema: the Java Avro writer is
+      // strict about boxed types (an Integer cannot write as `long`).
+      case n: java.lang.Number if effective.getType == Schema.Type.LONG =>
+        java.lang.Long.valueOf(n.longValue())
+      case n: java.lang.Number if effective.getType == Schema.Type.DOUBLE =>
+        java.lang.Double.valueOf(n.doubleValue())
       case other => other.asInstanceOf[AnyRef]
     }
   }
@@ -109,6 +139,24 @@ object AvroSerde {
   def rowEncoder(st: StructType, recordName: String, namespace: String,
       schemaId: Int, forceNullable: Boolean = true): RowEncoder =
     new RowEncoder(avroSchema(st, recordName, namespace, forceNullable), schemaId)
+
+  /** Registry-integrated encoder (`avro.py:632-652`): generate the schema
+    * (with overrides), register it under the Confluent subject convention
+    * (`<topic>-key` / `<topic>-value`), and frame every row with the id
+    * the registry assigned — the id a consumer resolves back through
+    * [[SchemaRegistryClient.byId]]. */
+  def registeredRowEncoder(registry: SchemaRegistryClient, topic: String,
+      st: StructType, recordName: String, namespace: String,
+      isKey: Boolean = false, forceNullable: Boolean = true,
+      typeOverrides: Map[String, String] = Map.empty,
+      alwaysUseLongs: Boolean = false): (Int, RowEncoder) = {
+    val schema = avroSchema(st, recordName, namespace,
+      // KEY fields stay non-null (reference rule); values force-nullable.
+      forceNullable = forceNullable && !isKey, typeOverrides, alwaysUseLongs)
+    val subject = s"$topic-${if (isKey) "key" else "value"}"
+    val id = registry.register(subject, schema)
+    (id, new RowEncoder(schema, id))
+  }
 
   /** Per-partition reusable Confluent-frame decoder. */
   final class FrameDecoder(schemaJson: String) extends Serializable {

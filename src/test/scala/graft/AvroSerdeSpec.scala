@@ -6,7 +6,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.serde.AvroSerde
+import graft.serde.{AvroSerde, InMemorySchemaRegistry, IncompatibleSchemaException}
 
 /** Unit coverage for the Avro/Confluent serde beyond the oracle-checked
   * roundtrip query: frame layout, nullability rules, and the decimal /
@@ -57,6 +57,63 @@ class AvroSerdeSpec extends AnyFunSuite {
     val dec = AvroSerde.frameDecoder(avro)
     val (_, rec) = dec.decode(enc.encode(Row(null, null, null, null, null, null, null)))
     assert(schema.fieldNames.forall(f => rec.get(f) == null))
+  }
+
+  test("type-spec overrides replace the default mapping and the encoder widens values") {
+    val small = StructType(Seq(
+      StructField("order_id", IntegerType), StructField("note", StringType)))
+    val avro = AvroSerde.avroSchema(small, "T", "graft", forceNullable = true,
+      typeOverrides = Map("order_id" -> "long"))
+    val field = avro.getField("order_id").schema().getTypes.get(1)
+    assert(field.getType == org.apache.avro.Schema.Type.LONG)
+    // An Integer value must still serialize under the widened schema.
+    val enc = new AvroSerde.RowEncoder(avro, 3)
+    val (_, rec) = AvroSerde.frameDecoder(avro).decode(enc.encode(Row(7, "x")))
+    assert(rec.get("order_id") == 7L)
+  }
+
+  test("alwaysUseLongs widens every integral column (--always-use-avro-longs)") {
+    val avro = AvroSerde.avroSchema(schema, "T", "graft", forceNullable = true,
+      alwaysUseLongs = true)
+    assert(avro.getField("qty").schema().getTypes.get(1).getType ==
+      org.apache.avro.Schema.Type.LONG)
+    assert(avro.getField("note").schema().getTypes.get(1).getType ==
+      org.apache.avro.Schema.Type.STRING)
+  }
+
+  test("registry: idempotent ids, id-resolved decode, FORWARD gate on evolution") {
+    val reg = new InMemorySchemaRegistry
+    val st = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val (id1, enc) = AvroSerde.registeredRowEncoder(reg, "dbo_events", st, "E", "graft")
+    val (id1again, _) = AvroSerde.registeredRowEncoder(reg, "dbo_events", st, "E", "graft")
+    assert(id1 == id1again, "same schema must keep its id")
+
+    // Consumer resolves the writer schema from the frame's id alone.
+    val frame = enc.encode(Row(5L, "hi"))
+    val sid = ByteBuffer.wrap(frame, 1, 4).getInt
+    assert(sid == id1)
+    val writerSchema = reg.byId(sid).get
+    val (_, rec) = AvroSerde.frameDecoder(writerSchema).decode(frame)
+    assert(rec.get("id") == 5L && rec.get("v").toString == "hi")
+
+    // Compatible evolution (new nullable field with default): new id.
+    val evolved = StructType(st.fields :+ StructField("extra", StringType))
+    val (id2, _) = AvroSerde.registeredRowEncoder(reg, "dbo_events", evolved, "E", "graft")
+    assert(id2 != id1)
+    assert(reg.latest("dbo_events-value").map(_._1).contains(id2))
+
+    // Incompatible evolution (field type change) is rejected.
+    val broken = StructType(Seq(StructField("id", StringType), StructField("v", StringType)))
+    intercept[IncompatibleSchemaException] {
+      AvroSerde.registeredRowEncoder(reg, "dbo_events", broken, "E", "graft")
+    }
+    // Keys register under their own subject and stay non-null.
+    val (keyId, _) = AvroSerde.registeredRowEncoder(reg, "dbo_events",
+      StructType(Seq(StructField("id", LongType, nullable = false))), "K", "graft",
+      isKey = true)
+    assert(reg.latest("dbo_events-key").map(_._1).contains(keyId))
+    assert(reg.byId(keyId).get.getField("id").schema().getType ==
+      org.apache.avro.Schema.Type.LONG)
   }
 
   private def bytes(bb: ByteBuffer): Array[Byte] = {
