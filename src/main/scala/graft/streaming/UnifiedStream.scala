@@ -42,12 +42,58 @@ object UnifiedStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // Produce window = one micro-batch, sorted in global change-index
-        // order; single sorted file so the produce order is materialized
-        // (a Kafka sink would iterate the sorted partition the same way).
+        // order. coalesce(1) is SEMANTICS, not an accident: the
+        // reference's unified topic has exactly one partition so the
+        // topic itself is the total order (`validation.py:221-224`), and
+        // this sink reproduces that contract — a single sorted file per
+        // window. The cost is a single-task write per window; when the
+        // per-window volume outgrows one task, [[runPartitioned]] is the
+        // 100× layout (disjoint ordered ranges instead of one run).
         batch.sparkSession.conf
           .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch.orderBy(idxCols: _*)
           .coalesce(1)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(sinkDir)
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Scale variant of [[run]]: each produce window is RANGE-partitioned
+    * by the global change index and sorted within partitions — every
+    * partition is internally ordered and partition key ranges are
+    * disjoint, so reading partitions in id order replays the exact total
+    * order while the write stays parallel (N tasks instead of 1). This is
+    * the multi-partition unified topic a 100× deployment runs: consumers
+    * needing the total order merge N ordered runs; consumers needing
+    * per-key order get it free (a key lives in one range). */
+  def runPartitioned(spark: SparkSession, feeds: Map[String, String],
+      sinkDir: String, checkpointDir: String, partitions: Int = 0): Unit = {
+    val schema = "lsn_num LONG, command_id INT, seqval_num LONG, operation INT, " +
+      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    val unioned = feeds.toSeq.sortBy(_._1).map { case (src, dir) =>
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .filter(col("operation") =!= 3)
+        .withColumn("src", lit(src))
+    }.reduce(_ unionByName _)
+
+    val query = unioned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = if (partitions > 0) partitions
+          else batch.sparkSession.sparkContext.defaultParallelism
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.repartitionByRange(n, idxCols: _*)
+          .sortWithinPartitions(idxCols: _*)
+          .withColumn("part", spark_partition_id())
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").partitionBy("batch_id")
           .parquet(sinkDir)
@@ -72,5 +118,34 @@ object UnifiedStream {
       .withColumn("prev_idx", lag(idx, 1).over(w))
       .filter(col("prev_idx").isNotNull && col("prev_idx") > idx)
       .select(col("batch_id"), col("pos"), col("lsn_num"), col("seqval_num"))
+  }
+
+  /** Order validation for [[runPartitioned]] output: (a) rows within each
+    * (window, partition) must be non-decreasing in the change index, and
+    * (b) partition key ranges within a window must be disjoint and
+    * ascending with the partition id — together those make partition-id
+    * order a replay of the total order. Returns violations (empty = ok). */
+  def partitionedOrderValidation(spark: SparkSession, sinkDir: String): DataFrame = {
+    val idx = struct(col("lsn_num"), col("command_id"), col("seqval_num"),
+      col("operation"))
+    val withPos = spark.read.parquet(sinkDir)
+      .withColumn("pos", monotonically_increasing_id())
+    val intra = withPos
+      .withColumn("prev_idx",
+        lag(idx, 1).over(Window.partitionBy(col("batch_id"), col("part"))
+          .orderBy(col("pos"))))
+      .filter(col("prev_idx").isNotNull && col("prev_idx") > idx)
+      .select(col("batch_id"), col("part"),
+        lit("intra-partition regression").as("violation"))
+    val bounds = withPos.groupBy(col("batch_id"), col("part"))
+      .agg(min(idx).as("lo"), max(idx).as("hi"))
+    val inter = bounds
+      .withColumn("prev_hi",
+        lag(col("hi"), 1).over(Window.partitionBy(col("batch_id"))
+          .orderBy(col("part"))))
+      .filter(col("prev_hi").isNotNull && col("prev_hi") >= col("lo"))
+      .select(col("batch_id"), col("part"),
+        lit("partition ranges overlap").as("violation"))
+    intra.unionByName(inter)
   }
 }

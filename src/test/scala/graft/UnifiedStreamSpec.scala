@@ -53,4 +53,24 @@ class UnifiedStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // checks itself: zero ordering regressions inside any produce window.
     assert(UnifiedStream.orderValidation(spark, s"$work/unified").count() === 0)
   }
+
+  test("partitioned unified stream keeps disjoint ordered ranges per window") {
+    val feedA = s"$work/feedC"; val feedB = s"$work/feedD"
+    CdcPipeline.stageChangeFeed(spark, sfDir, feedA, nChunks = 2)
+    CdcPipeline.stageOrdersSnapshotAndChanges(spark, sfDir, feedB, nSnapshotPages = 2)
+    UnifiedStream.runPartitioned(spark,
+      Map("events" -> feedA, "orders" -> feedB),
+      s"$work/unifiedP", s"$work/ckptP", partitions = 3)
+
+    val out = spark.read.parquet(s"$work/unifiedP")
+    val expected =
+      spark.read.parquet(feedA).filter(col("operation") =!= 3).count() +
+        spark.read.parquet(feedB).filter(col("operation") =!= 3).count()
+    assert(out.count() === expected)
+    // The write genuinely fanned out across partitions.
+    assert(out.select("part").distinct().count() >= 2)
+    // Total order holds: every partition internally ordered, ranges
+    // disjoint and ascending with partition id.
+    assert(UnifiedStream.partitionedOrderValidation(spark, s"$work/unifiedP").count() === 0)
+  }
 }
