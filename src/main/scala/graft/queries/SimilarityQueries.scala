@@ -139,6 +139,105 @@ object SimilarityQueries {
        |       cs AS cos_sim
        |FROM ranked WHERE rnk <= 3""".stripMargin
 
+  // ── ann_ivf_topk ★ — IVF (inverted-file) ANN: a small set of coarse
+  // centroids partitions the vectors into posting lists; a query probes
+  // only its `nprobe` nearest centroids' lists. This is the other half of
+  // the survey's "IVF or LSH-bucketed variant as the scale path" — LSH
+  // buckets by hash geometry, IVF by data geometry. Centroids are picked
+  // deterministically (vec_id 100..115 → 16 lists) so both engines build
+  // the identical index without a k-means dependency; a production build
+  // would drop k-means centroids into the same CTE.
+  //
+  // Scale shape: the assignment stage is a broadcast nested-loop over the
+  // 16-row centroid table (the N side never shuffles); posting lists then
+  // shuffle ONCE on centroid id, and each query routes to nprobe=2 of the
+  // 16 lists — the IVF routing join, identical in shape to the LSH bucket
+  // join. Assignment ties break by centroid id, score ties by vec_id, so
+  // the result is fully deterministic.
+  private val ivfNprobe = 2
+
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    // Materialize the assignment ONCE: it is consumed by both the posting
+    // lists and the query-probe CTE, and Catalyst's CTE inlining would
+    // otherwise run the N×16 scoring twice.
+    spark.sql(
+      s"""WITH normed AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotS("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |  FROM normed WHERE vec_id BETWEEN 100 AND 115),
+         |assign AS (
+         |  SELECT n.vec_id, c.c_id,
+         |         row_number() OVER (PARTITION BY n.vec_id
+         |           ORDER BY ${dotS("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+         |                    c.c_id) AS crnk
+         |  FROM normed n CROSS JOIN cents c)
+         |SELECT vec_id, c_id, crnk FROM assign WHERE crnk <= $ivfNprobe""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("ivf_assign_t")
+    spark.sql(
+      s"""WITH normed AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotS("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |lists AS (SELECT vec_id, c_id FROM ivf_assign_t WHERE crnk = 1),
+         |qprobe AS (
+         |  SELECT vec_id AS q_id, c_id FROM ivf_assign_t
+         |  WHERE vec_id < 3 AND crnk <= $ivfNprobe),
+         |scored AS (
+         |  SELECT qp.q_id, l.vec_id, l.c_id,
+         |         ${dotS("qn.embedding", "cn.embedding")} / (qn.nrm * cn.nrm) AS cs
+         |  FROM qprobe qp
+         |  JOIN lists l ON l.c_id = qp.c_id AND l.vec_id <> qp.q_id
+         |  JOIN normed qn ON qn.vec_id = qp.q_id
+         |  JOIN normed cn ON cn.vec_id = l.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, c_id, cs,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, cast(c_id as int) AS centroid_id, cast(rnk as int) AS rnk,
+         |       cs AS cos_sim
+         |FROM ranked WHERE rnk <= 3""".stripMargin)
+  }
+
+  val annIvfTopkSql: String =
+    s"""WITH normed AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce([0.0] || list_transform(embedding,
+       |           x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM normed WHERE vec_id BETWEEN 100 AND 115),
+       |assign AS (
+       |  SELECT n.vec_id, c.c_id,
+       |         row_number() OVER (PARTITION BY n.vec_id
+       |           ORDER BY ${dotD("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+       |                    c.c_id) AS crnk
+       |  FROM normed n CROSS JOIN cents c),
+       |lists AS (SELECT vec_id, c_id FROM assign WHERE crnk = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS q_id, c_id FROM assign
+       |  WHERE vec_id < 3 AND crnk <= $ivfNprobe),
+       |scored AS (
+       |  SELECT qp.q_id, l.vec_id, l.c_id,
+       |         ${dotD("qn.embedding", "cn.embedding")} / (qn.nrm * cn.nrm) AS cs
+       |  FROM qprobe qp
+       |  JOIN lists l ON l.c_id = qp.c_id AND l.vec_id <> qp.q_id
+       |  JOIN normed qn ON qn.vec_id = qp.q_id
+       |  JOIN normed cn ON cn.vec_id = l.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, c_id, cs,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, CAST(c_id AS INT) AS centroid_id, CAST(rnk AS INT) AS rnk,
+       |       cs AS cos_sim
+       |FROM ranked WHERE rnk <= 3""".stripMargin
+
   // ── emb_normalize ★ — unit-norm embeddings (the pre-index step every
   // vector store wants); norm emitted alongside for the oracle. Purely
   // narrow per-row arithmetic: scan speed at any scale.
@@ -197,12 +296,14 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_ivf_topk" -> (annIvfTopk _),
     "emb_normalize" -> (embNormalize _),
     "emb_quantize" -> (embQuantize _))
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce_topk" -> annBruteforceSql,
     "ann_lsh_topk" -> annLshTopkSql,
+    "ann_ivf_topk" -> annIvfTopkSql,
     "emb_normalize" -> embNormalizeSql,
     "emb_quantize" -> embQuantizeSql)
 }
