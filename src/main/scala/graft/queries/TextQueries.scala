@@ -241,15 +241,125 @@ object TextQueries {
       |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS redactions
       |FROM documents WHERE doc_id % 5 = 0""".stripMargin
 
+  // ── text_repetition ★ — Gopher-style repetition signal: the fraction
+  // of word trigrams that are repeats of an earlier trigram in the same
+  // document. High values flag boilerplate / TV-static text that survives
+  // per-word distinct ratios. Narrow per-row array work — scan speed.
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH tri AS (
+        |  SELECT doc_id,
+        |         transform(sequence(1, size(ws) - 2),
+        |           i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1),
+        |                       ' ', element_at(ws, i + 2))) AS g
+        |  FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+        |  WHERE size(ws) >= 3)
+        |SELECT doc_id, size(g) AS n_trigrams,
+        |       size(array_distinct(g)) AS n_distinct_trigrams,
+        |       1.0 - CAST(size(array_distinct(g)) AS DOUBLE) / size(g)
+        |         AS rep_ratio
+        |FROM tri""".stripMargin)
+  }
+
+  val textRepetitionSql: String =
+    """WITH tri AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3)
+      |SELECT doc_id, CAST(len(g) AS INT) AS n_trigrams,
+      |       CAST(len(list_distinct(g)) AS INT) AS n_distinct_trigrams,
+      |       1.0::DOUBLE - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+      |         AS rep_ratio
+      |FROM tri""".stripMargin
+
+  // ── pipe_curation ★ — the end-to-end curation funnel a training-data
+  // pipeline runs: exact-dedup (keeper = min doc_id per content hash)
+  // → quality gate (text_quality's score ≥ 0.5) → per-language kept-token
+  // accounting. One aggregation over one join against the tiny keeper
+  // side; the whole funnel is a single shuffle on the content hash plus a
+  // map-side-combined groupBy — the shape that matters when "documents"
+  // is 100 TB. Demonstrates that the individual operators compose.
+  private val curationCorpus =
+    """SELECT doc_id, text, lang FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, text, lang
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  def pipeCuration(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH corpus AS ($curationCorpus),
+         |feats AS (
+         |  SELECT doc_id, lang, md5(text) AS h,
+         |         cast(ceil(length(text) / 4.0) as bigint) AS est_tokens,
+         |         0.4 * least(CAST(size(split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+         |           + 0.3 * (CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+         |                      / size(split(text, ' ')))
+         |           + 0.3 * (1.0 - CAST(length(text) -
+         |                      length(regexp_replace(text, '[0-9]', '')) AS DOUBLE)
+         |                      / length(text)) AS quality
+         |  FROM corpus),
+         |keepers AS (SELECT h, min(doc_id) AS keeper FROM feats GROUP BY h),
+         |flagged AS (
+         |  SELECT f.lang, f.est_tokens, f.quality,
+         |         CASE WHEN f.doc_id = k.keeper THEN 1 ELSE 0 END AS is_keeper
+         |  FROM feats f JOIN keepers k ON f.h = k.h)
+         |SELECT lang,
+         |       count(*) AS docs_in,
+         |       CAST(sum(CASE WHEN is_keeper = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS dropped_dup,
+         |       CAST(sum(CASE WHEN is_keeper = 1 AND quality < 0.5 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS dropped_quality,
+         |       CAST(sum(CASE WHEN is_keeper = 1 AND quality >= 0.5 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS docs_kept,
+         |       CAST(sum(CASE WHEN is_keeper = 1 AND quality >= 0.5 THEN est_tokens
+         |                     ELSE 0 END) AS BIGINT) AS tokens_kept
+         |FROM flagged GROUP BY lang""".stripMargin)
+  }
+
+  val pipeCurationSql: String =
+    s"""WITH corpus AS ($curationCorpus),
+       |feats AS (
+       |  SELECT doc_id, lang, md5(text) AS h,
+       |         CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+       |         0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+       |           + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |                      / len(string_split(text, ' ')))
+       |           + 0.3 * (1.0 - CAST(length(text) -
+       |                      length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |                      / length(text)) AS quality
+       |  FROM corpus),
+       |keepers AS (SELECT h, min(doc_id) AS keeper FROM feats GROUP BY h),
+       |flagged AS (
+       |  SELECT f.lang, f.est_tokens, f.quality,
+       |         CASE WHEN f.doc_id = k.keeper THEN 1 ELSE 0 END AS is_keeper
+       |  FROM feats f JOIN keepers k ON f.h = k.h)
+       |SELECT lang,
+       |       count(*) AS docs_in,
+       |       CAST(sum(CASE WHEN is_keeper = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS dropped_dup,
+       |       CAST(sum(CASE WHEN is_keeper = 1 AND quality < 0.5 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS dropped_quality,
+       |       CAST(sum(CASE WHEN is_keeper = 1 AND quality >= 0.5 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS docs_kept,
+       |       CAST(sum(CASE WHEN is_keeper = 1 AND quality >= 0.5 THEN est_tokens
+       |                     ELSE 0 END) AS BIGINT) AS tokens_kept
+       |FROM flagged GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub" -> (textScrub _),
     "sample_stratified" -> (sampleStratified _),
     "text_length_histogram" -> (textLengthHistogram _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
+    "text_repetition" -> (textRepetition _),
     "text_token_count" -> (textTokenCount _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_ngram_topk" -> (textNgramTopk _))
+    "text_ngram_topk" -> (textNgramTopk _),
+    "pipe_curation" -> (pipeCuration _))
 
   val oracle: Map[String, String] = Map(
     "text_scrub" -> textScrubSql,
@@ -257,7 +367,9 @@ object TextQueries {
     "text_length_histogram" -> textLengthHistogramSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
+    "text_repetition" -> textRepetitionSql,
     "text_token_count" -> textTokenCountSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_ngram_topk" -> textNgramTopkSql)
+    "text_ngram_topk" -> textNgramTopkSql,
+    "pipe_curation" -> pipeCurationSql)
 }
