@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Continuous corpus ingestion with streaming dedup — the streaming form
+  * of the batch dedup operators (SURVEY §8): documents arrive as parquet
+  * files in a drop directory, each micro-batch is deduplicated against
+  * ALL previously ingested content via the state store, and survivors are
+  * appended to the curated sink with their quality features attached.
+  *
+  * Scale notes: `dropDuplicates` on the content hash is backed by the
+  * HDFS/RocksDB state store, hash-partitioned on the dedup key — each
+  * task owns a shard of the seen-hash set, so state scales horizontally
+  * with `spark.sql.shuffle.partitions`, and lookups never leave the task.
+  * Without an event-time watermark the seen-set grows without bound —
+  * correct for corpus ingestion, where "have I ever seen this document"
+  * has no expiry; a TTL deployment would add
+  * `withWatermark("ingest_time", ...)` and accept re-admitting very old
+  * re-crawls. The quality gate runs BEFORE the stateful exchange so
+  * rejected documents never enter the state store.
+  */
+object CorpusIngest {
+
+  /** Quality + identity features for one incoming document — the same
+    * formulas as the batch `text_quality` / `dd_exact` operators, so a
+    * document admitted by the stream matches what the batch funnel
+    * (`pipe_curation`) would have kept. */
+  private def featurize(docs: DataFrame): DataFrame = docs
+    .withColumn("content_hash", md5(col("text")))
+    .withColumn("n_words", size(split(col("text"), " ")))
+    .withColumn("quality",
+      lit(0.4) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+        lit(0.3) * (size(array_distinct(split(col("text"), " "))).cast("double") /
+          col("n_words")) +
+        lit(0.3) * (lit(1.0) -
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+            length(col("text"))))
+
+  /** Run the ingest stream until all currently-dropped files are
+    * processed (AvailableNow). Restarting with the same checkpoint
+    * resumes the seen-hash state, so a document ingested in a previous
+    * run is still recognized as a duplicate — that persistence is the
+    * point of using the state store rather than a per-batch distinct. */
+  def run(spark: SparkSession, dropDir: String, sinkDir: String,
+      checkpointDir: String, minQuality: Double = 0.5): Unit = {
+    val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars INT"
+    val incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dropDir)
+    val admitted = featurize(incoming)
+      .filter(col("quality") >= minQuality)
+      // State-store dedup on the content hash: survives across batches
+      // AND across restarts (checkpoint). First writer wins, matching
+      // the batch keeper = min doc_id under ordered arrival.
+      .dropDuplicates("content_hash")
+    val query = admitted
+      .select("doc_id", "content_hash", "lang", "source", "n_words", "quality")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", sinkDir)
+      .start()
+    query.awaitTermination()
+  }
+
+  /** The admission ledger: per language, how many documents the stream
+    * kept and their mean quality — the monitoring query an operator runs
+    * against the curated sink. */
+  def admissionSummary(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.parquet(sinkDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs_kept"),
+        round(avg(col("quality")), 6).as("mean_quality"))
+}
