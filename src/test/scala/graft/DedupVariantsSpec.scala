@@ -75,6 +75,50 @@ class DedupVariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!parents.contains(1L))
   }
 
+  test("star contraction matches model union-find on random graphs") {
+    // Seeded property test: 10 random graphs, components from the two-
+    // primitive contraction loop must equal a driver-side union-find.
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 10).foreach { trial =>
+      val n = 4 + rnd.nextInt(20)
+      val m = 1 + rnd.nextInt(28)
+      val edgeList = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a <= b) (a, b) else (b, a)
+      }.filter(e => e._1 != e._2).distinct
+      if (edgeList.nonEmpty) {
+        // Model: union-find over the same edges.
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+        edgeList.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val touched = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
+        val expect = touched.map(v => v -> {
+          // Component label = min node in the component among touched nodes.
+          val root = find(v.toInt)
+          touched.filter(u => find(u.toInt) == root).min
+        }).toMap
+
+        var edges = spark.createDataFrame(edgeList).toDF("u", "v")
+        var rounds = 0
+        var stable = false
+        while (!stable && rounds < 15) {
+          val next = DedupQueries.smallStar(DedupQueries.largeStar(edges))
+            .localCheckpoint(true)
+          stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+          edges = next
+          rounds += 1
+        }
+        assert(stable, s"trial $trial: no fixed point in $rounds rounds")
+        val parents = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val got = touched.map(v => v -> parents.getOrElse(v, v)).toMap
+        assert(got === expect, s"trial $trial: n=$n edges=$edgeList")
+      }
+    }
+  }
+
   test("IVF top-k returns at most k ranked neighbors per query") {
     val rows = SimilarityQueries.annIvfTopk(spark, dir).collect()
     assert(rows.nonEmpty)
