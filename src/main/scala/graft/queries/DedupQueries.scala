@@ -440,11 +440,19 @@ object DedupQueries {
 
   /** Large-star: for every node u (symmetric adjacency), connect each
     * strictly-larger neighbor to m = min(N(u) ∪ {u}). Keeps every
-    * component connected while pointing high nodes at the local min. */
+    * component connected while pointing high nodes at the local min.
+    *
+    * PRECONDITION (both stars): `edges` is a distinct, consistently
+    * oriented edge set with u ≠ v — true for the initial doc_a < doc_b
+    * pairs and for every star output (both emit high→low, distinct).
+    * Under it the symmetrized/re-oriented sets below are already
+    * duplicate-free, so the defensive distinct before the aggregation —
+    * a whole extra shuffle per round — is skipped; only the outputs
+    * dedup (explode genuinely duplicates there). */
   private[graft] def largeStar(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val sym = edges.unionByName(
-      edges.select(col("v").as("u"), col("u").as("v"))).distinct()
+      edges.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
     sym.join(mins, "u").filter(col("v") > col("u"))
@@ -453,12 +461,13 @@ object DedupQueries {
   }
 
   /** Small-star: orient edges high→low; every node's low neighborhood
-    * (plus itself) collapses onto its minimum. */
+    * (plus itself) collapses onto its minimum. See [[largeStar]] for the
+    * shared precondition. */
   private[graft] def smallStar(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val oriented = edges
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v"))
     val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
     oriented.join(mins, "u")
       .select(explode(array(col("v"), col("u"))).as("u"), col("m").as("v"))

@@ -69,6 +69,26 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall(l => !l.contains("props") && !l.contains("user_id")))
   }
 
+  test("text_repetition is narrow: no exchange in the plan") {
+    assert(!plan("text_repetition").contains("Exchange"))
+  }
+
+  test("ann_ivf_topk: centroid assignment broadcasts, routing join broadcasts") {
+    val p = plan("ann_ivf_topk")
+    // The 16-row centroid table must never shuffle the N side: the
+    // cross-join assignment is a BroadcastNestedLoopJoin and the
+    // query→posting-list routing is a broadcast hash join.
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") || p.contains("Broadcast"))
+  }
+
+  test("pipe_curation: one combined final aggregation, partial aggregated") {
+    val p = plan("pipe_curation")
+    // The funnel's final per-language rollup must be map-side combined
+    // (partial_ HashAggregate before the exchange).
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // Codegen stages print as `*(n)` prefixes; the projection holding the
     // custom expression must carry one (no interpreted fallback).
