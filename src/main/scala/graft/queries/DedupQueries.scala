@@ -170,7 +170,8 @@ object DedupQueries {
   // of documents into ONE band bucket; the plain self-join then sends the
   // whole bucket to one reducer, which does |bucket|² comparisons — the
   // classic LSH hot-key straggler. Salting splits every bucket R ways:
-  //   build side : salt  = doc_id % R          (each row once)
+  //   build side : salt  = pmod(doc_id, R)     (each row once; pmod so a
+  //                negative id still lands in the probed 0..R-1 range)
   //   probe side : salt_b = explode(0..R-1)    (each row R times)
   //   join keys  : (band_idx, band_key, salt_b = salt)
   // A hot bucket's work now lands on R distinct shuffle keys, so the max
@@ -188,7 +189,7 @@ object DedupQueries {
          |  SELECT doc_id, band_idx,
          |         array_join(transform(slice(mh, band_idx*4 + 1, 4),
          |           x -> cast(x as string)), '-') AS band_key,
-         |         cast(doc_id % $lshSalts as int) AS salt
+         |         cast(pmod(doc_id, $lshSalts) as int) AS salt
          |  FROM mh_t LATERAL VIEW explode(sequence(0, 3)) AS band_idx),
          |probe AS (
          |  SELECT doc_id, band_idx, band_key, salt_b
@@ -506,8 +507,13 @@ object DedupQueries {
       edges = next
       rounds += 1
     }
-    // Fixed point is a star forest: every non-root points at its
-    // component minimum; roots have no outgoing edge.
+    // The label extraction below is only valid at the star-forest fixed
+    // point (one outgoing edge per non-root); a non-converged edge set
+    // would yield duplicated doc_id rows with inflated counts. Fail
+    // loudly instead — 30 rounds covers graphs astronomically larger
+    // than any input (convergence is O(log² n)).
+    require(stable,
+      s"star contraction did not converge within $rounds rounds")
     val labels = nodes.join(edges, nodes("node") === edges("u"), "left")
       .select(col("node"), coalesce(col("v"), col("node")).as("label"))
     labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))

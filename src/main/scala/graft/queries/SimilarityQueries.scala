@@ -159,42 +159,51 @@ object SimilarityQueries {
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     viewEmb(spark, dir)
     graft.expr.GraftFunctions.register(spark)
-    // Materialize the assignment ONCE: it is consumed by both the posting
-    // lists and the query-probe CTE, and Catalyst's CTE inlining would
-    // otherwise run the N×16 scoring twice.
+    // Materialize the norm pass ONCE: it is consumed by the assignment
+    // query and by BOTH scoring join sides below, and Catalyst's CTE
+    // inlining would otherwise run the O(N·dim) float_dot+sqrt scan
+    // three times over.
     spark.sql(
-      s"""WITH normed AS (
-         |  SELECT vec_id, embedding,
-         |         sqrt(${dotS("embedding", "embedding")}) AS nrm
-         |  FROM embeddings),
-         |cents AS (
+      s"""SELECT vec_id, embedding,
+         |       sqrt(${dotS("embedding", "embedding")}) AS nrm
+         |FROM embeddings""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("ivf_normed_t")
+    // Materialize the assignment ONCE too — and carry (embedding, nrm)
+    // through it: a real IVF index stores the VECTORS in the posting
+    // lists, so the scoring stage below is a single join of the tiny
+    // probe side against the lists, with no re-join back to the corpus
+    // (the earlier formulation re-joined `normed` twice, and since a
+    // checkpoint has no size statistics, those joins planned as
+    // full-table sort-merge joins).
+    spark.sql(
+      s"""WITH cents AS (
          |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-         |  FROM normed WHERE vec_id BETWEEN 100 AND 115),
+         |  FROM ivf_normed_t WHERE vec_id BETWEEN 100 AND 115),
          |assign AS (
-         |  SELECT n.vec_id, c.c_id,
+         |  SELECT n.vec_id, c.c_id, n.embedding, n.nrm,
          |         row_number() OVER (PARTITION BY n.vec_id
          |           ORDER BY ${dotS("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
          |                    c.c_id) AS crnk
-         |  FROM normed n CROSS JOIN cents c)
-         |SELECT vec_id, c_id, crnk FROM assign WHERE crnk <= $ivfNprobe""".stripMargin)
+         |  FROM ivf_normed_t n CROSS JOIN cents c)
+         |SELECT vec_id, c_id, crnk, embedding, nrm
+         |FROM assign WHERE crnk <= $ivfNprobe""".stripMargin)
       .localCheckpoint()
       .createOrReplaceTempView("ivf_assign_t")
+    // The probe side is a handful of (query × nprobe) rows BY DESIGN —
+    // broadcast it explicitly (the checkpoint hides the statistics that
+    // would let the planner see that).
     spark.sql(
-      s"""WITH normed AS (
-         |  SELECT vec_id, embedding,
-         |         sqrt(${dotS("embedding", "embedding")}) AS nrm
-         |  FROM embeddings),
-         |lists AS (SELECT vec_id, c_id FROM ivf_assign_t WHERE crnk = 1),
+      s"""WITH lists AS (
+         |  SELECT vec_id, c_id, embedding, nrm FROM ivf_assign_t WHERE crnk = 1),
          |qprobe AS (
-         |  SELECT vec_id AS q_id, c_id FROM ivf_assign_t
-         |  WHERE vec_id < 3 AND crnk <= $ivfNprobe),
+         |  SELECT vec_id AS q_id, c_id, embedding AS q_emb, nrm AS q_nrm
+         |  FROM ivf_assign_t WHERE vec_id < 3 AND crnk <= $ivfNprobe),
          |scored AS (
-         |  SELECT qp.q_id, l.vec_id, l.c_id,
-         |         ${dotS("qn.embedding", "cn.embedding")} / (qn.nrm * cn.nrm) AS cs
+         |  SELECT /*+ BROADCAST(qp) */ qp.q_id, l.vec_id, l.c_id,
+         |         ${dotS("qp.q_emb", "l.embedding")} / (qp.q_nrm * l.nrm) AS cs
          |  FROM qprobe qp
-         |  JOIN lists l ON l.c_id = qp.c_id AND l.vec_id <> qp.q_id
-         |  JOIN normed qn ON qn.vec_id = qp.q_id
-         |  JOIN normed cn ON cn.vec_id = l.vec_id),
+         |  JOIN lists l ON l.c_id = qp.c_id AND l.vec_id <> qp.q_id),
          |ranked AS (
          |  SELECT q_id, vec_id, c_id, cs,
          |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk

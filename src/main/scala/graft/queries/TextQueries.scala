@@ -56,40 +56,54 @@ object TextQueries {
 
   // ── text_quality ★ — length / repetition / digit-ratio features folded
   // into a bounded quality score.
+  //
+  // The score formula is the SINGLE SOURCE OF TRUTH for document
+  // admission: `pipe_curation` and the streaming gate
+  // (graft.streaming.CorpusIngest) evaluate these exact builders, so a
+  // document admitted by the stream matches what the batch funnel keeps.
+  // Both engines evaluate the same arithmetic in the same order → the
+  // doubles agree bit-for-bit.
+
+  /** Spark SQL quality expression over a raw text column. */
+  private[graft] def qualitySpark(t: String): String =
+    s"""0.4 * least(CAST(size(split($t, ' ')) AS DOUBLE) / 100.0, 1.0)
+       |  + 0.3 * (CAST(size(array_distinct(split($t, ' '))) AS DOUBLE)
+       |             / size(split($t, ' ')))
+       |  + 0.3 * (1.0 - CAST(length($t) -
+       |             length(regexp_replace($t, '[0-9]', '')) AS DOUBLE)
+       |             / length($t))""".stripMargin
+
+  /** DuckDB quality expression — same arithmetic, dialect-translated. */
+  private[graft] def qualityDuck(t: String): String =
+    s"""0.4 * least(CAST(len(string_split($t, ' ')) AS DOUBLE) / 100.0, 1.0)
+       |  + 0.3 * (CAST(len(list_distinct(string_split($t, ' '))) AS DOUBLE)
+       |             / len(string_split($t, ' ')))
+       |  + 0.3 * (1.0 - CAST(length($t) -
+       |             length(regexp_replace($t, '[0-9]', '', 'g')) AS DOUBLE)
+       |             / length($t))""".stripMargin
+
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     spark.sql(
-      """WITH feats AS (
-        |  SELECT doc_id,
-        |         size(split(text, ' ')) AS n_words,
-        |         size(array_distinct(split(text, ' '))) AS n_distinct,
-        |         length(text) AS len,
-        |         length(text) - length(regexp_replace(text, '[0-9]', '')) AS n_digits
-        |  FROM documents)
-        |SELECT doc_id, n_words,
-        |       CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
-        |       CAST(n_digits AS DOUBLE) / len AS digit_ratio,
-        |       0.4 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
-        |           + 0.3 * (CAST(n_distinct AS DOUBLE) / n_words)
-        |           + 0.3 * (1.0 - CAST(n_digits AS DOUBLE) / len) AS quality
-        |FROM feats""".stripMargin)
+      s"""SELECT doc_id,
+         |       size(split(text, ' ')) AS n_words,
+         |       CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+         |         / size(split(text, ' ')) AS distinct_ratio,
+         |       CAST(length(text) - length(regexp_replace(text, '[0-9]', ''))
+         |         AS DOUBLE) / length(text) AS digit_ratio,
+         |       ${qualitySpark("text")} AS quality
+         |FROM documents""".stripMargin)
   }
 
   val textQualitySql: String =
-    """WITH feats AS (
-      |  SELECT doc_id,
-      |         len(string_split(text, ' ')) AS n_words,
-      |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
-      |         length(text) AS len,
-      |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
-      |  FROM documents)
-      |SELECT doc_id, CAST(n_words AS INT) AS n_words,
-      |       CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
-      |       CAST(n_digits AS DOUBLE) / len AS digit_ratio,
-      |       0.4 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
-      |           + 0.3 * (CAST(n_distinct AS DOUBLE) / n_words)
-      |           + 0.3 * (1.0 - CAST(n_digits AS DOUBLE) / len) AS quality
-      |FROM feats""".stripMargin
+    s"""SELECT doc_id,
+       |       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |         / len(string_split(text, ' ')) AS distinct_ratio,
+       |       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+       |         AS DOUBLE) / length(text) AS digit_ratio,
+       |       ${qualityDuck("text")} AS quality
+       |FROM documents""".stripMargin
 
   // ── text_token_count ★ — whitespace tokens, a BPE-ish regex token
   // count (letter runs / digit runs / single punctuation), and the
@@ -295,12 +309,7 @@ object TextQueries {
          |feats AS (
          |  SELECT doc_id, lang, md5(text) AS h,
          |         cast(ceil(length(text) / 4.0) as bigint) AS est_tokens,
-         |         0.4 * least(CAST(size(split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
-         |           + 0.3 * (CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
-         |                      / size(split(text, ' ')))
-         |           + 0.3 * (1.0 - CAST(length(text) -
-         |                      length(regexp_replace(text, '[0-9]', '')) AS DOUBLE)
-         |                      / length(text)) AS quality
+         |         ${qualitySpark("text")} AS quality
          |  FROM corpus),
          |keepers AS (SELECT h, min(doc_id) AS keeper FROM feats GROUP BY h),
          |flagged AS (
@@ -325,12 +334,7 @@ object TextQueries {
        |feats AS (
        |  SELECT doc_id, lang, md5(text) AS h,
        |         CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
-       |         0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
-       |           + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-       |                      / len(string_split(text, ' ')))
-       |           + 0.3 * (1.0 - CAST(length(text) -
-       |                      length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-       |                      / length(text)) AS quality
+       |         ${qualityDuck("text")} AS quality
        |  FROM corpus),
        |keepers AS (SELECT h, min(doc_id) AS keeper FROM feats GROUP BY h),
        |flagged AS (

@@ -23,21 +23,16 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object CorpusIngest {
 
-  /** Quality + identity features for one incoming document — the same
-    * formulas as the batch `text_quality` / `dd_exact` operators, so a
-    * document admitted by the stream matches what the batch funnel
-    * (`pipe_curation`) would have kept. */
+  /** Quality + identity features for one incoming document. The quality
+    * score evaluates [[graft.queries.TextQueries.qualitySpark]] — the
+    * SAME expression text as the batch `text_quality` operator and the
+    * `pipe_curation` funnel — so a document admitted by the stream
+    * matches what the batch funnel would have kept, by construction
+    * rather than by parallel maintenance of copied formulas. */
   private def featurize(docs: DataFrame): DataFrame = docs
     .withColumn("content_hash", md5(col("text")))
     .withColumn("n_words", size(split(col("text"), " ")))
-    .withColumn("quality",
-      lit(0.4) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
-        lit(0.3) * (size(array_distinct(split(col("text"), " "))).cast("double") /
-          col("n_words")) +
-        lit(0.3) * (lit(1.0) -
-          (length(col("text")) -
-            length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
-            length(col("text"))))
+    .withColumn("quality", expr(graft.queries.TextQueries.qualitySpark("text")))
 
   /** Run the ingest stream until all currently-dropped files are
     * processed (AvailableNow). Restarting with the same checkpoint

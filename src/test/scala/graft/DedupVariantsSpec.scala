@@ -38,9 +38,15 @@ class DedupVariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("salted LSH join keys carry the salt (hot buckets split R ways)") {
     val plan = DedupQueries.ddMinhashLshSalted(spark, dir)
       .queryExecution.executedPlan.toString
-    // The pair join must hash-partition on (band_idx, band_key, salt) —
-    // salt in the join keys is what splits a hot bucket across reducers.
-    assert(plan.contains("salt"))
+    // The PAIR JOIN ITSELF must key on (…, band_key, …, salt_b/salt) —
+    // salt merely appearing in a projection would mean the salting is
+    // inert (R× shuffle volume, zero skew splitting). Look for a join
+    // node whose key list contains both band_key and salt_b on one line.
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("Join") && l.contains("band_key"))
+    assert(joinLine.isDefined, "no join on band_key found in plan")
+    assert(joinLine.get.contains("salt_b"),
+      s"salt_b missing from pair-join keys: ${joinLine.get.trim.take(200)}")
   }
 
   test("star contraction computes the same clusters as label propagation") {

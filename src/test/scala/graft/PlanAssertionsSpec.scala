@@ -73,13 +73,28 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan("text_repetition").contains("Exchange"))
   }
 
-  test("ann_ivf_topk: centroid assignment broadcasts, routing join broadcasts") {
+  test("ann_ivf_topk: no sort-merge join anywhere on the scoring path") {
+    // The 16-row centroid side and the tiny query-probe side must both
+    // broadcast — a SortMergeJoin would mean the full embedding table
+    // shuffled for one of them.
     val p = plan("ann_ivf_topk")
-    // The 16-row centroid table must never shuffle the N side: the
-    // cross-join assignment is a BroadcastNestedLoopJoin and the
-    // query→posting-list routing is a broadcast hash join.
     assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin") || p.contains("Broadcast"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("ann_ivf_topk: centroid assignment never shuffles the N side") {
+    // The assignment stage (the checkpointed first statement) pairs every
+    // vector with the 16-row centroid table via a broadcast nested-loop
+    // cross join.
+    val q =
+      s"""SELECT n.vec_id, c.c_id FROM
+         |  (SELECT vec_id, embedding FROM embeddings) n CROSS JOIN
+         |  (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |   WHERE vec_id BETWEEN 100 AND 115) c""".stripMargin
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    val p = spark.sql(q).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange hashpartitioning"))
   }
 
   test("pipe_curation: one combined final aggregation, partial aggregated") {
