@@ -163,6 +163,12 @@ final class CdcMetricsListener(
     val prev = lastEndByQuery.put(p.id, end)
     val start = if (prev != null) prev.doubleValue() else end
     val state = Option(p.stateOperators).filter(_.nonEmpty)
+    // Per-operation produce counts arrive as the "graft_ops" observed
+    // metric when the pipeline registered one (CdcPipeline.run); streams
+    // without it report zeros, matching the field defaults.
+    val ops = Option(p.observedMetrics).map(_.get("graft_ops")).flatMap(Option(_))
+    def opCount(field: String): Long =
+      ops.map(r => r.getAs[Long](field)).getOrElse(0L)
     val m = IntervalMetrics(
       metricsNamespace = namespace,
       processHostname = hostname,
@@ -175,7 +181,12 @@ final class CdcMetricsListener(
       processedRowsPerSec = zeroIfNaN(p.processedRowsPerSecond),
       batchDurationMs = p.batchDuration,
       stateRowsTotal = state.map(_.map(_.numRowsTotal).sum).getOrElse(0L),
-      stateRowsUpdated = state.map(_.map(_.numRowsUpdated).sum).getOrElse(0L))
+      stateRowsUpdated = state.map(_.map(_.numRowsUpdated).sum).getOrElse(0L),
+      producedDeleteChangesCount = opCount("deletes"),
+      producedInsertChangesCount = opCount("inserts"),
+      producedUpdateChangesCount = opCount("updates"),
+      producedSnapshotRecordsCount = opCount("snapshots"),
+      producedDeletionTombstonesCount = opCount("tombstones"))
     reporters.foreach { r =>
       try r.emit(m) catch { case _: Throwable => () } // a reporter must never kill the stream
     }

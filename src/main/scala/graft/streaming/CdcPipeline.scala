@@ -248,7 +248,22 @@ object CdcPipeline {
     * processed. */
   def run(spark: SparkSession, feedDir: String, checkpointDir: String,
       sink: CdcSink): Unit = {
+    import spark.implicits._
+    // Per-operation produce counts ride the batch as OBSERVED METRICS
+    // (D7: the reference's accumulator counters,
+    // `metric_reporting/accumulator.py:100-140`) — computed inside the
+    // running plan with zero extra jobs and surfaced to
+    // CdcMetricsListener through QueryProgress.observedMetrics.
     val updates = keyedUpdates(changeStream(spark, feedDir))
+      .toDF()
+      .observe("graft_ops",
+        count(when(col("operation") === 1 && !col("isTombstone"), 1))
+          .as("deletes"),
+        count(when(col("operation") === 2, 1)).as("inserts"),
+        count(when(col("operation") === 4, 1)).as("updates"),
+        count(when(col("operation") === 0, 1)).as("snapshots"),
+        count(when(col("isTombstone"), 1)).as("tombstones"))
+      .as[KeyedUpdate]
     val query = updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

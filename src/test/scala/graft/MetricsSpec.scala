@@ -52,6 +52,14 @@ class MetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inputTotal == 1000L, s"input rows across batches: $inputTotal")
     // Stateful operator reported key tracking.
     assert(got.exists(_.stateRowsTotal > 0))
+    // Per-operation produce counts flowed through observe() (D7): the
+    // feed contains inserts/updates/deletes, and every delete row emits
+    // exactly one tombstone after it.
+    assert(got.map(_.producedInsertChangesCount).sum > 0)
+    assert(got.map(_.producedUpdateChangesCount).sum > 0)
+    assert(got.map(_.producedDeletionTombstonesCount).sum ==
+      got.map(_.producedDeleteChangesCount).sum)
+    assert(got.map(_.producedDeleteChangesCount).sum > 0)
     // File reporter wrote parseable JSON lines.
     val lines = scala.io.Source.fromFile(file).getLines().toSeq
     assert(lines.size == got.size)
