@@ -451,12 +451,18 @@ object DedupQueries {
     * a whole extra shuffle per round — is skipped; only the outputs
     * dedup (explode genuinely duplicates there). */
   private[graft] def largeStar(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    // Neighborhood minima via a window over the u-partitioned adjacency:
+    // ONE shuffle on u (the window sort), where a groupBy+self-join costs
+    // the aggregation shuffle plus re-shuffling sym for the join. The
+    // window partitions by node — thousands of keys, no single-reducer
+    // stage.
     val sym = edges.unionByName(
       edges.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("mn"), col("u")).as("m"))
-    sym.join(mins, "u").filter(col("v") > col("u"))
+    val w = Window.partitionBy("u")
+    sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v")).distinct()
   }
@@ -465,12 +471,13 @@ object DedupQueries {
     * (plus itself) collapses onto its minimum. See [[largeStar]] for the
     * shared precondition. */
   private[graft] def smallStar(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val oriented = edges
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
-    val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
-    oriented.join(mins, "u")
+    val w = Window.partitionBy("u")
+    oriented.withColumn("m", min(col("v")).over(w))
       .select(explode(array(col("v"), col("u"))).as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v")).distinct()
   }

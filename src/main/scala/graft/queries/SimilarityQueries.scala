@@ -35,16 +35,23 @@ object SimilarityQueries {
   def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
     viewEmb(spark, dir)
     graft.expr.GraftFunctions.register(spark)
+    // Materialize the norm pass ONCE — the CTE is referenced by both join
+    // sides and Catalyst would inline (recompute) it into each. The query
+    // side is a handful of rows by construction: broadcast it explicitly,
+    // because the checkpoint hides the size statistics the planner would
+    // need to choose that itself. The candidate side never shuffles.
     spark.sql(
-      s"""WITH normed AS (
-         |  SELECT vec_id, embedding,
-         |         sqrt(${dotS("embedding", "embedding")}) AS nrm
-         |  FROM embeddings),
-         |queries AS (SELECT * FROM normed WHERE vec_id < 3),
+      s"""SELECT vec_id, embedding,
+         |       sqrt(${dotS("embedding", "embedding")}) AS nrm
+         |FROM embeddings""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("bf_normed_t")
+    spark.sql(
+      s"""WITH queries AS (SELECT * FROM bf_normed_t WHERE vec_id < 3),
          |scored AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |  SELECT /*+ BROADCAST(q) */ q.vec_id AS q_id, c.vec_id AS vec_id,
          |         ${dotS("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cs
-         |  FROM queries q JOIN normed c ON q.vec_id <> c.vec_id),
+         |  FROM queries q JOIN bf_normed_t c ON q.vec_id <> c.vec_id),
          |ranked AS (
          |  SELECT q_id, vec_id, cs,
          |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk
