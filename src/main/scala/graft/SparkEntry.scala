@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ EnvelopeQueries.queries ++ AggQueries.queries ++
       ValidationQueries.queries ++ DedupQueries.queries ++ SerdeQueries.queries ++
-      SimilarityQueries.queries ++ TextQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ TextQueries.queries ++ MultimodalQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CdcQueries.oracle ++ EnvelopeQueries.oracle ++ AggQueries.oracle ++
       ValidationQueries.oracle ++ DedupQueries.oracle ++ SerdeQueries.oracle ++
-      SimilarityQueries.oracle ++ TextQueries.oracle ++ MultimodalQueries.oracle
+      SimilarityQueries.oracle ++ TextQueries.oracle ++ MultimodalQueries.oracle ++
+      PipelineQueries.oracle
 }

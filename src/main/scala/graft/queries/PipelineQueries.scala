@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Corpus-assembly operators for a training-data pipeline over `documents`:
+  * eval-set decontamination, token-budget sequence packing, domain-mixture
+  * sampling, rare-term extraction, and deterministic shard assignment.
+  *
+  * These are the steps BETWEEN curation (dedup + quality, see
+  * [[TextQueries]] / [[DedupQueries]]) and the trainer: remove eval
+  * overlap, weight the domain mixture, pack documents into fixed token
+  * budgets, and split the result into reproducible shards. Every operator
+  * here is a hash-partitioned aggregate, an equi-join, or a window
+  * partitioned by a high-cardinality key — no all-pairs work, no
+  * single-reducer stage — so each survives a 100× scale-up unchanged.
+  *
+  * Engine parity notes (the oracle gate hashes binary values): all float
+  * arithmetic is single-multiply/single-divide IEEE DOUBLE (no libm
+  * transcendentals, whose last-ulp behavior differs between JVM and C),
+  * every literal divisor is cast to DOUBLE on both engines (DuckDB
+  * otherwise treats `10000.0` as DECIMAL), and every aggregate is cast to
+  * BIGINT (DuckDB sums integers into HUGEINT).
+  */
+object PipelineQueries {
+
+  private def viewDocs(spark: SparkSession, dir: String): Unit =
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+
+  // ── pipe_decontaminate ★ — benchmark/eval decontamination: flag every
+  // training document that shares at least one 5-word shingle with the
+  // held-out eval slice (doc_id % 11 = 0 stands in for the benchmark set).
+  // The industry-standard n-gram overlap test (GPT-3 appendix C / PaLM
+  // style). Shape: explode eval shingles → DISTINCT (small set) → semi
+  // join from the training shingles on the shingle string. At 100 TB the
+  // eval set is fixed-size, so the semi join broadcasts; the training side
+  // streams through map-side — no shuffle of the corpus at all.
+  def pipeDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH ws AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
+        |eligible AS (SELECT doc_id, source, w FROM ws WHERE size(w) >= 5),
+        |eval_sh AS (
+        |  SELECT DISTINCT sh
+        |  FROM eligible
+        |  LATERAL VIEW explode(transform(sequence(1, size(w) - 4),
+        |    i -> concat_ws(' ', slice(w, i, 5)))) AS sh
+        |  WHERE doc_id % 11 = 0),
+        |train_sh AS (
+        |  SELECT DISTINCT doc_id, source, sh
+        |  FROM eligible
+        |  LATERAL VIEW explode(transform(sequence(1, size(w) - 4),
+        |    i -> concat_ws(' ', slice(w, i, 5)))) AS sh
+        |  WHERE doc_id % 11 <> 0),
+        |hits AS (
+        |  SELECT DISTINCT doc_id FROM train_sh
+        |  WHERE sh IN (SELECT sh FROM eval_sh)),
+        |train AS (SELECT doc_id, source FROM ws WHERE doc_id % 11 <> 0)
+        |SELECT t.source,
+        |       count(*) AS train_docs,
+        |       CAST(count(h.doc_id) AS BIGINT) AS contaminated_docs,
+        |       CAST(count(*) - count(h.doc_id) AS BIGINT) AS clean_docs
+        |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |GROUP BY t.source""".stripMargin)
+  }
+
+  val pipeDecontaminateSql: String =
+    """WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |eligible AS (SELECT doc_id, source, w FROM ws WHERE len(w) >= 5),
+      |eval_sh AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
+      |    i -> array_to_string(w[i:i+4], ' '))) AS sh
+      |  FROM eligible WHERE doc_id % 11 = 0),
+      |train_sh AS (
+      |  SELECT DISTINCT doc_id, source, unnest(list_transform(range(1, len(w) - 3),
+      |    i -> array_to_string(w[i:i+4], ' '))) AS sh
+      |  FROM eligible WHERE doc_id % 11 <> 0),
+      |hits AS (
+      |  SELECT DISTINCT doc_id FROM (SELECT * FROM train_sh) t
+      |  WHERE t.sh IN (SELECT sh FROM eval_sh)),
+      |train AS (SELECT doc_id, source FROM ws WHERE doc_id % 11 <> 0)
+      |SELECT t.source,
+      |       count(*) AS train_docs,
+      |       CAST(count(h.doc_id) AS BIGINT) AS contaminated_docs,
+      |       CAST(count(*) - count(h.doc_id) AS BIGINT) AS clean_docs
+      |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      |GROUP BY t.source""".stripMargin
+
+  // ── pipe_pack ★ — sequence packing: concatenate each source's documents
+  // in doc_id order and cut the stream into 512-token chunks; a document
+  // lands in the chunk where it STARTS (chunk = prefix-sum-before-doc div
+  // budget — the greedy concat-and-chunk packing every pretraining loader
+  // uses). Shape: one window partitioned by source (high cardinality at
+  // corpus scale → parallel) + one map-side-combined groupBy. No global
+  // sort; each source packs independently, which is exactly how a 1000-
+  // executor packing job is sharded.
+  def pipePack(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         cast(ceil(length(text) / 4.0) as bigint) AS est_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, source, est_tokens,
+        |         sum(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM toks)
+        |SELECT source, CAST((cum - est_tokens) div 512 AS INT) AS chunk,
+        |       count(*) AS docs,
+        |       CAST(sum(est_tokens) AS BIGINT) AS chunk_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed
+        |GROUP BY source, chunk""".stripMargin)
+  }
+
+  val pipePackSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, source, est_tokens,
+      |         sum(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM toks)
+      |SELECT source, CAST((cum - est_tokens) // 512 AS INT) AS chunk,
+      |       count(*) AS docs,
+      |       CAST(sum(est_tokens) AS BIGINT) AS chunk_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM packed
+      |GROUP BY source, chunk""".stripMargin
+
+  // ── pipe_mix ★ — domain-mixture sampling: given per-source target
+  // weights (derived here from the source id; in production a config
+  // table), compute each source's admission rate so the KEPT corpus
+  // approximates the target mixture, then admit documents through the
+  // same deterministic md5 gate `sample_stratified` uses (reproducible
+  // across runs and engines, unlike rand()). Sources above their target
+  // share are downsampled; sources below keep everything (rate capped at
+  // 1.0 — this operator never upsamples). Shape: tiny per-source aggregate
+  // (20 rows) broadcast back onto the corpus scan + one map-side-combined
+  // groupBy — the corpus itself is never shuffled.
+  def pipeMix(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH stats AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |         CAST(cast(substr(source, 4) as int) % 4 + 1 AS DOUBLE) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(docs) AS DOUBLE) AS n, CAST(sum(w) AS DOUBLE) AS sw
+        |        FROM stats),
+        |rates AS (
+        |  SELECT s.source, s.docs, s.w / t.sw AS target_share,
+        |         least(CAST(1.0 AS DOUBLE),
+        |               (s.w / t.sw) * t.n / CAST(s.docs AS DOUBLE)) AS rate
+        |  FROM stats s CROSS JOIN tot t),
+        |gated AS (
+        |  SELECT d.source,
+        |         cast(ceil(length(d.text) / 4.0) as bigint) AS est_tokens,
+        |         CAST(cast(conv(substr(md5(cast(d.doc_id as string)), 1, 15), 16, 10)
+        |              as bigint) % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE) AS u
+        |  FROM documents d)
+        |SELECT r.source, r.docs, r.target_share, r.rate,
+        |       CAST(sum(CASE WHEN g.u < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS kept_docs,
+        |       CAST(sum(CASE WHEN g.u < r.rate THEN g.est_tokens ELSE 0 END)
+        |         AS BIGINT) AS kept_tokens
+        |FROM gated g JOIN rates r ON g.source = r.source
+        |GROUP BY r.source, r.docs, r.target_share, r.rate""".stripMargin)
+  }
+
+  val pipeMixSql: String =
+    """WITH stats AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+      |         CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS DOUBLE) AS w
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(docs) AS DOUBLE) AS n, CAST(sum(w) AS DOUBLE) AS sw
+      |        FROM stats),
+      |rates AS (
+      |  SELECT s.source, s.docs, s.w / t.sw AS target_share,
+      |         least(CAST(1.0 AS DOUBLE),
+      |               (s.w / t.sw) * t.n / CAST(s.docs AS DOUBLE)) AS rate
+      |  FROM stats s CROSS JOIN tot t),
+      |gated AS (
+      |  SELECT d.source,
+      |         CAST(ceil(length(d.text) / 4.0) AS BIGINT) AS est_tokens,
+      |         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |              % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE) AS u
+      |  FROM documents d)
+      |SELECT r.source, r.docs, r.target_share, r.rate,
+      |       CAST(sum(CASE WHEN g.u < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS kept_docs,
+      |       CAST(sum(CASE WHEN g.u < r.rate THEN g.est_tokens ELSE 0 END)
+      |         AS BIGINT) AS kept_tokens
+      |FROM gated g JOIN rates r ON g.source = r.source
+      |GROUP BY r.source, r.docs, r.target_share, r.rate""".stripMargin
+
+  // ── text_tfidf_topk ★ — rare-term extraction: per-document top-3 terms
+  // by tf·idf with a LINEAR idf (tf × N / df). Linear instead of log(N/df)
+  // on purpose: same ordering for fixed tf, but multiply+divide are
+  // correctly-rounded IEEE ops that agree bit-for-bit across engines,
+  // while ln() is libm-dependent — the scores land in the oracle hash.
+  // Shape: two map-side-combined aggregates (tf keyed by doc, df keyed by
+  // word) + an equi-join on word + a per-doc top-k window. The df table is
+  // the corpus vocabulary (~100M rows at 100 TB) — it hash-joins against
+  // the filtered tf side; nothing here is quadratic.
+  def textTfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH words AS (
+        |  SELECT doc_id, word
+        |  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+        |  LATERAL VIEW explode(w) AS word),
+        |tf AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |  FROM words WHERE doc_id % 25 = 0 GROUP BY doc_id, word),
+        |df AS (
+        |  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM words GROUP BY word),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.word, t.tf, d.df,
+        |         CAST(t.tf AS DOUBLE) * n.n / CAST(d.df AS DOUBLE) AS score
+        |  FROM tf t JOIN df d ON t.word = d.word CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, word, tf, df, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, word) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, word, tf, df, score, CAST(rnk AS INT) AS rnk
+        |FROM ranked WHERE rnk <= 3""".stripMargin)
+  }
+
+  val textTfidfTopkSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (
+      |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      |  FROM words WHERE doc_id % 25 = 0 GROUP BY doc_id, word),
+      |df AS (
+      |  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM words GROUP BY word),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id, t.word, t.tf, d.df,
+      |         CAST(t.tf AS DOUBLE) * n.n / CAST(d.df AS DOUBLE) AS score
+      |  FROM tf t JOIN df d ON t.word = d.word CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, word, tf, df, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY score DESC, word) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, word, tf, df, score, CAST(rnk AS INT) AS rnk
+      |FROM ranked WHERE rnk <= 3""".stripMargin
+
+  // ── pipe_shard ★ — deterministic shard assignment: route every document
+  // to one of 16 training shards by the same md5 hash gate used for
+  // sampling, and report per-shard document/token balance. This is the
+  // "global shuffle" a trainer needs, done WITHOUT a global sort: the hash
+  // is uniform, so shards are balanced by construction, and the assignment
+  // is a narrow map — the only shuffle is the 16-group aggregate of
+  // partials. Reproducible across runs, engines, and cluster sizes.
+  def pipeShard(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH hashed AS (
+        |  SELECT doc_id, source,
+        |         cast(ceil(length(text) / 4.0) as bigint) AS est_tokens,
+        |         cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)
+        |           as bigint) % 16 AS shard
+        |  FROM documents)
+        |SELECT CAST(shard AS INT) AS shard,
+        |       count(*) AS docs,
+        |       CAST(sum(est_tokens) AS BIGINT) AS tokens,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM hashed GROUP BY shard""".stripMargin)
+  }
+
+  val pipeShardSql: String =
+    """WITH hashed AS (
+      |  SELECT doc_id, source,
+      |         CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |           % 16 AS shard
+      |  FROM documents)
+      |SELECT CAST(shard AS INT) AS shard,
+      |       count(*) AS docs,
+      |       CAST(sum(est_tokens) AS BIGINT) AS tokens,
+      |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM hashed GROUP BY shard""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_decontaminate" -> (pipeDecontaminate _),
+    "pipe_pack" -> (pipePack _),
+    "pipe_mix" -> (pipeMix _),
+    "text_tfidf_topk" -> (textTfidfTopk _),
+    "pipe_shard" -> (pipeShard _))
+
+  val oracle: Map[String, String] = Map(
+    "pipe_decontaminate" -> pipeDecontaminateSql,
+    "pipe_pack" -> pipePackSql,
+    "pipe_mix" -> pipeMixSql,
+    "text_tfidf_topk" -> textTfidfTopkSql,
+    "pipe_shard" -> pipeShardSql)
+}

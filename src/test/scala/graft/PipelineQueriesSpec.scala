@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-assembly operators (PipelineQueries): result invariants the
+  * oracle can't see (conservation laws between the outputs) plus the
+  * plan shapes that make them 100 TB-safe. */
+class PipelineQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("pipeline-queries")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+  private def plan(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  test("pipe_decontaminate: per-source counts conserve and eval docs are excluded") {
+    val rows = run("pipe_decontaminate").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (train, cont, clean) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cont + clean == train, s"conservation broke for ${r.getString(0)}")
+      assert(cont >= 0 && cont <= train)
+    }
+    // Training universe = all docs minus the eval slice.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val expectedTrain = docs.where("doc_id % 11 <> 0").count()
+    assert(rows.map(_.getLong(1)).sum == expectedTrain)
+  }
+
+  test("pipe_decontaminate: corpus is never cartesian-joined") {
+    val p = plan("pipe_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("LeftSemi"), "shingle membership should plan as a semi join")
+  }
+
+  test("pipe_pack: chunks respect the running-total cut and cover all docs") {
+    val rows = run("pipe_pack").collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(rows.map(_.getLong(2)).sum == docs.count())
+    // Within a source, chunk ids ascend with first_doc and don't skip.
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byChunk = rs.sortBy(_.getInt(1))
+      assert(byChunk.map(_.getInt(1)).toSeq == (0 until byChunk.length))
+      val firsts = byChunk.map(_.getLong(4))
+      assert(firsts.toSeq == firsts.sortBy(identity).toSeq)
+    }
+    // A doc is assigned to the chunk where its prefix sum STARTS, so every
+    // chunk but a source's last must have accumulated >= 512 tokens by the
+    // time the next chunk opens (chunk_tokens can exceed 512 via overhang).
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byChunk = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+      byChunk.dropRight(1).zipWithIndex.foreach { case (_, i) =>
+        assert(byChunk.take(i + 1).sum >= 512L * (i + 1) - 512,
+          "chunk opened before its budget was reached")
+      }
+    }
+  }
+
+  test("pipe_pack: window is partitioned (no single-reducer stage)") {
+    assert(!plan("pipe_pack").contains("Exchange SinglePartition"))
+  }
+
+  test("pipe_mix: rates are capped, deterministic, and kept <= docs") {
+    val rows = run("pipe_mix").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (docs, share, rate, kept) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(share > 0.0 && share < 1.0)
+      assert(kept <= docs)
+      // rate == 1.0 only when the source is at or under its target share.
+      if (rate < 1.0) assert(share * 500 < docs + 1e-9)
+    }
+    // Deterministic gate: a second run keeps exactly the same counts.
+    val again = run("pipe_mix").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(4))).toSet ==
+      again.map(r => (r.getString(0), r.getLong(4))).toSet)
+  }
+
+  test("text_tfidf_topk: ranks are dense 1..3 and rarer words score higher") {
+    val rows = run("text_tfidf_topk").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(5)).sorted.toSeq == (1 to rs.length))
+      // Scores non-increasing with rank.
+      val byRank = rs.sortBy(_.getInt(5)).map(_.getDouble(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // score = tf * N / df exactly.
+    val n = spark.read.parquet(s"$dir/documents.parquet").count().toDouble
+    rows.foreach { r =>
+      assert(r.getDouble(4) == r.getLong(2).toDouble * n / r.getLong(3).toDouble)
+    }
+  }
+
+  test("pipe_shard: shards cover the corpus and are hash-balanced") {
+    val rows = run("pipe_shard").collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == docs)
+    assert(rows.length == 16)
+    val counts = rows.map(_.getLong(1))
+    // md5 is uniform: no shard more than 3x the mean at n=500.
+    assert(counts.max <= 3 * docs / 16)
+    assert(!plan("pipe_shard").contains("Exchange SinglePartition"))
+  }
+}
