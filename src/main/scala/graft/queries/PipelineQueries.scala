@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Corpus-assembly operators for a training-data pipeline over `documents`:
   * eval-set decontamination, token-budget sequence packing, domain-mixture
@@ -84,6 +85,43 @@ object PipelineQueries {
       |       CAST(count(*) - count(h.doc_id) AS BIGINT) AS clean_docs
       |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
       |GROUP BY t.source""".stripMargin
+
+  // ── pipe_decontaminate_bloom ★ — the 100 TB path for the same
+  // decontamination: when the benchmark suite's shingle set no longer
+  // broadcasts as a hash relation (10⁹ shingles ≈ tens of GB of strings),
+  // collapse it into a Bloom filter (~1.2 GB at 10⁹ keys / 1% fpp), ship
+  // THAT to every executor, and prefilter the training shingles with a
+  // narrow mightContain scan — no shuffle of the corpus. False positives
+  // are then removed by an exact join, but only over the tiny candidate
+  // set, so the output is BIT-IDENTICAL to `pipe_decontaminate` and shares
+  // its oracle. Two driver jobs build the filter (count + aggregate);
+  // that's the price of admission and is independent of corpus size.
+  def pipeDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ws = docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+    val eligible = ws.where(size(col("w")) >= 5)
+    val shingled = eligible.select(col("doc_id"), col("source"),
+      explode(expr("transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")).as("sh"))
+    val evalSh = shingled.where(col("doc_id") % 11 === 0).select(col("sh")).distinct()
+
+    val nEval = evalSh.count()
+    val bloom = evalSh.stat.bloomFilter("sh", math.max(nEval, 1L), 0.01)
+    val bBloom = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bBloom.value.mightContainString(s))
+
+    val trainSh = shingled.where(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("sh")).distinct()
+    val candidates = trainSh.where(mightContain(col("sh")))
+    val hits = candidates.join(evalSh, "sh")
+      .select(col("doc_id").as("hid")).distinct()
+
+    val train = ws.where(col("doc_id") % 11 =!= 0).select(col("doc_id"), col("source"))
+    train.join(hits, train("doc_id") === hits("hid"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("train_docs"),
+        count(col("hid")).cast("long").as("contaminated_docs"),
+        (count(lit(1)) - count(col("hid"))).cast("long").as("clean_docs"))
+  }
 
   // ── pipe_pack ★ — sequence packing: concatenate each source's documents
   // in doc_id order and cut the stream into 512-token chunks; a document
@@ -293,6 +331,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_decontaminate" -> (pipeDecontaminate _),
+    "pipe_decontaminate_bloom" -> (pipeDecontaminateBloom _),
     "pipe_pack" -> (pipePack _),
     "pipe_mix" -> (pipeMix _),
     "text_tfidf_topk" -> (textTfidfTopk _),
@@ -300,6 +339,8 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "pipe_decontaminate" -> pipeDecontaminateSql,
+    // Bloom path exact-verifies its candidates → identical output, same oracle.
+    "pipe_decontaminate_bloom" -> pipeDecontaminateSql,
     "pipe_pack" -> pipePackSql,
     "pipe_mix" -> pipeMixSql,
     "text_tfidf_topk" -> textTfidfTopkSql,

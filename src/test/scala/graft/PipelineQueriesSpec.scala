@@ -48,6 +48,14 @@ class PipelineQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftSemi"), "shingle membership should plan as a semi join")
   }
 
+  test("pipe_decontaminate_bloom: bloom+exact-verify path is bit-identical to exact") {
+    val exact = run("pipe_decontaminate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val bloom = run("pipe_decontaminate_bloom").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(bloom == exact)
+  }
+
   test("pipe_pack: chunks respect the running-total cut and cover all docs") {
     val rows = run("pipe_pack").collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet")
