@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable AS-OF join: for every left row, attach the right row with the
+  * GREATEST key `<=` the left key (inclusive, left-outer) — the lookup the
+  * reference performs per change row against `lsn_time_mapping`
+  * (`sql_queries.py:128-145` time⟷LSN probes), generalized from one probe
+  * to a whole-relation operator.
+  *
+  * Spark has no as-of join. The naive spellings are a non-equi join
+  * (BroadcastNestedLoop — quadratic) or a global-sort window (single
+  * reducer) — both scale-killers. This operator BUCKETS the key axis so
+  * every data-sized stage is equi-partitioned:
+  *
+  *  1. both sides bucket on `key div bucketWidth` (a narrow map);
+  *  2. the right side reduces to one champion row per occupied bucket
+  *     (greatest key + its payload) — map-side-combined aggregate;
+  *  3. a prefix scan over the champion table computes each left bucket's
+  *     CARRY-IN (the champion of the nearest occupied bucket before it).
+  *     This one unpartitioned window runs over rows ≈ occupied buckets —
+  *     bounded by keyspan/bucketWidth (operator chooses it), NOT by data
+  *     size — the same driver-sized-side trick `GlobalOrder` uses;
+  *  4. within each bucket, right and left rows union and one window
+  *     PARTITION BY bucket ORDER BY (key, side) takes the last right
+  *     payload at-or-before each left row (right sorts first on key ties →
+  *     `>=` inclusive), falling back to the bucket's carry-in.
+  *
+  * Total cost: two shuffles of the data (bucket hash for the union window,
+  * one aggregate), zero quadratic work, parallelism = occupied buckets.
+  * Right keys must be UNIQUE (an as-of source is a keyed mapping; with
+  * duplicates "the" row at a key is ill-defined on every engine).
+  */
+object AsOfJoin {
+
+  /** @param payload right columns to attach (null when no right key <= left key)
+    * @param bucketWidth key-axis slice per bucket; pick so that
+    *        keyspan/bucketWidth ≈ desired parallelism (10³–10⁶) */
+  def asOf(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
+      payload: Seq[String], bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val spark = left.sparkSession
+
+    val lb = left.withColumn("__b", floor(col(leftKey) / lit(bucketWidth)).cast("long"))
+    val rb = right.withColumn("__b", floor(col(rightKey) / lit(bucketWidth)).cast("long"))
+
+    val payStruct = struct(payload.map(col): _*)
+    val payType = right.select(payStruct.as("p")).schema("p").dataType
+    val leftCols = left.columns.toSeq
+    val lrowStruct = struct(leftCols.map(col): _*)
+    val lrowType = left.select(lrowStruct.as("l")).schema("l").dataType
+
+    // 2. champion per occupied right bucket.
+    val champs = rb.groupBy(col("__b"))
+      .agg(max_by(payStruct, col(rightKey)).as("__p"))
+
+    // 3. carry-in per left bucket: last champion strictly before it. The
+    // union is one row per occupied bucket on either side — small by
+    // construction — so the unpartitioned prefix window is safe.
+    // Probes sort BEFORE champions at the same bucket (tag 0 < 1): a
+    // bucket's own champion must not reach its probe through the prefix —
+    // same-bucket rights are resolved positionally by the bucket window.
+    val probes = lb.select(col("__b")).distinct()
+    val wPrefix = Window.orderBy(col("__b"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = champs.select(col("__b"), lit(1).as("__tag"), col("__p"))
+      .unionByName(probes.select(col("__b"), lit(0).as("__tag"),
+        lit(null).cast(payType).as("__p")))
+      .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(wPrefix))
+      .filter(col("__tag") === 0)
+      .select(col("__b"), col("__carry"))
+
+    // 4. within-bucket resolution, parallel across buckets.
+    val unioned = rb.select(col("__b"), col(rightKey).cast("long").as("__k"),
+        lit(0).as("__tag"), payStruct.as("__p"), lit(null).cast(lrowType).as("__l"))
+      .unionByName(lb.select(col("__b"), col(leftKey).cast("long").as("__k"),
+        lit(1).as("__tag"), lit(null).cast(payType).as("__p"), lrowStruct.as("__l")))
+    val wBucket = Window.partitionBy(col("__b")).orderBy(col("__k"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    unioned
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(wBucket))
+      .filter(col("__tag") === 1)
+      .join(carry, Seq("__b"), "left")
+      .withColumn("__r", coalesce(col("__m"), col("__carry")))
+      .select(leftCols.map(c => col("__l").getField(c).as(c)) ++
+        payload.map(p => col("__r").getField(p).as(p)): _*)
+  }
+}

@@ -305,8 +305,40 @@ object CdcQueries {
        |       THEN ("offset" - prev_offset) // 4 - 1 ELSE 0 END) AS BIGINT) AS missing
        |FROM lagged GROUP BY part""".stripMargin
 
+  // C7 ★ whole-relation AS-OF join (time⟷LSN generalized,
+  // `sql_queries.py:128-145`): every change row picks up the LAST
+  // lsn_time_mapping entry at or before its LSN. The mapping is thinned
+  // (every 3rd LSN, none before 30) so matches genuinely look backward
+  // across rows and buckets, and the earliest rows exercise the
+  // no-match NULL path. Runs through [[graft.operators.AsOfJoin]] — the
+  // bucketed carry-in plan, not a nested-loop or global sort; DuckDB
+  // checks it with its native ASOF LEFT JOIN.
+  def c7AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val changes = SyntheticCdc.changeRows(spark, dir)
+      .select(col("event_id"), col("lsn_num"), col("operation"))
+    val mapping = SyntheticCdc.lsnTimeMapping(spark, dir)
+      .filter(col("lsn_num") % 3 === 0 && col("lsn_num") >= 30)
+      .select(col("lsn_num").as("map_lsn"), col("tran_end_time"))
+    graft.operators.AsOfJoin.asOf(changes, mapping,
+        leftKey = "lsn_num", rightKey = "map_lsn",
+        payload = Seq("map_lsn", "tran_end_time"), bucketWidth = 64L)
+      .select(col("event_id"), col("lsn_num"), col("map_lsn"),
+        date_format(col("tran_end_time"), "yyyy-MM-dd'T'HH:mm:ss.SSS").as("__map_time"),
+        col("operation"))
+  }
+
+  val c7Sql: String =
+    s"""WITH change_rows AS ($cr), lsn_time AS ($ltm),
+       |m AS (SELECT lsn_num AS map_lsn, tran_end_time
+       |      FROM lsn_time WHERE lsn_num % 3 = 0 AND lsn_num >= 30)
+       |SELECT c.event_id, c.lsn_num, m.map_lsn,
+       |       strftime(m.tran_end_time, '%Y-%m-%dT%H:%M:%S.%g') AS "__map_time",
+       |       c.operation
+       |FROM change_rows c ASOF LEFT JOIN m ON c.lsn_num >= m.map_lsn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_change_scan" -> (a1ChangeScan _),
+    "c7_asof_join" -> (c7AsofJoin _),
     "a2_snapshot_keyset" -> (a2SnapshotKeyset _),
     "a2_composite_keyset" -> (a2CompositeKeyset _),
     "a3_key_probe" -> (a3KeyProbe _),
@@ -324,6 +356,7 @@ object CdcQueries {
 
   val oracle: Map[String, String] = Map(
     "a1_change_scan" -> a1Sql,
+    "c7_asof_join" -> c7Sql,
     "a2_snapshot_keyset" -> a2Sql,
     "a2_composite_keyset" -> a2cSql,
     "a3_key_probe" -> a3Sql,
