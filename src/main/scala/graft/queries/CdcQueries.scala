@@ -336,9 +336,46 @@ object CdcQueries {
        |       c.operation
        |FROM change_rows c ASOF LEFT JOIN m ON c.lsn_num >= m.map_lsn""".stripMargin
 
+  // C8 ★ range (point-in-interval) join: audit which "LSN hot windows"
+  // (overlapping intervals derived from sparse orders keys) each change
+  // row falls into, aggregated per window. Overlapping intervals mean a
+  // point can hit several windows — the shape AsOfJoin cannot express.
+  // Runs through [[graft.operators.RangeJoin]]: interval bucketing makes
+  // the join EQUI (hash-partitioned) with containment as a residual
+  // filter; the naive inequality join would be a nested loop. The oracle
+  // is the naive inequality join — fine at oracle scale, and exactly the
+  // semantics the bucketed plan must reproduce.
+  def c8RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val points = SyntheticCdc.changeRows(spark, dir)
+      .select(col("event_id"))
+    val intervals = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("interval_id"),
+        (col("o_orderkey") * 4).as("lo"),
+        (col("o_orderkey") * 4 + 300).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(points, intervals,
+        pointKey = "event_id", lo = "lo", hi = "hi", bucketWidth = 256L)
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_points"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+  }
+
+  val c8Sql: String =
+    s"""WITH change_rows AS ($cr),
+       |iv AS (SELECT o_orderkey AS interval_id, o_orderkey * 4 AS lo,
+       |              o_orderkey * 4 + 300 AS hi
+       |       FROM orders WHERE o_orderkey % 97 = 0)
+       |SELECT iv.interval_id, count(*) AS n_points,
+       |       min(c.event_id) AS min_event, max(c.event_id) AS max_event
+       |FROM change_rows c JOIN iv
+       |  ON c.event_id >= iv.lo AND c.event_id < iv.hi
+       |GROUP BY iv.interval_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_change_scan" -> (a1ChangeScan _),
     "c7_asof_join" -> (c7AsofJoin _),
+    "c8_range_join" -> (c8RangeJoin _),
     "a2_snapshot_keyset" -> (a2SnapshotKeyset _),
     "a2_composite_keyset" -> (a2CompositeKeyset _),
     "a3_key_probe" -> (a3KeyProbe _),
@@ -357,6 +394,7 @@ object CdcQueries {
   val oracle: Map[String, String] = Map(
     "a1_change_scan" -> a1Sql,
     "c7_asof_join" -> c7Sql,
+    "c8_range_join" -> c8Sql,
     "a2_snapshot_keyset" -> a2Sql,
     "a2_composite_keyset" -> a2cSql,
     "a3_key_probe" -> a3Sql,
