@@ -329,7 +329,91 @@ object PipelineQueries {
       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM hashed GROUP BY shard""".stripMargin
 
+  // ── sk_kmv_distinct ★ — KMV (k-minimum-values / bottom-k) distinct-count
+  // sketch over the corpus vocabulary, per language. The sketch: hash every
+  // distinct value uniformly into [0,1), keep the K smallest hashes; with
+  // u_K the Kth smallest, distinct ≈ (K-1)/u_K (Bar-Yossef et al. 2002,
+  // the mergeable bottom-k used by production engines for set-size
+  // estimation). Unlike HLL implementations, this sketch is DETERMINISTIC
+  // given the hash — md5 here — so the estimate itself is oracle-checked
+  // bit-for-bit, alongside the exact count it approximates.
+  //
+  // Scale shape: the bottom-k is a semilattice (bottom-k of a union =
+  // bottom-k of bottom-ks), so the query computes it in TWO LEVELS — a
+  // bottom-K per (lang, hash-salt) group first (64-way parallel, bounds
+  // any one group at K), then the final bottom-K per lang over ≤ 64K
+  // survivors. Per-lang vocabulary skew therefore never concentrates in
+  // one sort: the heavy level is salt-partitioned. K=256 ⇒ ~6% std error.
+  private val kmvNorm = "1152921504606846976" // 2^60: 15 hex chars of md5
+
+  def skKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH words AS (
+         |  SELECT DISTINCT lang, word
+         |  FROM (SELECT lang, split(text, ' ') AS w FROM documents)
+         |  LATERAL VIEW explode(w) AS word),
+         |hashed AS (
+         |  SELECT lang,
+         |         cast(conv(substr(md5(word), 1, 15), 16, 10) as bigint) AS h
+         |  FROM words),
+         |level1 AS (
+         |  SELECT lang, h
+         |  FROM (SELECT lang, h,
+         |          row_number() OVER (PARTITION BY lang, pmod(h, 64)
+         |            ORDER BY h) AS r1
+         |        FROM hashed)
+         |  WHERE r1 <= 256),
+         |bottomk AS (
+         |  SELECT lang, h
+         |  FROM (SELECT lang, h,
+         |          row_number() OVER (PARTITION BY lang ORDER BY h) AS rnk
+         |        FROM level1)
+         |  WHERE rnk <= 256),
+         |kth AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS k_used, max(h) AS hk
+         |  FROM bottomk GROUP BY lang),
+         |exact AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS exact_distinct
+         |  FROM words GROUP BY lang)
+         |SELECT e.lang, e.exact_distinct, k.k_used,
+         |       CASE WHEN k.k_used < 256 THEN CAST(k.k_used AS DOUBLE)
+         |            ELSE CAST(k.k_used - 1 AS DOUBLE)
+         |                 / (CAST(k.hk AS DOUBLE) / CAST($kmvNorm AS DOUBLE))
+         |       END AS kmv_estimate
+         |FROM exact e JOIN kth k ON e.lang = k.lang""".stripMargin)
+  }
+
+  // The oracle skips the salt level — mathematically a no-op (bottom-k of
+  // bottom-ks), which is precisely the mergeability claim under test.
+  val skKmvDistinctSql: String =
+    s"""WITH words AS (
+       |  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT lang, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+       |  FROM words),
+       |bottomk AS (
+       |  SELECT lang, h
+       |  FROM (SELECT lang, h,
+       |          row_number() OVER (PARTITION BY lang ORDER BY h) AS rnk
+       |        FROM hashed)
+       |  WHERE rnk <= 256),
+       |kth AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS k_used, max(h) AS hk
+       |  FROM bottomk GROUP BY lang),
+       |exact AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS exact_distinct
+       |  FROM words GROUP BY lang)
+       |SELECT e.lang, e.exact_distinct, k.k_used,
+       |       CASE WHEN k.k_used < 256 THEN CAST(k.k_used AS DOUBLE)
+       |            ELSE CAST(k.k_used - 1 AS DOUBLE)
+       |                 / (CAST(k.hk AS DOUBLE) / CAST($kmvNorm AS DOUBLE))
+       |       END AS kmv_estimate
+       |FROM exact e JOIN kth k ON e.lang = k.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_kmv_distinct" -> (skKmvDistinct _),
     "pipe_decontaminate" -> (pipeDecontaminate _),
     "pipe_decontaminate_bloom" -> (pipeDecontaminateBloom _),
     "pipe_pack" -> (pipePack _),
@@ -338,6 +422,7 @@ object PipelineQueries {
     "pipe_shard" -> (pipeShard _))
 
   val oracle: Map[String, String] = Map(
+    "sk_kmv_distinct" -> skKmvDistinctSql,
     "pipe_decontaminate" -> pipeDecontaminateSql,
     // Bloom path exact-verifies its candidates → identical output, same oracle.
     "pipe_decontaminate_bloom" -> pipeDecontaminateSql,

@@ -116,6 +116,21 @@ class PipelineQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sk_kmv_distinct: estimate tracks the exact count; exact below K") {
+    val rows = run("sk_kmv_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, kUsed, est) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(kUsed <= 256)
+      if (kUsed < 256) assert(est == exact.toDouble, s"${r.getString(0)}: sub-K sketch must be exact")
+      else {
+        // K=256 ⇒ ~1/sqrt(254) ≈ 6% std error; 25% is a 4-sigma guard.
+        assert(math.abs(est - exact) / exact < 0.25,
+          s"${r.getString(0)}: estimate $est too far from exact $exact")
+      }
+    }
+  }
+
   test("pipe_shard: shards cover the corpus and are hash-balanced") {
     val rows = run("pipe_shard").collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet").count()
