@@ -454,5 +454,7 @@ object GraftFunctions {
       args => HyperplaneBucket(args(0)))
     Bridge.registerFunction(spark, "normalize_text",
       args => NormalizeText(args(0)))
+    Bridge.registerFunction(spark, "kmv_bottomk",
+      args => KmvBottomK(args(0), args(1).eval().asInstanceOf[Int]))
   }
 }

@@ -338,16 +338,18 @@ object PipelineQueries {
   // given the hash — md5 here — so the estimate itself is oracle-checked
   // bit-for-bit, alongside the exact count it approximates.
   //
-  // Scale shape: the bottom-k is a semilattice (bottom-k of a union =
-  // bottom-k of bottom-ks), so the query computes it in TWO LEVELS — a
-  // bottom-K per (lang, hash-salt) group first (64-way parallel, bounds
-  // any one group at K), then the final bottom-K per lang over ≤ 64K
-  // survivors. Per-lang vocabulary skew therefore never concentrates in
-  // one sort: the heavy level is salt-partitioned. K=256 ⇒ ~6% std error.
+  // Scale shape: bottom-k is a semilattice (bottom-k of a union = bottom-k
+  // of bottom-ks), so it runs as [[graft.expr.KmvBottomK]] — a custom
+  // Catalyst TypedImperativeAggregate with TRUE partial aggregation:
+  // executors fold their partitions into K-bounded buffers and the
+  // shuffle carries ≤ K longs per language, the same wire cost as an HLL
+  // but deterministic. Per-lang vocabulary skew never concentrates: the
+  // heavy fold happens map-side before the exchange. K=256 ⇒ ~6% std err.
   private val kmvNorm = "1152921504606846976" // 2^60: 15 hex chars of md5
 
   def skKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
     spark.sql(
       s"""WITH words AS (
          |  SELECT DISTINCT lang, word
@@ -357,22 +359,12 @@ object PipelineQueries {
          |  SELECT lang,
          |         cast(conv(substr(md5(word), 1, 15), 16, 10) as bigint) AS h
          |  FROM words),
-         |level1 AS (
-         |  SELECT lang, h
-         |  FROM (SELECT lang, h,
-         |          row_number() OVER (PARTITION BY lang, pmod(h, 64)
-         |            ORDER BY h) AS r1
-         |        FROM hashed)
-         |  WHERE r1 <= 256),
-         |bottomk AS (
-         |  SELECT lang, h
-         |  FROM (SELECT lang, h,
-         |          row_number() OVER (PARTITION BY lang ORDER BY h) AS rnk
-         |        FROM level1)
-         |  WHERE rnk <= 256),
+         |sk AS (
+         |  SELECT lang, kmv_bottomk(h, 256) AS bk FROM hashed GROUP BY lang),
          |kth AS (
-         |  SELECT lang, CAST(count(*) AS BIGINT) AS k_used, max(h) AS hk
-         |  FROM bottomk GROUP BY lang),
+         |  SELECT lang, CAST(size(bk) AS BIGINT) AS k_used,
+         |         element_at(bk, -1) AS hk
+         |  FROM sk),
          |exact AS (
          |  SELECT lang, CAST(count(*) AS BIGINT) AS exact_distinct
          |  FROM words GROUP BY lang)
@@ -384,8 +376,10 @@ object PipelineQueries {
          |FROM exact e JOIN kth k ON e.lang = k.lang""".stripMargin)
   }
 
-  // The oracle skips the salt level — mathematically a no-op (bottom-k of
-  // bottom-ks), which is precisely the mergeability claim under test.
+  // The oracle spells the sketch as a ranked window (DuckDB has no custom
+  // aggregates) — bottom-k of the whole relation. That this matches the
+  // partial-merged KmvBottomK output bit-for-bit IS the mergeability
+  // claim under test.
   val skKmvDistinctSql: String =
     s"""WITH words AS (
        |  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS word
