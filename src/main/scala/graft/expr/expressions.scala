@@ -455,6 +455,16 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "normalize_text",
       args => NormalizeText(args(0)))
     Bridge.registerFunction(spark, "kmv_bottomk",
-      args => KmvBottomK(args(0), args(1).eval().asInstanceOf[Int]))
+      args => {
+        require(args.length == 2 && args(1).foldable,
+          "kmv_bottomk(hash, k): k must be a literal")
+        val k = args(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"kmv_bottomk: k must be an integer literal, got $other")
+        }
+        KmvBottomK(args(0), k)
+      })
   }
 }

@@ -41,7 +41,11 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
       payload: Seq[String], bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val spark = left.sparkSession
+    val reserved = Set("__b", "__k", "__tag", "__p", "__l", "__m", "__carry", "__r")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"AsOfJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"rename input column(s) ${clash.mkString(", ")}")
 
     val lb = left.withColumn("__b", floor(col(leftKey) / lit(bucketWidth)).cast("long"))
     val rb = right.withColumn("__b", floor(col(rightKey) / lit(bucketWidth)).cast("long"))

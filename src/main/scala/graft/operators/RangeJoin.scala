@@ -29,6 +29,8 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointKey: String, lo: String, hi: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val clash = (points.columns ++ intervals.columns).filter(_ == "__b")
+    require(clash.isEmpty, "RangeJoin reserves column name __b; rename it in the inputs")
     val ib = intervals
       .filter(col(hi) > col(lo))
       .withColumn("__b", explode(sequence(

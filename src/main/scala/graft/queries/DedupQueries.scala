@@ -30,8 +30,11 @@ object DedupQueries {
   private val corpusDuckSql = corpusSparkSql
 
   /** Engine-shared 60-bit hash of a string expression. */
-  private def hSpark(e: String) = s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
-  private def hDuck(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  // Shared across query files: THE engine-parity hash (md5 → positive
+  // 60-bit BIGINT). Any change must touch exactly these two builders —
+  // round-1's salt-sign bug lived in a drifted inline copy.
+  private[queries] def hSpark(e: String) = s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
+  private[queries] def hDuck(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
   // The doc table arrives as a single parquet file at test scale; without
   // an explicit repartition the per-shingle hashing stages would run on

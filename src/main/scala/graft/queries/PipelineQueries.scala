@@ -47,7 +47,7 @@ object PipelineQueries {
         |    i -> concat_ws(' ', slice(w, i, 5)))) AS sh
         |  WHERE doc_id % 11 = 0),
         |train_sh AS (
-        |  SELECT DISTINCT doc_id, source, sh
+        |  SELECT doc_id, sh
         |  FROM eligible
         |  LATERAL VIEW explode(transform(sequence(1, size(w) - 4),
         |    i -> concat_ws(' ', slice(w, i, 5)))) AS sh
@@ -72,7 +72,7 @@ object PipelineQueries {
       |    i -> array_to_string(w[i:i+4], ' '))) AS sh
       |  FROM eligible WHERE doc_id % 11 = 0),
       |train_sh AS (
-      |  SELECT DISTINCT doc_id, source, unnest(list_transform(range(1, len(w) - 3),
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
       |    i -> array_to_string(w[i:i+4], ' '))) AS sh
       |  FROM eligible WHERE doc_id % 11 <> 0),
       |hits AS (
@@ -102,7 +102,11 @@ object PipelineQueries {
     val eligible = ws.where(size(col("w")) >= 5)
     val shingled = eligible.select(col("doc_id"), col("source"),
       explode(expr("transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")).as("sh"))
-    val evalSh = shingled.where(col("doc_id") % 11 === 0).select(col("sh")).distinct()
+    // Materialize the (small) eval shingle set ONCE: count(), the bloom
+    // build, and the exact-verify join below would otherwise each re-run
+    // the corpus scan + shingle explode (three jobs, three scans).
+    val evalSh = shingled.where(col("doc_id") % 11 === 0).select(col("sh"))
+      .distinct().localCheckpoint()
 
     val nEval = evalSh.count()
     val bloom = evalSh.stat.bloomFilter("sh", math.max(nEval, 1L), 0.01)
@@ -181,7 +185,7 @@ object PipelineQueries {
   def pipeMix(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     spark.sql(
-      """WITH stats AS (
+      s"""WITH stats AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
         |         CAST(cast(substr(source, 4) as int) % 4 + 1 AS DOUBLE) AS w
         |  FROM documents GROUP BY source),
@@ -195,8 +199,8 @@ object PipelineQueries {
         |gated AS (
         |  SELECT d.source,
         |         cast(ceil(length(d.text) / 4.0) as bigint) AS est_tokens,
-        |         CAST(cast(conv(substr(md5(cast(d.doc_id as string)), 1, 15), 16, 10)
-        |              as bigint) % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE) AS u
+        |         CAST(${DedupQueries.hSpark("cast(d.doc_id as string)")}
+        |              % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE) AS u
         |  FROM documents d)
         |SELECT r.source, r.docs, r.target_share, r.rate,
         |       CAST(sum(CASE WHEN g.u < r.rate THEN 1 ELSE 0 END) AS BIGINT)
@@ -208,7 +212,7 @@ object PipelineQueries {
   }
 
   val pipeMixSql: String =
-    """WITH stats AS (
+    s"""WITH stats AS (
       |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
       |         CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS DOUBLE) AS w
       |  FROM documents GROUP BY source),
@@ -222,7 +226,7 @@ object PipelineQueries {
       |gated AS (
       |  SELECT d.source,
       |         CAST(ceil(length(d.text) / 4.0) AS BIGINT) AS est_tokens,
-      |         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |         CAST(${DedupQueries.hDuck("CAST(d.doc_id AS VARCHAR)")}
       |              % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE) AS u
       |  FROM documents d)
       |SELECT r.source, r.docs, r.target_share, r.rate,
@@ -301,11 +305,10 @@ object PipelineQueries {
   def pipeShard(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     spark.sql(
-      """WITH hashed AS (
+      s"""WITH hashed AS (
         |  SELECT doc_id, source,
         |         cast(ceil(length(text) / 4.0) as bigint) AS est_tokens,
-        |         cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)
-        |           as bigint) % 16 AS shard
+        |         ${DedupQueries.hSpark("cast(doc_id as string)")} % 16 AS shard
         |  FROM documents)
         |SELECT CAST(shard AS INT) AS shard,
         |       count(*) AS docs,
@@ -316,11 +319,10 @@ object PipelineQueries {
   }
 
   val pipeShardSql: String =
-    """WITH hashed AS (
+    s"""WITH hashed AS (
       |  SELECT doc_id, source,
       |         CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
-      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-      |           % 16 AS shard
+      |         ${DedupQueries.hDuck("CAST(doc_id AS VARCHAR)")} % 16 AS shard
       |  FROM documents)
       |SELECT CAST(shard AS INT) AS shard,
       |       count(*) AS docs,
@@ -356,8 +358,7 @@ object PipelineQueries {
          |  FROM (SELECT lang, split(text, ' ') AS w FROM documents)
          |  LATERAL VIEW explode(w) AS word),
          |hashed AS (
-         |  SELECT lang,
-         |         cast(conv(substr(md5(word), 1, 15), 16, 10) as bigint) AS h
+         |  SELECT lang, ${DedupQueries.hSpark("word")} AS h
          |  FROM words),
          |sk AS (
          |  SELECT lang, kmv_bottomk(h, 256) AS bk FROM hashed GROUP BY lang),
@@ -385,7 +386,7 @@ object PipelineQueries {
        |  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS word
        |  FROM documents),
        |hashed AS (
-       |  SELECT lang, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+       |  SELECT lang, ${DedupQueries.hDuck("word")} AS h
        |  FROM words),
        |bottomk AS (
        |  SELECT lang, h

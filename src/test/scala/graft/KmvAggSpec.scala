@@ -84,10 +84,11 @@ class KmvAggSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("sk_kmv_distinct plan: partial KmvBottomK before the exchange") {
     val p = SparkEntry.queries("sk_kmv_distinct")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
-    // ObjectHashAggregate with partial_kmv_bottomk proves map-side folding;
-    // the shuffle then carries K-bounded buffers, not raw hashes.
-    assert(p.contains("partial_kmv_bottomk") || p.contains("partial kmv_bottomk")
-      || p.toLowerCase.contains("kmv_bottomk"))
+    // partial_kmv_bottomk proves map-side folding: the shuffle carries
+    // K-bounded serialized buffers, not raw hashes. Must NOT weaken this
+    // to a bare "kmv_bottomk" — that also matches the final aggregate and
+    // would pass even with partial aggregation disabled.
+    assert(p.contains("partial_kmv_bottomk"), s"no partial aggregate in:\n$p")
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
   }
 }

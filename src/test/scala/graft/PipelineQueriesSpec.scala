@@ -60,10 +60,13 @@ class PipelineQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = run("pipe_pack").collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     assert(rows.map(_.getLong(2)).sum == docs.count())
-    // Within a source, chunk ids ascend with first_doc and don't skip.
+    // Within a source, chunk ids start at 0 and strictly ascend with
+    // first_doc. (Ids MAY legitimately skip when a single document is
+    // larger than the 512-token budget — don't assert contiguity.)
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
       val byChunk = rs.sortBy(_.getInt(1))
-      assert(byChunk.map(_.getInt(1)).toSeq == (0 until byChunk.length))
+      assert(byChunk.head.getInt(1) == 0)
+      assert(byChunk.map(_.getInt(1)).toSeq == byChunk.map(_.getInt(1)).distinct.sorted.toSeq)
       val firsts = byChunk.map(_.getLong(4))
       assert(firsts.toSeq == firsts.sortBy(identity).toSeq)
     }

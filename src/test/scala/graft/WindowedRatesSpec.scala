@@ -32,11 +32,10 @@ class WindowedRatesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def ts(sec: Int) = new Timestamp(sec * 1000L)
 
-  private def writeFeed(sub: String, rows: Seq[(Timestamp, Int)]): Unit = {
+  private def writeFeed(rows: Seq[(Timestamp, Int)]): Unit = {
     val ss = spark; import ss.implicits._
     rows.toDF("ts", "operation").coalesce(1)
       .write.mode("append").parquet(s"$work/feed")
-    val _ = sub // files land flat; sub kept for readability at call sites
   }
 
   test("windows close on watermark; late rows are dropped, not republished") {
@@ -44,7 +43,7 @@ class WindowedRatesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // Batch 1: five rows in window [0,10) + one row at t=40 that will push
     // the watermark to 40-10=30s on the NEXT batch boundary, closing [0,10).
-    writeFeed("f1", Seq(ts(1) -> 1, ts(2) -> 1, ts(9) -> 1, ts(3) -> 2,
+    writeFeed(Seq(ts(1) -> 1, ts(2) -> 1, ts(9) -> 1, ts(3) -> 2,
       ts(4) -> 2, ts(40) -> 1))
     WindowedRates.run(spark, s"$work/feed", sink, ckpt)
 
@@ -56,7 +55,7 @@ class WindowedRatesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // Batch 2: a LATE row for the already-closed [0,10) window (t=5 is
     // behind the 30s watermark) plus a row at t=80 closing [40,50).
-    writeFeed("f2", Seq(ts(5) -> 1, ts(80) -> 2))
+    writeFeed(Seq(ts(5) -> 1, ts(80) -> 2))
     WindowedRates.run(spark, s"$work/feed", sink, ckpt)
 
     val after2 = spark.read.parquet(sink)
