@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => HyperplaneBucket(args(0))))
     ext.injectFunction(entry("normalize_text",
       args => NormalizeText(args(0))))
+    // Optimizer rung of the ladder: naive `k >= lo AND k < hi` theta joins
+    // (BroadcastNestedLoop, O(n·m)) rewrite to the bucketed equi-join —
+    // see graft.plans.RangeJoinRewrite.
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
