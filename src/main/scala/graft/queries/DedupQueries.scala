@@ -21,13 +21,13 @@ object DedupQueries {
 
   /** Deterministic duplicate-bearing corpus: every 5th document is
     * re-inserted under doc_id+100000 (simulates a re-crawled page). */
-  private val corpusSparkSql =
+  private[queries] val corpusSparkSql =
     """SELECT doc_id, text, lang, source, n_chars FROM documents
       |UNION ALL
       |SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
       |FROM documents WHERE doc_id % 5 = 0""".stripMargin
 
-  private val corpusDuckSql = corpusSparkSql
+  private[queries] val corpusDuckSql = corpusSparkSql
 
   /** Engine-shared 60-bit hash of a string expression. */
   // Shared across query files: THE engine-parity hash (md5 → positive

@@ -407,8 +407,115 @@ object PipelineQueries {
        |       END AS kmv_estimate
        |FROM exact e JOIN kth k ON e.lang = k.lang""".stripMargin
 
+  // ── pipe_canonicalize ★ — keeper selection for near-dup clusters: after
+  // MinHash/LSH clustering (`dd_cluster`), each cluster keeps its
+  // best-quality member (ties → lowest doc_id, so originals beat
+  // re-crawls of identical text). This is the step real pipelines run
+  // between "find the duplicate sets" and "write the corpus": dedup that
+  // keeps the BEST copy, not an arbitrary one. Composition proof: the
+  // cluster operator, the shared quality formula, and a per-cluster
+  // argmax window all snap together — one extra window partitioned by
+  // cluster id (parallel; clusters are tiny) on top of dd_cluster's cost.
+  def pipeCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    DedupQueries.ddCluster(spark, dir).createOrReplaceTempView("nd_clusters")
+    spark.sql(
+      s"""WITH corpus AS (${DedupQueries.corpusSparkSql}),
+         |q AS (SELECT doc_id, ${TextQueries.qualitySpark("text")} AS quality
+         |      FROM corpus),
+         |ranked AS (
+         |  SELECT c.cluster_id, c.doc_id, c.cluster_size, q.quality,
+         |         row_number() OVER (PARTITION BY c.cluster_id
+         |           ORDER BY q.quality DESC, c.doc_id) AS rnk
+         |  FROM nd_clusters c JOIN q ON c.doc_id = q.doc_id)
+         |SELECT cluster_id, doc_id AS keeper_doc,
+         |       CAST(cluster_size AS BIGINT) AS cluster_size,
+         |       quality AS keeper_quality,
+         |       CAST(cluster_size - 1 AS BIGINT) AS dropped_docs
+         |FROM ranked WHERE rnk = 1""".stripMargin)
+  }
+
+  // Oracle embeds dd_cluster's recursive-CTE oracle as a subquery (DuckDB
+  // allows WITH RECURSIVE inside a parenthesized derived table).
+  val pipeCanonicalizeSql: String =
+    s"""WITH clusters AS (SELECT * FROM (${DedupQueries.ddClusterSql})),
+       |corpus AS (${DedupQueries.corpusDuckSql}),
+       |q AS (SELECT doc_id, ${TextQueries.qualityDuck("text")} AS quality
+       |      FROM corpus),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.doc_id, c.cluster_size, q.quality,
+       |         row_number() OVER (PARTITION BY c.cluster_id
+       |           ORDER BY q.quality DESC, c.doc_id) AS rnk
+       |  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+       |SELECT cluster_id, doc_id AS keeper_doc,
+       |       CAST(cluster_size AS BIGINT) AS cluster_size,
+       |       quality AS keeper_quality,
+       |       CAST(cluster_size - 1 AS BIGINT) AS dropped_docs
+       |FROM ranked WHERE rnk = 1""".stripMargin
+
+  // ── text_gopher_filters ★ — the published-rule-set document filter
+  // (Gopher/MassiveText-style): word-count bounds, mean-word-length
+  // bounds, minimum stopword fraction, symbol-character ceiling — each
+  // signal surfaced plus the combined verdict. All integer folds + one
+  // IEEE division per ratio (no transcendentals) ⇒ engine-exact. Narrow
+  // single-pass transform — scan speed at any scale.
+  def textGopherFilters(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH feats AS (
+        |  SELECT doc_id,
+        |         size(split(text, ' ')) AS n_words,
+        |         aggregate(transform(split(text, ' '), w -> length(w)),
+        |           0, (a, b) -> a + b) AS word_chars,
+        |         size(filter(split(text, ' '), w -> array_contains(
+        |           array('the','and','of','to','in','is','was','for'), w)))
+        |           AS stop_hits,
+        |         length(text) -
+        |           length(regexp_replace(text, '[^A-Za-z0-9 ]', '')) AS n_symbols,
+        |         length(text) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |       CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
+        |       CAST(stop_hits AS DOUBLE) / n_words AS stop_frac,
+        |       CAST(n_symbols AS DOUBLE) / n_chars AS symbol_frac,
+        |       CAST(CASE WHEN n_words >= 20 AND n_words <= 1000
+        |                  AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+        |                  AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
+        |                  AND CAST(stop_hits AS DOUBLE) / n_words >= 0.01
+        |                  AND CAST(n_symbols AS DOUBLE) / n_chars <= 0.1
+        |             THEN 1 ELSE 0 END AS INT) AS passes
+        |FROM feats""".stripMargin)
+  }
+
+  val textGopherFiltersSql: String =
+    """WITH feats AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      |         list_reduce([0] || list_transform(string_split(text, ' '),
+      |           w -> CAST(length(w) AS INT)), (a, b) -> a + b) AS word_chars,
+      |         CAST(len(list_filter(string_split(text, ' '), w -> list_contains(
+      |           ['the','and','of','to','in','is','was','for'], w))) AS INT)
+      |           AS stop_hits,
+      |         length(text) -
+      |           length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_symbols,
+      |         length(text) AS n_chars
+      |  FROM documents)
+      |SELECT doc_id, n_words,
+      |       CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
+      |       CAST(stop_hits AS DOUBLE) / n_words AS stop_frac,
+      |       CAST(n_symbols AS DOUBLE) / n_chars AS symbol_frac,
+      |       CAST(CASE WHEN n_words >= 20 AND n_words <= 1000
+      |                  AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+      |                  AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
+      |                  AND CAST(stop_hits AS DOUBLE) / n_words >= 0.01
+      |                  AND CAST(n_symbols AS DOUBLE) / n_chars <= 0.1
+      |             THEN 1 ELSE 0 END AS INT) AS passes
+      |FROM feats""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_kmv_distinct" -> (skKmvDistinct _),
+    "pipe_canonicalize" -> (pipeCanonicalize _),
+    "text_gopher_filters" -> (textGopherFilters _),
     "pipe_decontaminate" -> (pipeDecontaminate _),
     "pipe_decontaminate_bloom" -> (pipeDecontaminateBloom _),
     "pipe_pack" -> (pipePack _),
@@ -418,6 +525,8 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "sk_kmv_distinct" -> skKmvDistinctSql,
+    "pipe_canonicalize" -> pipeCanonicalizeSql,
+    "text_gopher_filters" -> textGopherFiltersSql,
     "pipe_decontaminate" -> pipeDecontaminateSql,
     // Bloom path exact-verifies its candidates → identical output, same oracle.
     "pipe_decontaminate_bloom" -> pipeDecontaminateSql,

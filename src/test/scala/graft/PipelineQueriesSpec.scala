@@ -134,6 +134,35 @@ class PipelineQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pipe_canonicalize: one keeper per cluster, max-quality, originals beat re-crawls") {
+    val keepers = run("pipe_canonicalize").collect()
+    val clusters = graft.queries.DedupQueries.ddCluster(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+    assert(keepers.length == clusters.size)
+    keepers.foreach { k =>
+      val (cid, keeper, size, dropped) =
+        (k.getLong(0), k.getLong(1), k.getLong(2), k.getLong(4))
+      assert(clusters(cid).map(_._1).contains(keeper))
+      assert(dropped == size - 1)
+      // Exact-duplicate clusters (re-crawl fixture) keep the ORIGINAL id.
+      val members = clusters(cid).map(_._1)
+      if (members.exists(_ >= 100000) && members.exists(m => members.contains(m + 100000)))
+        assert(keeper < 100000)
+    }
+  }
+
+  test("text_gopher_filters: verdict is non-vacuous and ratios are sane") {
+    val rows = run("text_gopher_filters").collect()
+    assert(rows.length == 500)
+    val passes = rows.map(_.getInt(5))
+    assert(passes.contains(1) && passes.contains(0), "filter must discriminate")
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0) // stop_frac
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0) // symbol_frac
+      assert(r.getDouble(2) > 0.0) // mean_word_len
+    }
+  }
+
   test("pipe_shard: shards cover the corpus and are hash-balanced") {
     val rows = run("pipe_shard").collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet").count()
