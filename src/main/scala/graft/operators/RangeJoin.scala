@@ -41,4 +41,31 @@ object RangeJoin {
       .filter(col(pointKey) >= col(lo) && col(pointKey) < col(hi))
       .drop("__b")
   }
+
+  /** INTERVAL-OVERLAP join: every left `[llo, lhi)` pairs with every right
+    * `[rlo, rhi)` it overlaps (`llo < rhi && rlo < lhi`) — the temporal
+    * validity-window join. Both sides replicate to the buckets they span,
+    * which makes a pair meet in EVERY bucket their overlap touches; the
+    * classic dedup trick assigns each pair to the single bucket containing
+    * its overlap START (`greatest(llo, rlo)` — a point both intervals
+    * cover), so no distinct pass is needed afterward. Same cost model as
+    * [[pointInInterval]]: one equi-join, replication = width/bucketWidth
+    * per side. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      llo: String, lhi: String, rlo: String, rhi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!(left.columns ++ right.columns).contains("__b"),
+      "RangeJoin reserves column name __b; rename it in the inputs")
+    def spanBuckets(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(hi) > col(lo))
+      .withColumn("__b", explode(sequence(
+        floor(col(lo) / lit(bucketWidth)).cast("long"),
+        floor((col(hi) - lit(1)) / lit(bucketWidth)).cast("long"))))
+    spanBuckets(left, llo, lhi)
+      .join(spanBuckets(right, rlo, rhi), Seq("__b"))
+      .filter(col(llo) < col(rhi) && col(rlo) < col(lhi) &&
+        col("__b") === floor(greatest(col(llo), col(rlo)) / lit(bucketWidth)).cast("long"))
+      .drop("__b")
+  }
 }

@@ -372,10 +372,54 @@ object CdcQueries {
        |  ON c.event_id >= iv.lo AND c.event_id < iv.hi
        |GROUP BY iv.interval_id""".stripMargin
 
+  // C9 ★ interval-overlap join: "LSN hot windows" (orders-derived, as C8)
+  // against lineitem-derived "maintenance windows" — which audit windows
+  // collide with which maintenance spans, counted per audit window. The
+  // validity-overlap join every temporal system needs; Spark's naive plan
+  // is a nested loop. [[graft.operators.RangeJoin.intervalOverlap]]
+  // buckets BOTH interval sets and dedups by the overlap-start bucket.
+  def c9IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val audits = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("audit_id"),
+        (col("o_orderkey") * 4).as("a_lo"),
+        (col("o_orderkey") * 4 + 300).as("a_hi"))
+    val maint = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey")).distinct()
+      .filter(col("l_orderkey") % 89 === 0)
+      .select(col("l_orderkey").as("maint_id"),
+        (col("l_orderkey") * 3).as("m_lo"),
+        (col("l_orderkey") * 3 + 500).as("m_hi"))
+    graft.operators.RangeJoin.intervalOverlap(audits, maint,
+        llo = "a_lo", lhi = "a_hi", rlo = "m_lo", rhi = "m_hi",
+        bucketWidth = 512L)
+      .groupBy(col("audit_id"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        min(col("maint_id")).as("first_maint"),
+        max(col("maint_id")).as("last_maint"))
+  }
+
+  val c9Sql: String =
+    """WITH audits AS (
+      |  SELECT o_orderkey AS audit_id, o_orderkey * 4 AS a_lo,
+      |         o_orderkey * 4 + 300 AS a_hi
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |maint AS (
+      |  SELECT l_orderkey AS maint_id, l_orderkey * 3 AS m_lo,
+      |         l_orderkey * 3 + 500 AS m_hi
+      |  FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+      |  WHERE l_orderkey % 89 = 0)
+      |SELECT a.audit_id, count(*) AS n_overlaps,
+      |       min(m.maint_id) AS first_maint, max(m.maint_id) AS last_maint
+      |FROM audits a JOIN maint m
+      |  ON a.a_lo < m.m_hi AND m.m_lo < a.a_hi
+      |GROUP BY a.audit_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_change_scan" -> (a1ChangeScan _),
     "c7_asof_join" -> (c7AsofJoin _),
     "c8_range_join" -> (c8RangeJoin _),
+    "c9_interval_overlap" -> (c9IntervalOverlap _),
     "a2_snapshot_keyset" -> (a2SnapshotKeyset _),
     "a2_composite_keyset" -> (a2CompositeKeyset _),
     "a3_key_probe" -> (a3KeyProbe _),
@@ -395,6 +439,7 @@ object CdcQueries {
     "a1_change_scan" -> a1Sql,
     "c7_asof_join" -> c7Sql,
     "c8_range_join" -> c8Sql,
+    "c9_interval_overlap" -> c9Sql,
     "a2_snapshot_keyset" -> a2Sql,
     "a2_composite_keyset" -> a2cSql,
     "a3_key_probe" -> a3Sql,

@@ -59,6 +59,31 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("intervalOverlap matches the brute-force model with exactly-once pairs") {
+    val rnd = new scala.util.Random(19)
+    val widths = Seq(1L, 32L, 512L, 4000L)
+    for (trial <- 0 until 8) {
+      val ss = spark; import ss.implicits._
+      val lefts = List.tabulate(1 + rnd.nextInt(30)) { i =>
+        val lo = rnd.nextLong(800); (i.toLong, lo, lo + rnd.nextLong(300))
+      }
+      val rights = List.tabulate(1 + rnd.nextInt(30)) { i =>
+        val lo = rnd.nextLong(800); (i.toLong, lo, lo + rnd.nextLong(300))
+      }
+      val width = widths(trial % widths.length)
+      val got = RangeJoin.intervalOverlap(
+          lefts.toDF("lid", "llo", "lhi"), rights.toDF("rid", "rlo", "rhi"),
+          "llo", "lhi", "rlo", "rhi", width)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val want = (for {
+        (lid, llo, lhi) <- lefts if lhi > llo
+        (rid, rlo, rhi) <- rights if rhi > rlo && llo < rhi && rlo < lhi
+      } yield (lid, rid)).sorted
+      assert(got == want, s"width $width")
+      assert(got.distinct == got, s"duplicate pairs at width $width")
+    }
+  }
+
   test("c8_range_join: equi-join on buckets, no nested loop") {
     val p = SparkEntry.queries("c8_range_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
