@@ -237,6 +237,61 @@ object TextQueries {
       |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ── text_length_quantiles ★ — EXACT p25/p50/p75 of document length,
+  // computed the way a 100 TB job must: no global sort. Phase 1 is a
+  // bucket histogram (one map-side-combined agg) with a prefix sum over
+  // the BUCKET table (tiny — keyspan/64 rows, the GlobalOrder trick);
+  // phase 2 ranks only inside each quantile's target bucket. The quantile
+  // is discrete (element at global index floor((n-1)·q) under
+  // (n_chars, doc_id) order), so the answer is a real corpus value and
+  // the whole computation is engine-exact — unlike interpolated
+  // percentile built-ins, whose float blends differ across engines. The
+  // oracle ranks the full relation directly; matching it bit-for-bit
+  // proves the two-phase selection exact.
+  def textLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH t AS (SELECT doc_id, n_chars FROM documents),
+        |n AS (SELECT count(*) AS n FROM t),
+        |targets AS (
+        |  SELECT q, CAST(floor((n.n - 1) * q) AS BIGINT) AS idx
+        |  FROM (SELECT explode(array(CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                             CAST(0.75 AS DOUBLE))) AS q) CROSS JOIN n),
+        |buckets AS (
+        |  SELECT CAST(n_chars div 64 AS BIGINT) AS b, count(*) AS c
+        |  FROM t GROUP BY 1),
+        |cum AS (
+        |  SELECT b, c, sum(c) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+        |  FROM buckets),
+        |located AS (
+        |  SELECT g.q, g.idx, min(cum.b) AS target_b
+        |  FROM targets g JOIN cum ON cum.cum_end > g.idx
+        |  GROUP BY g.q, g.idx),
+        |ranked AS (
+        |  SELECT l.q, l.idx, t.n_chars, c2.cum_end - c2.c AS cum_before,
+        |         row_number() OVER (PARTITION BY l.q
+        |           ORDER BY t.n_chars, t.doc_id) AS r
+        |  FROM located l
+        |  JOIN t ON CAST(t.n_chars div 64 AS BIGINT) = l.target_b
+        |  JOIN cum c2 ON c2.b = l.target_b)
+        |SELECT q, n_chars AS value
+        |FROM ranked WHERE cum_before + r - 1 = idx""".stripMargin)
+  }
+
+  val textLengthQuantilesSql: String =
+    """WITH t AS (SELECT doc_id, n_chars FROM documents),
+      |n AS (SELECT count(*) AS n FROM t),
+      |targets AS (
+      |  SELECT q::DOUBLE AS q, CAST(floor((n.n - 1) * q::DOUBLE) AS BIGINT) AS idx
+      |  FROM (VALUES (0.25), (0.5), (0.75)) qs(q) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT n_chars,
+      |         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS gidx
+      |  FROM t)
+      |SELECT g.q, r.n_chars AS value
+      |FROM targets g JOIN ranked r ON r.gidx = g.idx""".stripMargin
+
   // ── text_scrub ★ — redaction pass: mask digit runs (the stand-in for
   // PII patterns like phone numbers), report how much was redacted. A
   // narrow regexp transform — scan-speed at any scale.
@@ -357,6 +412,7 @@ object TextQueries {
     "text_scrub" -> (textScrub _),
     "sample_stratified" -> (sampleStratified _),
     "text_length_histogram" -> (textLengthHistogram _),
+    "text_length_quantiles" -> (textLengthQuantiles _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_repetition" -> (textRepetition _),
@@ -369,6 +425,7 @@ object TextQueries {
     "text_scrub" -> textScrubSql,
     "sample_stratified" -> sampleStratifiedSql,
     "text_length_histogram" -> textLengthHistogramSql,
+    "text_length_quantiles" -> textLengthQuantilesSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,

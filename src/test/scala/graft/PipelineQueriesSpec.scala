@@ -163,6 +163,18 @@ class PipelineQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("text_length_quantiles: two-phase selection equals direct global ranking") {
+    val got = run("text_length_quantiles").collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(0.25, 0.5, 0.75))
+    val sorted = spark.read.parquet(s"$dir/documents.parquet")
+      .select("n_chars").collect().map(_.getLong(0)).sorted
+    got.foreach { case (q, v) =>
+      assert(v == sorted(math.floor((sorted.length - 1) * q).toInt), s"q=$q")
+    }
+    assert(got(0.25) <= got(0.5) && got(0.5) <= got(0.75))
+  }
+
   test("pipe_shard: shards cover the corpus and are hash-balanced") {
     val rows = run("pipe_shard").collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet").count()
