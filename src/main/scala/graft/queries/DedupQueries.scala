@@ -354,7 +354,20 @@ object DedupQueries {
   // large-scale connected-components shape; [[ddClusterStar]] below is
   // the large-star/small-star variant for high-diameter graphs. Oracle:
   // DuckDB recursive CTE computing the reachable-set minimum.
-  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+  // Same cross-query reuse as lshMemo, one stage later: the cluster
+  // assignment is consumed by both dd_cluster's own output and
+  // pipe_canonicalize's keeper selection — without the memo the whole
+  // propagation loop re-runs per consumer (round-1 verdict #6's pattern).
+  // The label table is cluster-member-sized (tiny next to the corpus), so
+  // the checkpoint is cheap to hold.
+  private val clusterMemo =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
+  def ddCluster(spark: SparkSession, dir: String): DataFrame =
+    clusterMemo.getOrElseUpdate((System.identityHashCode(spark), dir),
+      computeDdCluster(spark, dir).localCheckpoint())
+
+  private def computeDdCluster(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     // ddMinhashLsh returns the memoized CHECKPOINTED pair list, so the
     // symmetrization union's double reference and every propagation round
