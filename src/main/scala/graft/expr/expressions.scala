@@ -460,9 +460,9 @@ object GraftFunctions {
           "kmv_bottomk(hash, k): k must be a literal")
         val k = args(1).eval() match {
           case i: Int => i
-          case l: Long => l.toInt
+          case l: Long if l == l.toInt => l.toInt
           case other => throw new IllegalArgumentException(
-            s"kmv_bottomk: k must be an integer literal, got $other")
+            s"kmv_bottomk: k must be an Int-range integer literal, got $other")
         }
         KmvBottomK(args(0), k)
       })

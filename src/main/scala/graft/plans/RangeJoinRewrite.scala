@@ -32,18 +32,30 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   /** Key-axis slice per bucket — see RangeJoin's trade-off note
-    * (replication factor = interval width / bucket width). */
-  val BucketWidth = 256L
+    * (replication factor = interval width / bucket width). Configurable
+    * because the right width depends on the key domain: 256 suits
+    * row-id-like keys; millisecond-epoch keys with day-wide intervals
+    * want ~an hour. Set `spark.graft.rangejoin.bucketWidth` accordingly,
+    * or `spark.graft.rangejoin.enabled=false` to leave theta joins to
+    * Spark's own planner. */
+  val DefaultBucketWidth = 256L
+  val WidthKey = "spark.graft.rangejoin.bucketWidth"
+  val EnabledKey = "spark.graft.rangejoin.enabled"
+
+  private def bucketWidth: Long =
+    conf.getConfString(WidthKey, DefaultBucketWidth.toString).toLong
+  private def enabled: Boolean =
+    conf.getConfString(EnabledKey, "true").toBoolean
 
   private def integral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType
 
   /** floor(e / width) as LONG — identical arithmetic to RangeJoin's
     * DataFrame spelling, so the two paths bucket identically. */
-  private def bucketOf(e: Expression): Expression =
-    Cast(Floor(Divide(Cast(e, DoubleType), Literal(BucketWidth.toDouble))), LongType)
+  private def bucketOf(e: Expression, width: Long): Expression =
+    Cast(Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble))), LongType)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else plan.transform {
     case j @ Join(left, right, Inner, Some(
         And(GreaterThanOrEqual(k1, lo), LessThan(k2, hi))), hint)
         if k1.semanticEquals(k2) && integral(k1) && integral(lo) && integral(hi)
@@ -63,22 +75,27 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private def rewrite(j: Join, points: LogicalPlan, intervals: LogicalPlan,
       k: Expression, lo: Expression, hi: Expression, residual: Expression,
       pointsAreLeft: Boolean, hint: JoinHint): LogicalPlan = {
+    val width = bucketWidth
     // Points: one bucket per row.
-    val pAlias = Alias(bucketOf(k), "__graft_pb")()
+    val pAlias = Alias(bucketOf(k, width), "__graft_pb")()
     val pProj = Project(points.output :+ pAlias, points)
 
-    // Intervals: replicate to every bucket in [floor(lo/w), floor((hi-1)/w)].
-    // Explicit step 1 ⇒ empty intervals (hi <= lo) generate no rows.
+    // Intervals: drop empty ones FIRST — Spark's Sequence THROWS on
+    // start > stop with a positive step (unlike generate_series engines),
+    // so a degenerate `hi <= lo` row straddling a bucket boundary would
+    // crash the rewritten query while the naive plan merely matched
+    // nothing. Then replicate to [floor(lo/w), floor((hi-1)/w)].
     // Sequence is TimeZoneAwareExpression: a post-analysis rule must set
     // the zone itself or the plan flips back to unresolved.
+    val nonEmpty = Filter(GreaterThan(hi, lo), intervals)
     val seq = Sequence(
-      bucketOf(lo),
-      bucketOf(Subtract(Cast(hi, LongType), Literal(1L))),
+      bucketOf(lo, width),
+      bucketOf(Subtract(Cast(hi, LongType), Literal(1L)), width),
       Some(Literal(1L)),
       Some(conf.sessionLocalTimeZone))
     val iAttr = AttributeReference("__graft_ib", LongType, nullable = false)()
     val iGen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(iAttr), child = intervals)
+      qualifier = None, generatorOutput = Seq(iAttr), child = nonEmpty)
 
     val equi = EqualTo(pAlias.toAttribute, iAttr)
     val joined =

@@ -90,17 +90,17 @@ object DedupQueries {
   // this is cross-query exchange reuse done by hand, the same stage a
   // cluster deployment would persist between dedup passes.
   private val lshMemo =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
 
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    lshMemo.getOrElseUpdate((System.identityHashCode(spark), dir),
+    lshMemo.getOrElseUpdate((spark.sparkContext.applicationId + "/" + spark.sparkContext.startTime, dir),
       computeMinhashLsh(spark, dir).localCheckpoint())
 
   // The signature stage (shingle → 16 minhashes) memoizes separately from
   // the pair stage: both the plain and the SALTED band joins consume the
   // identical signature relation, so neither re-hashes the corpus.
   private val sigMemo =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
 
   /** Checkpointed (doc_id, mh) signatures, computed once per (session,
     * dir). Signatures come from the fused single-pass minhash_signature
@@ -111,7 +111,7 @@ object DedupQueries {
     * re-run the hashing three times over. At cluster scale this stage is
     * a checkpoint / exchange-reuse point for the same reason. */
   private def signatures(spark: SparkSession, dir: String): DataFrame =
-    sigMemo.getOrElseUpdate((System.identityHashCode(spark), dir), {
+    sigMemo.getOrElseUpdate((spark.sparkContext.applicationId + "/" + spark.sparkContext.startTime, dir), {
       viewDocs(spark, dir)
       graft.expr.GraftFunctions.register(spark)
       spark.sql(
@@ -361,10 +361,10 @@ object DedupQueries {
   // The label table is cluster-member-sized (tiny next to the corpus), so
   // the checkpoint is cheap to hold.
   private val clusterMemo =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
 
   def ddCluster(spark: SparkSession, dir: String): DataFrame =
-    clusterMemo.getOrElseUpdate((System.identityHashCode(spark), dir),
+    clusterMemo.getOrElseUpdate((spark.sparkContext.applicationId + "/" + spark.sparkContext.startTime, dir),
       computeDdCluster(spark, dir).localCheckpoint())
 
   private def computeDdCluster(spark: SparkSession, dir: String): DataFrame = {

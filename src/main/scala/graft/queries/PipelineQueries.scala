@@ -27,6 +27,14 @@ object PipelineQueries {
   private def viewDocs(spark: SparkSession, dir: String): Unit =
     spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
 
+  /** 5-word shingle list over a split-words column — THE contamination
+    * unit. One definition shared by the batch gate, the Bloom variant,
+    * and the streaming gate ([[graft.streaming.StreamingDecontaminate]]):
+    * the streaming path's correctness argument is "same plan as the batch
+    * operator", which only holds while this cannot drift. */
+  private[graft] def shingleSpark(w: String): String =
+    s"transform(sequence(1, size($w) - 4), i -> concat_ws(' ', slice($w, i, 5)))"
+
   // ── pipe_decontaminate ★ — benchmark/eval decontamination: flag every
   // training document that shares at least one 5-word shingle with the
   // held-out eval slice (doc_id % 11 = 0 stands in for the benchmark set).
@@ -38,19 +46,17 @@ object PipelineQueries {
   def pipeDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     spark.sql(
-      """WITH ws AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
+      s"""WITH ws AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
         |eligible AS (SELECT doc_id, source, w FROM ws WHERE size(w) >= 5),
         |eval_sh AS (
         |  SELECT DISTINCT sh
         |  FROM eligible
-        |  LATERAL VIEW explode(transform(sequence(1, size(w) - 4),
-        |    i -> concat_ws(' ', slice(w, i, 5)))) AS sh
+        |  LATERAL VIEW explode(${shingleSpark("w")}) AS sh
         |  WHERE doc_id % 11 = 0),
         |train_sh AS (
         |  SELECT doc_id, sh
         |  FROM eligible
-        |  LATERAL VIEW explode(transform(sequence(1, size(w) - 4),
-        |    i -> concat_ws(' ', slice(w, i, 5)))) AS sh
+        |  LATERAL VIEW explode(${shingleSpark("w")}) AS sh
         |  WHERE doc_id % 11 <> 0),
         |hits AS (
         |  SELECT DISTINCT doc_id FROM train_sh
@@ -101,7 +107,7 @@ object PipelineQueries {
     val ws = docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
     val eligible = ws.where(size(col("w")) >= 5)
     val shingled = eligible.select(col("doc_id"), col("source"),
-      explode(expr("transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")).as("sh"))
+      explode(expr(shingleSpark("w"))).as("sh"))
     // Materialize the (small) eval shingle set ONCE: count(), the bloom
     // build, and the exact-verify join below would otherwise each re-run
     // the corpus scan + shingle explode (three jobs, three scans).
@@ -477,11 +483,13 @@ object PipelineQueries {
         |SELECT doc_id, n_words,
         |       CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
         |       CAST(stop_hits AS DOUBLE) / n_words AS stop_frac,
-        |       CAST(n_symbols AS DOUBLE) / n_chars AS symbol_frac,
+        |       CASE WHEN n_chars = 0 THEN CAST(0.0 AS DOUBLE)
+        |            ELSE CAST(n_symbols AS DOUBLE) / n_chars END AS symbol_frac,
         |       CAST(CASE WHEN n_words >= 20 AND n_words <= 1000
         |                  AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
         |                  AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
         |                  AND CAST(stop_hits AS DOUBLE) / n_words >= 0.01
+        |                  AND n_chars > 0
         |                  AND CAST(n_symbols AS DOUBLE) / n_chars <= 0.1
         |             THEN 1 ELSE 0 END AS INT) AS passes
         |FROM feats""".stripMargin)
@@ -503,11 +511,13 @@ object PipelineQueries {
       |SELECT doc_id, n_words,
       |       CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
       |       CAST(stop_hits AS DOUBLE) / n_words AS stop_frac,
-      |       CAST(n_symbols AS DOUBLE) / n_chars AS symbol_frac,
+      |       CASE WHEN n_chars = 0 THEN CAST(0.0 AS DOUBLE)
+      |            ELSE CAST(n_symbols AS DOUBLE) / n_chars END AS symbol_frac,
       |       CAST(CASE WHEN n_words >= 20 AND n_words <= 1000
       |                  AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
       |                  AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
       |                  AND CAST(stop_hits AS DOUBLE) / n_words >= 0.01
+      |                  AND n_chars > 0
       |                  AND CAST(n_symbols AS DOUBLE) / n_chars <= 0.1
       |             THEN 1 ELSE 0 END AS INT) AS passes
       |FROM feats""".stripMargin

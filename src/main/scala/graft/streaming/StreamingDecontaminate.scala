@@ -28,9 +28,9 @@ object StreamingDecontaminate {
 
   private def shingled(df: DataFrame): DataFrame =
     df.where(size(split(col("text"), " ")) >= 5)
+      .withColumn("__w", split(col("text"), " "))
       .select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(split(text, ' ')) - 4)," +
-          " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))")).as("sh"))
+        explode(expr(graft.queries.PipelineQueries.shingleSpark("__w"))).as("sh"))
 
   /** Drop every batch document sharing a shingle with `evalDocs`;
     * pure batch-to-batch transform, reused by the stream below. */
@@ -43,21 +43,39 @@ object StreamingDecontaminate {
 
   /** Stream documents from `dropDir`, admit only eval-clean ones into
     * `sinkDir`. One file per trigger; AvailableNow drains what's present
-    * and exits, so successive calls model a restarting service. */
+    * and exits, so successive calls model a restarting service.
+    *
+    * Exactly-once: foreachBatch bypasses the file sink's commit log, so a
+    * crash between the write and the checkpoint commit would replay the
+    * batch — each batch therefore OVERWRITES its own `batch_id=N`
+    * partition (the same idempotence scheme as
+    * [[CdcPipeline.ParquetPartitionedSink]]), making replays no-ops.
+    * The stream schema comes from the EVAL set (always present), so the
+    * service boots cleanly on an empty drop directory. */
   def run(spark: SparkSession, dropDir: String, evalDir: String,
       sinkDir: String, checkpointDir: String): Unit = {
-    val evalSh = shingled(spark.read.parquet(evalDir))
+    val evalDocs = spark.read.parquet(evalDir)
+    val evalSh = shingled(evalDocs)
       .select(col("sh")).distinct().localCheckpoint()
     val in = spark.readStream
-      .schema(spark.read.parquet(dropDir).schema)
+      .schema(evalDocs.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dropDir)
     val q = in.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        clean(batch, evalSh).write.mode("append").parquet(sinkDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // The batch runs on the stream's CLONED session — set the dynamic
+        // overwrite mode there, or the write is a static overwrite that
+        // wipes every earlier batch's partition.
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        clean(batch, evalSh)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .partitionBy("batch_id")
+          .parquet(sinkDir)
       }
       .start()
     q.awaitTermination()

@@ -54,6 +54,18 @@ class RangeJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("degenerate intervals (hi <= lo) at bucket boundaries don't crash the rewrite") {
+    val ss = spark; import ss.implicits._
+    // lo == hi == 256 straddles the default bucket boundary: unguarded,
+    // Sequence(1, 0, step=1) THROWS in Spark (unlike generate_series).
+    Seq((1L, 100L)).toDF("pid", "k").createOrReplaceTempView("pts3")
+    Seq((1L, 256L, 256L), (2L, 300L, 200L), (3L, 0L, 200L))
+      .toDF("iid", "lo", "hi").createOrReplaceTempView("ivs3")
+    val out = spark.sql("SELECT pid, iid FROM pts3 JOIN ivs3 ON k >= lo AND k < hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 3L))) // only the real interval matches
+  }
+
   test("joins the rule must NOT touch still plan normally") {
     val ss = spark; import ss.implicits._
     val (points, intervals) = fixtures()
