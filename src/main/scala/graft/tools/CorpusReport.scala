@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Corpus profiling CLI — the operational "state of the corpus" report a
+  * data team runs before/after a curation pass, composed from the same
+  * oracle-checked operators the pipeline uses (no second implementation
+  * to drift): exact-dup pressure from `dd_exact`, near-dup clusters from
+  * `dd_cluster` (memoized — free if the dedup pass already ran), eval
+  * contamination from `pipe_decontaminate`, length quantiles from
+  * `text_length_quantiles`, vocabulary size from `sk_kmv_distinct`.
+  * Mirrors the reference's operator-facing CLIs (`show_snapshot_history`,
+  * `find_truncation_opportunities`) for the corpus half of the engine.
+  * Emits ONE JSON line on stdout.
+  */
+object CorpusReport {
+
+  def report(spark: SparkSession, sfDir: String): String = {
+    val q = SparkEntry.queries
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+
+    val dupGroups = q("dd_exact")(spark, sfDir).count()
+    val ndClusters = q("dd_cluster")(spark, sfDir)
+      .select("cluster_id").distinct().count()
+    val contaminated = q("pipe_decontaminate")(spark, sfDir)
+      .agg(sum("contaminated_docs")).head().getLong(0)
+    val quant = q("text_length_quantiles")(spark, sfDir).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val vocab = q("sk_kmv_distinct")(spark, sfDir)
+      .agg(sum("exact_distinct").cast("long"), sum("kmv_estimate"))
+      .head()
+    val keptTokens = q("pipe_curation")(spark, sfDir)
+      .agg(sum("tokens_kept")).head().getLong(0)
+
+    s"""{"docs":$docs,"exact_dup_groups":$dupGroups,""" +
+      s""""near_dup_clusters":$ndClusters,"contaminated_docs":$contaminated,""" +
+      s""""len_p25":${quant(0.25)},"len_p50":${quant(0.5)},"len_p75":${quant(0.75)},""" +
+      s""""vocab_exact":${vocab.getLong(0)},"vocab_kmv":${vocab.getDouble(1)},""" +
+      s""""curated_tokens_kept":$keptTokens}"""
+  }
+
+  /** CLI: `CorpusReport <sfDir>`. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("corpus-report").config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    println(s"[corpus-report] ${report(spark, sfDir)}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.CorpusReport
+
+/** The corpus report must be well-formed JSON whose figures agree with
+  * the operators it composes. */
+class CorpusReportSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("corpus-report-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("report agrees with the underlying oracle-checked operators") {
+    val json = CorpusReport.report(spark, sfDir)
+    def field(name: String): String = {
+      val m = s""""$name":([0-9.eE+-]+)""".r.findFirstMatchIn(json)
+      assert(m.isDefined, s"missing $name in $json"); m.get.group(1)
+    }
+    assert(field("docs").toLong == 500)
+    assert(field("exact_dup_groups").toLong ==
+      SparkEntry.queries("dd_exact")(spark, sfDir).count())
+    assert(field("contaminated_docs").toLong > 0)
+    assert(field("len_p25").toLong <= field("len_p50").toLong)
+    assert(field("len_p50").toLong <= field("len_p75").toLong)
+    val exact = field("vocab_exact").toLong
+    val est = field("vocab_kmv").toDouble
+    assert(exact > 0 && math.abs(est - exact) / exact < 0.5)
+    assert(field("curated_tokens_kept").toLong > 0)
+  }
+}
