@@ -415,11 +415,66 @@ object CdcQueries {
       |  ON a.a_lo < m.m_hi AND m.m_lo < a.a_hi
       |GROUP BY a.audit_id""".stripMargin
 
+  // E9 ★ gap-based sessionization: split each user's event stream into
+  // sessions wherever the inter-event gap exceeds 20,000 s, and profile
+  // each session. The canonical behavioral-analytics window op (and the
+  // batch analog of Structured Streaming's `session_window`). Shape: two
+  // windows + one aggregate, ALL partitioned by user_id — high
+  // cardinality ⇒ fully parallel, no global stage. Time axis is integer
+  // MICROSECONDS on both engines (`unix_micros` ↔ `epoch_us`) — the
+  // proven parity path for this nanos-typed column; session boundaries,
+  // ids, and durations are all integer arithmetic.
+  def e9Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_id, unix_micros(ts) AS t_us FROM events_t),
+        |gaps AS (
+        |  SELECT user_id, event_id, t_us,
+        |         CASE WHEN lag(t_us) OVER w IS NULL
+        |                OR t_us - lag(t_us) OVER w > 20000000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, t_us,
+        |         sum(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY t_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM gaps)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       count(*) AS events,
+        |       CAST((max(t_us) - min(t_us)) div 1000 AS BIGINT) AS duration_ms,
+        |       min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM sess GROUP BY user_id, session_id""".stripMargin)
+  }
+
+  val e9Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+      |gaps AS (
+      |  SELECT user_id, event_id, t_us,
+      |         CASE WHEN lag(t_us) OVER w IS NULL
+      |                OR t_us - lag(t_us) OVER w > 20000000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, t_us,
+      |         sum(new_session) OVER (PARTITION BY user_id
+      |           ORDER BY t_us, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM gaps)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       count(*) AS events,
+      |       CAST((max(t_us) - min(t_us)) // 1000 AS BIGINT) AS duration_ms,
+      |       min(event_id) AS first_event, max(event_id) AS last_event
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_change_scan" -> (a1ChangeScan _),
     "c7_asof_join" -> (c7AsofJoin _),
     "c8_range_join" -> (c8RangeJoin _),
     "c9_interval_overlap" -> (c9IntervalOverlap _),
+    "e9_sessionize" -> (e9Sessionize _),
     "a2_snapshot_keyset" -> (a2SnapshotKeyset _),
     "a2_composite_keyset" -> (a2CompositeKeyset _),
     "a3_key_probe" -> (a3KeyProbe _),
@@ -440,6 +495,7 @@ object CdcQueries {
     "c7_asof_join" -> c7Sql,
     "c8_range_join" -> c8Sql,
     "c9_interval_overlap" -> c9Sql,
+    "e9_sessionize" -> e9Sql,
     "a2_snapshot_keyset" -> a2Sql,
     "a2_composite_keyset" -> a2cSql,
     "a3_key_probe" -> a3Sql,

@@ -50,6 +50,12 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan("e2_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("E9: sessionization windows are partitioned by user (no single reducer)") {
+    val p = plan("e9_sessionize")
+    assert(!p.contains("Exchange SinglePartition"))
+    assert(p.contains("hashpartitioning(user_id"))
+  }
+
   test("E1: global rank has no single-reducer window") {
     // The window must be partitioned by the physical partition id — a bare
     // `Window [.. ORDER BY ..]` with an Exchange SinglePartition under it
