@@ -51,6 +51,25 @@ object WindowedRates {
             unix_timestamp(col("window.start"))).cast("double"))
           .as("rows_per_sec"))
 
+  /** Session-window counts per key — the STREAMING form of the batch
+    * `e9_sessionize` query: Spark's native `session_window` merges events
+    * within `gap` of each other into one growing window, and the
+    * watermark both closes sessions (append mode emits a session exactly
+    * once, when no in-gap event can still arrive) and bounds the state:
+    * open sessions older than the watermark horizon are evicted. Same
+    * contract as [[windowedCounts]]; works on batch frames too. */
+  def sessionCounts(events: DataFrame, eventTimeCol: String,
+      gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(session_window(col(eventTimeCol), gap), col("operation"))
+      .agg(count(lit(1)).as("rows"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("operation"),
+        col("rows"))
+
   /** Run the monitor over a parquet change-feed directory into a parquet
     * sink, one file batch per trigger. Append mode: only watermark-closed
     * windows land in the sink. */

@@ -68,6 +68,35 @@ class WindowedRatesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after2.toSet.contains((40L, 1, 1L)))
   }
 
+  test("session windows merge in-gap events and close via watermark") {
+    val ss = spark; import ss.implicits._
+    val sink = s"$work/sess_sink"; val ckpt = s"$work/sess_ckpt"
+    val feed = s"$work/sess_feed"
+    // One batch: a 3-event session (gaps < 10s) for op 1, a separate
+    // later event for op 1 (gap > 10s), and a far-future row whose
+    // watermark (120-15=105s) closes everything before it.
+    Seq(ts(1) -> 1, ts(5) -> 1, ts(12) -> 1, ts(40) -> 1, ts(120) -> 2)
+      .toDF("ts", "operation").coalesce(1).write.parquet(feed)
+    val in = spark.readStream
+      .schema(spark.read.parquet(feed).schema)
+      .parquet(feed)
+    val q = graft.streaming.WindowedRates
+      .sessionCounts(in, "ts", "10 seconds", "15 seconds")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(sink)
+      .select("session_start", "session_end", "operation", "rows").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getTimestamp(1).getTime / 1000,
+        r.getInt(2), r.getLong(3))).toSet
+    // Events at 1,5,12 merge (1→[1,11), 5 extends to [1,15), 12 to [1,22));
+    // 40 is its own session [40,50); 120's session is still open → absent.
+    assert(rows == Set((1L, 22L, 1, 3L), (40L, 50L, 1, 1L)),
+      s"unexpected sessions: $rows")
+  }
+
   test("same transform runs in batch mode for backfill (watermark no-op)") {
     val ss = spark; import ss.implicits._
     val hist = Seq(ts(1) -> 1, ts(2) -> 1, ts(11) -> 2).toDF("ts", "operation")
