@@ -1,0 +1,207 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable.ArrayBuffer
+
+/** An in-JVM keyed-record broker that models the Kafka contract the
+  * reference engine depends on (`cdc_kafka/kafka.py:87-342`): partitioned
+  * append-only logs, transactional produce with begin/commit/abort and
+  * producer-epoch zombie fencing, `read_committed` consumer isolation, and
+  * log compaction (last record per key; null value = tombstone → key
+  * removed).
+  *
+  * This is the TEST TRANSPORT: no Kafka broker ships in this environment,
+  * so the exactly-once specs run against this model instead. The semantics
+  * modeled here are exactly the ones `org.apache.kafka.clients.producer
+  * .KafkaProducer` provides with `transactional.id` set:
+  *
+  *   - `initTransactions(txnId)` registers a stable producer id for the
+  *     transactional id and BUMPS ITS EPOCH; any transaction left open by
+  *     the previous epoch is aborted. A surviving "zombie" handle from the
+  *     old epoch gets [[ProducerFenced]] on its next send/commit — this is
+  *     Kafka's fencing guarantee that makes crash/restart safe.
+  *   - data records appended inside a transaction stay in the log but are
+  *     INVISIBLE to `read_committed` readers until a commit control marker
+  *     for that (producerId, epoch) follows them; an abort marker makes
+  *     them permanently invisible (they are never removed — exactly like
+  *     Kafka, visibility is a read-side filter over control markers).
+  *   - compaction is modeled as a read-side view: last visible record per
+  *     key, tombstoned keys dropped.
+  *
+  * A production deployment swaps this for the real client behind the SAME
+  * [[TransactionalSink.TxnProducer]] seam; no query or pipeline code
+  * changes.
+  *
+  * Thread safety: one lock per partition log; local[N] executor threads
+  * land on the shared JVM-global registry ([[LogBroker.get]]), which is
+  * what a broker endpoint is to real executors.
+  */
+final class LogBroker {
+
+  /** One appended log entry. Data entries carry the producer (pid, epoch)
+    * that wrote them and whether they were transactional; control entries
+    * (commit/abort markers) end a transaction for a pid. */
+  sealed trait Entry
+  final case class DataRecord(offset: Long, key: Array[Byte],
+      value: Array[Byte], pid: Long, epoch: Int, transactional: Boolean)
+    extends Entry
+  final case class ControlMarker(offset: Long, pid: Long, epoch: Int,
+      commit: Boolean) extends Entry
+
+  final class ProducerFenced(msg: String) extends RuntimeException(msg)
+  final class IllegalTxnState(msg: String) extends RuntimeException(msg)
+
+  private final class PartitionLog {
+    val entries = new ArrayBuffer[Entry]()
+    def append(f: Long => Entry): Entry = this.synchronized {
+      val e = f(entries.length.toLong); entries += e; e
+    }
+    def snapshot(): Vector[Entry] = this.synchronized(entries.toVector)
+  }
+
+  // topic -> partitions (fixed at first touch; default 1 like the
+  // reference's single-partition unified topics, README.md options).
+  private val topics = new ConcurrentHashMap[String, Array[PartitionLog]]()
+  private val partitionCounts = new ConcurrentHashMap[String, Int]()
+
+  // transactional.id -> (producerId, currentEpoch)
+  private val txnRegistry = new ConcurrentHashMap[String, (Long, Int)]()
+  private val nextPid = new java.util.concurrent.atomic.AtomicLong(0L)
+  // pid -> open transaction's (epoch, touched partitions)
+  private val openTxns =
+    new ConcurrentHashMap[Long, (Int, ArrayBuffer[(String, Int)])]()
+
+  def createTopic(name: String, partitions: Int = 1): Unit =
+    partitionCounts.putIfAbsent(name, partitions)
+
+  private def logs(topic: String): Array[PartitionLog] =
+    topics.computeIfAbsent(topic, t =>
+      Array.fill(partitionCounts.getOrDefault(t, 1))(new PartitionLog))
+
+  private def partitionFor(topic: String, key: Array[Byte]): Int = {
+    val n = partitionCounts.getOrDefault(topic, 1)
+    if (n == 1) 0
+    else (java.util.Arrays.hashCode(key) % n + n) % n
+  }
+
+  /** A transactional producer handle bound to one (pid, epoch). Mirrors
+    * KafkaProducer's transactional API surface. */
+  final class TxnProducerHandle private[LogBroker] (
+      val transactionalId: String, val pid: Long, val epoch: Int) {
+    private var inTxn = false
+
+    private def checkFenced(): Unit = {
+      val (curPid, curEpoch) = txnRegistry.get(transactionalId)
+      if (curPid != pid || curEpoch != epoch)
+        throw new ProducerFenced(
+          s"producer (pid=$pid, epoch=$epoch) fenced by epoch $curEpoch " +
+            s"for transactional.id=$transactionalId")
+    }
+
+    def beginTransaction(): Unit = {
+      checkFenced()
+      if (inTxn) throw new IllegalTxnState("transaction already open")
+      inTxn = true
+      openTxns.put(pid, (epoch, new ArrayBuffer[(String, Int)]()))
+    }
+
+    def send(topic: String, key: Array[Byte], value: Array[Byte]): Unit = {
+      checkFenced()
+      if (!inTxn) throw new IllegalTxnState("send outside a transaction")
+      val p = partitionFor(topic, key)
+      logs(topic)(p).append(off =>
+        DataRecord(off, key, value, pid, epoch, transactional = true))
+      val touched = openTxns.get(pid)._2
+      touched.synchronized {
+        if (!touched.contains((topic, p))) touched += ((topic, p))
+      }
+    }
+
+    private def endTxn(commit: Boolean): Unit = {
+      checkFenced()
+      if (!inTxn) throw new IllegalTxnState("no open transaction")
+      val (_, touched) = openTxns.remove(pid)
+      touched.foreach { case (t, p) =>
+        logs(t)(p).append(off => ControlMarker(off, pid, epoch, commit))
+      }
+      inTxn = false
+    }
+    def commitTransaction(): Unit = endTxn(commit = true)
+    def abortTransaction(): Unit = endTxn(commit = false)
+  }
+
+  /** Register (or re-register) a transactional id: allocates its stable
+    * pid, bumps the epoch, and aborts any transaction the previous epoch
+    * left open — Kafka's `initTransactions()`. */
+  def initTransactions(transactionalId: String): TxnProducerHandle = {
+    val (pid, epoch) = txnRegistry.compute(transactionalId, (_, cur) =>
+      if (cur == null) (nextPid.getAndIncrement(), 0)
+      else (cur._1, cur._2 + 1))
+    // Abort the previous epoch's dangling transaction, if any.
+    val dangling = openTxns.remove(pid)
+    if (dangling != null) {
+      val (oldEpoch, touched) = dangling
+      touched.foreach { case (t, p) =>
+        logs(t)(p).append(off => ControlMarker(off, pid, oldEpoch, commit = false))
+      }
+    }
+    new TxnProducerHandle(transactionalId, pid, epoch)
+  }
+
+  /** `read_committed` scan of one partition: transactional data records are
+    * visible iff a commit marker for their (pid, epoch) follows them in the
+    * log; aborted or still-open transactions are filtered out. */
+  def readCommitted(topic: String, partition: Int = 0): Vector[DataRecord] = {
+    val snap = logs(topic)(partition).snapshot()
+    // For each (pid, epoch), the decision (commit/abort) per txn segment:
+    // walk once, buffering each producer's open segment until its marker.
+    val open = scala.collection.mutable.Map[(Long, Int), ArrayBuffer[DataRecord]]()
+    val out = ArrayBuffer[DataRecord]()
+    snap.foreach {
+      case d: DataRecord if !d.transactional => out += d
+      case d: DataRecord =>
+        open.getOrElseUpdate((d.pid, d.epoch), ArrayBuffer()) += d
+      case m: ControlMarker =>
+        open.remove((m.pid, m.epoch)).foreach { buf =>
+          if (m.commit) out ++= buf // aborted buffers are dropped
+        }
+    }
+    out.sortBy(_.offset).toVector
+  }
+
+  /** All committed records of a topic across partitions, offset order per
+    * partition (Kafka's only ordering guarantee). */
+  def readCommittedAll(topic: String): Vector[(Int, DataRecord)] = {
+    val n = partitionCounts.getOrDefault(topic, 1)
+    (0 until n).flatMap(p => readCommitted(topic, p).map((p, _))).toVector
+  }
+
+  /** Compacted view: the last committed record per key; keys whose last
+    * record is a tombstone (null value) are removed — Kafka log compaction
+    * as the state-recovery consumer observes it (A7). */
+  def compactedView(topic: String): Vector[DataRecord] = {
+    val last = scala.collection.mutable.LinkedHashMap[Seq[Byte], DataRecord]()
+    readCommittedAll(topic).foreach { case (_, d) =>
+      last(d.key.toSeq) = d
+    }
+    last.values.filter(_.value != null).toVector
+  }
+
+  def uncommittedCount(topic: String, partition: Int = 0): Int = {
+    val committed = readCommitted(topic, partition).map(_.offset).toSet
+    logs(topic)(partition).snapshot().count {
+      case d: DataRecord => !committed.contains(d.offset)
+      case _ => false
+    }
+  }
+}
+
+/** JVM-global broker registry: local-mode executor threads and the driver
+  * reach the same broker by name, the way real executors reach a broker by
+  * bootstrap address. Tests allocate a fresh name per scenario. */
+object LogBroker {
+  private val registry = new ConcurrentHashMap[String, LogBroker]()
+  def get(name: String): LogBroker =
+    registry.computeIfAbsent(name, _ => new LogBroker)
+  def drop(name: String): Unit = registry.remove(name)
+}
