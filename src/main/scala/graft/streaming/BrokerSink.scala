@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.streaming.CdcPipeline.{KeyedRecordSink, RecordProducer}
+
+/** Binds [[LogBroker]] to the [[CdcPipeline.RecordProducer]] seam —
+  * the A6 integration the reference implements over
+  * `confluent_kafka.Producer` with `transactional.id` set
+  * (`cdc_kafka/kafka.py:87-211`; txn-per-progress-commit loop
+  * `cdc_kafka/main.py:319-350`).
+  *
+  * Exactly-once layering (G1/G2 restated for Structured Streaming):
+  *
+  *   - SOURCE half: the streaming checkpoint. A batch replays after a
+  *     crash with the SAME batch id.
+  *   - BROKER half: one transaction per (batch, task partition), with a
+  *     `transactional.id` derived deterministically from those two — so a
+  *     zombie task attempt that died mid-produce is FENCED when the retry
+  *     calls `initTransactions` with the same id, and its dangling
+  *     transaction is aborted before the retry writes. `read_committed`
+  *     consumers therefore never observe the partial attempt.
+  *   - KEYED half: records are keyed updates to a compacted topic, so a
+  *     replay of an already-committed batch (checkpoint written but
+  *     driver died before acknowledging) rewrites byte-identical records
+  *     under new offsets and the COMPACTED view (A7) is unchanged — the
+  *     same idempotence the reference leans on for its unified topics.
+  *
+  * The producer maps the seam onto the transactional API:
+  * construction = `initTransactions` + `beginTransaction`;
+  * `flush()` = `commitTransaction` (KeyedRecordSink calls it only after
+  * every send of the partition succeeded); `close()` on the error path
+  * (the sink's `finally`) aborts a still-open transaction, and is a
+  * no-op after a successful commit.
+  */
+object BrokerSink {
+
+  /** A [[RecordProducer]] bound to one LogBroker transaction. */
+  final class TxnRecordProducer(brokerName: String, transactionalId: String)
+      extends RecordProducer {
+    private val handle = {
+      val h = LogBroker.get(brokerName).initTransactions(transactionalId)
+      h.beginTransaction()
+      h
+    }
+    private var committed = false
+
+    override def send(topic: String, key: Array[Byte], value: Array[Byte]): Unit =
+      handle.send(topic, key, value)
+
+    /** Commit point: KeyedRecordSink flushes only on the success path. */
+    override def flush(): Unit = {
+      handle.commitTransaction()
+      committed = true
+    }
+
+    /** Error-path cleanup: abort anything still open so a failed task
+      * attempt leaves only invisible (aborted) records behind. Best
+      * effort — if a newer epoch already fenced us, the broker has
+      * aborted our transaction for us. */
+    override def close(): Unit =
+      if (!committed) {
+        try handle.abortTransaction()
+        catch { case _: RuntimeException => () }
+      }
+  }
+
+  /** The transactional Kafka-shaped sink over an in-JVM [[LogBroker]].
+    * `transactional.id` = `graft-<topic>-b<batchId>-p<partitionId>` —
+    * stable across attempts, unique across (batch, partition). */
+  def transactional(brokerName: String, topic: String): KeyedRecordSink =
+    new KeyedRecordSink(
+      (batchId, partitionId) => new TxnRecordProducer(
+        brokerName, s"graft-$topic-b$batchId-p$partitionId"),
+      topic)
+}

@@ -217,14 +217,25 @@ object CdcPipeline {
     * row key; a tombstone publishes the key with a NULL value (G4 — log
     * compaction then drops the key). Rows fan out per partition on the
     * executors; `flush()` completes before the batch commits so the
-    * checkpoint can never outrun delivery. */
-  final class KeyedRecordSink(producerFactory: () => RecordProducer,
+    * checkpoint can never outrun delivery.
+    *
+    * The factory receives `(batchId, partitionId)` — exactly the
+    * ingredients of a STABLE Kafka `transactional.id`: a retried task (or
+    * a post-crash batch replay) re-derives the same id, so
+    * `initTransactions` fences the zombie attempt and aborts its dangling
+    * transaction before the retry writes (the reference's
+    * crash-mid-produce guarantee, `kafka.py:87-101`, `main.py:319-350`).
+    * For a transactional producer, `flush()` is the commit point (it only
+    * runs after every send succeeded) and `close()` on the error path
+    * must abort — see [[BrokerSink.transactional]]. */
+  final class KeyedRecordSink(
+      producerFactory: (Long, Int) => RecordProducer,
       topic: String) extends CdcSink {
     override def writeBatch(batch: Dataset[KeyedUpdate], batchId: Long): Unit = {
       val t = topic
       val pf = producerFactory
       batch.foreachPartition { (rows: Iterator[KeyedUpdate]) =>
-        val p = pf()
+        val p = pf(batchId, org.apache.spark.TaskContext.getPartitionId())
         try {
           rows.foreach { u =>
             val key = u.userId.toString.getBytes("UTF-8")

@@ -29,8 +29,9 @@ import scala.collection.mutable.ArrayBuffer
   *     key, tombstoned keys dropped.
   *
   * A production deployment swaps this for the real client behind the SAME
-  * [[TransactionalSink.TxnProducer]] seam; no query or pipeline code
-  * changes.
+  * [[CdcPipeline.RecordProducer]] seam (see [[BrokerSink]] for the
+  * adapter that binds this broker to [[CdcPipeline.KeyedRecordSink]]);
+  * no query or pipeline code changes.
   *
   * Thread safety: one lock per partition log; local[N] executor threads
   * land on the shared JVM-global registry ([[LogBroker.get]]), which is
@@ -59,10 +60,10 @@ final class LogBroker {
     def snapshot(): Vector[Entry] = this.synchronized(entries.toVector)
   }
 
-  // topic -> partitions (fixed at first touch; default 1 like the
-  // reference's single-partition unified topics, README.md options).
+  // topic -> partition logs. The log array is the SINGLE source of truth
+  // for a topic's partition count (fixed at first touch; default 1 like
+  // the reference's single-partition unified topics, README.md options).
   private val topics = new ConcurrentHashMap[String, Array[PartitionLog]]()
-  private val partitionCounts = new ConcurrentHashMap[String, Int]()
 
   // transactional.id -> (producerId, currentEpoch)
   private val txnRegistry = new ConcurrentHashMap[String, (Long, Int)]()
@@ -70,16 +71,31 @@ final class LogBroker {
   // pid -> open transaction's (epoch, touched partitions)
   private val openTxns =
     new ConcurrentHashMap[Long, (Int, ArrayBuffer[(String, Int)])]()
+  // pid -> monitor serializing that producer's txn-state transitions
+  // (send/commit/abort vs a re-init's fencing) — see initTransactions.
+  private val pidLocks = new ConcurrentHashMap[Long, Object]()
+  private def lockFor(pid: Long): Object =
+    pidLocks.computeIfAbsent(pid, _ => new Object)
 
-  def createTopic(name: String, partitions: Int = 1): Unit =
-    partitionCounts.putIfAbsent(name, partitions)
+  /** Create a topic with an explicit partition count. Creating a topic
+    * that already exists (explicitly, or implicitly via a first send /
+    * read) with a DIFFERENT partition count fails loudly — a topic's
+    * layout is immutable once materialized, as on a real broker. */
+  def createTopic(name: String, partitions: Int = 1): Unit = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    topics.compute(name, (_, cur) =>
+      if (cur == null) Array.fill(partitions)(new PartitionLog)
+      else if (cur.length == partitions) cur
+      else throw new IllegalStateException(
+        s"topic $name already exists with ${cur.length} partition(s); " +
+          s"cannot recreate with $partitions"))
+  }
 
   private def logs(topic: String): Array[PartitionLog] =
-    topics.computeIfAbsent(topic, t =>
-      Array.fill(partitionCounts.getOrDefault(t, 1))(new PartitionLog))
+    topics.computeIfAbsent(topic, _ => Array.fill(1)(new PartitionLog))
 
   private def partitionFor(topic: String, key: Array[Byte]): Int = {
-    val n = partitionCounts.getOrDefault(topic, 1)
+    val n = logs(topic).length
     if (n == 1) 0
     else (java.util.Arrays.hashCode(key) % n + n) % n
   }
@@ -98,30 +114,40 @@ final class LogBroker {
             s"for transactional.id=$transactionalId")
     }
 
-    def beginTransaction(): Unit = {
+    def beginTransaction(): Unit = lockFor(pid).synchronized {
       checkFenced()
       if (inTxn) throw new IllegalTxnState("transaction already open")
       inTxn = true
       openTxns.put(pid, (epoch, new ArrayBuffer[(String, Int)]()))
     }
 
-    def send(topic: String, key: Array[Byte], value: Array[Byte]): Unit = {
-      checkFenced()
-      if (!inTxn) throw new IllegalTxnState("send outside a transaction")
-      val p = partitionFor(topic, key)
-      logs(topic)(p).append(off =>
-        DataRecord(off, key, value, pid, epoch, transactional = true))
-      val touched = openTxns.get(pid)._2
-      touched.synchronized {
-        if (!touched.contains((topic, p))) touched += ((topic, p))
+    def send(topic: String, key: Array[Byte], value: Array[Byte]): Unit =
+      lockFor(pid).synchronized {
+        checkFenced()
+        if (!inTxn) throw new IllegalTxnState("send outside a transaction")
+        // Re-validate the open-txn entry under the lock: a concurrent
+        // initTransactions (new epoch) may have removed it between our
+        // caller's last call and now — that is fencing, not an NPE.
+        val open = openTxns.get(pid)
+        if (open == null || open._1 != epoch)
+          throw new ProducerFenced(
+            s"producer (pid=$pid, epoch=$epoch) transaction aborted by a " +
+              s"newer epoch for transactional.id=$transactionalId")
+        val p = partitionFor(topic, key)
+        logs(topic)(p).append(off =>
+          DataRecord(off, key, value, pid, epoch, transactional = true))
+        if (!open._2.contains((topic, p))) open._2 += ((topic, p))
       }
-    }
 
-    private def endTxn(commit: Boolean): Unit = {
+    private def endTxn(commit: Boolean): Unit = lockFor(pid).synchronized {
       checkFenced()
       if (!inTxn) throw new IllegalTxnState("no open transaction")
-      val (_, touched) = openTxns.remove(pid)
-      touched.foreach { case (t, p) =>
+      val open = openTxns.remove(pid)
+      if (open == null || open._1 != epoch)
+        throw new ProducerFenced(
+          s"producer (pid=$pid, epoch=$epoch) transaction aborted by a " +
+            s"newer epoch for transactional.id=$transactionalId")
+      open._2.foreach { case (t, p) =>
         logs(t)(p).append(off => ControlMarker(off, pid, epoch, commit))
       }
       inTxn = false
@@ -137,12 +163,18 @@ final class LogBroker {
     val (pid, epoch) = txnRegistry.compute(transactionalId, (_, cur) =>
       if (cur == null) (nextPid.getAndIncrement(), 0)
       else (cur._1, cur._2 + 1))
-    // Abort the previous epoch's dangling transaction, if any.
-    val dangling = openTxns.remove(pid)
-    if (dangling != null) {
-      val (oldEpoch, touched) = dangling
-      touched.foreach { case (t, p) =>
-        logs(t)(p).append(off => ControlMarker(off, pid, oldEpoch, commit = false))
+    // Abort the previous epoch's dangling transaction under the pid lock:
+    // the epoch bump above already fences new zombie calls; the lock
+    // ensures an IN-FLIGHT zombie send/endTxn either completed before the
+    // abort markers (and is aborted with the txn) or observes the bumped
+    // epoch and surfaces as ProducerFenced — never a torn interleave.
+    lockFor(pid).synchronized {
+      val dangling = openTxns.remove(pid)
+      if (dangling != null) {
+        val (oldEpoch, touched) = dangling
+        touched.foreach { case (t, p) =>
+          logs(t)(p).append(off => ControlMarker(off, pid, oldEpoch, commit = false))
+        }
       }
     }
     new TxnProducerHandle(transactionalId, pid, epoch)
@@ -172,7 +204,7 @@ final class LogBroker {
   /** All committed records of a topic across partitions, offset order per
     * partition (Kafka's only ordering guarantee). */
   def readCommittedAll(topic: String): Vector[(Int, DataRecord)] = {
-    val n = partitionCounts.getOrDefault(topic, 1)
+    val n = logs(topic).length
     (0 until n).flatMap(p => readCommitted(topic, p).map((p, _))).toVector
   }
 

@@ -140,7 +140,7 @@ class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     CdcPipeline.stageChangeFeed(spark, sfDir, feed, nChunks = 3)
     RecordingBroker.clear()
     CdcPipeline.run(spark, feed, ckpt,
-      new CdcPipeline.KeyedRecordSink(() => RecordingBroker.newProducer(), "events_cdc"))
+      new CdcPipeline.KeyedRecordSink((_, _) => RecordingBroker.newProducer(), "events_cdc"))
 
     val sent = RecordingBroker.all
     assert(sent.nonEmpty)
