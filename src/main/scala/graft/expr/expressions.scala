@@ -429,6 +429,41 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `bloom_might_contain(str)` over a broadcast sketch [[org.apache.spark
+  * .util.sketch.BloomFilter]] — the decontamination prefilter
+  * (`pipe_decontaminate_bloom`) as a codegen'd expression instead of a
+  * Scala-closure UDF, so the one stage that touches EVERY corpus row
+  * stays inside whole-stage codegen. Semantics are exactly the UDF it
+  * replaces (`mightContainString` on the same sketch → bit-identical
+  * candidate set; the exact verify downstream is unchanged either way).
+  * The expression carries only the small broadcast HANDLE; executors
+  * resolve it to the (potentially GB-sized) filter locally. */
+case class BloomMightContainString(child: Expression,
+    filter: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+  extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(v: Any): Any =
+    filter.value.mightContainString(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("bloomBroadcast", filter,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, s =>
+      s"((org.apache.spark.util.sketch.BloomFilter) $b.value())" +
+        s".mightContainString($s.toString())")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object BloomMightContainString {
+  def apply(c: Column,
+      filter: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    Bridge.column(BloomMightContainString(Bridge.expression(c), filter))
+}
+
 /** Session-level SQL registration for the custom expressions, so
   * `spark.sql` text can use them alongside built-ins. */
 object GraftFunctions {

@@ -88,9 +88,17 @@ object SyntheticCdc {
   /** Companion `lsn_time_mapping` (FIXTURES.md §2): one row per transaction
     * LSN with its commit (max event) time. */
   def lsnTimeMapping(spark: SparkSession, sfDir: String): DataFrame =
+    // Group on the LONG key only and re-derive the hex/binary forms after
+    // the agg: lsn_hex/lsn are pure functions of lsn_num, so grouping on
+    // all three is semantically identical but shuffles a (long, string20,
+    // binary10) key and computes the derivations per ROW instead of per
+    // GROUP. Post-agg derivation also lets Catalyst prune them entirely
+    // for consumers (C1, F11) that only read (lsn_num, tran_end_time).
     changeRows(spark, sfDir)
-      .groupBy(col("lsn_num"), col("lsn_hex"), col("lsn"))
+      .groupBy(col("lsn_num"))
       .agg(max(col("ts")).as("tran_end_time"))
+      .withColumn("lsn_hex", lpad(lower(hex(col("lsn_num"))), 20, "0"))
+      .withColumn("lsn", unhex(col("lsn_hex")))
 
   val lsnTimeMappingSql: String =
     """SELECT lsn_num, lsn_hex, max(ts) AS tran_end_time

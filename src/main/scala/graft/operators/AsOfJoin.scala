@@ -35,9 +35,36 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Max rows the step-3 prefix window may see before the operator widens
+    * the bucket width itself (0 disables the guard and trusts the caller). */
+  val MaxBucketsConf = "spark.graft.asofjoin.maxBuckets"
+  /** Bucket count the auto-widened width aims for. */
+  val TargetBucketsConf = "spark.graft.asofjoin.targetBuckets"
+
+  /** The width step 1 actually uses. The step-3 prefix window is "small
+    * by construction" ONLY when keyspan/bucketWidth is small; nothing
+    * used to enforce that — a caller passing a tiny width against a huge
+    * key span silently got a single-reducer window over millions of rows.
+    * Now the span is measured and, above `maxBuckets`, the width is
+    * WIDENED so the span yields `targetBuckets` buckets. Always safe:
+    * bucketWidth is purely a partitioning knob — the join result is
+    * width-independent — so auto-correcting beats failing. Pure function,
+    * spec'd directly. */
+  def effectiveBucketWidth(lo: Long, hi: Long, requested: Long,
+      maxBuckets: Long, targetBuckets: Long): Long = {
+    require(requested > 0, "bucketWidth must be positive")
+    val span = math.max(1L, hi - lo + 1)
+    val buckets = span / requested + 1
+    if (maxBuckets <= 0 || buckets <= maxBuckets) requested
+    else math.max(requested, (span + targetBuckets - 1) / targetBuckets)
+  }
+
   /** @param payload right columns to attach (null when no right key <= left key)
     * @param bucketWidth key-axis slice per bucket; pick so that
-    *        keyspan/bucketWidth ≈ desired parallelism (10³–10⁶) */
+    *        keyspan/bucketWidth ≈ desired parallelism (10³–10⁶). Misuse
+    *        is guarded: see [[effectiveBucketWidth]]. */
   def asOf(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
       payload: Seq[String], bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
@@ -47,8 +74,32 @@ object AsOfJoin {
       s"AsOfJoin reserves column names ${reserved.mkString(", ")}; " +
         s"rename input column(s) ${clash.mkString(", ")}")
 
-    val lb = left.withColumn("__b", floor(col(leftKey) / lit(bucketWidth)).cast("long"))
-    val rb = right.withColumn("__b", floor(col(rightKey) / lit(bucketWidth)).cast("long"))
+    // Guard the step-3 prefix window: measure the key span (one map-side-
+    // combined min/max pass — negligible next to the join's own shuffles)
+    // and widen the bucket width if the requested one would explode the
+    // occupied-bucket count. spark.graft.asofjoin.maxBuckets=0 disables.
+    val conf = left.sparkSession.conf
+    val maxBuckets = conf.get(MaxBucketsConf, (1L << 20).toString).toLong
+    val width =
+      if (maxBuckets <= 0) bucketWidth
+      else {
+        val bounds = left.select(col(leftKey).cast("long").as("__k"))
+          .unionByName(right.select(col(rightKey).cast("long").as("__k")))
+          .agg(min(col("__k")), max(col("__k"))).head()
+        if (bounds.isNullAt(0)) bucketWidth // both sides empty
+        else {
+          val target = conf.get(TargetBucketsConf, (1L << 16).toString).toLong
+          val w = effectiveBucketWidth(bounds.getLong(0), bounds.getLong(1),
+            bucketWidth, maxBuckets, target)
+          if (w != bucketWidth) log.warn(
+            s"AsOfJoin: bucketWidth=$bucketWidth over key span " +
+              s"[${bounds.getLong(0)}, ${bounds.getLong(1)}] exceeds " +
+              s"$maxBuckets buckets; widened to $w ($target buckets)")
+          w
+        }
+      }
+    val lb = left.withColumn("__b", floor(col(leftKey) / lit(width)).cast("long"))
+    val rb = right.withColumn("__b", floor(col(rightKey) / lit(width)).cast("long"))
 
     val payStruct = struct(payload.map(col): _*)
     val payType = right.select(payStruct.as("p")).schema("p").dataType

@@ -23,11 +23,13 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * This is the `SparkSessionExtensions` integration rung of the custom-
   * operator ladder (SURVEY §4): a `Rule[LogicalPlan]` injected by
   * [[graft.GraftExtensions]], so SQL-only users get the bucketed plan
-  * without knowing the operator exists. Fires only on the exact
-  * `GreaterThanOrEqual`/`LessThan` conjunction over integral keys with
-  * each side's references cleanly split across the two inputs; everything
-  * else is left to Spark. The rewritten join carries an equality
-  * conjunct, so the rule cannot re-fire on its own output.
+  * without knowing the operator exists. Fires on any two-conjunct
+  * lower+upper bound over an integral key — all four comparison
+  * operators, open or closed intervals, either operand order, either
+  * conjunct order — with each side's references cleanly split across the
+  * two inputs; everything else is left to Spark. The rewritten join
+  * carries an equality conjunct, so the rule cannot re-fire on its own
+  * output.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
@@ -55,42 +57,90 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private def bucketOf(e: Expression, width: Long): Expression =
     Cast(Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble))), LongType)
 
+  /** One reading of a comparison: `key` is bounded by `bound` from below
+    * (`isLower`) or above, inclusively or not. Every comparison has TWO
+    * readings (either operand could be the point key); the match below
+    * keeps whichever one pairs up with the other conjunct. */
+  private case class Reading(key: Expression, bound: Expression,
+      isLower: Boolean, inclusive: Boolean)
+
+  private def readings(e: Expression): Seq[Reading] = e match {
+    case LessThan(a, b) =>
+      Seq(Reading(a, b, isLower = false, inclusive = false),
+        Reading(b, a, isLower = true, inclusive = false))
+    case LessThanOrEqual(a, b) =>
+      Seq(Reading(a, b, isLower = false, inclusive = true),
+        Reading(b, a, isLower = true, inclusive = true))
+    case GreaterThan(a, b) =>
+      Seq(Reading(a, b, isLower = true, inclusive = false),
+        Reading(b, a, isLower = false, inclusive = false))
+    case GreaterThanOrEqual(a, b) =>
+      Seq(Reading(a, b, isLower = true, inclusive = true),
+        Reading(b, a, isLower = false, inclusive = true))
+    case _ => Seq.empty
+  }
+
+  private def wellTyped(r: Reading): Boolean =
+    integral(r.key) && integral(r.bound) &&
+      r.key.deterministic && r.bound.deterministic
+
   override def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else plan.transform {
-    case j @ Join(left, right, Inner, Some(
-        And(GreaterThanOrEqual(k1, lo), LessThan(k2, hi))), hint)
-        if k1.semanticEquals(k2) && integral(k1) && integral(lo) && integral(hi)
-          && k1.deterministic && lo.deterministic && hi.deterministic =>
-      val cond = And(GreaterThanOrEqual(k1, lo), LessThan(k2, hi))
-      if (k1.references.subsetOf(left.outputSet) &&
-          (lo.references ++ hi.references).subsetOf(right.outputSet))
-        rewrite(j, points = left, intervals = right, k1, lo, hi, cond,
-          pointsAreLeft = true, hint)
-      else if (k1.references.subsetOf(right.outputSet) &&
-          (lo.references ++ hi.references).subsetOf(left.outputSet))
-        rewrite(j, points = right, intervals = left, k1, lo, hi, cond,
-          pointsAreLeft = false, hint)
-      else j
+    case j @ Join(left, right, Inner, Some(cond @ And(c1, c2)), hint) =>
+      // All four comparison spellings and both conjunct orders: find a
+      // (lower, upper) pair of readings that agree on the key expression
+      // and split references cleanly across the two join inputs.
+      val pairs = for {
+        r1 <- readings(c1); r2 <- readings(c2)
+        if r1.isLower != r2.isLower
+        if r1.key.semanticEquals(r2.key)
+        if wellTyped(r1) && wellTyped(r2)
+      } yield if (r1.isLower) (r1, r2) else (r2, r1)
+      val fired = pairs.collectFirst {
+        case (lo, hi)
+            if lo.key.references.subsetOf(left.outputSet) &&
+              (lo.bound.references ++ hi.bound.references).subsetOf(right.outputSet) =>
+          rewrite(j, points = left, intervals = right, lo, hi, cond,
+            pointsAreLeft = true, hint)
+        case (lo, hi)
+            if lo.key.references.subsetOf(right.outputSet) &&
+              (lo.bound.references ++ hi.bound.references).subsetOf(left.outputSet) =>
+          rewrite(j, points = right, intervals = left, lo, hi, cond,
+            pointsAreLeft = false, hint)
+      }
+      fired.getOrElse(j)
+  }
+
+  /** `cast(e as long) + delta` (delta 0 elides the Add). */
+  private def adjusted(e: Expression, delta: Long): Expression = {
+    val c = Cast(e, LongType)
+    if (delta == 0) c else Add(c, Literal(delta))
   }
 
   private def rewrite(j: Join, points: LogicalPlan, intervals: LogicalPlan,
-      k: Expression, lo: Expression, hi: Expression, residual: Expression,
+      lo: Reading, hi: Reading, residual: Expression,
       pointsAreLeft: Boolean, hint: JoinHint): LogicalPlan = {
     val width = bucketWidth
     // Points: one bucket per row.
-    val pAlias = Alias(bucketOf(k, width), "__graft_pb")()
+    val pAlias = Alias(bucketOf(lo.key, width), "__graft_pb")()
     val pProj = Project(points.output :+ pAlias, points)
+
+    // Tighten both bounds to the INCLUSIVE integer interval [L', U']:
+    // an exclusive bound moves one integer inward. All downstream
+    // arithmetic (emptiness, bucket span) is then inclusivity-free.
+    val loAdj = adjusted(lo.bound, if (lo.inclusive) 0 else 1)
+    val hiAdj = adjusted(hi.bound, if (hi.inclusive) 0 else -1)
 
     // Intervals: drop empty ones FIRST — Spark's Sequence THROWS on
     // start > stop with a positive step (unlike generate_series engines),
-    // so a degenerate `hi <= lo` row straddling a bucket boundary would
-    // crash the rewritten query while the naive plan merely matched
-    // nothing. Then replicate to [floor(lo/w), floor((hi-1)/w)].
+    // so a degenerate empty-interval row straddling a bucket boundary
+    // would crash the rewritten query while the naive plan merely matched
+    // nothing. Then replicate to [floor(L'/w), floor(U'/w)].
     // Sequence is TimeZoneAwareExpression: a post-analysis rule must set
     // the zone itself or the plan flips back to unresolved.
-    val nonEmpty = Filter(GreaterThan(hi, lo), intervals)
+    val nonEmpty = Filter(GreaterThanOrEqual(hiAdj, loAdj), intervals)
     val seq = Sequence(
-      bucketOf(lo, width),
-      bucketOf(Subtract(Cast(hi, LongType), Literal(1L)), width),
+      bucketOf(loAdj, width),
+      bucketOf(hiAdj, width),
       Some(Literal(1L)),
       Some(conf.sessionLocalTimeZone))
     val iAttr = AttributeReference("__graft_ib", LongType, nullable = false)()

@@ -124,12 +124,19 @@ object CdcQueries {
   // broadcast hash join, no shuffle of the big side).
   def c1LsnTimeJoin(spark: SparkSession, dir: String): DataFrame = {
     val changes = SyntheticCdc.changeRows(spark, dir)
+    // Format ON THE DIMENSION SIDE, before the broadcast: the rendered
+    // string is a function of the mapping row alone, so formatting per
+    // dimension row (|mapping| = |changes|/8 here; tiny in general)
+    // instead of per joined row keeps the per-row probe loop allocation-
+    // free — the fix for the r2 wall-time regression, which was formatter
+    // cost on every fact row, not join shape (the plan was and stays a
+    // broadcast hash join with no shuffle of the fact side).
     val mapping = SyntheticCdc.lsnTimeMapping(spark, dir)
-      .select(col("lsn_num"), col("tran_end_time"))
+      .select(col("lsn_num"),
+        date_format(col("tran_end_time"), "yyyy-MM-dd'T'HH:mm:ss.SSS")
+          .as("__event_time"))
     changes.join(broadcast(mapping), Seq("lsn_num"), "inner")
-      .select(col("event_id"),
-        date_format(col("tran_end_time"), "yyyy-MM-dd'T'HH:mm:ss.SSS").as("__event_time"),
-        col("operation"))
+      .select(col("event_id"), col("__event_time"), col("operation"))
   }
 
   val c1Sql: String =

@@ -117,11 +117,13 @@ object PipelineQueries {
     val nEval = evalSh.count()
     val bloom = evalSh.stat.bloomFilter("sh", math.max(nEval, 1L), 0.01)
     val bBloom = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => s != null && bBloom.value.mightContainString(s))
 
     val trainSh = shingled.where(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"), col("sh")).distinct()
-    val candidates = trainSh.where(mightContain(col("sh")))
+    // Codegen'd prefilter (graft.expr.BloomMightContainString), not a
+    // closure UDF: the corpus-wide scan stage stays in whole-stage codegen.
+    val candidates = trainSh.where(
+      graft.expr.BloomMightContainString(col("sh"), bBloom))
     val hits = candidates.join(evalSh, "sh")
       .select(col("doc_id").as("hid")).distinct()
 

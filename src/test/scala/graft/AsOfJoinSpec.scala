@@ -63,6 +63,41 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set((1L, "at10"), (2L, "at10"), (3L, "at5")))
   }
 
+  test("pathological bucketWidth is auto-widened: huge key span with width 1 still completes and matches") {
+    val ss = spark; import ss.implicits._
+    // Key span ~10^12 with bucketWidth 1 would put ~10^12 rows through
+    // the carry-in prefix window without the guard. With it, the width
+    // widens to span/targetBuckets and the join completes fast + exact.
+    spark.conf.set(AsOfJoin.TargetBucketsConf, "1024")
+    try {
+      val lefts = Seq(0L, 999L, 500_000_000_000L, 999_999_999_999L)
+      val rights = Seq((500L, "low"), (750_000_000_000L, "high"))
+      val out = AsOfJoin.asOf(
+        lefts.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k"),
+        rights.toDF("rk", "pay"), "k", "rk", Seq("pay"), bucketWidth = 1L)
+        .collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getString(2))))
+        .toSet
+      assert(out === Set(
+        (0L, None), (999L, Some("low")),
+        (500_000_000_000L, Some("low")), (999_999_999_999L, Some("high"))))
+    } finally spark.conf.unset(AsOfJoin.TargetBucketsConf)
+  }
+
+  test("effectiveBucketWidth: respects sane widths, widens pathological ones, 0 disables") {
+    // Sane: span 10^6 at width 1000 → 1001 buckets < max → unchanged.
+    assert(AsOfJoin.effectiveBucketWidth(0, 999999, 1000, 1 << 20, 1 << 16) === 1000)
+    // Pathological: span 10^12 at width 1 → widened to span/target.
+    val w = AsOfJoin.effectiveBucketWidth(0, 999_999_999_999L, 1, 1 << 20, 1 << 16)
+    assert(w === (1_000_000_000_000L + (1 << 16) - 1) / (1 << 16))
+    // Span is never widened below the request.
+    assert(AsOfJoin.effectiveBucketWidth(0, 100, 64, 1 << 20, 1 << 16) === 64)
+    // maxBuckets=0 disables the guard entirely.
+    assert(AsOfJoin.effectiveBucketWidth(0, 999_999_999_999L, 1, 0, 1 << 16) === 1)
+    // Negative spans (hi < lo can't happen, but clamp) stay safe.
+    assert(AsOfJoin.effectiveBucketWidth(5, 5, 10, 1 << 20, 1 << 16) === 10)
+  }
+
   test("c7_asof_join: no nested-loop join, no data-sized single-reducer stage") {
     val p = SparkEntry.queries("c7_asof_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

@@ -117,4 +117,20 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((star + "truncateutf8").r.findFirstIn(plan("b6_truncate_utf8")).isDefined)
     assert((star + "masktonames").r.findFirstIn(plan("f3_mask_decode")).isDefined)
   }
+
+  test("pipe_decontaminate_bloom: prefilter is a codegen'd expression, not a closure UDF") {
+    // Codegen stages only collapse when AQE finalizes: execute the SAME
+    // DataFrame, then read its (now final) executed plan.
+    val df = SparkEntry.queries("pipe_decontaminate_bloom")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // The stage scanning every corpus row must not fall out of
+    // whole-stage codegen through a Scala UDF...
+    assert(!p.contains("UDF"), "no ScalaUDF may appear in the bloom path")
+    // ...and the bloom prefilter must sit inside a codegen'd (`*(n)`)
+    // Filter.
+    assert("\\*\\(\\d+\\) Filter [^\\n]*bloommightcontainstring".r
+      .findFirstIn(p).isDefined,
+      "bloom prefilter must be a codegen'd Filter stage")
+  }
 }

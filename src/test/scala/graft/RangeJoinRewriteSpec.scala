@@ -66,6 +66,36 @@ class RangeJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, 3L))) // only the real interval matches
   }
 
+  test("all four comparison spellings fire, plus flipped conjuncts and operands") {
+    val ss = spark; import ss.implicits._
+    val (points, intervals) = fixtures()
+    points.toDF("pid", "k").createOrReplaceTempView("pts4")
+    intervals.toDF("iid", "lo", "hi").createOrReplaceTempView("ivs4")
+
+    def check(cond: String, pred: (Long, Long, Long) => Boolean): Unit = {
+      val q = spark.sql(s"SELECT pid, iid FROM pts4 JOIN ivs4 ON $cond")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+        s"rewrite did not fire for `$cond`:\n$plan")
+      assert(plan.contains("__graft_pb"), s"no bucket column for `$cond`")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val want = (for {
+        (pid, k) <- points
+        (iid, lo, hi) <- intervals if pred(k, lo, hi)
+      } yield (pid, iid)).sorted
+      assert(got == want, s"wrong rows for `$cond`")
+    }
+
+    check("k >= lo AND k < hi", (k, lo, hi) => k >= lo && k < hi)   // half-open
+    check("k > lo AND k <= hi", (k, lo, hi) => k > lo && k <= hi)   // other half
+    check("k >= lo AND k <= hi", (k, lo, hi) => k >= lo && k <= hi) // closed
+    check("k > lo AND k < hi", (k, lo, hi) => k > lo && k < hi)     // open
+    // Flipped conjunct order and flipped operand order.
+    check("k < hi AND k >= lo", (k, lo, hi) => k >= lo && k < hi)
+    check("lo <= k AND hi > k", (k, lo, hi) => k >= lo && k < hi)
+    check("hi >= k AND lo < k", (k, lo, hi) => k > lo && k <= hi)
+  }
+
   test("joins the rule must NOT touch still plan normally") {
     val ss = spark; import ss.implicits._
     val (points, intervals) = fixtures()
@@ -74,13 +104,17 @@ class RangeJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Equi join: untouched (no bucket columns in the plan).
     val equi = spark.sql("SELECT pid, iid FROM pts2 JOIN ivs2 ON k = lo")
     assert(!equi.queryExecution.executedPlan.toString.contains("__graft_"))
-    // Half-open on the other end (> / <=): pattern doesn't match; still
-    // correct through Spark's own nested loop.
-    val other = spark.sql(
-      "SELECT count(*) AS n FROM pts2 JOIN ivs2 ON k > lo AND k <= hi")
+    // Two LOWER bounds — not an interval; untouched.
+    val twoLo = spark.sql("SELECT pid, iid FROM pts2 JOIN ivs2 ON k >= lo AND k > hi")
+    assert(!twoLo.queryExecution.executedPlan.toString.contains("__graft_"))
+    // Bounds referencing BOTH sides (hi + pid crosses the split): untouched.
+    val crossed = spark.sql(
+      "SELECT pid, iid FROM pts2 JOIN ivs2 ON k >= lo AND k < hi + pid")
+    assert(!crossed.queryExecution.executedPlan.toString.contains("__graft_"))
+    // And the untouched forms still answer correctly via Spark's own plan.
     val want = (for {
-      (_, k) <- points; (_, lo, hi) <- intervals if k > lo && k <= hi
+      (pid, k) <- points; (iid, lo, hi) <- intervals if k >= lo && k < hi + pid
     } yield 1).size.toLong
-    assert(other.collect().head.getLong(0) == want)
+    assert(crossed.count() == want)
   }
 }
