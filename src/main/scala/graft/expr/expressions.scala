@@ -433,9 +433,13 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
   * .util.sketch.BloomFilter]] — the decontamination prefilter
   * (`pipe_decontaminate_bloom`) as a codegen'd expression instead of a
   * Scala-closure UDF, so the one stage that touches EVERY corpus row
-  * stays inside whole-stage codegen. Semantics are exactly the UDF it
-  * replaces (`mightContainString` on the same sketch → bit-identical
-  * candidate set; the exact verify downstream is unchanged either way).
+  * stays inside whole-stage codegen. Semantics are identical to the UDF
+  * it replaced UNDER FILTER evaluation (`mightContainString` on the same
+  * sketch → bit-identical candidate set; the exact verify downstream is
+  * unchanged either way). One divergence outside filters: the UDF mapped
+  * NULL input to `false`, while this null-intolerant expression yields
+  * NULL — the same rows pass a WHERE, but a projection or negation over
+  * NULL inputs differs. Wrap in `coalesce(..., false)` for such uses.
   * The expression carries only the small broadcast HANDLE; executors
   * resolve it to the (potentially GB-sized) filter locally. */
 case class BloomMightContainString(child: Expression,

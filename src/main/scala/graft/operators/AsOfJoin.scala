@@ -55,16 +55,28 @@ object AsOfJoin {
   def effectiveBucketWidth(lo: Long, hi: Long, requested: Long,
       maxBuckets: Long, targetBuckets: Long): Long = {
     require(requested > 0, "bucketWidth must be positive")
-    val span = math.max(1L, hi - lo + 1)
+    // hi - lo + 1 overflows Long exactly for the most pathological spans
+    // (lo deeply negative, hi deeply positive) — the one case the guard
+    // exists for — so the span math runs in BigInt. Driver-side, once per
+    // join: cost is irrelevant.
+    val span = (BigInt(hi) - BigInt(lo) + 1).max(1)
     val buckets = span / requested + 1
     if (maxBuckets <= 0 || buckets <= maxBuckets) requested
-    else math.max(requested, (span + targetBuckets - 1) / targetBuckets)
+    else ((span + targetBuckets - 1) / targetBuckets)
+      .max(BigInt(requested)).min(BigInt(Long.MaxValue)).toLong
   }
 
   /** @param payload right columns to attach (null when no right key <= left key)
     * @param bucketWidth key-axis slice per bucket; pick so that
     *        keyspan/bucketWidth ≈ desired parallelism (10³–10⁶). Misuse
-    *        is guarded: see [[effectiveBucketWidth]]. */
+    *        is guarded: see [[effectiveBucketWidth]].
+    *
+    * NOTE the guard runs an EAGER min/max Spark job over both inputs at
+    * DataFrame-construction time — it re-executes each input's lineage
+    * once, including on plan-only inspection. Callers whose inputs have
+    * expensive lineage should either cache the inputs first or set
+    * `spark.graft.asofjoin.maxBuckets=0` and size the width themselves
+    * (the guard — and its job — is then skipped entirely). */
   def asOf(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
       payload: Seq[String], bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")

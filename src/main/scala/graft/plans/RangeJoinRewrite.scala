@@ -137,7 +137,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     // nothing. Then replicate to [floor(L'/w), floor(U'/w)].
     // Sequence is TimeZoneAwareExpression: a post-analysis rule must set
     // the zone itself or the plan flips back to unresolved.
-    val nonEmpty = Filter(GreaterThanOrEqual(hiAdj, loAdj), intervals)
+    //
+    // Domain-extreme guard: the ±1 tightening uses the session's default
+    // (non-ANSI, wrapping) Add, so an exclusive bound AT Long.MaxValue/
+    // MinValue would wrap and make the emptiness filter and Sequence
+    // bounds diverge from the naive plan. Such intervals are provably
+    // empty over long keys (`k > Long.MaxValue` / `k < Long.MinValue`
+    // match nothing), so the guard drops those rows before the adjusted
+    // arithmetic ever evaluates — bit-identical to the naive join.
+    val wrapGuards = Seq(
+      if (lo.inclusive) None
+      else Some(LessThan(Cast(lo.bound, LongType), Literal(Long.MaxValue))),
+      if (hi.inclusive) None
+      else Some(GreaterThan(Cast(hi.bound, LongType), Literal(Long.MinValue)))
+    ).flatten
+    val nonEmpty = Filter(
+      (wrapGuards :+ GreaterThanOrEqual(hiAdj, loAdj)).reduceLeft(And), intervals)
     val seq = Sequence(
       bucketOf(loAdj, width),
       bucketOf(hiAdj, width),

@@ -94,23 +94,49 @@ object MultimodalQueries {
 
   // ── mm_decode_stub — the typed-Dataset decode pass: mapPartitions over
   // (doc_id, media) with the stubbed codec, producing per-asset feature
-  // rows. Rows-only check (the stub's "pixel stats" are Scala-side).
+  // rows plus a byte-level content digest (the content-addressing key a
+  // media pipeline dedups assets by). ORACLE-CHECKED: the header fields
+  // and digest are honest byte-level work DuckDB can recompute, and the
+  // stub's "pixel stat" is a deterministic function of the header — so
+  // the whole row is verifiable. A REAL codec's pixel stats would not be
+  // SQL-expressible; swapping one in shrinks the check back to the
+  // header+digest columns, which is exactly the declared boundary.
   def mmDecodeStub(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     import spark.implicits._
     val assets = spark.sql(s"WITH assets AS ($assetsSpark) SELECT doc_id, media FROM assets")
       .as[(Long, Array[Byte])]
-    // Batch-shaped per-partition decode: one stub "codec context" per
-    // partition, reused across rows — the shape a real (native) decoder
-    // needs. No shuffle.
+    // Batch-shaped per-partition decode: one stub "codec context" (and one
+    // digest instance) per partition, reused across rows — the shape a
+    // real (native) decoder needs. No shuffle.
     assets.mapPartitions { it =>
       val codec = MediaStub.openCodec()
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (docId, media) =>
         val d = MediaStub.decode(codec, media)
-        (docId, d.width, d.height, d.format, d.meanLuma)
+        // Digest of the UPPERCASE-hex rendering (not the raw bytes):
+        // DuckDB's md5 is VARCHAR-only, so the shared recomputable form
+        // is md5(hex(media)) on both engines.
+        md.reset()
+        val hexed = media.map("%02X".format(_)).mkString
+        val digest = md.digest(hexed.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          .map("%02x".format(_)).mkString
+        (docId, d.width, d.height, d.format, d.meanLuma, digest)
       }
-    }.toDF("doc_id", "width", "height", "format", "mean_luma")
+    }.toDF("doc_id", "width", "height", "format", "mean_luma", "media_md5")
   }
+
+  val mmDecodeStubSql: String =
+    s"""WITH assets AS ($assetsDuck)
+       |SELECT doc_id,
+       |       ('0x' || substr(hex(media), 1, 8))::INT AS width,
+       |       ('0x' || substr(hex(media), 9, 8))::INT AS height,
+       |       CASE ('0x' || substr(hex(media), 17, 2))::INT
+       |         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+       |       ((('0x' || substr(hex(media), 1, 8))::BIGINT * 31 +
+       |         ('0x' || substr(hex(media), 9, 8))::BIGINT) % 256) / 255.0 AS mean_luma,
+       |       md5(hex(media)) AS media_md5
+       |FROM assets""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata_extract" -> (mmMetadataExtract _),
@@ -119,6 +145,6 @@ object MultimodalQueries {
 
   val oracle: Map[String, String] = Map(
     "mm_metadata_extract" -> mmMetadataExtractSql,
-    "mm_frame_sample" -> mmFrameSampleSql)
-    // mm_decode_stub: rows-only (stubbed codec output is not SQL-expressible)
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_decode_stub" -> mmDecodeStubSql)
 }

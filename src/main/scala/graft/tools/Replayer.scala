@@ -36,20 +36,37 @@ object Replayer {
       .select(col("userId"), col("seqvalNum"), col("eventType"), col("value"))
 
     val survivors = target.join(deletes, Seq("userId"), "left_anti")
-    // MERGE WHEN MATCHED UPDATE overwrites ALL columns from the batch row,
-    // including legitimate NULLs — so matched rows take the batch side
-    // wholesale, detected by an explicit presence marker (inferring the
-    // match from payload non-nullness would misclassify an all-NULL
-    // update).
-    survivors.as("t")
-      .join(upserts.withColumn("__matched", lit(true)).as("s"),
-        Seq("userId"), "full_outer")
-      .withColumn("__matched", coalesce(col("__matched"), lit(false)))
-      .select(col("userId"),
-        when(col("__matched"), col("s.seqvalNum")).otherwise(col("t.seqvalNum")).as("seqvalNum"),
-        when(col("__matched"), col("s.eventType")).otherwise(col("t.eventType")).as("eventType"),
-        when(col("__matched"), col("s.value")).otherwise(col("t.value")).as("value"))
-      .drop("__matched")
+    merge(survivors, upserts, Seq("userId"))
+  }
+
+  /** Schema-generic MERGE of a deduped batch into a target (batch wins on
+    * matched keys): the engine form of `replayer.py:387-416`'s generated
+    * MERGE statement. `batch` must be unique per key (last-wins dedup
+    * upstream — the reference enforces the same via the temp table's PK)
+    * and carry every target column.
+    *
+    * Two branches, as in the reference:
+    *   - normal tables: full-outer join, matched rows take the batch side
+    *     WHOLESALE including legitimate NULLs — so the match is detected
+    *     by an explicit presence marker, not payload non-nullness (which
+    *     would misclassify an all-NULL update).
+    *   - ALL columns in the key (`replayer.py:394-404`): `WHEN MATCHED
+    *     UPDATE SET` would be empty/invalid SQL — CDC models updates to
+    *     such tables as delete+insert anyway — so the merge degrades to
+    *     INSERT-IF-ABSENT: matched rows untouched, new keys appended via
+    *     an anti join.
+    */
+  def merge(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame = {
+    val payload = target.columns.toSeq.filterNot(keys.contains)
+    if (payload.isEmpty)
+      target.unionByName(
+        batch.select(keys.map(col): _*).join(target, keys, "left_anti"))
+    else
+      target.as("t")
+        .join(batch.withColumn("__matched", lit(true)).as("s"), keys, "full_outer")
+        .withColumn("__matched", coalesce(col("__matched"), lit(false)))
+        .select(keys.map(col) ++ payload.map(c =>
+          when(col("__matched"), col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
   }
 
   /** A8: bounded replay — restrict the log to a batch-id range before

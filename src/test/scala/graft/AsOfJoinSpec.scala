@@ -96,6 +96,13 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(AsOfJoin.effectiveBucketWidth(0, 999_999_999_999L, 1, 0, 1 << 16) === 1)
     // Negative spans (hi < lo can't happen, but clamp) stay safe.
     assert(AsOfJoin.effectiveBucketWidth(5, 5, 10, 1 << 20, 1 << 16) === 10)
+    // The FULL Long domain: hi - lo + 1 overflows 64-bit exactly for the
+    // most pathological span, which used to clamp to 1 and silently skip
+    // widening. The BigInt span math must widen to ~2^48 instead.
+    val full = AsOfJoin.effectiveBucketWidth(
+      Long.MinValue, Long.MaxValue, 1000, 1 << 20, 1 << 16)
+    assert(full > 1000L)
+    assert(BigInt(2).pow(64) / full <= (1L << 16))
   }
 
   test("c7_asof_join: no nested-loop join, no data-sized single-reducer stage") {

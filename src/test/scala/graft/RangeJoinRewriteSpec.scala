@@ -96,6 +96,24 @@ class RangeJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("hi >= k AND lo < k", (k, lo, hi) => k > lo && k <= hi)
   }
 
+  test("exclusive bounds at the Long domain extremes match the naive plan (nothing)") {
+    val ss = spark; import ss.implicits._
+    // The ±1 inclusive-tightening uses the default wrapping Add; an
+    // exclusive bound AT Long.MaxValue/MinValue would wrap and replicate
+    // the interval across (nearly) the whole key axis. The guard must
+    // drop such rows — they are provably empty (`k > Long.MaxValue` /
+    // `k < Long.MinValue` match no long) — while normal rows still join.
+    Seq((1L, 100L)).toDF("pid", "k").createOrReplaceTempView("pts5")
+    Seq(
+      (1L, Long.MaxValue, Long.MaxValue), // k > MaxValue: empty, would wrap
+      (2L, Long.MinValue, Long.MinValue), // k < MinValue: empty, would wrap
+      (3L, 0L, 200L)                      // sane: matches
+    ).toDF("iid", "lo", "hi").createOrReplaceTempView("ivs5")
+    val out = spark.sql("SELECT pid, iid FROM pts5 JOIN ivs5 ON k > lo AND k < hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 3L)))
+  }
+
   test("joins the rule must NOT touch still plan normally") {
     val ss = spark; import ss.implicits._
     val (points, intervals) = fixtures()

@@ -52,6 +52,32 @@ class ReplayerSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
       (9L, 40L, "new", 9.0)))   // insert landed; key 3 gone
   }
 
+  test("all-PK-columns table: merge degrades to insert-if-absent") {
+    val ss = spark
+    import ss.implicits._
+    // Every column is part of the key (reference replayer.py:394-404: the
+    // WHEN MATCHED UPDATE SET clause would be empty, so the generated
+    // MERGE carries only WHEN NOT MATCHED INSERT). Matched keys must stay
+    // single, unmatched keys must land, nothing is "updated".
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k1", "k2")
+    val batch = Seq((2L, "b"), (3L, "c")).toDF("k1", "k2")
+    val merged = Replayer.merge(target, batch, Seq("k1", "k2"))
+      .orderBy("k1").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(merged.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("generic merge matches the hardcoded applyLog layout on mixed tables") {
+    val ss = spark
+    import ss.implicits._
+    // An all-NULL update must still be detected as a MATCH (presence
+    // marker, not payload non-nullness) and overwrite wholesale.
+    val target = Seq((1L, Some("x")), (2L, Some("y"))).toDF("k", "v")
+    val batch = Seq((1L, None: Option[String]), (3L, Some("z"))).toDF("k", "v")
+    val merged = Replayer.merge(target, batch, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(merged.toSeq == Seq((1L, None), (2L, Some("y")), (3L, Some("z"))))
+  }
+
   test("schema inference assembles tables from catalog rows (A4)") {
     val rows = Seq(
       CatalogRow("dbo", "orders", "dbo_orders", "0a", "id", "bigint", 1, 1, 0, 0),
