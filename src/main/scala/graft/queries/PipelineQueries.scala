@@ -245,6 +245,73 @@ object PipelineQueries {
       |FROM gated g JOIN rates r ON g.source = r.source
       |GROUP BY r.source, r.docs, r.target_share, r.rate""".stripMargin
 
+  // ── pipe_quota_sample ★ — token-BUDGET sampling: each source gets a
+  // token quota (derived here from the source id; in production a config
+  // table) and admits documents in a deterministic md5-hash order until
+  // the quota fills — the "take N tokens of each domain" corpus-assembly
+  // step, complementing pipe_mix's RATE-based admission (rates need the
+  // corpus re-scanned when sizes drift; quotas are absolute). A document
+  // is admitted iff its tokens START within budget (prefix-sum-before <
+  // quota), so the boundary document is kept — quota fills, never
+  // truncates a document. Shape: one tiny per-source aggregate broadcast
+  // back + one window PARTITION BY source (high cardinality → parallel;
+  // the hash order also makes the sample reproducible across runs and
+  // engines, unlike rand()). Nothing global.
+  def pipeQuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |         cast(ceil(length(text) / 4.0) as bigint) AS est_tokens,
+         |         ${DedupQueries.hSpark("cast(doc_id as string)")} AS h
+         |  FROM documents),
+         |quotas AS (
+         |  SELECT source,
+         |         CAST((cast(substr(source, 4) as int) % 4 + 1) * 800 AS BIGINT)
+         |           AS quota
+         |  FROM documents GROUP BY source),
+         |ordered AS (
+         |  SELECT t.source, t.est_tokens, q.quota,
+         |         sum(t.est_tokens) OVER (PARTITION BY t.source
+         |           ORDER BY t.h, t.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM toks t JOIN quotas q ON t.source = q.source)
+         |SELECT source, quota,
+         |       CAST(count(*) AS BIGINT) AS total_docs,
+         |       CAST(sum(CASE WHEN cum - est_tokens < quota THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS kept_docs,
+         |       CAST(sum(CASE WHEN cum - est_tokens < quota THEN est_tokens
+         |                     ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM ordered
+         |GROUP BY source, quota""".stripMargin)
+  }
+
+  val pipeQuotaSampleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+       |         ${DedupQueries.hDuck("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |quotas AS (
+       |  SELECT source,
+       |         CAST((CAST(substr(source, 4) AS INT) % 4 + 1) * 800 AS BIGINT)
+       |           AS quota
+       |  FROM documents GROUP BY source),
+       |ordered AS (
+       |  SELECT t.source, t.est_tokens, q.quota,
+       |         sum(t.est_tokens) OVER (PARTITION BY t.source
+       |           ORDER BY t.h, t.doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM toks t JOIN quotas q ON t.source = q.source)
+       |SELECT source, quota,
+       |       CAST(count(*) AS BIGINT) AS total_docs,
+       |       CAST(sum(CASE WHEN cum - est_tokens < quota THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS kept_docs,
+       |       CAST(sum(CASE WHEN cum - est_tokens < quota THEN est_tokens
+       |                     ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM ordered
+       |GROUP BY source, quota""".stripMargin
+
   // ── text_tfidf_topk ★ — rare-term extraction: per-document top-3 terms
   // by tf·idf with a LINEAR idf (tf × N / df). Linear instead of log(N/df)
   // on purpose: same ordering for fixed tf, but multiply+divide are
@@ -532,6 +599,7 @@ object PipelineQueries {
     "pipe_decontaminate_bloom" -> (pipeDecontaminateBloom _),
     "pipe_pack" -> (pipePack _),
     "pipe_mix" -> (pipeMix _),
+    "pipe_quota_sample" -> (pipeQuotaSample _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "pipe_shard" -> (pipeShard _))
 
@@ -544,6 +612,7 @@ object PipelineQueries {
     "pipe_decontaminate_bloom" -> pipeDecontaminateSql,
     "pipe_pack" -> pipePackSql,
     "pipe_mix" -> pipeMixSql,
+    "pipe_quota_sample" -> pipeQuotaSampleSql,
     "text_tfidf_topk" -> textTfidfTopkSql,
     "pipe_shard" -> pipeShardSql)
 }

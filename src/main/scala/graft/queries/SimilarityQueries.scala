@@ -254,6 +254,88 @@ object SimilarityQueries {
        |       cs AS cos_sim
        |FROM ranked WHERE rnk <= 3""".stripMargin
 
+  // ── ann_range_search ★ — THRESHOLD retrieval: every neighbor with
+  // cosine ≥ τ, not a fixed top-k (the dedup/recall-sweep form of vector
+  // search — "find everything this similar", where k is unknowable a
+  // priori). Same broadcast shape as brute-force top-k: the query side is
+  // tiny and broadcast, the candidate side never shuffles, and the τ
+  // filter replaces the window — so this plan has NO shuffle at all
+  // (filter + project on the scan), strictly cheaper than top-k at any
+  // scale. At 100 TB the same query runs against the IVF/LSH-bucketed
+  // relation to cut the scanned candidate set.
+  private val rangeTau = 0.2
+
+  def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      s"""WITH normed AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotS("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |queries AS (SELECT * FROM normed WHERE vec_id < 3)
+         |SELECT /*+ BROADCAST(q) */ q.vec_id AS q_id, c.vec_id AS vec_id,
+         |       ${dotS("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+         |FROM queries q JOIN normed c ON q.vec_id <> c.vec_id
+         |WHERE ${dotS("q.embedding", "c.embedding")} / (q.nrm * c.nrm) >= $rangeTau
+         |""".stripMargin)
+  }
+
+  val annRangeSearchSql: String =
+    s"""WITH normed AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce([0.0] || list_transform(embedding,
+       |           x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |queries AS (SELECT * FROM normed WHERE vec_id < 3)
+       |SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |       ${dotD("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+       |FROM queries q JOIN normed c ON q.vec_id <> c.vec_id
+       |WHERE ${dotD("q.embedding", "c.embedding")} / (q.nrm * c.nrm) >= $rangeTau""".stripMargin
+
+  // ── emb_centroid_by_label ★ — per-label mean embedding (class
+  // centroids: the seed step for k-means / IVF list training and for
+  // label-cluster diagnostics). Shape: posexplode to (label, dim, x) and
+  // one map-side-combined groupBy(label, dim) — fully parallel partial
+  // aggregation, no window, no join; at 100 TB this is the canonical
+  // "train coarse centroids" pass. Float sums are NOT reproducible across
+  // engines (association order), so the sum runs in EXACT integer space:
+  // components scale to micro-units (round(x·10⁶) — exact for float
+  // inputs), the BIGINT sum is order-independent, and the final divide by
+  // a constant is one correctly-rounded IEEE op — the centroid itself
+  // passes the binary oracle.
+  def embCentroidByLabel(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    // `1000000.0` would parse as a DECIMAL literal in Spark SQL (exact
+    // decimal division ≠ the oracle's IEEE double division) — cast
+    // explicitly on BOTH sides so the one divide is the same double op.
+    spark.sql(
+      """SELECT label, cast(pos + 1 as int) AS dim,
+        |       CAST(sum(cast(round(cast(x as double) * 1000000) as bigint))
+        |         AS BIGINT) AS sum_micro,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       sum(cast(round(cast(x as double) * 1000000) as bigint))
+        |         / (cast(1000000 as double) * count(*)) AS centroid
+        |FROM embeddings
+        |LATERAL VIEW posexplode(embedding) e AS pos, x
+        |WHERE pos < 8
+        |GROUP BY label, pos""".stripMargin)
+  }
+
+  val embCentroidByLabelSql: String =
+    """WITH exploded AS (
+      |  SELECT label,
+      |         unnest(range(1, len(embedding) + 1)) AS dim,
+      |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS x
+      |  FROM embeddings)
+      |SELECT label, CAST(dim AS INT) AS dim,
+      |       CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT)
+      |         / (CAST(1000000 AS DOUBLE) * count(*)) AS centroid
+      |FROM exploded WHERE dim <= 8
+      |GROUP BY label, dim""".stripMargin
+
   // ── emb_normalize ★ — unit-norm embeddings (the pre-index step every
   // vector store wants); norm emitted alongside for the oracle. Purely
   // narrow per-row arithmetic: scan speed at any scale.
@@ -313,6 +395,8 @@ object SimilarityQueries {
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_range_search" -> (annRangeSearch _),
+    "emb_centroid_by_label" -> (embCentroidByLabel _),
     "emb_normalize" -> (embNormalize _),
     "emb_quantize" -> (embQuantize _))
 
@@ -320,6 +404,8 @@ object SimilarityQueries {
     "ann_bruteforce_topk" -> annBruteforceSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
+    "ann_range_search" -> annRangeSearchSql,
+    "emb_centroid_by_label" -> embCentroidByLabelSql,
     "emb_normalize" -> embNormalizeSql,
     "emb_quantize" -> embQuantizeSql)
 }
