@@ -118,6 +118,35 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((star + "masktonames").r.findFirstIn(plan("f3_mask_decode")).isDefined)
   }
 
+  test("ann_range_search: no shuffle — broadcast nested-loop with the QUERY side built") {
+    // A threshold join has no equi key, so the right plan is a
+    // BroadcastNestedLoopJoin whose BUILD side is the tiny query set —
+    // O(Q·N) per-row work with the N side streaming straight off the
+    // scan. The assertion pins (a) the build side and (b) the absence of
+    // any shuffle exchange or window; either appearing means the plan
+    // degraded to something that funnels the corpus.
+    val p = plan("ann_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft") ||
+      p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      s"range search must not shuffle:\n$p")
+    assert(!p.contains("Window"))
+  }
+
+  test("emb_centroid_by_label: one map-side-combined aggregate, no join/window") {
+    val p = plan("emb_centroid_by_label")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "centroid aggregate must be partial (map-side combined)")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("pipe_quota_sample: admission window is partitioned by source") {
+    val p = plan("pipe_quota_sample")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"quota window must not funnel to one reducer:\n$p")
+    assert(p.contains("hashpartitioning(source"))
+  }
+
   test("pipe_decontaminate_bloom: prefilter is a codegen'd expression, not a closure UDF") {
     // Codegen stages only collapse when AQE finalizes: execute the SAME
     // DataFrame, then read its (now final) executed plan.
