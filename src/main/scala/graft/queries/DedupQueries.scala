@@ -33,8 +33,8 @@ object DedupQueries {
   // Shared across query files: THE engine-parity hash (md5 → positive
   // 60-bit BIGINT). Any change must touch exactly these two builders —
   // round-1's salt-sign bug lived in a drifted inline copy.
-  private[queries] def hSpark(e: String) = s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
-  private[queries] def hDuck(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  private[graft] def hSpark(e: String) = s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
+  private[graft] def hDuck(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
   // The doc table arrives as a single parquet file at test scale; without
   // an explicit repartition the per-shingle hashing stages would run on
@@ -64,6 +64,35 @@ object DedupQueries {
        |SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
        |       count(*) AS copies
        |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin
+
+  // ── dd_dup_rate_by_source ★ — duplication PRESSURE per source: docs vs
+  // distinct contents and the duplicate fraction — the data-card metric
+  // that decides which ingest feeds need dedup attention at all. Shape:
+  // one two-phase distinct aggregate (partial distinct on (source, hash)
+  // map-side, final count per source) — no joins, no windows, scan-bound
+  // at any corpus size.
+  def ddDupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH corpus AS ($corpusSparkSql)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS docs,
+         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+         |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+         |       CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+         |         / count(*) AS dup_frac
+         |FROM corpus GROUP BY source""".stripMargin)
+  }
+
+  val ddDupRateBySourceSql: String =
+    s"""WITH corpus AS ($corpusDuckSql)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS docs,
+       |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+       |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+       |       CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+       |         / count(*) AS dup_frac
+       |FROM corpus GROUP BY source""".stripMargin
 
   // ── dd_minhash_lsh ★ — char-8-gram shingles → 16 minhashes → 4 bands
   // of 4 → band-bucket self-join → candidate pairs with estimated
@@ -576,6 +605,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact_normalized" -> (ddExactNormalized _),
     "dd_exact" -> (ddExact _),
+    "dd_dup_rate_by_source" -> (ddDupRateBySource _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_lsh_salted" -> (ddMinhashLshSalted _),
     "dd_simhash" -> (ddSimhash _),
@@ -587,6 +617,7 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
     "dd_exact_normalized" -> ddExactNormalizedSql,
     "dd_exact" -> ddExactSql,
+    "dd_dup_rate_by_source" -> ddDupRateBySourceSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     // Salting reshapes the shuffle, not the answer: same oracle.
     "dd_minhash_lsh_salted" -> ddMinhashLshSql,

@@ -33,22 +33,34 @@ import graft.streaming.CdcPipeline.{KeyedRecordSink, RecordProducer}
   */
 object BrokerSink {
 
-  /** A [[RecordProducer]] bound to one LogBroker transaction. */
+  /** A [[RecordProducer]] bound to one LogBroker transaction.
+    *
+    * REPLAY SAFETY: if this (batch, partition)'s transactional id has
+    * already COMMITTED — some sibling partitions of a failed batch may
+    * have finished before the crash — the producer degrades to a no-op:
+    * re-producing would double every record at the log level. This models
+    * the reference's atomic data+progress commit (`kafka.py:87-101`): its
+    * restart reads the progress that committed WITH the data and skips
+    * completed work; here the broker's committed-transaction registry IS
+    * that progress record. A real-Kafka adapter implements the same check
+    * by committing a per-(batch, partition) marker to a control topic
+    * inside the transaction and consulting it before replaying. */
   final class TxnRecordProducer(brokerName: String, transactionalId: String)
       extends RecordProducer {
     private val handle = {
-      val h = LogBroker.get(brokerName).initTransactions(transactionalId)
-      h.beginTransaction()
-      h
+      val h = LogBroker.get(brokerName)
+        .initTransactionsUnlessCommitted(transactionalId)
+      h.foreach(_.beginTransaction())
+      h // None = already committed: every call below is a no-op
     }
     private var committed = false
 
     override def send(topic: String, key: Array[Byte], value: Array[Byte]): Unit =
-      handle.send(topic, key, value)
+      handle.foreach(_.send(topic, key, value))
 
     /** Commit point: KeyedRecordSink flushes only on the success path. */
     override def flush(): Unit = {
-      handle.commitTransaction()
+      handle.foreach(_.commitTransaction())
       committed = true
     }
 
@@ -58,7 +70,7 @@ object BrokerSink {
       * aborted our transaction for us. */
     override def close(): Unit =
       if (!committed) {
-        try handle.abortTransaction()
+        try handle.foreach(_.abortTransaction())
         catch { case _: RuntimeException => () }
       }
   }

@@ -68,6 +68,14 @@ final class LogBroker {
   // transactional.id -> (producerId, currentEpoch)
   private val txnRegistry = new ConcurrentHashMap[String, (Long, Int)]()
   private val nextPid = new java.util.concurrent.atomic.AtomicLong(0L)
+  // transactional.ids that have COMMITTED at least one transaction. This
+  // is the broker half of replay-safety: the reference commits its
+  // progress record in the SAME transaction as the data
+  // (`kafka.py:87-101`), so a restart can tell "this unit of work already
+  // committed" and skip it. With one transaction per transactional.id
+  // (the (batch, partition) naming scheme), membership here means exactly
+  // that — see [[initTransactionsUnlessCommitted]].
+  private val committedTxns = ConcurrentHashMap.newKeySet[String]()
   // pid -> open transaction's (epoch, touched partitions)
   private val openTxns =
     new ConcurrentHashMap[Long, (Int, ArrayBuffer[(String, Int)])]()
@@ -150,6 +158,10 @@ final class LogBroker {
       open._2.foreach { case (t, p) =>
         logs(t)(p).append(off => ControlMarker(off, pid, epoch, commit))
       }
+      // Record the commit under the pid lock, so the check in
+      // initTransactionsUnlessCommitted (same lock) can never interleave
+      // between our markers and this registration.
+      if (commit) committedTxns.add(transactionalId)
       inTxn = false
     }
     def commitTransaction(): Unit = endTxn(commit = true)
@@ -178,6 +190,45 @@ final class LogBroker {
       }
     }
     new TxnProducerHandle(transactionalId, pid, epoch)
+  }
+
+  /** Has this transactional id ever committed a transaction? */
+  def hasCommitted(transactionalId: String): Boolean =
+    committedTxns.contains(transactionalId)
+
+  /** Replay-safe registration for ONE-TRANSACTION-PER-ID producers (the
+    * (batch, partition) naming scheme): atomically, if the id has already
+    * committed, return None — the unit of work is durably published and a
+    * replay must NOT produce it again — otherwise register/fence exactly
+    * like [[initTransactions]].
+    *
+    * The check and the epoch bump share the pid lock with
+    * commit/abort/send, closing the zombie race: a slow first attempt
+    * either commits BEFORE the check (replay sees committed → skips) or
+    * is fenced by the bump (its commit throws, its records are aborted) —
+    * in no interleaving do both attempts' records become visible. */
+  def initTransactionsUnlessCommitted(
+      transactionalId: String): Option[TxnProducerHandle] = {
+    // Resolve (or allocate) the pid WITHOUT bumping the epoch: a skipped
+    // replay must not fence anything.
+    val pid = txnRegistry.computeIfAbsent(transactionalId,
+      _ => (nextPid.getAndIncrement(), -1))._1
+    lockFor(pid).synchronized {
+      if (committedTxns.contains(transactionalId)) None
+      else {
+        val (p, epoch) = txnRegistry.compute(transactionalId,
+          (_, cur) => (cur._1, cur._2 + 1))
+        val dangling = openTxns.remove(p)
+        if (dangling != null) {
+          val (oldEpoch, touched) = dangling
+          touched.foreach { case (t, part) =>
+            logs(t)(part).append(off =>
+              ControlMarker(off, p, oldEpoch, commit = false))
+          }
+        }
+        Some(new TxnProducerHandle(transactionalId, p, epoch))
+      }
+    }
   }
 
   /** `read_committed` scan of one partition: transactional data records are

@@ -167,6 +167,26 @@ class LogBrokerSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- end-to-end exactly-once through the pipeline ----------------
 
+  test("a committed transactional id never re-produces: replay degrades to a no-op") {
+    val b = LogBroker.get("unit-replay")
+    // First attempt commits normally.
+    val p1 = new BrokerSink.TxnRecordProducer("unit-replay", "tx-r")
+    p1.send("t", "k".getBytes, "v1".getBytes)
+    p1.flush()
+    assert(b.readCommitted("t").size === 1)
+    assert(b.hasCommitted("tx-r"))
+    // A replay with the SAME transactional id (batch retried after a
+    // sibling-partition failure) must publish NOTHING — not even under a
+    // new epoch — or the log double-counts.
+    val p2 = new BrokerSink.TxnRecordProducer("unit-replay", "tx-r")
+    p2.send("t", "k".getBytes, "v1".getBytes)
+    p2.flush(); p2.close()
+    assert(b.readCommitted("t").size === 1, "replay re-produced a committed txn")
+    // An UNCOMMITTED id still registers, fences, and produces normally.
+    assert(b.initTransactionsUnlessCommitted("tx-r2").isDefined)
+    LogBroker.drop("unit-replay")
+  }
+
   test("crash mid-batch, restart: read_committed + compacted views are exactly-once (A6/G1/G2)") {
     val feed = s"$work/feed"; val ckpt = s"$work/ckpt"
     val broker = "e2e-broker"; val topic = "events_cdc"
