@@ -1,5 +1,9 @@
 package graft.streaming
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, from_json}
+import org.apache.spark.sql.types.StructType
+
 import graft.streaming.CdcPipeline.{KeyedRecordSink, RecordProducer}
 
 /** Binds [[LogBroker]] to the [[CdcPipeline.RecordProducer]] seam —
@@ -83,4 +87,25 @@ object BrokerSink {
       (batchId, partitionId) => new TxnRecordProducer(
         brokerName, s"graft-$topic-b$batchId-p$partitionId"),
       topic)
+
+  /** The CONSUMER half of A7: recover the current state table from the
+    * broker's compacted view of `topic` — parse the sink's JSON values
+    * back into rows (the reference's state-recovery consume,
+    * `kafka.py:213-262` + last-wins fold `progress_tracking.py:235-258`;
+    * compaction itself already applied the last-wins/tombstone fold).
+    * The model broker's view is driver-side (it IS an in-JVM registry);
+    * against a real broker this is a bounded `spark.read.format("kafka")`
+    * plus the `a7` last-wins query — same downstream schema. */
+  def compactedState(spark: SparkSession, brokerName: String,
+      topic: String): DataFrame = {
+    import spark.implicits._
+    val values = LogBroker.get(brokerName).compactedView(topic)
+      .map(r => new String(r.value, "UTF-8"))
+    val schema = StructType.fromDDL(
+      "userId LONG, lsnNum LONG, commandId INT, seqvalNum LONG, " +
+        "operation INT, eventType STRING, value DOUBLE")
+    spark.createDataset(values)
+      .select(from_json(col("value"), schema).as("j"))
+      .select(col("j.*"))
+  }
 }

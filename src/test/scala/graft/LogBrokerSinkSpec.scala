@@ -187,6 +187,34 @@ class LogBrokerSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     LogBroker.drop("unit-replay")
   }
 
+  test("A6→A7→A11 chain: broker compacted state replays onto a target == parquet state") {
+    val feed = s"$work/feed-chain"; val broker = "chain-broker"; val topic = "t-chain"
+    CdcPipeline.stageChangeFeed(spark, sfDir, feed, nChunks = 2)
+    // Publish through the transactional broker sink (A6)...
+    CdcPipeline.run(spark, feed, s"$work/ckpt-chain",
+      BrokerSink.transactional(broker, topic))
+    // ...recover state from the compacted topic (A7)...
+    val state = BrokerSink.compactedState(spark, broker, topic)
+    // ...and replay it onto an empty target with the generic MERGE (A11).
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "userId LONG, seqvalNum LONG, eventType STRING, value DOUBLE"))
+    val applied = graft.tools.Replayer.merge(empty,
+      state.select("userId", "seqvalNum", "eventType", "value"), Seq("userId"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+
+    // Oracle: the parquet pipeline on the SAME feed, compacted directly.
+    CdcPipeline.runToParquet(spark, feed, s"$work/sink-chain", s"$work/ckptP-chain")
+    val expected = CdcPipeline.compactedState(spark, s"$work/sink-chain")
+      .select("userId", "seqvalNum", "eventType", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+
+    assert(applied.length === expected.length)
+    assert(applied.toSet === expected.toSet)
+    LogBroker.drop(broker)
+  }
+
   test("crash mid-batch, restart: read_committed + compacted views are exactly-once (A6/G1/G2)") {
     val feed = s"$work/feed"; val ckpt = s"$work/ckpt"
     val broker = "e2e-broker"; val topic = "events_cdc"

@@ -78,6 +78,29 @@ class ReplayerSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged.toSeq == Seq((1L, None), (2L, Some("y")), (3L, Some("z"))))
   }
 
+  test("generic merge matches a map model on 50 random scenarios") {
+    val ss = spark
+    import ss.implicits._
+    val rng = new scala.util.Random(11)
+    (1 to 50).foreach { i =>
+      // Random target and batch over a small key space; batch unique per
+      // key (the operator's documented precondition).
+      val target = (0 until rng.nextInt(20))
+        .map(_ => (rng.nextInt(15).toLong, Option(rng.nextInt(100)).filter(_ => rng.nextBoolean())))
+        .distinctBy(_._1)
+      val batch = (0 until rng.nextInt(20))
+        .map(_ => (rng.nextInt(15).toLong, Option(rng.nextInt(100)).filter(_ => rng.nextBoolean())))
+        .distinctBy(_._1)
+      // Model: MERGE = map overwrite, batch wins on matched keys.
+      val expected = (target.toMap ++ batch.toMap).toSeq.sorted
+      val got = Replayer.merge(
+        target.toDF("k", "v"), batch.toDF("k", "v"), Seq("k"))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+        .toSeq.sorted
+      assert(got == expected, s"scenario $i: target=$target batch=$batch")
+    }
+  }
+
   test("schema inference assembles tables from catalog rows (A4)") {
     val rows = Seq(
       CatalogRow("dbo", "orders", "dbo_orders", "0a", "id", "bigint", 1, 1, 0, 0),
