@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{SortExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-catalog physical-plan audit: every `SparkEntry.queries` entry is
+  * swept for the operator shapes that kill a 100 TB run — cartesian
+  * products, unbounded nested-loop joins, unpartitioned (single-reducer)
+  * windows, and global sorts. [[PlanAssertionsSpec]] pins the POSITIVE
+  * shape of selected queries; this suite pins the ABSENCE of negatives
+  * across all of them, so a regression in any future query fails loudly
+  * even if nobody wrote it a dedicated assertion.
+  *
+  * Exceptions are explicit allowlists, each with the reason the shape is
+  * bounded by construction (a nested loop over a 16-row broadcast side is
+  * a scan, not a scale bug). AQE is disabled in this session so the audit
+  * sees the static planner output rather than a half-finalized adaptive
+  * wrapper.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("plan-audit")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** All plan nodes including subquery plans. */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case n => n } ++
+      p.collect { case n => n.subqueries }.flatten.flatMap(nodes)
+
+  private lazy val plans: Seq[(String, SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.executedPlan
+    }
+
+  /** Nested loop is legitimate ONLY when one side is bounded by
+    * construction — a broadcast relation whose size is a design constant,
+    * not a function of the data. */
+  private val nestedLoopAllowed: Map[String, String] = Map(
+    "ann_bruteforce_topk" -> "query side is the fixed probe set (vec_id < 3), broadcast",
+    "ann_ivf_topk" -> "centroid table is 16 rows by construction, broadcast",
+    "ann_range_search" -> "query side is the fixed probe set (vec_id < 3), broadcast",
+    "dd_embedding_cosine" -> "label-blocked pair join; non-equi residual over the tiny blocked side",
+    "f11_asof_lsn" -> "single-probe as-of lookup: one row against the mapping dimension",
+    "c1_lsn_time_join" -> "broadcast dimension lookup with a range residual; fact side streams",
+    "d3_keyed_range_count" -> "bounded single-group range count over a broadcast boundary row",
+    "d2_bounded_count" -> "bounded count against two scalar boundary rows",
+    "c5_count_reconciliation" -> "4-row reconciliation summary joined to scalar boundaries",
+    "pipe_mix" -> "per-source stats (≈20 rows) cross-joined with the 1-row corpus total — both aggregates, bounded by source cardinality",
+    "text_length_quantiles" -> "rank refinement joins the 3-row quantile-boundary table (broadcast) against only the target buckets",
+    "text_tfidf_topk" -> "the 1-row corpus-size scalar joins the tf table as a broadcast constant")
+
+  /** An unpartitioned window is legitimate ONLY over a table whose row
+    * count is bounded by construction (buckets, partitions, quantile
+    * boundaries — never raw data rows). */
+  private val bareWindowAllowed: Map[String, String] = Map(
+    "c7_asof_join" -> "carry-in prefix over the occupied-bucket champion table (guarded by effectiveBucketWidth)",
+    "c6_ordered_compare" -> "ordered zip of the two 119-row comparison summaries (bounded reconciliation output)",
+    "e4_ordering_regressions" -> "lag over per-partition summary rows, not raw changes",
+    "e5_offset_gaps" -> "lag over per-partition offset summaries",
+    "text_length_quantiles" -> "prefix sum over the 12-row bucket histogram, never documents")
+
+  private def violations(pred: (String, SparkPlan) => Boolean): Seq[String] =
+    plans.collect { case (name, p) if pred(name, p) => name }
+
+  test("no cartesian products anywhere in the catalog") {
+    val bad = violations((_, p) => nodes(p).exists(_.isInstanceOf[CartesianProductExec]))
+    assert(bad.isEmpty, s"CartesianProduct in: ${bad.mkString(", ")}")
+  }
+
+  test("nested-loop joins only where one side is bounded by construction") {
+    val bad = violations((name, p) =>
+      nodes(p).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+        !nestedLoopAllowed.contains(name))
+    assert(bad.isEmpty,
+      s"unexpected BroadcastNestedLoopJoin — justify or fix: ${bad.mkString(", ")}")
+  }
+
+  test("unpartitioned windows only over bounded-by-construction tables") {
+    val bad = violations((name, p) =>
+      nodes(p).exists {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case _ => false
+      } && !bareWindowAllowed.contains(name))
+    assert(bad.isEmpty,
+      s"unpartitioned Window (single reducer over what?): ${bad.mkString(", ")}")
+  }
+
+  test("no global sorts outside TakeOrderedAndProject") {
+    plans.foreach { case (name, p) =>
+      // A global SortExec under TakeOrderedAndProject never materializes
+      // (the physical operator is the top-k itself); any OTHER global
+      // sort funnels the dataset through one range-partitioned pass —
+      // legitimate only for the range-partitioned rank (sortWithinPartitions
+      // shows global=false, so GlobalOrder does not trip this).
+      val topK = nodes(p).collect { case t: TakeOrderedAndProjectExec => t }
+      val globalSorts = nodes(p).collect {
+        case s: SortExec if s.global => s
+      }
+      if (globalSorts.nonEmpty && topK.isEmpty)
+        fail(s"$name plans a global Sort outside TakeOrderedAndProject")
+    }
+  }
+}
