@@ -153,7 +153,9 @@ object SimilarityQueries {
   // buckets by hash geometry, IVF by data geometry. Centroids are picked
   // deterministically (vec_id 100..115 → 16 lists) so both engines build
   // the identical index without a k-means dependency; a production build
-  // would drop k-means centroids into the same CTE.
+  // drops [[graft.tools.KMeansTrainer]] centroids into the same CTE (the
+  // trainer exists and is spec-verified; it isn't used HERE because the
+  // DuckDB oracle must construct the identical index without running it).
   //
   // Scale shape: the assignment stage is a broadcast nested-loop over the
   // 16-row centroid table (the N side never shuffles); posting lists then
