@@ -38,11 +38,14 @@ object Bench {
     // 4-decimal per-query values keep the whole line ~2 KB: the driver
     // captures a bounded tail of stdout, and full-precision nanos pushed
     // the line's head out of that window in earlier rounds (BENCH_r*.json
-    // "parsed": null with a mid-line tail).
-    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
+    // "parsed": null with a mid-line tail). Locale.ROOT: the f-interpolator
+    // uses the default locale, and a comma decimal separator would break
+    // the JSON again.
+    def d4(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", v: java.lang.Double)
+    val qs = results.map { case (k, v) => s""""$k":${d4(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -138,13 +138,41 @@ object MultimodalQueries {
        |       md5(hex(media)) AS media_md5
        |FROM assets""".stripMargin
 
+  // ── mm_dedup_assets ★ — exact media-asset dedup by byte-level content
+  // digest (the media analog of `dd_exact`): one map-side-combined
+  // aggregate on the digest — the content-addressing pass every asset
+  // store runs before decode, since decoding a duplicate is pure waste.
+  // At production asset sizes the digest-on-scan ordering matters: hash
+  // the binary column once while it streams, never shuffle the bytes
+  // themselves (only the 32-char digest and the ids shuffle here).
+  def mmDedupAssets(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH assets AS ($assetsSpark)
+         |SELECT md5(hex(media)) AS media_digest,
+         |       CAST(count(*) AS BIGINT) AS copies,
+         |       min(doc_id) AS keeper_doc_id
+         |FROM assets
+         |GROUP BY md5(hex(media)) HAVING count(*) > 1""".stripMargin)
+  }
+
+  val mmDedupAssetsSql: String =
+    s"""WITH assets AS ($assetsDuck)
+       |SELECT md5(hex(media)) AS media_digest,
+       |       CAST(count(*) AS BIGINT) AS copies,
+       |       min(doc_id) AS keeper_doc_id
+       |FROM assets
+       |GROUP BY md5(hex(media)) HAVING count(*) > 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata_extract" -> (mmMetadataExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_decode_stub" -> (mmDecodeStub _))
+    "mm_decode_stub" -> (mmDecodeStub _),
+    "mm_dedup_assets" -> (mmDedupAssets _))
 
   val oracle: Map[String, String] = Map(
     "mm_metadata_extract" -> mmMetadataExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "mm_decode_stub" -> mmDecodeStubSql)
+    "mm_decode_stub" -> mmDecodeStubSql,
+    "mm_dedup_assets" -> mmDedupAssetsSql)
 }

@@ -270,15 +270,23 @@ object SimilarityQueries {
   def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
     viewEmb(spark, dir)
     graft.expr.GraftFunctions.register(spark)
+    // Materialize the norm pass ONCE — same reason as annBruteforce: the
+    // CTE is referenced by both join sides and Catalyst would inline
+    // (recompute) the O(N·dim) scan into each.
     spark.sql(
-      s"""WITH normed AS (
-         |  SELECT vec_id, embedding,
-         |         sqrt(${dotS("embedding", "embedding")}) AS nrm
-         |  FROM embeddings),
-         |queries AS (SELECT * FROM normed WHERE vec_id < 3)
+      s"""SELECT vec_id, embedding,
+         |       sqrt(${dotS("embedding", "embedding")}) AS nrm
+         |FROM embeddings""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("rs_normed_t")
+    // The τ predicate in the WHERE becomes the join condition (evaluated
+    // once per candidate pair, necessarily); the SELECT's copy evaluates
+    // only for the few surviving rows.
+    spark.sql(
+      s"""WITH queries AS (SELECT * FROM rs_normed_t WHERE vec_id < 3)
          |SELECT /*+ BROADCAST(q) */ q.vec_id AS q_id, c.vec_id AS vec_id,
          |       ${dotS("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
-         |FROM queries q JOIN normed c ON q.vec_id <> c.vec_id
+         |FROM queries q JOIN rs_normed_t c ON q.vec_id <> c.vec_id
          |WHERE ${dotS("q.embedding", "c.embedding")} / (q.nrm * c.nrm) >= $rangeTau
          |""".stripMargin)
   }

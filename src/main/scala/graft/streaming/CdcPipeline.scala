@@ -227,14 +227,28 @@ object CdcPipeline {
     * crash-mid-produce guarantee, `kafka.py:87-101`, `main.py:319-350`).
     * For a transactional producer, `flush()` is the commit point (it only
     * runs after every send succeeded) and `close()` on the error path
-    * must abort — see [[BrokerSink.transactional]]. */
+    * must abort — see [[BrokerSink.transactional]].
+    *
+    * The id is only as stable as the PARTITIONING: the upstream plan's
+    * partition count follows cluster size, so a restart on different
+    * parallelism would renumber partitions — committed-id replay
+    * protection would then both skip records it never published and
+    * re-publish records it already did. The sink therefore repartitions
+    * every batch by the row key into a FIXED `producePartitions` bucket
+    * count (a config constant, never a cluster property): the same batch
+    * hashes to the same (partitionId → row set) mapping on any cluster,
+    * making `(batchId, partitionId)` a durable name for that unit of
+    * work. One bounded per-batch shuffle is the price; the reference
+    * pays the same by producing through a single ordered process. */
   final class KeyedRecordSink(
       producerFactory: (Long, Int) => RecordProducer,
-      topic: String) extends CdcSink {
+      topic: String,
+      producePartitions: Int = 8) extends CdcSink {
     override def writeBatch(batch: Dataset[KeyedUpdate], batchId: Long): Unit = {
       val t = topic
       val pf = producerFactory
-      batch.foreachPartition { (rows: Iterator[KeyedUpdate]) =>
+      batch.repartition(producePartitions, org.apache.spark.sql.functions.col("userId"))
+        .foreachPartition { (rows: Iterator[KeyedUpdate]) =>
         val p = pf(batchId, org.apache.spark.TaskContext.getPartitionId())
         try {
           rows.foreach { u =>

@@ -36,9 +36,12 @@ object StreamingQuota {
       admitted: Boolean, cumAfter: Long)
 
   /** Per-source quota: the same source-id-derived formula as the batch
-    * operator (a production deployment reads a config table). */
+    * operator (a production deployment reads a config table). A source
+    * that doesn't parse gets quota 0 — admit nothing — matching the batch
+    * operator's NULL-quota behavior; throwing here would fail the task
+    * and wedge the streaming query on every retry. */
   def quotaFor(source: String): Long =
-    (source.drop(3).toInt % 4 + 1) * 800L
+    source.drop(3).toIntOption.map(n => (n % 4 + 1) * 800L).getOrElse(0L)
 
   /** Admission fold for one source in one micro-batch. Exposed for direct
     * unit testing. */

@@ -44,7 +44,7 @@ object KMeansTrainer {
       .filter(col("nrm") > 0)
       .select(col("vec_id"),
         expr("transform(v, x -> x / nrm)").as("v"))
-      .localCheckpoint() // iterated over maxIters times: cut lineage once
+      .persist() // scanned 2x per round; freed before returning
 
     var centroids: Seq[(Int, Seq[Double])] = vecs
       .orderBy("vec_id").limit(k)
@@ -55,17 +55,20 @@ object KMeansTrainer {
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {
-      val cDf = spark.createDataFrame(
-        centroids.map { case (cid, c) => (cid, c) }).toDF("c_id", "c_emb")
+      val cDf = spark.createDataFrame(centroids).toDF("c_id", "c_emb")
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("score").desc, col("c_id"))
+      // Lineage stays constant-depth across rounds (centroids re-enter
+      // through the driver), so persist — consumed by the signature agg
+      // and the means agg — and free before the next round; an
+      // accumulating per-round checkpoint would pin maxIters copies.
       val assigned = vecs.join(broadcast(cDf))
         .withColumn("score",
           expr("aggregate(zip_with(v, c_emb, (a, b) -> a * b), 0.0d, (a, x) -> a + x)"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
         .select(col("vec_id"), col("c_id"), col("v"))
-        .localCheckpoint() // consumed by signature + update + next round
+        .persist()
 
       // Assignment signature: order-independent checksum of (vec, cid).
       // Decimal sum: full-range xxhash64 longs overflow an ANSI BIGINT sum.
@@ -91,27 +94,33 @@ object KMeansTrainer {
           }
         }
       }
+      assigned.unpersist()
       iters += 1
     }
+    vecs.unpersist()
     (spark.createDataFrame(centroids).toDF("c_id", "c_emb"), iters)
   }
 
   /** Assign every vector to its trained centroid (the IVF posting-list
-    * build input): broadcast join + per-vector argmax, same plan as
-    * `ann_ivf_topk`'s assignment stage. */
+    * build input): broadcast join + per-vector argmax, same plan AND same
+    * score as `ann_ivf_topk`'s assignment stage — full cosine, both norms
+    * divided out, so a centroid table that isn't unit-norm (hand-picked
+    * vectors, not this trainer's output) still assigns correctly. */
   def assign(spark: SparkSession, embeddings: DataFrame,
       centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("score").desc, col("c_id"))
+    val cents = centroids.withColumn("c_nrm",
+      expr("sqrt(aggregate(c_emb, 0.0d, (a, x) -> a + x * x))"))
     embeddings
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", expr("sqrt(aggregate(v, 0.0d, (a, x) -> a + x * x))"))
       .filter(col("nrm") > 0)
-      .join(broadcast(centroids))
+      .join(broadcast(cents))
       .withColumn("score",
         expr("aggregate(zip_with(v, c_emb, (a, b) -> a * b), 0.0d, (a, x) -> a + x)")
-          / col("nrm"))
+          / (col("nrm") * col("c_nrm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("c_id"), col("score"))
