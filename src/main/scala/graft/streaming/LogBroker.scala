@@ -74,7 +74,11 @@ final class LogBroker {
   // (`kafka.py:87-101`), so a restart can tell "this unit of work already
   // committed" and skip it. With one transaction per transactional.id
   // (the (batch, partition) naming scheme), membership here means exactly
-  // that — see [[initTransactionsUnlessCommitted]].
+  // that — see [[initTransactionsUnlessCommitted]]. Grows one small
+  // string per committed (batch, partition) for the broker's lifetime —
+  // the same retention question as a real control topic; a deployment
+  // compacts it past the replay horizon (only the latest few batches can
+  // ever replay), which this in-JVM test transport doesn't bother with.
   private val committedTxns = ConcurrentHashMap.newKeySet[String]()
   // pid -> open transaction's (epoch, touched partitions)
   private val openTxns =
