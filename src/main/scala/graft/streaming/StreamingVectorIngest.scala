@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Continuous embedding ingestion into the IVF posting-list store — the
+  * streaming half of the similarity-search path: vectors arrive as
+  * parquet drops, each is assigned to its nearest trained coarse centroid
+  * ([[graft.tools.KMeansTrainer]] output), and appended to the
+  * centroid-partitioned posting layout [[graft.tools.AnnIndex]] serves
+  * from — so the ANN index stays fresh without rebuild scans.
+  *
+  * Scale notes: assignment is STATELESS and join-free — the trained
+  * centroids are a design-constant k×d table, so they embed in the plan
+  * as a literal array and every incoming vector scores all k in one
+  * narrow projection (no broadcast exchange, no state store, no shuffle
+  * before the partitioned write). Vector norms divide every score
+  * equally, so argmax needs only unit-normalized CENTROIDS — computed
+  * once, driver-side. Exactly-once: the file source + checkpoint replay
+  * discipline; the sink appends whole files per batch, so a replayed
+  * batch overwrites rather than duplicates (parquet sink batch-id
+  * manifest).
+  */
+object StreamingVectorIngest {
+
+  /** Unit-normalize centroids driver-side; k and d are design constants. */
+  private def unitCentroids(centroids: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] =
+    centroids.sortBy(_._1).map { case (cid, c) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (cid, if (n > 0) c.map(_ / n) else c)
+    }
+
+  /** The assignment column: argmax over dot(v, unit centroid), ties to
+    * the lower centroid id (same tie rule as the batch assignment). */
+  private def assignExpr(cents: Seq[(Int, Seq[Double])], v: Column): Column = {
+    val centsLit = typedLit(cents.map(_._2))
+    val cidsLit = typedLit(cents.map(_._1))
+    val scores = transform(centsLit, c =>
+      aggregate(zip_with(v, c, (a, b) => a * b), lit(0.0d), (acc, x) => acc + x))
+    // array_position returns the FIRST index of the max (1-based): with
+    // centroids sorted by id, ties already break low.
+    element_at(cidsLit, array_position(scores, array_max(scores)).cast("int"))
+  }
+
+  /** Run until all currently-dropped vector files are ingested
+    * (AvailableNow). Output layout: `indexDir/c_id=<k>/…` — the exact
+    * partition-pruned layout the persisted-IVF serving path probes. */
+  def run(spark: SparkSession, dropDir: String, indexDir: String,
+      checkpointDir: String, centroids: Seq[(Int, Seq[Double])]): Unit = {
+    val cents = unitCentroids(centroids)
+    val schema = "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    val incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dropDir)
+    val assigned = incoming
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("c_id", assignExpr(cents, col("v")))
+      .select("vec_id", "c_id", "embedding")
+    val query = assigned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .partitionBy("c_id")
+      .option("path", indexDir)
+      .start()
+    query.awaitTermination()
+  }
+}
