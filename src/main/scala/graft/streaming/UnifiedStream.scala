@@ -22,19 +22,25 @@ object UnifiedStream {
   private val idxCols = Seq(col("lsn_num"), col("command_id"),
     col("seqval_num"), col("operation"), col("src"))
 
-  /** Run the unified publisher over per-table staged feeds until drained.
-    * Each feed is a CdcPipeline-staged directory; `src` labels the table. */
-  def run(spark: SparkSession, feeds: Map[String, String], sinkDir: String,
-      checkpointDir: String): Unit = {
-    val schema = "lsn_num LONG, command_id INT, seqval_num LONG, operation INT, " +
-      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    val unioned = feeds.toSeq.sortBy(_._1).map { case (src, dir) =>
-      spark.readStream.schema(schema)
+  /** The union of the per-table staged feeds, each labeled with its
+    * table as `src`. One definition (and the PROVIDER's schema, not a
+    * restated DDL string) shared by both publishers — a feed-layout
+    * change must not be re-editable in several places. */
+  private def unionedFeeds(spark: SparkSession,
+      feeds: Map[String, String]): DataFrame =
+    feeds.toSeq.sortBy(_._1).map { case (src, dir) =>
+      spark.readStream.schema(graft.sources.CdcTableProvider.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(dir)
         .filter(col("operation") =!= 3)
         .withColumn("src", lit(src))
     }.reduce(_ unionByName _)
+
+  /** Run the unified publisher over per-table staged feeds until drained.
+    * Each feed is a CdcPipeline-staged directory; `src` labels the table. */
+  def run(spark: SparkSession, feeds: Map[String, String], sinkDir: String,
+      checkpointDir: String): Unit = {
+    val unioned = unionedFeeds(spark, feeds)
 
     val query = unioned.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -72,15 +78,7 @@ object UnifiedStream {
     * per-key order get it free (a key lives in one range). */
   def runPartitioned(spark: SparkSession, feeds: Map[String, String],
       sinkDir: String, checkpointDir: String, partitions: Int = 0): Unit = {
-    val schema = "lsn_num LONG, command_id INT, seqval_num LONG, operation INT, " +
-      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    val unioned = feeds.toSeq.sortBy(_._1).map { case (src, dir) =>
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(dir)
-        .filter(col("operation") =!= 3)
-        .withColumn("src", lit(src))
-    }.reduce(_ unionByName _)
+    val unioned = unionedFeeds(spark, feeds)
 
     val query = unioned.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -126,8 +124,15 @@ object UnifiedStream {
     * ascending with the partition id — together those make partition-id
     * order a replay of the total order. Returns violations (empty = ok). */
   def partitionedOrderValidation(spark: SparkSession, sinkDir: String): DataFrame = {
+    // The FULL 5-column partitioning key (index + src): validating on a
+    // 4-field prefix would flag adjacent partitions that legitimately
+    // share a prefix value and differ only in src. Boundary CONTACT
+    // (prev_hi == lo) is likewise legal: repartitionByRange may split
+    // duplicate full keys across adjacent partitions, and partition-id
+    // replay is still non-decreasing — only strict inversion
+    // (prev_hi > lo) breaks the total order.
     val idx = struct(col("lsn_num"), col("command_id"), col("seqval_num"),
-      col("operation"))
+      col("operation"), col("src"))
     val withPos = spark.read.parquet(sinkDir)
       .withColumn("pos", monotonically_increasing_id())
     val intra = withPos
@@ -143,7 +148,7 @@ object UnifiedStream {
       .withColumn("prev_hi",
         lag(col("hi"), 1).over(Window.partitionBy(col("batch_id"))
           .orderBy(col("part"))))
-      .filter(col("prev_hi").isNotNull && col("prev_hi") >= col("lo"))
+      .filter(col("prev_hi").isNotNull && col("prev_hi") > col("lo"))
       .select(col("batch_id"), col("part"),
         lit("partition ranges overlap").as("violation"))
     intra.unionByName(inter)
