@@ -35,17 +35,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 4-decimal per-query values keep the whole line ~2 KB: the driver
-    // captures a bounded tail of stdout, and full-precision nanos pushed
-    // the line's head out of that window in earlier rounds (BENCH_r*.json
-    // "parsed": null with a mid-line tail). Locale.ROOT: the f-interpolator
-    // uses the default locale, and a comma decimal separator would break
-    // the JSON again.
+    // The driver captures a bounded TAIL of stdout: in rounds 4 and 5 the
+    // single ~2.8 KB 80-query JSON line lost its head to that window
+    // ("parsed": null). Emission contract, revised: the full per-query map
+    // goes out first as small standalone lines (for humans and logs), and
+    // the LAST line — the one guaranteed to survive a tail capture — is a
+    // compact (<1 KB) contract object holding the total plus the slowest
+    // queries only. Locale.ROOT: a comma decimal separator would break the
+    // JSON.
     def d4(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", v: java.lang.Double)
-    val qs = results.map { case (k, v) => s""""$k":${d4(v)}""" }
-      .mkString("{", ",", "}")
+    results.foreach { case (k, v) => println(s"""{"q":"$k","sec":${d4(v)}}""") }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val slowest = results.sortBy(-_._2).take(15)
+      .map { case (k, v) => s""""$k":${d4(v)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

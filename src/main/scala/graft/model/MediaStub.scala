@@ -25,11 +25,19 @@ object MediaStub {
 
   val formats: Array[String] = Array("png", "jpeg", "webp")
 
+  /** Total over arbitrary bytes, matching the SQL oracle's CASE on every
+    * input it accepts: format ids ≥ 2 all decode as the last format (the
+    * oracle's ELSE branch), and a width/height with the sign bit set —
+    * where the two engines' integer parses would diverge (negative via
+    * be32 here, overflow via `('0x'…)::INT` in DuckDB) — is rejected
+    * loudly instead of silently disagreeing. */
   def decode(codec: Codec, media: Array[Byte]): Decoded = {
     require(media.length >= 9, s"truncated media header: ${media.length} bytes")
     val w = be32(media, 0)
     val h = be32(media, 4)
-    val f = formats(media(8) & 0xff)
+    require(w >= 0 && h >= 0,
+      s"media dimensions out of the 31-bit header domain: ${w}x$h")
+    val f = formats(math.min(media(8) & 0xff, formats.length - 1))
     // STUB pixel statistic: deterministic function of the header bytes.
     // A real decoder would scan the frame buffer here.
     val luma = ((w.toLong * 31 + h) % 256).toDouble / 255.0

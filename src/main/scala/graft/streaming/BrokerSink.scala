@@ -48,7 +48,14 @@ object BrokerSink {
     * completed work; here the broker's committed-transaction registry IS
     * that progress record. A real-Kafka adapter implements the same check
     * by committing a per-(batch, partition) marker to a control topic
-    * inside the transaction and consulting it before replaying. */
+    * inside the transaction and consulting it before replaying — and must
+    * BOUND that consult: only markers within the replay horizon (the last
+    * few batch ids a restart can legally re-attempt) are relevant, so the
+    * control topic gets a retention/compaction policy and the restart
+    * reads from the last checkpointed batch id minus that horizon, never
+    * a from-beginning scan of an unbounded marker log. (The model
+    * broker's in-memory registry grows per committed (batch, partition)
+    * for its lifetime — fine for a test transport, wrong to replicate.) */
   final class TxnRecordProducer(brokerName: String, transactionalId: String)
       extends RecordProducer {
     private val handle = {
@@ -104,8 +111,18 @@ object BrokerSink {
     val schema = StructType.fromDDL(
       "userId LONG, lsnNum LONG, commandId INT, seqvalNum LONG, " +
         "operation INT, eventType STRING, value DOUBLE")
-    spark.createDataset(values)
-      .select(from_json(col("value"), schema).as("j"))
-      .select(col("j.*"))
+    val parsed = spark.createDataset(values)
+      .select(col("value").as("raw"), from_json(col("value"), schema).as("j"))
+    // Recovery must fail loudly, not resurrect NULL rows: from_json maps a
+    // malformed document to an all-NULL struct, so a corrupt record would
+    // otherwise silently survive as state with no key (ADVICE r5). The
+    // required-field assertion costs one pass over an already-driver-side
+    // compacted view.
+    val corrupt = parsed
+      .filter(col("j").isNull || col("j.userId").isNull).limit(1).collect()
+    require(corrupt.isEmpty,
+      s"corrupt record in compacted view of '$topic': " +
+        corrupt.headOption.map(_.getString(0)).getOrElse(""))
+    parsed.select(col("j.*"))
   }
 }

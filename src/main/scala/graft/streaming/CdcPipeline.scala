@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -247,18 +247,26 @@ object CdcPipeline {
     override def writeBatch(batch: Dataset[KeyedUpdate], batchId: Long): Unit = {
       val t = topic
       val pf = producerFactory
-      batch.repartition(producePartitions, org.apache.spark.sql.functions.col("userId"))
-        .foreachPartition { (rows: Iterator[KeyedUpdate]) =>
+      // Record values render via to_json (Jackson), not hand interpolation:
+      // a quote or backslash in eventType escapes correctly and a
+      // NaN/Infinity value quotes as a string Jackson can parse back —
+      // hand-built JSON silently produced invalid documents for both
+      // (ADVICE r5), which compactedState's from_json would have turned
+      // into all-NULL rows.
+      batch.toDF()
+        .select(col("userId"),
+          when(col("isTombstone"), lit(null).cast("string"))
+            .otherwise(to_json(struct(
+              col("userId"), col("lsnNum"), col("commandId"),
+              col("seqvalNum"), col("operation"), col("eventType"),
+              col("value")))).as("json"))
+        .repartition(producePartitions, col("userId"))
+        .foreachPartition { (rows: Iterator[Row]) =>
         val p = pf(batchId, org.apache.spark.TaskContext.getPartitionId())
         try {
-          rows.foreach { u =>
-            val key = u.userId.toString.getBytes("UTF-8")
-            val value =
-              if (u.isTombstone) null
-              else (s"""{"userId": ${u.userId}, "lsnNum": ${u.lsnNum}, """ +
-                s""""commandId": ${u.commandId}, "seqvalNum": ${u.seqvalNum}, """ +
-                s""""operation": ${u.operation}, "eventType": "${u.eventType}", """ +
-                s""""value": ${u.value}}""").getBytes("UTF-8")
+          rows.foreach { r =>
+            val key = r.getLong(0).toString.getBytes("UTF-8")
+            val value = if (r.isNullAt(1)) null else r.getString(1).getBytes("UTF-8")
             p.send(t, key, value)
           }
           p.flush()

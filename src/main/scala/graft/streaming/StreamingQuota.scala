@@ -37,9 +37,13 @@ object StreamingQuota {
 
   /** Per-source quota: the same source-id-derived formula as the batch
     * operator (a production deployment reads a config table). A source
-    * that doesn't parse gets quota 0 — admit nothing — matching the batch
-    * operator's NULL-quota behavior; throwing here would fail the task
-    * and wedge the streaming query on every retry. */
+    * that doesn't parse gets quota 0 — admit nothing. That matches the
+    * batch operator's NULL-quota behavior in KEPT COUNTS ONLY: both admit
+    * zero documents, but `pipe_quota_sample` carries quota NULL in its
+    * ledger where this stream records 0 — a consumer distinguishing "no
+    * quota configured" from "quota exhausted at 0" must consult the batch
+    * ledger. Throwing here instead would fail the task and wedge the
+    * streaming query on every retry. */
   def quotaFor(source: String): Long =
     source.drop(3).toIntOption.map(n => (n % 4 + 1) * 800L).getOrElse(0L)
 

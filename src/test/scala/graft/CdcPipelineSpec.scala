@@ -156,7 +156,7 @@ class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nullValued > 0)
     // Non-tombstone payloads are JSON carrying the key they were sent with.
     val (_, key, value) = sent.find(_._3 != null).get
-    assert(value.contains(s""""userId": $key"""))
+    assert(value.contains(s""""userId":$key"""))
   }
 
   test("tombstones follow deletes in the published log (G4)") {

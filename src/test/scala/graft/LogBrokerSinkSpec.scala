@@ -265,7 +265,7 @@ class LogBrokerSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotState.size === expRows.length)
     expRows.foreach { r =>
       val v = gotState(r.getLong(0))
-      assert(v.contains(s""""seqvalNum": ${r.getLong(1)}"""),
+      assert(v.contains(s""""seqvalNum":${r.getLong(1)}"""),
         s"key ${r.getLong(0)}: broker value $v != expected seqval ${r.getLong(1)}")
     }
     LogBroker.drop(broker)
