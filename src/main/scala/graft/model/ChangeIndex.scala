@@ -101,6 +101,13 @@ object ChangeIndex {
     out
   }
 
+  /** The numeric 4-tuple of an index whose lsn/seqval carry the
+    * [[lsnFromLong]] encoding (inverse of it; the staged-feed form the
+    * DSv2 source's backends compare and bind). */
+  def parts(i: ChangeIndex): (Long, Int, Long, Int) =
+    (java.nio.ByteBuffer.wrap(i.lsn.drop(2)).getLong, i.commandId,
+      java.nio.ByteBuffer.wrap(i.seqval.drop(2)).getLong, i.operation)
+
   /** The change-index struct column from its four parts; sorting on this
     * column reproduces the reference's total order exactly. */
   def asStruct(lsn: Column, commandId: Column, seqval: Column, operation: Column): Column =

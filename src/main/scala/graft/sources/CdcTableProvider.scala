@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.model.ChangeIndex
+import graft.model.{ChangeIndex, TrackedFieldMeta}
 
 /** The custom CDC `MicroBatchStream` source (SURVEY §7.4): a DataSource V2
   * streaming source whose offset is the engine's own [[CdcOffset]] (change
@@ -33,15 +33,36 @@ import graft.model.ChangeIndex
   * `planInputPartitions`) and shipped all rows driver→executor, which
   * caps throughput at driver memory — the reference has the same
   * single-process bottleneck by design (`tracked_tables.py` row queues),
-  * and this source exists to remove it. A JDBC deployment swaps the
-  * parquet readers for per-partition keyset queries built from
-  * [[SqlServerDialect.changeQuery]]; the offset/admission mechanics are
-  * identical.
+  * and this source exists to remove it.
+  *
+  * TWO BACKENDS behind one offset/admission mechanism (round-6 addition):
+  *
+  *   - PARQUET (default): boundary probes are one-row Spark aggregations
+  *     over the staged feed; partitions carry a file split + predicate.
+  *   - JDBC (`jdbcUrl` set): boundary probes issue
+  *     [[SqlServerDialect.changeBoundaryQuery]]/[[SqlServerDialect.snapshotBoundaryQuery]]
+  *     over a driver-side connection (batchSize narrow KEY tuples cross
+  *     the wire, the client keeps only the last); partitions carry the
+  *     [[SqlServerDialect.changeWindowQuery]]/[[SqlServerDialect.snapshotWindowQuery]]
+  *     text for the committed range, executed ON THE EXECUTOR — the
+  *     same shape as the reference's polling queries
+  *     (`cdc_kafka/sql_queries.py:218-309,312-367`), minus its
+  *     single-process row queue. One partition per (table, window): CDC
+  *     windows are batchSize-bounded by construction, so parallelism at
+  *     scale comes from MANY TABLES (and the snapshot dimension), not
+  *     from splitting a 2000-row window. The environment's endpoint is
+  *     embedded Derby, so the generated T-SQL runs through the
+  *     mechanical [[AnsiTranspile]]; a SQL Server deployment prepares
+  *     the T-SQL with its native `?` binds instead.
   *
   * Usage:
   *   spark.readStream.format("graft.sources.CdcTableProvider")
   *     .option("feedDir", dir).option("tableName", t)
   *     .option("batchSize", "2000").load()
+  *   // JDBC mode:
+  *     .option("jdbcUrl", "jdbc:derby:memory:db")
+  *     .option("captureInstance", "events")
+  *     .option("snapshotTable", "dbo.events")  // optional, enables backfill
   */
 class CdcTableProvider extends TableProvider {
 
@@ -61,6 +82,19 @@ object CdcTableProvider {
     StructField("event_id", LongType), StructField("user_id", LongType),
     StructField("event_type", StringType), StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** The snapshot dimension's composite keyset key (unique by contract). */
+  val snapshotPk: Seq[TrackedFieldMeta] = Seq(
+    TrackedFieldMeta("user_id", "bigint", 0, 0),
+    TrackedFieldMeta("event_id", "bigint", 0, 0))
+
+  /** Value columns a JDBC change window selects after the 4 index cols. */
+  val changeValueFields: Seq[String] =
+    Seq("event_id", "user_id", "event_type", "value", "props")
+
+  /** Columns a JDBC snapshot window selects (keys first). */
+  val snapshotFields: Seq[String] =
+    Seq("user_id", "event_id", "event_type", "value", "props")
 }
 
 private class CdcTable(options: Map[String, String]) extends Table with SupportsRead {
@@ -76,12 +110,29 @@ private class CdcTable(options: Map[String, String]) extends Table with Supports
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = CdcTableProvider.schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          val batchSize = merged.getOrElse("batchsize", "2000").toInt
+          val backend = merged.get("jdbcurl") match {
+            case Some(url) =>
+              new JdbcBackend(url,
+                merged.getOrElse("captureinstance",
+                  merged.getOrElse("tablename", "cdc_feed")),
+                merged.get("snapshottable").map { st =>
+                  st.split('.') match {
+                    case Array(s, t) => (s, t)
+                    case _ => ("dbo", st)
+                  }
+                },
+                batchSize)
+            case None =>
+              new ParquetBackend(
+                merged.getOrElse("feeddir", sys.error("feedDir option required")),
+                merged.get("snapshotdir"),
+                batchSize)
+          }
           new CdcMicroBatchStream(
-            merged.getOrElse("feeddir", sys.error("feedDir option required")),
-            merged.getOrElse("tablename", "cdc_feed"),
-            merged.getOrElse("batchsize", "2000").toInt,
-            merged.get("snapshotdir"))
+            merged.getOrElse("tablename", "cdc_feed"), batchSize, backend)
+        }
       }
     }
   }
@@ -92,18 +143,37 @@ private case class CdcStreamOffset(offset: CdcOffset) extends Offset {
   override def json(): String = offset.json
 }
 
-private class CdcMicroBatchStream(feedDir: String, tableName: String,
-    batchSize: Int, snapshotDir: Option[String])
-    extends MicroBatchStream with SupportsAdmissionControl {
+/** The data-access seam between the offset/admission mechanics (shared)
+  * and the storage a deployment actually reads (staged parquet or a live
+  * JDBC endpoint). Boundary probes run ON THE DRIVER once per trigger and
+  * return a single key; partition methods return predicate-carrying
+  * splits for the committed range — never rows. */
+private trait FeedBackend {
+  /** Max change index among the batchSize rows strictly after `start`;
+    * None when the feed has nothing new. */
+  def changeBoundary(start: ChangeIndex): Option[ChangeIndex]
+  /** Min composite key among the batchSize snapshot keys strictly below
+    * `below` (unbounded when None); None when the page is empty (G3) or
+    * the table has no snapshot dimension. */
+  def snapshotPageBoundary(below: Option[(Long, Long)]): Option[(Long, Long)]
+  /** True when this table backfills a snapshot before changes. */
+  def hasSnapshot: Boolean
+  def changePartitions(start: (Long, Int, Long, Int),
+      end: (Long, Int, Long, Int)): Array[InputPartition]
+  def snapshotPartitions(upper: Option[(Long, Long)],
+      lower: (Long, Long)): Array[InputPartition]
+}
 
-  private def spark = SparkSession.active
+private class CdcMicroBatchStream(tableName: String, batchSize: Int,
+    backend: FeedBackend)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def pos(o: Offset): TablePosition =
     o.asInstanceOf[CdcStreamOffset].offset.tables
       .getOrElse(tableName, TablePosition(ChangeIndex.Lowest, initialSnapshot))
 
   private def initialSnapshot: SnapshotPosition =
-    if (snapshotDir.isDefined) SnapshotNotStarted else SnapshotDone
+    if (backend.hasSnapshot) SnapshotNotStarted else SnapshotDone
 
   private def mkOffset(p: TablePosition): CdcStreamOffset =
     CdcStreamOffset(CdcOffset(Map(tableName -> p)))
@@ -122,6 +192,83 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
   private def keyHex(k: Long, e: Long): String = SnapshotKey.toHex(k, e)
   private def keyFromHex(h: String): (Long, Long) = SnapshotKey.fromHex(h)
 
+  override def deserializeOffset(json: String): Offset =
+    CdcStreamOffset(CdcOffset.fromJson(json))
+
+  /** Admission control: the snapshot dimension advances first — one
+    * reverse-keyset page per trigger until the empty-page probe declares
+    * SnapshotDone (G3) — then the change dimension advances at most
+    * `batchSize` rows per trigger (the reference's TOP(batch_size)
+    * pacing, E6/E7; interleaving policy `main.py:214-267`). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val p = pos(start)
+    p.snapshot match {
+      case SnapshotNotStarted | SnapshotAt(_) =>
+        val below = p.snapshot match {
+          case SnapshotAt(h) => Some(keyFromHex(h))
+          case _ => None
+        }
+        backend.snapshotPageBoundary(below) match {
+          case None => mkOffset(p.copy(snapshot = SnapshotDone))
+          case Some((u, e)) => mkOffset(p.copy(snapshot = SnapshotAt(keyHex(u, e))))
+        }
+      case SnapshotDone =>
+        val end = backend.changeBoundary(p.changeIndex).getOrElse(p.changeIndex)
+        mkOffset(p.copy(changeIndex = end))
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "SupportsAdmissionControl.latestOffset(start, limit) is used")
+
+  /** Partitions carry the offset-range PREDICATE (a file split or a range
+    * query) — never rows. Replay after restart therefore depends only on
+    * the committed offset pair: re-planning a batch with a different
+    * configured batchSize yields exactly the same rows (no limit() in
+    * this path). */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = pos(start); val e = pos(end)
+    (s.snapshot, e.snapshot) match {
+      case (sp, ep) if sp != ep && ep != SnapshotDone =>
+        // A snapshot page: keys strictly below the start bound, down to
+        // and including the end position's composite key.
+        val upper = sp match {
+          case SnapshotAt(h) => Some(keyFromHex(h))
+          case _ => None
+        }
+        val lower = ep match {
+          case SnapshotAt(h) => keyFromHex(h)
+          case _ => (Long.MinValue, Long.MinValue)
+        }
+        backend.snapshotPartitions(upper, lower)
+      case (sp, SnapshotDone) if sp != SnapshotDone =>
+        Array.empty // the done-transition batch carries no rows
+      case _ =>
+        if (s.changeIndex >= e.changeIndex) Array.empty
+        else backend.changePartitions(
+          ChangeIndex.parts(s.changeIndex), ChangeIndex.parts(e.changeIndex))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = CdcPredicateReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Staged-parquet backend: probes are one-row Spark aggregations; splits
+  * are (file, predicate) pairs read executor-side with the parquet Group
+  * API. */
+private class ParquetBackend(feedDir: String, snapshotDir: Option[String],
+    batchSize: Int) extends FeedBackend {
+
+  private def spark = SparkSession.active
+
+  override def hasSnapshot: Boolean = snapshotDir.isDefined
+
   private def belowPredicate(k: Long, e: Long) =
     col("user_id") < k || (col("user_id") === k && col("event_id") < e)
 
@@ -129,7 +276,8 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
     * composite key among the `batchSize` keys strictly below the bound
     * (A2's query shape, reduced to its last row). One job, one row back
     * to the driver; None when the page is empty (snapshot drained, G3). */
-  private def snapshotPageBoundary(below: Option[(Long, Long)]): Option[(Long, Long)] = {
+  override def snapshotPageBoundary(below: Option[(Long, Long)]): Option[(Long, Long)] = {
+    if (snapshotDir.isEmpty) return None
     val base = spark.read.schema(CdcTableProvider.schema)
       .parquet(snapshotDir.get)
     val bounded = below.map { case (k, e) => base.filter(belowPredicate(k, e)) }
@@ -143,15 +291,11 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
     else Some((r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))
   }
 
-  private def idxParts(i: ChangeIndex): (Long, Int, Long, Int) =
-    (java.nio.ByteBuffer.wrap(i.lsn.drop(2)).getLong, i.commandId,
-      java.nio.ByteBuffer.wrap(i.seqval.drop(2)).getLong, i.operation)
-
   /** Boundary probe for the next change window: the MAX change index among
     * the `batchSize` rows strictly after `start` (A1's ordered TOP scan,
     * reduced to its last row). None when no new rows exist. */
-  private def changeBoundary(start: ChangeIndex): Option[ChangeIndex] = {
-    val (sl, sc, ss, so) = idxParts(start)
+  override def changeBoundary(start: ChangeIndex): Option[ChangeIndex] = {
+    val (sl, sc, ss, so) = ChangeIndex.parts(start)
     val r = spark.read.schema(CdcTableProvider.schema).parquet(feedDir)
       .filter(struct(col("lsn_num"), col("command_id"), col("seqval_num"), col("operation")) >
         struct(lit(sl).as("lsn_num"), lit(sc).as("command_id"),
@@ -170,38 +314,6 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
     }
   }
 
-  override def deserializeOffset(json: String): Offset =
-    CdcStreamOffset(CdcOffset.fromJson(json))
-
-  /** Admission control: the snapshot dimension advances first — one
-    * reverse-keyset page per trigger until the empty-page probe declares
-    * SnapshotDone (G3) — then the change dimension advances at most
-    * `batchSize` rows per trigger (the reference's TOP(batch_size)
-    * pacing, E6/E7; interleaving policy `main.py:214-267`). */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val p = pos(start)
-    p.snapshot match {
-      case SnapshotNotStarted | SnapshotAt(_) =>
-        val below = p.snapshot match {
-          case SnapshotAt(h) => Some(keyFromHex(h))
-          case _ => None
-        }
-        snapshotPageBoundary(below) match {
-          case None => mkOffset(p.copy(snapshot = SnapshotDone))
-          case Some((u, e)) => mkOffset(p.copy(snapshot = SnapshotAt(keyHex(u, e))))
-        }
-      case SnapshotDone =>
-        val end = changeBoundary(p.changeIndex).getOrElse(p.changeIndex)
-        mkOffset(p.copy(changeIndex = end))
-    }
-  }
-
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
-
-  override def latestOffset(): Offset =
-    throw new UnsupportedOperationException(
-      "SupportsAdmissionControl.latestOffset(start, limit) is used")
-
   private def listParquet(dir: String): Array[String] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -209,39 +321,96 @@ private class CdcMicroBatchStream(feedDir: String, tableName: String,
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
   }
 
-  /** Partitions carry the offset-range PREDICATE and a file split — never
-    * rows. Replay after restart therefore depends only on the committed
-    * offset pair: re-planning a batch with a different configured
-    * batchSize yields exactly the same rows (no limit() in this path). */
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = pos(start); val e = pos(end)
-    (s.snapshot, e.snapshot) match {
-      case (sp, ep) if sp != ep && ep != SnapshotDone =>
-        // A snapshot page: keys strictly below the start bound, down to
-        // and including the end position's composite key.
-        val upper = sp match {
-          case SnapshotAt(h) => Some(keyFromHex(h))
-          case _ => None
-        }
-        val lower = ep match {
-          case SnapshotAt(h) => keyFromHex(h)
-          case _ => (Long.MinValue, Long.MinValue)
-        }
-        listParquet(snapshotDir.get).map(f =>
-          SnapshotRangePartition(f, upper, lower): InputPartition)
-      case (sp, SnapshotDone) if sp != SnapshotDone =>
-        Array.empty // the done-transition batch carries no rows
-      case _ =>
-        if (s.changeIndex >= e.changeIndex) Array.empty
-        else listParquet(feedDir).map(f =>
-          ChangeRangePartition(f, idxParts(s.changeIndex), idxParts(e.changeIndex)): InputPartition)
+  override def changePartitions(start: (Long, Int, Long, Int),
+      end: (Long, Int, Long, Int)): Array[InputPartition] =
+    listParquet(feedDir).map(f => ChangeRangePartition(f, start, end): InputPartition)
+
+  override def snapshotPartitions(upper: Option[(Long, Long)],
+      lower: (Long, Long)): Array[InputPartition] =
+    listParquet(snapshotDir.get).map(f =>
+      SnapshotRangePartition(f, upper, lower): InputPartition)
+}
+
+/** Live-database backend: probes stream batchSize KEY tuples over a
+  * driver-side connection and keep the last; splits carry the complete
+  * range-query text, executed executor-side. The endpoint here speaks
+  * ANSI (embedded Derby), so the dialect's T-SQL runs through
+  * [[AnsiTranspile]] with literal-substituted binds; a SQL Server
+  * deployment would carry (tsql, binds) and prepare natively. */
+private class JdbcBackend(url: String, captureInstance: String,
+    snapshotTable: Option[(String, String)], batchSize: Int) extends FeedBackend {
+
+  import AnsiTranspile.{hex20, lit, parseHex20}
+
+  override def hasSnapshot: Boolean = snapshotTable.isDefined
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  /** Run `sql`, stream the result, return the LAST row's first n columns
+    * (the boundary the probe queries put last by construction). */
+  private def lastRow(sql: String, n: Int): Option[IndexedSeq[AnyRef]] =
+    withConn { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(sql)
+        var last: IndexedSeq[AnyRef] = null
+        while (rs.next()) last = (1 to n).map(rs.getObject)
+        rs.close()
+        Option(last)
+      } finally st.close()
+    }
+
+  override def changeBoundary(start: ChangeIndex): Option[ChangeIndex] = {
+    val (sl, sc, ss, so) = ChangeIndex.parts(start)
+    val tsql = SqlServerDialect.changeBoundaryQuery(captureInstance, batchSize)
+    val sql = AnsiTranspile(tsql,
+      Seq(lit(hex20(sl)), sc.toString, lit(hex20(ss)), so.toString))
+    lastRow(sql, 4).map { r =>
+      ChangeIndex(
+        ChangeIndex.lsnFromLong(parseHex20(r(0).toString)),
+        r(1).asInstanceOf[Number].intValue(),
+        ChangeIndex.lsnFromLong(parseHex20(r(2).toString)),
+        r(3).asInstanceOf[Number].intValue())
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = CdcPredicateReaderFactory
+  override def snapshotPageBoundary(below: Option[(Long, Long)]): Option[(Long, Long)] = {
+    if (snapshotTable.isEmpty) return None
+    val (schema, table) = snapshotTable.get
+    val tsql = SqlServerDialect.snapshotBoundaryQuery(schema, table,
+      CdcTableProvider.snapshotPk, firstRead = below.isEmpty, batchSize)
+    val binds = below match {
+      case Some((k, e)) => Seq(k.toString, e.toString)
+      case None => Seq("0") // the placeholder @K0 of the unbounded page
+    }
+    lastRow(AnsiTranspile(tsql, binds), 2).map { r =>
+      (r(0).asInstanceOf[Number].longValue(), r(1).asInstanceOf[Number].longValue())
+    }
+  }
 
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def changePartitions(start: (Long, Int, Long, Int),
+      end: (Long, Int, Long, Int)): Array[InputPartition] = {
+    val tsql = SqlServerDialect.changeWindowQuery(
+      captureInstance, CdcTableProvider.changeValueFields)
+    val sql = AnsiTranspile(tsql, Seq(
+      lit(hex20(start._1)), start._2.toString, lit(hex20(start._3)), start._4.toString,
+      lit(hex20(end._1)), end._2.toString, lit(hex20(end._3)), end._4.toString))
+    Array(JdbcChangePartition(url, sql))
+  }
+
+  override def snapshotPartitions(upper: Option[(Long, Long)],
+      lower: (Long, Long)): Array[InputPartition] = {
+    val (schema, table) = snapshotTable.get
+    val tsql = SqlServerDialect.snapshotWindowQuery(schema, table,
+      CdcTableProvider.snapshotFields, removedFields = Set.empty,
+      CdcTableProvider.snapshotPk, boundedAbove = upper.isDefined)
+    val binds = Seq(lower._1.toString, lower._2.toString) ++
+      upper.toSeq.flatMap(u => Seq(u._1.toString, u._2.toString))
+    Array(JdbcSnapshotPartition(url, AnsiTranspile(tsql, binds)))
+  }
 }
 
 /** A change-window split: rows of `file` with start < index <= end. */
@@ -252,11 +421,18 @@ private case class ChangeRangePartition(file: String,
 private case class SnapshotRangePartition(file: String,
     upper: Option[(Long, Long)], lower: (Long, Long)) extends InputPartition
 
-/** Executor-side parquet scan of a staged CDC file, filtered by the
-  * partition's offset-range predicate. Uses the parquet-hadoop Group API
-  * directly (no SparkSession on executors); per-file cost is one
-  * sequential pass, and file splits give the same parallelism shape a
-  * JDBC deployment gets from per-partition keyset queries. */
+/** A JDBC change-window split: the complete range query for
+  * start < index <= end; SELECT order = 4 index cols + changeValueFields. */
+private case class JdbcChangePartition(url: String, sql: String) extends InputPartition
+
+/** A JDBC snapshot-page split; SELECT order = snapshotFields. */
+private case class JdbcSnapshotPartition(url: String, sql: String) extends InputPartition
+
+/** Executor-side readers for the predicate-carrying splits. Parquet
+  * splits scan a staged CDC file with the parquet-hadoop Group API
+  * directly (no SparkSession on executors); JDBC splits execute their
+  * range query over a per-partition connection. Per-split cost is one
+  * sequential pass either way. */
 private object CdcPredicateReaderFactory extends PartitionReaderFactory {
 
   import org.apache.parquet.example.data.Group
@@ -276,20 +452,64 @@ private object CdcPredicateReaderFactory extends PartitionReaderFactory {
     if (c == 0) java.lang.Long.compare(a._2, b._2) else c
   }
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val (file, keep): (String, Group => Boolean) = partition match {
+  // ---- null-safe Group accessors: every VALUE column of a CDC row is
+  // nullable by construction (SURVEY §1.2 — a captured column can hold
+  // NULL, and dropped columns surface as NULL); only the 4 change-index
+  // components and the composite snapshot key are non-null by contract.
+  private def isNull(g: Group, f: String): Boolean =
+    g.getFieldRepetitionCount(f) == 0
+  private def optStr(g: Group, f: String): UTF8String =
+    if (isNull(g, f)) null else UTF8String.fromString(g.getString(f, 0))
+  private def optLong(g: Group, f: String): Any =
+    if (isNull(g, f)) null else g.getLong(f, 0)
+  private def optDouble(g: Group, f: String): Any =
+    if (isNull(g, f)) null else g.getDouble(f, 0)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
       case ChangeRangePartition(f, s, e) =>
-        (f, g => {
+        parquetReader(f, g => {
           val k = (g.getLong("lsn_num", 0), g.getInteger("command_id", 0),
             g.getLong("seqval_num", 0), g.getInteger("operation", 0))
           cmp4(k, s) > 0 && cmp4(k, e) <= 0
         })
       case SnapshotRangePartition(f, upper, lower) =>
-        (f, g => {
+        parquetReader(f, g => {
           val k = (g.getLong("user_id", 0), g.getLong("event_id", 0))
           cmp2(k, lower) >= 0 && upper.forall(u => cmp2(k, u) < 0)
         })
+      case JdbcChangePartition(url, sql) =>
+        jdbcReader(url, sql, rs => new GenericInternalRow(Array[Any](
+          AnsiTranspile.parseHex20(rs.getString(1)),
+          rs.getInt(2),
+          AnsiTranspile.parseHex20(rs.getString(3)),
+          rs.getInt(4),
+          jLong(rs, 5), jLong(rs, 6), jStr(rs, 7), jDouble(rs, 8), jStr(rs, 9))))
+      case JdbcSnapshotPartition(url, sql) =>
+        // Snapshot rows carry the zero change-index sentinel (operation 0)
+        // — the same envelope the parquet staging writes.
+        jdbcReader(url, sql, rs => new GenericInternalRow(Array[Any](
+          0L, 0, 0L, 0,
+          rs.getLong(2), rs.getLong(1), jStr(rs, 3), jDouble(rs, 4), jStr(rs, 5))))
     }
+
+  // ---- null-safe ResultSet accessors (JDBC getLong/getDouble return 0
+  // for NULL; wasNull disambiguates).
+  private def jStr(rs: java.sql.ResultSet, i: Int): UTF8String = {
+    val s = rs.getString(i)
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  private def jLong(rs: java.sql.ResultSet, i: Int): Any = {
+    val v = rs.getLong(i)
+    if (rs.wasNull()) null else v
+  }
+  private def jDouble(rs: java.sql.ResultSet, i: Int): Any = {
+    val v = rs.getDouble(i)
+    if (rs.wasNull()) null else v
+  }
+
+  private def parquetReader(file: String,
+      keep: Group => Boolean): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val reader: ParquetReader[Group] = ParquetReader
         .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
@@ -308,13 +528,25 @@ private object CdcPredicateReaderFactory extends PartitionReaderFactory {
         new GenericInternalRow(Array[Any](
           g.getLong("lsn_num", 0), g.getInteger("command_id", 0),
           g.getLong("seqval_num", 0), g.getInteger("operation", 0),
-          g.getLong("event_id", 0), g.getLong("user_id", 0),
-          UTF8String.fromString(g.getString("event_type", 0)),
-          g.getDouble("value", 0),
-          UTF8String.fromString(g.getString("props", 0))))
+          optLong(g, "event_id"), optLong(g, "user_id"),
+          optStr(g, "event_type"), optDouble(g, "value"),
+          optStr(g, "props")))
       }
 
       override def close(): Unit = reader.close()
     }
-  }
+
+  private def jdbcReader(url: String, sql: String,
+      mk: java.sql.ResultSet => InternalRow): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val conn = java.sql.DriverManager.getConnection(url)
+      private val st = conn.createStatement()
+      private val rs = st.executeQuery(sql)
+
+      override def next(): Boolean = rs.next()
+      override def get(): InternalRow = mk(rs)
+      override def close(): Unit = {
+        try rs.close() finally { try st.close() finally conn.close() }
+      }
+    }
 }

@@ -125,6 +125,143 @@ object SqlServerDialect {
        |ORDER BY $order""".stripMargin
   }
 
+  /** Row-value comparison `(cols) op (params)` expanded to the
+    * index-seekable branch form (the same expansion [[keysetPredicate]]
+    * uses, over caller-rendered column/parameter texts):
+    * for `op = ">="` and cols (a, b) produces
+    * `(a > @P0) OR (a = @P0 AND b >= @P1)`. `cols` arrive already
+    * qualified/quoted by the caller. */
+  def compositeCompare(cols: Seq[String], params: Seq[String],
+      op: String): String = {
+    require(cols.size == params.size && cols.nonEmpty)
+    val strict = op.take(1) // ">=" -> ">", "<=" -> "<"
+    val last = cols.size - 1
+    val branches = cols.indices.map { i =>
+      val equalities = (0 until i).map(j => s"${cols(j)} = ${params(j)}")
+      val cmp = if (i == last) op else strict
+      (equalities :+ s"${cols(i)} $cmp ${params(i)}").mkString("(", " AND ", ")")
+    }
+    branches.mkString("(", "\n   OR ", ")")
+  }
+
+  private def ctIndexCols(alias: String): Seq[String] = Seq(
+    s"$alias.__$$start_lsn", s"$alias.__$$command_id",
+    s"$alias.__$$seqval", s"$alias.__$$operation")
+
+  private val ctIndexOrder =
+    "ct.__$start_lsn, ct.__$command_id, ct.__$seqval, ct.__$operation"
+
+  /** DSv2 JDBC mode, driver-side change boundary probe: the TOP(batchSize)
+    * change-index keys strictly after the 4-component cursor, in index
+    * order — the client streams the result and keeps only the LAST row
+    * (the next window's end key), so the probe ships batchSize narrow
+    * key tuples and nothing else. Binds: @SL, @SC, @SS, @SO. */
+  def changeBoundaryQuery(captureInstance: String, batchSize: Int): String = {
+    val ct = fqChangeTable(captureInstance)
+    val after = compositeCompare(ctIndexCols("ct"),
+      Seq("@SL", "@SC", "@SS", "@SO"), ">")
+    s"""DECLARE
+       |    @SL BINARY(10) = ?
+       |    , @SC INT = ?
+       |    , @SS BINARY(10) = ?
+       |    , @SO INT = ?
+       |;
+       |SELECT TOP ($batchSize)
+       |    ct.__$$start_lsn, ct.__$$command_id, ct.__$$seqval, ct.__$$operation
+       |FROM $ct AS ct WITH (NOLOCK)
+       |WHERE $after
+       |ORDER BY $ctIndexOrder""".stripMargin
+  }
+
+  /** DSv2 JDBC mode, executor-side change-window read: every row with
+    * start < (lsn, command_id, seqval, operation) <= end — the same
+    * predicate the parquet-path partition reader applies, so the two
+    * backends are row-for-row identical (no TOP: the window was already
+    * sized by the boundary probe, and replay re-reads exactly the
+    * committed range). Binds: @SL, @SC, @SS, @SO, @EL, @EC, @ES, @EO. */
+  def changeWindowQuery(captureInstance: String,
+      valueFields: Seq[String]): String = {
+    val ct = fqChangeTable(captureInstance)
+    val cols = valueFields.map(f => s"ct.${q(f)}").mkString("\n    , ")
+    val after = compositeCompare(ctIndexCols("ct"),
+      Seq("@SL", "@SC", "@SS", "@SO"), ">")
+    val upTo = compositeCompare(ctIndexCols("ct"),
+      Seq("@EL", "@EC", "@ES", "@EO"), "<=")
+    s"""DECLARE
+       |    @SL BINARY(10) = ?
+       |    , @SC INT = ?
+       |    , @SS BINARY(10) = ?
+       |    , @SO INT = ?
+       |    , @EL BINARY(10) = ?
+       |    , @EC INT = ?
+       |    , @ES BINARY(10) = ?
+       |    , @EO INT = ?
+       |;
+       |SELECT
+       |    ct.__$$start_lsn
+       |    , ct.__$$command_id
+       |    , ct.__$$seqval
+       |    , ct.__$$operation
+       |    , $cols
+       |FROM $ct AS ct WITH (NOLOCK)
+       |WHERE $after
+       |  AND $upTo
+       |ORDER BY $ctIndexOrder""".stripMargin
+  }
+
+  /** DSv2 JDBC mode, driver-side snapshot page probe: the TOP(batchSize)
+    * composite PK tuples strictly below the cursor (unbounded on the
+    * first page), descending — the client keeps only the LAST row, the
+    * page's MIN key (A2's reverse-keyset walk reduced to its boundary).
+    * Binds: @Ki per pk field, none on the first page. */
+  def snapshotBoundaryQuery(schemaName: String, tableName: String,
+      pkFields: Seq[TrackedFieldMeta], firstRead: Boolean,
+      batchSize: Int): String = {
+    val pkCols = pkFields.map(f => q(f.name)).mkString(", ")
+    val (decls, where) =
+      if (firstRead) ("@K0 INT = 0", "1=1")
+      else keysetPredicate(pkFields, "<")
+    val order = pkFields.map(f => s"${q(f.name)} DESC").mkString(", ")
+    s"""DECLARE
+       |    $decls
+       |;
+       |SELECT TOP ($batchSize)
+       |    $pkCols
+       |FROM ${q(schemaName)}.${q(tableName)}
+       |WHERE $where
+       |ORDER BY $order""".stripMargin
+  }
+
+  /** DSv2 JDBC mode, executor-side snapshot page read: every row with
+    * lower <= (pk) and, when `boundedAbove`, (pk) < upper — the page the
+    * two boundary probes bracketed. No TOP, no ORDER BY: the range is
+    * exact and the engine re-orders downstream. Binds: @LOi per pk
+    * field, then @HIi per pk field when bounded. */
+  def snapshotWindowQuery(schemaName: String, tableName: String,
+      fields: Seq[String], removedFields: Set[String],
+      pkFields: Seq[TrackedFieldMeta], boundedAbove: Boolean): String = {
+    val cols = fields.map { f =>
+      if (removedFields.contains(f)) s"NULL AS ${q(f)}" else q(f)
+    }.mkString("\n    , ")
+    val loDecls = pkFields.zipWithIndex
+      .map { case (f, i) => s"@LO$i ${sqlTypeDecl(f)} = ?" }
+    val hiDecls = if (!boundedAbove) Seq.empty
+      else pkFields.zipWithIndex.map { case (f, i) => s"@HI$i ${sqlTypeDecl(f)} = ?" }
+    val pkCols = pkFields.map(f => q(f.name))
+    val loPred = compositeCompare(pkCols,
+      pkFields.indices.map(i => s"@LO$i"), ">=")
+    val hiPred = if (!boundedAbove) "1=1"
+      else compositeCompare(pkCols, pkFields.indices.map(i => s"@HI$i"), "<")
+    s"""DECLARE
+       |    ${(loDecls ++ hiDecls).mkString(", ")}
+       |;
+       |SELECT
+       |    $cols
+       |FROM ${q(schemaName)}.${q(tableName)}
+       |WHERE $loPred
+       |  AND $hiPred""".stripMargin
+  }
+
   /** A5: global read ceiling for a poll cycle. */
   val maxLsnQuery: String = "SELECT sys.fn_cdc_get_max_lsn()"
 

@@ -57,52 +57,13 @@ class SqlServerDialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     if (spark != null) spark.stop()
   }
 
-  // ---- T-SQL -> Derby mechanical transpile --------------------------
+  // ---- T-SQL -> Derby mechanical transpile: shared with the source's
+  // JDBC mode (graft.sources.AnsiTranspile), proven here first.
+  private def transpile(tsql: String, binds: Seq[String]): String =
+    graft.sources.AnsiTranspile(tsql, binds)
 
-  /** Substitute each declared @var (declaration order) with a literal,
-    * then normalize the T-SQL-only surface to ANSI. */
-  private def transpile(tsql: String, binds: Seq[String]): String = {
-    val semi = tsql.indexOf("\n;")
-    val (decl, body0) =
-      if (tsql.startsWith("DECLARE")) (tsql.substring(0, semi), tsql.substring(semi + 2))
-      else ("", tsql)
-    val names = "@[A-Z0-9_]+".r.findAllIn(decl).toSeq.distinct
-      .filter(n => !n.exists(_.isLower))
-    require(names.size == binds.size, s"binds ${binds.size} != vars $names")
-    // Longest names first so @K1 never clobbers the prefix of @K10.
-    var body = body0
-    names.zip(binds).sortBy(-_._1.length).foreach { case (n, v) =>
-      body = body.replace(n, v)
-    }
-    var top: Option[String] = None
-    body = "TOP \\((\\d+)\\)".r.replaceAllIn(body, m => { top = Some(m.group(1)); "" })
-    val ansi = body
-      .replace("WITH (NOLOCK, FORCESEEK)", "")
-      .replace("WITH (NOLOCK)", "")
-      .replace("GETDATE()", "CURRENT_TIMESTAMP")
-      // Derby rejects untyped NULL in a select list; the type is opaque
-      // to the structural semantics under test (only null-ness matters).
-      .replaceAll("(?<![A-Za-z_])NULL AS", "CAST(NULL AS VARCHAR(20)) AS")
-      .replace("[", "\"").replace("]", "\"")
-    // Quote the bare __$-prefixed system columns and __-prefixed aliases
-    // ($ and leading _ are not legal in ANSI regular identifiers).
-    val quoted = "(?<![\\w\"$])(__\\$?[a-z_]+)".r
-      .replaceAllIn(ansi, m =>
-        java.util.regex.Matcher.quoteReplacement("\"" + m.group(1) + "\""))
-    // Derby has no CTE support: inline `WITH ct AS (...) SELECT ... FROM
-    // ct` as a derived table — same plan shape, same branch structure.
-    val noCte =
-      if (quoted.trim.startsWith("WITH ct AS (")) {
-        val close = quoted.indexOf("\n)\nSELECT")
-        val cteBody = quoted.substring(quoted.indexOf("(") + 1, close)
-        quoted.substring(close + 3)
-          .replace("FROM ct\n", s"FROM (\n$cteBody\n) ct\n")
-      } else quoted
-    top.fold(noCte)(n => noCte + s"\nFETCH FIRST $n ROWS ONLY")
-  }
-
-  private def hex20(n: Long): String = f"$n%020x"
-  private def lit(s: String): String = s"'$s'"
+  private def hex20(n: Long): String = graft.sources.AnsiTranspile.hex20(n)
+  private def lit(s: String): String = graft.sources.AnsiTranspile.lit(s)
 
   // ---- fixture: the synthetic change table, loaded over JDBC --------
 
