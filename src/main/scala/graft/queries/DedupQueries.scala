@@ -284,13 +284,23 @@ object DedupQueries {
        |FROM sh GROUP BY simhash HAVING count(*) > 1""".stripMargin
 
   // ── dd_ngram_jaccard ★ — exact word-bigram Jaccard over blocked
-  // candidate pairs (same source, |Δn_chars| ≤ 2, doc_a < doc_b). The
-  // blocking predicate is what keeps this from being an all-pairs join.
+  // candidate pairs (same source, same n_chars÷8 bucket, doc_a < doc_b).
+  // The blocking predicate is what keeps this from being an all-pairs
+  // join, and the block join is SALTED (round-6 fix of the last
+  // perf_weak item): one popular source with uniform document lengths
+  // puts a whole block on one reducer doing |block|² array
+  // intersections. Same replicate-one-side trade as
+  // [[ddMinhashLshSalted]] — build rows take salt = pmod(doc_id, R),
+  // probe rows explode to all R salts, so a hot block's pairs land on R
+  // distinct shuffle keys and the max task does ~|block|²/R of the work
+  // (NgramJaccardSkewSpec measures exactly that drop). The salted join
+  // runs on SLIM id rows; the gram arrays are fetched afterwards by two
+  // hash-distributed doc_id joins, so the ×R replication never touches
+  // an array. Every (a, b) pair still meets exactly once (b carries one
+  // salt, a is replicated to all R) — bit-identical result, same oracle.
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
-    // Blocking is an EQUI-join on (source, n_chars div 8): a hash join
-    // with small buckets instead of a per-source quadratic theta-join.
-    // Grams are materialized once so neither join side recomputes them.
+    // Grams are materialized once so neither consumer recomputes them.
     spark.sql(
       s"""WITH corpus AS ($corpusSparkSql)
          |SELECT doc_id, source, cast(floor(n_chars / 8) as int) AS size_bucket,
@@ -300,16 +310,36 @@ object DedupQueries {
          |WHERE size(ws) >= 2""".stripMargin)
       .localCheckpoint()
       .createOrReplaceTempView("grams_t")
-    spark.sql(
-      """WITH cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         CAST(size(array_intersect(a.g, b.g)) AS DOUBLE)
-        |           / size(array_union(a.g, b.g)) AS jaccard
-        |  FROM grams_t a JOIN grams_t b
-        |    ON a.source = b.source AND a.size_bucket = b.size_bucket
-        |   AND a.doc_id < b.doc_id)
+    spark.sql(ngramPairSql("grams_t", lshSalts) +
+      """
+        |, cand AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |         CAST(size(array_intersect(ga.g, gb.g)) AS DOUBLE)
+        |           / size(array_union(ga.g, gb.g)) AS jaccard
+        |  FROM pairs p
+        |  JOIN grams_t ga ON ga.doc_id = p.doc_a
+        |  JOIN grams_t gb ON gb.doc_id = p.doc_b)
         |SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= 0.2""".stripMargin)
   }
+
+  /** The salted blocked candidate-pair CTEs over a (doc_id, source,
+    * size_bucket, ...) view — shared with NgramJaccardSkewSpec so the
+    * skew measurement exercises the exact production join. Yields CTEs
+    * `build`, `probe`, `pairs(doc_a, doc_b, source, size_bucket, salt)`. */
+  private[graft] def ngramPairSql(view: String, salts: Int): String =
+    s"""WITH build AS (
+       |  SELECT doc_id, source, size_bucket,
+       |         cast(pmod(doc_id, $salts) as int) AS salt
+       |  FROM $view),
+       |probe AS (
+       |  SELECT doc_id, source, size_bucket, salt_b
+       |  FROM $view LATERAL VIEW explode(sequence(0, ${salts - 1})) AS salt_b),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         b.source, b.size_bucket, b.salt
+       |  FROM probe a JOIN build b
+       |    ON a.source = b.source AND a.size_bucket = b.size_bucket
+       |   AND a.salt_b = b.salt AND a.doc_id < b.doc_id)""".stripMargin
 
   val ddNgramJaccardSql: String =
     s"""WITH corpus AS ($corpusDuckSql),
