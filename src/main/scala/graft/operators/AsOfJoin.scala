@@ -66,17 +66,40 @@ object AsOfJoin {
       .max(BigInt(requested)).min(BigInt(Long.MaxValue)).toLong
   }
 
+  /** Session-lifetime memo for the guard's min/max probe, keyed by the
+    * CANONICALIZED input plans + keys (round-6: the eager probe used to
+    * re-run each input's whole lineage on EVERY asOf call, including
+    * plan-only inspection). A fingerprint collision — or stale bounds
+    * after the underlying data changed under an identical plan — yields
+    * a suboptimal width, never a wrong result: bucketWidth is purely a
+    * partitioning knob and the join output is width-independent, which
+    * is what makes this memo safe at all. Bounded LRU so a long-lived
+    * session can't accumulate entries. */
+  private val boundsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Int, String, Int, String), Option[(Long, Long)]](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String, Int, String), Option[(Long, Long)]]): Boolean =
+        size > 256
+    })
+
+  /** Test seam: observe/clear the memo. */
+  private[graft] def boundsCacheSize: Int = boundsCache.size
+  private[graft] def clearBoundsCache(): Unit = boundsCache.clear()
+
   /** @param payload right columns to attach (null when no right key <= left key)
     * @param bucketWidth key-axis slice per bucket; pick so that
     *        keyspan/bucketWidth ≈ desired parallelism (10³–10⁶). Misuse
     *        is guarded: see [[effectiveBucketWidth]].
     *
-    * NOTE the guard runs an EAGER min/max Spark job over both inputs at
-    * DataFrame-construction time — it re-executes each input's lineage
-    * once, including on plan-only inspection. Callers whose inputs have
-    * expensive lineage should either cache the inputs first or set
-    * `spark.graft.asofjoin.maxBuckets=0` and size the width themselves
-    * (the guard — and its job — is then skipped entirely). */
+    * NOTE the guard runs a min/max Spark job over both inputs the FIRST
+    * time a given (left, right, keys) combination is constructed; the
+    * bounds are then memoized by plan fingerprint, so repeated
+    * construction and plan-only inspection trigger zero further jobs
+    * (AsOfJoinSpec asserts this). Callers whose inputs have expensive
+    * lineage can still set `spark.graft.asofjoin.maxBuckets=0` and size
+    * the width themselves — the guard and its job are then skipped
+    * entirely, on the first call too. */
   def asOf(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
       payload: Seq[String], bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
@@ -95,19 +118,24 @@ object AsOfJoin {
     val width =
       if (maxBuckets <= 0) bucketWidth
       else {
-        val bounds = left.select(col(leftKey).cast("long").as("__k"))
-          .unionByName(right.select(col(rightKey).cast("long").as("__k")))
-          .agg(min(col("__k")), max(col("__k"))).head()
-        if (bounds.isNullAt(0)) bucketWidth // both sides empty
-        else {
-          val target = conf.get(TargetBucketsConf, (1L << 16).toString).toLong
-          val w = effectiveBucketWidth(bounds.getLong(0), bounds.getLong(1),
-            bucketWidth, maxBuckets, target)
-          if (w != bucketWidth) log.warn(
-            s"AsOfJoin: bucketWidth=$bucketWidth over key span " +
-              s"[${bounds.getLong(0)}, ${bounds.getLong(1)}] exceeds " +
-              s"$maxBuckets buckets; widened to $w ($target buckets)")
-          w
+        val fp = (left.queryExecution.analyzed.canonicalized.hashCode(), leftKey,
+          right.queryExecution.analyzed.canonicalized.hashCode(), rightKey)
+        val bounds = boundsCache.computeIfAbsent(fp, _ => {
+          val r = left.select(col(leftKey).cast("long").as("__k"))
+            .unionByName(right.select(col(rightKey).cast("long").as("__k")))
+            .agg(min(col("__k")), max(col("__k"))).head()
+          if (r.isNullAt(0)) None // both sides empty
+          else Some((r.getLong(0), r.getLong(1)))
+        })
+        bounds match {
+          case None => bucketWidth
+          case Some((lo, hi)) =>
+            val target = conf.get(TargetBucketsConf, (1L << 16).toString).toLong
+            val w = effectiveBucketWidth(lo, hi, bucketWidth, maxBuckets, target)
+            if (w != bucketWidth) log.warn(
+              s"AsOfJoin: bucketWidth=$bucketWidth over key span [$lo, $hi] " +
+                s"exceeds $maxBuckets buckets; widened to $w ($target buckets)")
+            w
         }
       }
     val lb = left.withColumn("__b", floor(col(leftKey) / lit(width)).cast("long"))

@@ -105,6 +105,49 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(BigInt(2).pow(64) / full <= (1L << 16))
   }
 
+  test("width-guard bounds are memoized: repeat construction and plan-only inspection run zero jobs") {
+    val ss = spark; import ss.implicits._
+    val l = Seq((1L, 10L), (2L, 20L)).toDF("id", "k")
+    val r = Seq((5L, "p5"), (15L, "p15")).toDF("rk", "pay")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // Listener delivery is async and the bus isn't test-visible: the probe
+    // job itself is synchronous (head() blocks), so a short settle sleep
+    // is enough for its start event to land.
+    def drain(): Unit = Thread.sleep(400)
+    AsOfJoin.clearBoundsCache()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // First construction pays the one probe job.
+      AsOfJoin.asOf(l, r, "k", "rk", Seq("pay"), 4L)
+      drain()
+      val afterFirst = jobs.get()
+      assert(afterFirst >= 1)
+      // Re-construction + plan-only inspection: zero further jobs.
+      val again = AsOfJoin.asOf(l, r, "k", "rk", Seq("pay"), 4L)
+      again.queryExecution.executedPlan // force full planning
+      again.explain()
+      drain()
+      assert(jobs.get() === afterFirst,
+        "memoized bounds must not re-run the probe")
+      // maxBuckets=0: the guard (and its job) is skipped on a FRESH pair.
+      spark.conf.set(AsOfJoin.MaxBucketsConf, "0")
+      try {
+        val l2 = Seq((9L, 99L)).toDF("id", "k")
+        AsOfJoin.asOf(l2, r, "k", "rk", Seq("pay"), 4L)
+          .queryExecution.executedPlan
+        drain()
+        assert(jobs.get() === afterFirst,
+          "maxBuckets=0 must construct with zero jobs")
+      } finally spark.conf.unset(AsOfJoin.MaxBucketsConf)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("c7_asof_join: no nested-loop join, no data-sized single-reducer stage") {
     val p = SparkEntry.queries("c7_asof_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
