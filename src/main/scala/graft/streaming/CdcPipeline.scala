@@ -275,12 +275,39 @@ object CdcPipeline {
     }
   }
 
+  /** Heartbeat input for one poll cycle (E8): when this cycle publishes
+    * nothing and the previous publish is older than twice the heartbeat
+    * interval, [[run]] emits one recognizable progress record at the
+    * feed's polled ceiling (`main.py:174-182`). The clock is injected so
+    * specs can age the table deterministically. */
+  final case class HeartbeatClock(lastProducedEpochSec: Long,
+      nowEpochSec: () => Long = () => System.currentTimeMillis() / 1000)
+
+  /** The recognizable heartbeat shape in KeyedUpdate form: all-0xff
+    * seqval (numeric -1), command 0, operation 4
+    * (`change_index.py:74-76`), no real key or payload. */
+  def heartbeatRecord(ceilingLsn: Long): KeyedUpdate =
+    KeyedUpdate(userId = -1L, lsnNum = ceilingLsn, commandId = 0,
+      seqvalNum = -1L, operation = 4, eventType = "__heartbeat",
+      value = 0.0, isTombstone = false)
+
+  def isHeartbeatRecord(lsnNum: Long, commandId: Int, seqvalNum: Long,
+      operation: Int): Boolean =
+    seqvalNum == -1L && commandId == 0 && operation == 4
+
+  /** Fixed batch id for heartbeat writes: idempotent under replay (a
+    * newer heartbeat overwrites the older — they carry no data), and
+    * never collides with the checkpoint's monotone real batch ids. */
+  val HeartbeatBatchId: Long = Long.MaxValue
+
   /** Run the pipeline over the staged feed through a [[CdcSink]] with
     * exactly-once semantics: the checkpoint commits after the sink's
     * idempotent per-batch write. Returns after all available data is
-    * processed. */
+    * processed. When `heartbeat` is given and this cycle published
+    * nothing, a quiet table past the E8 staleness bound emits one
+    * heartbeat record at the feed's max LSN (the polled ceiling). */
   def run(spark: SparkSession, feedDir: String, checkpointDir: String,
-      sink: CdcSink): Unit = {
+      sink: CdcSink, heartbeat: Option[HeartbeatClock] = None): Unit = {
     import spark.implicits._
     // Per-operation produce counts ride the batch as OBSERVED METRICS
     // (D7: the reference's accumulator counters,
@@ -297,15 +324,45 @@ object CdcPipeline {
         count(when(col("operation") === 0, 1)).as("snapshots"),
         count(when(col("isTombstone"), 1)).as("tombstones"))
       .as[KeyedUpdate]
+    val produced = new java.util.concurrent.atomic.AtomicLong(0)
     val query = updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[KeyedUpdate], batchId: Long) =>
-        sink.writeBatch(batch, batchId)
+        val b = batch.persist()
+        produced.addAndGet(b.count())
+        sink.writeBatch(b, batchId)
+        b.unpersist()
+        ()
       }
       .start()
     query.awaitTermination()
+
+    // E8 epilogue: this poll cycle produced nothing — if the previous
+    // publish is stale, emit the ceiling heartbeat so downstream progress
+    // consumers see the table is alive and caught up (the reference does
+    // this inside its poll loop; AvailableNow has no empty batches, so
+    // the cycle boundary is the natural point).
+    heartbeat.foreach { hb =>
+      if (produced.get() == 0L) {
+        val ceiling = spark.read
+          .schema("lsn_num LONG, command_id INT, seqval_num LONG, operation INT, " +
+            "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+          .parquet(feedDir)
+          .agg(max(col("lsn_num"))).head()
+        val ceilingLsn = if (ceiling.isNullAt(0)) 0L else ceiling.getLong(0)
+        graft.model.Policies.heartbeatIndex(hb.lastProducedEpochSec,
+          hb.nowEpochSec(), graft.model.ChangeIndex.lsnFromLong(ceilingLsn))
+          .foreach { idx =>
+            assert(idx.isProbablyHeartbeat)
+            sink.writeBatch(
+              spark.createDataset(Seq(heartbeatRecord(ceilingLsn)))(
+                org.apache.spark.sql.Encoders.product[KeyedUpdate]),
+              HeartbeatBatchId)
+          }
+      }
+    }
   }
 
   /** Parquet convenience wrapper over [[run]] (the test/bench default). */
@@ -322,6 +379,11 @@ object CdcPipeline {
       .orderBy(col("lsnNum").desc, col("commandId").desc,
         col("seqvalNum").desc, col("operation").desc, col("isTombstone").desc)
     spark.read.parquet(s"$sinkDir/log")
+      // Heartbeats are progress markers, not data: consumers recognize
+      // the all-0xff shape and skip it (`change_index.py:74-76`), so the
+      // compacted view must never hold state for the heartbeat pseudo-key.
+      .filter(not(col("seqvalNum") === -1L && col("commandId") === 0 &&
+        col("operation") === 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && !col("isTombstone"))
       .drop("rn", "batch_id")

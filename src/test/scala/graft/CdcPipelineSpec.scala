@@ -159,6 +159,48 @@ class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(value.contains(s""""userId":$key"""))
   }
 
+  test("quiet feed past the E8 bound emits one ceiling heartbeat; fresh or active feeds do not") {
+    val feed = s"$work/feed_hb"
+    CdcPipeline.stageChangeFeed(spark, sfDir, feed, nChunks = 2)
+    val sink = s"$work/sink_hb"; val ckpt = s"$work/ckpt_hb"
+    val stale = CdcPipeline.HeartbeatClock(
+      lastProducedEpochSec = 1000, nowEpochSec = () => 1000 + 360)
+    // Active cycle: data flows, so NO heartbeat even with a stale clock.
+    CdcPipeline.run(spark, feed, ckpt,
+      new CdcPipeline.ParquetPartitionedSink(sink), Some(stale))
+    val log1 = spark.read.parquet(s"$sink/log")
+    assert(log1.filter(col("seqvalNum") === -1L).count() === 0)
+
+    // Idle cycle (nothing new), clock NOT yet stale: no heartbeat.
+    CdcPipeline.run(spark, feed, ckpt,
+      new CdcPipeline.ParquetPartitionedSink(sink),
+      Some(CdcPipeline.HeartbeatClock(1000, () => 1000 + 359)))
+    assert(spark.read.parquet(s"$sink/log")
+      .filter(col("seqvalNum") === -1L).count() === 0)
+
+    // Idle cycle past 2x the heartbeat interval: exactly one heartbeat
+    // at the feed's max LSN, with the recognizable all-0xff shape.
+    CdcPipeline.run(spark, feed, ckpt,
+      new CdcPipeline.ParquetPartitionedSink(sink), Some(stale))
+    val hb = spark.read.parquet(s"$sink/log").filter(col("seqvalNum") === -1L)
+    assert(hb.count() === 1)
+    val r = hb.select("lsnNum", "commandId", "operation", "eventType", "batch_id").head()
+    val maxLsn = spark.read.parquet(feed).agg(max("lsn_num")).head().getLong(0)
+    assert(r.getLong(0) === maxLsn)
+    assert(r.getInt(1) === 0 && r.getInt(2) === 4)
+    assert(r.getString(3) === "__heartbeat")
+    assert(r.getLong(4) === CdcPipeline.HeartbeatBatchId)
+
+    // A replayed idle cycle overwrites, never duplicates, the heartbeat;
+    // and the compacted view never holds state for the heartbeat key.
+    CdcPipeline.run(spark, feed, ckpt,
+      new CdcPipeline.ParquetPartitionedSink(sink), Some(stale))
+    assert(spark.read.parquet(s"$sink/log")
+      .filter(col("seqvalNum") === -1L).count() === 1)
+    assert(CdcPipeline.compactedState(spark, sink)
+      .filter(col("userId") === -1L).count() === 0)
+  }
+
   test("tombstones follow deletes in the published log (G4)") {
     val log = spark.read.parquet(s"$work/sink1/log")
     val deletes = log.filter(col("operation") === 1 && !col("isTombstone"))
