@@ -1,0 +1,133 @@
+package graft.streaming.kafka
+
+import java.time.Duration
+import java.util.Properties
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.kafka.clients.consumer.KafkaConsumer
+import org.apache.kafka.clients.producer.{KafkaProducer, ProducerRecord}
+import org.apache.kafka.common.TopicPartition
+import org.apache.kafka.common.errors.ProducerFencedException
+import org.apache.kafka.common.serialization.{ByteArrayDeserializer, ByteArraySerializer}
+
+import graft.streaming.CdcPipeline.RecordProducer
+
+/** Real-Kafka implementation of the [[graft.streaming.CdcPipeline.RecordProducer]]
+  * seam — the wire-protocol twin of [[graft.streaming.BrokerSink.TxnRecordProducer]],
+  * whose contract `LogBrokerSinkSpec` proves against the in-JVM model
+  * (reference behavior: `cdc_kafka/kafka.py:87-211`, txn loop
+  * `cdc_kafka/main.py:319-350`).
+  *
+  * Exactly-once layering, mapped from the model:
+  *
+  *   - `transactional.id` = the (batchId, partitionId)-derived id the
+  *     sink passes in — stable across task retries and post-crash batch
+  *     replays, so `initTransactions()` FENCES any zombie attempt still
+  *     holding the id (the broker bumps the epoch and aborts its dangling
+  *     transaction) before this attempt writes.
+  *   - COMMITTED-ID REPLAY SKIP (`LogBroker.initTransactionsUnlessCommitted`):
+  *     Kafka does not remember which transactional ids committed, so the
+  *     adapter persists its own marker — a record keyed by the txn id,
+  *     sent to `controlTopic` INSIDE the transaction (atomic with the
+  *     data). On construction the adapter reads the control topic
+  *     BOUNDED to the replay horizon: seek to (end offset - horizon)
+  *     per partition rather than from-beginning — the horizon only needs
+  *     to cover the last few batch ids a restart can legally re-attempt,
+  *     and an unbounded scan would grow with broker lifetime (the model
+  *     broker's in-memory registry documents the same caveat). If the
+  *     marker is present the producer degrades to a no-op, exactly like
+  *     the model.
+  *   - `flush()` here = send the marker + `commitTransaction()` — the
+  *     sink calls it only after every send succeeded, making it the
+  *     commit point.
+  *   - `close()` on the error path aborts a still-open transaction
+  *     (invisible to `read_committed` consumers); after a successful
+  *     commit it only releases the client.
+  *
+  * Consumers of the published topics set `isolation.level=read_committed`
+  * to get the visibility `LogBroker.readCommitted` models.
+  */
+final class KafkaRecordProducer(
+    bootstrapServers: String,
+    transactionalId: String,
+    controlTopic: String = "graft-txn-markers",
+    replayHorizonRecords: Long = 10000L) extends RecordProducer {
+
+  private def baseProps: Properties = {
+    val p = new Properties()
+    p.put("bootstrap.servers", bootstrapServers)
+    p
+  }
+
+  /** Bounded control-topic consult: was this transactional id already
+    * committed by a previous attempt of the same (batch, partition)? */
+  private def alreadyCommitted(): Boolean = {
+    val p = baseProps
+    p.put("isolation.level", "read_committed")
+    p.put("enable.auto.commit", "false")
+    val consumer = new KafkaConsumer[Array[Byte], Array[Byte]](
+      p, new ByteArrayDeserializer, new ByteArrayDeserializer)
+    try {
+      val parts = consumer.partitionsFor(controlTopic)
+      if (parts == null) return false
+      val tps = parts.asScala.map(i => new TopicPartition(controlTopic, i.partition)).toList
+      consumer.assign(tps.asJava)
+      val ends = consumer.endOffsets(tps.asJava).asScala
+      tps.foreach { tp =>
+        consumer.seek(tp, math.max(0L, ends(tp) - replayHorizonRecords))
+      }
+      val idBytes = transactionalId.getBytes("UTF-8")
+      var drained = false
+      while (!drained) {
+        val records = consumer.poll(Duration.ofSeconds(1))
+        if (records.asScala.exists(r => java.util.Arrays.equals(r.key, idBytes)))
+          return true
+        drained = records.isEmpty ||
+          tps.forall(tp => consumer.position(tp) >= ends(tp))
+      }
+      false
+    } finally consumer.close()
+  }
+
+  private val producer: Option[KafkaProducer[Array[Byte], Array[Byte]]] =
+    if (alreadyCommitted()) None // replay of a committed partition: no-op
+    else {
+      val p = baseProps
+      p.put("transactional.id", transactionalId)
+      p.put("enable.idempotence", "true")
+      p.put("acks", "all")
+      val kp = new KafkaProducer[Array[Byte], Array[Byte]](
+        p, new ByteArraySerializer, new ByteArraySerializer)
+      kp.initTransactions() // fences any zombie holding this id
+      kp.beginTransaction()
+      Some(kp)
+    }
+
+  private var committed = false
+
+  override def send(topic: String, key: Array[Byte], value: Array[Byte]): Unit =
+    producer.foreach(_.send(new ProducerRecord(topic, key, value)))
+
+  /** Commit point: marker rides inside the transaction, atomic with the
+    * data — the restart's replay-skip signal. */
+  override def flush(): Unit = {
+    producer.foreach { kp =>
+      kp.send(new ProducerRecord(controlTopic,
+        transactionalId.getBytes("UTF-8"), Array.emptyByteArray))
+      kp.commitTransaction()
+    }
+    committed = true
+  }
+
+  /** Error-path cleanup: abort anything still open; a fenced producer was
+    * already aborted by the broker. */
+  override def close(): Unit =
+    producer.foreach { kp =>
+      if (!committed) {
+        try kp.abortTransaction()
+        catch { case _: ProducerFencedException | _: IllegalStateException => () }
+      }
+      kp.close()
+    }
+}

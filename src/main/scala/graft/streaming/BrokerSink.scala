@@ -55,7 +55,11 @@ object BrokerSink {
     * reads from the last checkpointed batch id minus that horizon, never
     * a from-beginning scan of an unbounded marker log. (The model
     * broker's in-memory registry grows per committed (batch, partition)
-    * for its lifetime — fine for a test transport, wrong to replicate.) */
+    * for its lifetime — fine for a test transport, wrong to replicate.)
+    * The full adapter — this mapping spelled out over kafka-clients,
+    * bounded marker consult included — lives in
+    * `contrib/kafka-producer/` (a disabled source tree: no broker jar
+    * exists in this zero-egress environment). */
   final class TxnRecordProducer(brokerName: String, transactionalId: String)
       extends RecordProducer {
     private val handle = {
