@@ -49,6 +49,38 @@ object AnnIndex {
       .parquet(s"$indexDir/postings")
   }
 
+  /** Build the index from TRAINED centroids (the production loop:
+    * [[KMeansTrainer.train]] → this build → [[topk]] probes). Same
+    * posting layout as [[build]] — the full assignment relation
+    * partitioned by centroid id, crnk ranking each vector's centroids —
+    * but scored against an arbitrary (c_id, c_emb Array[Double])
+    * relation instead of the deterministic fixture picks. Centroids
+    * broadcast (k·d doubles); the corpus never shuffles for the
+    * assignment join. */
+  def buildFromCentroids(spark: SparkSession, sfDir: String, indexDir: String,
+      centroids: DataFrame, maxRank: Int = 2): Unit = {
+    graft.expr.GraftFunctions.register(spark)
+    val normed = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("nrm", expr("sqrt(float_dot(embedding, embedding))"))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val cents = centroids.withColumn("c_nrm",
+      expr("sqrt(aggregate(c_emb, 0.0d, (a, x) -> a + x * x))"))
+      .filter(col("c_nrm") > 0)
+    normed.join(broadcast(cents))
+      .withColumn("score",
+        expr("aggregate(zip_with(embedding, c_emb, (a, b) -> cast(a as double) * b), " +
+          "0.0d, (a, x) -> a + x)") / (col("nrm") * col("c_nrm")))
+      .withColumn("crnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("score").desc, col("c_id"))))
+      .filter(col("crnk") <= maxRank)
+      .select(col("vec_id"), col("c_id"), col("crnk"), col("embedding"), col("nrm"))
+      .write.mode("overwrite")
+      .partitionBy("c_id")
+      .parquet(s"$indexDir/postings")
+  }
+
   /** Serve top-k for the query vectors already IN the index (by id).
     * Two-phase: the probe routing (queryIds × nprobe rows) collects to
     * the driver — that is the index lookup — then only the probed
