@@ -149,9 +149,11 @@ private case class CdcStreamOffset(offset: CdcOffset) extends Offset {
   * return a single key; partition methods return predicate-carrying
   * splits for the committed range — never rows. */
 private trait FeedBackend {
-  /** Max change index among the batchSize rows strictly after `start`;
+  /** Max change index among the batchSize rows strictly after `start`,
+    * WITH the window's row count (count == batchSize means the table has
+    * a full window pending — the reference's "lagging" signal, E6);
     * None when the feed has nothing new. */
-  def changeBoundary(start: ChangeIndex): Option[ChangeIndex]
+  def changeBoundary(start: ChangeIndex): Option[(ChangeIndex, Long)]
   /** Min composite key among the batchSize snapshot keys strictly below
     * `below` (unbounded when None); None when the page is empty (G3) or
     * the table has no snapshot dimension. */
@@ -213,7 +215,8 @@ private class CdcMicroBatchStream(tableName: String, batchSize: Int,
           case Some((u, e)) => mkOffset(p.copy(snapshot = SnapshotAt(keyHex(u, e))))
         }
       case SnapshotDone =>
-        val end = backend.changeBoundary(p.changeIndex).getOrElse(p.changeIndex)
+        val end = backend.changeBoundary(p.changeIndex)
+          .map(_._1).getOrElse(p.changeIndex)
         mkOffset(p.copy(changeIndex = end))
     }
   }
@@ -294,7 +297,7 @@ private class ParquetBackend(feedDir: String, snapshotDir: Option[String],
   /** Boundary probe for the next change window: the MAX change index among
     * the `batchSize` rows strictly after `start` (A1's ordered TOP scan,
     * reduced to its last row). None when no new rows exist. */
-  override def changeBoundary(start: ChangeIndex): Option[ChangeIndex] = {
+  override def changeBoundary(start: ChangeIndex): Option[(ChangeIndex, Long)] = {
     val (sl, sc, ss, so) = ChangeIndex.parts(start)
     val r = spark.read.schema(CdcTableProvider.schema).parquet(feedDir)
       .filter(struct(col("lsn_num"), col("command_id"), col("seqval_num"), col("operation")) >
@@ -309,8 +312,8 @@ private class ParquetBackend(feedDir: String, snapshotDir: Option[String],
     if (r.getLong(0) == 0L) None
     else {
       val s = r.getStruct(1)
-      Some(ChangeIndex(ChangeIndex.lsnFromLong(s.getLong(0)), s.getInt(1),
-        ChangeIndex.lsnFromLong(s.getLong(2)), s.getInt(3)))
+      Some((ChangeIndex(ChangeIndex.lsnFromLong(s.getLong(0)), s.getInt(1),
+        ChangeIndex.lsnFromLong(s.getLong(2)), s.getInt(3)), r.getLong(0)))
     }
   }
 
@@ -350,30 +353,32 @@ private class JdbcBackend(url: String, captureInstance: String,
   }
 
   /** Run `sql`, stream the result, return the LAST row's first n columns
-    * (the boundary the probe queries put last by construction). */
-  private def lastRow(sql: String, n: Int): Option[IndexedSeq[AnyRef]] =
+    * (the boundary the probe queries put last by construction) plus the
+    * row count (the lagging signal). */
+  private def lastRow(sql: String, n: Int): Option[(IndexedSeq[AnyRef], Long)] =
     withConn { c =>
       val st = c.createStatement()
       try {
         val rs = st.executeQuery(sql)
         var last: IndexedSeq[AnyRef] = null
-        while (rs.next()) last = (1 to n).map(rs.getObject)
+        var count = 0L
+        while (rs.next()) { last = (1 to n).map(rs.getObject); count += 1 }
         rs.close()
-        Option(last)
+        Option(last).map(r => (r, count))
       } finally st.close()
     }
 
-  override def changeBoundary(start: ChangeIndex): Option[ChangeIndex] = {
+  override def changeBoundary(start: ChangeIndex): Option[(ChangeIndex, Long)] = {
     val (sl, sc, ss, so) = ChangeIndex.parts(start)
     val tsql = SqlServerDialect.changeBoundaryQuery(captureInstance, batchSize)
     val sql = AnsiTranspile(tsql,
       Seq(lit(hex20(sl)), sc.toString, lit(hex20(ss)), so.toString))
-    lastRow(sql, 4).map { r =>
-      ChangeIndex(
+    lastRow(sql, 4).map { case (r, n) =>
+      (ChangeIndex(
         ChangeIndex.lsnFromLong(parseHex20(r(0).toString)),
         r(1).asInstanceOf[Number].intValue(),
         ChangeIndex.lsnFromLong(parseHex20(r(2).toString)),
-        r(3).asInstanceOf[Number].intValue())
+        r(3).asInstanceOf[Number].intValue()), n)
     }
   }
 
@@ -386,7 +391,7 @@ private class JdbcBackend(url: String, captureInstance: String,
       case Some((k, e)) => Seq(k.toString, e.toString)
       case None => Seq("0") // the placeholder @K0 of the unbounded page
     }
-    lastRow(AnsiTranspile(tsql, binds), 2).map { r =>
+    lastRow(AnsiTranspile(tsql, binds), 2).map { case (r, _) =>
       (r(0).asInstanceOf[Number].longValue(), r(1).asInstanceOf[Number].longValue())
     }
   }
