@@ -405,6 +405,83 @@ object DedupQueries {
        |    ON a.label = b.label AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cs AS cos_sim FROM scored WHERE cs >= 0.95""".stripMargin
 
+  // ── dd_semantic ★ — SemDeDup-style semantic dedup (Abbas et al. 2023,
+  // arXiv:2303.09540): assign every vector to its nearest coarse
+  // centroid, then find near-duplicate pairs ONLY within each cluster —
+  // the published answer to embedding dedup at corpus scale, where
+  // all-pairs cosine is quadratic and even label blocking (the
+  // dd_embedding_cosine block) assumes labels exist. Cluster granularity
+  // bounds the per-reducer work at |cluster|² and the centroid relation
+  // is k rows (broadcast); at production scale the deterministic picks
+  // below are replaced by tools/KMeansTrainer output — the same swap the
+  // IVF index makes — leaving the plan shape untouched. Output: each
+  // removed vector with its kept representative (min id among matches),
+  // its cluster, and the best cosine that condemned it.
+  def ddSemantic(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      s"""WITH corpus AS ($embCorpusSpark),
+         |normed AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(float_dot(embedding, embedding)) AS nrm
+         |  FROM corpus),
+         |cents AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |  FROM normed WHERE vec_id BETWEEN 100 AND 115),
+         |assign AS (
+         |  SELECT n.vec_id, c.c_id, n.embedding, n.nrm,
+         |         row_number() OVER (PARTITION BY n.vec_id
+         |           ORDER BY float_dot(n.embedding, c.c_emb) / (n.nrm * c.c_nrm) DESC,
+         |                    c.c_id) AS crnk
+         |  FROM normed n CROSS JOIN cents c),
+         |members AS (SELECT vec_id, c_id, embedding, nrm FROM assign WHERE crnk = 1),
+         |pairs AS (
+         |  SELECT b.vec_id AS vec_removed, a.vec_id AS vec_kept, a.c_id,
+         |         float_dot(a.embedding, b.embedding) / (a.nrm * b.nrm) AS cs
+         |  FROM members a JOIN members b
+         |    ON a.c_id = b.c_id AND a.vec_id < b.vec_id)
+         |SELECT vec_removed, min(vec_kept) AS vec_kept,
+         |       min(c_id) AS cluster_id, max(cs) AS max_cos
+         |FROM pairs WHERE cs >= 0.95
+         |GROUP BY vec_removed""".stripMargin)
+  }
+
+  val ddSemanticSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, embedding, label
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |normed AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce([0.0] || list_transform(embedding,
+       |           x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) AS nrm
+       |  FROM corpus),
+       |cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM normed WHERE vec_id BETWEEN 100 AND 115),
+       |assign AS (
+       |  SELECT n.vec_id, c.c_id, n.embedding, n.nrm,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |           list_reduce([0.0] || list_transform(range(1, 65),
+       |             i -> n.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE),
+       |             (x, y) -> x + y) / (n.nrm * c.c_nrm) DESC,
+       |           c.c_id) AS crnk
+       |  FROM normed n CROSS JOIN cents c),
+       |members AS (SELECT vec_id, c_id, embedding, nrm FROM assign WHERE crnk = 1),
+       |pairs AS (
+       |  SELECT b.vec_id AS vec_removed, a.vec_id AS vec_kept, a.c_id,
+       |         list_reduce([0.0] || list_transform(range(1, 65),
+       |           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+       |           (x, y) -> x + y) / (a.nrm * b.nrm) AS cs
+       |  FROM members a JOIN members b
+       |    ON a.c_id = b.c_id AND a.vec_id < b.vec_id)
+       |SELECT vec_removed, min(vec_kept) AS vec_kept,
+       |       min(c_id) AS cluster_id, max(cs) AS max_cos
+       |FROM pairs WHERE cs >= 0.95
+       |GROUP BY vec_removed""".stripMargin
+
   // ── dd_cluster ★ — duplicate CLUSTERING: connected components over the
   // LSH candidate graph, so each group of mutual near-dups collapses to
   // one keeper (min doc_id = cluster id). Spark side: iterative min-label
@@ -641,6 +718,7 @@ object DedupQueries {
     "dd_simhash" -> (ddSimhash _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embedding_cosine" -> (ddEmbeddingCosine _),
+    "dd_semantic" -> (ddSemantic _),
     "dd_cluster" -> (ddCluster _),
     "dd_cluster_star" -> (ddClusterStar _))
 
@@ -654,6 +732,7 @@ object DedupQueries {
     "dd_simhash" -> ddSimhashSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embedding_cosine" -> ddEmbeddingCosineSql,
+    "dd_semantic" -> ddSemanticSql,
     "dd_cluster" -> ddClusterSql,
     // Star contraction computes the same components: same oracle.
     "dd_cluster_star" -> ddClusterSql)

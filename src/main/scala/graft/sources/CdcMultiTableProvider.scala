@@ -34,9 +34,13 @@ import graft.model.{ChangeIndex, Policies}
   *     round-robin degenerates to this under AvailableNow-style draining).
   *
   * Layout convention: `baseDir/<table>/feed` holds the staged change
-  * feed, `baseDir/<table>/snapshot` (optional) the snapshot table. The
-  * output schema prepends `table_name` to the single-table schema — the
-  * reference's unified-topic discriminator.
+  * feed, `baseDir/<table>/snapshot` (optional) the snapshot table. With
+  * `jdbcUrl` set the fleet instead polls LIVE change tables — capture
+  * instance per table name, optional `snapshotTable.<table>` backfill —
+  * through the same [[JdbcBackend]] the single-table source proves
+  * row-for-row against parquet. The output schema prepends `table_name`
+  * to the single-table schema — the reference's unified-topic
+  * discriminator.
   *
   * Scale: the per-trigger cost is one boundary probe per table (a
   * one-row aggregation; the reference pays the same per-table poll), and
@@ -75,20 +79,35 @@ private class CdcMultiTable(options: Map[String, String]) extends Table with Sup
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = CdcMultiTableProvider.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-          val base = merged.getOrElse("basedir", sys.error("baseDir option required"))
           val tables = merged.getOrElse("tables", sys.error("tables option required"))
             .split(',').map(_.trim).filter(_.nonEmpty).toSeq
           val batchSize = merged.getOrElse("batchsize", "2000").toInt
-          val backends = tables.map { t =>
-            val snap = s"$base/$t/snapshot"
-            val hasSnap = {
-              val p = new org.apache.hadoop.fs.Path(snap)
-              p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
-                .exists(p)
-            }
-            t -> new ParquetBackend(s"$base/$t/feed",
-              if (hasSnap) Some(snap) else None, batchSize): (String, FeedBackend)
-          }.toMap
+          val backends: Map[String, FeedBackend] = merged.get("jdbcurl") match {
+            case Some(url) =>
+              // JDBC fleet: capture instance = table name; optional
+              // per-table snapshot via `snapshotTable.<table>` = schema.tbl.
+              tables.map { t =>
+                val snap = merged.get(s"snapshottable.$t".toLowerCase).map { st =>
+                  st.split('.') match {
+                    case Array(s, n) => (s, n)
+                    case _ => ("dbo", st)
+                  }
+                }
+                t -> (new JdbcBackend(url, t, snap, batchSize): FeedBackend)
+              }.toMap
+            case None =>
+              val base = merged.getOrElse("basedir", sys.error("baseDir option required"))
+              tables.map { t =>
+                val snap = s"$base/$t/snapshot"
+                val hasSnap = {
+                  val p = new org.apache.hadoop.fs.Path(snap)
+                  p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+                    .exists(p)
+                }
+                t -> (new ParquetBackend(s"$base/$t/feed",
+                  if (hasSnap) Some(snap) else None, batchSize): FeedBackend)
+              }.toMap
+          }
           new CdcMultiTableStream(tables, batchSize, backends)
         }
       }
