@@ -334,22 +334,129 @@ private class ParquetBackend(feedDir: String, snapshotDir: Option[String],
       SnapshotRangePartition(f, upper, lower): InputPartition)
 }
 
+/** The capture-instance schema changed under a running query. A
+  * Structured Streaming query cannot change schema mid-run, so the
+  * source terminates for supervisor restart — the reference's own
+  * answer (`main.py:358-409`); the message carries the G6
+  * re-snapshot decision the supervisor acts on. */
+final class CdcSchemaChangedException(msg: String) extends RuntimeException(msg)
+
 /** Live-database backend: probes stream batchSize KEY tuples over a
   * driver-side connection and keep the last; splits carry the complete
   * range-query text, executed executor-side. The endpoint here speaks
   * ANSI (embedded Derby), so the dialect's T-SQL runs through
   * [[AnsiTranspile]] with literal-substituted binds; a SQL Server
-  * deployment would carry (tsql, binds) and prepare natively. */
+  * deployment would carry (tsql, binds) and prepare natively.
+  *
+  * SCHEMA WATCH (G6 in-stream): the change table's live column set is
+  * re-read on every change poll (one catalog read per cycle, portable
+  * JDBC metadata) and compared against the source's FIXED projection
+  * contract — the restart-stable baseline: a post-restart backend must
+  * still detect drift that happened while the query was down, so the
+  * expectation cannot be a query-start snapshot. Any drift (column
+  * set, or serialized type of a projected column) terminates the query
+  * with [[CdcSchemaChangedException]] carrying
+  * [[graft.model.SchemaEvolution.requiresNewSnapshot]]'s verdict —
+  * detect-and-terminate, never silently mis-project (a new column the
+  * projection would silently drop counts as drift, exactly like the
+  * reference's new-capture-instance handling). */
 private class JdbcBackend(url: String, captureInstance: String,
     snapshotTable: Option[(String, String)], batchSize: Int) extends FeedBackend {
 
   import AnsiTranspile.{hex20, lit, parseHex20}
+
+  import graft.model.SchemaEvolution
 
   override def hasSnapshot: Boolean = snapshotTable.isDefined
 
   private def withConn[A](f: java.sql.Connection => A): A = {
     val c = java.sql.DriverManager.getConnection(url)
     try f(c) finally c.close()
+  }
+
+  /** Value columns of the change table via portable JDBC metadata
+    * (`__$` system columns excluded). Generic-ANSI type names normalize
+    * to the dialect's (TrackedFieldMeta's) vocabulary so the G6
+    * serialization-equivalence check applies unchanged. */
+  private def ctColumns(): Map[String, SchemaEvolution.ColumnInfo] = withConn { c =>
+    val rs = c.getMetaData.getColumns(null, "cdc", captureInstance + "_CT", null)
+    val out = Map.newBuilder[String, SchemaEvolution.ColumnInfo]
+    while (rs.next()) {
+      val name = rs.getString("COLUMN_NAME")
+      if (!name.startsWith("__$")) {
+        val t = rs.getString("TYPE_NAME").toLowerCase match {
+          case "integer" => "int"
+          case "double" | "double precision" => "float"
+          case "character" => "char"
+          case "character varying" => "varchar"
+          case "timestamp" => "datetime2"
+          case other => other
+        }
+        out += name -> SchemaEvolution.ColumnInfo(t,
+          rs.getInt("COLUMN_SIZE"), rs.getInt("DECIMAL_DIGITS"),
+          isComputed = false,
+          isNullable =
+            rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls)
+      }
+    }
+    rs.close()
+    out.result()
+  }
+
+  /** The projection contract: value column → SQL type, derived from the
+    * source's fixed output schema (what [[SqlServerDialect.changeWindowQuery]]
+    * SELECTs). Restart-stable by construction. */
+  private val expectedColumns: Map[String, SchemaEvolution.ColumnInfo] = {
+    val sqlName: Map[org.apache.spark.sql.types.DataType, String] = Map(
+      LongType -> "bigint", IntegerType -> "int",
+      StringType -> "varchar", DoubleType -> "float")
+    CdcTableProvider.schema.fields
+      .filter(f => CdcTableProvider.changeValueFields.contains(f.name))
+      .map(f => f.name -> SchemaEvolution.ColumnInfo(sqlName(f.dataType)))
+      .toMap
+  }
+
+  private def sparkTypeOf(info: SchemaEvolution.ColumnInfo): Option[org.apache.spark.sql.types.DataType] =
+    scala.util.Try(graft.model.TrackedFieldMeta("c", info.sqlTypeName, 0, 0,
+      info.decimalPrecision, info.decimalScale).sparkType).toOption
+
+  /** One non-null existence probe per candidate column — cheap on the
+    * CDC table (the reference only probes when small/indexed; the probe
+    * here feeds the REPORTED decision, the terminate is unconditional). */
+  private def hasNonNull(colName: String): Boolean = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"""SELECT 1 FROM "cdc"."${captureInstance}_CT" """ +
+          s"""WHERE "$colName" IS NOT NULL FETCH FIRST 1 ROWS ONLY""")
+      val found = rs.next()
+      rs.close()
+      found
+    } finally st.close()
+  }
+
+  private def assertSchemaUnchanged(): Unit = {
+    val current = ctColumns()
+    // Drift = the column set changed, or a projected column's SERIALIZED
+    // type changed (precision-only differences within a serialization
+    // class are not drift — the same equivalence the G6 decision uses).
+    val drifted = current.keySet != expectedColumns.keySet ||
+      expectedColumns.exists { case (name, exp) =>
+        sparkTypeOf(current(name)).isEmpty ||
+          sparkTypeOf(current(name)) != sparkTypeOf(exp)
+      }
+    if (drifted) {
+      val decision = SchemaEvolution.requiresNewSnapshot(
+        expectedColumns, current,
+        SchemaEvolution.Probes(oldInstanceAvailable = true,
+          tableIsSmall = true, colHasNonNull = hasNonNull))
+      throw new CdcSchemaChangedException(
+        s"capture instance '$captureInstance' schema changed under a running " +
+          s"query (projection expects ${expectedColumns.keySet.toSeq.sorted.mkString(",")}; " +
+          s"live table has ${current.keySet.toSeq.sorted.mkString(",")}); terminating for " +
+          s"supervisor restart. Re-snapshot decision: ${decision.resnapshot} " +
+          s"(${decision.reason})")
+    }
   }
 
   /** Run `sql`, stream the result, return the LAST row's first n columns
@@ -369,6 +476,7 @@ private class JdbcBackend(url: String, captureInstance: String,
     }
 
   override def changeBoundary(start: ChangeIndex): Option[(ChangeIndex, Long)] = {
+    assertSchemaUnchanged()
     val (sl, sc, ss, so) = ChangeIndex.parts(start)
     val tsql = SqlServerDialect.changeBoundaryQuery(captureInstance, batchSize)
     val sql = AnsiTranspile(tsql,
