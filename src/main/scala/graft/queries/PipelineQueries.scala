@@ -245,6 +245,83 @@ object PipelineQueries {
       |FROM gated g JOIN rates r ON g.source = r.source
       |GROUP BY r.source, r.docs, r.target_share, r.rate""".stripMargin
 
+  // ── pipe_upsample ★ — domain UPSAMPLING to target weights: the
+  // complement of pipe_mix (which caps at rate 1.0 and only ever
+  // downsamples). Low-resource sources whose target share exceeds their
+  // natural share get REPEATED — floor(rate) full copies plus one more
+  // admitted through the same deterministic md5 gate with probability
+  // frac(rate) — the multi-epoch treatment training recipes give scarce
+  // high-value domains, with the standard cap (4 epochs here) so no
+  // source repeats unboundedly. Shape: the tiny rate table broadcasts
+  // onto the corpus scan, each row fans out through a BOUNDED
+  // explode(sequence(1, n_copies)) (≤ cap, a design constant), and the
+  // ledger is one map-side-combined aggregate — the corpus is never
+  // shuffled. The guard `WHERE n_copies >= 1` matters: Spark's sequence
+  // runs DESCENDING when start > stop, so an unguarded sequence(1, 0)
+  // would emit 2 phantom copies rather than none.
+  def pipeUpsample(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH stats AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |         CAST(cast(substr(source, 4) as int) % 4 + 1 AS DOUBLE) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(docs) AS DOUBLE) AS n, CAST(sum(w) AS DOUBLE) AS sw
+        |        FROM stats),
+        |rates AS (
+        |  SELECT s.source, s.docs, s.w / t.sw AS target_share,
+        |         least(CAST(4.0 AS DOUBLE),
+        |               (s.w / t.sw) * t.n / CAST(s.docs AS DOUBLE)) AS rate
+        |  FROM stats s CROSS JOIN tot t),
+        |copies AS (
+        |  SELECT d.source,
+        |         cast(ceil(length(d.text) / 4.0) as bigint) AS est_tokens,
+        |         cast(floor(r.rate) as int) +
+        |           CASE WHEN CAST(${DedupQueries.hSpark("cast(d.doc_id as string)")}
+        |                     % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+        |                     < r.rate - floor(r.rate) THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN rates r ON d.source = r.source),
+        |repeated AS (
+        |  SELECT source, est_tokens
+        |  FROM copies LATERAL VIEW explode(sequence(1, n_copies)) AS copy_idx
+        |  WHERE n_copies >= 1)
+        |SELECT r.source, r.docs, r.target_share, r.rate,
+        |       CAST(count(e.source) AS BIGINT) AS emitted_docs,
+        |       CAST(coalesce(sum(e.est_tokens), 0) AS BIGINT) AS emitted_tokens
+        |FROM rates r LEFT JOIN repeated e ON r.source = e.source
+        |GROUP BY r.source, r.docs, r.target_share, r.rate""".stripMargin)
+  }
+
+  val pipeUpsampleSql: String =
+    s"""WITH stats AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+      |         CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS DOUBLE) AS w
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(docs) AS DOUBLE) AS n, CAST(sum(w) AS DOUBLE) AS sw
+      |        FROM stats),
+      |rates AS (
+      |  SELECT s.source, s.docs, s.w / t.sw AS target_share,
+      |         least(CAST(4.0 AS DOUBLE),
+      |               (s.w / t.sw) * t.n / CAST(s.docs AS DOUBLE)) AS rate
+      |  FROM stats s CROSS JOIN tot t),
+      |copies AS (
+      |  SELECT d.source,
+      |         CAST(ceil(length(d.text) / 4.0) AS BIGINT) AS est_tokens,
+      |         CAST(floor(r.rate) AS INT) +
+      |           CASE WHEN CAST(${DedupQueries.hDuck("CAST(d.doc_id AS VARCHAR)")}
+      |                     % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+      |                     < r.rate - floor(r.rate) THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN rates r ON d.source = r.source),
+      |repeated AS (
+      |  SELECT source, est_tokens
+      |  FROM copies, LATERAL unnest(range(1, n_copies + 1)) AS t(copy_idx)
+      |  WHERE n_copies >= 1)
+      |SELECT r.source, r.docs, r.target_share, r.rate,
+      |       CAST(count(e.source) AS BIGINT) AS emitted_docs,
+      |       CAST(coalesce(sum(e.est_tokens), 0) AS BIGINT) AS emitted_tokens
+      |FROM rates r LEFT JOIN repeated e ON r.source = e.source
+      |GROUP BY r.source, r.docs, r.target_share, r.rate""".stripMargin
+
   // ── pipe_quota_sample ★ — token-BUDGET sampling: each source gets a
   // token quota (derived here from the source id; in production a config
   // table) and admits documents in a deterministic md5-hash order until
@@ -599,6 +676,7 @@ object PipelineQueries {
     "pipe_decontaminate_bloom" -> (pipeDecontaminateBloom _),
     "pipe_pack" -> (pipePack _),
     "pipe_mix" -> (pipeMix _),
+    "pipe_upsample" -> (pipeUpsample _),
     "pipe_quota_sample" -> (pipeQuotaSample _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "pipe_shard" -> (pipeShard _))
@@ -612,6 +690,7 @@ object PipelineQueries {
     "pipe_decontaminate_bloom" -> pipeDecontaminateSql,
     "pipe_pack" -> pipePackSql,
     "pipe_mix" -> pipeMixSql,
+    "pipe_upsample" -> pipeUpsampleSql,
     "pipe_quota_sample" -> pipeQuotaSampleSql,
     "text_tfidf_topk" -> textTfidfTopkSql,
     "pipe_shard" -> pipeShardSql)

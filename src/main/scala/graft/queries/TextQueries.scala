@@ -408,7 +408,62 @@ object TextQueries {
        |                     ELSE 0 END) AS BIGINT) AS tokens_kept
        |FROM flagged GROUP BY lang""".stripMargin
 
+  // ── text_ngram_novelty ★ — corpus-frequency novelty score: the
+  // fraction of a document's DISTINCT word bigrams that are corpus-rare
+  // (total count ≤ 2). Boilerplate-heavy documents (license headers, nav
+  // chrome, template spam) score near 0 because their grams repeat across
+  // the corpus; genuinely novel text scores near 1 — the cheap
+  // cross-document quality signal data-pruning recipes cut on (the
+  // count-based stand-in for an LM perplexity filter; no transcendentals
+  // so the score is engine-exact). Shape: explode distinct grams → one
+  // map-side-combined corpus count keyed on the gram → join doc grams
+  // back on the gram → per-doc agg. Three shuffles, all hash-keyed on
+  // high-cardinality keys (gram, then doc_id) — no all-pairs, no skew
+  // hotspot beyond an ordinary hot gram, which the count agg absorbs
+  // map-side.
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH grams AS (
+        |  SELECT doc_id, gram
+        |  FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+        |  LATERAL VIEW explode(array_distinct(
+        |    transform(sequence(1, greatest(size(ws) - 1, 1)),
+        |      i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))) AS gram
+        |  WHERE size(ws) >= 2),
+        |freq AS (
+        |  SELECT gram, count(*) AS cnt FROM grams GROUP BY gram)
+        |SELECT g.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN f.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_rare,
+        |       CAST(sum(CASE WHEN f.cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM grams g JOIN freq f ON g.gram = f.gram
+        |GROUP BY g.doc_id""".stripMargin)
+  }
+
+  val textNgramNoveltySql: String =
+    """WITH grams AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(list_transform(
+      |           range(1, greatest(len(ws) - 1, 1) + 1),
+      |           i -> ws[i] || ' ' || ws[i + 1]))) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 2),
+      |freq AS (
+      |  SELECT gram, count(*) AS cnt FROM grams GROUP BY gram)
+      |SELECT g.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(sum(CASE WHEN f.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_rare,
+      |       CAST(sum(CASE WHEN f.cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS novelty
+      |FROM grams g JOIN freq f ON g.gram = f.gram
+      |GROUP BY g.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> (textNgramNovelty _),
     "text_scrub" -> (textScrub _),
     "sample_stratified" -> (sampleStratified _),
     "text_length_histogram" -> (textLengthHistogram _),
@@ -422,6 +477,7 @@ object TextQueries {
     "pipe_curation" -> (pipeCuration _))
 
   val oracle: Map[String, String] = Map(
+    "text_ngram_novelty" -> textNgramNoveltySql,
     "text_scrub" -> textScrubSql,
     "sample_stratified" -> sampleStratifiedSql,
     "text_length_histogram" -> textLengthHistogramSql,

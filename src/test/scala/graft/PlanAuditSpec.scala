@@ -56,6 +56,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ann_bruteforce_topk" -> "query side is the fixed probe set (vec_id < 3), broadcast",
     "ann_ivf_topk" -> "centroid table is 16 rows by construction, broadcast",
     "dd_semantic" -> "centroid assignment cross join: 16 rows by construction, broadcast (the SemDeDup coarse-cluster step)",
+    "pipe_upsample" -> "per-source rate table (#sources rows) against the single-row corpus-total aggregate",
     "ann_range_search" -> "query side is the fixed probe set (vec_id < 3), broadcast",
     "dd_embedding_cosine" -> "label-blocked pair join; non-equi residual over the tiny blocked side",
     "f11_asof_lsn" -> "single-probe as-of lookup: one row against the mapping dimension",
