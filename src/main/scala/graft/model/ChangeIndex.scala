@@ -101,6 +101,33 @@ object ChangeIndex {
     out
   }
 
+  /** The strict predecessor in the total (lsn, command_id, seqval,
+    * operation) order — the greatest index strictly below `i`. Used by
+    * the G5 gap handler: "a row could hide between A and B" is exactly
+    * `A < predecessor(B)`, and resuming from `predecessor(B)` makes a
+    * strictly-after scan include B itself. */
+  def predecessor(i: ChangeIndex): ChangeIndex = {
+    require(i != Lowest, "the Lowest sentinel has no predecessor")
+    val ffs = Array.fill(LsnBytes)(0xff.toByte)
+    if (i.operation > 0) i.copy(operation = i.operation - 1)
+    else if (i.seqval.exists(_ != 0))
+      ChangeIndex(i.lsn, i.commandId, decrement(i.seqval), Int.MaxValue)
+    else if (i.commandId > 0) ChangeIndex(i.lsn, i.commandId - 1, ffs, Int.MaxValue)
+    else ChangeIndex(decrement(i.lsn), Int.MaxValue, ffs, Int.MaxValue)
+  }
+
+  /** Big-endian byte-array minus one (caller guarantees non-zero). */
+  private def decrement(bytes: Array[Byte]): Array[Byte] = {
+    val out = bytes.clone()
+    var i = out.length - 1
+    while (i >= 0) {
+      if (out(i) != 0) { out(i) = (out(i) - 1).toByte; return out }
+      out(i) = 0xff.toByte
+      i -= 1
+    }
+    sys.error("decrement of all-zero byte array")
+  }
+
   /** The numeric 4-tuple of an index whose lsn/seqval carry the
     * [[lsnFromLong]] encoding (inverse of it; the staged-feed form the
     * DSv2 source's backends compare and bind). */

@@ -108,7 +108,8 @@ private class CdcMultiTable(options: Map[String, String]) extends Table with Sup
                   if (hasSnap) Some(snap) else None, batchSize): FeedBackend)
               }.toMap
           }
-          new CdcMultiTableStream(tables, batchSize, backends)
+          new CdcMultiTableStream(tables, batchSize, backends,
+            LsnGap.parse(merged.getOrElse("lsngapstrategy", "fail")))
         }
       }
     }
@@ -116,7 +117,8 @@ private class CdcMultiTable(options: Map[String, String]) extends Table with Sup
 }
 
 private class CdcMultiTableStream(tables: Seq[String], batchSize: Int,
-    backends: Map[String, FeedBackend])
+    backends: Map[String, FeedBackend],
+    gapStrategy: Policies.LsnGapAction = Policies.FailOnGap)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def initial(t: String): TablePosition =
@@ -158,8 +160,15 @@ private class CdcMultiTableStream(tables: Seq[String], batchSize: Int,
     val (toPoll, snapshotsAllowed) = Policies.admissionPlan(tables, lagging)
 
     def advanceChange(t: String): Offset =
-      CdcStreamOffset(CdcOffset(ps.updated(t,
-        ps(t).copy(changeIndex = pending(t).get._1))))
+      LsnGap.resolve(backends(t), t, ps(t).changeIndex, gapStrategy) match {
+        case LsnGap.Resnapshot(resumeFrom) =>
+          // G5: this table re-backfills before more changes.
+          CdcStreamOffset(CdcOffset(ps.updated(t, ps(t).copy(
+            snapshot = SnapshotNotStarted, changeIndex = resumeFrom))))
+        case LsnGap.Proceed =>
+          CdcStreamOffset(CdcOffset(ps.updated(t,
+            ps(t).copy(changeIndex = pending(t).get._1))))
+      }
 
     val snapshotTable =
       if (!snapshotsAllowed) None
@@ -191,6 +200,8 @@ private class CdcMultiTableStream(tables: Seq[String], batchSize: Int,
     val s = positions(start); val e = positions(end)
     tables.filter(t => s(t) != e(t)).flatMap { t =>
       val parts: Array[InputPartition] = (s(t).snapshot, e(t).snapshot) match {
+        case (SnapshotDone, SnapshotNotStarted) =>
+          Array.empty // G5 re-backfill flip: pages start NEXT trigger
         case (sp, ep) if sp != ep && ep != SnapshotDone =>
           val upper = sp match {
             case SnapshotAt(h) => Some(SnapshotKey.fromHex(h))

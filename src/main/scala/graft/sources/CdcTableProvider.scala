@@ -131,7 +131,8 @@ private class CdcTable(options: Map[String, String]) extends Table with Supports
                 batchSize)
           }
           new CdcMicroBatchStream(
-            merged.getOrElse("tablename", "cdc_feed"), batchSize, backend)
+            merged.getOrElse("tablename", "cdc_feed"), batchSize, backend,
+            LsnGap.parse(merged.getOrElse("lsngapstrategy", "fail")))
         }
       }
     }
@@ -141,6 +142,73 @@ private class CdcTable(options: Map[String, String]) extends Table with Supports
 /** Offset = the serialized CdcOffset for this one table. */
 private case class CdcStreamOffset(offset: CdcOffset) extends Offset {
   override def json(): String = offset.json
+}
+
+/** Stored change progress fell below the feed's retention floor and the
+  * configured strategy is fail (G5). */
+final class CdcLsnGapException(msg: String) extends RuntimeException(msg)
+
+/** G5 in-stream: CDC cleanup can outrun stored progress — the DB's
+  * minimum retained change index moves past the checkpoint and rows in
+  * between are gone (`tracked_tables.py:137-163`, `options.py:148-154`).
+  * Checked before every change-window advance. Deliberately CONSERVATIVE,
+  * like the reference's min-LSN comparison: a cleanup that deleted
+  * exactly through the consumed position is indistinguishable from one
+  * that deleted past it (the evidence is the deleted rows), so it flags. */
+private object LsnGap {
+
+  def parse(s: String): graft.model.Policies.LsnGapAction = s.toLowerCase match {
+    case "fail" => graft.model.Policies.FailOnGap
+    case "ignore" => graft.model.Policies.IgnoreGap
+    case "resnapshot" => graft.model.Policies.ResnapshotOnGap
+    case other =>
+      sys.error(s"unknown lsnGapStrategy '$other' (fail | ignore | resnapshot)")
+  }
+
+  /** The outcome of the per-advance gap check. */
+  sealed trait Outcome
+  /** No gap (or strategy=ignore): advance changes normally. */
+  case object Proceed extends Outcome
+  /** Re-backfill: flip the snapshot dimension AND advance the change
+    * cursor to `resumeFrom` (= predecessor(min retained)), so the
+    * strictly-after scan resumes at the retention floor inclusively and
+    * the gap check cannot re-fire after the backfill — without the
+    * cursor advance this strategy loops forever (flip, backfill, flip). */
+  final case class Resnapshot(resumeFrom: graft.model.ChangeIndex) extends Outcome
+
+  /** Gap predicate: `stored < predecessor(minRetained)` — true exactly
+    * when an index EXISTS strictly between the stored cursor and the
+    * retention floor, i.e. a cleaned row could have been missed. (The
+    * coarser `stored < min` is wrong twice over: it false-positives when
+    * the floor is the immediate successor, and it makes resnapshot
+    * re-fire after its own backfill.) IgnoreGap skips the probe entirely
+    * — resume-from-min falls out of the strictly-after scan with no
+    * extra job (the reference's begin_at_min_lsn). */
+  def resolve(backend: FeedBackend, table: String,
+      stored: graft.model.ChangeIndex,
+      strategy: graft.model.Policies.LsnGapAction): Outcome = {
+    import graft.model.{ChangeIndex, Policies}
+    if (strategy == Policies.IgnoreGap || stored == ChangeIndex.Lowest)
+      return Proceed
+    val floorPred = backend.minAvailableChange()
+      .filter(_ != ChangeIndex.Lowest).map(ChangeIndex.predecessor)
+    floorPred.filter(p => stored < p) match {
+      case None => Proceed
+      case Some(p) => strategy match {
+        case Policies.FailOnGap =>
+          throw new CdcLsnGapException(
+            s"table '$table': stored change progress ${stored.lsnHex} is below " +
+              "the feed's minimum retained index — CDC cleanup outran the " +
+              "stream and rows may be lost (lsnGapStrategy=fail)")
+        case Policies.ResnapshotOnGap =>
+          if (backend.hasSnapshot) Resnapshot(p)
+          else throw new CdcLsnGapException(
+            s"table '$table': LSN gap with lsnGapStrategy=resnapshot but no " +
+              "snapshot source is configured — cannot re-backfill")
+        case Policies.IgnoreGap => Proceed // unreachable (probe skipped)
+      }
+    }
+  }
 }
 
 /** The data-access seam between the offset/admission mechanics (shared)
@@ -160,6 +228,8 @@ private trait FeedBackend {
   def snapshotPageBoundary(below: Option[(Long, Long)]): Option[(Long, Long)]
   /** True when this table backfills a snapshot before changes. */
   def hasSnapshot: Boolean
+  /** MIN retained change index (G5 gap detection); None on an empty feed. */
+  def minAvailableChange(): Option[ChangeIndex]
   def changePartitions(start: (Long, Int, Long, Int),
       end: (Long, Int, Long, Int)): Array[InputPartition]
   def snapshotPartitions(upper: Option[(Long, Long)],
@@ -167,7 +237,8 @@ private trait FeedBackend {
 }
 
 private class CdcMicroBatchStream(tableName: String, batchSize: Int,
-    backend: FeedBackend)
+    backend: FeedBackend,
+    gapStrategy: graft.model.Policies.LsnGapAction = graft.model.Policies.FailOnGap)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def pos(o: Offset): TablePosition =
@@ -215,9 +286,15 @@ private class CdcMicroBatchStream(tableName: String, batchSize: Int,
           case Some((u, e)) => mkOffset(p.copy(snapshot = SnapshotAt(keyHex(u, e))))
         }
       case SnapshotDone =>
-        val end = backend.changeBoundary(p.changeIndex)
-          .map(_._1).getOrElse(p.changeIndex)
-        mkOffset(p.copy(changeIndex = end))
+        LsnGap.resolve(backend, tableName, p.changeIndex, gapStrategy) match {
+          case LsnGap.Resnapshot(resumeFrom) =>
+            mkOffset(p.copy(snapshot = SnapshotNotStarted,
+              changeIndex = resumeFrom))
+          case LsnGap.Proceed =>
+            val end = backend.changeBoundary(p.changeIndex)
+              .map(_._1).getOrElse(p.changeIndex)
+            mkOffset(p.copy(changeIndex = end))
+        }
     }
   }
 
@@ -235,6 +312,8 @@ private class CdcMicroBatchStream(tableName: String, batchSize: Int,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = pos(start); val e = pos(end)
     (s.snapshot, e.snapshot) match {
+      case (SnapshotDone, SnapshotNotStarted) =>
+        Array.empty // G5 re-backfill flip: pages start NEXT trigger
       case (sp, ep) if sp != ep && ep != SnapshotDone =>
         // A snapshot page: keys strictly below the start bound, down to
         // and including the end position's composite key.
@@ -314,6 +393,19 @@ private class ParquetBackend(feedDir: String, snapshotDir: Option[String],
       val s = r.getStruct(1)
       Some((ChangeIndex(ChangeIndex.lsnFromLong(s.getLong(0)), s.getInt(1),
         ChangeIndex.lsnFromLong(s.getLong(2)), s.getInt(3)), r.getLong(0)))
+    }
+  }
+
+  override def minAvailableChange(): Option[ChangeIndex] = {
+    val r = spark.read.schema(CdcTableProvider.schema).parquet(feedDir)
+      .agg(min(struct(col("lsn_num"), col("command_id"),
+        col("seqval_num"), col("operation"))).as("lo"))
+      .head()
+    if (r.isNullAt(0)) None
+    else {
+      val s = r.getStruct(0)
+      Some(ChangeIndex(ChangeIndex.lsnFromLong(s.getLong(0)), s.getInt(1),
+        ChangeIndex.lsnFromLong(s.getLong(2)), s.getInt(3)))
     }
   }
 
@@ -474,6 +566,22 @@ private class JdbcBackend(url: String, captureInstance: String,
         Option(last).map(r => (r, count))
       } finally st.close()
     }
+
+  /** TOP(1) of the seek-ordered scan strictly after the Lowest sentinel
+    * (no retained row sits AT the all-zero sentinel). */
+  override def minAvailableChange(): Option[ChangeIndex] = {
+    val (sl, sc, ss, so) = ChangeIndex.parts(ChangeIndex.Lowest)
+    val tsql = SqlServerDialect.changeBoundaryQuery(captureInstance, 1)
+    val sql = AnsiTranspile(tsql,
+      Seq(lit(hex20(sl)), sc.toString, lit(hex20(ss)), so.toString))
+    lastRow(sql, 4).map { case (r, _) =>
+      ChangeIndex(
+        ChangeIndex.lsnFromLong(parseHex20(r(0).toString)),
+        r(1).asInstanceOf[Number].intValue(),
+        ChangeIndex.lsnFromLong(parseHex20(r(2).toString)),
+        r(3).asInstanceOf[Number].intValue())
+    }
+  }
 
   override def changeBoundary(start: ChangeIndex): Option[(ChangeIndex, Long)] = {
     assertSchemaUnchanged()

@@ -55,6 +55,30 @@ class ChangeIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("predecessor is the greatest index strictly below (G5 gap arithmetic)") {
+    def idx(l: Long, c: Int, s: Long, o: Int) =
+      ChangeIndex(ChangeIndex.lsnFromLong(l), c, ChangeIndex.lsnFromLong(s), o)
+    // Simple op decrement.
+    assert(ChangeIndex.predecessor(idx(5, 1, 9, 2)) === idx(5, 1, 9, 1))
+    // Borrow through operation into seqval.
+    val p1 = ChangeIndex.predecessor(idx(5, 1, 9, 0))
+    assert(p1.commandId === 1 && p1 < idx(5, 1, 9, 0))
+    assert(java.nio.ByteBuffer.wrap(p1.seqval.drop(2)).getLong === 8L)
+    // Borrow through seqval into commandId, and into lsn.
+    val p2 = ChangeIndex.predecessor(idx(5, 1, 0, 0))
+    assert(p2.commandId === 0 && p2 < idx(5, 1, 0, 0))
+    val p3 = ChangeIndex.predecessor(idx(5, 0, 0, 0))
+    assert(java.nio.ByteBuffer.wrap(p3.lsn.drop(2)).getLong === 4L)
+    assert(p3 < idx(5, 0, 0, 0))
+    // Strictness + "nothing fits between A and pred(B)" at the op level.
+    val b = idx(7, 0, 7, 1)
+    val p = ChangeIndex.predecessor(b)
+    assert(p < b)
+    assert(!(idx(7, 0, 7, 0) < p)) // the immediate predecessor: no gap flagged
+    // Lowest has none.
+    intercept[IllegalArgumentException](ChangeIndex.predecessor(ChangeIndex.Lowest))
+  }
+
   test("heartbeat sentinel recognition (change_index.py:74-76)") {
     val hb = ChangeIndex(ChangeIndex.lsnFromLong(123), 0,
       Array.fill(10)(0xff.toByte), 4)
