@@ -401,7 +401,80 @@ object SimilarityQueries {
       |       CAST(round(embedding[3]::DOUBLE / scale, 0) AS INT) AS q3
       |FROM scaled""".stripMargin
 
+  // ── emb_outlier ★ — prototypicality scoring: each vector's cosine to
+  // its own label centroid (the self-supervised-prototypes pruning metric
+  // of Sorscher et al. 2022, "Beyond neural scaling laws" — outliers =
+  // far-from-prototype examples, the first candidates a data-pruning
+  // pass drops or a quality audit inspects). Shape: the per-(label, dim)
+  // centroid is ONE map-side-combined aggregate in exact integer
+  // micro-units (the emb_centroid_by_label trick — order-independent
+  // BIGINT sums, one IEEE divide), collected into a per-label ARRAY so
+  // the per-vector dot is a left-to-right fold (bit-equal across
+  // engines); the 10-row centroid-array table broadcasts onto a narrow
+  // scan of the vectors. No window, no pair join — linear at any scale.
+  def embOutlier(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      """WITH sums AS (
+        |  SELECT label, pos,
+        |         sum(cast(round(cast(x as double) * 1000000) as bigint)) AS sm,
+        |         count(*) AS n
+        |  FROM embeddings LATERAL VIEW posexplode(embedding) e AS pos, x
+        |  GROUP BY label, pos),
+        |cent AS (
+        |  SELECT label,
+        |         transform(array_sort(collect_list(named_struct(
+        |           'p', pos, 'v', sm / (cast(1000000 as double) * n)))),
+        |           s -> s.v) AS c_arr
+        |  FROM sums GROUP BY label),
+        |scored AS (
+        |  SELECT v.vec_id, v.label,
+        |         aggregate(zip_with(v.embedding, c.c_arr,
+        |           (a, b) -> cast(a as double) * b), cast(0 as double),
+        |           (acc, x) -> acc + x) /
+        |         (sqrt(float_dot(v.embedding, v.embedding)) *
+        |          sqrt(aggregate(c.c_arr, cast(0 as double),
+        |            (acc, x) -> acc + x * x))) AS cos_centroid
+        |  FROM embeddings v JOIN cent c ON v.label = c.label)
+        |SELECT vec_id, label, cos_centroid,
+        |       CASE WHEN cos_centroid < cast(0.05 as double) THEN 1 ELSE 0 END
+        |         AS is_outlier
+        |FROM scored""".stripMargin)
+  }
+
+  val embOutlierSql: String =
+    """WITH exploded AS (
+      |  SELECT label,
+      |         unnest(range(0, len(embedding))) AS pos,
+      |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS x
+      |  FROM embeddings),
+      |sums AS (
+      |  SELECT label, pos,
+      |         sum(CAST(round(x * 1000000) AS BIGINT)) AS sm,
+      |         count(*) AS n
+      |  FROM exploded GROUP BY label, pos),
+      |cent AS (
+      |  SELECT label,
+      |         list(CAST(sm AS BIGINT) / (CAST(1000000 AS DOUBLE) * n)
+      |              ORDER BY pos) AS c_arr
+      |  FROM sums GROUP BY label),
+      |scored AS (
+      |  SELECT v.vec_id, v.label,
+      |         list_reduce([0.0] || list_transform(range(1, 65),
+      |           i -> v.embedding[i]::DOUBLE * c.c_arr[i]), (a, b) -> a + b) /
+      |         (sqrt(list_reduce([0.0] || list_transform(v.embedding,
+      |            x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) *
+      |          sqrt(list_reduce([0.0] || list_transform(c.c_arr,
+      |            x -> x * x), (a, b) -> a + b))) AS cos_centroid
+      |  FROM embeddings v JOIN cent c ON v.label = c.label)
+      |SELECT vec_id, label, cos_centroid,
+      |       CASE WHEN cos_centroid < CAST(0.05 AS DOUBLE) THEN 1 ELSE 0 END
+      |         AS is_outlier
+      |FROM scored""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_outlier" -> (embOutlier _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
@@ -411,6 +484,7 @@ object SimilarityQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracle: Map[String, String] = Map(
+    "emb_outlier" -> embOutlierSql,
     "ann_bruteforce_topk" -> annBruteforceSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
