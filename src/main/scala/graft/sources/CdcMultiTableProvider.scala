@@ -121,6 +121,8 @@ private class CdcMultiTableStream(tables: Seq[String], batchSize: Int,
     gapStrategy: Policies.LsnGapAction = Policies.FailOnGap)
     extends MicroBatchStream with SupportsAdmissionControl {
 
+  private val gapChecked = scala.collection.mutable.Set.empty[String]
+
   private def initial(t: String): TablePosition =
     TablePosition(ChangeIndex.Lowest,
       if (backends(t).hasSnapshot) SnapshotNotStarted else SnapshotDone)
@@ -159,8 +161,13 @@ private class CdcMultiTableStream(tables: Seq[String], batchSize: Int,
     val lagging = tables.filter(t => pending(t).exists(_._2 >= batchSize)).toSet
     val (toPoll, snapshotsAllowed) = Policies.admissionPlan(tables, lagging)
 
-    def advanceChange(t: String): Offset =
-      LsnGap.resolve(backends(t), t, ps(t).changeIndex, gapStrategy) match {
+    def advanceChange(t: String): Offset = {
+      // G5 once per (query instance, table) — the startup validation
+      // (see CdcMicroBatchStream.gapChecked for why not per trigger).
+      val gap =
+        if (!gapChecked.add(t)) LsnGap.Proceed
+        else LsnGap.resolve(backends(t), t, ps(t).changeIndex, gapStrategy)
+      gap match {
         case LsnGap.Resnapshot(resumeFrom) =>
           // G5: this table re-backfills before more changes.
           CdcStreamOffset(CdcOffset(ps.updated(t, ps(t).copy(
@@ -169,6 +176,7 @@ private class CdcMultiTableStream(tables: Seq[String], batchSize: Int,
           CdcStreamOffset(CdcOffset(ps.updated(t,
             ps(t).copy(changeIndex = pending(t).get._1))))
       }
+    }
 
     val snapshotTable =
       if (!snapshotsAllowed) None

@@ -241,6 +241,15 @@ private class CdcMicroBatchStream(tableName: String, batchSize: Int,
     gapStrategy: graft.model.Policies.LsnGapAction = graft.model.Policies.FailOnGap)
     extends MicroBatchStream with SupportsAdmissionControl {
 
+  // G5 runs ONCE per query instance, on the first change advance — the
+  // reference's startup progress-vs-min-LSN validation
+  // (`tracked_tables.py:137-163`), where a gap can actually appear (the
+  // stream was down, cleanup ran). A per-trigger probe would double the
+  // driver's per-trigger job count for a condition that cannot arise
+  // while the query itself is consuming (CdcSourcePlanSpec pins the
+  // one-probe-per-trigger budget).
+  private val gapChecked = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def pos(o: Offset): TablePosition =
     o.asInstanceOf[CdcStreamOffset].offset.tables
       .getOrElse(tableName, TablePosition(ChangeIndex.Lowest, initialSnapshot))
@@ -286,7 +295,11 @@ private class CdcMicroBatchStream(tableName: String, batchSize: Int,
           case Some((u, e)) => mkOffset(p.copy(snapshot = SnapshotAt(keyHex(u, e))))
         }
       case SnapshotDone =>
-        LsnGap.resolve(backend, tableName, p.changeIndex, gapStrategy) match {
+        val gap =
+          if (gapChecked.getAndSet(true))
+            LsnGap.Proceed
+          else LsnGap.resolve(backend, tableName, p.changeIndex, gapStrategy)
+        gap match {
           case LsnGap.Resnapshot(resumeFrom) =>
             mkOffset(p.copy(snapshot = SnapshotNotStarted,
               changeIndex = resumeFrom))

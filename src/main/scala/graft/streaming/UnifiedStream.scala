@@ -68,6 +68,44 @@ object UnifiedStream {
     query.awaitTermination()
   }
 
+  /** [[run]] driven by the scheduler-governed DSv2 source instead of the
+    * raw feed union (round-6 composition): the unified ordered publisher
+    * downstream of [[graft.sources.CdcMultiTableProvider]], so snapshot
+    * interleaving, lagging-table preemption (E6), batch pacing, and LSN-
+    * gap handling (G5) all apply UPSTREAM of the ordered produce — the
+    * reference's actual unified-topic path (`main.py:96-124,319-350`),
+    * where the poll scheduler feeds the heap merge. Each micro-batch is
+    * one table's window by the scheduler's construction; the produce
+    * sort keeps the intra-window contract identical to [[run]]'s. */
+  def runFromSource(spark: SparkSession, baseDir: String, tables: Seq[String],
+      sinkDir: String, checkpointDir: String, batchSize: Int = 2000): Unit = {
+    val unioned = spark.readStream.format("graft.sources.CdcMultiTableProvider")
+      .option("baseDir", baseDir)
+      .option("tables", tables.mkString(","))
+      .option("batchSize", batchSize.toString)
+      .load()
+      .filter(col("operation") =!= 3)
+      .withColumnRenamed("table_name", "src")
+
+    val query = unioned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.orderBy(idxCols: _*)
+          .coalesce(1)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(sinkDir)
+        ()
+      }
+      .start()
+    query.processAllAvailable()
+    query.stop()
+  }
+
   /** Scale variant of [[run]]: each produce window is RANGE-partitioned
     * by the global change index and sorted within partitions — every
     * partition is internally ordered and partition key ranges are

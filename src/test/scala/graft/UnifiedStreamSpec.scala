@@ -54,6 +54,43 @@ class UnifiedStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(UnifiedStream.orderValidation(spark, s"$work/unified").count() === 0)
   }
 
+  test("source-driven unified stream: scheduler-paced windows publish in global order") {
+    // The r6 composition: the multi-table DSv2 source (scheduler,
+    // pacing, snapshot interleave) upstream of the ordered publisher.
+    val base = s"$work/srcbase"
+    CdcPipeline.stageChangeFeed(spark, sfDir, s"$base/events/feed", nChunks = 1)
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(lit(0L).as("lsn_num"), lit(0).as("command_id"),
+        lit(0L).as("seqval_num"), lit(0).as("operation"),
+        col("o_orderkey").as("event_id"), col("o_orderkey").as("user_id"),
+        col("o_orderstatus").as("event_type"), col("o_totalprice").as("value"),
+        col("o_orderpriority").as("props"))
+      .coalesce(2).write.mode("overwrite").parquet(s"$base/orders/snapshot")
+    spark.sql(
+      """SELECT cast(id + 1 as long) AS lsn_num, 0 AS command_id,
+        |       cast(id as long) AS seqval_num, 4 AS operation,
+        |       cast(id as long) AS event_id, cast(id as long) AS user_id,
+        |       'U' AS event_type, cast(id as double) AS value, '' AS props
+        |FROM range(9)""".stripMargin)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/orders/feed")
+
+    UnifiedStream.runFromSource(spark, base, Seq("orders", "events"),
+      s"$work/unified_src", s"$work/ckpt_src", batchSize = 400)
+
+    val out = spark.read.parquet(s"$work/unified_src")
+    // Exactly once across the fleet: snapshot + both change tails,
+    // minus the op-3 PreUpdate images the publisher drops.
+    val events = spark.read.parquet(s"$base/events/feed")
+      .filter(col("operation") =!= 3).count()
+    assert(out.count() === 1500 + 9 + events)
+    assert(out.select("src").distinct().count() === 2)
+    // Batch pacing survived the composition...
+    val sizes = out.groupBy("batch_id").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 400))
+    // ...and every produce window is in global change-index order.
+    assert(UnifiedStream.orderValidation(spark, s"$work/unified_src").count() === 0)
+  }
+
   test("partitioned unified stream keeps disjoint ordered ranges per window") {
     val feedA = s"$work/feedC"; val feedB = s"$work/feedD"
     CdcPipeline.stageChangeFeed(spark, sfDir, feedA, nChunks = 2)
