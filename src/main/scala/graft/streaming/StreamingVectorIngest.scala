@@ -31,13 +31,17 @@ object StreamingVectorIngest {
       (cid, if (n > 0) c.map(_ / n) else c)
     }
 
+  /** The per-centroid dot-product array over unit centroids. */
+  private def scoresExpr(cents: Seq[(Int, Seq[Double])], v: Column): Column = {
+    val centsLit = typedLit(cents.map(_._2))
+    transform(centsLit, c =>
+      aggregate(zip_with(v, c, (a, b) => a * b), lit(0.0d), (acc, x) => acc + x))
+  }
+
   /** The assignment column: argmax over dot(v, unit centroid), ties to
     * the lower centroid id (same tie rule as the batch assignment). */
-  private def assignExpr(cents: Seq[(Int, Seq[Double])], v: Column): Column = {
-    val centsLit = typedLit(cents.map(_._2))
+  private def assignExpr(cents: Seq[(Int, Seq[Double])], scores: Column): Column = {
     val cidsLit = typedLit(cents.map(_._1))
-    val scores = transform(centsLit, c =>
-      aggregate(zip_with(v, c, (a, b) => a * b), lit(0.0d), (acc, x) => acc + x))
     // array_position returns the FIRST index of the max (1-based): with
     // centroids sorted by id, ties already break low.
     element_at(cidsLit, array_position(scores, array_max(scores)).cast("int"))
@@ -45,9 +49,18 @@ object StreamingVectorIngest {
 
   /** Run until all currently-dropped vector files are ingested
     * (AvailableNow). Output layout: `indexDir/c_id=<k>/…` — the exact
-    * partition-pruned layout the persisted-IVF serving path probes. */
+    * partition-pruned layout the persisted-IVF serving path probes.
+    *
+    * Each posting row also carries its PROTOTYPICALITY at ingest time:
+    * `proto_cos` = cosine to the assigned (nearest) centroid — the
+    * streaming half of `emb_outlier`'s pruning metric, computed from the
+    * argmax scores the assignment already evaluated (zero extra passes,
+    * still stateless and join-free) — plus `is_outlier` under
+    * `outlierThreshold`, so a downstream curation step can drop
+    * far-from-prototype vectors without re-scanning the store. */
   def run(spark: SparkSession, dropDir: String, indexDir: String,
-      checkpointDir: String, centroids: Seq[(Int, Seq[Double])]): Unit = {
+      checkpointDir: String, centroids: Seq[(Int, Seq[Double])],
+      outlierThreshold: Double = 0.05): Unit = {
     val cents = unitCentroids(centroids)
     val schema = "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
     val incoming = spark.readStream.schema(schema)
@@ -55,8 +68,13 @@ object StreamingVectorIngest {
       .parquet(dropDir)
     val assigned = incoming
       .withColumn("v", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("c_id", assignExpr(cents, col("v")))
-      .select("vec_id", "c_id", "embedding")
+      .withColumn("scores", scoresExpr(cents, col("v")))
+      .withColumn("c_id", assignExpr(cents, col("scores")))
+      // Unit centroids: cos = best dot / |v|.
+      .withColumn("proto_cos", array_max(col("scores")) /
+        sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("is_outlier", (col("proto_cos") < outlierThreshold).cast("int"))
+      .select("vec_id", "c_id", "embedding", "proto_cos", "is_outlier")
     val query = assigned.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

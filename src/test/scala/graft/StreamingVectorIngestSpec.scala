@@ -77,6 +77,20 @@ class StreamingVectorIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("c_id") =!= col("batch_cid")).count()
     assert(mismatches === 0, "streamed centroid assignment diverged from batch")
 
+    // Ingest-time prototypicality: proto_cos is the TRUE cosine to the
+    // assigned centroid — cross-checked against KMeansTrainer.assign's
+    // score (full cosine, same centroids) — and the outlier flag follows
+    // the threshold. Blob vectors hug their centroid, so none flag.
+    val batchScores = KMeansTrainer.assign(spark, all, centsDf)
+      .select(col("vec_id"), col("score").as("batch_cos"))
+    val drift = postings.join(batchScores, "vec_id")
+      .filter(org.apache.spark.sql.functions.abs(
+        col("proto_cos") - col("batch_cos")) > 1e-9).count()
+    assert(drift === 0, "ingest-time proto_cos diverged from the batch cosine")
+    assert(postings.filter(col("is_outlier") =!= 0).count() === 0)
+    assert(postings.filter(col("proto_cos") > 0.9).count() === 120,
+      "blob members must be near their prototype")
+
     // The layout is the partition-pruned serving shape: c_id=<k> dirs
     // exist and a single-list probe reads only its partition.
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(index))
