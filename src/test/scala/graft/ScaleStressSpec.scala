@@ -107,6 +107,39 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(notMember === 0, "cluster_id must be the component's min doc_id")
   }
 
+  test("dd_semantic removes every cross-copy duplicate at sf≈1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    val nBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").count()
+    var df: org.apache.spark.sql.DataFrame = null
+    val removed = timed("dd_semantic @ sf~1") {
+      df = SparkEntry.queries("dd_semantic")(spark, dir)
+      df.count()
+    }
+    // The 10 identical copies of every base vector share a centroid
+    // (same embedding → same argmax) and score cosine 1.0 pairwise, so
+    // at least 9 of each copy-set are removed; the keeper must be a
+    // smaller id than what it replaces.
+    assert(removed >= 9L * nBase,
+      s"expected ≥ ${9L * nBase} semantic removals, got $removed")
+    assert(df.filter(col("vec_kept") >= col("vec_removed")).limit(1).count() === 0)
+  }
+
+  test("text_ngram_novelty sees through cross-copy repetition at sf≈1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    var df: org.apache.spark.sql.DataFrame = null
+    val n = timed("text_ngram_novelty @ sf~1") {
+      df = SparkEntry.queries("text_ngram_novelty")(spark, dir)
+      df.count()
+    }
+    assert(n > 0)
+    // Every gram now occurs in ≥ 10 copies, so NOTHING is corpus-rare:
+    // the novelty signal must collapse to exactly zero corpus-wide —
+    // the cross-document frequency aggregation actually crossed copies.
+    val stats = df.agg(max(col("novelty")), sum(col("n_rare"))).head()
+    assert(stats.getDouble(0) === 0.0 && stats.getLong(1) === 0L,
+      s"replicated corpus must have zero rare grams: $stats")
+  }
+
   test("ann_ivf_topk serves at sf≈1 with intact top-k contract") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     val rows = timed("ann_ivf_topk @ sf~1") {
