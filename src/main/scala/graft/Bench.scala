@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadavg
     // Warm up the JVM/codegen/parquet paths once so the first timed query
     // doesn't absorb one-time JIT + reader initialization.
     try {
@@ -29,12 +33,26 @@ object Bench {
     val ordered = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_ == "dd_minhash_lsh")
       .flatMap(n => if (n == "dd_cluster") Seq("dd_minhash_lsh", n) else Seq(n))
-    val results = ordered.map { name =>
+    def sweep(): Seq[(String, Double)] = ordered.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // TWO full passes, per-query MIN: a transient machine-load spike in
+    // one pass cannot fabricate a regression (round 6 recorded a phantom
+    // 5x on e1_global_merge from a loaded sandbox). The session memos are
+    // cleared between passes so pass 2 re-pays every producer stage's
+    // real cost — otherwise the memoized stages would time near zero and
+    // the min would underclaim. Both pass totals and the load averages
+    // are emitted so a reader can judge the run's trustworthiness.
+    val pass1 = sweep()
+    graft.queries.DedupQueries.clearSessionMemos()
+    graft.operators.AsOfJoin.clearBoundsCache()
+    val pass2 = sweep()
+    val p2 = pass2.toMap
+    val results = pass1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val loadEnd = loadavg
     // The driver captures a bounded TAIL of stdout: in rounds 4 and 5 the
     // single ~2.8 KB 80-query JSON line lost its head to that window
     // ("parsed": null). Emission contract, revised: the full per-query map
@@ -44,11 +62,14 @@ object Bench {
     // queries only. Locale.ROOT: a comma decimal separator would break the
     // JSON.
     def d4(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", v: java.lang.Double)
-    results.foreach { case (k, v) => println(s"""{"q":"$k","sec":${d4(v)}}""") }
+    def d2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", v: java.lang.Double)
+    results.foreach { case (k, v) =>
+      println(s"""{"q":"$k","sec":${d4(v)},"p1":${d4(pass1.toMap.apply(k))},"p2":${d4(p2(k))}}""")
+    }
     val total = results.map(_._2).sum
-    val slowest = results.sortBy(-_._2).take(15)
+    val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => s""""$k":${d4(v)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir","n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir","n_queries":${results.size},"passes":2,"pass_totals":[${d4(pass1.map(_._2).sum)},${d4(pass2.map(_._2).sum)}],"loadavg":[${d2(loadStart)},${d2(loadEnd)}]}""")
     spark.stop()
   }
 }

@@ -67,25 +67,42 @@ object AsOfJoin {
   }
 
   /** Session-lifetime memo for the guard's min/max probe, keyed by the
-    * CANONICALIZED input plans + keys (round-6: the eager probe used to
-    * re-run each input's whole lineage on EVERY asOf call, including
-    * plan-only inspection). A fingerprint collision — or stale bounds
-    * after the underlying data changed under an identical plan — yields
-    * a suboptimal width, never a wrong result: bucketWidth is purely a
-    * partitioning knob and the join output is width-independent, which
-    * is what makes this memo safe at all. Bounded LRU so a long-lived
-    * session can't accumulate entries. */
+    * CANONICALIZED input plans + keys + a DATA-VERSION component
+    * (round-6: the eager probe used to re-run each input's whole lineage
+    * on EVERY asOf call, including plan-only inspection). A fingerprint
+    * collision — or stale bounds after the underlying data changed under
+    * an identical fingerprint — yields a suboptimal width, never a wrong
+    * result: bucketWidth is purely a partitioning knob and the join
+    * output is width-independent, which is what makes this memo safe at
+    * all. Bounded LRU so a long-lived session can't accumulate entries. */
   private val boundsCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(Int, String, Int, String), Option[(Long, Long)]](
+    new java.util.LinkedHashMap[(Int, String, Int, String, Int, Int), Option[(Long, Long)]](
         64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String, Int, String), Option[(Long, Long)]]): Boolean =
+          e: java.util.Map.Entry[(Int, String, Int, String, Int, Int), Option[(Long, Long)]]): Boolean =
         size > 256
     })
 
-  /** Test seam: observe/clear the memo. */
+  /** Data-version component of the memo key: for file-backed plans, the
+    * hash of the sorted input-file list — appending files to a parquet
+    * directory under an OTHERWISE IDENTICAL plan changes the
+    * fingerprint, so grown data re-probes instead of reusing a stale
+    * (narrower) key span that could let the real span exceed
+    * `maxBuckets` and erode the OOM guard (ADVICE r6). Driver-side file
+    * listing only, served by the already-populated file index — no Spark
+    * job. Limitation: an in-place OVERWRITE that keeps the same file
+    * names still aliases; callers mutating data that way must
+    * [[clearBoundsCache]] (tables written by Spark get fresh part-file
+    * UUIDs on every write, so in practice only external rewriters hit
+    * this). Non-file relations contribute an empty listing and rely on
+    * the plan hash alone. */
+  private def dataVersion(df: DataFrame): Int =
+    java.util.Arrays.hashCode(df.inputFiles.sorted.asInstanceOf[Array[AnyRef]])
+
+  /** Test seam: observe/clear the memo. Required after mutating data
+    * in place under unchanged file names (see [[dataVersion]]). */
   private[graft] def boundsCacheSize: Int = boundsCache.size
-  private[graft] def clearBoundsCache(): Unit = boundsCache.clear()
+  def clearBoundsCache(): Unit = boundsCache.clear()
 
   /** @param payload right columns to attach (null when no right key <= left key)
     * @param bucketWidth key-axis slice per bucket; pick so that
@@ -119,14 +136,22 @@ object AsOfJoin {
       if (maxBuckets <= 0) bucketWidth
       else {
         val fp = (left.queryExecution.analyzed.canonicalized.hashCode(), leftKey,
-          right.queryExecution.analyzed.canonicalized.hashCode(), rightKey)
-        val bounds = boundsCache.computeIfAbsent(fp, _ => {
+          right.queryExecution.analyzed.canonicalized.hashCode(), rightKey,
+          dataVersion(left), dataVersion(right))
+        // Probe OUTSIDE the map lock: computeIfAbsent would hold the
+        // synchronized-map mutex across a Spark job, serializing every
+        // concurrent asOf caller behind one min/max pass (ADVICE r6).
+        // Two threads racing the same key compute identical bounds and
+        // putIfAbsent keeps one — duplicate work, never a wrong answer.
+        val bounds = Option(boundsCache.get(fp)).getOrElse {
           val r = left.select(col(leftKey).cast("long").as("__k"))
             .unionByName(right.select(col(rightKey).cast("long").as("__k")))
             .agg(min(col("__k")), max(col("__k"))).head()
-          if (r.isNullAt(0)) None // both sides empty
-          else Some((r.getLong(0), r.getLong(1)))
-        })
+          val computed =
+            if (r.isNullAt(0)) None // both sides empty
+            else Some((r.getLong(0), r.getLong(1)))
+          Option(boundsCache.putIfAbsent(fp, computed)).getOrElse(computed)
+        }
         bounds match {
           case None => bucketWidth
           case Some((lo, hi)) =>

@@ -21,16 +21,34 @@ import org.apache.spark.sql.functions._
   */
 object GlobalOrder {
 
+  /** Pin the sorted relation with RELIABLE (disk, `checkpoint()`)
+    * instead of LOCAL (executor memory/disk) checkpointing. The sort
+    * must be materialized once either way — the count pass and the rank
+    * pass must see the SAME partitioning, and range partitioning is
+    * sampled, so recomputing it twice could disagree — but at a genuine
+    * 100 TB sort `localCheckpoint` pins the whole relation in executor
+    * storage and dies with any executor. Set this to `true` (and
+    * `SparkContext.setCheckpointDir` to durable storage) for sorts that
+    * exceed cluster storage headroom or must survive executor loss;
+    * local remains the default because it skips the write-to-DFS round
+    * trip that reliable checkpointing costs. */
+  val ReliableCheckpointConf = "spark.graft.globalorder.reliableCheckpoint"
+
   /** Append a 1-based dense global rank column ordered by `cols` (which
     * must form a total order for the rank to be deterministic). */
   def withGlobalRank(df: DataFrame, cols: Seq[Column], rankCol: String): DataFrame = {
     val spark = df.sparkSession
     val n = math.max(spark.sparkContext.defaultParallelism, 1)
-    val sorted = df
+    val staged = df
       .repartitionByRange(n, cols: _*)
       .sortWithinPartitions(cols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // the count pass below must not re-sort
+    // The count pass below must not re-sort (and must not re-SAMPLE the
+    // range partitioner), so the sorted relation is pinned exactly once.
+    val sorted =
+      if (spark.conf.get(ReliableCheckpointConf, "false").toBoolean)
+        staged.checkpoint()
+      else staged.localCheckpoint()
     val counts = sorted.groupBy(col("__pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }

@@ -499,6 +499,16 @@ object DedupQueries {
   private val clusterMemo =
     scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
 
+  /** Bench seam: drop every session-scoped materialization memo so a
+    * repeat timed pass re-pays each stage's REAL cost instead of reading
+    * its predecessor's checkpointed blocks — without this, a two-pass
+    * benchmark's second pass reports near-zero for the producer stages
+    * and the per-query min underclaims. The checkpointed blocks
+    * themselves are reclaimed by the context cleaner once unreferenced. */
+  def clearSessionMemos(): Unit = {
+    lshMemo.clear(); sigMemo.clear(); clusterMemo.clear()
+  }
+
   def ddCluster(spark: SparkSession, dir: String): DataFrame =
     clusterMemo.getOrElseUpdate((spark.sparkContext.applicationId + "/" + spark.sparkContext.startTime, dir),
       computeDdCluster(spark, dir).localCheckpoint())

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, from_json}
+import org.apache.spark.sql.functions.{col, from_json, not}
 import org.apache.spark.sql.types.StructType
 
 import graft.streaming.CdcPipeline.{KeyedRecordSink, RecordProducer}
@@ -127,6 +127,14 @@ object BrokerSink {
     require(corrupt.isEmpty,
       s"corrupt record in compacted view of '$topic': " +
         corrupt.headOption.map(_.getString(0)).getOrElse(""))
-    parsed.select(col("j.*"))
+    // Heartbeats are progress markers, not data (same rule as
+    // CdcPipeline.compactedState): a heartbeat published through a
+    // broker-backed KeyedRecordSink survives log compaction under its
+    // pseudo-key, so without this filter recovery would resurrect a
+    // phantom state row (userId=-1, eventType=__heartbeat) — ADVICE r6.
+    parsed
+      .filter(not(col("j.seqvalNum") === -1L && col("j.commandId") === 0 &&
+        col("j.operation") === 4))
+      .select(col("j.*"))
   }
 }

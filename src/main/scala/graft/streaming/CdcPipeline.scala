@@ -295,10 +295,21 @@ object CdcPipeline {
       operation: Int): Boolean =
     seqvalNum == -1L && commandId == 0 && operation == 4
 
-  /** Fixed batch id for heartbeat writes: idempotent under replay (a
-    * newer heartbeat overwrites the older — they carry no data), and
-    * never collides with the checkpoint's monotone real batch ids. */
-  val HeartbeatBatchId: Long = Long.MaxValue
+  /** Batch id for a heartbeat write at the given polled ceiling.
+    * Heartbeat ids live in the NEGATIVE space (`-1 - ceilingLsn`), so
+    * they can never collide with the checkpoint's monotone non-negative
+    * real batch ids; the id is a pure function of the ceiling, so a
+    * REPLAY of the same idle cycle re-derives the same id — the parquet
+    * log sink overwrites its own partition and a broker-backed sink's
+    * committed-txn registry skips the duplicate — while a LATER ceiling
+    * derives a FRESH id, so a transactional sink does not mistake every
+    * subsequent heartbeat for a replay of the first (ADVICE r6: a fixed
+    * id meant only the first heartbeat ever reached a broker-backed
+    * sink). Successive ceilings therefore append distinct heartbeat rows
+    * to a parquet log; consumers recognize the all-0xff shape and skip
+    * them (compactedState filters them), same as Kafka consumers of the
+    * reference's progress topic. */
+  def heartbeatBatchId(ceilingLsn: Long): Long = -1L - ceilingLsn
 
   /** Run the pipeline over the staged feed through a [[CdcSink]] with
     * exactly-once semantics: the checkpoint commits after the sink's
@@ -359,7 +370,7 @@ object CdcPipeline {
             sink.writeBatch(
               spark.createDataset(Seq(heartbeatRecord(ceilingLsn)))(
                 org.apache.spark.sql.Encoders.product[KeyedUpdate]),
-              HeartbeatBatchId)
+              heartbeatBatchId(ceilingLsn))
           }
       }
     }

@@ -36,24 +36,24 @@ object StreamingQuota {
       admitted: Boolean, cumAfter: Long)
 
   /** Per-source quota: the same source-id-derived formula as the batch
-    * operator (a production deployment reads a config table). A source
-    * that doesn't parse gets quota 0 — admit nothing. That matches the
-    * batch operator's NULL-quota behavior in KEPT COUNTS ONLY: both admit
-    * zero documents, but `pipe_quota_sample` carries quota NULL in its
-    * ledger where this stream records 0 — a consumer distinguishing "no
-    * quota configured" from "quota exhausted at 0" must consult the batch
-    * ledger. Throwing here instead would fail the task and wedge the
-    * streaming query on every retry. */
-  def quotaFor(source: String): Long =
-    source.drop(3).toIntOption.map(n => (n % 4 + 1) * 800L).getOrElse(0L)
+    * operator (a production deployment reads a config table). `None` =
+    * the source has NO CONFIGURED QUOTA — admit nothing, spend nothing —
+    * which matches the batch operator's NULL-quota ledger exactly: both
+    * admit zero documents AND both record "unconfigured" rather than
+    * "quota exhausted at 0" (ADVICE r5/r6: the old `Long` return
+    * collapsed the two). Throwing instead would fail the task and wedge
+    * the streaming query on every retry. */
+  def quotaFor(source: String): Option[Long] =
+    source.drop(3).toIntOption.map(n => (n % 4 + 1) * 800L)
 
   /** Admission fold for one source in one micro-batch. Exposed for direct
-    * unit testing. */
-  private[streaming] def admitBatch(quota: Long)(rows: Seq[DocIn],
+    * unit testing. An unconfigured source (quota None) rejects every
+    * document and leaves its spent state untouched. */
+  private[graft] def admitBatch(quota: Option[Long])(rows: Seq[DocIn],
       state: GroupState[Long]): Iterator[Admission] = {
     var spent = state.getOption.getOrElse(0L)
     val out = rows.sortBy(r => (r.h, r.docId)).map { r =>
-      val ok = spent < quota
+      val ok = quota.exists(spent < _)
       if (ok) spent += r.estTokens
       Admission(r.docId, r.source, r.estTokens, ok, spent)
     }

@@ -148,6 +148,28 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("memo fingerprint tracks file-backed data growth: appended files re-probe (ADVICE r6)") {
+    val ss = spark; import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("asof-grow").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "k").write.parquet(s"$dir/l")
+    Seq((5L, "p5")).toDF("rk", "pay").write.parquet(s"$dir/r")
+    AsOfJoin.clearBoundsCache()
+    val r = spark.read.parquet(s"$dir/r")
+    AsOfJoin.asOf(spark.read.parquet(s"$dir/l"), r, "k", "rk", Seq("pay"), 4L)
+    assert(AsOfJoin.boundsCacheSize === 1)
+    // Appending files widens the real key span under a near-identical
+    // plan; the file-list fingerprint component must force a fresh probe
+    // rather than reuse the stale narrower bounds (which would let the
+    // span exceed maxBuckets unguarded).
+    Seq((3L, 1000000L)).toDF("id", "k").write.mode("append").parquet(s"$dir/l")
+    AsOfJoin.asOf(spark.read.parquet(s"$dir/l"), r, "k", "rk", Seq("pay"), 4L)
+    assert(AsOfJoin.boundsCacheSize === 2,
+      "grown file-backed input must re-probe, not reuse stale bounds")
+    // And the identical re-read (no growth) still hits the memo.
+    AsOfJoin.asOf(spark.read.parquet(s"$dir/l"), r, "k", "rk", Seq("pay"), 4L)
+    assert(AsOfJoin.boundsCacheSize === 2)
+  }
+
   test("c7_asof_join: no nested-loop join, no data-sized single-reducer stage") {
     val p = SparkEntry.queries("c7_asof_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

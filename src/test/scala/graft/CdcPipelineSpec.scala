@@ -189,7 +189,9 @@ class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) === maxLsn)
     assert(r.getInt(1) === 0 && r.getInt(2) === 4)
     assert(r.getString(3) === "__heartbeat")
-    assert(r.getLong(4) === CdcPipeline.HeartbeatBatchId)
+    // Ceiling-derived negative id (the partition column reads back as the
+    // narrowest type that fits the directory value, hence getAs[Number]).
+    assert(r.getAs[Number](4).longValue === CdcPipeline.heartbeatBatchId(maxLsn))
 
     // A replayed idle cycle overwrites, never duplicates, the heartbeat;
     // and the compacted view never holds state for the heartbeat key.

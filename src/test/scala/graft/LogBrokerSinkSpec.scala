@@ -215,6 +215,29 @@ class LogBrokerSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     LogBroker.drop(broker)
   }
 
+  test("heartbeats through a broker-backed sink: fresh ceilings publish, replays skip, none survives compaction (ADVICE r6)") {
+    val broker = "hb-broker"; val topic = "t-hb"
+    val b = LogBroker.get(broker)
+    val sink = BrokerSink.transactional(broker, topic)
+    def emit(ceiling: Long): Unit = sink.writeBatch(
+      spark.createDataset(Seq(CdcPipeline.heartbeatRecord(ceiling)))(
+        org.apache.spark.sql.Encoders.product[CdcPipeline.KeyedUpdate]),
+      CdcPipeline.heartbeatBatchId(ceiling))
+    emit(100L)
+    emit(100L) // replay of the same idle cycle: same txn ids, skipped
+    emit(200L) // LATER ceiling: a fresh id — must not read as a replay
+    val hbRecords = b.readCommittedAll(topic)
+      .count(r => new String(r._2.key, "UTF-8") == "-1")
+    assert(hbRecords === 2,
+      "expected ceiling-100 once (replay skipped) + ceiling-200 once")
+    // The compacted log still holds the pseudo-key (compaction is
+    // key-blind), but state RECOVERY must never resurrect it.
+    assert(b.compactedView(topic).exists(r => new String(r.key, "UTF-8") == "-1"))
+    assert(BrokerSink.compactedState(spark, broker, topic)
+      .filter(col("userId") === -1L).count() === 0)
+    LogBroker.drop(broker)
+  }
+
   test("crash mid-batch, restart: read_committed + compacted views are exactly-once (A6/G1/G2)") {
     val feed = s"$work/feed"; val ckpt = s"$work/ckpt"
     val broker = "e2e-broker"; val topic = "events_cdc"

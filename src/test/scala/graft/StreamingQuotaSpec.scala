@@ -58,7 +58,7 @@ class StreamingQuotaSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every rejected doc found the budget already full. Verify against
     // the strongest invariant: cumAfter - estTokens < quota for admits.
     w1.foreach { r =>
-      val q = StreamingQuota.quotaFor(r.getAs[String]("source"))
+      val q = StreamingQuota.quotaFor(r.getAs[String]("source")).get
       if (r.getAs[Boolean]("admitted"))
         assert(r.getAs[Long]("cumAfter") - r.getAs[Long]("estTokens") < q)
     }
@@ -84,7 +84,7 @@ class StreamingQuotaSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     spentW1.foreach { case (src, s1) =>
       assert(spentW2(src) >= s1, s"$src budget went backwards")
-      if (s1 >= StreamingQuota.quotaFor(src)) {
+      if (s1 >= StreamingQuota.quotaFor(src).get) {
         val lateAdmits = after.filter(col("source") === src &&
           col("admitted") && col("cumAfter") > s1).count()
         assert(lateAdmits === 0, s"full source $src admitted after restart")
@@ -96,7 +96,24 @@ class StreamingQuotaSpec extends AnyFunSuite with BeforeAndAfterAll {
       val spent = r.getAs[Long]("budget_spent")
       val maxDoc = after.filter(col("source") === src)
         .agg(max("estTokens")).head().getLong(0)
-      assert(spent <= StreamingQuota.quotaFor(src) + maxDoc)
+      assert(spent <= StreamingQuota.quotaFor(src).get + maxDoc)
     }
+  }
+
+  test("unconfigured source (quota None) rejects everything and spends nothing") {
+    assert(StreamingQuota.quotaFor("not-a-source").isEmpty)
+    val st = org.apache.spark.sql.streaming.TestGroupState.create[Long](
+      org.apache.spark.api.java.Optional.empty[Long](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      0L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out = StreamingQuota.admitBatch(None)(
+      Seq(StreamingQuota.DocIn(1L, "not-a-source", 100L, 5L),
+        StreamingQuota.DocIn(2L, "not-a-source", 1L, 7L)), st).toList
+    assert(out.size === 2 && out.forall(!_.admitted))
+    // The ledger stays at 0 spent — "unconfigured", distinguishable from
+    // a configured source that exhausted a 0 budget (which cannot occur:
+    // configured quotas are positive).
+    assert(out.forall(_.cumAfter === 0L))
+    assert(st.get === 0L)
   }
 }
