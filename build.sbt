@@ -1,6 +1,36 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "sqlservercdctokafkaspark"
+
+// ---- contrib: the real-Kafka producer adapter --------------------------
+// No kafka-clients jar exists in this zero-egress environment, so the
+// adapter compiles against `kafka-shim`: a clean-room, compile-only
+// facade of the public kafka-clients API subset it uses (signatures from
+// the published Javadoc). The shim plays the role of a provided-scope
+// kafka-clients dependency: it is on the compile/test classpath here,
+// and a deployment ships the adapter jar next to the REAL kafka-clients
+// jar (never the shim — its entry points throw at runtime by design).
+lazy val kafkaShim = (project in file("contrib/kafka-shim"))
+  .settings(name := "graft-kafka-shim")
+
+lazy val kafkaProducer = (project in file("contrib/kafka-producer"))
+  .dependsOn(root, kafkaShim)
+  .settings(
+    name := "graft-kafka-producer",
+    // Spark jars: the adapter implements graft.streaming.CdcPipeline's
+    // RecordProducer seam, whose enclosing object references Spark types.
+    unmanagedBase := file("/opt/spark/jars"),
+    libraryDependencies +=
+      "org.scalatest" %% "scalatest" % "3.2.19" % Test,
+  )
+
+lazy val root = (project in file("."))
+
+// Root `sbt test` also compiles + contract-tests the adapter, WITHOUT
+// aggregation (aggregation would broadcast `runMain graft.Verify/Bench`
+// — the external driver's entry points — into subprojects that have no
+// such mains).
+Test / test := (Test / test).dependsOn(kafkaProducer / Test / test).value
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

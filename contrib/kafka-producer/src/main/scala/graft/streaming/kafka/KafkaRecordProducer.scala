@@ -5,8 +5,8 @@ import java.util.Properties
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.kafka.clients.consumer.KafkaConsumer
-import org.apache.kafka.clients.producer.{KafkaProducer, ProducerRecord}
+import org.apache.kafka.clients.consumer.{Consumer, KafkaConsumer}
+import org.apache.kafka.clients.producer.{KafkaProducer, Producer, ProducerRecord}
 import org.apache.kafka.common.TopicPartition
 import org.apache.kafka.common.errors.ProducerFencedException
 import org.apache.kafka.common.serialization.{ByteArrayDeserializer, ByteArraySerializer}
@@ -17,7 +17,10 @@ import graft.streaming.CdcPipeline.RecordProducer
   * seam — the wire-protocol twin of [[graft.streaming.BrokerSink.TxnRecordProducer]],
   * whose contract `LogBrokerSinkSpec` proves against the in-JVM model
   * (reference behavior: `cdc_kafka/kafka.py:87-211`, txn loop
-  * `cdc_kafka/main.py:319-350`).
+  * `cdc_kafka/main.py:319-350`). Compiled against the clean-room
+  * kafka-shim facade in CI (no kafka-clients jar ships in this
+  * environment); `KafkaRecordProducerSpec` drives the full call
+  * sequence through mock `Producer`/`Consumer` implementations.
   *
   * Exactly-once layering, mapped from the model:
   *
@@ -47,62 +50,93 @@ import graft.streaming.CdcPipeline.RecordProducer
   *
   * Consumers of the published topics set `isolation.level=read_committed`
   * to get the visibility `LogBroker.readCommitted` models.
+  *
+  * @param clientProps extra client configuration merged into BOTH the
+  *        producer and the consult consumer — the auth passthrough seam
+  *        ([[KafkaOauth.saslOauthProps]] for AWS MSK OAUTHBEARER,
+  *        reference `cdc_kafka/kafka_oauth/aws_msk.py`).
+  * @param producerFactory / consumerFactory test seams; defaults build
+  *        real clients. Factories receive the fully-assembled properties.
   */
 final class KafkaRecordProducer(
     bootstrapServers: String,
     transactionalId: String,
     controlTopic: String = "graft-txn-markers",
-    replayHorizonRecords: Long = 10000L) extends RecordProducer {
+    replayHorizonRecords: Long = 10000L,
+    drainTimeout: Duration = Duration.ofSeconds(60),
+    clientProps: Properties = new Properties(),
+    producerFactory: Properties => Producer[Array[Byte], Array[Byte]] =
+      KafkaRecordProducer.defaultProducerFactory,
+    consumerFactory: Properties => Consumer[Array[Byte], Array[Byte]] =
+      KafkaRecordProducer.defaultConsumerFactory) extends RecordProducer {
 
   private def baseProps: Properties = {
     val p = new Properties()
     p.put("bootstrap.servers", bootstrapServers)
+    clientProps.stringPropertyNames().asScala
+      .foreach(k => p.put(k, clientProps.getProperty(k)))
     p
   }
 
   /** Bounded control-topic consult: was this transactional id already
-    * committed by a previous attempt of the same (batch, partition)? */
+    * committed by a previous attempt of the same (batch, partition)?
+    *
+    * Drain rule (ADVICE r6): an EMPTY `poll()` is never terminal —
+    * Kafka legally returns empty while a fetch is in flight, and
+    * treating it as "drained" could miss the committed marker and
+    * re-produce the batch, defeating exactly-once. The consult is done
+    * only when every partition's `position()` reaches its end offset;
+    * if that doesn't happen within `drainTimeout` the adapter FAILS
+    * LOUDLY rather than guess — a retried task gets a fresh consult,
+    * whereas a wrong `false` here would duplicate records at the log
+    * level. */
   private def alreadyCommitted(): Boolean = {
     val p = baseProps
     p.put("isolation.level", "read_committed")
     p.put("enable.auto.commit", "false")
-    val consumer = new KafkaConsumer[Array[Byte], Array[Byte]](
-      p, new ByteArrayDeserializer, new ByteArrayDeserializer)
+    val consumer = consumerFactory(p)
     try {
       val parts = consumer.partitionsFor(controlTopic)
-      if (parts == null) return false
-      val tps = parts.asScala.map(i => new TopicPartition(controlTopic, i.partition)).toList
+      if (parts == null || parts.isEmpty) return false
+      val tps = parts.asScala.map(i => new TopicPartition(controlTopic, i.partition())).toList
       consumer.assign(tps.asJava)
       val ends = consumer.endOffsets(tps.asJava).asScala
       tps.foreach { tp =>
         consumer.seek(tp, math.max(0L, ends(tp) - replayHorizonRecords))
       }
       val idBytes = transactionalId.getBytes("UTF-8")
+      val deadline = System.nanoTime() + drainTimeout.toNanos
       var drained = false
       while (!drained) {
         val records = consumer.poll(Duration.ofSeconds(1))
-        if (records.asScala.exists(r => java.util.Arrays.equals(r.key, idBytes)))
+        if (records.asScala.exists(r => java.util.Arrays.equals(r.key(), idBytes)))
           return true
-        drained = records.isEmpty ||
-          tps.forall(tp => consumer.position(tp) >= ends(tp))
+        drained = tps.forall(tp => consumer.position(tp) >= ends(tp))
+        if (!drained && System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"timed out ($drainTimeout) draining control topic '$controlTopic' " +
+              "for committed-transaction markers; failing the attempt rather " +
+              "than risk re-producing a committed batch")
       }
       false
     } finally consumer.close()
   }
 
-  private val producer: Option[KafkaProducer[Array[Byte], Array[Byte]]] =
+  private val producer: Option[Producer[Array[Byte], Array[Byte]]] =
     if (alreadyCommitted()) None // replay of a committed partition: no-op
     else {
       val p = baseProps
       p.put("transactional.id", transactionalId)
       p.put("enable.idempotence", "true")
       p.put("acks", "all")
-      val kp = new KafkaProducer[Array[Byte], Array[Byte]](
-        p, new ByteArraySerializer, new ByteArraySerializer)
+      val kp = producerFactory(p)
       kp.initTransactions() // fences any zombie holding this id
       kp.beginTransaction()
       Some(kp)
     }
+
+  /** Test seam: did the consult skip production entirely? */
+  private[kafka] def isReplayNoOp: Boolean = producer.isEmpty
 
   private var committed = false
 
@@ -130,4 +164,17 @@ final class KafkaRecordProducer(
       }
       kp.close()
     }
+}
+
+object KafkaRecordProducer {
+  /** Default client factories — the only lines that touch the concrete
+    * kafka-clients entry points (shim at compile time, real jar at
+    * runtime). */
+  def defaultProducerFactory(p: Properties): Producer[Array[Byte], Array[Byte]] =
+    new KafkaProducer[Array[Byte], Array[Byte]](
+      p, new ByteArraySerializer, new ByteArraySerializer)
+
+  def defaultConsumerFactory(p: Properties): Consumer[Array[Byte], Array[Byte]] =
+    new KafkaConsumer[Array[Byte], Array[Byte]](
+      p, new ByteArrayDeserializer, new ByteArrayDeserializer)
 }

@@ -57,9 +57,11 @@ object BrokerSink {
     * broker's in-memory registry grows per committed (batch, partition)
     * for its lifetime — fine for a test transport, wrong to replicate.)
     * The full adapter — this mapping spelled out over kafka-clients,
-    * bounded marker consult included — lives in
-    * `contrib/kafka-producer/` (a disabled source tree: no broker jar
-    * exists in this zero-egress environment). */
+    * bounded marker consult included — is the `kafkaProducer` sbt
+    * subproject (`contrib/kafka-producer/`), compiled in CI against the
+    * clean-room `kafka-shim` facade (no kafka-clients jar exists in this
+    * zero-egress environment) and contract-tested through mock clients
+    * in `KafkaRecordProducerSpec`. */
   final class TxnRecordProducer(brokerName: String, transactionalId: String)
       extends RecordProducer {
     private val handle = {
