@@ -22,6 +22,15 @@ final case class GraftConfig(
     lsnGapHandling: Policies.LsnGapAction = Policies.FailOnGap, // G5
     resnapshotForColumnDrops: Boolean = true,         // G6
     reportProgressOnly: Boolean = false,              // dry-run
+    // capture-instance selection + switch ladder (G7; options.py:109-124,
+    // 156-166, 183-209). captureInstanceVersionRegex is required iff the
+    // strategy is "regex" — validated below, as `main.py:40-43` derives
+    // its booleans from the same two choice options.
+    captureInstanceVersionStrategy: String = "create_date", // | "regex"
+    captureInstanceVersionRegex: Option[String] = None,
+    newFollowStartPoint: String = "latest",           // | "earliest"
+    newCaptureInstanceSnapshotHandling: String = "begin_new_snapshot", // | "ignore"
+    newCaptureInstanceOverlapHandling: String = "start_from_prior_progress", // | "republish_from_new_instance"
     // serialization (F4, B6)
     alwaysUseAvroLongs: Boolean = false,
     truncateFieldsAfterBytes: Map[String, Long] = Map.empty,
@@ -30,7 +39,38 @@ final case class GraftConfig(
     unifiedTopics: Map[String, String] = Map.empty, // topic -> table-include regex
     // metrics (A12/D7)
     metricsNamespace: String = "graft",
-    metricsReportingIntervalSeconds: Int = 20) {
+    metricsReportingIntervalSeconds: Int = 20,
+    // Kafka OAUTHBEARER passthrough (`kafka_oauth/__init__.py:34-40`):
+    // fully-qualified provider class, resolved by the producer adapter
+    // (see contrib/kafka-producer KafkaOauth.resolveProvider), plus the
+    // MSK provider's own options (`kafka_oauth/aws_msk.py:45-56`).
+    kafkaOauthProvider: Option[String] = None,
+    mskClusterAwsRegion: Option[String] = None,
+    mskClusterAccessRoleArn: Option[String] = None) {
+
+  require(captureInstanceVersionStrategy != "regex" ||
+    captureInstanceVersionRegex.exists(_.nonEmpty),
+    "captureInstanceVersionRegex is required with the `regex` " +
+      "captureInstanceVersionStrategy") // build_startup_state.py:398-401
+
+  /** The typed strategy [[graft.sources.SchemaInference.fromCatalogRows]]
+    * consumes — kept as strings in the config surface to mirror the
+    * reference's choice options. */
+  def captureInstanceStrategyTyped: InstanceSwitch.CaptureInstanceStrategy =
+    captureInstanceVersionStrategy match {
+      case "regex" => InstanceSwitch.ByRegex(captureInstanceVersionRegex.get)
+      case _ => InstanceSwitch.ByCreateDate
+    }
+
+  def newFollowStartPointTyped: InstanceSwitch.NewFollowStartPoint =
+    if (newFollowStartPoint == "earliest") InstanceSwitch.FollowEarliest
+    else InstanceSwitch.FollowLatest
+
+  /** `main.py:40-43`: the two switch booleans derived from the choices. */
+  def redoSnapshotForNewInstance: Boolean =
+    newCaptureInstanceSnapshotHandling == "begin_new_snapshot"
+  def publishDuplicateChangesFromNewInstance: Boolean =
+    newCaptureInstanceOverlapHandling == "republish_from_new_instance"
 
   def sparkConfEntries: Map[String, String] = Map(
     "spark.graft.topicNameTemplate" -> topicNameTemplate,

@@ -2,7 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row}
 
-import graft.model.{Policies, TrackedFieldMeta, TrackedTableMeta}
+import graft.model.{InstanceSwitch, Policies, TrackedFieldMeta, TrackedTableMeta}
+import graft.model.InstanceSwitch.{ByCreateDate, ByRegex, CaptureInstanceStrategy}
 
 /** A4: metadata-driven schema inference — assemble the tracked-table
   * registry from the rows [[SqlServerDialect.metadataQuery]] returns
@@ -26,13 +27,32 @@ object SchemaInference {
       columnOrdinal: Int,
       pkOrdinal: Int,
       precision: Int,
-      scale: Int)
+      scale: Int,
+      createDate: String = "") // ISO-8601; "" when the catalog read omits it
+
+  /** The instance the configured strategy selects among `instances`,
+    * each given as (name, createDate, startLsnHex). */
+  private[graft] def selectInstance(strategy: CaptureInstanceStrategy,
+      instances: Seq[(String, String, String)]): String = strategy match {
+    case ByCreateDate =>
+      instances.maxBy { case (_, created, lsnHex) => (created, lsnHex) }._1
+    case ByRegex(pattern) =>
+      val re = pattern.r
+      // Python's `re.match` anchors at the START of the name (not full):
+      // findPrefixMatchOf is the exact equivalent.
+      instances.maxBy { case (name, _, _) =>
+        re.findPrefixMatchOf(name)
+          .flatMap(m => Option(if (m.groupCount >= 1) m.group(1) else ""))
+          .getOrElse("")
+      }._1
+  }
 
   def fromCatalogRows(rows: Seq[CatalogRow],
       topicTemplate: String = "{schema}_{table}_cdc",
       includeRegex: Option[String] = None,
       excludeRegex: Option[String] = None,
-      truncateAfterBytes: Map[String, Long] = Map.empty): Seq[TrackedTableMeta] = {
+      truncateAfterBytes: Map[String, Long] = Map.empty,
+      instanceStrategy: CaptureInstanceStrategy = ByCreateDate): Seq[TrackedTableMeta] = {
 
     val included = rows.filter { r =>
       val fq = s"${r.schemaName}.${r.tableName}"
@@ -42,10 +62,11 @@ object SchemaInference {
     included.groupBy(r => (r.schemaName, r.tableName)).toSeq.sortBy(_._1).map {
       case ((schema, table), tableRows) =>
         // Several capture instances can coexist during schema evolution;
-        // follow the one with the highest start LSN — the newest
-        // (`build_startup_state.py:416-449`, 'latest' strategy).
-        val instance = tableRows.groupBy(_.captureInstance).toSeq
-          .maxBy { case (_, rs) => rs.head.startLsnHex }._1
+        // the configured strategy picks which to follow
+        // (`build_startup_state.py:416-449`).
+        val instance = selectInstance(instanceStrategy,
+          tableRows.groupBy(_.captureInstance).toSeq
+            .map { case (name, rs) => (name, rs.head.createDate, rs.head.startLsnHex) })
         val cols = tableRows.filter(_.captureInstance == instance)
           .sortBy(_.columnOrdinal)
         val fields = cols.map { c =>

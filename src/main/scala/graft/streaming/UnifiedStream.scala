@@ -36,6 +36,44 @@ object UnifiedStream {
         .withColumn("src", lit(src))
     }.reduce(_ unionByName _)
 
+  /** One produce window in the single-partition layout, sorted in global
+    * change-index order. coalesce(1) is SEMANTICS, not an accident: the
+    * reference's unified topic has exactly one partition so the topic
+    * itself is the total order (`validation.py:221-224`), and this sink
+    * reproduces that contract — a single sorted file per window. The
+    * cost is a single-task write per window; when the per-window volume
+    * outgrows one task, [[writePartitionedWindow]] is the 100× layout
+    * (disjoint ordered ranges instead of one run). */
+  private def writeOrderedWindow(batch: DataFrame, batchId: Long,
+      sinkDir: String): Unit = {
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.orderBy(idxCols: _*)
+      .coalesce(1)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(sinkDir)
+  }
+
+  /** One produce window in the scale layout: RANGE-partitioned by the
+    * global change index and sorted within partitions — every partition
+    * is internally ordered and partition key ranges are disjoint, so
+    * reading partitions in id order replays the exact total order while
+    * the write stays parallel (N tasks instead of 1). */
+  private def writePartitionedWindow(batch: DataFrame, batchId: Long,
+      sinkDir: String, partitions: Int): Unit = {
+    val n = if (partitions > 0) partitions
+      else batch.sparkSession.sparkContext.defaultParallelism
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.repartitionByRange(n, idxCols: _*)
+      .sortWithinPartitions(idxCols: _*)
+      .withColumn("part", spark_partition_id())
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(sinkDir)
+  }
+
   /** Run the unified publisher over per-table staged feeds until drained.
     * Each feed is a CdcPipeline-staged directory; `src` labels the table. */
   def run(spark: SparkSession, feeds: Map[String, String], sinkDir: String,
@@ -47,22 +85,7 @@ object UnifiedStream {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Produce window = one micro-batch, sorted in global change-index
-        // order. coalesce(1) is SEMANTICS, not an accident: the
-        // reference's unified topic has exactly one partition so the
-        // topic itself is the total order (`validation.py:221-224`), and
-        // this sink reproduces that contract — a single sorted file per
-        // window. The cost is a single-task write per window; when the
-        // per-window volume outgrows one task, [[runPartitioned]] is the
-        // 100× layout (disjoint ordered ranges instead of one run).
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.orderBy(idxCols: _*)
-          .coalesce(1)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").partitionBy("batch_id")
-          .parquet(sinkDir)
-        ()
+        writeOrderedWindow(batch, batchId, sinkDir)
       }
       .start()
     query.awaitTermination()
@@ -79,7 +102,25 @@ object UnifiedStream {
     * sort keeps the intra-window contract identical to [[run]]'s. */
   def runFromSource(spark: SparkSession, baseDir: String, tables: Seq[String],
       sinkDir: String, checkpointDir: String, batchSize: Int = 2000): Unit = {
-    val unioned = spark.readStream.format("graft.sources.CdcMultiTableProvider")
+    val unioned = sourceStream(spark, baseDir, tables, batchSize)
+
+    val query = unioned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeOrderedWindow(batch, batchId, sinkDir)
+      }
+      .start()
+    query.processAllAvailable()
+    query.stop()
+  }
+
+  /** The scheduler-governed DSv2 multi-table stream in unified-publisher
+    * shape (PreUpdate images dropped, table label as `src`). */
+  private def sourceStream(spark: SparkSession, baseDir: String,
+      tables: Seq[String], batchSize: Int): DataFrame =
+    spark.readStream.format("graft.sources.CdcMultiTableProvider")
       .option("baseDir", baseDir)
       .option("tables", tables.mkString(","))
       .option("batchSize", batchSize.toString)
@@ -87,30 +128,7 @@ object UnifiedStream {
       .filter(col("operation") =!= 3)
       .withColumnRenamed("table_name", "src")
 
-    val query = unioned.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.orderBy(idxCols: _*)
-          .coalesce(1)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").partitionBy("batch_id")
-          .parquet(sinkDir)
-        ()
-      }
-      .start()
-    query.processAllAvailable()
-    query.stop()
-  }
-
-  /** Scale variant of [[run]]: each produce window is RANGE-partitioned
-    * by the global change index and sorted within partitions — every
-    * partition is internally ordered and partition key ranges are
-    * disjoint, so reading partitions in id order replays the exact total
-    * order while the write stays parallel (N tasks instead of 1). This is
+  /** Scale variant of [[run]] (see [[writePartitionedWindow]]). This is
     * the multi-partition unified topic a 100× deployment runs: consumers
     * needing the total order merge N ordered runs; consumers needing
     * per-key order get it free (a key lives in one range). */
@@ -123,20 +141,34 @@ object UnifiedStream {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val n = if (partitions > 0) partitions
-          else batch.sparkSession.sparkContext.defaultParallelism
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.repartitionByRange(n, idxCols: _*)
-          .sortWithinPartitions(idxCols: _*)
-          .withColumn("part", spark_partition_id())
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").partitionBy("batch_id")
-          .parquet(sinkDir)
-        ()
+        writePartitionedWindow(batch, batchId, sinkDir, partitions)
       }
       .start()
     query.awaitTermination()
+  }
+
+  /** The 100× composition end to end (VERDICT r6 #8): the
+    * scheduler-governed DSv2 source ([[runFromSource]]'s upstream —
+    * snapshot interleaving, lagging-table preemption, pacing, gap
+    * handling) feeding the RANGE-PARTITIONED ordered layout
+    * ([[runPartitioned]]'s downstream). Every window publishes as N
+    * disjoint ordered ranges; `partitionedOrderValidation` proves
+    * partition-id order replays the total order. */
+  def runPartitionedFromSource(spark: SparkSession, baseDir: String,
+      tables: Seq[String], sinkDir: String, checkpointDir: String,
+      batchSize: Int = 2000, partitions: Int = 0): Unit = {
+    val unioned = sourceStream(spark, baseDir, tables, batchSize)
+
+    val query = unioned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writePartitionedWindow(batch, batchId, sinkDir, partitions)
+      }
+      .start()
+    query.processAllAvailable()
+    query.stop()
   }
 
   /** E4-style self-validation over the published unified stream: within

@@ -110,4 +110,46 @@ class UnifiedStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // disjoint and ascending with partition id.
     assert(UnifiedStream.partitionedOrderValidation(spark, s"$work/unifiedP").count() === 0)
   }
+
+  test("source-driven PARTITIONED unified stream: scheduler windows publish as disjoint ordered ranges") {
+    // VERDICT r6 #8: the 100x composition — the multi-table DSv2 source
+    // (scheduler, pacing, snapshot interleave, gap handling) upstream of
+    // the range-partitioned ordered layout — must carry the same
+    // end-to-end guarantees the coalesce(1) path proves above.
+    val base = s"$work/srcbaseP"
+    CdcPipeline.stageChangeFeed(spark, sfDir, s"$base/events/feed", nChunks = 1)
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(lit(0L).as("lsn_num"), lit(0).as("command_id"),
+        lit(0L).as("seqval_num"), lit(0).as("operation"),
+        col("o_orderkey").as("event_id"), col("o_orderkey").as("user_id"),
+        col("o_orderstatus").as("event_type"), col("o_totalprice").as("value"),
+        col("o_orderpriority").as("props"))
+      .coalesce(2).write.mode("overwrite").parquet(s"$base/orders/snapshot")
+    spark.sql(
+      """SELECT cast(id + 1 as long) AS lsn_num, 0 AS command_id,
+        |       cast(id as long) AS seqval_num, 4 AS operation,
+        |       cast(id as long) AS event_id, cast(id as long) AS user_id,
+        |       'U' AS event_type, cast(id as double) AS value, '' AS props
+        |FROM range(9)""".stripMargin)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/orders/feed")
+
+    UnifiedStream.runPartitionedFromSource(spark, base, Seq("orders", "events"),
+      s"$work/unified_srcP", s"$work/ckpt_srcP", batchSize = 400, partitions = 3)
+
+    val out = spark.read.parquet(s"$work/unified_srcP")
+    // Exactly once across the fleet, PreUpdate images dropped.
+    val events = spark.read.parquet(s"$base/events/feed")
+      .filter(col("operation") =!= 3).count()
+    assert(out.count() === 1500 + 9 + events)
+    assert(out.select("src").distinct().count() === 2)
+    // Batch pacing survived the composition...
+    val sizes = out.groupBy("batch_id").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 400))
+    // ...the write fanned out (windows near the batch cap split over
+    // multiple ranges)...
+    assert(out.select("part").distinct().count() >= 2)
+    // ...and the scale layout's total-order contract holds: zero
+    // intra-partition regressions, zero overlapping ranges, per window.
+    assert(UnifiedStream.partitionedOrderValidation(spark, s"$work/unified_srcP").count() === 0)
+  }
 }
