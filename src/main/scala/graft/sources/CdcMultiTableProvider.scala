@@ -109,7 +109,8 @@ private class CdcMultiTable(options: Map[String, String]) extends Table with Sup
               }.toMap
           }
           new CdcMultiTableStream(tables, batchSize, backends,
-            LsnGap.parse(merged.getOrElse("lsngapstrategy", "fail")))
+            LsnGap.parse(merged.getOrElse("lsngapstrategy", "fail")),
+            StartPoint.parse(merged.getOrElse("startpoint", "earliest")))
         }
       }
     }
@@ -118,13 +119,20 @@ private class CdcMultiTable(options: Map[String, String]) extends Table with Sup
 
 private class CdcMultiTableStream(tables: Seq[String], batchSize: Int,
     backends: Map[String, FeedBackend],
-    gapStrategy: Policies.LsnGapAction = Policies.FailOnGap)
+    gapStrategy: Policies.LsnGapAction = Policies.FailOnGap,
+    startPoint: String = "earliest")
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val gapChecked = scala.collection.mutable.Set.empty[String]
 
+  // `startPoint=latest` (see [[StartPoint]]): each table's fresh-follow
+  // floor is its own current max index, probed ONCE at query start —
+  // per-table, because the fleet's tables are at unrelated positions.
   private def initial(t: String): TablePosition =
-    TablePosition(ChangeIndex.Lowest,
+    TablePosition(
+      if (startPoint == "latest")
+        backends(t).maxAvailableChange().getOrElse(ChangeIndex.Lowest)
+      else ChangeIndex.Lowest,
       if (backends(t).hasSnapshot) SnapshotNotStarted else SnapshotDone)
 
   private def positions(o: Offset): Map[String, TablePosition] = {

@@ -132,7 +132,8 @@ private class CdcTable(options: Map[String, String]) extends Table with Supports
           }
           new CdcMicroBatchStream(
             merged.getOrElse("tablename", "cdc_feed"), batchSize, backend,
-            LsnGap.parse(merged.getOrElse("lsngapstrategy", "fail")))
+            LsnGap.parse(merged.getOrElse("lsngapstrategy", "fail")),
+            StartPoint.parse(merged.getOrElse("startpoint", "earliest")))
         }
       }
     }
@@ -230,15 +231,38 @@ private trait FeedBackend {
   def hasSnapshot: Boolean
   /** MIN retained change index (G5 gap detection); None on an empty feed. */
   def minAvailableChange(): Option[ChangeIndex]
+  /** MAX change index currently in the feed — the per-table ceiling
+    * `startPoint=latest` starts strictly after (A5's table half,
+    * `options.py:156-166`); None on an empty feed. */
+  def maxAvailableChange(): Option[ChangeIndex]
   def changePartitions(start: (Long, Int, Long, Int),
       end: (Long, Int, Long, Int)): Array[InputPartition]
   def snapshotPartitions(upper: Option[(Long, Long)],
       lower: (Long, Long)): Array[InputPartition]
 }
 
+/** `--new-follow-start-point` (`options.py:156-166`) as a source option:
+  * where a table with NO prior progress (no checkpoint entry) begins.
+  * `earliest` pulls everything retained; `latest` starts strictly after
+  * the feed's current max change index — nothing already present
+  * republishes, anything committed later does. Documented respec vs the
+  * reference: it sets only the LSN half of the start index from the
+  * GLOBAL `sys.fn_cdc_get_max_lsn()` ceiling (so rows already at that
+  * exact LSN could republish); this engine probes the per-table max
+  * FULL index, which delivers the option's actual promise exactly.
+  * Snapshots are unaffected, as the reference documents. */
+private object StartPoint {
+  def parse(s: String): String = s.toLowerCase match {
+    case "earliest" | "latest" => s.toLowerCase
+    case other =>
+      sys.error(s"unknown startPoint '$other' (earliest | latest)")
+  }
+}
+
 private class CdcMicroBatchStream(tableName: String, batchSize: Int,
     backend: FeedBackend,
-    gapStrategy: graft.model.Policies.LsnGapAction = graft.model.Policies.FailOnGap)
+    gapStrategy: graft.model.Policies.LsnGapAction = graft.model.Policies.FailOnGap,
+    startPoint: String = "earliest")
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // G5 runs ONCE per query instance, on the first change advance — the
@@ -252,16 +276,26 @@ private class CdcMicroBatchStream(tableName: String, batchSize: Int,
 
   private def pos(o: Offset): TablePosition =
     o.asInstanceOf[CdcStreamOffset].offset.tables
-      .getOrElse(tableName, TablePosition(ChangeIndex.Lowest, initialSnapshot))
+      .getOrElse(tableName, initialPosition)
 
   private def initialSnapshot: SnapshotPosition =
     if (backend.hasSnapshot) SnapshotNotStarted else SnapshotDone
 
+  // `startPoint=latest` (see [[StartPoint]]): the fresh-follow floor is
+  // the feed's current max index, probed once at query start (lazy val —
+  // a checkpointed restart never calls initialOffset, so a resumed query
+  // pays no probe and, more importantly, cannot MOVE its floor).
+  private lazy val initialPosition: TablePosition =
+    TablePosition(
+      if (startPoint == "latest")
+        backend.maxAvailableChange().getOrElse(ChangeIndex.Lowest)
+      else ChangeIndex.Lowest,
+      initialSnapshot)
+
   private def mkOffset(p: TablePosition): CdcStreamOffset =
     CdcStreamOffset(CdcOffset(Map(tableName -> p)))
 
-  override def initialOffset(): Offset =
-    mkOffset(TablePosition(ChangeIndex.Lowest, initialSnapshot))
+  override def initialOffset(): Offset = mkOffset(initialPosition)
 
   // Snapshot pages walk a COMPOSITE key (user_id, event_id): paging on
   // user_id alone would drop rows whenever duplicate key values straddle
@@ -413,6 +447,19 @@ private class ParquetBackend(feedDir: String, snapshotDir: Option[String],
     val r = spark.read.schema(CdcTableProvider.schema).parquet(feedDir)
       .agg(min(struct(col("lsn_num"), col("command_id"),
         col("seqval_num"), col("operation"))).as("lo"))
+      .head()
+    if (r.isNullAt(0)) None
+    else {
+      val s = r.getStruct(0)
+      Some(ChangeIndex(ChangeIndex.lsnFromLong(s.getLong(0)), s.getInt(1),
+        ChangeIndex.lsnFromLong(s.getLong(2)), s.getInt(3)))
+    }
+  }
+
+  override def maxAvailableChange(): Option[ChangeIndex] = {
+    val r = spark.read.schema(CdcTableProvider.schema).parquet(feedDir)
+      .agg(max(struct(col("lsn_num"), col("command_id"),
+        col("seqval_num"), col("operation"))).as("hi"))
       .head()
     if (r.isNullAt(0)) None
     else {
@@ -608,6 +655,20 @@ private class JdbcBackend(url: String, captureInstance: String,
         r(1).asInstanceOf[Number].intValue(),
         ChangeIndex.lsnFromLong(parseHex20(r(2).toString)),
         r(3).asInstanceOf[Number].intValue()), n)
+    }
+  }
+
+  /** Descending TOP(1) over the CDC index — a single backward seek
+    * ([[SqlServerDialect.maxChangeIndexQuery]]). */
+  override def maxAvailableChange(): Option[ChangeIndex] = {
+    val sql = AnsiTranspile(
+      SqlServerDialect.maxChangeIndexQuery(captureInstance), Seq.empty)
+    lastRow(sql, 4).map { case (r, _) =>
+      ChangeIndex(
+        ChangeIndex.lsnFromLong(parseHex20(r(0).toString)),
+        r(1).asInstanceOf[Number].intValue(),
+        ChangeIndex.lsnFromLong(parseHex20(r(2).toString)),
+        r(3).asInstanceOf[Number].intValue())
     }
   }
 

@@ -265,6 +265,21 @@ object SqlServerDialect {
   /** A5: global read ceiling for a poll cycle. */
   val maxLsnQuery: String = "SELECT sys.fn_cdc_get_max_lsn()"
 
+  /** Per-table ceiling: the MAX change index currently in the change
+    * table (descending TOP 1 over the CDC index — a backward seek, the
+    * table half of the reference's `get_max_lsn_for_change_table`,
+    * `sql_queries.py:200-216`; the `fn_cdc_increment_lsn` branch is the
+    * caller's concern). Drives `startPoint=latest` for newly-followed
+    * tables: everything at or below this index is skipped
+    * (`options.py:156-166`). */
+  def maxChangeIndexQuery(captureInstance: String): String = {
+    val ct = fqChangeTable(captureInstance)
+    s"""SELECT TOP (1)
+       |    ct.__$$start_lsn, ct.__$$command_id, ct.__$$seqval, ct.__$$operation
+       |FROM $ct AS ct WITH (NOLOCK)
+       |ORDER BY ct.__$$start_lsn DESC, ct.__$$command_id DESC, ct.__$$seqval DESC, ct.__$$operation DESC""".stripMargin
+  }
+
   /** A4/C2: the metadata catalog join discovering tracked tables, columns,
     * types, and PK ordinals (inner join + two left joins). */
   def metadataQuery: String =

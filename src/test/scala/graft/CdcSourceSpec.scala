@@ -231,6 +231,63 @@ class CdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.except(exp).count() === 0 && exp.except(got).count() === 0)
   }
 
+  test("startPoint=latest: nothing existing republishes, later appends publish (r7, options.py:156-166)") {
+    val feed = s"$work/feed_latest"
+    // Stage chunks 0-1 of 3 — the "existing data" a latest-follow skips.
+    CdcPipeline.stageChangeFeed(spark, sfDir, feed, nChunks = 3,
+      chunkRange = Some(0 until 2))
+    val sink = s"$work/sink_latest"; val ckpt = s"$work/ckpt_latest"
+    def runLatest(): Unit = {
+      val q = spark.readStream.format("graft.sources.CdcTableProvider")
+        .option("feedDir", feed)
+        .option("tableName", "events")
+        .option("batchSize", "300")
+        .option("startPoint", "latest")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.sparkSession.conf
+            .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id").parquet(sink)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runLatest()
+    // Batch 0 always fires (it establishes offsets) but must be EMPTY —
+    // the sink dir exists with no parquet underneath.
+    def sinkCount(): Long =
+      try spark.read.parquet(sink).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    assert(sinkCount() === 0L, "a latest-follow must skip all existing rows")
+
+    // New changes arrive (chunk 2 sits strictly above chunks 0-1 in the
+    // change-index order); a restart from the same checkpoint publishes
+    // exactly those.
+    CdcPipeline.stageChangeFeed(spark, sfDir, feed, nChunks = 3,
+      chunkRange = Some(2 until 3))
+    runLatest()
+    val out = spark.read.parquet(sink)
+    // Expected = exactly chunk 2's rows (recompute the stager's chunk
+    // assignment rather than assume seqval density).
+    val all = spark.read
+      .schema(graft.sources.CdcTableProvider.schema).parquet(feed)
+    val per = math.max(1L, (all.count() + 2) / 3)
+    val expected = all.filter(floor(col("seqval_num") / per) === 2).count()
+    assert(expected > 0)
+    assert(out.count() === expected,
+      "latest-follow must deliver exactly the appended rows")
+    // And the floor is stable across restarts: re-running with the same
+    // checkpoint adds nothing.
+    runLatest()
+    assert(spark.read.parquet(sink).count() === expected)
+  }
+
   test("offset log holds CdcOffset JSON and restart resumes cleanly") {
     val sink = s"$work/sink2"; val ckpt = s"$work/ckpt2"
     runToSink(sink, ckpt)

@@ -140,6 +140,20 @@ class SqlServerDialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- A1: change scan pages through the live DB --------------------
 
+  test("maxChangeIndexQuery returns the table ceiling (the startPoint=latest probe) over a live DB") {
+    val got = runQuery(transpile(
+      SqlServerDialect.maxChangeIndexQuery("events"), Seq.empty))
+    assert(got.size === 1)
+    // Oracle: the max by the 4-component order, computed client-side
+    // over the raw table (hex20 strings sort like the binary LSNs).
+    val expected = runQuery(
+      """SELECT "__$start_lsn", "__$command_id", "__$seqval", "__$operation"
+        |FROM "cdc"."events_CT"""".stripMargin)
+      .maxBy(r => (r(0).toString, r(1).asInstanceOf[Number].intValue(),
+        r(2).toString, r(3).asInstanceOf[Number].intValue()))
+    assert(got.head === expected)
+  }
+
   test("changeQuery pages the full change feed in index order with no dupes or gaps (A1)") {
     val batch = 333 // deliberately splits transactions across page edges
     val sqlT = SqlServerDialect.changeQuery("events", valueFields, batch)

@@ -167,6 +167,16 @@ ORDER BY ct.__$start_lsn, ct.__$command_id, ct.__$seqval, ct.__$operation"""
     assert(got === want)
   }
 
+  test("golden: per-table max change index probe (startPoint=latest, backward seek)") {
+    val got = maxChangeIndexQuery("dbo_Orders")
+    val want =
+      """SELECT TOP (1)
+    ct.__$start_lsn, ct.__$command_id, ct.__$seqval, ct.__$operation
+FROM [cdc].[dbo_Orders_CT] AS ct WITH (NOLOCK)
+ORDER BY ct.__$start_lsn DESC, ct.__$command_id DESC, ct.__$seqval DESC, ct.__$operation DESC"""
+    assert(got === want)
+  }
+
   test("golden: DSv2 snapshot boundary probe: PK tuples below the cursor, descending") {
     val got = snapshotBoundaryQuery("dbo", "Orders", pkC, firstRead = false, batchSize = 2000)
     val want =
