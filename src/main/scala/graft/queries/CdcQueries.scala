@@ -259,6 +259,45 @@ object CdcQueries {
        |SELECT user_id, seqval_num AS last_seqval, operation AS last_operation
        |FROM ranked WHERE rn = 1""".stripMargin
 
+  // C10 (r7) — AS-OF state reconstruction ("time travel" over the CDC
+  // log): the tracked table's state at an arbitrary LSN bound — latest
+  // surviving change per key at lsn <= T, keys whose latest bounded
+  // change is a delete dropped. This is the point-in-time form of the
+  // A7/E3 compaction fold (`progress_tracking.py:235-258`) and exactly
+  // what a consumer replaying a topic "to a position" materializes
+  // (the replayer's bounded apply, `replayer.py:429-533`).
+  //
+  // Scale shape: the bound is a plain predicate on the scan (pushed to
+  // parquet row groups — at 100 TB the log is partitioned/sorted by LSN,
+  // so the bound prunes files), then one window partitioned by key; no
+  // global sort, no single reducer.
+  private val timeTravelLsn = 60L
+
+  def c10TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("lsn_num").desc, col("command_id").desc,
+        col("seqval_num").desc, col("operation").desc)
+    SyntheticCdc.changeRows(spark, dir)
+      .filter(col("lsn_num") <= timeTravelLsn && col("operation") =!= 3)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("operation") =!= 1)
+      .select(col("user_id"), col("event_type").as("state_event_type"),
+        col("value").as("state_value"), col("seqval_num").as("as_of_seqval"))
+  }
+
+  val c10Sql: String =
+    s"""WITH change_rows AS ($cr), bounded AS (
+       |  SELECT * FROM change_rows
+       |  WHERE lsn_num <= $timeTravelLsn AND operation <> 3),
+       |ranked AS (
+       |  SELECT user_id, event_type, value, seqval_num, operation,
+       |         row_number() OVER (PARTITION BY user_id
+       |           ORDER BY lsn_num DESC, command_id DESC, seqval_num DESC, operation DESC) AS rn
+       |  FROM bounded)
+       |SELECT user_id, event_type AS state_event_type, value AS state_value,
+       |       seqval_num AS as_of_seqval
+       |FROM ranked WHERE rn = 1 AND operation <> 1""".stripMargin
+
   // E4 ★ ordering-regression detection via lag window
   // (`validation.py:148-160`): a deterministically permuted read order
   // stands in for Kafka partition offsets.
@@ -494,6 +533,7 @@ object CdcQueries {
     "e1_global_merge" -> (e1GlobalMerge _),
     "e2_topk" -> (e2TopK _),
     "e3_last_wins_dedup" -> (e3LastWinsDedup _),
+    "c10_time_travel" -> (c10TimeTravel _),
     "e4_ordering_regressions" -> (e4OrderingRegressions _),
     "e5_offset_gaps" -> (e5OffsetGaps _))
 
@@ -515,6 +555,7 @@ object CdcQueries {
     "e1_global_merge" -> e1Sql,
     "e2_topk" -> e2Sql,
     "e3_last_wins_dedup" -> e3Sql,
+    "c10_time_travel" -> c10Sql,
     "e4_ordering_regressions" -> e4Sql,
     "e5_offset_gaps" -> e5Sql)
 }

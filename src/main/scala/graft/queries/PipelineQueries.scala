@@ -668,6 +668,36 @@ object PipelineQueries {
       |             THEN 1 ELSE 0 END AS INT) AS passes
       |FROM feats""".stripMargin
 
+  // ── pipe_shuffle (r7) — deterministic distributed TRAINING-ORDER
+  // shuffle: every document gets a dense global position in md5-hash
+  // order. Shuffling the corpus before training is the last pipeline
+  // step before sharding, and the naive spelling — ORDER BY hash with
+  // row_number() — funnels 100 TB through one reducer. This reuses
+  // [[graft.operators.GlobalOrder]]'s TeraSort-style rank instead:
+  // range-partition on the hash, rank within partitions, add broadcast
+  // per-partition offsets. Deterministic across runs, engines, and
+  // cluster sizes (hash order + doc_id tiebreak), so the assignment
+  // itself is oracle-checked.
+  def pipeShuffle(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    val keyed = spark.sql(
+      s"""SELECT doc_id, source,
+         |       ${DedupQueries.hSpark("concat('shuffle:', cast(doc_id as string))")} AS h
+         |FROM documents""".stripMargin)
+    graft.operators.GlobalOrder
+      .withGlobalRank(keyed, Seq(col("h"), col("doc_id")), "train_order")
+      .select(col("doc_id"), col("source"), col("train_order"))
+  }
+
+  val pipeShuffleSql: String =
+    s"""WITH keyed AS (
+      |  SELECT doc_id, source,
+      |         ${DedupQueries.hDuck("concat('shuffle:', CAST(doc_id AS VARCHAR))")} AS h
+      |  FROM documents)
+      |SELECT doc_id, source,
+      |       row_number() OVER (ORDER BY h, doc_id) AS train_order
+      |FROM keyed""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_kmv_distinct" -> (skKmvDistinct _),
     "pipe_canonicalize" -> (pipeCanonicalize _),
@@ -679,7 +709,8 @@ object PipelineQueries {
     "pipe_upsample" -> (pipeUpsample _),
     "pipe_quota_sample" -> (pipeQuotaSample _),
     "text_tfidf_topk" -> (textTfidfTopk _),
-    "pipe_shard" -> (pipeShard _))
+    "pipe_shard" -> (pipeShard _),
+    "pipe_shuffle" -> (pipeShuffle _))
 
   val oracle: Map[String, String] = Map(
     "sk_kmv_distinct" -> skKmvDistinctSql,
@@ -693,5 +724,6 @@ object PipelineQueries {
     "pipe_upsample" -> pipeUpsampleSql,
     "pipe_quota_sample" -> pipeQuotaSampleSql,
     "text_tfidf_topk" -> textTfidfTopkSql,
-    "pipe_shard" -> pipeShardSql)
+    "pipe_shard" -> pipeShardSql,
+    "pipe_shuffle" -> pipeShuffleSql)
 }
