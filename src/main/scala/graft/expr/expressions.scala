@@ -74,14 +74,58 @@ object Kernels {
 
   /** Top 60 bits of md5(bytes) — equals parsing the first 15 hex chars of
     * the digest, the engine-shared hash H(s) used by the dedup oracle. */
-  def md5Top60(bytes: Array[Byte]): Long = {
+  def md5Top60(bytes: Array[Byte]): Long = md5Top60(bytes, 0, bytes.length)
+
+  /** Range form: hash `len` bytes at `off` without slicing a copy. */
+  def md5Top60(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = md5Local.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes, off, len)
+    val d = md.digest()
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Content-defined anchor windows (dd_substring, r7): the distinct
+    * engine-shared hashes of every `width`-char window of `text` whose
+    * own hash ≡ 0 (mod `m`) — winnowing-style position-independent
+    * sampling for exact passage dedup. Semantics identical to the SQL
+    * formulation the DuckDB oracle runs (windows at every offset
+    * 1..len-width+1, H(substr(text,i,width)), keep H % m = 0, DISTINCT
+    * per document), but one fused pass: the explode formulation
+    * materialized one row PER OFFSET carrying the full text through the
+    * projection — ~30M text-bearing rows at sf0.1 — where this walks the
+    * string once with a thread-local digest. */
+  def substringAnchors(text: UTF8String, width: Int, m: Int): ArrayData = {
+    // Walk code-point start offsets once, then hash each window as a
+    // (offset, length) range of the backing bytes — `substringSQL(i, w)`
+    // re-scans from the string head per call, which made the loop
+    // quadratic in document length.
+    val b = text.getBytes
+    val nBytes = b.length
+    val starts = new Array[Int](text.numChars() + 1)
+    var off = 0
+    var c = 0
+    while (off < nBytes) {
+      starts(c) = off
+      off += UTF8String.numBytesForFirstByte(b(off))
+      c += 1
+    }
+    starts(c) = nBytes
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + width <= c) {
+      val h = md5Top60(b, starts(i), starts(i + width) - starts(i))
+      if (h % m == 0) out.add(h)
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
   }
 
   /** Single-pass MinHash signature over char shingles.
@@ -399,6 +443,23 @@ case class MinhashSignature(child: Expression, k: Int, shingleLen: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `substring_anchors(text)` — fused content-defined anchor-window
+  * hashes (see [[Kernels.substringAnchors]]). */
+case class SubstringAnchors(child: Expression, width: Int, m: Int)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.substringAnchors(v.asInstanceOf[UTF8String], width, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.expr.Kernels.substringAnchors($s, $width, $m)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `hyperplane_bucket(vec)` — fused 8-plane LSH bucket id (see
   * [[Kernels.hyperplaneBucket]]). */
 case class HyperplaneBucket(child: Expression) extends UnaryExpression {
@@ -476,9 +537,13 @@ object GraftFunctions {
   val ShingleLen = 8
   val ShingleStride = 2
   val MinhashP = 2147483647L
+  val AnchorWidth = 64
+  val AnchorModulus = 16
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "minhash_signature",
       args => MinhashSignature(args(0), MinhashK, ShingleLen, ShingleStride, MinhashP))
+    Bridge.registerFunction(spark, "substring_anchors",
+      args => SubstringAnchors(args(0), AnchorWidth, AnchorModulus))
     Bridge.registerFunction(spark, "float_dot",
       args => FloatDotProduct(args(0), args(1)))
     Bridge.registerFunction(spark, "truncate_utf8",

@@ -46,7 +46,37 @@ final case class GraftConfig(
     // MSK provider's own options (`kafka_oauth/aws_msk.py:45-56`).
     kafkaOauthProvider: Option[String] = None,
     mskClusterAwsRegion: Option[String] = None,
-    mskClusterAccessRoleArn: Option[String] = None) {
+    mskClusterAccessRoleArn: Option[String] = None,
+    // connection + identity (`options.py:37-59,235-239`). dbConnString is
+    // the source's jdbcUrl; transactionalId seeds the per-(batch,
+    // partition) ids the sink derives (BrokerSink/KafkaRecordProducer) —
+    // both REQUIRED at runtime in the reference (`main.py:36-38`), kept
+    // optional here because batch-only usage needs neither.
+    dbConnString: Option[String] = None,
+    kafkaBootstrapServers: Option[String] = None,
+    kafkaTransactionalId: Option[String] = None,
+    processHostname: Option[String] = None, // None = local FQDN at runtime
+    // client/topic passthroughs (`options.py:61-76`): merged verbatim
+    // into the adapter's clientProps / topic creation configs.
+    extraKafkaConsumerConfig: Map[String, String] = Map.empty,
+    extraKafkaProducerConfig: Map[String, String] = Map.empty,
+    extraTopicConfig: Map[String, String] = Map.empty,
+    // control-plane topics (`options.py:126-138`).
+    progressTopicName: String = "_cdc_to_kafka_progress",
+    snapshotLoggingTopicName: Option[String] = None,
+    // topic sizing (`options.py:240-254`): None = auto (partitions from
+    // the change rate via Policies.partitionCount; replication from the
+    // broker default).
+    partitionCount: Option[Int] = None,
+    replicationFactor: Option[Int] = None,
+    // pluggable serializer / metric reporters (`options.py:217-228`),
+    // class names resolved like the reference's <module>.<class> strings.
+    messageSerializer: String = "graft.serde.AvroSerde",
+    metricsReporters: Seq[String] = Seq("graft.metrics.StdoutReporter"),
+    // G6 runtime reaction (`options.py:264-273`): terminate for
+    // supervisor restart when the followed capture instance changes.
+    terminateOnCaptureInstanceChange: Boolean = false,
+    runValidations: Boolean = false) {
 
   require(captureInstanceVersionStrategy != "regex" ||
     captureInstanceVersionRegex.exists(_.nonEmpty),

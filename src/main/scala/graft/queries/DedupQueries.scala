@@ -242,6 +242,82 @@ object DedupQueries {
          |SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.5""".stripMargin)
   }
 
+  // ── dd_substring (r7) — exact duplicated-PASSAGE detection (the
+  // substring-dedup family of Lee et al. 2022, "Deduplicating Training
+  // Data Makes Language Models Better"): two documents pair when they
+  // share ≥2 CONTENT-DEFINED anchor windows — 64-char windows at every
+  // offset, kept when the window's own hash ≡ 0 (mod 16). Anchoring on
+  // the window hash (winnowing/rsync-style) makes the sample POSITION-
+  // INDEPENDENT: a passage shared at different offsets in two documents
+  // still selects the same anchors, which a fixed-stride sample would
+  // miss. Windows shared by >64 documents are excluded as boilerplate —
+  // standard in passage dedup (headers, licenses), and simultaneously
+  // the skew guard: no anchor group can exceed 64 docs, so the pair
+  // join's per-key fan-out is bounded by construction.
+  //
+  // Scale shape: the window explode is a narrow per-document map (the
+  // fingerprinting cost every passage-dedup system pays, embarrassingly
+  // parallel); anchors shuffle once on the window hash; the pair join is
+  // an equi-join on that hash with the 64-doc cap — never all-pairs.
+  private def ddSubstringSqlFor(h: String => String, gram: String): String =
+    s"""grams AS (
+       |  SELECT doc_id, ${h(gram)} AS h
+       |  FROM positions
+       |  WHERE length($gram) = 64),
+       |anchors AS (
+       |  SELECT DISTINCT doc_id, h FROM grams WHERE h % 16 = 0),
+       |rare AS (
+       |  SELECT h FROM anchors GROUP BY h HAVING count(*) <= 64),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(count(*) AS BIGINT) AS shared_anchors
+       |  FROM anchors a
+       |  JOIN rare r ON a.h = r.h
+       |  JOIN anchors b ON b.h = a.h AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, shared_anchors FROM pairs
+       |WHERE shared_anchors >= 2""".stripMargin
+
+  // Spark side runs the FUSED substring_anchors kernel (codegen'd
+  // Catalyst expression, one pass per document with a thread-local
+  // digest) — the literal positions-explode formulation the oracle runs
+  // materialized one text-bearing row PER OFFSET (~30M rows at sf0.1,
+  // 8.4 s); the kernel's plan explodes only the ~1/16 surviving anchor
+  // longs. Same anchors bit-for-bit: the shared oracle proves it.
+  def ddSubstring(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    // Materialize the anchor table ONCE: it feeds the boilerplate filter
+    // and BOTH pair sides, and Catalyst inlines CTEs — without the pin
+    // the full corpus hashing pass runs three times (same reason the LSH
+    // signature stage checkpoints).
+    spark.sql(
+      s"""WITH corpus AS ($corpusSparkSql)
+         |SELECT doc_id, h
+         |FROM corpus LATERAL VIEW explode(substring_anchors(text)) AS h""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("substring_anchor_t")
+    spark.sql(
+      s"""WITH rare AS (
+         |  SELECT h FROM substring_anchor_t GROUP BY h HAVING count(*) <= 64),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS shared_anchors
+         |  FROM substring_anchor_t a
+         |  JOIN rare r ON a.h = r.h
+         |  JOIN substring_anchor_t b ON b.h = a.h AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, shared_anchors FROM pairs
+         |WHERE shared_anchors >= 2""".stripMargin)
+  }
+
+  val ddSubstringSql: String =
+    s"""WITH corpus AS ($corpusDuckSql),
+       |positions AS (
+       |  SELECT doc_id, text, CAST(unnest(range(1, greatest(length(text) - 63, 1) + 1)) AS INT) AS i
+       |  FROM corpus),
+       |${ddSubstringSqlFor(hDuck, "substr(text, i, 64)")}""".stripMargin
+
   // ── dd_simhash ★ — 16-bit SimHash over word hashes; bit i is set when
   // more than half the words have bit i set in H(word). Groups with >1
   // member are dup clusters (exact copies collapse; near-dups may).
@@ -726,6 +802,7 @@ object DedupQueries {
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_lsh_salted" -> (ddMinhashLshSalted _),
     "dd_simhash" -> (ddSimhash _),
+    "dd_substring" -> (ddSubstring _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embedding_cosine" -> (ddEmbeddingCosine _),
     "dd_semantic" -> (ddSemantic _),
@@ -740,6 +817,7 @@ object DedupQueries {
     // Salting reshapes the shuffle, not the answer: same oracle.
     "dd_minhash_lsh_salted" -> ddMinhashLshSql,
     "dd_simhash" -> ddSimhashSql,
+    "dd_substring" -> ddSubstringSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embedding_cosine" -> ddEmbeddingCosineSql,
     "dd_semantic" -> ddSemanticSql,

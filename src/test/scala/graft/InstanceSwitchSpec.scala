@@ -167,4 +167,28 @@ class InstanceSwitchSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("captureInstanceVersionRegex"))
   }
+
+  test("GraftConfig covers the reference's full option surface with its defaults (options.py:37-316)") {
+    val c = GraftConfig()
+    // Control-plane topic names and their defaults.
+    assert(c.progressTopicName === "_cdc_to_kafka_progress") // options.py:126-127
+    assert(c.snapshotLoggingTopicName.isEmpty)
+    // Topic sizing: unset = auto (rate-derived partitions, broker-default
+    // replication), mirroring the reference's None handling.
+    assert(c.partitionCount.isEmpty && c.replicationFactor.isEmpty)
+    // Client/topic config passthroughs arrive as maps (JSON in the
+    // reference), empty by default.
+    assert(c.extraKafkaProducerConfig.isEmpty && c.extraKafkaConsumerConfig.isEmpty
+      && c.extraTopicConfig.isEmpty)
+    // Pluggable serializer / reporters resolve by class name; defaults
+    // point at this engine's own implementations.
+    assert(c.messageSerializer === "graft.serde.AvroSerde")
+    assert(c.metricsReporters === Seq("graft.metrics.StdoutReporter"))
+    // Runtime-behavior booleans default off, like the reference.
+    assert(!c.terminateOnCaptureInstanceChange && !c.runValidations
+      && !c.reportProgressOnly)
+    // Identity/connection options are optional for batch-only usage.
+    assert(c.dbConnString.isEmpty && c.kafkaBootstrapServers.isEmpty
+      && c.kafkaTransactionalId.isEmpty && c.processHostname.isEmpty)
+  }
 }

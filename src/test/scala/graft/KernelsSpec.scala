@@ -109,4 +109,46 @@ class KernelsSpec extends AnyFunSuite {
       assert("89ab".contains(out.charAt(19)))
     }
   }
+
+  test("substringAnchors: matches the literal every-offset SQL model, position-independent") {
+    def model(text: String, width: Int, m: Int): Set[Long] = {
+      val n = text.codePointCount(0, text.length)
+      def cpSubstr(i: Int, len: Int): String = {
+        // 1-based code-point substring, like substr(text, i, len)
+        val start = text.offsetByCodePoints(0, i - 1)
+        val end = try text.offsetByCodePoints(start, len) catch {
+          case _: IndexOutOfBoundsException => text.length
+        }
+        text.substring(start, end)
+      }
+      (1 to math.max(n - width + 1, 0)).iterator
+        .map(i => cpSubstr(i, width))
+        .filter(w => w.codePointCount(0, w.length) == width)
+        .map(w => Kernels.md5Top60(w.getBytes("UTF-8")))
+        .filter(_ % m == 0)
+        .toSet
+    }
+    for (trial <- 1 to 60) {
+      val s = randomStr(200)
+      val got = Kernels.substringAnchors(UTF8String.fromString(s), 8, 4)
+        .toLongArray().toSet
+      assert(got === model(s, 8, 4), s"trial $trial on '$s'")
+    }
+    // Position independence: a shared passage selects the same anchors
+    // regardless of its offset in the document.
+    val passage = randomStr(120)
+    val a = Kernels.substringAnchors(
+      UTF8String.fromString("PREFIX-ONE " + passage), 8, 4).toLongArray().toSet
+    val b = Kernels.substringAnchors(
+      UTF8String.fromString("a totally different and longer prefix " + passage),
+      8, 4).toLongArray().toSet
+    val pOnly = Kernels.substringAnchors(
+      UTF8String.fromString(passage), 8, 4).toLongArray().toSet
+    assert(pOnly.subsetOf(a) && pOnly.subsetOf(b))
+    // Empty/short inputs yield no anchors.
+    assert(Kernels.substringAnchors(UTF8String.fromString(""), 8, 4)
+      .numElements() === 0)
+    assert(Kernels.substringAnchors(UTF8String.fromString("short"), 8, 4)
+      .numElements() === 0)
+  }
 }
