@@ -69,6 +69,30 @@ trait MetricsReporter {
   def emit(m: IntervalMetrics): Unit
 }
 
+/** `--metrics-reporters` resolution (`options.py:223-228` +
+  * `main.py:55-58`): the reference instantiates each comma-separated
+  * `<module>.<class>` via importlib; here the class-name list from
+  * [[graft.model.GraftConfig.metricsReporters]] resolves through
+  * `Class.forName`. Only no-arg reporters resolve by name (stdout,
+  * collecting); parameterized ones (file path, HTTP url, Kafka producer)
+  * are constructed programmatically and appended — the reference's
+  * reporters read their own options the same way theirs do. Unknown
+  * class names fail loudly at startup, not at first emit. */
+object MetricsReporters {
+  def resolve(classNames: Seq[String]): Seq[MetricsReporter] =
+    classNames.map { name =>
+      val cls =
+        try Class.forName(name)
+        catch {
+          case e: ClassNotFoundException => throw new IllegalArgumentException(
+            s"metrics reporter class not found: $name", e)
+        }
+      require(classOf[MetricsReporter].isAssignableFrom(cls),
+        s"$name does not implement graft.metrics.MetricsReporter")
+      cls.getDeclaredConstructor().newInstance().asInstanceOf[MetricsReporter]
+    }
+}
+
 final class StdoutReporter extends MetricsReporter {
   override def emit(m: IntervalMetrics): Unit = println(m.toJson)
 }

@@ -17,7 +17,6 @@ final case class GraftConfig(
     minPollIntervalSeconds: Int = Policies.MinPollIntervalSeconds,
     maxPollIntervalSeconds: Int = Policies.MaxPollIntervalSeconds,
     // behavior toggles
-    publishDuplicateChangesFromMultipleInstances: Boolean = false,
     emitDeletionTombstones: Boolean = true,           // G4
     lsnGapHandling: Policies.LsnGapAction = Policies.FailOnGap, // G5
     resnapshotForColumnDrops: Boolean = true,         // G6

@@ -120,4 +120,24 @@ class MetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sent.forall(_._2 == "graft-test"))
     assert(sent.map(_._3).exists(_.contains("\"batch_id\": 2")))
   }
+
+  test("reporters resolve by class name (the --metrics-reporters surface); bad names fail at startup") {
+    val rs = graft.metrics.MetricsReporters.resolve(Seq(
+      "graft.metrics.StdoutReporter", "graft.metrics.CollectingReporter"))
+    assert(rs.size === 2)
+    assert(rs.head.isInstanceOf[graft.metrics.StdoutReporter])
+    assert(rs(1).isInstanceOf[graft.metrics.CollectingReporter])
+    // The default config's reporter list resolves.
+    assert(graft.metrics.MetricsReporters
+      .resolve(graft.model.GraftConfig.default.metricsReporters).size === 1)
+    val missing = intercept[IllegalArgumentException] {
+      graft.metrics.MetricsReporters.resolve(Seq("graft.metrics.NoSuchReporter"))
+    }
+    assert(missing.getMessage.contains("not found"))
+    // A resolvable class that is not a reporter is refused, not cast.
+    val wrong = intercept[IllegalArgumentException] {
+      graft.metrics.MetricsReporters.resolve(Seq("graft.model.GraftConfig"))
+    }
+    assert(wrong.getMessage.contains("does not implement"))
+  }
 }
