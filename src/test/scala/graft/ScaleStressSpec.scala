@@ -107,6 +107,24 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(notMember === 0, "cluster_id must be the component's min doc_id")
   }
 
+  test("dd_substring pairs every copy-set at sf≈1; the boilerplate cap absorbs shared-anchor blowup") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    var df: org.apache.spark.sql.DataFrame = null
+    val n = timed("dd_substring @ sf~1") {
+      df = SparkEntry.queries("dd_substring")(spark, dir)
+      df.count()
+    }
+    // The 10 identical copies of any document share ALL its anchors, so
+    // each base doc with ≥2 surviving anchors contributes C(10,2)=45
+    // pairs; within-copy-set anchor groups (10-12 docs) sit far below
+    // the 64-doc boilerplate cap, while anchors ORGANICALLY shared
+    // across many base docs blow past it at 10× and are excluded —
+    // exactly the cap's job. Generous floor for short/anchor-poor docs.
+    assert(n >= 45L * 1000, s"expected ≥ ${45L * 1000} cross-copy pairs, got $n")
+    assert(df.filter(col("doc_a") >= col("doc_b")).limit(1).count() === 0)
+    assert(df.filter(col("shared_anchors") < 2).limit(1).count() === 0)
+  }
+
   test("dd_semantic removes every cross-copy duplicate at sf≈1") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     val nBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").count()
