@@ -473,7 +473,78 @@ object SimilarityQueries {
       |         AS is_outlier
       |FROM scored""".stripMargin
 
+  // ── emb_pq_encode (r7) — PRODUCT QUANTIZATION (Jégou et al. 2011, the
+  // memory-compression backbone of billion-vector ANN: IVF-PQ): the
+  // 64-dim vector splits into 4 subvectors of 16 dims; each subvector is
+  // replaced by the id of its nearest of 16 codebook centroids → the
+  // vector compresses to 4 bytes (+error). Codebooks here are the
+  // deterministic LCG table (the HyperPlanes trick) so the assignment is
+  // a pure function; production swaps in per-subspace k-means codebooks
+  // exactly as AnnIndex swaps KMeansTrainer centroids.
+  //
+  // ENGINE-EXACT BY CONSTRUCTION: components and centroids quantize to
+  // integer micro-units (×1000) first, so every distance is an exact
+  // BIGINT sum of squares — argmin can never flip on a last-ulp float
+  // divergence (the emb_centroid_by_label discipline). Tie-break =
+  // first minimum (array_position / list_position agree).
+  //
+  // Scale shape: a narrow single-pass projection — no join, no shuffle,
+  // no window; 100 TB of vectors PQ-encode embarrassingly parallel.
+  private def pqCentroid(idx: String): String =
+    s"(cast(1103515245 as bigint) * ($idx) + 12345) % 2001 - 1000"
+
+  def embPqEncode(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    val diff = s"element_at(qv, s*16 + d + 1) - (${pqCentroid("s*256 + c*16 + d")})"
+    spark.sql(
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         transform(embedding,
+         |           x -> cast(round(cast(x as double) * 1000.0, 0) as bigint)) AS qv
+         |  FROM embeddings),
+         |dists AS (
+         |  SELECT vec_id,
+         |    transform(sequence(0, 3), s ->
+         |      transform(sequence(0, 15), c ->
+         |        aggregate(sequence(0, 15), cast(0 as bigint),
+         |          (acc, d) -> acc + ($diff) * ($diff)))) AS dt
+         |  FROM q)
+         |SELECT vec_id,
+         |  cast(array_position(element_at(dt, 1), array_min(element_at(dt, 1))) - 1 AS INT) AS code0,
+         |  cast(array_position(element_at(dt, 2), array_min(element_at(dt, 2))) - 1 AS INT) AS code1,
+         |  cast(array_position(element_at(dt, 3), array_min(element_at(dt, 3))) - 1 AS INT) AS code2,
+         |  cast(array_position(element_at(dt, 4), array_min(element_at(dt, 4))) - 1 AS INT) AS code3,
+         |  cast(array_min(element_at(dt, 1)) + array_min(element_at(dt, 2))
+         |     + array_min(element_at(dt, 3)) + array_min(element_at(dt, 4)) AS BIGINT) AS qerr
+         |FROM dists""".stripMargin)
+  }
+
+  val embPqEncodeSql: String = {
+    val diff = s"qv[s*16 + d + 1] - ((1103515245::BIGINT * (s*256 + c*16 + d) + 12345) % 2001 - 1000)"
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(x::DOUBLE * 1000.0, 0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |dists AS (
+       |  SELECT vec_id,
+       |    list_transform(range(0, 4), s ->
+       |      list_transform(range(0, 16), c ->
+       |        list_sum(list_transform(range(0, 16), d ->
+       |          ($diff) * ($diff))))) AS dt
+       |  FROM q)
+       |SELECT vec_id,
+       |  CAST(list_position(dt[1], list_min(dt[1])) - 1 AS INT) AS code0,
+       |  CAST(list_position(dt[2], list_min(dt[2])) - 1 AS INT) AS code1,
+       |  CAST(list_position(dt[3], list_min(dt[3])) - 1 AS INT) AS code2,
+       |  CAST(list_position(dt[4], list_min(dt[4])) - 1 AS INT) AS code3,
+       |  CAST(list_min(dt[1]) + list_min(dt[2])
+       |     + list_min(dt[3]) + list_min(dt[4]) AS BIGINT) AS qerr
+       |FROM dists""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pq_encode" -> (embPqEncode _),
     "emb_outlier" -> (embOutlier _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLshTopk _),
@@ -484,6 +555,7 @@ object SimilarityQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracle: Map[String, String] = Map(
+    "emb_pq_encode" -> embPqEncodeSql,
     "emb_outlier" -> embOutlierSql,
     "ann_bruteforce_topk" -> annBruteforceSql,
     "ann_lsh_topk" -> annLshTopkSql,
