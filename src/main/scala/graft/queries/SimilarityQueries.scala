@@ -543,8 +543,99 @@ object SimilarityQueries {
        |FROM dists""".stripMargin
   }
 
+  // ── ann_pq_adc_topk (r7) — ASYMMETRIC DISTANCE COMPUTATION search over
+  // the PQ codes: each query precomputes its 4×16 distance table to the
+  // codebook (the ADC lookup table), and a candidate's distance is the
+  // sum of 4 TABLE LOOKUPS by its codes — the vectors themselves are
+  // never touched at scoring time. This is how IVF-PQ scores a
+  // billion-vector posting list from RAM-resident 4-byte codes (Jégou et
+  // al. 2011 §III-B). Same integer micro-unit discipline as
+  // [[embPqEncode]], so distances and the ranking are engine-exact.
+  //
+  // Scale shape: the 3-query ADC table broadcasts (a few hundred longs);
+  // the candidate side streams its codes map-side — the same
+  // broadcast-the-probes shape as ann_bruteforce, but each comparison is
+  // 4 integer adds instead of a 64-dim float dot.
+  def annPqAdcTopk(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    val diff = s"element_at(qv, s*16 + d + 1) - (${pqCentroid("s*256 + c*16 + d")})"
+    spark.sql(
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         transform(embedding,
+         |           x -> cast(round(cast(x as double) * 1000.0, 0) as bigint)) AS qv
+         |  FROM embeddings),
+         |dists AS (
+         |  SELECT vec_id,
+         |    transform(sequence(0, 3), s ->
+         |      transform(sequence(0, 15), c ->
+         |        aggregate(sequence(0, 15), cast(0 as bigint),
+         |          (acc, d) -> acc + ($diff) * ($diff)))) AS dt
+         |  FROM q),
+         |enc AS (
+         |  SELECT vec_id,
+         |    cast(array_position(element_at(dt, 1), array_min(element_at(dt, 1))) AS INT) AS p0,
+         |    cast(array_position(element_at(dt, 2), array_min(element_at(dt, 2))) AS INT) AS p1,
+         |    cast(array_position(element_at(dt, 3), array_min(element_at(dt, 3))) AS INT) AS p2,
+         |    cast(array_position(element_at(dt, 4), array_min(element_at(dt, 4))) AS INT) AS p3
+         |  FROM dists),
+         |probes AS (SELECT vec_id AS q_id, dt FROM dists WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT /*+ BROADCAST(p) */ p.q_id, c.vec_id,
+         |         element_at(element_at(p.dt, 1), c.p0)
+         |       + element_at(element_at(p.dt, 2), c.p1)
+         |       + element_at(element_at(p.dt, 3), c.p2)
+         |       + element_at(element_at(p.dt, 4), c.p3) AS adc_dist
+         |  FROM probes p JOIN enc c ON p.q_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, adc_dist,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY adc_dist, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, cast(adc_dist AS BIGINT) AS adc_dist,
+         |       cast(rnk AS INT) AS rnk
+         |FROM ranked WHERE rnk <= 5""".stripMargin)
+  }
+
+  val annPqAdcTopkSql: String = {
+    val diff = s"qv[s*16 + d + 1] - ((1103515245::BIGINT * (s*256 + c*16 + d) + 12345) % 2001 - 1000)"
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(x::DOUBLE * 1000.0, 0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |dists AS (
+       |  SELECT vec_id,
+       |    list_transform(range(0, 4), s ->
+       |      list_transform(range(0, 16), c ->
+       |        CAST(list_sum(list_transform(range(0, 16), d ->
+       |          ($diff) * ($diff))) AS BIGINT))) AS dt
+       |  FROM q),
+       |enc AS (
+       |  SELECT vec_id,
+       |    CAST(list_position(dt[1], list_min(dt[1])) AS INT) AS p0,
+       |    CAST(list_position(dt[2], list_min(dt[2])) AS INT) AS p1,
+       |    CAST(list_position(dt[3], list_min(dt[3])) AS INT) AS p2,
+       |    CAST(list_position(dt[4], list_min(dt[4])) AS INT) AS p3
+       |  FROM dists),
+       |probes AS (SELECT vec_id AS q_id, dt FROM dists WHERE vec_id < 3),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id,
+       |         dt[1][c.p0] + dt[2][c.p1] + dt[3][c.p2] + dt[4][c.p3] AS adc_dist
+       |  FROM probes p JOIN enc c ON p.q_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc_dist,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY adc_dist, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       |       CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= 5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pq_encode" -> (embPqEncode _),
+    "ann_pq_adc_topk" -> (annPqAdcTopk _),
     "emb_outlier" -> (embOutlier _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLshTopk _),
@@ -556,6 +647,7 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "emb_pq_encode" -> embPqEncodeSql,
+    "ann_pq_adc_topk" -> annPqAdcTopkSql,
     "emb_outlier" -> embOutlierSql,
     "ann_bruteforce_topk" -> annBruteforceSql,
     "ann_lsh_topk" -> annLshTopkSql,

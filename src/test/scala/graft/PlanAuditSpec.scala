@@ -54,6 +54,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * not a function of the data. */
   private val nestedLoopAllowed: Map[String, String] = Map(
     "ann_bruteforce_topk" -> "query side is the fixed probe set (vec_id < 3), broadcast",
+    "ann_pq_adc_topk" -> "ADC table side is the fixed probe set (vec_id < 3), broadcast; candidates stream their 4-byte codes map-side",
     "ann_ivf_topk" -> "centroid table is 16 rows by construction, broadcast",
     "dd_semantic" -> "centroid assignment cross join: 16 rows by construction, broadcast (the SemDeDup coarse-cluster step)",
     "pipe_upsample" -> "per-source rate table (#sources rows) against the single-row corpus-total aggregate",
