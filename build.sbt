@@ -2,6 +2,19 @@ ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "sqlservercdctokafkaspark"
 
+// Spark 4.x on JDK 17 needs these when SparkSession is created outside
+// spark-submit (which normally injects them). Matches
+// org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
+val jdk17AddOpens = Seq(
+  "java.base/java.lang", "java.base/java.lang.invoke",
+  "java.base/java.lang.reflect", "java.base/java.io",
+  "java.base/java.net", "java.base/java.nio",
+  "java.base/java.util", "java.base/java.util.concurrent",
+  "java.base/java.util.concurrent.atomic",
+  "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+  "java.base/sun.security.action", "java.base/sun.util.calendar",
+).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
 // ---- contrib: the real-Kafka producer adapter --------------------------
 // No kafka-clients jar exists in this zero-egress environment, so the
 // adapter compiles against `kafka-shim`: a clean-room, compile-only
@@ -22,6 +35,16 @@ lazy val kafkaProducer = (project in file("contrib/kafka-producer"))
     unmanagedBase := file("/opt/spark/jars"),
     libraryDependencies +=
       "org.scalatest" %% "scalatest" % "3.2.19" % Test,
+    // The integration spec drives the adapter through a full Spark
+    // pipeline against the in-JVM broker model, so tests fork with the
+    // same JDK-17 module opens as the root project.
+    Test / fork := true,
+    Test / javaOptions ++= jdk17AddOpens ++ Seq(
+      "-Dfile.encoding=UTF-8",
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-Xmx4g",
+    ),
   )
 
 lazy val root = (project in file("."))
@@ -41,18 +64,6 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// Spark 4.x on JDK 17 needs these when SparkSession is created outside
-// spark-submit (which normally injects them). Matches
-// org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
-val jdk17AddOpens = Seq(
-  "java.base/java.lang", "java.base/java.lang.invoke",
-  "java.base/java.lang.reflect", "java.base/java.io",
-  "java.base/java.net", "java.base/java.nio",
-  "java.base/java.util", "java.base/java.util.concurrent",
-  "java.base/java.util.concurrent.atomic",
-  "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-  "java.base/sun.security.action", "java.base/sun.util.calendar",
-).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
