@@ -109,6 +109,114 @@ object AnnIndex {
         col("rnk").cast("int").as("rnk"), col("cs").as("cos_sim"))
   }
 
+  /** IVF-PQ build (r7): posting lists carry 4-byte PQ CODES instead of
+    * raw vectors — the layout a billion-vector deployment keeps
+    * RAM-resident (Jégou et al. 2011; the `emb_pq_encode` /
+    * `ann_pq_adc_topk` query pair, persisted). Codes use the same
+    * integer micro-unit LCG codebook as the queries, so the stored
+    * assignment is a pure function of the vector; the coarse IVF routing
+    * reuses [[build]]'s deterministic centroids, which are ALSO
+    * persisted (`indexDir/centroids`) so serving needs no corpus access.
+    * A 64-dim float vector (256 B) compresses to 4 codes + its list id. */
+  def buildPq(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
+    graft.expr.GraftFunctions.register(spark)
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .createOrReplaceTempView("ann_pq_emb")
+    spark.sql(
+      """SELECT vec_id, embedding,
+        |       sqrt(float_dot(embedding, embedding)) AS nrm
+        |FROM ann_pq_emb""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("ann_pq_normed")
+    spark.sql(
+      """SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+        |FROM ann_pq_normed WHERE vec_id BETWEEN 100 AND 115""".stripMargin)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val diff = "element_at(qv, s*16 + d + 1) - " +
+      "((cast(1103515245 as bigint) * (s*256 + c*16 + d) + 12345) % 2001 - 1000)"
+    spark.sql(
+      s"""WITH cents AS (
+         |  SELECT c_id, c_emb, c_nrm FROM parquet.`$indexDir/centroids`),
+         |assign AS (
+         |  SELECT n.vec_id, c.c_id, n.embedding,
+         |         row_number() OVER (PARTITION BY n.vec_id
+         |           ORDER BY float_dot(n.embedding, c.c_emb) / (n.nrm * c.c_nrm) DESC,
+         |                    c.c_id) AS crnk
+         |  FROM ann_pq_normed n CROSS JOIN cents c),
+         |lists AS (
+         |  SELECT vec_id, c_id,
+         |         transform(embedding,
+         |           x -> cast(round(cast(x as double) * 1000.0, 0) as bigint)) AS qv
+         |  FROM assign WHERE crnk = 1),
+         |dists AS (
+         |  SELECT vec_id, c_id,
+         |    transform(sequence(0, 3), s ->
+         |      transform(sequence(0, 15), c ->
+         |        aggregate(sequence(0, 15), cast(0 as bigint),
+         |          (acc, d) -> acc + ($diff) * ($diff)))) AS dt
+         |  FROM lists)
+         |SELECT vec_id, c_id,
+         |  cast(array_position(element_at(dt, 1), array_min(element_at(dt, 1))) AS INT) AS p0,
+         |  cast(array_position(element_at(dt, 2), array_min(element_at(dt, 2))) AS INT) AS p1,
+         |  cast(array_position(element_at(dt, 3), array_min(element_at(dt, 3))) AS INT) AS p2,
+         |  cast(array_position(element_at(dt, 4), array_min(element_at(dt, 4))) AS INT) AS p3
+         |FROM dists""".stripMargin)
+      .write.mode("overwrite")
+      .partitionBy("c_id")
+      .parquet(s"$indexDir/pq_postings")
+  }
+
+  /** Serve top-k from the PQ index for caller-supplied query vectors
+    * (`queries`: q_id BIGINT, embedding ARRAY<FLOAT>): route each query
+    * to its `nprobe` nearest stored centroids, build its 4×16 ADC table,
+    * and score only the probed posting-list PARTITIONS by 4 integer
+    * lookups per candidate — vectors never load at serve time. */
+  def topkPq(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    graft.expr.GraftFunctions.register(spark)
+    queries.createOrReplaceTempView("pq_queries")
+    spark.read.parquet(s"$indexDir/centroids")
+      .createOrReplaceTempView("pq_cents")
+    val diff = "element_at(qv, s*16 + d + 1) - " +
+      "((cast(1103515245 as bigint) * (s*256 + c*16 + d) + 12345) % 2001 - 1000)"
+    // Probe routing + per-query ADC tables: |queries| × nprobe rows.
+    val probes = spark.sql(
+      s"""WITH qn AS (
+         |  SELECT q_id, embedding,
+         |         sqrt(float_dot(embedding, embedding)) AS nrm,
+         |         transform(embedding,
+         |           x -> cast(round(cast(x as double) * 1000.0, 0) as bigint)) AS qv
+         |  FROM pq_queries),
+         |routed AS (
+         |  SELECT q.q_id, c.c_id, q.qv,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY float_dot(q.embedding, c.c_emb) / (q.nrm * c.c_nrm) DESC,
+         |                    c.c_id) AS crnk
+         |  FROM qn q CROSS JOIN pq_cents c)
+         |SELECT q_id, cast(c_id AS INT) AS c_id,
+         |  transform(sequence(0, 3), s ->
+         |    transform(sequence(0, 15), c ->
+         |      aggregate(sequence(0, 15), cast(0 as bigint),
+         |        (acc, d) -> acc + ($diff) * ($diff)))) AS dt
+         |FROM routed WHERE crnk <= $nprobe""".stripMargin)
+      .localCheckpoint()
+    val probedCids = probes.select("c_id").distinct()
+      .collect().map(_.getAs[Number](0).intValue).toSeq
+    val lists = spark.read.parquet(s"$indexDir/pq_postings")
+      .filter(col("c_id").isin(probedCids: _*))
+    lists.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist",
+        expr("element_at(element_at(dt, 1), p0) + element_at(element_at(dt, 2), p1)" +
+          " + element_at(element_at(dt, 3), p2) + element_at(element_at(dt, 4), p3)"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("c_id").cast("int").as("centroid_id"),
+        col("rnk").cast("int").as("rnk"), col("adc_dist").cast("long").as("adc_dist"))
+  }
+
   /** CLI: `AnnIndex <sfDir> <indexDir>` — build, then serve a demo probe. */
   def main(args: Array[String]): Unit = {
     val Array(sfDir, indexDir) = args.take(2)

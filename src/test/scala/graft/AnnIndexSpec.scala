@@ -98,4 +98,39 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("PartitionFilters: []"),
       "posting-list scan is unpruned")
   }
+
+  test("IVF-PQ index: codes-only postings serve top-k in the near tail of TRUE L2") {
+    import org.apache.spark.sql.functions._
+    AnnIndex.buildPq(spark, sfDir, s"$work/pqidx")
+    // The posting lists must hold CODES, never vectors.
+    val postingCols = spark.read.parquet(s"$work/pqidx/pq_postings").columns.toSet
+    assert(postingCols === Set("vec_id", "c_id", "p0", "p1", "p2", "p3"))
+    // Serve caller-supplied query vectors (ids 0-2, but as vectors — the
+    // serving path must not need the corpus).
+    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val served = AnnIndex.topkPq(spark, s"$work/pqidx", queries, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.length === 15)
+    // Quality: served candidates sit in the near tail of each query's
+    // TRUE L2 distribution over the whole corpus (random would center
+    // on 0.5; nprobe=4/16 routing + 4x16 codebook is coarse, so the
+    // bound is generous but far from random).
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val percentiles = served.map { case (q, c) =>
+      val dists = vecs.collect { case (id, v) if id != q => l2(vecs(q), v) }.toArray.sorted
+      dists.count(_ < l2(vecs(q), vecs(c))).toDouble / dists.length
+    }
+    val mean = percentiles.sum / percentiles.length
+    info(f"IVF-PQ served mean true-L2 percentile: $mean%.3f")
+    assert(mean <= 0.35, f"PQ-served candidates not near in true L2: $mean%.3f")
+  }
 }
