@@ -298,6 +298,43 @@ object CdcQueries {
        |       seqval_num AS as_of_seqval
        |FROM ranked WHERE rn = 1 AND operation <> 1""".stripMargin
 
+  // C11 (r7) — checkpoint-DELTA audit: per-key change summary between
+  // two LSN bounds ("what happened between these two progress
+  // positions") — counts by operation plus the first/last change of the
+  // window per key. The question every incident review of a CDC
+  // pipeline asks, and the per-key form of the reference's count
+  // validation (`validation.py` count reconciliation, bounded).
+  //
+  // Scale shape: both bounds are scan predicates (file/row-group
+  // pruning on an LSN-partitioned log) feeding ONE map-side-combined
+  // aggregate — no window, no join.
+  private val deltaLoLsn = 30L
+  private val deltaHiLsn = 60L
+
+  def c11ChangesBetween(spark: SparkSession, dir: String): DataFrame =
+    SyntheticCdc.changeRows(spark, dir)
+      .filter(col("lsn_num") > deltaLoLsn && col("lsn_num") <= deltaHiLsn &&
+        col("operation") =!= 3)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_changes"),
+        sum(when(col("operation") === 1, 1L).otherwise(0L)).as("n_deletes"),
+        sum(when(col("operation") === 2, 1L).otherwise(0L)).as("n_inserts"),
+        sum(when(col("operation") === 4, 1L).otherwise(0L)).as("n_updates"),
+        min(col("seqval_num")).as("first_seqval"),
+        max(col("seqval_num")).as("last_seqval"))
+
+  val c11Sql: String =
+    s"""WITH change_rows AS ($cr)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes,
+       |       CAST(sum(CASE WHEN operation = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       |       CAST(sum(CASE WHEN operation = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       |       CAST(sum(CASE WHEN operation = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       |       min(seqval_num) AS first_seqval,
+       |       max(seqval_num) AS last_seqval
+       |FROM change_rows
+       |WHERE lsn_num > $deltaLoLsn AND lsn_num <= $deltaHiLsn AND operation <> 3
+       |GROUP BY user_id""".stripMargin
+
   // E4 ★ ordering-regression detection via lag window
   // (`validation.py:148-160`): a deterministically permuted read order
   // stands in for Kafka partition offsets.
@@ -534,6 +571,7 @@ object CdcQueries {
     "e2_topk" -> (e2TopK _),
     "e3_last_wins_dedup" -> (e3LastWinsDedup _),
     "c10_time_travel" -> (c10TimeTravel _),
+    "c11_changes_between" -> (c11ChangesBetween _),
     "e4_ordering_regressions" -> (e4OrderingRegressions _),
     "e5_offset_gaps" -> (e5OffsetGaps _))
 
@@ -556,6 +594,7 @@ object CdcQueries {
     "e2_topk" -> e2Sql,
     "e3_last_wins_dedup" -> e3Sql,
     "c10_time_travel" -> c10Sql,
+    "c11_changes_between" -> c11Sql,
     "e4_ordering_regressions" -> e4Sql,
     "e5_offset_gaps" -> e5Sql)
 }

@@ -318,6 +318,27 @@ object DedupQueries {
        |  FROM corpus),
        |${ddSubstringSqlFor(hDuck, "substr(text, i, 64)")}""".stripMargin
 
+  // ── dd_cluster_sizes (r7) — duplicate-cluster SIZE HISTOGRAM: how
+  // many near-dup families of each size the corpus carries — the
+  // data-card number that turns "we found 252 clusters" into "mostly
+  // pairs, three 40-copy boilerplate families" and decides whether
+  // canonicalize-keep-one suffices or a source needs upstream fixing.
+  // Consumes the memoized cluster assignment (zero marginal propagation
+  // cost); two tiny hash aggregates on top.
+  def ddClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ddCluster(spark, dir)
+      .select(col("cluster_id"), col("cluster_size")).distinct()
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+  }
+
+  lazy val ddClusterSizesSql: String =
+    s"""WITH asg AS (SELECT * FROM ($ddClusterSql)),
+       |sizes AS (SELECT DISTINCT cluster_id, cluster_size FROM asg)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM sizes GROUP BY cluster_size""".stripMargin
+
   // ── dd_simhash ★ — 16-bit SimHash over word hashes; bit i is set when
   // more than half the words have bit i set in H(word). Groups with >1
   // member are dup clusters (exact copies collapse; near-dups may).
@@ -803,6 +824,7 @@ object DedupQueries {
     "dd_minhash_lsh_salted" -> (ddMinhashLshSalted _),
     "dd_simhash" -> (ddSimhash _),
     "dd_substring" -> (ddSubstring _),
+    "dd_cluster_sizes" -> (ddClusterSizes _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embedding_cosine" -> (ddEmbeddingCosine _),
     "dd_semantic" -> (ddSemantic _),
@@ -818,6 +840,7 @@ object DedupQueries {
     "dd_minhash_lsh_salted" -> ddMinhashLshSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_substring" -> ddSubstringSql,
+    "dd_cluster_sizes" -> ddClusterSizesSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embedding_cosine" -> ddEmbeddingCosineSql,
     "dd_semantic" -> ddSemanticSql,
