@@ -128,6 +128,88 @@ object Kernels {
     new GenericArrayData(arr)
   }
 
+  /** Fused product-quantization encode (r7): [code0..code3, qerr] for a
+    * 64-dim float vector against the deterministic LCG codebook —
+    * semantics identical to the SQL formulation the DuckDB oracle runs
+    * (micro-unit quantize via Spark's ROUND_HALF_UP double rounding,
+    * exact BIGINT squared distances, first-minimum tie-break) but one
+    * tight integer loop instead of an interpreted 4×16×16 HOF fold per
+    * row (the `emb_pq_encode`/`ann_pq_adc_topk` hot stage). */
+  def pqEncode(v: ArrayData, subspaces: Int, cents: Int, subDim: Int): ArrayData = {
+    val dims = subspaces * subDim
+    val n = math.min(v.numElements(), dims)
+    val qv = new Array[Long](dims)
+    var i = 0
+    while (i < n) {
+      // Exactly Spark's round(double, 0): BigDecimal.valueOf + HALF_UP.
+      qv(i) = java.math.BigDecimal.valueOf(v.getFloat(i).toDouble * 1000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      i += 1
+    }
+    val out = new Array[Long](subspaces + 1)
+    var qerr = 0L
+    var s = 0
+    while (s < subspaces) {
+      var best = Long.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < cents) {
+        var acc = 0L
+        var d = 0
+        while (d < subDim) {
+          val cent = (1103515245L * (s * cents * subDim + c * subDim + d) + 12345L) % 2001L - 1000L
+          val df = qv(s * subDim + d) - cent
+          acc += df * df
+          d += 1
+        }
+        if (acc < best) { best = acc; bestC = c } // strict <: first minimum
+        c += 1
+      }
+      out(s) = bestC.toLong
+      qerr += best
+      s += 1
+    }
+    out(subspaces) = qerr
+    new GenericArrayData(out)
+  }
+
+  /** Fused ADC-table build (r7): the query side of [[pqEncode]] — the
+    * flattened `subspaces × cents` table of exact BIGINT squared
+    * distances from the vector's micro-unit form to every codebook
+    * centroid. Entry (s, c) sits at index s*cents + c (0-based);
+    * `element_at(adc, s*cents + p)` with a 1-based in-subspace position
+    * p is the candidate-score lookup. */
+  def pqAdcTable(v: ArrayData, subspaces: Int, cents: Int, subDim: Int): ArrayData = {
+    val dims = subspaces * subDim
+    val n = math.min(v.numElements(), dims)
+    val qv = new Array[Long](dims)
+    var i = 0
+    while (i < n) {
+      qv(i) = java.math.BigDecimal.valueOf(v.getFloat(i).toDouble * 1000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      i += 1
+    }
+    val out = new Array[Long](subspaces * cents)
+    var s = 0
+    while (s < subspaces) {
+      var c = 0
+      while (c < cents) {
+        var acc = 0L
+        var d = 0
+        while (d < subDim) {
+          val cent = (1103515245L * (s * cents * subDim + c * subDim + d) + 12345L) % 2001L - 1000L
+          val df = qv(s * subDim + d) - cent
+          acc += df * df
+          d += 1
+        }
+        out(s * cents + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Single-pass MinHash signature over char shingles.
     *
     * Semantics identical to the SQL formulation the DuckDB oracle runs
@@ -443,6 +525,40 @@ case class MinhashSignature(child: Expression, k: Int, shingleLen: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `pq_encode(vec)` — fused PQ codes + quantization error (see
+  * [[Kernels.pqEncode]]). */
+case class PqEncode(child: Expression, subspaces: Int, cents: Int, subDim: Int)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.pqEncode(v.asInstanceOf[ArrayData], subspaces, cents, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.expr.Kernels.pqEncode($s, $subspaces, $cents, $subDim)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `pq_adc_table(vec)` — fused flattened ADC distance table (see
+  * [[Kernels.pqAdcTable]]). */
+case class PqAdcTable(child: Expression, subspaces: Int, cents: Int, subDim: Int)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.pqAdcTable(v.asInstanceOf[ArrayData], subspaces, cents, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.expr.Kernels.pqAdcTable($s, $subspaces, $cents, $subDim)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `substring_anchors(text)` — fused content-defined anchor-window
   * hashes (see [[Kernels.substringAnchors]]). */
 case class SubstringAnchors(child: Expression, width: Int, m: Int)
@@ -539,11 +655,18 @@ object GraftFunctions {
   val MinhashP = 2147483647L
   val AnchorWidth = 64
   val AnchorModulus = 16
+  val PqSubspaces = 4
+  val PqCentroids = 16
+  val PqSubDim = 16
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "minhash_signature",
       args => MinhashSignature(args(0), MinhashK, ShingleLen, ShingleStride, MinhashP))
     Bridge.registerFunction(spark, "substring_anchors",
       args => SubstringAnchors(args(0), AnchorWidth, AnchorModulus))
+    Bridge.registerFunction(spark, "pq_encode",
+      args => PqEncode(args(0), PqSubspaces, PqCentroids, PqSubDim))
+    Bridge.registerFunction(spark, "pq_adc_table",
+      args => PqAdcTable(args(0), PqSubspaces, PqCentroids, PqSubDim))
     Bridge.registerFunction(spark, "float_dot",
       args => FloatDotProduct(args(0), args(1)))
     Bridge.registerFunction(spark, "truncate_utf8",

@@ -493,30 +493,21 @@ object SimilarityQueries {
   private def pqCentroid(idx: String): String =
     s"(cast(1103515245 as bigint) * ($idx) + 12345) % 2001 - 1000"
 
+  // Spark side runs the FUSED pq_encode kernel (one tight integer loop
+  // per row, codegen'd); the DuckDB oracle runs the literal nested-HOF
+  // formulation — equality under the binary gate proves the kernel.
   def embPqEncode(spark: SparkSession, dir: String): DataFrame = {
     viewEmb(spark, dir)
-    val diff = s"element_at(qv, s*16 + d + 1) - (${pqCentroid("s*256 + c*16 + d")})"
+    graft.expr.GraftFunctions.register(spark)
     spark.sql(
-      s"""WITH q AS (
-         |  SELECT vec_id,
-         |         transform(embedding,
-         |           x -> cast(round(cast(x as double) * 1000.0, 0) as bigint)) AS qv
-         |  FROM embeddings),
-         |dists AS (
-         |  SELECT vec_id,
-         |    transform(sequence(0, 3), s ->
-         |      transform(sequence(0, 15), c ->
-         |        aggregate(sequence(0, 15), cast(0 as bigint),
-         |          (acc, d) -> acc + ($diff) * ($diff)))) AS dt
-         |  FROM q)
-         |SELECT vec_id,
-         |  cast(array_position(element_at(dt, 1), array_min(element_at(dt, 1))) - 1 AS INT) AS code0,
-         |  cast(array_position(element_at(dt, 2), array_min(element_at(dt, 2))) - 1 AS INT) AS code1,
-         |  cast(array_position(element_at(dt, 3), array_min(element_at(dt, 3))) - 1 AS INT) AS code2,
-         |  cast(array_position(element_at(dt, 4), array_min(element_at(dt, 4))) - 1 AS INT) AS code3,
-         |  cast(array_min(element_at(dt, 1)) + array_min(element_at(dt, 2))
-         |     + array_min(element_at(dt, 3)) + array_min(element_at(dt, 4)) AS BIGINT) AS qerr
-         |FROM dists""".stripMargin)
+      """WITH enc AS (SELECT vec_id, pq_encode(embedding) AS e FROM embeddings)
+        |SELECT vec_id,
+        |  cast(element_at(e, 1) AS INT) AS code0,
+        |  cast(element_at(e, 2) AS INT) AS code1,
+        |  cast(element_at(e, 3) AS INT) AS code2,
+        |  cast(element_at(e, 4) AS INT) AS code3,
+        |  element_at(e, 5) AS qerr
+        |FROM enc""".stripMargin)
   }
 
   val embPqEncodeSql: String = {
@@ -558,35 +549,32 @@ object SimilarityQueries {
   // 4 integer adds instead of a 64-dim float dot.
   def annPqAdcTopk(spark: SparkSession, dir: String): DataFrame = {
     viewEmb(spark, dir)
-    val diff = s"element_at(qv, s*16 + d + 1) - (${pqCentroid("s*256 + c*16 + d")})"
+    graft.expr.GraftFunctions.register(spark)
+    // Both halves run fused codegen kernels: candidates pq_encode to
+    // 1-based positions, probes pq_adc_table to the flattened 4x16
+    // distance table; a candidate's score is 4 array lookups. (The
+    // interpreted nested-HOF formulation — which the oracle still runs —
+    // cost more in Catalyst analysis than in execution.)
     spark.sql(
-      s"""WITH q AS (
+      s"""WITH enc AS (
+         |  SELECT vec_id, pq_encode(embedding) AS e FROM embeddings),
+         |codes AS (
          |  SELECT vec_id,
-         |         transform(embedding,
-         |           x -> cast(round(cast(x as double) * 1000.0, 0) as bigint)) AS qv
-         |  FROM embeddings),
-         |dists AS (
-         |  SELECT vec_id,
-         |    transform(sequence(0, 3), s ->
-         |      transform(sequence(0, 15), c ->
-         |        aggregate(sequence(0, 15), cast(0 as bigint),
-         |          (acc, d) -> acc + ($diff) * ($diff)))) AS dt
-         |  FROM q),
-         |enc AS (
-         |  SELECT vec_id,
-         |    cast(array_position(element_at(dt, 1), array_min(element_at(dt, 1))) AS INT) AS p0,
-         |    cast(array_position(element_at(dt, 2), array_min(element_at(dt, 2))) AS INT) AS p1,
-         |    cast(array_position(element_at(dt, 3), array_min(element_at(dt, 3))) AS INT) AS p2,
-         |    cast(array_position(element_at(dt, 4), array_min(element_at(dt, 4))) AS INT) AS p3
-         |  FROM dists),
-         |probes AS (SELECT vec_id AS q_id, dt FROM dists WHERE vec_id < 3),
+         |    cast(element_at(e, 1) + 1 AS INT) AS p0,
+         |    cast(element_at(e, 2) + 1 AS INT) AS p1,
+         |    cast(element_at(e, 3) + 1 AS INT) AS p2,
+         |    cast(element_at(e, 4) + 1 AS INT) AS p3
+         |  FROM enc),
+         |probes AS (
+         |  SELECT vec_id AS q_id, pq_adc_table(embedding) AS adc
+         |  FROM embeddings WHERE vec_id < 3),
          |scored AS (
          |  SELECT /*+ BROADCAST(p) */ p.q_id, c.vec_id,
-         |         element_at(element_at(p.dt, 1), c.p0)
-         |       + element_at(element_at(p.dt, 2), c.p1)
-         |       + element_at(element_at(p.dt, 3), c.p2)
-         |       + element_at(element_at(p.dt, 4), c.p3) AS adc_dist
-         |  FROM probes p JOIN enc c ON p.q_id <> c.vec_id),
+         |         element_at(p.adc, c.p0)
+         |       + element_at(p.adc, 16 + c.p1)
+         |       + element_at(p.adc, 32 + c.p2)
+         |       + element_at(p.adc, 48 + c.p3) AS adc_dist
+         |  FROM probes p JOIN codes c ON p.q_id <> c.vec_id),
          |ranked AS (
          |  SELECT q_id, vec_id, adc_dist,
          |         row_number() OVER (PARTITION BY q_id

@@ -132,8 +132,6 @@ object AnnIndex {
       """SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
         |FROM ann_pq_normed WHERE vec_id BETWEEN 100 AND 115""".stripMargin)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val diff = "element_at(qv, s*16 + d + 1) - " +
-      "((cast(1103515245 as bigint) * (s*256 + c*16 + d) + 12345) % 2001 - 1000)"
     spark.sql(
       s"""WITH cents AS (
          |  SELECT c_id, c_emb, c_nrm FROM parquet.`$indexDir/centroids`),
@@ -143,24 +141,15 @@ object AnnIndex {
          |           ORDER BY float_dot(n.embedding, c.c_emb) / (n.nrm * c.c_nrm) DESC,
          |                    c.c_id) AS crnk
          |  FROM ann_pq_normed n CROSS JOIN cents c),
-         |lists AS (
-         |  SELECT vec_id, c_id,
-         |         transform(embedding,
-         |           x -> cast(round(cast(x as double) * 1000.0, 0) as bigint)) AS qv
-         |  FROM assign WHERE crnk = 1),
-         |dists AS (
-         |  SELECT vec_id, c_id,
-         |    transform(sequence(0, 3), s ->
-         |      transform(sequence(0, 15), c ->
-         |        aggregate(sequence(0, 15), cast(0 as bigint),
-         |          (acc, d) -> acc + ($diff) * ($diff)))) AS dt
-         |  FROM lists)
+         |enc AS (
+         |  SELECT vec_id, c_id, pq_encode(embedding) AS e
+         |  FROM assign WHERE crnk = 1)
          |SELECT vec_id, c_id,
-         |  cast(array_position(element_at(dt, 1), array_min(element_at(dt, 1))) AS INT) AS p0,
-         |  cast(array_position(element_at(dt, 2), array_min(element_at(dt, 2))) AS INT) AS p1,
-         |  cast(array_position(element_at(dt, 3), array_min(element_at(dt, 3))) AS INT) AS p2,
-         |  cast(array_position(element_at(dt, 4), array_min(element_at(dt, 4))) AS INT) AS p3
-         |FROM dists""".stripMargin)
+         |  cast(element_at(e, 1) + 1 AS INT) AS p0,
+         |  cast(element_at(e, 2) + 1 AS INT) AS p1,
+         |  cast(element_at(e, 3) + 1 AS INT) AS p2,
+         |  cast(element_at(e, 4) + 1 AS INT) AS p3
+         |FROM enc""".stripMargin)
       .write.mode("overwrite")
       .partitionBy("c_id")
       .parquet(s"$indexDir/pq_postings")
@@ -177,27 +166,20 @@ object AnnIndex {
     queries.createOrReplaceTempView("pq_queries")
     spark.read.parquet(s"$indexDir/centroids")
       .createOrReplaceTempView("pq_cents")
-    val diff = "element_at(qv, s*16 + d + 1) - " +
-      "((cast(1103515245 as bigint) * (s*256 + c*16 + d) + 12345) % 2001 - 1000)"
-    // Probe routing + per-query ADC tables: |queries| × nprobe rows.
+    // Probe routing + per-query ADC tables (fused pq_adc_table kernel):
+    // |queries| × nprobe rows.
     val probes = spark.sql(
       s"""WITH qn AS (
          |  SELECT q_id, embedding,
-         |         sqrt(float_dot(embedding, embedding)) AS nrm,
-         |         transform(embedding,
-         |           x -> cast(round(cast(x as double) * 1000.0, 0) as bigint)) AS qv
+         |         sqrt(float_dot(embedding, embedding)) AS nrm
          |  FROM pq_queries),
          |routed AS (
-         |  SELECT q.q_id, c.c_id, q.qv,
+         |  SELECT q.q_id, c.c_id, q.embedding,
          |         row_number() OVER (PARTITION BY q.q_id
          |           ORDER BY float_dot(q.embedding, c.c_emb) / (q.nrm * c.c_nrm) DESC,
          |                    c.c_id) AS crnk
          |  FROM qn q CROSS JOIN pq_cents c)
-         |SELECT q_id, cast(c_id AS INT) AS c_id,
-         |  transform(sequence(0, 3), s ->
-         |    transform(sequence(0, 15), c ->
-         |      aggregate(sequence(0, 15), cast(0 as bigint),
-         |        (acc, d) -> acc + ($diff) * ($diff)))) AS dt
+         |SELECT q_id, cast(c_id AS INT) AS c_id, pq_adc_table(embedding) AS adc
          |FROM routed WHERE crnk <= $nprobe""".stripMargin)
       .localCheckpoint()
     val probedCids = probes.select("c_id").distinct()
@@ -207,8 +189,8 @@ object AnnIndex {
     lists.join(broadcast(probes), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc_dist",
-        expr("element_at(element_at(dt, 1), p0) + element_at(element_at(dt, 2), p1)" +
-          " + element_at(element_at(dt, 3), p2) + element_at(element_at(dt, 4), p3)"))
+        expr("element_at(adc, p0) + element_at(adc, 16 + p1)" +
+          " + element_at(adc, 32 + p2) + element_at(adc, 48 + p3)"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
           .orderBy(col("adc_dist"), col("vec_id"))))
