@@ -66,6 +66,7 @@ object StreamingVectorIngest {
     val incoming = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dropDir)
+    graft.expr.GraftFunctions.register(spark)
     val assigned = incoming
       .withColumn("v", transform(col("embedding"), x => x.cast("double")))
       .withColumn("scores", scoresExpr(cents, col("v")))
@@ -74,7 +75,18 @@ object StreamingVectorIngest {
       .withColumn("proto_cos", array_max(col("scores")) /
         sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
       .withColumn("is_outlier", (col("proto_cos") < outlierThreshold).cast("int"))
-      .select("vec_id", "c_id", "embedding", "proto_cos", "is_outlier")
+      // r7: each posting also carries its PQ CODES (1-based positions,
+      // the fused pq_encode kernel — one more narrow column, still
+      // stateless), so the streamed rows are directly servable by the
+      // codes-only ADC path (AnnIndex.topkPq's posting schema) without a
+      // re-encode scan.
+      .withColumn("e", expr("pq_encode(embedding)"))
+      .withColumn("p0", expr("cast(element_at(e, 1) + 1 AS INT)"))
+      .withColumn("p1", expr("cast(element_at(e, 2) + 1 AS INT)"))
+      .withColumn("p2", expr("cast(element_at(e, 3) + 1 AS INT)"))
+      .withColumn("p3", expr("cast(element_at(e, 4) + 1 AS INT)"))
+      .select("vec_id", "c_id", "embedding", "proto_cos", "is_outlier",
+        "p0", "p1", "p2", "p3")
     val query = assigned.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

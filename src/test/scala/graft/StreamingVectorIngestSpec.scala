@@ -100,5 +100,24 @@ class StreamingVectorIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scan = probe.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters: [isnotnull(c_id"),
       "list probe must prune partitions at the scan")
+
+    // r7: every streamed posting carries its PQ codes (1-based, in
+    // range), matching the batch pq_encode assignment — the streamed
+    // store is directly servable by the codes-only ADC path.
+    graft.expr.GraftFunctions.register(spark)
+    assert(postings.filter(col("p0") < 1 || col("p0") > 16 ||
+      col("p1") < 1 || col("p1") > 16 || col("p2") < 1 || col("p2") > 16 ||
+      col("p3") < 1 || col("p3") > 16).count() === 0)
+    all.createOrReplaceTempView("svi_all")
+    val batchCodes = spark.sql(
+      """SELECT vec_id, pq_encode(embedding) AS e FROM svi_all""")
+      .selectExpr("vec_id", "cast(element_at(e, 1) + 1 as int) AS b0",
+        "cast(element_at(e, 2) + 1 as int) AS b1",
+        "cast(element_at(e, 3) + 1 as int) AS b2",
+        "cast(element_at(e, 4) + 1 as int) AS b3")
+    val codeDrift = postings.join(batchCodes, "vec_id")
+      .filter(col("p0") =!= col("b0") || col("p1") =!= col("b1") ||
+        col("p2") =!= col("b2") || col("p3") =!= col("b3")).count()
+    assert(codeDrift === 0, "streamed PQ codes diverged from batch pq_encode")
   }
 }
