@@ -490,9 +490,6 @@ object SimilarityQueries {
   //
   // Scale shape: a narrow single-pass projection — no join, no shuffle,
   // no window; 100 TB of vectors PQ-encode embarrassingly parallel.
-  private def pqCentroid(idx: String): String =
-    s"(cast(1103515245 as bigint) * ($idx) + 12345) % 2001 - 1000"
-
   // Spark side runs the FUSED pq_encode kernel (one tight integer loop
   // per row, codegen'd); the DuckDB oracle runs the literal nested-HOF
   // formulation — equality under the binary gate proves the kernel.
