@@ -94,8 +94,22 @@ final class KafkaRecordProducer(
     val p = baseProps
     p.put("isolation.level", "read_committed")
     p.put("enable.auto.commit", "false")
+    // An OUT-OF-RANGE seek (retention/compaction already deleted the
+    // offset `end - horizon` targets) must reset to the EARLIEST
+    // retained offset and drain forward — the default `latest` would
+    // jump the position straight to the end, satisfy the drain
+    // condition without reading a record, and miss a committed marker
+    // (re-producing the batch). Reading more than the horizon on that
+    // path errs on the cheap side.
+    p.put("auto.offset.reset", "earliest")
     val consumer = consumerFactory(p)
     try {
+      // A null/empty partition listing means the control topic does not
+      // exist yet — legitimately "nothing ever committed" on the very
+      // first run. A transient metadata outage is indistinguishable
+      // client-side and would return the same answer; deployments that
+      // cannot tolerate that window pre-create the control topic and
+      // monitor the duplicate-rate the compacted downstream absorbs.
       val parts = consumer.partitionsFor(controlTopic)
       if (parts == null || parts.isEmpty) return false
       val tps = parts.asScala.map(i => new TopicPartition(controlTopic, i.partition())).toList

@@ -33,11 +33,17 @@ object Bench {
     val ordered = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_ == "dd_minhash_lsh")
       .flatMap(n => if (n == "dd_cluster") Seq("dd_minhash_lsh", n) else Seq(n))
+    // A FAILED query records +Infinity, never its time-to-failure: a
+    // fast pass-2 error (e.g. a dropped temp-view dependency) would
+    // otherwise win the per-query min and fabricate a speedup. A query
+    // failing BOTH passes surfaces as -1 in the output (visibly wrong),
+    // and the contract line carries an errors count.
     def sweep(): Seq[(String, Double)] = ordered.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
     }
     // TWO full passes, per-query MIN: a transient machine-load spike in
     // one pass cannot fabricate a regression (round 6 recorded a phantom
@@ -50,8 +56,13 @@ object Bench {
     graft.queries.DedupQueries.clearSessionMemos()
     graft.operators.AsOfJoin.clearBoundsCache()
     val pass2 = sweep()
+    val p1 = pass1.toMap
     val p2 = pass2.toMap
-    val results = pass1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = pass1.map { case (k, v) =>
+      val m = math.min(v, p2(k))
+      k -> (if (m.isInfinity) -1.0 else m) // both passes failed
+    }
+    val errors = results.count(_._2 < 0)
     val loadEnd = loadavg
     // The driver captures a bounded TAIL of stdout: in rounds 4 and 5 the
     // single ~2.8 KB 80-query JSON line lost its head to that window
@@ -63,13 +74,16 @@ object Bench {
     // JSON.
     def d4(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", v: java.lang.Double)
     def d2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", v: java.lang.Double)
+    def fin(v: Double) = if (v.isInfinity) -1.0 else v
     results.foreach { case (k, v) =>
-      println(s"""{"q":"$k","sec":${d4(v)},"p1":${d4(pass1.toMap.apply(k))},"p2":${d4(p2(k))}}""")
+      println(s"""{"q":"$k","sec":${d4(v)},"p1":${d4(fin(p1(k)))},"p2":${d4(fin(p2(k)))}}""")
     }
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => s""""$k":${d4(v)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir","n_queries":${results.size},"passes":2,"pass_totals":[${d4(pass1.map(_._2).sum)},${d4(pass2.map(_._2).sum)}],"loadavg":[${d2(loadStart)},${d2(loadEnd)}]}""")
+    val passTotal1 = pass1.map(_._2).filter(_.isFinite).sum
+    val passTotal2 = pass2.map(_._2).filter(_.isFinite).sum
+    println(s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir","n_queries":${results.size},"errors":$errors,"passes":2,"pass_totals":[${d4(passTotal1)},${d4(passTotal2)}],"loadavg":[${d2(loadStart)},${d2(loadEnd)}]}""")
     spark.stop()
   }
 }

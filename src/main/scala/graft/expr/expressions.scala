@@ -128,6 +128,38 @@ object Kernels {
     new GenericArrayData(arr)
   }
 
+  /** Micro-unit quantization shared by both PQ kernels: exactly Spark's
+    * `round(double, 0)` (BigDecimal.valueOf + HALF_UP) on x*1000 — the
+    * oracle-parity rounding. */
+  private def pqQuantize(v: ArrayData, dims: Int): Array[Long] = {
+    val n = math.min(v.numElements(), dims)
+    val qv = new Array[Long](dims)
+    var i = 0
+    while (i < n) {
+      qv(i) = java.math.BigDecimal.valueOf(v.getFloat(i).toDouble * 1000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      i += 1
+    }
+    qv
+  }
+
+  /** Exact BIGINT squared distance of subvector `s` of `qv` to LCG
+    * codebook centroid `c` — the ONE implementation both PQ kernels
+    * share (they must stay bit-identical: the oracle runs the literal
+    * SQL of this formula). */
+  private def pqSubspaceDist(qv: Array[Long], s: Int, c: Int,
+      cents: Int, subDim: Int): Long = {
+    var acc = 0L
+    var d = 0
+    while (d < subDim) {
+      val cent = (1103515245L * (s * cents * subDim + c * subDim + d) + 12345L) % 2001L - 1000L
+      val df = qv(s * subDim + d) - cent
+      acc += df * df
+      d += 1
+    }
+    acc
+  }
+
   /** Fused product-quantization encode (r7): [code0..code3, qerr] for a
     * 64-dim float vector against the deterministic LCG codebook —
     * semantics identical to the SQL formulation the DuckDB oracle runs
@@ -136,16 +168,7 @@ object Kernels {
     * tight integer loop instead of an interpreted 4×16×16 HOF fold per
     * row (the `emb_pq_encode`/`ann_pq_adc_topk` hot stage). */
   def pqEncode(v: ArrayData, subspaces: Int, cents: Int, subDim: Int): ArrayData = {
-    val dims = subspaces * subDim
-    val n = math.min(v.numElements(), dims)
-    val qv = new Array[Long](dims)
-    var i = 0
-    while (i < n) {
-      // Exactly Spark's round(double, 0): BigDecimal.valueOf + HALF_UP.
-      qv(i) = java.math.BigDecimal.valueOf(v.getFloat(i).toDouble * 1000.0)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
-      i += 1
-    }
+    val qv = pqQuantize(v, subspaces * subDim)
     val out = new Array[Long](subspaces + 1)
     var qerr = 0L
     var s = 0
@@ -154,14 +177,7 @@ object Kernels {
       var bestC = 0
       var c = 0
       while (c < cents) {
-        var acc = 0L
-        var d = 0
-        while (d < subDim) {
-          val cent = (1103515245L * (s * cents * subDim + c * subDim + d) + 12345L) % 2001L - 1000L
-          val df = qv(s * subDim + d) - cent
-          acc += df * df
-          d += 1
-        }
+        val acc = pqSubspaceDist(qv, s, c, cents, subDim)
         if (acc < best) { best = acc; bestC = c } // strict <: first minimum
         c += 1
       }
@@ -180,29 +196,13 @@ object Kernels {
     * `element_at(adc, s*cents + p)` with a 1-based in-subspace position
     * p is the candidate-score lookup. */
   def pqAdcTable(v: ArrayData, subspaces: Int, cents: Int, subDim: Int): ArrayData = {
-    val dims = subspaces * subDim
-    val n = math.min(v.numElements(), dims)
-    val qv = new Array[Long](dims)
-    var i = 0
-    while (i < n) {
-      qv(i) = java.math.BigDecimal.valueOf(v.getFloat(i).toDouble * 1000.0)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
-      i += 1
-    }
+    val qv = pqQuantize(v, subspaces * subDim)
     val out = new Array[Long](subspaces * cents)
     var s = 0
     while (s < subspaces) {
       var c = 0
       while (c < cents) {
-        var acc = 0L
-        var d = 0
-        while (d < subDim) {
-          val cent = (1103515245L * (s * cents * subDim + c * subDim + d) + 12345L) % 2001L - 1000L
-          val df = qv(s * subDim + d) - cent
-          acc += df * df
-          d += 1
-        }
-        out(s * cents + c) = acc
+        out(s * cents + c) = pqSubspaceDist(qv, s, c, cents, subDim)
         c += 1
       }
       s += 1

@@ -77,6 +77,21 @@ final case class GraftConfig(
     terminateOnCaptureInstanceChange: Boolean = false,
     runValidations: Boolean = false) {
 
+  // Choice options validate at CONSTRUCTION (the reference's argparse
+  // `choices=` does the same at startup): a typo must fail loudly, not
+  // silently select the default branch — `newFollowStartPoint =
+  // "earlist"` silently skipping every existing row would be data loss.
+  private def choice(name: String, v: String, allowed: String*): Unit =
+    require(allowed.contains(v),
+      s"$name must be one of ${allowed.mkString(", ")}; got '$v'")
+  choice("captureInstanceVersionStrategy", captureInstanceVersionStrategy,
+    "create_date", "regex")
+  choice("newFollowStartPoint", newFollowStartPoint, "earliest", "latest")
+  choice("newCaptureInstanceSnapshotHandling", newCaptureInstanceSnapshotHandling,
+    "begin_new_snapshot", "ignore")
+  choice("newCaptureInstanceOverlapHandling", newCaptureInstanceOverlapHandling,
+    "start_from_prior_progress", "republish_from_new_instance")
+
   require(captureInstanceVersionStrategy != "regex" ||
     captureInstanceVersionRegex.exists(_.nonEmpty),
     "captureInstanceVersionRegex is required with the `regex` " +

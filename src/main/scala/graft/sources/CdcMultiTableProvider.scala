@@ -126,14 +126,23 @@ private class CdcMultiTableStream(tables: Seq[String], batchSize: Int,
   private val gapChecked = scala.collection.mutable.Set.empty[String]
 
   // `startPoint=latest` (see [[StartPoint]]): each table's fresh-follow
-  // floor is its own current max index, probed ONCE at query start —
-  // per-table, because the fleet's tables are at unrelated positions.
-  private def initial(t: String): TablePosition =
-    TablePosition(
-      if (startPoint == "latest")
-        backends(t).maxAvailableChange().getOrElse(ChangeIndex.Lowest)
-      else ChangeIndex.Lowest,
-      if (backends(t).hasSnapshot) SnapshotNotStarted else SnapshotDone)
+  // floor is its own current max index — per-table, because the fleet's
+  // tables are at unrelated positions. MEMOIZED per stream instance: the
+  // fallback for a table missing from a restored offset (newly added to
+  // the `tables` option) runs through positions() on EVERY call, and a
+  // re-probing floor could MOVE between latestOffset and
+  // planInputPartitions — rows landing between the two probes would be
+  // skipped forever while the committed end offset advanced past them.
+  private lazy val initialPositions: Map[String, TablePosition] =
+    tables.map { t =>
+      t -> TablePosition(
+        if (startPoint == "latest")
+          backends(t).maxAvailableChange().getOrElse(ChangeIndex.Lowest)
+        else ChangeIndex.Lowest,
+        if (backends(t).hasSnapshot) SnapshotNotStarted else SnapshotDone)
+    }.toMap
+
+  private def initial(t: String): TablePosition = initialPositions(t)
 
   private def positions(o: Offset): Map[String, TablePosition] = {
     val m = o.asInstanceOf[CdcStreamOffset].offset.tables

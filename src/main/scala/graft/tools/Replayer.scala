@@ -27,6 +27,13 @@ object Replayer {
       .orderBy(col("lsnNum").desc, col("commandId").desc,
         col("seqvalNum").desc, col("operation").desc, col("isTombstone").desc)
     val lastPerKey = log
+      // Heartbeats are progress markers, not data (the recognizable
+      // all-0xff shape, `change_index.py:74-76`): without this filter a
+      // log that idled through heartbeat ceilings would MERGE a phantom
+      // userId=-1 row into the replay target — the same skip
+      // CdcPipeline.compactedState and BrokerSink.compactedState apply.
+      .filter(not(col("seqvalNum") === -1L && col("commandId") === 0 &&
+        col("operation") === 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
