@@ -93,7 +93,9 @@ private class CdcMultiTable(options: Map[String, String]) extends Table with Sup
                     case _ => ("dbo", st)
                   }
                 }
-                t -> (new JdbcBackend(url, t, snap, batchSize): FeedBackend)
+                t -> (new JdbcBackend(url, t, snap, batchSize,
+                  merged.getOrElse("terminateoncaptureinstancechange", "false")
+                    .toBoolean): FeedBackend)
               }.toMap
             case None =>
               val base = merged.getOrElse("basedir", sys.error("baseDir option required"))

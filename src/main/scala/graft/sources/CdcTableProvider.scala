@@ -123,7 +123,8 @@ private class CdcTable(options: Map[String, String]) extends Table with Supports
                     case _ => ("dbo", st)
                   }
                 },
-                batchSize)
+                batchSize,
+                merged.getOrElse("terminateoncaptureinstancechange", "false").toBoolean)
             case None =>
               new ParquetBackend(
                 merged.getOrElse("feeddir", sys.error("feedDir option required")),
@@ -513,7 +514,8 @@ final class CdcSchemaChangedException(msg: String) extends RuntimeException(msg)
   * projection would silently drop counts as drift, exactly like the
   * reference's new-capture-instance handling). */
 private class JdbcBackend(url: String, captureInstance: String,
-    snapshotTable: Option[(String, String)], batchSize: Int) extends FeedBackend {
+    snapshotTable: Option[(String, String)], batchSize: Int,
+    terminateOnCaptureInstanceChange: Boolean = false) extends FeedBackend {
 
   import AnsiTranspile.{hex20, lit, parseHex20}
 
@@ -587,7 +589,36 @@ private class JdbcBackend(url: String, captureInstance: String,
     } finally st.close()
   }
 
+  // G6 runtime half, instance dimension: does the CDC catalog carry a
+  // NEWER capture instance for our source table? Coexisting instances
+  // are how capture topology migrates, so the column-drift watch alone
+  // cannot see this (`main.py:358-409`). Consulted per boundary probe
+  // (one tiny seek) only under `terminateOnCaptureInstanceChange`, and
+  // only when the catalog table exists — probed ONCE: test fixtures and
+  // minimal deployments without a mirrored `cdc.change_tables` simply
+  // run without the watch.
+  private lazy val catalogPresent: Boolean = withConn { c =>
+    val rs = c.getMetaData.getTables(null, "cdc", "change_tables", null)
+    try rs.next() finally rs.close()
+  }
+
+  private def newerCaptureInstance(): Option[String] =
+    if (!terminateOnCaptureInstanceChange || !catalogPresent) None
+    else {
+      val sql = AnsiTranspile(
+        SqlServerDialect.latestCaptureInstanceQuery, Seq(lit(captureInstance)))
+      lastRow(sql, 1).map(_._1(0).toString.trim)
+        .filter(_ != captureInstance) // an OLDER coexisting instance must not fire
+    }
+
   private def assertSchemaUnchanged(): Unit = {
+    newerCaptureInstance().foreach { fresh =>
+      throw new CdcSchemaChangedException(
+        s"a newer capture instance '$fresh' is live for the source table " +
+          s"of '$captureInstance'; terminating for supervisor restart " +
+          "(terminateOnCaptureInstanceChange=true) — the restart's " +
+          "startup ladder (InstanceSwitch) decides snapshot/overlap handling")
+    }
     val current = ctColumns()
     // Drift = the column set changed, or a projected column's SERIALIZED
     // type changed (precision-only differences within a serialization

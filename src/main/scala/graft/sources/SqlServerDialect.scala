@@ -280,6 +280,26 @@ object SqlServerDialect {
        |ORDER BY ct.__$$start_lsn DESC, ct.__$$command_id DESC, ct.__$$seqval DESC, ct.__$$operation DESC""".stripMargin
   }
 
+  /** G6 runtime half: the LATEST (by create_date) capture instance live
+    * for the same source table as `@CI` (the instance this stream
+    * follows). The caller fires the instance-change reaction iff the
+    * answer differs from `@CI` — an OLDER coexisting instance (we
+    * already migrated past it) must not fire. The reference polls this
+    * periodically and terminates for supervisor restart under
+    * `--terminate-on-capture-instance-change` (`main.py:358-409`,
+    * option `options.py:264-273`). DECLARE indirection: the one bound
+    * instance name is used twice. */
+  val latestCaptureInstanceQuery: String =
+    """DECLARE
+      |    @CI VARCHAR(128) = ?
+      |;
+      |SELECT TOP (1) ct.capture_instance
+      |FROM [cdc].[change_tables] AS ct WITH (NOLOCK)
+      |WHERE ct.source_object_id = (
+      |    SELECT source_object_id FROM [cdc].[change_tables]
+      |    WHERE capture_instance = @CI)
+      |ORDER BY ct.create_date DESC""".stripMargin
+
   /** A4/C2: the metadata catalog join discovering tracked tables, columns,
     * types, and PK ordinals (inner join + two left joins). */
   def metadataQuery: String =

@@ -115,4 +115,87 @@ class CdcSchemaWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all2.contains("Re-snapshot decision: true"), all2)
     assert(all2.contains("non-null"), all2)
   }
+
+  test("a NEWER capture instance terminates the query under terminateOnCaptureInstanceChange; older ones and the default flag do not") {
+    val st = conn.createStatement()
+    st.executeUpdate(
+      """CREATE TABLE "cdc"."orders_CT" (
+        |  "__$start_lsn" CHAR(20) NOT NULL,
+        |  "__$command_id" INT NOT NULL,
+        |  "__$seqval" CHAR(20) NOT NULL,
+        |  "__$operation" INT NOT NULL,
+        |  "event_id" BIGINT, "user_id" BIGINT, "event_type" VARCHAR(32),
+        |  "value" DOUBLE, "props" VARCHAR(64))""".stripMargin)
+    // Mirrored CDC catalog (unquoted columns: the generated query
+    // references them unquoted, so both sides fold to Derby uppercase).
+    st.executeUpdate(
+      """CREATE TABLE "cdc"."change_tables" (
+        |  source_object_id INT, capture_instance VARCHAR(128),
+        |  create_date TIMESTAMP)""".stripMargin)
+    st.executeUpdate("""INSERT INTO "cdc"."change_tables" VALUES
+      (42, 'orders', TIMESTAMP('2024-01-01 00:00:00'))""")
+    st.close()
+    val ins = conn.prepareStatement(
+      """INSERT INTO "cdc"."orders_CT" VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)""")
+    (0 until 6).foreach { i =>
+      ins.setString(1, hex20(i.toLong)); ins.setInt(2, 0)
+      ins.setString(3, hex20(i.toLong)); ins.setInt(4, 2)
+      ins.setLong(5, i.toLong); ins.setLong(6, i.toLong)
+      ins.setString(7, "o"); ins.setDouble(8, i.toDouble); ins.setString(9, "")
+      ins.addBatch()
+    }
+    ins.executeBatch(); ins.close()
+
+    def run(watch: Boolean): Unit = {
+      val q = spark.readStream.format("graft.sources.CdcTableProvider")
+        .option("jdbcUrl", jdbcUrl)
+        .option("captureInstance", "orders")
+        .option("tableName", "orders")
+        .option("batchSize", "8")
+        .option("terminateOnCaptureInstanceChange", watch.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$work/ckpt_ci")
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.sparkSession.conf
+            .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$work/sink_ci")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // Healthy: ours is the latest (and only) instance.
+    run(watch = true)
+    assert(spark.read.parquet(s"$work/sink_ci").count() === 6)
+
+    // An OLDER coexisting instance (we already migrated past it) must
+    // NOT fire the watch.
+    val st2 = conn.createStatement()
+    st2.executeUpdate("""INSERT INTO "cdc"."change_tables" VALUES
+      (42, 'orders_v0', TIMESTAMP('2023-01-01 00:00:00'))""")
+    st2.close()
+    run(watch = true)
+
+    // A NEWER instance for the same source table terminates for
+    // supervisor restart...
+    val st3 = conn.createStatement()
+    st3.executeUpdate("""INSERT INTO "cdc"."change_tables" VALUES
+      (42, 'orders_v2', TIMESTAMP('2025-06-01 00:00:00'))""")
+    st3.close()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(watch = true)
+    }
+    val all = messages(e).mkString("\n")
+    assert(all.contains("newer capture instance 'orders_v2'"), all)
+    // ...and the flag's default (off, like the reference) leaves the
+    // same catalog state running.
+    run(watch = false)
+  }
 }

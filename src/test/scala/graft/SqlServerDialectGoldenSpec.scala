@@ -167,6 +167,21 @@ ORDER BY ct.__$start_lsn, ct.__$command_id, ct.__$seqval, ct.__$operation"""
     assert(got === want)
   }
 
+  test("golden: latest capture instance probe (terminateOnCaptureInstanceChange watch)") {
+    val got = latestCaptureInstanceQuery
+    val want =
+      """DECLARE
+    @CI VARCHAR(128) = ?
+;
+SELECT TOP (1) ct.capture_instance
+FROM [cdc].[change_tables] AS ct WITH (NOLOCK)
+WHERE ct.source_object_id = (
+    SELECT source_object_id FROM [cdc].[change_tables]
+    WHERE capture_instance = @CI)
+ORDER BY ct.create_date DESC"""
+    assert(got === want)
+  }
+
   test("golden: per-table max change index probe (startPoint=latest, backward seek)") {
     val got = maxChangeIndexQuery("dbo_Orders")
     val want =
