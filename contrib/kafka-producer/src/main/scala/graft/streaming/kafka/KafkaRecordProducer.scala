@@ -106,11 +106,21 @@ final class KafkaRecordProducer(
     try {
       // A null/empty partition listing means the control topic does not
       // exist yet — legitimately "nothing ever committed" on the very
-      // first run. A transient metadata outage is indistinguishable
-      // client-side and would return the same answer; deployments that
-      // cannot tolerate that window pre-create the control topic and
-      // monitor the duplicate-rate the compacted downstream absorbs.
-      val parts = consumer.partitionsFor(controlTopic)
+      // first run. A transient metadata outage returns the same answer,
+      // and concluding not-committed during an outage would rebuild the
+      // producer and re-produce an already-committed batch — so the
+      // listing is RETRIED a bounded number of times before the absence
+      // is believed (ADVICE r7: same safe-by-default posture as the
+      // drain timeout; first-run pays a few seconds once). Deployments
+      // that cannot tolerate even the post-retry window pre-create the
+      // control topic, making an empty listing unambiguous.
+      var parts = consumer.partitionsFor(controlTopic)
+      var retries = KafkaRecordProducer.MetadataRetries
+      while ((parts == null || parts.isEmpty) && retries > 0) {
+        Thread.sleep(KafkaRecordProducer.MetadataRetryBackoff.toMillis)
+        parts = consumer.partitionsFor(controlTopic)
+        retries -= 1
+      }
       if (parts == null || parts.isEmpty) return false
       val tps = parts.asScala.map(i => new TopicPartition(controlTopic, i.partition())).toList
       consumer.assign(tps.asJava)
@@ -181,6 +191,14 @@ final class KafkaRecordProducer(
 }
 
 object KafkaRecordProducer {
+  /** Consult-time metadata retry budget: a null/empty `partitionsFor`
+    * listing is re-asked this many times (with [[MetadataRetryBackoff]]
+    * between) before "control topic absent" is believed — distinguishes
+    * a genuinely missing topic from a transient metadata outage whose
+    * misread would duplicate a committed batch. */
+  private[kafka] val MetadataRetries = 5
+  private[kafka] val MetadataRetryBackoff = Duration.ofMillis(200)
+
   /** Default client factories — the only lines that touch the concrete
     * kafka-clients entry points (shim at compile time, real jar at
     * runtime). */

@@ -55,7 +55,7 @@ class KafkaRecordProducerSpec extends AnyFunSuite {
 
   /** Control-topic consumer with one partition and a scripted poll
     * sequence; each step yields (records, position-after-poll). */
-  final class ScriptedConsumer(
+  class ScriptedConsumer(
       endOffset: Long,
       script: Seq[(Seq[(String, Array[Byte])], Long)]) // (key→value records, pos after)
       extends Consumer[Array[Byte], Array[Byte]] {
@@ -195,6 +195,40 @@ class KafkaRecordProducerSpec extends AnyFunSuite {
     val a = adapter("tx-fresh", cons, prod)
     assert(!a.isReplayNoOp)
     assert(cons.calls.count(_ == "poll") === 3)
+  }
+
+  test("ADVICE r7: a transient null metadata listing is retried — the marker behind it is found") {
+    // partitionsFor returns null twice (metadata outage), then the real
+    // listing whose drain carries the committed marker. The pre-fix
+    // consult concluded not-committed on the first null and re-produced
+    // the batch.
+    val cons = new ScriptedConsumer(3L,
+      Seq((Seq(("tx-outage", Array.emptyByteArray)), 3L))) {
+      private var listCalls = 0
+      override def partitionsFor(t: String): java.util.List[PartitionInfo] = {
+        listCalls += 1
+        if (listCalls <= 2) null else super.partitionsFor(t)
+      }
+    }
+    val a = new KafkaRecordProducer("broker:9092", "tx-outage",
+      controlTopic = Control,
+      producerFactory = _ => fail("must not produce: the id committed"),
+      consumerFactory = _ => cons)
+    assert(a.isReplayNoOp)
+  }
+
+  test("a listing still empty after the retry budget means first run: producer is built") {
+    val cons = new ScriptedConsumer(0L, Seq.empty) {
+      var listCalls = 0
+      override def partitionsFor(t: String): java.util.List[PartitionInfo] = {
+        listCalls += 1; java.util.Collections.emptyList()
+      }
+    }
+    val prod = new RecordingProducer
+    val a = adapter("tx-first-run", cons, prod)
+    assert(!a.isReplayNoOp)
+    assert(cons.listCalls === 1 + KafkaRecordProducer.MetadataRetries,
+      "absence must only be believed after the bounded retries")
   }
 
   test("a consult that cannot drain fails loudly instead of guessing not-committed") {

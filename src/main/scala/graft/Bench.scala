@@ -38,29 +38,43 @@ object Bench {
     // otherwise win the per-query min and fabricate a speedup. A query
     // failing BOTH passes surfaces as -1 in the output (visibly wrong),
     // and the contract line carries an errors count.
+    // Between queries, sweep the localCheckpoint blocks the finished
+    // query pinned (outside its timer — the sweep is driver-side map
+    // iteration plus async block-removal messages). Without this, ~90
+    // queries' worth of pinned stages accumulate in executor storage and
+    // unrelated late-alphabet queries slow 4-5x (round 7: dd_simhash
+    // 2.5->10.3 s, text_ngram_novelty pass 2 SLOWER than pass 1). The
+    // cross-query dedup memos are registered shared and survive.
     def sweep(): Seq[(String, Double)] = ordered.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
+      val t = (System.nanoTime() - t0) / 1e9
+      graft.operators.PinnedStages.sweepTransient(spark)
+      name -> (if (ok) t else Double.PositiveInfinity)
     }
-    // TWO full passes, per-query MIN: a transient machine-load spike in
-    // one pass cannot fabricate a regression (round 6 recorded a phantom
-    // 5x on e1_global_merge from a loaded sandbox). The session memos are
-    // cleared between passes so pass 2 re-pays every producer stage's
-    // real cost — otherwise the memoized stages would time near zero and
-    // the min would underclaim. Both pass totals and the load averages
+    // N full passes (default 3), per-query MIN: a transient machine-load
+    // spike in one pass cannot fabricate a regression (round 6 recorded a
+    // phantom 5x on e1_global_merge from a loaded sandbox). The session
+    // memos — and their now-explicitly-tracked checkpoint blocks — are
+    // dropped between passes so every pass re-pays each producer stage's
+    // real cost; otherwise the memoized stages would time near zero and
+    // the min would underclaim. All pass totals and the load averages
     // are emitted so a reader can judge the run's trustworthiness.
-    val pass1 = sweep()
-    graft.queries.DedupQueries.clearSessionMemos()
-    graft.operators.AsOfJoin.clearBoundsCache()
-    val pass2 = sweep()
-    val p1 = pass1.toMap
-    val p2 = pass2.toMap
-    val results = pass1.map { case (k, v) =>
-      val m = math.min(v, p2(k))
-      k -> (if (m.isInfinity) -1.0 else m) // both passes failed
+    val passes = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+    val passResults: Seq[Seq[(String, Double)]] = (1 to passes).map { i =>
+      if (i > 1) {
+        graft.queries.DedupQueries.clearSessionMemos()
+        graft.operators.AsOfJoin.clearBoundsCache()
+        graft.operators.PinnedStages.releaseShared(spark)
+      }
+      sweep()
+    }
+    val byPass: Seq[Map[String, Double]] = passResults.map(_.toMap)
+    val results = passResults.head.map { case (k, _) =>
+      val m = byPass.map(_(k)).min
+      k -> (if (m.isInfinity) -1.0 else m) // failed in EVERY pass
     }
     val errors = results.count(_._2 < 0)
     val loadEnd = loadavg
@@ -76,14 +90,15 @@ object Bench {
     def d2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", v: java.lang.Double)
     def fin(v: Double) = if (v.isInfinity) -1.0 else v
     results.foreach { case (k, v) =>
-      println(s"""{"q":"$k","sec":${d4(v)},"p1":${d4(fin(p1(k)))},"p2":${d4(fin(p2(k)))}}""")
+      val pp = byPass.map(p => d4(fin(p(k)))).mkString("[", ",", "]")
+      println(s"""{"q":"$k","sec":${d4(v)},"pp":$pp}""")
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => s""""$k":${d4(v)}""" }.mkString("{", ",", "}")
-    val passTotal1 = pass1.map(_._2).filter(_.isFinite).sum
-    val passTotal2 = pass2.map(_._2).filter(_.isFinite).sum
-    println(s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir","n_queries":${results.size},"errors":$errors,"passes":2,"pass_totals":[${d4(passTotal1)},${d4(passTotal2)}],"loadavg":[${d2(loadStart)},${d2(loadEnd)}]}""")
+    val passTotals = passResults
+      .map(p => d4(p.map(_._2).filter(_.isFinite).sum)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir","n_queries":${results.size},"errors":$errors,"passes":$passes,"pass_totals":$passTotals,"loadavg":[${d2(loadStart)},${d2(loadEnd)}]}""")
     spark.stop()
   }
 }

@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Drop the query's pinned localCheckpoint blocks (shared dedup
+      // memos survive) — see PinnedStages: without the sweep, 90 queries
+      // of accumulated pins slow the tail of the run 4-5x.
+      graft.operators.PinnedStages.sweepTransient(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

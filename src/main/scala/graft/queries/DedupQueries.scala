@@ -123,7 +123,7 @@ object DedupQueries {
 
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     lshMemo.getOrElseUpdate((spark.sparkContext.applicationId + "/" + spark.sparkContext.startTime, dir),
-      computeMinhashLsh(spark, dir).localCheckpoint())
+      graft.operators.PinnedStages.sharedCheckpoint(computeMinhashLsh(spark, dir)))
 
   // The signature stage (shingle → 16 minhashes) memoizes separately from
   // the pair stage: both the plain and the SALTED band joins consume the
@@ -143,10 +143,9 @@ object DedupQueries {
     sigMemo.getOrElseUpdate((spark.sparkContext.applicationId + "/" + spark.sparkContext.startTime, dir), {
       viewDocs(spark, dir)
       graft.expr.GraftFunctions.register(spark)
-      spark.sql(
+      graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
         s"""WITH corpus AS ($corpusSparkSql)
-           |SELECT doc_id, minhash_signature(text) AS mh FROM corpus""".stripMargin)
-        .localCheckpoint()
+           |SELECT doc_id, minhash_signature(text) AS mh FROM corpus""".stripMargin))
     })
 
   private def computeMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -600,15 +599,19 @@ object DedupQueries {
     * repeat timed pass re-pays each stage's REAL cost instead of reading
     * its predecessor's checkpointed blocks — without this, a two-pass
     * benchmark's second pass reports near-zero for the producer stages
-    * and the per-query min underclaims. The checkpointed blocks
-    * themselves are reclaimed by the context cleaner once unreferenced. */
+    * and the per-query min underclaims. The checkpointed blocks behind
+    * the memos are registered in [[graft.operators.PinnedStages]];
+    * callers that clear the memos should also call
+    * `PinnedStages.releaseShared` to drop the blocks explicitly (the
+    * context cleaner only reclaims them on a GC, which a large heap may
+    * never run — the round-7 4-5x bench regression). */
   def clearSessionMemos(): Unit = {
     lshMemo.clear(); sigMemo.clear(); clusterMemo.clear()
   }
 
   def ddCluster(spark: SparkSession, dir: String): DataFrame =
     clusterMemo.getOrElseUpdate((spark.sparkContext.applicationId + "/" + spark.sparkContext.startTime, dir),
-      computeDdCluster(spark, dir).localCheckpoint())
+      graft.operators.PinnedStages.sharedCheckpoint(computeDdCluster(spark, dir)))
 
   private def computeDdCluster(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._

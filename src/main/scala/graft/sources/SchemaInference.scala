@@ -35,7 +35,15 @@ object SchemaInference {
   private[graft] def selectInstance(strategy: CaptureInstanceStrategy,
       instances: Seq[(String, String, String)]): String = strategy match {
     case ByCreateDate =>
-      instances.maxBy { case (_, created, lsnHex) => (created, lsnHex) }._1
+      // A catalog can mix dated and undated rows (older SQL Server
+      // versions / partial mirrors omit create_date). "" sorts below
+      // every ISO date, so comparing the (date, lsn) tuple would make an
+      // undated-but-newer instance lose to ANY dated one. The comparison
+      // must be consistent within the group: if any member lacks a date,
+      // order the whole group by start LSN (monotone with creation
+      // order) instead (ADVICE r7).
+      if (instances.exists(_._2.isEmpty)) instances.maxBy(_._3)._1
+      else instances.maxBy { case (_, created, lsnHex) => (created, lsnHex) }._1
     case ByRegex(pattern) =>
       val re = pattern.r
       // Python's `re.match` anchors at the START of the name (not full):

@@ -288,7 +288,12 @@ object SqlServerDialect {
     * periodically and terminates for supervisor restart under
     * `--terminate-on-capture-instance-change` (`main.py:358-409`,
     * option `options.py:264-273`). DECLARE indirection: the one bound
-    * instance name is used twice. */
+    * instance name is used twice. start_lsn DESC tiebreak: SQL Server
+    * create_date has ~3ms precision, so an instance created in the same
+    * instant as the followed one could otherwise tie and TOP(1) would
+    * pick nondeterministically — returning the followed instance forever
+    * and permanently missing the switch (the dates never change after
+    * creation). The newer instance necessarily has the higher start_lsn. */
   val latestCaptureInstanceQuery: String =
     """DECLARE
       |    @CI VARCHAR(128) = ?
@@ -298,7 +303,7 @@ object SqlServerDialect {
       |WHERE ct.source_object_id = (
       |    SELECT source_object_id FROM [cdc].[change_tables]
       |    WHERE capture_instance = @CI)
-      |ORDER BY ct.create_date DESC""".stripMargin
+      |ORDER BY ct.create_date DESC, ct.start_lsn DESC""".stripMargin
 
   /** A4/C2: the metadata catalog join discovering tracked tables, columns,
     * types, and PK ordinals (inner join + two left joins). */

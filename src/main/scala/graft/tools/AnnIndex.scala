@@ -184,8 +184,26 @@ object AnnIndex {
       .localCheckpoint()
     val probedCids = probes.select("c_id").distinct()
       .collect().map(_.getAs[Number](0).intValue).toSeq
-    val lists = spark.read.parquet(s"$indexDir/pq_postings")
+    val allLists = spark.read.parquet(s"$indexDir/pq_postings")
       .filter(col("c_id").isin(probedCids: _*))
+    // Pre-upgrade postings (written before the store carried p0..p3)
+    // read the code columns as NULL under parquet schema merge. Left in,
+    // `element_at(adc, NULL)` yields a NULL adc_dist and the ascending
+    // sort ranks them FIRST — silently serving unscoreable rows at the
+    // top (ADVICE r7). Skip them, and loudly: a bounded limit(1) probe
+    // over the probed partitions (codes-only columns, same discipline as
+    // BrokerSink's validation probe) tells the operator the store needs
+    // a re-encode pass.
+    val lists = allLists.filter(
+      col("p0").isNotNull && col("p1").isNotNull &&
+        col("p2").isNotNull && col("p3").isNotNull)
+    if (allLists.filter(col("p0").isNull || col("p1").isNull ||
+        col("p2").isNull || col("p3").isNull).limit(1).count() > 0) {
+      System.err.println(
+        s"[ann-index] WARN: $indexDir/pq_postings contains rows without " +
+          "PQ codes (written pre-upgrade?); they are EXCLUDED from " +
+          "serving — run a re-encode pass to make them searchable")
+    }
     lists.join(broadcast(probes), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc_dist",

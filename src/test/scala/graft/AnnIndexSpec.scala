@@ -133,4 +133,29 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"IVF-PQ served mean true-L2 percentile: $mean%.3f")
     assert(mean <= 0.35, f"PQ-served candidates not near in true L2: $mean%.3f")
   }
+
+  test("pre-upgrade postings without PQ codes are excluded from serving, not ranked first (ADVICE r7)") {
+    import org.apache.spark.sql.functions._
+    AnnIndex.buildPq(spark, sfDir, s"$work/pqidx_legacy")
+    // Simulate a store written before the schema carried p0..p3: append
+    // rows with only (vec_id, c_id) — parquet schema merge reads their
+    // code columns as NULL. element_at(adc, NULL) = NULL adc_dist, and
+    // Spark sorts nulls FIRST ascending, so unfixed these fabricated ids
+    // would sweep every top-k.
+    val cids = spark.read.parquet(s"$work/pqidx_legacy/pq_postings")
+      .select("c_id").distinct().collect().map(_.getAs[Number](0).intValue)
+    val legacy = spark.createDataFrame(
+      cids.toSeq.map(c => (900000L + c, c))).toDF("vec_id", "c_id")
+    legacy.write.mode("append").partitionBy("c_id")
+      .parquet(s"$work/pqidx_legacy/pq_postings")
+    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val served = AnnIndex.topkPq(spark, s"$work/pqidx_legacy", queries, k = 5, nprobe = 4)
+      .collect()
+    assert(served.length === 15)
+    assert(!served.exists(_.getLong(1) >= 900000L),
+      "legacy null-code postings must be skipped, not served")
+    assert(served.forall(!_.isNullAt(4)), "every served adc_dist is scoreable")
+  }
 }

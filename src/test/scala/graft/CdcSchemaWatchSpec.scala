@@ -131,9 +131,9 @@ class CdcSchemaWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     st.executeUpdate(
       """CREATE TABLE "cdc"."change_tables" (
         |  source_object_id INT, capture_instance VARCHAR(128),
-        |  create_date TIMESTAMP)""".stripMargin)
+        |  create_date TIMESTAMP, start_lsn VARCHAR(22))""".stripMargin)
     st.executeUpdate("""INSERT INTO "cdc"."change_tables" VALUES
-      (42, 'orders', TIMESTAMP('2024-01-01 00:00:00'))""")
+      (42, 'orders', TIMESTAMP('2024-01-01 00:00:00'), '00000000000000010000')""")
     st.close()
     val ins = conn.prepareStatement(
       """INSERT INTO "cdc"."orders_CT" VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)""")
@@ -177,15 +177,34 @@ class CdcSchemaWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // NOT fire the watch.
     val st2 = conn.createStatement()
     st2.executeUpdate("""INSERT INTO "cdc"."change_tables" VALUES
-      (42, 'orders_v0', TIMESTAMP('2023-01-01 00:00:00'))""")
+      (42, 'orders_v0', TIMESTAMP('2023-01-01 00:00:00'), '00000000000000000000')""")
     st2.close()
     run(watch = true)
+
+    // A create_date TIE (SQL Server stores ~3ms precision, so a new
+    // instance can land in the same instant) must break toward the
+    // higher start_lsn — the newer instance — not nondeterministically
+    // return the followed one and miss the switch forever (ADVICE r7).
+    val stTie = conn.createStatement()
+    stTie.executeUpdate("""INSERT INTO "cdc"."change_tables" VALUES
+      (42, 'orders_tied', TIMESTAMP('2024-01-01 00:00:00'), '00000000000000018000')""")
+    stTie.close()
+    def messagesOf(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messagesOf(t.getCause)
+    val eTie = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(watch = true)
+    }
+    assert(messagesOf(eTie).mkString("\n").contains("newer capture instance 'orders_tied'"))
+    val stTie2 = conn.createStatement()
+    stTie2.executeUpdate(
+      """DELETE FROM "cdc"."change_tables" WHERE capture_instance = 'orders_tied'""")
+    stTie2.close()
 
     // A NEWER instance for the same source table terminates for
     // supervisor restart...
     val st3 = conn.createStatement()
     st3.executeUpdate("""INSERT INTO "cdc"."change_tables" VALUES
-      (42, 'orders_v2', TIMESTAMP('2025-06-01 00:00:00'))""")
+      (42, 'orders_v2', TIMESTAMP('2025-06-01 00:00:00'), '00000000000000020000')""")
     st3.close()
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)

@@ -28,6 +28,13 @@ class InstanceSwitchSpec extends AnyFunSuite {
     assert(SchemaInference.selectInstance(ByCreateDate, dated) === "dbo_Orders_v2")
     val undated = Seq(("dbo_Orders", "", "0a"), ("dbo_Orders_v2", "", "1b"))
     assert(SchemaInference.selectInstance(ByCreateDate, undated) === "dbo_Orders_v2")
+    // MIXED catalog (ADVICE r7): an undated-but-newer instance must not
+    // lose to a dated older one just because "" sorts below every ISO
+    // date — the whole group falls back to LSN order for consistency.
+    val mixed = Seq(
+      ("dbo_Orders", "2024-01-01T00:00:00", "0a"),
+      ("dbo_Orders_v2", "", "1b")) // undated, newer by LSN
+    assert(SchemaInference.selectInstance(ByCreateDate, mixed) === "dbo_Orders_v2")
   }
 
   test("regex strategy orders by the first captured group; non-matching names lose") {

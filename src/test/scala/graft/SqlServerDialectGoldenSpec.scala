@@ -178,7 +178,7 @@ FROM [cdc].[change_tables] AS ct WITH (NOLOCK)
 WHERE ct.source_object_id = (
     SELECT source_object_id FROM [cdc].[change_tables]
     WHERE capture_instance = @CI)
-ORDER BY ct.create_date DESC"""
+ORDER BY ct.create_date DESC, ct.start_lsn DESC"""
     assert(got === want)
   }
 
