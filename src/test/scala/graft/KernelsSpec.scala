@@ -111,22 +111,22 @@ class KernelsSpec extends AnyFunSuite {
   }
 
   test("substringAnchors: matches the literal every-offset SQL model, position-independent") {
+    // The literal per-window model the DuckDB oracle runs: dual Horner
+    // fold (bases 31/131 mod 1e9+7) over each window's CODE POINTS,
+    // combined h1*2^30 + h2 — re-folded from scratch per offset, which
+    // is exactly what the kernel's O(1) rolling update must equal.
     def model(text: String, width: Int, m: Int): Set[Long] = {
-      val n = text.codePointCount(0, text.length)
-      def cpSubstr(i: Int, len: Int): String = {
-        // 1-based code-point substring, like substr(text, i, len)
-        val start = text.offsetByCodePoints(0, i - 1)
-        val end = try text.offsetByCodePoints(start, len) catch {
-          case _: IndexOutOfBoundsException => text.length
+      val cps = text.codePoints().toArray
+      (0 to cps.length - width).iterator.map { i =>
+        var h1 = 0L; var h2 = 0L
+        var j = i
+        while (j < i + width) {
+          h1 = (h1 * Kernels.AnchorBase1 + cps(j)) % Kernels.AnchorHashModulus
+          h2 = (h2 * Kernels.AnchorBase2 + cps(j)) % Kernels.AnchorHashModulus
+          j += 1
         }
-        text.substring(start, end)
-      }
-      (1 to math.max(n - width + 1, 0)).iterator
-        .map(i => cpSubstr(i, width))
-        .filter(w => w.codePointCount(0, w.length) == width)
-        .map(w => Kernels.md5Top60(w.getBytes("UTF-8")))
-        .filter(_ % m == 0)
-        .toSet
+        h1 * 1073741824L + h2
+      }.filter(_ % m == 0).toSet
     }
     for (trial <- 1 to 60) {
       val s = randomStr(200)
