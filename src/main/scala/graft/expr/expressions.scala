@@ -248,6 +248,66 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** TRAINED-codebook twin of [[pqSubspaceDist]] (r8): centroid (s,c,d)
+    * reads from a flat micro-unit codebook (layout
+    * `s*cents*subDim + c*subDim + d`, [[graft.tools.KMeansTrainer
+    * .trainPqCodebooks]]' output) instead of the LCG formula. Distances
+    * stay exact BIGINT — trained centroids are themselves micro-units. */
+  private def pqSubspaceDistCb(cb: Array[Long], qv: Array[Long], s: Int,
+      c: Int, cents: Int, subDim: Int): Long = {
+    var acc = 0L
+    var d = 0
+    val base = s * cents * subDim + c * subDim
+    while (d < subDim) {
+      val df = qv(s * subDim + d) - cb(base + d)
+      acc += df * df
+      d += 1
+    }
+    acc
+  }
+
+  /** [[pqEncode]] against a trained codebook — same quantize, same
+    * strict-< first-minimum tie-break, same [code0..code3, qerr]. */
+  def pqEncodeCb(cb: Array[Long], v: ArrayData, subspaces: Int,
+      cents: Int, subDim: Int): ArrayData = {
+    val qv = pqQuantize(v, subspaces * subDim)
+    val out = new Array[Long](subspaces + 1)
+    var qerr = 0L
+    var s = 0
+    while (s < subspaces) {
+      var best = Long.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < cents) {
+        val acc = pqSubspaceDistCb(cb, qv, s, c, cents, subDim)
+        if (acc < best) { best = acc; bestC = c }
+        c += 1
+      }
+      out(s) = bestC.toLong
+      qerr += best
+      s += 1
+    }
+    out(subspaces) = qerr
+    new GenericArrayData(out)
+  }
+
+  /** [[pqAdcTable]] against a trained codebook. */
+  def pqAdcTableCb(cb: Array[Long], v: ArrayData, subspaces: Int,
+      cents: Int, subDim: Int): ArrayData = {
+    val qv = pqQuantize(v, subspaces * subDim)
+    val out = new Array[Long](subspaces * cents)
+    var s = 0
+    while (s < subspaces) {
+      var c = 0
+      while (c < cents) {
+        out(s * cents + c) = pqSubspaceDistCb(cb, qv, s, c, cents, subDim)
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Single-pass MinHash signature over char shingles.
     *
     * Semantics identical to the SQL formulation the DuckDB oracle runs
@@ -595,6 +655,61 @@ case class PqAdcTable(child: Expression, subspaces: Int, cents: Int, subDim: Int
       s => s"graft.expr.Kernels.pqAdcTable($s, $subspaces, $cents, $subDim)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `PqEncodeTrained(vec)` — [[Kernels.pqEncodeCb]] over a TRAINED flat
+  * micro-unit codebook carried as a reference object (1 KiB for the
+  * 4×16×16 default — rides the serialized plan like a tiny broadcast;
+  * codegen resolves it once per task, not per row). Constructed
+  * directly as a [[Column]] (companion) by the AnnIndex trained-build
+  * path — not SQL-registered: the codebook is per-index state, not
+  * session state. */
+case class PqEncodeTrained(child: Expression, codebook: Array[Long],
+    subspaces: Int, cents: Int, subDim: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.pqEncodeCb(codebook, v.asInstanceOf[ArrayData], subspaces, cents, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "long[]")
+    defineCodeGen(ctx, ev,
+      s => s"graft.expr.Kernels.pqEncodeCb($cb, $s, $subspaces, $cents, $subDim)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqEncodeTrained {
+  def apply(c: Column, cb: Array[Long], subspaces: Int, cents: Int,
+      subDim: Int): Column =
+    Bridge.column(PqEncodeTrained(Bridge.expression(c), cb, subspaces, cents, subDim))
+}
+
+/** `PqAdcTableTrained(vec)` — [[Kernels.pqAdcTableCb]], the query-side
+  * twin of [[PqEncodeTrained]] over the same trained codebook. */
+case class PqAdcTableTrained(child: Expression, codebook: Array[Long],
+    subspaces: Int, cents: Int, subDim: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.pqAdcTableCb(codebook, v.asInstanceOf[ArrayData], subspaces, cents, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "long[]")
+    defineCodeGen(ctx, ev,
+      s => s"graft.expr.Kernels.pqAdcTableCb($cb, $s, $subspaces, $cents, $subDim)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqAdcTableTrained {
+  def apply(c: Column, cb: Array[Long], subspaces: Int, cents: Int,
+      subDim: Int): Column =
+    Bridge.column(PqAdcTableTrained(Bridge.expression(c), cb, subspaces, cents, subDim))
 }
 
 /** `substring_anchors(text)` — fused content-defined anchor-window

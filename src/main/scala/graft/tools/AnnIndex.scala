@@ -155,6 +155,87 @@ object AnnIndex {
       .parquet(s"$indexDir/pq_postings")
   }
 
+  /** IVF-PQ build with TRAINED per-subspace codebooks (r8) — closes the
+    * "production IVF-PQ trains k-means codebooks per subspace" gap the
+    * deterministic LCG table stood in for (Jégou et al. 2011 §II):
+    * [[KMeansTrainer.trainPqCodebooks]] fits `cents` centroids in each
+    * micro-unit subspace, the codebook persists beside the index
+    * (`indexDir/pq_codebook`), and postings encode against it via the
+    * same fused kernel logic ([[graft.expr.PqEncodeTrained]]). Coarse
+    * IVF routing is unchanged. [[topkPq]] detects the persisted
+    * codebook and serves with the matching ADC table — an LCG-built and
+    * a trained index are interchangeable at the call site. */
+  def buildPqTrained(spark: SparkSession, sfDir: String, indexDir: String,
+      maxIters: Int = 8): Unit = {
+    graft.expr.GraftFunctions.register(spark)
+    import graft.expr.GraftFunctions.{PqSubspaces, PqCentroids, PqSubDim}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (cb, _) = KMeansTrainer.trainPqCodebooks(
+      spark, emb, PqSubspaces, PqCentroids, PqSubDim, maxIters)
+    import spark.implicits._
+    (0 until PqSubspaces).flatMap { s =>
+      (0 until PqCentroids).map { c =>
+        (s, c, (0 until PqSubDim).map(d =>
+          cb(s * PqCentroids * PqSubDim + c * PqSubDim + d)).toSeq)
+      }
+    }.toDF("s", "c", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/pq_codebook")
+    emb.createOrReplaceTempView("ann_pq_emb")
+    spark.sql(
+      """SELECT vec_id, embedding,
+        |       sqrt(float_dot(embedding, embedding)) AS nrm
+        |FROM ann_pq_emb""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("ann_pq_normed")
+    spark.sql(
+      """SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+        |FROM ann_pq_normed WHERE vec_id BETWEEN 100 AND 115""".stripMargin)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    spark.sql(
+      s"""WITH cents AS (
+         |  SELECT c_id, c_emb, c_nrm FROM parquet.`$indexDir/centroids`),
+         |assign AS (
+         |  SELECT n.vec_id, c.c_id, n.embedding,
+         |         row_number() OVER (PARTITION BY n.vec_id
+         |           ORDER BY float_dot(n.embedding, c.c_emb) / (n.nrm * c.c_nrm) DESC,
+         |                    c.c_id) AS crnk
+         |  FROM ann_pq_normed n CROSS JOIN cents c)
+         |SELECT vec_id, c_id, embedding FROM assign WHERE crnk = 1""".stripMargin)
+      .withColumn("e", graft.expr.PqEncodeTrained(
+        col("embedding"), cb, PqSubspaces, PqCentroids, PqSubDim))
+      .select(col("vec_id"), col("c_id"),
+        expr("cast(element_at(e, 1) + 1 AS INT)").as("p0"),
+        expr("cast(element_at(e, 2) + 1 AS INT)").as("p1"),
+        expr("cast(element_at(e, 3) + 1 AS INT)").as("p2"),
+        expr("cast(element_at(e, 4) + 1 AS INT)").as("p3"))
+      .write.mode("overwrite")
+      .partitionBy("c_id")
+      .parquet(s"$indexDir/pq_postings")
+  }
+
+  /** The trained codebook persisted beside a PQ index, if any — flat
+    * micro-unit layout (`s*cents*subDim + c*subDim + d`). 1024 longs at
+    * the default geometry: a driver-side read, not a job. */
+  private def loadCodebook(spark: SparkSession, indexDir: String): Option[Array[Long]] = {
+    import graft.expr.GraftFunctions.{PqSubspaces, PqCentroids, PqSubDim}
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/pq_codebook")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val flat = new Array[Long](PqSubspaces * PqCentroids * PqSubDim)
+      spark.read.parquet(s"$indexDir/pq_codebook").collect().foreach { r =>
+        val s = r.getAs[Number](r.fieldIndex("s")).intValue
+        val c = r.getAs[Number](r.fieldIndex("c")).intValue
+        val cent = r.getSeq[Long](r.fieldIndex("cent"))
+        var d = 0
+        while (d < PqSubDim) {
+          flat(s * PqCentroids * PqSubDim + c * PqSubDim + d) = cent(d); d += 1
+        }
+      }
+      Some(flat)
+    }
+  }
+
   /** Serve top-k from the PQ index for caller-supplied query vectors
     * (`queries`: q_id BIGINT, embedding ARRAY<FLOAT>): route each query
     * to its `nprobe` nearest stored centroids, build its 4×16 ADC table,
@@ -166,8 +247,16 @@ object AnnIndex {
     queries.createOrReplaceTempView("pq_queries")
     spark.read.parquet(s"$indexDir/centroids")
       .createOrReplaceTempView("pq_cents")
-    // Probe routing + per-query ADC tables (fused pq_adc_table kernel):
-    // |queries| × nprobe rows.
+    // Probe routing + per-query ADC tables: |queries| × nprobe rows.
+    // The ADC table comes from the TRAINED codebook when one is
+    // persisted beside the index (buildPqTrained), else from the LCG
+    // formula — matching whichever codebook encoded the postings.
+    import graft.expr.GraftFunctions.{PqSubspaces, PqCentroids, PqSubDim}
+    val adcCol = loadCodebook(spark, indexDir) match {
+      case Some(cb) => graft.expr.PqAdcTableTrained(
+        col("embedding"), cb, PqSubspaces, PqCentroids, PqSubDim)
+      case None => expr("pq_adc_table(embedding)")
+    }
     val probes = spark.sql(
       s"""WITH qn AS (
          |  SELECT q_id, embedding,
@@ -179,8 +268,10 @@ object AnnIndex {
          |           ORDER BY float_dot(q.embedding, c.c_emb) / (q.nrm * c.c_nrm) DESC,
          |                    c.c_id) AS crnk
          |  FROM qn q CROSS JOIN pq_cents c)
-         |SELECT q_id, cast(c_id AS INT) AS c_id, pq_adc_table(embedding) AS adc
+         |SELECT q_id, cast(c_id AS INT) AS c_id, embedding
          |FROM routed WHERE crnk <= $nprobe""".stripMargin)
+      .withColumn("adc", adcCol)
+      .drop("embedding")
       .localCheckpoint()
     val probedCids = probes.select("c_id").distinct()
       .collect().map(_.getAs[Number](0).intValue).toSeq

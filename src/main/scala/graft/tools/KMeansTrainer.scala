@@ -101,6 +101,116 @@ object KMeansTrainer {
     (spark.createDataFrame(centroids).toDF("c_id", "c_emb"), iters)
   }
 
+  /** Per-subspace PQ codebook trainer (r8) — the "train per-subspace
+    * k-means codebooks" half of IVF-PQ (Jégou et al. 2011 §II) the LCG
+    * table stood in for: Lloyd's algorithm run independently in each of
+    * `subspaces` disjoint `subDim`-dim slices of the MICRO-UNIT
+    * quantized vectors (the same `round(x*1000)` integer domain the
+    * encode/ADC kernels score in, so trained centroids keep distances
+    * exact BIGINT and argmin can never flip on a float ulp).
+    *
+    * Scale shape per iteration mirrors [[train]], with the subspace id
+    * joining the key: the (subspaces × cents) codebook BROADCASTS onto
+    * the exploded (vec_id, s, subvector) relation — N·subspaces narrow
+    * rows, never shuffled for the join; argmin by window per (vec_id,
+    * s); the update is one map-side-combined average per (s, c, dim) —
+    * subspaces·cents·subDim result rows regardless of N. Convergence by
+    * per-round assignment checksum, exactly like [[train]].
+    *
+    * Determinism: subspace s seeds from the subvectors of the `cents`
+    * smallest vec_ids; argmin ties break by centroid id; means round
+    * HALF_UP back to micro-units driver-side. Same input → same
+    * codebook.
+    *
+    * @return (flat micro-unit codebook, laid out
+    *         `s*cents*subDim + c*subDim + d` — the layout
+    *         [[graft.expr.Kernels.pqEncodeCb]] expects — and the
+    *         iteration count) */
+  def trainPqCodebooks(spark: SparkSession, embeddings: DataFrame,
+      subspaces: Int = 4, cents: Int = 16, subDim: Int = 16,
+      maxIters: Int = 8): (Array[Long], Int) = {
+    require(subspaces >= 1 && cents >= 1 && subDim >= 1)
+    import spark.implicits._
+    val dims = subspaces * subDim
+
+    def roundMicro(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+    // (vec_id, s, sv): each vector's micro-unit subvectors, one row per
+    // subspace — the per-subspace training sets, all trained in one
+    // joint plan. Quantization = the kernels' pqQuantize (Spark round on
+    // double*1000).
+    val subrows = embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0, 0) as bigint))")
+          .as("qv"))
+      .filter(size(col("qv")) >= dims)
+      .select(col("vec_id"),
+        explode(expr(
+          s"transform(sequence(0, ${subspaces - 1}), s -> struct(s as s, slice(qv, s * $subDim + 1, $subDim) as sv))"))
+          .as("sub"))
+      .select(col("vec_id"), col("sub.s").as("s"), col("sub.sv").as("sv"))
+      .persist()
+
+    // Seed: subspace s starts from the subvectors of the cents smallest
+    // vec_ids (the deterministic analogue of sampled k-means++ seeds).
+    val seedIds = subrows.select("vec_id").distinct()
+      .orderBy("vec_id").limit(cents)
+      .collect().map(_.getLong(0)).zipWithIndex.toMap
+    var codebook: Map[(Int, Int), Seq[Long]] = subrows
+      .filter(col("vec_id").isin(seedIds.keys.toSeq: _*))
+      .collect().map { r =>
+        (r.getInt(1), seedIds(r.getLong(0))) -> r.getSeq[Long](2)
+      }.toMap
+
+    var prevSig: java.math.BigDecimal = null
+    var iters = 0
+    var converged = false
+    while (iters < maxIters && !converged) {
+      val cbDf = spark.createDataFrame(
+        codebook.toSeq.map { case ((s, c), v) => (s, c, v) })
+        .toDF("s", "c", "cent")
+      val w = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("dist"), col("c"))
+      val assigned = subrows.join(broadcast(cbDf), Seq("s"))
+        .withColumn("dist",
+          expr("aggregate(zip_with(sv, cent, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("s"), col("c"), col("sv"))
+        .persist()
+      val sig = assigned.agg(
+        sum(xxhash64(col("vec_id"), col("s"), col("c")).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+      if (sig == prevSig) converged = true
+      else {
+        prevSig = sig
+        val means = assigned
+          .select(col("s"), col("c"), posexplode(col("sv")).as(Seq("dim", "x")))
+          .groupBy(col("s"), col("c"), col("dim")).agg(avg(col("x")).as("m"))
+          .collect()
+        val byC = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+        codebook = codebook.map { case (key, old) =>
+          key -> (byC.get(key) match {
+            case None => old // empty cluster keeps its centroid
+            case Some(rows) =>
+              rows.sortBy(_.getInt(2)).map(r => roundMicro(r.getDouble(3))).toSeq
+          })
+        }
+      }
+      assigned.unpersist()
+      iters += 1
+    }
+    subrows.unpersist()
+    val flat = new Array[Long](subspaces * cents * subDim)
+    codebook.foreach { case ((s, c), v) =>
+      var d = 0
+      while (d < subDim) { flat(s * cents * subDim + c * subDim + d) = v(d); d += 1 }
+    }
+    (flat, iters)
+  }
+
   /** Assign every vector to its trained centroid (the IVF posting-list
     * build input): broadcast join + per-vector argmax, same plan AND same
     * score as `ann_ivf_topk`'s assignment stage — full cosine, both norms

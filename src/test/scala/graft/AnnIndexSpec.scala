@@ -134,6 +134,39 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean <= 0.35, f"PQ-served candidates not near in true L2: $mean%.3f")
   }
 
+  test("trained-codebook PQ index: build persists the codebook, serving detects it, quality holds (r8)") {
+    import org.apache.spark.sql.functions._
+    AnnIndex.buildPqTrained(spark, sfDir, s"$work/pqidx_trained", maxIters = 8)
+    // The codebook persists beside the index (serving needs no trainer).
+    assert(spark.read.parquet(s"$work/pqidx_trained/pq_codebook").count() === 64)
+    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val served = AnnIndex.topkPq(spark, s"$work/pqidx_trained", queries, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.length === 15)
+    // Same quality pin as the LCG index: served candidates sit in the
+    // near tail of TRUE L2 — and the adc_dist column must come from the
+    // TRAINED table (different codebook, different distances), which the
+    // codebook-detection path guarantees; a mismatched table would
+    // degrade ranking toward random.
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val percentiles = served.map { case (q, c) =>
+      val dists = vecs.collect { case (id, v) if id != q => l2(vecs(q), v) }.toArray.sorted
+      dists.count(_ < l2(vecs(q), vecs(c))).toDouble / dists.length
+    }
+    val mean = percentiles.sum / percentiles.length
+    info(f"trained IVF-PQ served mean true-L2 percentile: $mean%.3f")
+    assert(mean <= 0.35, f"trained-PQ-served candidates not near in true L2: $mean%.3f")
+  }
+
   test("pre-upgrade postings without PQ codes are excluded from serving, not ranked first (ADVICE r7)") {
     import org.apache.spark.sql.functions._
     AnnIndex.buildPq(spark, sfDir, s"$work/pqidx_legacy")

@@ -69,4 +69,37 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(qerr >= 0L)
     }
   }
+
+  test("trained per-subspace codebooks beat the LCG table on quantization error (r8)") {
+    import graft.expr.GraftFunctions.{PqSubspaces, PqCentroids, PqSubDim}
+    import org.apache.spark.sql.functions._
+    graft.expr.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (cb, iters) = graft.tools.KMeansTrainer.trainPqCodebooks(
+      spark, emb, PqSubspaces, PqCentroids, PqSubDim, maxIters = 8)
+    assert(cb.length === PqSubspaces * PqCentroids * PqSubDim)
+    info(s"trained in $iters iterations")
+    // Determinism: same input, same codebook — specs and a re-built
+    // index must agree bit-for-bit.
+    val (cb2, _) = graft.tools.KMeansTrainer.trainPqCodebooks(
+      spark, emb, PqSubspaces, PqCentroids, PqSubDim, maxIters = 8)
+    assert(java.util.Arrays.equals(cb, cb2))
+    // Quality: k-means codebooks fit the data; the LCG table is data-
+    // blind noise in the same micro-unit range. Mean quantization error
+    // (the qerr the encode kernel reports, exact BIGINT) must drop —
+    // this pins that TRAINING does something, not just that two engines
+    // agree on a formula.
+    def meanQerr(e: org.apache.spark.sql.Column): Double = {
+      val r = emb.withColumn("e", e)
+        .select(expr(s"cast(element_at(e, ${PqSubspaces + 1}) as double)").as("q"))
+        .agg(avg("q")).head().getDouble(0)
+      r
+    }
+    val lcg = meanQerr(expr("pq_encode(embedding)"))
+    val trained = meanQerr(graft.expr.PqEncodeTrained(
+      col("embedding"), cb, PqSubspaces, PqCentroids, PqSubDim))
+    info(f"mean qerr: LCG $lcg%.0f -> trained $trained%.0f")
+    assert(trained < lcg,
+      f"trained codebook must reduce quantization error: $trained%.0f vs $lcg%.0f")
+  }
 }
