@@ -158,6 +158,22 @@ object AvroSerde {
     (id, new RowEncoder(schema, id))
   }
 
+  /** Config-driven registered encoder (r8): the G7 config surface meets
+    * F4 here — `alwaysUseAvroLongs` (the reference's
+    * `--always-use-avro-longs`, `options.py`/`avro.py`: widen every
+    * integral column to Avro long so a later SQL column widening is not
+    * a schema-registry incompatibility) and `avroSchemaNamespace` flow
+    * from [[graft.model.GraftConfig]] instead of per-call-site
+    * arguments a wiring path could forget. */
+  def encoderFor(cfg: graft.model.GraftConfig, registry: SchemaRegistryClient,
+      topic: String, st: StructType, recordName: String,
+      isKey: Boolean = false,
+      typeOverrides: Map[String, String] = Map.empty): (Int, RowEncoder) =
+    registeredRowEncoder(registry, topic, st, recordName,
+      cfg.avroSchemaNamespace, isKey = isKey,
+      typeOverrides = typeOverrides,
+      alwaysUseLongs = cfg.alwaysUseAvroLongs)
+
   /** Per-partition reusable Confluent-frame decoder. */
   final class FrameDecoder(schemaJson: String) extends Serializable {
     @transient private lazy val schema = new Schema.Parser().parse(schemaJson)

@@ -81,6 +81,41 @@ class AvroSerdeSpec extends AnyFunSuite {
       org.apache.avro.Schema.Type.STRING)
   }
 
+  test("alwaysUseAvroLongs end-to-end (r8): config-driven encoder survives a SQL column widening") {
+    import graft.model.GraftConfig
+    val reg = new InMemorySchemaRegistry
+    val narrow = StructType(Seq(
+      StructField("id", LongType), StructField("qty", IntegerType)))
+    val widened = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType)))
+
+    // Flag OFF: the schema carries int, so the upstream ALTER COLUMN to
+    // BIGINT re-registers as long — an old int-reader cannot read long
+    // writers, and the FORWARD gate rejects the evolution. This is the
+    // operational failure the flag exists to preempt.
+    val off = GraftConfig(alwaysUseAvroLongs = false)
+    AvroSerde.encoderFor(off, reg, "t_off", narrow, "E")
+    intercept[IncompatibleSchemaException] {
+      AvroSerde.encoderFor(off, reg, "t_off", widened, "E")
+    }
+
+    // Flag ON: integral columns register as long from day one; the same
+    // widening produces a byte-identical schema — SAME id, no gate, and
+    // Int values already on the wire decode as Long.
+    val on = GraftConfig(alwaysUseAvroLongs = true)
+    val (idNarrow, enc) = AvroSerde.encoderFor(on, reg, "t_on", narrow, "E")
+    val (idWide, _) = AvroSerde.encoderFor(on, reg, "t_on", widened, "E")
+    assert(idNarrow === idWide,
+      "with alwaysUseAvroLongs the widening must be a schema no-op")
+    val writer = reg.byId(idNarrow).get
+    assert(writer.getField("qty").schema().getTypes.get(1).getType ==
+      org.apache.avro.Schema.Type.LONG)
+    val (_, rec) = AvroSerde.frameDecoder(writer).decode(enc.encode(Row(1L, 7)))
+    assert(rec.get("qty") === 7L)
+    // The config namespace rides along too.
+    assert(writer.getNamespace === on.avroSchemaNamespace)
+  }
+
   test("registry: idempotent ids, id-resolved decode, FORWARD gate on evolution") {
     val reg = new InMemorySchemaRegistry
     val st = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
