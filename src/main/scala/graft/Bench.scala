@@ -62,7 +62,14 @@ object Bench {
     // real cost; otherwise the memoized stages would time near zero and
     // the min would underclaim. All pass totals and the load averages
     // are emitted so a reader can judge the run's trustworthiness.
-    val passes = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+    // Honest config handling: a non-numeric value fails with a clear
+    // message (not a bare NumberFormatException mid-startup) and an
+    // explicit 1 is honored — a single-pass smoke run is a legitimate
+    // ask; the contract line's passes/pass_totals fields disclose it.
+    val passesRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3")
+    val passes = passesRaw.toIntOption.filter(_ >= 1).getOrElse(
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_BENCH_PASSES must be a positive integer, got '$passesRaw'"))
     val passResults: Seq[Seq[(String, Double)]] = (1 to passes).map { i =>
       if (i > 1) {
         graft.queries.DedupQueries.clearSessionMemos()

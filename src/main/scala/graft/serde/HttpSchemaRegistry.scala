@@ -81,7 +81,12 @@ final class HttpSchemaRegistry(
         } catch { case e: java.io.IOException => Left(e) }
       last match {
         case Right(r) => return r
-        case Left(_) => attempt += 1
+        case Left(_) =>
+          attempt += 1
+          // Linear backoff: back-to-back retries would exhaust the
+          // budget inside one millisecond-scale outage window (the
+          // KafkaRecordProducer consult-retry discipline).
+          if (attempt <= maxRetries) Thread.sleep(200L * attempt)
       }
     }
     throw new RuntimeException(
@@ -185,11 +190,14 @@ private[graft] object MicroJson {
         else if (c == '"') inStr = false
       } else if (c == '"') {
         if (json.regionMatches(i, needle, 0, needle.length)) {
+          // JSON whitespace is space/tab/CR/LF — a pretty-printing
+          // server or proxy may emit any of them around the colon.
+          def ws(c: Char) = c == ' ' || c == '\t' || c == '\r' || c == '\n'
           var j = i + needle.length
-          while (j < json.length && json.charAt(j) == ' ') j += 1
+          while (j < json.length && ws(json.charAt(j))) j += 1
           if (j < json.length && json.charAt(j) == ':') {
             j += 1
-            while (j < json.length && json.charAt(j) == ' ') j += 1
+            while (j < json.length && ws(json.charAt(j))) j += 1
             return j
           }
         }

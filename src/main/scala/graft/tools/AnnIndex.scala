@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Once-per-store-version verdict of "does this posting store carry
+    * pre-upgrade rows without PQ codes" — keyed by (indexDir, sorted
+    * input-file hash) so a rebuild re-probes but repeated serves don't
+    * re-scan a healthy store. */
+  private val legacyPostings =
+    scala.collection.concurrent.TrieMap[(String, Int), Boolean]()
+
   /** Build the index from `sfDir/embeddings.parquet` into `indexDir`. */
   def build(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
     graft.expr.GraftFunctions.register(spark)
@@ -120,6 +127,13 @@ object AnnIndex {
     * A 64-dim float vector (256 B) compresses to 4 codes + its list id. */
   def buildPq(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
     graft.expr.GraftFunctions.register(spark)
+    // An LCG rebuild into a directory a TRAINED build used must drop the
+    // stale codebook — topkPq keys the ADC table off its presence, and a
+    // leftover would score these LCG codes against the trained table
+    // (silently wrong rankings).
+    val cbPath = new org.apache.hadoop.fs.Path(s"$indexDir/pq_codebook")
+    val fs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(cbPath)) fs.delete(cbPath, true)
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .createOrReplaceTempView("ann_pq_emb")
     spark.sql(
@@ -275,26 +289,42 @@ object AnnIndex {
       .localCheckpoint()
     val probedCids = probes.select("c_id").distinct()
       .collect().map(_.getAs[Number](0).intValue).toSeq
-    val allLists = spark.read.parquet(s"$indexDir/pq_postings")
+    // mergeSchema: a store holding pre-upgrade files (no p0..p3) next to
+    // upgraded ones must merge footers — default inference picks ONE
+    // part file, and a legacy winner would drop the code columns and
+    // fail resolution (part-file listing order is effectively random).
+    val allLists = spark.read.option("mergeSchema", "true")
+      .parquet(s"$indexDir/pq_postings")
       .filter(col("c_id").isin(probedCids: _*))
-    // Pre-upgrade postings (written before the store carried p0..p3)
-    // read the code columns as NULL under parquet schema merge. Left in,
-    // `element_at(adc, NULL)` yields a NULL adc_dist and the ascending
-    // sort ranks them FIRST — silently serving unscoreable rows at the
-    // top (ADVICE r7). Skip them, and loudly: a bounded limit(1) probe
-    // over the probed partitions (codes-only columns, same discipline as
-    // BrokerSink's validation probe) tells the operator the store needs
-    // a re-encode pass.
-    val lists = allLists.filter(
-      col("p0").isNotNull && col("p1").isNotNull &&
-        col("p2").isNotNull && col("p3").isNotNull)
-    if (allLists.filter(col("p0").isNull || col("p1").isNull ||
-        col("p2").isNull || col("p3").isNull).limit(1).count() > 0) {
-      System.err.println(
-        s"[ann-index] WARN: $indexDir/pq_postings contains rows without " +
-          "PQ codes (written pre-upgrade?); they are EXCLUDED from " +
-          "serving — run a re-encode pass to make them searchable")
-    }
+    require(allLists.columns.contains("p0"),
+      s"$indexDir/pq_postings carries no PQ code columns at all " +
+        "(entirely pre-upgrade store?) — run a re-encode pass before serving")
+    // Pre-upgrade postings read their code columns as NULL under the
+    // merged schema. Left in, `element_at(adc, NULL)` yields a NULL
+    // adc_dist and the ascending sort ranks them FIRST — silently
+    // serving unscoreable rows at the top (ADVICE r7). Skip them, and
+    // loudly — but detect ONCE per store version (file-list hash, the
+    // AsOfJoin memo discipline): the detection scan would otherwise tax
+    // every serve call on healthy stores just to not print a warning.
+    val hasLegacy = legacyPostings.getOrElseUpdate(
+      (indexDir, java.util.Arrays.hashCode(
+        allLists.inputFiles.sorted.asInstanceOf[Array[AnyRef]])), {
+        val found = spark.read.option("mergeSchema", "true")
+          .parquet(s"$indexDir/pq_postings")
+          .filter(col("p0").isNull || col("p1").isNull ||
+            col("p2").isNull || col("p3").isNull)
+          .limit(1).count() > 0
+        if (found) System.err.println(
+          s"[ann-index] WARN: $indexDir/pq_postings contains rows without " +
+            "PQ codes (written pre-upgrade?); they are EXCLUDED from " +
+            "serving — run a re-encode pass to make them searchable")
+        found
+      })
+    val lists =
+      if (hasLegacy) allLists.filter(
+        col("p0").isNotNull && col("p1").isNotNull &&
+          col("p2").isNotNull && col("p3").isNotNull)
+      else allLists
     lists.join(broadcast(probes), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc_dist",
