@@ -834,7 +834,83 @@ object DedupQueries {
        |GROUP BY md5(regexp_replace(lower(text), ' +', ' ', 'g'))
        |HAVING count(*) > 1""".stripMargin
 
+  // ── dd_containment (r8) — asymmetric CONTAINMENT dedup (Broder 1997's
+  // containment coefficient |A∩B| / min(|A|,|B|)): detects a document
+  // EMBEDDED in a larger one (quoted article, concatenated shards,
+  // boilerplate-wrapped reposts) — pairs symmetric Jaccard structurally
+  // misses (a 10x-larger superset caps Jaccard at ~0.1) and
+  // dd_ngram_jaccard cannot even see (its size-bucket blocking only
+  // pairs similar-length docs, the opposite of the containment shape).
+  //
+  // Scale shape: candidate generation borrows dd_substring's anchor
+  // discipline on word bigrams — a contained doc shares its grams with
+  // its superset, so pairs come from an equi-join on RARE grams
+  // (boilerplate cap ≤64 docs bounds per-key fan-out by construction;
+  // never all-pairs, never size-blocked). Exact containment is then
+  // computed only for candidates.
+  def ddContainment(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    // Gram lists materialize ONCE: the rare-gram filter and both sides
+    // of the pair verification consume them, and Catalyst inlines CTEs.
+    spark.sql(
+      s"""WITH corpus AS ($corpusSparkSql)
+         |SELECT doc_id, array_distinct(transform(sequence(1, greatest(size(ws) - 1, 1)),
+         |         i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) AS g
+         |FROM (SELECT doc_id, split(text, ' ') AS ws FROM corpus)
+         |WHERE size(ws) >= 2""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("containment_grams_t")
+    spark.sql(
+      """WITH gd AS (
+        |  SELECT doc_id, gram
+        |  FROM containment_grams_t LATERAL VIEW explode(g) AS gram),
+        |rare AS (SELECT gram FROM gd GROUP BY gram HAVING count(*) <= 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM gd a
+        |  JOIN rare r ON a.gram = r.gram
+        |  JOIN gd b ON b.gram = a.gram AND a.doc_id < b.doc_id),
+        |cand AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |         CAST(size(array_intersect(ga.g, gb.g)) AS DOUBLE)
+        |           / least(size(ga.g), size(gb.g)) AS containment,
+        |         CAST(size(array_intersect(ga.g, gb.g)) AS DOUBLE)
+        |           / size(array_distinct(concat(ga.g, gb.g))) AS jaccard
+        |  FROM pairs p
+        |  JOIN containment_grams_t ga ON ga.doc_id = p.doc_a
+        |  JOIN containment_grams_t gb ON gb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, containment, jaccard FROM cand
+        |WHERE containment >= 0.8""".stripMargin)
+  }
+
+  val ddContainmentSql: String =
+    s"""WITH corpus AS ($corpusDuckSql),
+       |grams AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+       |    i -> ws[i] || ' ' || ws[i + 1])) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
+       |  WHERE len(ws) >= 2),
+       |gd AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+       |rare AS (SELECT gram FROM gd GROUP BY gram HAVING count(*) <= 64),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM gd a
+       |  JOIN rare r ON a.gram = r.gram
+       |  JOIN gd b ON b.gram = a.gram AND a.doc_id < b.doc_id),
+       |cand AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+       |           / least(len(ga.g), len(gb.g)) AS containment,
+       |         CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+       |           / len(list_distinct(ga.g || gb.g)) AS jaccard
+       |  FROM pairs p
+       |  JOIN grams ga ON ga.doc_id = p.doc_a
+       |  JOIN grams gb ON gb.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, containment, jaccard FROM cand
+       |WHERE containment >= 0.8""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_containment" -> (ddContainment _),
     "dd_exact_normalized" -> (ddExactNormalized _),
     "dd_exact" -> (ddExact _),
     "dd_dup_rate_by_source" -> (ddDupRateBySource _),
@@ -850,6 +926,7 @@ object DedupQueries {
     "dd_cluster_star" -> (ddClusterStar _))
 
   val oracle: Map[String, String] = Map(
+    "dd_containment" -> ddContainmentSql,
     "dd_exact_normalized" -> ddExactNormalizedSql,
     "dd_exact" -> ddExactSql,
     "dd_dup_rate_by_source" -> ddDupRateBySourceSql,

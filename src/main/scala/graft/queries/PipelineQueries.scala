@@ -698,7 +698,66 @@ object PipelineQueries {
       |       row_number() OVER (ORDER BY h, doc_id) AS train_order
       |FROM keyed""".stripMargin
 
+  // ── pipe_contamination_rate (r8) — per-document contamination
+  // FRACTION: what share of a training document's distinct 5-word
+  // shingles appear in the eval set. `pipe_decontaminate` answers the
+  // binary question (any overlap at all — the drop rule); this is the
+  // graded one behind partial-contamination policies ("dirty" = ≥N%
+  // overlap, GPT-3 appendix C's per-document dirtiness) and the number a
+  // contamination report ranks offenders by.
+  //
+  // Scale shape identical to pipe_decontaminate: the eval shingle set is
+  // fixed-size → broadcasts; the training side streams map-side through
+  // the explode; both counts are map-side-combined aggs keyed by doc_id.
+  // Only contaminated documents reach the output (the inner join), so
+  // the result is report-sized, not corpus-sized.
+  def pipeContaminationRate(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH ws AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+         |eligible AS (SELECT doc_id, w FROM ws WHERE size(w) >= 5),
+         |eval_sh AS (
+         |  SELECT DISTINCT sh
+         |  FROM eligible
+         |  LATERAL VIEW explode(${shingleSpark("w")}) AS sh
+         |  WHERE doc_id % 11 = 0),
+         |train_sh AS (
+         |  SELECT doc_id, sh
+         |  FROM (SELECT doc_id, array_distinct(${shingleSpark("w")}) AS shs
+         |        FROM eligible WHERE doc_id % 11 <> 0)
+         |  LATERAL VIEW explode(shs) AS sh),
+         |tot AS (SELECT doc_id, count(*) AS total_shingles
+         |        FROM train_sh GROUP BY doc_id),
+         |hits AS (SELECT t.doc_id, count(*) AS hit_shingles
+         |         FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
+         |         GROUP BY t.doc_id)
+         |SELECT t.doc_id, t.total_shingles, h.hit_shingles,
+         |       CAST(h.hit_shingles AS DOUBLE) / t.total_shingles AS contamination_rate
+         |FROM tot t JOIN hits h ON t.doc_id = h.doc_id""".stripMargin)
+  }
+
+  val pipeContaminationRateSql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |eligible AS (SELECT doc_id, w FROM ws WHERE len(w) >= 5),
+      |eval_sh AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
+      |    i -> array_to_string(w[i:i+4], ' '))) AS sh
+      |  FROM eligible WHERE doc_id % 11 = 0),
+      |train_sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
+      |    i -> array_to_string(w[i:i+4], ' ')))) AS sh
+      |  FROM eligible WHERE doc_id % 11 <> 0),
+      |tot AS (SELECT doc_id, count(*) AS total_shingles
+      |        FROM train_sh GROUP BY doc_id),
+      |hits AS (SELECT t.doc_id, count(*) AS hit_shingles
+      |         FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
+      |         GROUP BY t.doc_id)
+      |SELECT t.doc_id, t.total_shingles, h.hit_shingles,
+      |       CAST(h.hit_shingles AS DOUBLE) / t.total_shingles AS contamination_rate
+      |FROM tot t JOIN hits h ON t.doc_id = h.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_contamination_rate" -> (pipeContaminationRate _),
     "sk_kmv_distinct" -> (skKmvDistinct _),
     "pipe_canonicalize" -> (pipeCanonicalize _),
     "text_gopher_filters" -> (textGopherFilters _),
@@ -713,6 +772,7 @@ object PipelineQueries {
     "pipe_shuffle" -> (pipeShuffle _))
 
   val oracle: Map[String, String] = Map(
+    "pipe_contamination_rate" -> pipeContaminationRateSql,
     "sk_kmv_distinct" -> skKmvDistinctSql,
     "pipe_canonicalize" -> pipeCanonicalizeSql,
     "text_gopher_filters" -> textGopherFiltersSql,
