@@ -846,5 +846,17 @@ object GraftFunctions {
         }
         KmvBottomK(args(0), k)
       })
+    Bridge.registerFunction(spark, "mg_candidates",
+      args => {
+        require(args.length == 2 && args(1).foldable,
+          "mg_candidates(item, k): k must be a literal")
+        val k = args(1).eval() match {
+          case i: Int => i
+          case l: Long if l == l.toInt => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"mg_candidates: k must be an Int-range integer literal, got $other")
+        }
+        MisraGriesCandidates(args(0), k)
+      })
   }
 }

@@ -462,7 +462,71 @@ object TextQueries {
       |FROM grams g JOIN freq f ON g.gram = f.gram
       |GROUP BY g.doc_id""".stripMargin
 
+  // ── text_heavy_hitters (r8) — exact heavy-hitter word bigrams per
+  // language (frequency > n/1024: the dominant-collocation report a
+  // stopword/boilerplate induction pass starts from). The naive plan is a
+  // full `GROUP BY gram` — at 100 TB that shuffles the entire gram
+  // vocabulary (billions of keys) to find a few hundred survivors. The
+  // scale path is a two-pass sketch-then-verify:
+  //   1. `mg_candidates(gram, 4096)` — the Misra–Gries summary as a
+  //      TypedImperativeAggregate (expr/MisraGries.scala): each executor
+  //      folds its partitions into a ≤4096-counter buffer, the shuffle
+  //      carries ≤4096 entries per language, and the MG bound guarantees
+  //      every gram with count > n/4096 ⊇ every heavy hitter survives.
+  //   2. Exact recount of ONLY the candidates (broadcast semi-join —
+  //      candidate set is ≤ 4096·langs rows by construction) and the
+  //      exact threshold filter.
+  // The summary's surviving SET is fold-order dependent, but recall is
+  // total at 4x headroom (threshold n/1024 vs bound n/4096), so the
+  // post-verify output is deterministic and engine-exact — the same
+  // sketch-prefilter-exact-verify discipline as pipe_decontaminate_bloom.
+  // The DuckDB oracle is the naive exact plan; MisraGriesSpec pins the
+  // MG guarantee itself on a skewed stream whose vocabulary exceeds K.
+  // The gram relation is recomputed per consumer (scan-speed narrow
+  // explode) rather than pinned: at 100 TB the exploded grams dwarf the
+  // corpus, so a checkpoint would cost more than the extra scans.
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      """WITH ws AS (SELECT lang, split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT lang, gram
+        |  FROM (SELECT lang, transform(sequence(1, size(w) - 1),
+        |                i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) AS gs
+        |        FROM ws WHERE size(w) >= 2)
+        |  LATERAL VIEW explode(gs) AS gram),
+        |cand AS (
+        |  SELECT lang, gram
+        |  FROM (SELECT lang, mg_candidates(gram, 4096) AS mg FROM grams GROUP BY lang)
+        |  LATERAL VIEW explode(mg) AS gram),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY lang),
+        |exact AS (
+        |  SELECT g.lang, g.gram, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM grams g JOIN cand c ON g.lang = c.lang AND g.gram = c.gram
+        |  GROUP BY g.lang, g.gram)
+        |SELECT e.lang, e.gram, e.cnt,
+        |       CAST(e.cnt AS DOUBLE) / t.n_grams AS share
+        |FROM exact e JOIN tot t ON e.lang = t.lang
+        |WHERE e.cnt * 1024 > t.n_grams""".stripMargin)
+  }
+
+  val textHeavyHittersSql: String =
+    """WITH ws AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT lang, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+      |  FROM ws WHERE len(w) >= 2),
+      |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY lang),
+      |exact AS (
+      |  SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM grams GROUP BY lang, gram)
+      |SELECT e.lang, e.gram, e.cnt,
+      |       CAST(e.cnt AS DOUBLE) / t.n_grams AS share
+      |FROM exact e JOIN tot t ON e.lang = t.lang
+      |WHERE e.cnt * 1024 > t.n_grams""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> (textHeavyHitters _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_scrub" -> (textScrub _),
     "sample_stratified" -> (sampleStratified _),
@@ -477,6 +541,7 @@ object TextQueries {
     "pipe_curation" -> (pipeCuration _))
 
   val oracle: Map[String, String] = Map(
+    "text_heavy_hitters" -> textHeavyHittersSql,
     "text_ngram_novelty" -> textNgramNoveltySql,
     "text_scrub" -> textScrubSql,
     "sample_stratified" -> sampleStratifiedSql,

@@ -158,6 +158,25 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"replicated corpus must have zero rare grams: $stats")
   }
 
+  test("dd_containment pairs every copy-set at sf≈1; the rare-gram cap absorbs organic fan-out") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    var df: org.apache.spark.sql.DataFrame = null
+    val n = timed("dd_containment @ sf~1") {
+      df = SparkEntry.queries("dd_containment")(spark, dir)
+      df.count()
+    }
+    // Copies of a document share its ENTIRE bigram set (containment 1.0),
+    // so each base doc whose gram set keeps at least one rare gram after
+    // the 10x replication contributes C(10,2)=45 pairs. Grams organically
+    // shared by >6 base docs now sit in >64 documents and fall to the
+    // cap — candidate generation shrinks under replication instead of
+    // exploding, which is the scale property this test defends. Floor is
+    // generous for docs whose every bigram is corpus-common.
+    assert(n >= 45L * 500, s"expected ≥ ${45L * 500} cross-copy pairs, got $n")
+    assert(df.filter(col("doc_a") >= col("doc_b")).limit(1).count() === 0)
+    assert(df.filter(col("containment") < 0.8).limit(1).count() === 0)
+  }
+
   test("ann_ivf_topk serves at sf≈1 with intact top-k contract") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     val rows = timed("ann_ivf_topk @ sf~1") {
