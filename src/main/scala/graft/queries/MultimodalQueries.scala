@@ -164,13 +164,123 @@ object MultimodalQueries {
        |FROM assets
        |GROUP BY md5(hex(media)) HAVING count(*) > 1""".stripMargin
 
+  // ── mm_near_dup_bands (r8) — banded perceptual-signature NEAR-dup over
+  // media assets: the same content re-containered (different resolution /
+  // format header) has a different byte digest, so `mm_dedup_assets`
+  // structurally misses it. The production design (pHash/blockhash over
+  // the decoded image): decode → per-block robust features → pack the
+  // 4×8-byte feature block into the asset container as a sidecar → pair
+  // assets sharing ≥3 of 4 feature bands. Per the MediaStub discipline
+  // the DECODE step is stubbed — block features here derive from the
+  // document's normalized text quarters (deterministic, engine-shared
+  // md5), standing in for decoded-pixel block features — while
+  // everything Spark-side is real: the features travel INSIDE the binary
+  // media column and are probed back out of its bytes, candidates come
+  // from a band equi-join (per-band group cap ≤64 bounds fan-out by
+  // construction — the dd_substring discipline; a band shared by more
+  // assets is background, not near-dup evidence), and exact band-match
+  // verification runs only on candidates. Never all-pairs; media bytes
+  // never shuffle (only 16-char band slices and ids).
+  def mmNearDupBands(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      s"""WITH corpus AS (${DedupQueries.corpusSparkSql}),
+         |q AS (
+         |  SELECT doc_id, s, length(s) DIV 4 AS qlen
+         |  FROM (SELECT doc_id, normalize_text(text) AS s FROM corpus)
+         |  WHERE length(s) >= 4),
+         |assets AS (
+         |  SELECT doc_id,
+         |         unhex(concat(
+         |           lpad(hex(64 + (doc_id % 16) * 16), 8, '0'),
+         |           lpad(hex(64 + (doc_id % 9) * 32), 8, '0'),
+         |           lpad(hex(doc_id % 3), 2, '0'),
+         |           substr(md5(substr(s, 1, qlen)), 1, 16),
+         |           substr(md5(substr(s, 1 + qlen, qlen)), 1, 16),
+         |           substr(md5(substr(s, 1 + 2 * qlen, qlen)), 1, 16),
+         |           substr(md5(substr(s, 1 + 3 * qlen)), 1, 16))) AS media
+         |  FROM q),
+         |bands AS (
+         |  SELECT doc_id, band_idx,
+         |         substr(hex(media), 19 + (band_idx - 1) * 16, 16) AS band_val
+         |  FROM assets LATERAL VIEW explode(array(1, 2, 3, 4)) AS band_idx),
+         |keep AS (
+         |  SELECT band_idx, band_val FROM bands
+         |  GROUP BY band_idx, band_val HAVING count(*) BETWEEN 2 AND 64),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN keep k ON a.band_idx = k.band_idx AND a.band_val = k.band_val
+         |  JOIN bands b ON b.band_idx = a.band_idx AND b.band_val = a.band_val
+         |                  AND a.doc_id < b.doc_id),
+         |sig AS (SELECT doc_id, substr(hex(media), 19, 64) AS s4 FROM assets),
+         |cand AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         CAST(IF(substr(sa.s4, 1, 16) = substr(sb.s4, 1, 16), 1, 0)
+         |            + IF(substr(sa.s4, 17, 16) = substr(sb.s4, 17, 16), 1, 0)
+         |            + IF(substr(sa.s4, 33, 16) = substr(sb.s4, 33, 16), 1, 0)
+         |            + IF(substr(sa.s4, 49, 16) = substr(sb.s4, 49, 16), 1, 0) AS INT)
+         |           AS matched_bands
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, matched_bands FROM cand
+         |WHERE matched_bands >= 3""".stripMargin)
+  }
+
+  val mmNearDupBandsSql: String =
+    s"""WITH corpus AS (${DedupQueries.corpusDuckSql}),
+       |q AS (
+       |  SELECT doc_id, s, len(s) // 4 AS qlen
+       |  FROM (SELECT doc_id, regexp_replace(lower(text), ' +', ' ', 'g') AS s FROM corpus)
+       |  WHERE len(s) >= 4),
+       |assets AS (
+       |  SELECT doc_id,
+       |         unhex(lpad(hex(64 + (doc_id % 16) * 16), 8, '0') ||
+       |               lpad(hex(64 + (doc_id % 9) * 32), 8, '0') ||
+       |               lpad(hex(doc_id % 3), 2, '0') ||
+       |               substr(md5(substr(s, 1, qlen)), 1, 16) ||
+       |               substr(md5(substr(s, 1 + qlen, qlen)), 1, 16) ||
+       |               substr(md5(substr(s, 1 + 2 * qlen, qlen)), 1, 16) ||
+       |               substr(md5(substr(s, 1 + 3 * qlen)), 1, 16)) AS media
+       |  FROM q),
+       |bands AS (
+       |  SELECT doc_id, band_idx,
+       |         substr(hex(media), 19 + (band_idx - 1) * 16, 16) AS band_val
+       |  FROM assets, unnest([1, 2, 3, 4]) AS t(band_idx)),
+       |keep AS (
+       |  SELECT band_idx, band_val FROM bands
+       |  GROUP BY band_idx, band_val HAVING count(*) BETWEEN 2 AND 64),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN keep k ON a.band_idx = k.band_idx AND a.band_val = k.band_val
+       |  JOIN bands b ON b.band_idx = a.band_idx AND b.band_val = a.band_val
+       |                  AND a.doc_id < b.doc_id),
+       |sig AS (SELECT doc_id, substr(hex(media), 19, 64) AS s4 FROM assets),
+       |cand AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         CAST(CASE WHEN substr(sa.s4, 1, 16) = substr(sb.s4, 1, 16) THEN 1 ELSE 0 END
+       |            + CASE WHEN substr(sa.s4, 17, 16) = substr(sb.s4, 17, 16) THEN 1 ELSE 0 END
+       |            + CASE WHEN substr(sa.s4, 33, 16) = substr(sb.s4, 33, 16) THEN 1 ELSE 0 END
+       |            + CASE WHEN substr(sa.s4, 49, 16) = substr(sb.s4, 49, 16) THEN 1 ELSE 0 END AS INT)
+       |           AS matched_bands
+       |  FROM pairs p
+       |  JOIN sig sa ON sa.doc_id = p.doc_a
+       |  JOIN sig sb ON sb.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, matched_bands FROM cand
+       |WHERE matched_bands >= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_near_dup_bands" -> (mmNearDupBands _),
     "mm_metadata_extract" -> (mmMetadataExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_stub" -> (mmDecodeStub _),
     "mm_dedup_assets" -> (mmDedupAssets _))
 
   val oracle: Map[String, String] = Map(
+    "mm_near_dup_bands" -> mmNearDupBandsSql,
     "mm_metadata_extract" -> mmMetadataExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_decode_stub" -> mmDecodeStubSql,
