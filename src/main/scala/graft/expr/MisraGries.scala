@@ -31,6 +31,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * the final output is deterministic and engine-exact even though the
   * intermediate summary is not.
   */
+/** The Misra–Gries observation step, shared verbatim by the batch
+  * aggregate below and the streaming state fold
+  * ([[graft.streaming.StreamingHeavyHitters]]) so the two paths cannot
+  * drift: increment a live counter, insert while there is room, else
+  * decrement every counter (each such pass cancels K prior increments —
+  * amortized O(1) per row). */
+object MisraGries {
+  def observe[T <: AnyRef](buf: java.util.HashMap[T, java.lang.Long],
+      item: T, k: Int, intern: T => T): Unit = {
+    val cur = buf.get(item)
+    if (cur != null) buf.put(item, java.lang.Long.valueOf(cur + 1L))
+    else if (buf.size < k) buf.put(intern(item), java.lang.Long.valueOf(1L))
+    else {
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= 1L) it.remove()
+        else e.setValue(java.lang.Long.valueOf(e.getValue - 1L))
+      }
+    }
+  }
+}
+
 case class MisraGriesCandidates(
     child: Expression,
     k: Int,
@@ -47,24 +70,10 @@ case class MisraGriesCandidates(
       input: InternalRow): java.util.HashMap[UTF8String, java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
-      val cur = buf.get(s)
-      if (cur != null && cur > 0L) buf.put(s, java.lang.Long.valueOf(cur + 1L))
-      else if (buf.size < k) buf.put(s.clone(), java.lang.Long.valueOf(1L)) // clone: eval may reuse its backing buffer
-      else decrementAll(buf)
+      // intern = clone: eval may reuse its backing buffer.
+      MisraGries.observe(buf, v.asInstanceOf[UTF8String], k, (s: UTF8String) => s.clone())
     }
     buf
-  }
-
-  /** The classic MG step: an unmatched item with all K counters busy
-    * decrements every counter instead of entering. O(K), but each such
-    * pass cancels K prior increments, so amortized O(1) per row. */
-  private def decrementAll(buf: java.util.HashMap[UTF8String, java.lang.Long]): Unit = {
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getValue <= 1L) it.remove() else e.setValue(java.lang.Long.valueOf(e.getValue - 1L))
-    }
   }
 
   override def merge(b1: java.util.HashMap[UTF8String, java.lang.Long],
