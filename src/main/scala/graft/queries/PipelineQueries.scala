@@ -698,6 +698,53 @@ object PipelineQueries {
       |       row_number() OVER (ORDER BY h, doc_id) AS train_order
       |FROM keyed""".stripMargin
 
+  // ── pipe_curriculum (r8) — quality-annealed TRAINING ORDER: documents
+  // are staged so the highest-quality phase lands at the END of training
+  // (the data-annealing recipe: bulk web data early, highest-quality
+  // material in the final phase where it shapes the converged model
+  // most), with a deterministic hash shuffle WITHIN each phase (the
+  // pipe_shuffle discipline — phase boundaries must not introduce
+  // within-phase order bias). Phases come from FIXED quality thresholds
+  // (design constants; a production deployment reads them from config),
+  // not quantiles — a global ntile would need a distribution pass and a
+  // sort; thresholds are one narrow projection.
+  //
+  // Scale shape: quality + phase + hash are narrow map-side expressions;
+  // the only wide operation is GlobalOrder's TeraSort-style rank
+  // (range-partition on (phase, h), rank within partitions, broadcast
+  // offsets) — no single-reducer row_number, deterministic across
+  // cluster sizes, so the assignment itself is oracle-checked.
+  def pipeCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    val keyed = spark.sql(
+      s"""SELECT doc_id, quality,
+         |       CAST(CASE WHEN quality < 0.58 THEN 0
+         |                 WHEN quality < 0.64 THEN 1
+         |                 WHEN quality < 0.70 THEN 2
+         |                 ELSE 3 END AS INT) AS phase,
+         |       ${DedupQueries.hSpark("concat('curriculum:', cast(doc_id as string))")} AS h
+         |FROM (SELECT doc_id, ${TextQueries.qualitySpark("text")} AS quality
+         |      FROM documents)""".stripMargin)
+    graft.operators.GlobalOrder
+      .withGlobalRank(keyed, Seq(col("phase"), col("h"), col("doc_id")), "train_order")
+      .select(col("doc_id"), col("quality"), col("phase"), col("train_order"))
+  }
+
+  val pipeCurriculumSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, ${TextQueries.qualityDuck("text")} AS quality FROM documents),
+       |keyed AS (
+       |  SELECT doc_id, quality,
+       |         CAST(CASE WHEN quality < 0.58 THEN 0
+       |                   WHEN quality < 0.64 THEN 1
+       |                   WHEN quality < 0.70 THEN 2
+       |                   ELSE 3 END AS INT) AS phase,
+       |         ${DedupQueries.hDuck("concat('curriculum:', CAST(doc_id AS VARCHAR))")} AS h
+       |  FROM q)
+       |SELECT doc_id, quality, phase,
+       |       row_number() OVER (ORDER BY phase, h, doc_id) AS train_order
+       |FROM keyed""".stripMargin
+
   // ── pipe_contamination_rate (r8) — per-document contamination
   // FRACTION: what share of a training document's distinct 5-word
   // shingles appear in the eval set. `pipe_decontaminate` answers the
@@ -757,6 +804,7 @@ object PipelineQueries {
       |FROM tot t JOIN hits h ON t.doc_id = h.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_curriculum" -> (pipeCurriculum _),
     "pipe_contamination_rate" -> (pipeContaminationRate _),
     "sk_kmv_distinct" -> (skKmvDistinct _),
     "pipe_canonicalize" -> (pipeCanonicalize _),
@@ -772,6 +820,7 @@ object PipelineQueries {
     "pipe_shuffle" -> (pipeShuffle _))
 
   val oracle: Map[String, String] = Map(
+    "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_contamination_rate" -> pipeContaminationRateSql,
     "sk_kmv_distinct" -> skKmvDistinctSql,
     "pipe_canonicalize" -> pipeCanonicalizeSql,

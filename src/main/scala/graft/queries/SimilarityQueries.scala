@@ -618,7 +618,126 @@ object SimilarityQueries {
        |FROM ranked WHERE rnk <= 5""".stripMargin
   }
 
+  // ── ann_pq_rerank_topk (r8) — the standard two-stage serving path
+  // (Jégou et al. 2011 §V: ADC shortlist, exact re-rank): the cheap
+  // integer ADC scan cuts the corpus to a 32-candidate shortlist per
+  // probe, then the exact float cosine — 4 integer adds vs a 64-dim
+  // float dot, but the float dot now runs on 32 rows instead of the
+  // corpus — settles the final top-5. This is what closes the PQ loop
+  // for serving: ADC alone ranks by a quantized distance (ann_pq_adc_
+  // topk documents its approximation); the rerank restores exact
+  // ordering among the survivors, the accuracy/cost point production
+  // ANN serving actually runs at.
+  //
+  // Scale shape: stage 1 is ann_pq_adc_topk's shape verbatim (3-probe
+  // ADC tables broadcast, codes stream map-side). Stage 2's shortlist
+  // is probes×32 rows — broadcast it; the corpus is scanned ONCE more
+  // map-side to fetch shortlist embeddings (never shuffled, never
+  // all-pairs). Engine-exact: ADC distances are integer micro-units;
+  // the rerank cosine is the same bit-identical float_dot fold the
+  // oracle reproduces (the ann_bruteforce discipline).
+  def annPqRerankTopk(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      s"""WITH enc AS (
+         |  SELECT vec_id, pq_encode(embedding) AS e FROM embeddings),
+         |codes AS (
+         |  SELECT vec_id,
+         |    cast(element_at(e, 1) + 1 AS INT) AS p0,
+         |    cast(element_at(e, 2) + 1 AS INT) AS p1,
+         |    cast(element_at(e, 3) + 1 AS INT) AS p2,
+         |    cast(element_at(e, 4) + 1 AS INT) AS p3
+         |  FROM enc),
+         |probes AS (
+         |  SELECT vec_id AS q_id, pq_adc_table(embedding) AS adc
+         |  FROM embeddings WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT /*+ BROADCAST(p) */ p.q_id, c.vec_id,
+         |         element_at(p.adc, c.p0)
+         |       + element_at(p.adc, 16 + c.p1)
+         |       + element_at(p.adc, 32 + c.p2)
+         |       + element_at(p.adc, 48 + c.p3) AS adc_dist
+         |  FROM probes p JOIN codes c ON p.q_id <> c.vec_id),
+         |shortlist AS (
+         |  SELECT q_id, vec_id, adc_dist FROM (
+         |    SELECT q_id, vec_id, adc_dist,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY adc_dist, vec_id) AS adc_rnk
+         |    FROM scored)
+         |  WHERE adc_rnk <= 32),
+         |rer AS (
+         |  SELECT /*+ BROADCAST(s), BROADCAST(qe) */
+         |         s.q_id, s.vec_id, s.adc_dist,
+         |         ${dotS("qe.embedding", "ce.embedding")}
+         |           / (sqrt(${dotS("qe.embedding", "qe.embedding")})
+         |              * sqrt(${dotS("ce.embedding", "ce.embedding")})) AS cs
+         |  FROM shortlist s
+         |  JOIN embeddings qe ON qe.vec_id = s.q_id
+         |  JOIN embeddings ce ON ce.vec_id = s.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, adc_dist, cs,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cs DESC, vec_id) AS rnk
+         |  FROM rer)
+         |SELECT q_id, vec_id, cast(adc_dist AS BIGINT) AS adc_dist,
+         |       cs AS cos_sim, cast(rnk AS INT) AS rnk
+         |FROM ranked WHERE rnk <= 5""".stripMargin)
+  }
+
+  val annPqRerankTopkSql: String = {
+    val diff = s"qv[s*16 + d + 1] - ((1103515245::BIGINT * (s*256 + c*16 + d) + 12345) % 2001 - 1000)"
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(x::DOUBLE * 1000.0, 0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |dists AS (
+       |  SELECT vec_id,
+       |    list_transform(range(0, 4), s ->
+       |      list_transform(range(0, 16), c ->
+       |        CAST(list_sum(list_transform(range(0, 16), d ->
+       |          ($diff) * ($diff))) AS BIGINT))) AS dt
+       |  FROM q),
+       |enc AS (
+       |  SELECT vec_id,
+       |    CAST(list_position(dt[1], list_min(dt[1])) AS INT) AS p0,
+       |    CAST(list_position(dt[2], list_min(dt[2])) AS INT) AS p1,
+       |    CAST(list_position(dt[3], list_min(dt[3])) AS INT) AS p2,
+       |    CAST(list_position(dt[4], list_min(dt[4])) AS INT) AS p3
+       |  FROM dists),
+       |probes AS (SELECT vec_id AS q_id, dt FROM dists WHERE vec_id < 3),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id,
+       |         dt[1][c.p0] + dt[2][c.p1] + dt[3][c.p2] + dt[4][c.p3] AS adc_dist
+       |  FROM probes p JOIN enc c ON p.q_id <> c.vec_id),
+       |shortlist AS (
+       |  SELECT q_id, vec_id, adc_dist FROM (
+       |    SELECT q_id, vec_id, adc_dist,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY adc_dist, vec_id) AS adc_rnk
+       |    FROM scored)
+       |  WHERE adc_rnk <= 32),
+       |rer AS (
+       |  SELECT s.q_id, s.vec_id, s.adc_dist,
+       |         ${dotD("qe.embedding", "ce.embedding")}
+       |           / (sqrt(${dotD("qe.embedding", "qe.embedding")})
+       |              * sqrt(${dotD("ce.embedding", "ce.embedding")})) AS cs
+       |  FROM shortlist s
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id
+       |  JOIN embeddings ce ON ce.vec_id = s.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc_dist, cs,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cs DESC, vec_id) AS rnk
+       |  FROM rer)
+       |SELECT q_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       |       cs AS cos_sim, CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= 5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_rerank_topk" -> (annPqRerankTopk _),
     "emb_pq_encode" -> (embPqEncode _),
     "ann_pq_adc_topk" -> (annPqAdcTopk _),
     "emb_outlier" -> (embOutlier _),
@@ -631,6 +750,7 @@ object SimilarityQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracle: Map[String, String] = Map(
+    "ann_pq_rerank_topk" -> annPqRerankTopkSql,
     "emb_pq_encode" -> embPqEncodeSql,
     "ann_pq_adc_topk" -> annPqAdcTopkSql,
     "emb_outlier" -> embOutlierSql,
