@@ -19,30 +19,42 @@ import graft.model.MediaStub
   */
 object MultimodalQueries {
 
-  /** Synthetic media fixture: a binary "container" per document, header =
-    * 4-byte width | 4-byte height | 1-byte format, all derived from
-    * doc_id. The hex-level layout matches [[MediaStub.header]]. */
+  /** The container HEADER as hex text (4-byte width | 4-byte height |
+    * 1-byte format, 18 hex chars), all derived from doc_id. ONE
+    * definition per dialect: every query that synthesizes or slices the
+    * container derives offsets from this layout, so a header change
+    * cannot update one site and silently shift another's byte offsets
+    * (the band slices in [[mmNearDupBands]] start at hex char 19 =
+    * [[HeaderHexLen]] + 1). The hex-level layout matches
+    * [[MediaStub.header]]. */
+  private val headerHexSpark =
+    """concat(lpad(hex(64 + (doc_id % 16) * 16), 8, '0'),
+      |       lpad(hex(64 + (doc_id % 9) * 32), 8, '0'),
+      |       lpad(hex(doc_id % 3), 2, '0'))""".stripMargin
+  private val headerHexDuck =
+    """lpad(hex(64 + (doc_id % 16) * 16), 8, '0') ||
+      |lpad(hex(64 + (doc_id % 9) * 32), 8, '0') ||
+      |lpad(hex(doc_id % 3), 2, '0')""".stripMargin
+  private val HeaderHexLen = 18
+
+  /** Synthetic media fixture: a binary "container" per document. */
   private val assetsSpark =
-    """SELECT doc_id,
-      |       64 + (doc_id % 16) * 16 AS width,
-      |       64 + (doc_id % 9) * 32 AS height,
-      |       cast(doc_id % 3 as int) AS format_id,
-      |       cast(1 + doc_id % 240 as int) AS n_frames,
-      |       unhex(concat(lpad(hex(64 + (doc_id % 16) * 16), 8, '0'),
-      |                    lpad(hex(64 + (doc_id % 9) * 32), 8, '0'),
-      |                    lpad(hex(doc_id % 3), 2, '0'))) AS media
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id,
+       |       64 + (doc_id % 16) * 16 AS width,
+       |       64 + (doc_id % 9) * 32 AS height,
+       |       cast(doc_id % 3 as int) AS format_id,
+       |       cast(1 + doc_id % 240 as int) AS n_frames,
+       |       unhex($headerHexSpark) AS media
+       |FROM documents""".stripMargin
 
   private val assetsDuck =
-    """SELECT doc_id,
-      |       64 + (doc_id % 16) * 16 AS width,
-      |       64 + (doc_id % 9) * 32 AS height,
-      |       CAST(doc_id % 3 AS INT) AS format_id,
-      |       CAST(1 + doc_id % 240 AS INT) AS n_frames,
-      |       unhex(lpad(hex(64 + (doc_id % 16) * 16), 8, '0') ||
-      |             lpad(hex(64 + (doc_id % 9) * 32), 8, '0') ||
-      |             lpad(hex(doc_id % 3), 2, '0')) AS media
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id,
+       |       64 + (doc_id % 16) * 16 AS width,
+       |       64 + (doc_id % 9) * 32 AS height,
+       |       CAST(doc_id % 3 AS INT) AS format_id,
+       |       CAST(1 + doc_id % 240 AS INT) AS n_frames,
+       |       unhex($headerHexDuck) AS media
+       |FROM documents""".stripMargin
 
   private def viewDocs(spark: SparkSession, dir: String): Unit =
     spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
@@ -184,26 +196,30 @@ object MultimodalQueries {
   def mmNearDupBands(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     graft.expr.GraftFunctions.register(spark)
+    // Materialize the asset blobs ONCE: bands (both pair sides), keep and
+    // sig all consume them, and Catalyst inlines CTEs — without the pin
+    // the normalize + 4-md5 synthesis pass runs up to five times (the
+    // dd_containment discipline; swept between queries by PinnedStages).
     spark.sql(
       s"""WITH corpus AS (${DedupQueries.corpusSparkSql}),
          |q AS (
          |  SELECT doc_id, s, length(s) DIV 4 AS qlen
          |  FROM (SELECT doc_id, normalize_text(text) AS s FROM corpus)
-         |  WHERE length(s) >= 4),
-         |assets AS (
-         |  SELECT doc_id,
-         |         unhex(concat(
-         |           lpad(hex(64 + (doc_id % 16) * 16), 8, '0'),
-         |           lpad(hex(64 + (doc_id % 9) * 32), 8, '0'),
-         |           lpad(hex(doc_id % 3), 2, '0'),
-         |           substr(md5(substr(s, 1, qlen)), 1, 16),
-         |           substr(md5(substr(s, 1 + qlen, qlen)), 1, 16),
-         |           substr(md5(substr(s, 1 + 2 * qlen, qlen)), 1, 16),
-         |           substr(md5(substr(s, 1 + 3 * qlen)), 1, 16))) AS media
-         |  FROM q),
+         |  WHERE length(s) >= 4)
+         |SELECT doc_id,
+         |       unhex(concat($headerHexSpark,
+         |         substr(md5(substr(s, 1, qlen)), 1, 16),
+         |         substr(md5(substr(s, 1 + qlen, qlen)), 1, 16),
+         |         substr(md5(substr(s, 1 + 2 * qlen, qlen)), 1, 16),
+         |         substr(md5(substr(s, 1 + 3 * qlen)), 1, 16))) AS media
+         |FROM q""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("mm_band_assets_t")
+    spark.sql(
+      s"""WITH assets AS (SELECT * FROM mm_band_assets_t),
          |bands AS (
          |  SELECT doc_id, band_idx,
-         |         substr(hex(media), 19 + (band_idx - 1) * 16, 16) AS band_val
+         |         substr(hex(media), ${HeaderHexLen + 1} + (band_idx - 1) * 16, 16) AS band_val
          |  FROM assets LATERAL VIEW explode(array(1, 2, 3, 4)) AS band_idx),
          |keep AS (
          |  SELECT band_idx, band_val FROM bands
@@ -214,7 +230,7 @@ object MultimodalQueries {
          |  JOIN keep k ON a.band_idx = k.band_idx AND a.band_val = k.band_val
          |  JOIN bands b ON b.band_idx = a.band_idx AND b.band_val = a.band_val
          |                  AND a.doc_id < b.doc_id),
-         |sig AS (SELECT doc_id, substr(hex(media), 19, 64) AS s4 FROM assets),
+         |sig AS (SELECT doc_id, substr(hex(media), ${HeaderHexLen + 1}, 64) AS s4 FROM assets),
          |cand AS (
          |  SELECT p.doc_a, p.doc_b,
          |         CAST(IF(substr(sa.s4, 1, 16) = substr(sb.s4, 1, 16), 1, 0)
@@ -237,9 +253,7 @@ object MultimodalQueries {
        |  WHERE len(s) >= 4),
        |assets AS (
        |  SELECT doc_id,
-       |         unhex(lpad(hex(64 + (doc_id % 16) * 16), 8, '0') ||
-       |               lpad(hex(64 + (doc_id % 9) * 32), 8, '0') ||
-       |               lpad(hex(doc_id % 3), 2, '0') ||
+       |         unhex($headerHexDuck ||
        |               substr(md5(substr(s, 1, qlen)), 1, 16) ||
        |               substr(md5(substr(s, 1 + qlen, qlen)), 1, 16) ||
        |               substr(md5(substr(s, 1 + 2 * qlen, qlen)), 1, 16) ||
@@ -247,7 +261,7 @@ object MultimodalQueries {
        |  FROM q),
        |bands AS (
        |  SELECT doc_id, band_idx,
-       |         substr(hex(media), 19 + (band_idx - 1) * 16, 16) AS band_val
+       |         substr(hex(media), ${HeaderHexLen + 1} + (band_idx - 1) * 16, 16) AS band_val
        |  FROM assets, unnest([1, 2, 3, 4]) AS t(band_idx)),
        |keep AS (
        |  SELECT band_idx, band_val FROM bands
@@ -258,7 +272,7 @@ object MultimodalQueries {
        |  JOIN keep k ON a.band_idx = k.band_idx AND a.band_val = k.band_val
        |  JOIN bands b ON b.band_idx = a.band_idx AND b.band_val = a.band_val
        |                  AND a.doc_id < b.doc_id),
-       |sig AS (SELECT doc_id, substr(hex(media), 19, 64) AS s4 FROM assets),
+       |sig AS (SELECT doc_id, substr(hex(media), ${HeaderHexLen + 1}, 64) AS s4 FROM assets),
        |cand AS (
        |  SELECT p.doc_a, p.doc_b,
        |         CAST(CASE WHEN substr(sa.s4, 1, 16) = substr(sb.s4, 1, 16) THEN 1 ELSE 0 END

@@ -35,6 +35,13 @@ object PipelineQueries {
   private[graft] def shingleSpark(w: String): String =
     s"transform(sequence(1, size($w) - 4), i -> concat_ws(' ', slice($w, i, 5)))"
 
+  /** The DuckDB spelling of the same 5-word shingle list — the oracle
+    * half of the shared definition above; every duck-side consumer must
+    * use this so a shingle-width change cannot drift between the gates
+    * and their oracles. */
+  private[graft] def shingleDuck(w: String): String =
+    s"list_transform(range(1, len($w) - 3), i -> array_to_string($w[i:i+4], ' '))"
+
   // ── pipe_decontaminate ★ — benchmark/eval decontamination: flag every
   // training document that shares at least one 5-word shingle with the
   // held-out eval slice (doc_id % 11 = 0 stands in for the benchmark set).
@@ -71,15 +78,13 @@ object PipelineQueries {
   }
 
   val pipeDecontaminateSql: String =
-    """WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    s"""WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
       |eligible AS (SELECT doc_id, source, w FROM ws WHERE len(w) >= 5),
       |eval_sh AS (
-      |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
-      |    i -> array_to_string(w[i:i+4], ' '))) AS sh
+      |  SELECT DISTINCT unnest(${shingleDuck("w")}) AS sh
       |  FROM eligible WHERE doc_id % 11 = 0),
       |train_sh AS (
-      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
-      |    i -> array_to_string(w[i:i+4], ' '))) AS sh
+      |  SELECT doc_id, unnest(${shingleDuck("w")}) AS sh
       |  FROM eligible WHERE doc_id % 11 <> 0),
       |hits AS (
       |  SELECT DISTINCT doc_id FROM (SELECT * FROM train_sh) t
@@ -772,36 +777,32 @@ object PipelineQueries {
          |  SELECT doc_id, sh
          |  FROM (SELECT doc_id, array_distinct(${shingleSpark("w")}) AS shs
          |        FROM eligible WHERE doc_id % 11 <> 0)
-         |  LATERAL VIEW explode(shs) AS sh),
-         |tot AS (SELECT doc_id, count(*) AS total_shingles
-         |        FROM train_sh GROUP BY doc_id),
-         |hits AS (SELECT t.doc_id, count(*) AS hit_shingles
-         |         FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
-         |         GROUP BY t.doc_id)
-         |SELECT t.doc_id, t.total_shingles, h.hit_shingles,
-         |       CAST(h.hit_shingles AS DOUBLE) / t.total_shingles AS contamination_rate
-         |FROM tot t JOIN hits h ON t.doc_id = h.doc_id""".stripMargin)
+         |  LATERAL VIEW explode(shs) AS sh)
+         |SELECT t.doc_id,
+         |       count(*) AS total_shingles,
+         |       count(e.sh) AS hit_shingles,
+         |       CAST(count(e.sh) AS DOUBLE) / count(*) AS contamination_rate
+         |FROM train_sh t LEFT JOIN eval_sh e ON t.sh = e.sh
+         |GROUP BY t.doc_id
+         |HAVING count(e.sh) > 0""".stripMargin)
   }
 
   val pipeContaminationRateSql: String =
-    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |eligible AS (SELECT doc_id, w FROM ws WHERE len(w) >= 5),
       |eval_sh AS (
-      |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
-      |    i -> array_to_string(w[i:i+4], ' '))) AS sh
+      |  SELECT DISTINCT unnest(${shingleDuck("w")}) AS sh
       |  FROM eligible WHERE doc_id % 11 = 0),
       |train_sh AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
-      |    i -> array_to_string(w[i:i+4], ' ')))) AS sh
-      |  FROM eligible WHERE doc_id % 11 <> 0),
-      |tot AS (SELECT doc_id, count(*) AS total_shingles
-      |        FROM train_sh GROUP BY doc_id),
-      |hits AS (SELECT t.doc_id, count(*) AS hit_shingles
-      |         FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
-      |         GROUP BY t.doc_id)
-      |SELECT t.doc_id, t.total_shingles, h.hit_shingles,
-      |       CAST(h.hit_shingles AS DOUBLE) / t.total_shingles AS contamination_rate
-      |FROM tot t JOIN hits h ON t.doc_id = h.doc_id""".stripMargin
+      |  SELECT doc_id, unnest(list_distinct(${shingleDuck("w")})) AS sh
+      |  FROM eligible WHERE doc_id % 11 <> 0)
+      |SELECT t.doc_id,
+      |       count(*) AS total_shingles,
+      |       count(e.sh) AS hit_shingles,
+      |       CAST(count(e.sh) AS DOUBLE) / count(*) AS contamination_rate
+      |FROM train_sh t LEFT JOIN eval_sh e ON t.sh = e.sh
+      |GROUP BY t.doc_id
+      |HAVING count(e.sh) > 0""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_curriculum" -> (pipeCurriculum _),

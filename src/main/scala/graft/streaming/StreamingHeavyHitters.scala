@@ -27,7 +27,8 @@ import graft.expr.MisraGries
   * Scale notes: one stateful stage keyed by lang; state is ≤ K counters
   * per key — constant-bounded regardless of stream length, the property
   * that makes this runnable forever. The gram explode is a narrow
-  * pre-projection (same SQL text as the batch operator, so stream and
+  * pre-projection (the batch operator's gram transform over pre-split
+  * words, so stream and
   * batch see identical grams); the only shuffle is the groupByKey on
   * lang, carrying (lang, gram) pairs of the current batch.
   */
@@ -71,16 +72,18 @@ object StreamingHeavyHitters {
     }
   }
 
-  /** The gram projection — the same expression text as the batch
-    * operator's `grams` CTE, so stream and batch observe identical
-    * grams. */
-  private def gramize(docs: DataFrame): DataFrame = docs.selectExpr(
-    "lang",
-    """explode(CASE WHEN size(split(text, ' ')) >= 2
-      |  THEN transform(sequence(1, size(split(text, ' ')) - 1),
-      |         i -> concat(element_at(split(text, ' '), i), ' ',
-      |                     element_at(split(text, ' '), i + 1)))
-      |  ELSE array() END) AS gram""".stripMargin)
+  /** The gram projection — split once into `w`, then the batch
+    * operator's gram transform over it (the same two-step shape as the
+    * batch `ws`/`grams` CTEs; inlining `split` into the lambda would
+    * re-split the full text per gram index — O(words²) per document). */
+  private def gramize(docs: DataFrame): DataFrame = docs
+    .selectExpr("lang", "split(text, ' ') AS w")
+    .selectExpr(
+      "lang",
+      """explode(CASE WHEN size(w) >= 2
+        |  THEN transform(sequence(1, size(w) - 1),
+        |         i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+        |  ELSE array() END) AS gram""".stripMargin)
 
   /** Run heavy-hitter tracking over a parquet drop directory until all
     * currently-dropped files are processed (AvailableNow). Each
