@@ -57,14 +57,7 @@ object MultimodalQueries {
        |FROM documents""".stripMargin
 
   private def viewDocs(spark: SparkSession, dir: String): Unit =
-    spark.read.parquet(s"$dir/documents.parquet")
-      // The test fixture is a single parquet split; without a spread the
-      // per-row-heavy stages (shingle/gram explodes, HOF transforms) run
-      // on ONE core. A production corpus is many files, so file splits
-      // provide this for free — the repartition compensates for the
-      // fixture, same as DedupQueries.viewDocs.
-      .repartition(spark.sparkContext.defaultParallelism)
-      .createOrReplaceTempView("documents")
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
 
   // ── mm_metadata_extract ★ — parse the typed metadata back OUT of the
   // opaque binary column (the "probe the container header" step): both

@@ -25,14 +25,7 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   private def viewDocs(spark: SparkSession, dir: String): Unit =
-    spark.read.parquet(s"$dir/documents.parquet")
-      // The test fixture is a single parquet split; without a spread the
-      // per-row-heavy stages (shingle/gram explodes, HOF transforms) run
-      // on ONE core. A production corpus is many files, so file splits
-      // provide this for free — the repartition compensates for the
-      // fixture, same as DedupQueries.viewDocs.
-      .repartition(spark.sparkContext.defaultParallelism)
-      .createOrReplaceTempView("documents")
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
 
   /** 5-word shingle list over a split-words column — THE contamination
     * unit. One definition shared by the batch gate, the Bloom variant,

@@ -736,7 +736,55 @@ object SimilarityQueries {
        |FROM ranked WHERE rnk <= 5""".stripMargin
   }
 
+  // ── emb_rp_project (r8) — Johnson–Lindenstrauss random projection
+  // 64 → 16 dims with a ±1 (Achlioptas 2003) matrix: the cheap
+  // dimensionality cut a pipeline runs before clustering or coarse ANN
+  // when the full vectors are 4× wider than the geometry needs. The
+  // matrix is the same deterministic LCG discipline as the PQ codebook
+  // (sign = LCG(j·64+d) ≥ 0), inputs quantize to integer micro-units,
+  // and a ±1 projection is pure BIGINT adds — the projected values are
+  // engine-exact, so the FULL output passes the binary oracle gate
+  // (a Gaussian matrix would need float muls and a transcendental-free
+  // parity story; ±1 needs none). `RandomProjectionSpec` pins the JL
+  // property itself — E‖Px‖² = k·‖x‖² within sampling error — which the
+  // oracle cannot see.
+  //
+  // Scale shape: one narrow map-side projection, no shuffle at all
+  // (the explode to long form is for the gate's hashing; production
+  // keeps the 16-long array column).
+  def embRpProject(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    spark.sql(
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |         transform(embedding,
+        |           x -> cast(round(cast(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id,
+        |         transform(sequence(0, 15), j ->
+        |           aggregate(sequence(0, 63), 0L, (acc, d) ->
+        |             acc + IF((1103515245L * (j * 64 + d) + 12345) % 2001 - 1000 >= 0,
+        |                      element_at(q, d + 1), -element_at(q, d + 1)))) AS p
+        |  FROM qv)
+        |SELECT vec_id, dim, val
+        |FROM proj LATERAL VIEW posexplode(p) AS dim, val""".stripMargin)
+  }
+
+  val embRpProjectSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(round(x::DOUBLE * 1000.0, 0) AS BIGINT)) AS q
+      |  FROM embeddings)
+      |SELECT vec_id, CAST(j AS INT) AS dim,
+      |       CAST(list_sum(list_transform(range(0, 64), d ->
+      |         CASE WHEN (1103515245::BIGINT * (j * 64 + d) + 12345) % 2001 - 1000 >= 0
+      |              THEN q[d + 1] ELSE -q[d + 1] END)) AS BIGINT) AS val
+      |FROM qv, range(0, 16) AS t(j)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_rp_project" -> (embRpProject _),
     "ann_pq_rerank_topk" -> (annPqRerankTopk _),
     "emb_pq_encode" -> (embPqEncode _),
     "ann_pq_adc_topk" -> (annPqAdcTopk _),
@@ -750,6 +798,7 @@ object SimilarityQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracle: Map[String, String] = Map(
+    "emb_rp_project" -> embRpProjectSql,
     "ann_pq_rerank_topk" -> annPqRerankTopkSql,
     "emb_pq_encode" -> embPqEncodeSql,
     "ann_pq_adc_topk" -> annPqAdcTopkSql,

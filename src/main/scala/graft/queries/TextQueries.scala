@@ -11,14 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TextQueries {
 
   private def viewDocs(spark: SparkSession, dir: String): Unit =
-    spark.read.parquet(s"$dir/documents.parquet")
-      // The test fixture is a single parquet split; without a spread the
-      // per-row-heavy stages (shingle/gram explodes, HOF transforms) run
-      // on ONE core. A production corpus is many files, so file splits
-      // provide this for free — the repartition compensates for the
-      // fixture, same as DedupQueries.viewDocs.
-      .repartition(spark.sparkContext.defaultParallelism)
-      .createOrReplaceTempView("documents")
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
 
   // ── text_langid ★ — stopword-list scoring; highest count wins, ties
   // resolved in fixed language order (en, es, de, fr).

@@ -34,12 +34,25 @@ object CorpusReport {
       .head()
     val keptTokens = q("pipe_curation")(spark, sfDir)
       .agg(sum("tokens_kept")).head().getLong(0)
+    // r8 signals: containment (embedded-document) pairs the symmetric
+    // near-dup metrics miss, the worst per-document contamination
+    // fraction (the graded dirtiness behind partial-drop policies), and
+    // the dominant-bigram count (boilerplate pressure).
+    val containmentPairs = q("dd_containment")(spark, sfDir).count()
+    // max over an empty report (no partially-contaminated docs) is null.
+    val worstContamination = Option(q("pipe_contamination_rate")(spark, sfDir)
+      .agg(max("contamination_rate")).head().get(0))
+      .fold(0.0)(_.asInstanceOf[Double])
+    val heavyHitters = q("text_heavy_hitters")(spark, sfDir).count()
 
     s"""{"docs":$docs,"exact_dup_groups":$dupGroups,""" +
       s""""near_dup_clusters":$ndClusters,"contaminated_docs":$contaminated,""" +
       s""""len_p25":${quant(0.25)},"len_p50":${quant(0.5)},"len_p75":${quant(0.75)},""" +
       s""""vocab_exact":${vocab.getLong(0)},"vocab_kmv":${vocab.getDouble(1)},""" +
-      s""""curated_tokens_kept":$keptTokens}"""
+      s""""curated_tokens_kept":$keptTokens,""" +
+      s""""containment_pairs":$containmentPairs,""" +
+      s""""worst_contamination_rate":$worstContamination,""" +
+      s""""heavy_hitter_bigrams":$heavyHitters}"""
   }
 
   /** CLI: `CorpusReport <sfDir>`. */

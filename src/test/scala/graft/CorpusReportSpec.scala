@@ -40,5 +40,10 @@ class CorpusReportSpec extends AnyFunSuite with BeforeAndAfterAll {
     val est = field("vocab_kmv").toDouble
     assert(exact > 0 && math.abs(est - exact) / exact < 0.5)
     assert(field("curated_tokens_kept").toLong > 0)
+    assert(field("containment_pairs").toLong ==
+      SparkEntry.queries("dd_containment")(spark, sfDir).count())
+    val worst = field("worst_contamination_rate").toDouble
+    assert(worst >= 0.0 && worst <= 1.0)
+    assert(field("heavy_hitter_bigrams").toLong > 0)
   }
 }
