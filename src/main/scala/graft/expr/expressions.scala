@@ -227,6 +227,31 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Fused JL ±1 random projection (r8): sign(j,d) = LCG(j·inDim+d) ≥ 0
+    * over the micro-unit quantized vector — one tight integer loop
+    * instead of the interpreted outDim×inDim HOF fold (which measured
+    * 39 s at sf0.1; this kernel makes `emb_rp_project` scan-speed).
+    * Semantics identical to the SQL formulation the DuckDB oracle runs:
+    * HALF_UP micro-unit quantize, exact BIGINT ± adds. */
+  def rpProject(v: ArrayData, outDim: Int, inDim: Int): ArrayData = {
+    val qv = pqQuantize(v, inDim)
+    val out = new Array[Long](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0L
+      val base = j * inDim
+      var d = 0
+      while (d < inDim) {
+        val r = (1103515245L * (base + d) + 12345L) % 2001L - 1000L
+        acc += (if (r >= 0) qv(d) else -qv(d))
+        d += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused ADC-table build (r7): the query side of [[pqEncode]] — the
     * flattened `subspaces × cents` table of exact BIGINT squared
     * distances from the vector's micro-unit form to every codebook
@@ -640,6 +665,23 @@ case class PqEncode(child: Expression, subspaces: Int, cents: Int, subDim: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `rp_project(vec)` — fused JL ±1 random projection (see
+  * [[Kernels.rpProject]]). */
+case class RpProject(child: Expression, outDim: Int, inDim: Int)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.rpProject(v.asInstanceOf[ArrayData], outDim, inDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.expr.Kernels.rpProject($s, $outDim, $inDim)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `pq_adc_table(vec)` — fused flattened ADC distance table (see
   * [[Kernels.pqAdcTable]]). */
 case class PqAdcTable(child: Expression, subspaces: Int, cents: Int, subDim: Int)
@@ -811,6 +853,8 @@ object GraftFunctions {
   val PqSubspaces = 4
   val PqCentroids = 16
   val PqSubDim = 16
+  val RpOutDim = 16
+  val RpInDim = 64
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "minhash_signature",
       args => MinhashSignature(args(0), MinhashK, ShingleLen, ShingleStride, MinhashP))
@@ -820,6 +864,8 @@ object GraftFunctions {
       args => PqEncode(args(0), PqSubspaces, PqCentroids, PqSubDim))
     Bridge.registerFunction(spark, "pq_adc_table",
       args => PqAdcTable(args(0), PqSubspaces, PqCentroids, PqSubDim))
+    Bridge.registerFunction(spark, "rp_project",
+      args => RpProject(args(0), RpOutDim, RpInDim))
     Bridge.registerFunction(spark, "float_dot",
       args => FloatDotProduct(args(0), args(1)))
     Bridge.registerFunction(spark, "truncate_utf8",

@@ -754,21 +754,14 @@ object SimilarityQueries {
   // keeps the 16-long array column).
   def embRpProject(spark: SparkSession, dir: String): DataFrame = {
     viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    // Fused codegen kernel (expr/Kernels.rpProject) — the interpreted
+    // transform/aggregate HOF formulation (which the oracle still runs)
+    // measured 39 s at sf0.1; the kernel is one tight integer loop.
     spark.sql(
-      """WITH qv AS (
-        |  SELECT vec_id,
-        |         transform(embedding,
-        |           x -> cast(round(cast(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |proj AS (
-        |  SELECT vec_id,
-        |         transform(sequence(0, 15), j ->
-        |           aggregate(sequence(0, 63), 0L, (acc, d) ->
-        |             acc + IF((1103515245L * (j * 64 + d) + 12345) % 2001 - 1000 >= 0,
-        |                      element_at(q, d + 1), -element_at(q, d + 1)))) AS p
-        |  FROM qv)
-        |SELECT vec_id, dim, val
-        |FROM proj LATERAL VIEW posexplode(p) AS dim, val""".stripMargin)
+      """SELECT vec_id, dim, val
+        |FROM (SELECT vec_id, rp_project(embedding) AS p FROM embeddings)
+        |LATERAL VIEW posexplode(p) AS dim, val""".stripMargin)
   }
 
   val embRpProjectSql: String =
