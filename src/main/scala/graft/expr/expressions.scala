@@ -233,8 +233,24 @@ object Kernels {
     * 39 s at sf0.1; this kernel makes `emb_rp_project` scan-speed).
     * Semantics identical to the SQL formulation the DuckDB oracle runs:
     * HALF_UP micro-unit quantize, exact BIGINT ± adds. */
+  /** The sign matrix is data-independent — precompute it once per JVM
+    * instead of 1024 multiply+mod ops per row in the hot scan loop. */
+  private lazy val rpSigns: Array[Boolean] = {
+    val s = new Array[Boolean](graft.expr.GraftFunctions.RpOutDim *
+      graft.expr.GraftFunctions.RpInDim)
+    var i = 0
+    while (i < s.length) {
+      s(i) = (1103515245L * i + 12345L) % 2001L - 1000L >= 0
+      i += 1
+    }
+    s
+  }
+
   def rpProject(v: ArrayData, outDim: Int, inDim: Int): ArrayData = {
     val qv = pqQuantize(v, inDim)
+    val signs = rpSigns
+    require(outDim * inDim <= signs.length,
+      s"rp_project: sign table sized for ${signs.length} entries")
     val out = new Array[Long](outDim)
     var j = 0
     while (j < outDim) {
@@ -242,8 +258,7 @@ object Kernels {
       val base = j * inDim
       var d = 0
       while (d < inDim) {
-        val r = (1103515245L * (base + d) + 12345L) % 2001L - 1000L
-        acc += (if (r >= 0) qv(d) else -qv(d))
+        acc += (if (signs(base + d)) qv(d) else -qv(d))
         d += 1
       }
       out(j) = acc

@@ -761,8 +761,8 @@ object PipelineQueries {
   // Scale shape identical to pipe_decontaminate: the eval shingle set is
   // fixed-size → broadcasts; the training side streams map-side through
   // the explode; both counts are map-side-combined aggs keyed by doc_id.
-  // Only contaminated documents reach the output (the inner join), so
-  // the result is report-sized, not corpus-sized.
+  // Only contaminated documents reach the output (the HAVING filter on
+  // the hit count), so the result is report-sized, not corpus-sized.
   def pipeContaminationRate(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     spark.sql(

@@ -18,32 +18,45 @@ import graft.SparkEntry
   */
 object CorpusReport {
 
+  /** Run one composed query, consume it, then sweep the transient
+    * checkpoint pins it left — the same hygiene Verify/Bench apply
+    * (several composed queries pin corpus-derived stages; accumulated
+    * pins were the round-7 bench pathology). The sweep runs only AFTER
+    * `consume` finishes, per the PinnedStages safety rule: a swept
+    * checkpoint cannot recompute. */
+  private def swept[T](spark: SparkSession)(consume: => T): T = {
+    val r = consume
+    graft.operators.PinnedStages.sweepTransient(spark)
+    r
+  }
+
   def report(spark: SparkSession, sfDir: String): String = {
     val q = SparkEntry.queries
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
 
-    val dupGroups = q("dd_exact")(spark, sfDir).count()
-    val ndClusters = q("dd_cluster")(spark, sfDir)
-      .select("cluster_id").distinct().count()
-    val contaminated = q("pipe_decontaminate")(spark, sfDir)
-      .agg(sum("contaminated_docs")).head().getLong(0)
-    val quant = q("text_length_quantiles")(spark, sfDir).collect()
-      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
-    val vocab = q("sk_kmv_distinct")(spark, sfDir)
+    val dupGroups = swept(spark)(q("dd_exact")(spark, sfDir).count())
+    val ndClusters = swept(spark)(q("dd_cluster")(spark, sfDir)
+      .select("cluster_id").distinct().count())
+    val contaminated = swept(spark)(q("pipe_decontaminate")(spark, sfDir)
+      .agg(sum("contaminated_docs")).head().getLong(0))
+    val quant = swept(spark)(q("text_length_quantiles")(spark, sfDir).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap)
+    val vocab = swept(spark)(q("sk_kmv_distinct")(spark, sfDir)
       .agg(sum("exact_distinct").cast("long"), sum("kmv_estimate"))
-      .head()
-    val keptTokens = q("pipe_curation")(spark, sfDir)
-      .agg(sum("tokens_kept")).head().getLong(0)
+      .head())
+    val keptTokens = swept(spark)(q("pipe_curation")(spark, sfDir)
+      .agg(sum("tokens_kept")).head().getLong(0))
     // r8 signals: containment (embedded-document) pairs the symmetric
     // near-dup metrics miss, the worst per-document contamination
     // fraction (the graded dirtiness behind partial-drop policies), and
     // the dominant-bigram count (boilerplate pressure).
-    val containmentPairs = q("dd_containment")(spark, sfDir).count()
+    val containmentPairs = swept(spark)(q("dd_containment")(spark, sfDir).count())
     // max over an empty report (no partially-contaminated docs) is null.
-    val worstContamination = Option(q("pipe_contamination_rate")(spark, sfDir)
-      .agg(max("contamination_rate")).head().get(0))
-      .fold(0.0)(_.asInstanceOf[Double])
-    val heavyHitters = q("text_heavy_hitters")(spark, sfDir).count()
+    val worstContamination = swept(spark)(
+      Option(q("pipe_contamination_rate")(spark, sfDir)
+        .agg(max("contamination_rate")).head().get(0))
+        .fold(0.0)(_.asInstanceOf[Double]))
+    val heavyHitters = swept(spark)(q("text_heavy_hitters")(spark, sfDir).count())
 
     s"""{"docs":$docs,"exact_dup_groups":$dupGroups,""" +
       s""""near_dup_clusters":$ndClusters,"contaminated_docs":$contaminated,""" +

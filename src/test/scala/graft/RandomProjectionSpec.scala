@@ -48,7 +48,7 @@ class RandomProjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ratios = projected.toSeq.map { case (id, p) =>
       val n16 = p.map(v => v.toDouble * v.toDouble).sum / 16.0
       val n64 = originals(id).map(v => v.toDouble * v.toDouble).sum
-      n16 / n64
+      n16 / math.max(n64, 1.0) // guard a degenerate zero-quantized vector
     }
     // Per-vector ratios concentrate around 1 (k=16 gives ~1/sqrt(8)
     // relative deviation); the MEAN over the corpus must be tight.
