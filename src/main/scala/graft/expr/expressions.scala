@@ -267,6 +267,27 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Fused word-bigram list (r8): split on single spaces (keeping empty
+    * tokens, exactly like `split(text, ' ')` with Java-regex semantics)
+    * and join adjacent pairs with one space — byte-for-byte the grams
+    * the interpreted `transform(sequence(...), i -> concat(element_at…))`
+    * HOF produces (which the DuckDB oracle still runs as the parity
+    * proof), in one pass over the string instead of an interpreted
+    * lambda per gram. Fewer than two tokens → empty list, matching the
+    * HOF spelling's `CASE WHEN size(w) >= 2 … ELSE array()` guard. */
+  def wordBigrams(t: UTF8String): ArrayData = {
+    val parts = t.split(UTF8String.fromString(" "), -1)
+    if (parts.length < 2) return new GenericArrayData(Array.empty[Any])
+    val space = UTF8String.fromString(" ")
+    val out = new Array[AnyRef](parts.length - 1)
+    var i = 0
+    while (i < parts.length - 1) {
+      out(i) = UTF8String.concat(parts(i), space, parts(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused ADC-table build (r7): the query side of [[pqEncode]] — the
     * flattened `subspaces × cents` table of exact BIGINT squared
     * distances from the vector's micro-unit form to every codebook
@@ -680,6 +701,21 @@ case class PqEncode(child: Expression, subspaces: Int, cents: Int, subDim: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `word_bigrams(text)` — fused adjacent word-pair list (see
+  * [[Kernels.wordBigrams]]). */
+case class WordBigrams(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.wordBigrams(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.Kernels.wordBigrams($s)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `rp_project(vec)` — fused JL ±1 random projection (see
   * [[Kernels.rpProject]]). */
 case class RpProject(child: Expression, outDim: Int, inDim: Int)
@@ -881,6 +917,8 @@ object GraftFunctions {
       args => PqAdcTable(args(0), PqSubspaces, PqCentroids, PqSubDim))
     Bridge.registerFunction(spark, "rp_project",
       args => RpProject(args(0), RpOutDim, RpInDim))
+    Bridge.registerFunction(spark, "word_bigrams",
+      args => WordBigrams(args(0)))
     Bridge.registerFunction(spark, "float_dot",
       args => FloatDotProduct(args(0), args(1)))
     Bridge.registerFunction(spark, "truncate_utf8",

@@ -497,26 +497,18 @@ object TextQueries {
     // the exploded grams dwarf the corpus, so a checkpoint would cost
     // more than the second scan).
     spark.sql(
-      """WITH ws AS (SELECT lang, split(text, ' ') AS w FROM documents),
-        |grams AS (
+      """WITH grams AS (
         |  SELECT lang, gram
-        |  FROM (SELECT lang, transform(sequence(1, size(w) - 1),
-        |                i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) AS gs
-        |        FROM ws WHERE size(w) >= 2)
-        |  LATERAL VIEW explode(gs) AS gram)
+        |  FROM documents LATERAL VIEW explode(word_bigrams(text)) AS gram)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_grams,
         |       mg_candidates(gram, 4096) AS mg
         |FROM grams GROUP BY lang""".stripMargin)
       .localCheckpoint()
       .createOrReplaceTempView("hh_summary_t")
     spark.sql(
-      """WITH ws AS (SELECT lang, split(text, ' ') AS w FROM documents),
-        |grams AS (
+      """WITH grams AS (
         |  SELECT lang, gram
-        |  FROM (SELECT lang, transform(sequence(1, size(w) - 1),
-        |                i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) AS gs
-        |        FROM ws WHERE size(w) >= 2)
-        |  LATERAL VIEW explode(gs) AS gram),
+        |  FROM documents LATERAL VIEW explode(word_bigrams(text)) AS gram),
         |cand AS (
         |  SELECT lang, n_grams, gram
         |  FROM hh_summary_t LATERAL VIEW explode(mg) AS gram),

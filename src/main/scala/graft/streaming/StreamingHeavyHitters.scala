@@ -72,18 +72,11 @@ object StreamingHeavyHitters {
     }
   }
 
-  /** The gram projection — split once into `w`, then the batch
-    * operator's gram transform over it (the same two-step shape as the
-    * batch `ws`/`grams` CTEs; inlining `split` into the lambda would
-    * re-split the full text per gram index — O(words²) per document). */
+  /** The gram projection — the same fused `word_bigrams` kernel as the
+    * batch operator (`Kernels.wordBigrams`), so stream and batch observe
+    * byte-identical grams by construction. */
   private def gramize(docs: DataFrame): DataFrame = docs
-    .selectExpr("lang", "split(text, ' ') AS w")
-    .selectExpr(
-      "lang",
-      """explode(CASE WHEN size(w) >= 2
-        |  THEN transform(sequence(1, size(w) - 1),
-        |         i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
-        |  ELSE array() END) AS gram""".stripMargin)
+    .selectExpr("lang", "explode(word_bigrams(text)) AS gram")
 
   /** Run heavy-hitter tracking over a parquet drop directory until all
     * currently-dropped files are processed (AvailableNow). Each
@@ -93,6 +86,7 @@ object StreamingHeavyHitters {
   def run(spark: SparkSession, dropDir: String, sinkDir: String,
       checkpointDir: String): Unit = {
     import spark.implicits._
+    graft.expr.GraftFunctions.register(spark)
     val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
     val incoming = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
