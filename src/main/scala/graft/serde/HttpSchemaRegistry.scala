@@ -246,7 +246,10 @@ private[graft] object MicroJson {
           }
         } else { b.append(c); i += 1 }
       }
-      Some(b.toString)
+      // No terminating quote = truncated/malformed body; a partial
+      // schema string handed to Schema.Parser would fail confusingly
+      // (or worse, parse) downstream — fail the field lookup instead.
+      if (i >= json.length) None else Some(b.toString)
     }
   }
 }

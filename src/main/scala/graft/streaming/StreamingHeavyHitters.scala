@@ -37,6 +37,12 @@ object StreamingHeavyHitters {
   val K = 4096
   /** Report bar: mg·K > (K/1024 − 1)·n ⇔ mg > n/1024 − n/K. */
   val PhiDiv = 1024
+  // The no-false-negative contract needs ε = 1/K strictly tighter than
+  // φ = 1/PhiDiv (and the integer bar K/PhiDiv to divide evenly) — a
+  // constant tuned to K ≤ PhiDiv would silently degenerate the bar to
+  // "report everything" (ADVICE r8).
+  require(K % PhiDiv == 0 && K > PhiDiv,
+    s"Misra-Gries capacity K=$K must be a strict multiple of PhiDiv=$PhiDiv")
 
   /** Per-language summary state. Spark-encodable: the map is the MG
     * counter table, n the total grams observed for the language. */

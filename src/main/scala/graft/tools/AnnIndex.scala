@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   /** Once-per-store-version verdict of "does this posting store carry
-    * pre-upgrade rows without PQ codes" — keyed by (indexDir, sorted
-    * input-file hash) so a rebuild re-probes but repeated serves don't
-    * re-scan a healthy store. */
+    * pre-upgrade rows without PQ codes" — one entry per indexDir holding
+    * (exact sorted file-list string, verdict), so a rebuild re-probes,
+    * repeated serves of a healthy store don't re-scan, a 32-bit hash
+    * collision can't resurrect a stale verdict, and the memo can't grow
+    * past one entry per store dir (ADVICE r8). */
   private val legacyPostings =
-    scala.collection.concurrent.TrieMap[(String, Int), Boolean]()
+    scala.collection.concurrent.TrieMap[String, (String, Boolean)]()
 
   /** Build the index from `sfDir/embeddings.parquet` into `indexDir`. */
   def build(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
@@ -306,9 +308,10 @@ object AnnIndex {
     // loudly — but detect ONCE per store version (file-list hash, the
     // AsOfJoin memo discipline): the detection scan would otherwise tax
     // every serve call on healthy stores just to not print a warning.
-    val hasLegacy = legacyPostings.getOrElseUpdate(
-      (indexDir, java.util.Arrays.hashCode(
-        allLists.inputFiles.sorted.asInstanceOf[Array[AnyRef]])), {
+    val fileListKey = allLists.inputFiles.sorted.mkString(" ")
+    val hasLegacy = legacyPostings.get(indexDir) match {
+      case Some((files, verdict)) if files == fileListKey => verdict
+      case _ =>
         val found = spark.read.option("mergeSchema", "true")
           .parquet(s"$indexDir/pq_postings")
           .filter(col("p0").isNull || col("p1").isNull ||
@@ -318,8 +321,9 @@ object AnnIndex {
           s"[ann-index] WARN: $indexDir/pq_postings contains rows without " +
             "PQ codes (written pre-upgrade?); they are EXCLUDED from " +
             "serving — run a re-encode pass to make them searchable")
+        legacyPostings.put(indexDir, (fileListKey, found))
         found
-      })
+    }
     val lists =
       if (hasLegacy) allLists.filter(
         col("p0").isNotNull && col("p1").isNotNull &&

@@ -133,10 +133,6 @@ object KMeansTrainer {
     import spark.implicits._
     val dims = subspaces * subDim
 
-    def roundMicro(x: Double): Long =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
-
     // (vec_id, s, sv): each vector's micro-unit subvectors, one row per
     // subspace — the per-subspace training sets, all trained in one
     // joint plan. Quantization = the kernels' pqQuantize (Spark round on
@@ -158,6 +154,11 @@ object KMeansTrainer {
     val seedIds = subrows.select("vec_id").distinct()
       .orderBy("vec_id").limit(cents)
       .collect().map(_.getLong(0)).zipWithIndex.toMap
+    // Fewer distinct vectors than centroids would leave implicit
+    // all-zero centroids in the flat layout — which pqEncodeCb still
+    // scores and which can win argmin. Fail loudly instead.
+    require(seedIds.size == cents,
+      s"PQ codebook needs >= $cents distinct training vectors with >= $dims dims; got ${seedIds.size}")
     var codebook: Map[(Int, Int), Seq[Long]] = subrows
       .filter(col("vec_id").isin(seedIds.keys.toSeq: _*))
       .collect().map { r =>
@@ -186,16 +187,23 @@ object KMeansTrainer {
       if (sig == prevSig) converged = true
       else {
         prevSig = sig
+        // Exact order-independent mean: decimal sum + count, divided
+        // driver-side (avg over LongType sums as Double, whose fp
+        // accumulation is partition-order dependent past 2^53).
         val means = assigned
           .select(col("s"), col("c"), posexplode(col("sv")).as(Seq("dim", "x")))
-          .groupBy(col("s"), col("c"), col("dim")).agg(avg(col("x")).as("m"))
+          .groupBy(col("s"), col("c"), col("dim"))
+          .agg(sum(col("x").cast("decimal(38,0)")).as("sm"), count(lit(1)).as("n"))
           .collect()
         val byC = means.groupBy(r => (r.getInt(0), r.getInt(1)))
         codebook = codebook.map { case (key, old) =>
           key -> (byC.get(key) match {
             case None => old // empty cluster keeps its centroid
             case Some(rows) =>
-              rows.sortBy(_.getInt(2)).map(r => roundMicro(r.getDouble(3))).toSeq
+              rows.sortBy(_.getInt(2)).map { r =>
+                r.getDecimal(3).divide(java.math.BigDecimal.valueOf(r.getLong(4)),
+                  0, java.math.RoundingMode.HALF_UP).longValueExact()
+              }.toSeq
           })
         }
       }
