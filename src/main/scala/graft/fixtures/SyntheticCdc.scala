@@ -27,18 +27,29 @@ object SyntheticCdc {
   /** Payload column names in capture ordinal order (update-mask bits 0..3). */
   val payloadColumns: Seq[String] = Seq("user_id", "event_type", "value", "props")
 
-  /** `events.parquet` with its TIMESTAMP(NANOS) column (unsupported by
-    * Spark's vectorized reader) read as nanos-since-epoch and converted to
-    * a microsecond `TimestampType`. Millisecond-level rendering — all the
-    * oracle compares — is unaffected by the truncation. */
+  /** `events.parquet` normalized so `ts` is a microsecond `TimestampType`
+    * regardless of how the driver generated the file. Two shapes have been
+    * observed across testdata generations:
+    *   - TIMESTAMP(NANOS) (unsupported by Spark's vectorized reader) —
+    *     read as nanos-since-epoch via the legacy conf and truncated to
+    *     micros with integer division (`div`, NOT `/`: long `/` is DOUBLE
+    *     division and epoch-nanos exceed double's 53-bit mantissa, so the
+    *     rounding can shift the rendered millisecond up by one);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → `TIMESTAMP_NTZ` —
+    *     cast to session-local TimestampType (the session is pinned UTC,
+    *     so the wall-clock rendering matches DuckDB's naive read exactly).
+    * Millisecond-level rendering — all the oracle compares — is identical
+    * either way. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `ts div 1000`, NOT `ts / 1000`: `/` on longs is DOUBLE division, and
-    // epoch-nanos (~1.7e18) exceed double's 53-bit mantissa — the rounding
-    // can shift the truncated microsecond (and thus the rendered
-    // millisecond) up by one. Integer division truncates like the oracle.
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already a session-tz timestamp
+    }
   }
 
   val allColumnsJoined: String = payloadColumns.mkString(",")
