@@ -313,8 +313,11 @@ object DedupQueries {
   // each window folds a 64-slice of it — integer ops instead of the r7
   // md5-per-window (a 128-bit digest + hex parse per offset, the cost
   // the verdict flagged as intrinsic; it wasn't).
-  val ddSubstringSql: String =
-    s"""WITH corpus AS ($corpusDuckSql),
+  /** The corpus→codes→positions→grams CTE chain (no WITH keyword) — the
+    * DuckDB spelling of the rolling window hash, shared by the full-batch
+    * oracle and the incremental-store oracle (`dd_incremental`). */
+  private[graft] val ddSubstringGramsCtes: String =
+    s"""corpus AS ($corpusDuckSql),
        |codes AS (
        |  SELECT doc_id, list_transform(range(1, length(text) + 1),
        |    i -> ascii(substr(text, i, 1))::BIGINT) AS cs
@@ -329,7 +332,10 @@ object DedupQueries {
        |    + list_reduce([0] || cs[i:i+63], (acc, c) -> (acc * 131 + c) % 1000000007)
        |      AS h
        |  FROM positions
-       |  WHERE i + 63 <= len(cs)),
+       |  WHERE i + 63 <= len(cs))""".stripMargin
+
+  val ddSubstringSql: String =
+    s"""WITH $ddSubstringGramsCtes,
        |$ddSubstringTail""".stripMargin
 
   // ── dd_cluster_sizes (r7) — duplicate-cluster SIZE HISTOGRAM: how
@@ -909,7 +915,63 @@ object DedupQueries {
        |SELECT doc_a, doc_b, containment, jaccard FROM cand
        |WHERE containment >= 0.8""".stripMargin
 
+  // ── dd_incremental (r10) — passage dedup of a NEW shard against the
+  // PERSISTED claim store (tools/IncrementalDedup): "yesterday's corpus"
+  // (doc_id % 3 != 2 of the dup-bearing corpus) is anchored ONCE into a
+  // parquet claim store; the query then anchors only the new shard
+  // (doc_id % 3 = 2) and equi-joins the store — yesterday's TEXT is never
+  // rescanned. The boilerplate cap applies to the COMBINED corpus
+  // (store count + new count ≤ 64), so the result equals the full-batch
+  // dd_substring restricted to pairs touching the new shard — which is
+  // exactly what the oracle computes. The store is fingerprinted
+  // (doc count + char sum of the base corpus) and rebuilt only when the
+  // base changes; within a bench run, passes 2+ measure the true
+  // incremental serving cost, which is the point of the operator.
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tools.IncrementalDedup
+    viewDocs(spark, dir)
+    val corpus = spark.sql(corpusSparkSql)
+    val base = corpus.filter("doc_id % 3 != 2").select("doc_id", "text")
+    val fresh = corpus.filter("doc_id % 3 = 2").select("doc_id", "text")
+    val storeDir = sys.props("java.io.tmpdir") +
+      "/graft_ddstore_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    // Fingerprint of the base corpus: doc count + total chars (a narrow
+    // two-column scan — cheap next to the anchoring pass it guards).
+    val fp = base.selectExpr("count(*) AS n", "sum(length(text)) AS chars")
+      .collect().head
+    val fpStr = s"${fp.getLong(0)}:${fp.getLong(1)}:cap=${IncrementalDedup.BoilerplateCap}"
+    val marker = new java.io.File(s"$storeDir/FINGERPRINT")
+    val valid = marker.exists &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fpStr
+    if (!valid) {
+      IncrementalDedup.buildStore(spark, base, storeDir)
+      java.nio.file.Files.write(marker.toPath, fpStr.getBytes("UTF-8"))
+    }
+    IncrementalDedup.pairsForIncrement(spark, fresh, storeDir)
+  }
+
+  // Oracle: the full-batch substring pairs (identical grams/cap/≥2
+  // semantics) restricted to pairs touching the new shard.
+  val ddIncrementalSql: String =
+    s"""WITH $ddSubstringGramsCtes,
+       |anchors AS (
+       |  SELECT DISTINCT doc_id, h FROM grams WHERE h % 16 = 0),
+       |rare AS (
+       |  SELECT h FROM anchors GROUP BY h HAVING count(*) <= 64),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(count(*) AS BIGINT) AS shared_anchors
+       |  FROM anchors a
+       |  JOIN rare r ON a.h = r.h
+       |  JOIN anchors b ON b.h = a.h AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, shared_anchors FROM pairs
+       |WHERE shared_anchors >= 2
+       |  AND (doc_a % 3 = 2 OR doc_b % 3 = 2)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_incremental" -> (ddIncremental _),
     "dd_containment" -> (ddContainment _),
     "dd_exact_normalized" -> (ddExactNormalized _),
     "dd_exact" -> (ddExact _),
@@ -926,6 +988,7 @@ object DedupQueries {
     "dd_cluster_star" -> (ddClusterStar _))
 
   val oracle: Map[String, String] = Map(
+    "dd_incremental" -> ddIncrementalSql,
     "dd_containment" -> ddContainmentSql,
     "dd_exact_normalized" -> ddExactNormalizedSql,
     "dd_exact" -> ddExactSql,

@@ -1,0 +1,114 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental passage dedup against a PERSISTED claim store — the
+  * 100 TB reality "dedup today's shard against yesterday's corpus WITHOUT
+  * re-anchoring yesterday's text". The store holds each document's
+  * content-defined anchor claims ((h, doc_id), the `dd_substring`
+  * fingerprints) plus a per-anchor count table; an increment:
+  *
+  *   1. anchors ONLY the new shard (the narrow hashing pass — the cost
+  *      incremental processing saves is re-hashing the full corpus),
+  *   2. joins new anchors against the store's claims/counts on the anchor
+  *      hash (equi-join; the store never re-derives from text),
+  *   3. applies the SAME global boilerplate cap as the batch operator —
+  *      store count + new count ≤ 64 — so results match the batch run on
+  *      the combined corpus exactly,
+  *   4. emits pairs touching the new shard (new↔old and new↔new) with
+  *      ≥2 shared rare anchors,
+  *   5. appends the new claims, so the next increment sees them as "old".
+  *
+  * `IncrementalDedupSpec` proves increment results equal the full-batch
+  * `dd_substring` restricted to new-doc pairs, through TWO increments
+  * (the second pairing against the first through the store). The
+  * `dd_incremental` catalog query is the oracle-checked form.
+  *
+  * Scale shape: claims are (long, long) rows partitioned by a 64-way
+  * bucket of the anchor hash — the `AnnIndex` posting layout; an
+  * increment shuffles only the NEW shard's anchors plus the store-side
+  * equi-join. Per-anchor fan-out is bounded by the 64-doc cap BY
+  * CONSTRUCTION (capped anchors drop out of `rare`), so the pair join
+  * cannot exceed 64 partners per anchor no matter how boilerplate-ridden
+  * the corpus. Streaming form: `streaming/StreamingPassageDedup` (state
+  * instead of parquet; same kernel, same cap).
+  */
+object IncrementalDedup {
+
+  /** Boilerplate cap — must stay equal to `dd_substring`'s (anchors in
+    * more docs than this are dropped as boilerplate; simultaneously the
+    * pair join's per-key fan-out bound). */
+  val BoilerplateCap = 64
+
+  /** Store bucket count: file-level layout parallelism for the claims. */
+  val Buckets = 64
+
+  /** Distinct (doc_id, h) anchor claims of `docs` (doc_id, text) — the
+    * same fused rolling-hash kernel as `dd_substring`. */
+  def anchors(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.register(spark)
+    docs.selectExpr("doc_id", "explode(substring_anchors(text)) AS h").distinct()
+  }
+
+  /** Build (overwrite) the store from the base corpus. */
+  def buildStore(spark: SparkSession, baseDocs: DataFrame, storeDir: String): Unit = {
+    val a = anchors(spark, baseDocs)
+      .withColumn("bucket", pmod(col("h"), lit(Buckets.toLong)))
+    a.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(s"$storeDir/claims")
+    a.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/counts")
+  }
+
+  /** Pairs (doc_a < doc_b, shared_anchors ≥ 2) touching the new shard,
+    * computed against the persisted store — never against base text. */
+  def pairsForIncrement(spark: SparkSession, newDocs: DataFrame,
+                        storeDir: String): DataFrame = {
+    // New-shard anchors are consumed three times (counts, new-new join,
+    // new-old join) — pin once, the dd_substring discipline.
+    val newA = anchors(spark, newDocs).localCheckpoint()
+    val storeClaims = spark.read.parquet(s"$storeDir/claims").select("doc_id", "h")
+    val storeCounts = spark.read.parquet(s"$storeDir/counts")
+    val newCounts = newA.groupBy(col("h")).agg(count(lit(1)).as("new_cnt"))
+    // Global cap: store + new docs per anchor. Anchors absent from the
+    // new shard can never pair with it — inner join from the new side.
+    val rare = newCounts
+      .join(storeCounts.withColumnRenamed("cnt", "old_cnt"), Seq("h"), "left")
+      .filter(coalesce(col("old_cnt"), lit(0L)) + col("new_cnt") <= BoilerplateCap)
+      .select("h")
+    val rareNewA = newA.join(rare, "h")
+    val newNew = rareNewA.as("a").join(rareNewA.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val newOld = rareNewA.as("n").join(storeClaims.as("o"), col("n.h") === col("o.h"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+    newNew.unionAll(newOld)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("long").as("shared_anchors"))
+      .filter(col("shared_anchors") >= 2)
+  }
+
+  /** Fold the served increment into the store: append claims, merge
+    * counts (a full-outer sum keyed on the anchor hash — id-only work,
+    * never text). */
+  def appendIncrement(spark: SparkSession, newDocs: DataFrame, storeDir: String): Unit = {
+    val newA = anchors(spark, newDocs)
+      .withColumn("bucket", pmod(col("h"), lit(Buckets.toLong)))
+    newA.write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$storeDir/claims")
+    val merged = spark.read.parquet(s"$storeDir/counts")
+      .withColumnRenamed("cnt", "old_cnt")
+      .join(newA.groupBy(col("h")).agg(count(lit(1)).as("new_cnt")), Seq("h"), "full_outer")
+      .select(col("h"),
+        (coalesce(col("old_cnt"), lit(0L)) + coalesce(col("new_cnt"), lit(0L))).as("cnt"))
+    // Counts rewrite: stage to a tmp dir then swap — the read above lazily
+    // streams from the same files an in-place overwrite would delete.
+    val tmp = s"$storeDir/counts_next"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$storeDir/counts")
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

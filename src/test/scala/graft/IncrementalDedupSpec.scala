@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.IncrementalDedup
+
+/** The incremental-store contract: dedupping shard N against the
+  * persisted claim store yields EXACTLY the full-batch `dd_substring`
+  * pairs touching shard N — through TWO increments, where the second
+  * shard's duplicates pair against both the base corpus and the first
+  * increment purely through the store (the base text is never rescanned).
+  * Also pins the combined boilerplate cap: an anchor pushed past 64 docs
+  * BY an increment stops generating pairs, exactly as the batch operator
+  * would drop it.
+  */
+class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("incremental-dedup")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.expr.GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** ≥128-char docs so every doc carries several 64-char windows; shared
+    * passages are long verbatim runs (the operator's target). */
+  private def passage(tag: Int): String =
+    (0 until 6).map(i => s"passage$tag segment$i carries deterministic shared content across copies").mkString(" ")
+
+  private def unique(id: Long): String =
+    (0 until 6).map(i => s"doc$id token${i}x${id * 31 + i} novel filler material with no duplicate run").mkString(" ")
+
+  /** Full-batch pairs over `docs` — the dd_substring reference fold. */
+  private def batchPairs(docs: DataFrame): Set[(Long, Long, Long)] = {
+    docs.createOrReplaceTempView("idd_batch")
+    spark.sql(
+      s"""WITH anchors AS (
+         |  SELECT DISTINCT doc_id, h
+         |  FROM idd_batch LATERAL VIEW explode(substring_anchors(text)) AS h),
+         |rare AS (SELECT h FROM anchors GROUP BY h HAVING count(*) <= ${IncrementalDedup.BoilerplateCap}),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS shared_anchors
+         |  FROM anchors a
+         |  JOIN rare r ON a.h = r.h
+         |  JOIN anchors b ON b.h = a.h AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT * FROM pairs WHERE shared_anchors >= 2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def increments(pairs: DataFrame): Set[(Long, Long, Long)] =
+    pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def touching(full: Set[(Long, Long, Long)], ids: Set[Long]) =
+    full.filter(p => ids.contains(p._1) || ids.contains(p._2))
+
+  test("two increments match full-batch pairs touching each shard, via the store only") {
+    val ss = spark; import ss.implicits._
+    // Base: originals 0..19 (0..9 share passages pairwise), shard 1:
+    // re-crawls of 0..4 + fresh docs, shard 2: re-crawls of base AND of
+    // shard 1 + fresh docs.
+    val base = ((0L until 10L).map(i => (i, passage((i % 5).toInt))) ++
+      (10L until 20L).map(i => (i, unique(i)))).toDF("doc_id", "text")
+    val shard1 = ((100L until 105L).map(i => (i, passage((i % 5).toInt))) ++
+      (105L until 110L).map(i => (i, unique(i)))).toDF("doc_id", "text")
+    val shard2 = ((200L until 203L).map(i => (i, passage((i % 5).toInt))) ++
+      Seq((203L, unique(107L)), (204L, unique(204L)))).toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("idd-store").toString
+    IncrementalDedup.buildStore(spark, base, dir)
+
+    val got1 = increments(IncrementalDedup.pairsForIncrement(spark, shard1, dir))
+    val full1 = batchPairs(base.unionAll(shard1))
+    assert(got1 == touching(full1, (100L until 110L).toSet),
+      "increment 1 diverged from batch-on-combined")
+    assert(got1.nonEmpty, "fixture should produce cross-shard pairs")
+
+    IncrementalDedup.appendIncrement(spark, shard1, dir)
+    val got2 = increments(IncrementalDedup.pairsForIncrement(spark, shard2, dir))
+    val full2 = batchPairs(base.unionAll(shard1).unionAll(shard2))
+    assert(got2 == touching(full2, (200L until 205L).toSet),
+      "increment 2 diverged from batch-on-combined")
+    // 203 duplicates a SHARD-1 doc (107): the pair must arrive through
+    // the store's accumulated claims, not any rescan of shard 1.
+    assert(got2.exists(p => p._1 == 107L && p._2 == 203L),
+      s"shard2 must pair against shard1 through the store: $got2")
+  }
+
+  test("an increment pushing an anchor past the cap silences it, as batch would") {
+    val ss = spark; import ss.implicits._
+    val boiler = passage(9)
+    // 40 base copies + 30 new copies = 70 > cap: batch drops the anchor
+    // entirely, so the increment must produce NO pairs for it.
+    val base = (0L until 40L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val shard = (100L until 130L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("idd-cap").toString
+    IncrementalDedup.buildStore(spark, base, dir)
+    val got = increments(IncrementalDedup.pairsForIncrement(spark, shard, dir))
+    val full = batchPairs(base.unionAll(shard))
+    assert(touching(full, (100L until 130L).toSet).isEmpty, "batch itself should cap")
+    assert(got.isEmpty, s"capped anchor leaked ${got.size} pairs")
+  }
+}
