@@ -1,0 +1,98 @@
+package graft.model
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.imageio.stream.MemoryCacheImageInputStream
+
+/** REAL PNG codec path for the multimodal decode boundary — the JDK ships
+  * `javax.imageio`, so the PNG half of the media surface needs no external
+  * libraries: `mm_decode_png` encodes a deterministic 8-bit gray test
+  * pattern into an actual PNG container and decodes actual pixels back out
+  * of it. Non-PNG containers (jpeg/webp ids in the synthetic fixture)
+  * still route to [[MediaStub]] — the remaining, documented stub scope.
+  *
+  * The pixel pattern is pure integer arithmetic over (doc_id, x, y), so
+  * the DuckDB oracle recomputes the decoded statistics (pixel sum, rolling
+  * pixel hash) without ever seeing a PNG: if the encode→decode round trip
+  * through the real codec dropped or shifted a single pixel, the oracle
+  * comparison fails. PNG is lossless 8-bit gray, so exact equality is the
+  * correct expectation.
+  */
+object MediaCodec {
+
+  /** PNG magic (first 8 bytes of every PNG stream). */
+  private val PngSignature =
+    Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && PngSignature.indices.forall(i => bytes(i) == PngSignature(i))
+
+  /** Deterministic gray value of pixel (x, y) of document `docId` — the
+    * single source of truth for fixture synthesis AND the oracle. */
+  def patternGray(docId: Long, x: Int, y: Int): Int =
+    (((docId * 31 + 7L * x + 13L * y) % 256) + 256).toInt % 256
+
+  /** Tiny test-pattern dimensions: ≤ 15×12 keeps the oracle's per-doc
+    * pixel fold a few hundred terms. */
+  def patternWidth(docId: Long): Int = (8 + docId % 8).toInt
+  def patternHeight(docId: Long): Int = (8 + docId % 5).toInt
+
+  /** Encode the document's gray test pattern as a REAL PNG byte stream. */
+  def synthesizeGrayPng(docId: Long): Array[Byte] = {
+    val w = patternWidth(docId)
+    val h = patternHeight(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, patternGray(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "png", out), "JDK PNG writer unavailable")
+    out.toByteArray
+  }
+
+  /** Decoded real-pixel statistics: (width, height, pixelSum, pixelHash)
+    * where pixelHash is the row-major polynomial fold
+    * h = (h*31 + gray) mod 1e9+7 (the `text_fingerprint` discipline). */
+  final case class DecodedPng(width: Int, height: Int, pixelSum: Long, pixelHash: Long)
+
+  /** Expensive-to-open reader context, one per partition (the same
+    * contract as [[MediaStub.openCodec]], but real). */
+  final class PngReader private[MediaCodec] () {
+    private[MediaCodec] val reader =
+      ImageIO.getImageReadersByFormatName("png").next()
+    def dispose(): Unit = reader.dispose()
+  }
+
+  def openReader(): PngReader = new PngReader
+
+  def decodeGrayPng(ctx: PngReader, bytes: Array[Byte]): DecodedPng = {
+    require(isPng(bytes), "not a PNG stream")
+    val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      ctx.reader.setInput(in, true, true)
+      val img = ctx.reader.read(0)
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var sum = 0L
+      var hash = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = raster.getSample(x, y, 0)
+          sum += g
+          hash = (hash * 31 + g) % 1000000007L
+          x += 1
+        }
+        y += 1
+      }
+      DecodedPng(w, h, sum, hash)
+    } finally in.close()
+  }
+}

@@ -2,9 +2,13 @@ package graft.model
 
 /** STUB media codec for multimodal columns.
   *
-  * The real engine would link an image/audio decoder here (not available
-  * in this environment). The container header layout is real and parsed
-  * for real — 4-byte big-endian width, 4-byte height, 1-byte format id —
+  * SCOPE (narrowed in r10): the PNG path is REAL — see
+  * [[graft.model.MediaCodec]], which encodes/decodes actual PNG streams
+  * through the JDK's `javax.imageio` and computes pixel statistics from
+  * the decoded raster (`mm_decode_png`). This stub remains for container
+  * formats with no JDK decoder in this environment (jpeg decode quality /
+  * webp entirely). The container header layout is real and parsed for
+  * real — 4-byte big-endian width, 4-byte height, 1-byte format id —
   * only the pixel-level work (`meanLuma`) is a deterministic fake so the
   * surrounding Spark plumbing (binary columns, per-partition codec reuse,
   * typed Dataset output) can be exercised and tested.

@@ -286,7 +286,82 @@ object MultimodalQueries {
        |SELECT doc_a, doc_b, matched_bands FROM cand
        |WHERE matched_bands >= 3""".stripMargin
 
+  // ── mm_decode_png (r10) — REAL pixel decode through the JDK's
+  // javax.imageio PNG codec: every third asset is an ACTUAL PNG container
+  // (encoded from a deterministic 8-bit gray test pattern), decoded back
+  // to real pixels inside the per-partition boundary with a reused
+  // ImageReader; the pixel statistics (sum + rolling row-major hash) are
+  // computed from the DECODED raster. Non-PNG containers (jpeg/webp ids)
+  // still route to MediaStub — the remaining, documented stub scope.
+  // ORACLE-CHECKED END TO END: the pattern is integer arithmetic over
+  // (doc_id, x, y), so DuckDB recomputes the decoded sums without seeing
+  // a PNG — a single pixel dropped/shifted by the codec round trip fails
+  // the hash compare. Scale shape: narrow mapPartitions, no shuffle;
+  // encoder+reader opened once per partition (the native-codec contract).
+  def mmDecodePng(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    import spark.implicits._
+    import graft.model.MediaCodec
+    val ids = spark.sql("SELECT doc_id FROM documents").as[Long]
+    ids.mapPartitions { it =>
+      val pngReader = MediaCodec.openReader()
+      val stubCodec = MediaStub.openCodec()
+      it.map { docId =>
+        if (docId % 3 == 0) {
+          // Real container, real decode: synthesize the PNG then read the
+          // pixels back out of the actual byte stream.
+          val bytes = MediaCodec.synthesizeGrayPng(docId)
+          val d = MediaCodec.decodeGrayPng(pngReader, bytes)
+          val nPx = d.width.toLong * d.height
+          (docId, "png", d.width, d.height, nPx, d.pixelSum, d.pixelHash,
+            d.pixelSum.toDouble / (255.0 * nPx))
+        } else {
+          val w = (64 + (docId % 16) * 16).toInt
+          val h = (64 + (docId % 9) * 32).toInt
+          val header = java.nio.ByteBuffer.allocate(9)
+            .putInt(w).putInt(h).put((docId % 3).toByte).array()
+          val d = MediaStub.decode(stubCodec, header)
+          (docId, d.format, d.width, d.height, 0L,
+            (w.toLong * 31 + h) % 256, 0L, d.meanLuma)
+        }
+      }
+    }.toDF("doc_id", "format", "width", "height", "n_px", "luma_sum",
+      "pixel_hash", "mean_luma")
+  }
+
+  val mmDecodePngSql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 8 AS INT) AS w,
+      |         CAST(8 + doc_id % 5 AS INT) AS h,
+      |         flatten(list_transform(range(0, 8 + doc_id % 5), y ->
+      |           list_transform(range(0, 8 + doc_id % 8), x ->
+      |             (doc_id * 31 + 7 * x + 13 * y) % 256))) AS gs
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |png AS (
+      |  SELECT doc_id, 'png' AS format, w AS width, h AS height,
+      |         CAST(w * h AS BIGINT) AS n_px,
+      |         CAST(list_sum(gs) AS BIGINT) AS luma_sum,
+      |         CAST(list_reduce([0] || gs,
+      |           (acc, g) -> (acc * 31 + g) % 1000000007) AS BIGINT) AS pixel_hash
+      |  FROM px),
+      |stub AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+      |         CAST(64 + (doc_id % 16) * 16 AS INT) AS width,
+      |         CAST(64 + (doc_id % 9) * 32 AS INT) AS height,
+      |         CAST(0 AS BIGINT) AS n_px,
+      |         CAST(((64 + (doc_id % 16) * 16) * 31 + 64 + (doc_id % 9) * 32) % 256
+      |           AS BIGINT) AS luma_sum,
+      |         CAST(0 AS BIGINT) AS pixel_hash
+      |  FROM documents WHERE doc_id % 3 != 0)
+      |SELECT doc_id, format, width, height, n_px, luma_sum, pixel_hash,
+      |       CASE WHEN format = 'png' THEN CAST(luma_sum AS DOUBLE) / (255.0 * n_px)
+      |            ELSE CAST(luma_sum AS DOUBLE) / 255.0 END AS mean_luma
+      |FROM (SELECT * FROM png UNION ALL SELECT * FROM stub)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_png" -> (mmDecodePng _),
     "mm_near_dup_bands" -> (mmNearDupBands _),
     "mm_metadata_extract" -> (mmMetadataExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -294,6 +369,7 @@ object MultimodalQueries {
     "mm_dedup_assets" -> (mmDedupAssets _))
 
   val oracle: Map[String, String] = Map(
+    "mm_decode_png" -> mmDecodePngSql,
     "mm_near_dup_bands" -> mmNearDupBandsSql,
     "mm_metadata_extract" -> mmMetadataExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,

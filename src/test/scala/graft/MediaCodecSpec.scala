@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.MediaCodec
+
+/** The REAL-codec half of the media boundary: the JDK PNG round trip must
+  * reproduce the source pattern exactly (PNG is lossless 8-bit gray — any
+  * deviation is a codec-path bug, not noise), the reader context must be
+  * reusable across decodes (the per-partition contract), and non-PNG /
+  * truncated inputs must be rejected loudly rather than mis-decoded.
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  test("PNG encode→decode round trip reproduces the pattern exactly") {
+    val reader = MediaCodec.openReader()
+    for (docId <- Seq(0L, 3L, 42L, 999L, 123456L)) {
+      val bytes = MediaCodec.synthesizeGrayPng(docId)
+      assert(MediaCodec.isPng(bytes), "synthesized stream lacks the PNG magic")
+      val d = MediaCodec.decodeGrayPng(reader, bytes)
+      val w = MediaCodec.patternWidth(docId)
+      val h = MediaCodec.patternHeight(docId)
+      assert(d.width == w && d.height == h)
+      var sum = 0L; var hash = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = MediaCodec.patternGray(docId, x, y)
+        sum += g; hash = (hash * 31 + g) % 1000000007L
+      }
+      assert(d.pixelSum == sum, s"doc $docId pixel sum drifted")
+      assert(d.pixelHash == hash, s"doc $docId pixel order/values drifted")
+    }
+    reader.dispose()
+  }
+
+  test("non-PNG containers are rejected, not mis-decoded") {
+    val reader = MediaCodec.openReader()
+    val stubHeader = java.nio.ByteBuffer.allocate(9)
+      .putInt(128).putInt(256).put(1.toByte).array()
+    assert(!MediaCodec.isPng(stubHeader))
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeGrayPng(reader, stubHeader)
+    }
+    // Truncated PNG: magic intact, stream cut — must throw, never return
+    // a half-decoded frame.
+    val png = MediaCodec.synthesizeGrayPng(7L)
+    intercept[Exception] {
+      MediaCodec.decodeGrayPng(reader, png.take(png.length / 2))
+    }
+    reader.dispose()
+  }
+}
