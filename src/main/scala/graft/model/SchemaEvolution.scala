@@ -102,4 +102,27 @@ object SchemaEvolution {
 
     Decision(resnapshot = false, "no change requires a new snapshot")
   }
+
+  /** G6 composed with the REGISTRY's compatibility gate (F4): even when
+    * the column-level diff clears the evolution, the registry's
+    * configured level (BACKWARD/FORWARD/FULL — a deployment policy this
+    * engine does not control) may reject the evolved value schema; that
+    * rejection must drive the same terminate-for-restart / re-snapshot
+    * reaction as a disqualifying column diff (the reference surfaces the
+    * registry error the same way, `serializers/avro.py:270-343`).
+    *
+    * @param columnDecision the [[requiresNewSnapshot]] verdict
+    * @param registerEvolved attempts the registry registration of the
+    *        evolved schema; only invoked when the column diff clears
+    */
+  def decideWithRegistry(columnDecision: Decision,
+      registerEvolved: () => Int): Decision =
+    if (columnDecision.resnapshot) columnDecision
+    else
+      try { registerEvolved(); columnDecision }
+      catch {
+        case e: graft.serde.IncompatibleSchemaException =>
+          Decision(resnapshot = true,
+            s"registry compatibility gate rejected the evolved schema: ${e.getMessage}")
+      }
 }

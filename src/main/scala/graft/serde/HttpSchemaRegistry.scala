@@ -94,6 +94,17 @@ final class HttpSchemaRegistry(
         s"$method $baseUrl$path", last.left.toOption.orNull)
   }
 
+  /** Set the subject's compatibility level (`PUT /config/<subject>`,
+    * body `{"compatibility": "<LEVEL>"}`) — the deployment-side policy
+    * switch schema evolution (G6) is gated by. */
+  def setCompatibility(subject: String, level: CompatibilityLevel.Value): Unit = {
+    val resp = request("PUT", s"/config/${MicroJson.urlSeg(subject)}",
+      Some(s"""{"compatibility": "${level.toString}"}"""))
+    if (resp.statusCode() != 200)
+      throw new RuntimeException(
+        s"registry setCompatibility($subject): HTTP ${resp.statusCode()} ${resp.body()}")
+  }
+
   override def register(subject: String, schema: Schema): Int = {
     val canonical = schema.toString // Avro canonical JSON
     registerCache.getOrElseUpdate((subject, canonical), {

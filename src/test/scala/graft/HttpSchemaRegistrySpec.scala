@@ -48,7 +48,18 @@ class HttpSchemaRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
         val SubjectVersions = "/subjects/([^/]+)/versions".r
         val SchemaById = "/schemas/ids/([0-9]+)".r
         val Latest = "/subjects/([^/]+)/versions/latest".r
+        val Config = "/config/([^/]+)".r
         (ex.getRequestMethod, path) match {
+          case ("PUT", Config(subject)) =>
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            graft.serde.MicroJson.stringField(body, "compatibility")
+              .flatMap(l => scala.util.Try(
+                graft.serde.CompatibilityLevel.withName(l)).toOption) match {
+              case Some(level) =>
+                backing.setCompatibility(subject, level)
+                respond(ex, 200, s"""{"compatibility":"$level"}""")
+              case None => respond(ex, 422, """{"error_code":42203}""")
+            }
           case ("POST", SubjectVersions(subject)) =>
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
             graft.serde.MicroJson.stringField(body, "schema") match {
@@ -129,6 +140,86 @@ class HttpSchemaRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     val id = reg.register("t3-value", schemaV1)
     assert(id > 0, "two 500s then success must be absorbed by the retry budget")
     assert(reg.latest("never-registered-value") === None)
+  }
+
+  test("compatibility levels gate evolution direction-correctly (BACKWARD vs FULL)") {
+    import graft.serde.CompatibilityLevel
+    val reg = new HttpSchemaRegistry(base)
+    // BACKWARD (consumers upgrade first): removing a field is fine (the
+    // new reader just ignores old data's extra field), but ADDING a
+    // field WITHOUT a default is rejected (the new reader cannot fill it
+    // from old data).
+    reg.setCompatibility("lvl-b-value", CompatibilityLevel.Backward)
+    reg.register("lvl-b-value", schemaV1)
+    val removed = SchemaBuilder.record("E").namespace("graft")
+      .fields().requiredLong("id").endRecord()
+    reg.register("lvl-b-value", removed) // shrink: BACKWARD-ok
+    val addedNoDefault = SchemaBuilder.record("E").namespace("graft")
+      .fields().requiredLong("id").requiredString("alias").endRecord()
+    intercept[IncompatibleSchemaException] {
+      reg.register("lvl-b-value", addedNoDefault)
+    }
+    // FULL: the same shrink that BACKWARD allowed is rejected (the OLD
+    // reader needs the removed no-default field from new data), while an
+    // add WITH a default — compatible both directions — passes.
+    reg.setCompatibility("lvl-f-value", CompatibilityLevel.Full)
+    reg.register("lvl-f-value", schemaV1)
+    intercept[IncompatibleSchemaException] {
+      reg.register("lvl-f-value", removed)
+    }
+    assert(reg.register("lvl-f-value", schemaV2) > 0)
+  }
+
+  test("G6 end to end: the registry gate drives the re-snapshot decision") {
+    import graft.model.SchemaEvolution
+    import graft.model.SchemaEvolution.{ColumnInfo, Probes}
+    import graft.serde.CompatibilityLevel
+    val reg = new HttpSchemaRegistry(base)
+    reg.setCompatibility("g6-value", CompatibilityLevel.Full)
+    reg.register("g6-value", schemaV1)
+
+    val oldCols = Map(
+      "id" -> ColumnInfo("bigint", isNullable = false),
+      "name" -> ColumnInfo("nvarchar"))
+    val probes = Probes(oldInstanceAvailable = true, tableIsSmall = true)
+
+    // Evolution 1: a new NULLABLE column. The column diff clears it, the
+    // Avro evolution (optional field, null default) passes FULL -> the
+    // pipeline continues without re-snapshot.
+    val newColsOk = oldCols + ("note" -> ColumnInfo("nvarchar"))
+    val evolvedOk = SchemaBuilder.record("E").namespace("graft")
+      .fields().requiredLong("id").requiredString("name")
+      .name("note").`type`().unionOf().nullType().and().stringType().endUnion()
+      .nullDefault().endRecord()
+    val d1 = SchemaEvolution.decideWithRegistry(
+      SchemaEvolution.requiresNewSnapshot(oldCols, newColsOk, probes),
+      () => reg.register("g6-value", evolvedOk))
+    assert(!d1.resnapshot, d1.reason)
+
+    // Evolution 2: the column diff ALONE clears it (same Spark-side
+    // serialization class is a judgment the engine makes), but the
+    // DEPLOYMENT's registry policy rejects the evolved wire schema —
+    // the rejection must force the re-snapshot/terminate path.
+    val evolvedBreaking = SchemaBuilder.record("E").namespace("graft")
+      .fields().requiredLong("id").requiredString("name")
+      .requiredString("alias").endRecord() // no default: FULL-incompatible
+    val d2 = SchemaEvolution.decideWithRegistry(
+      SchemaEvolution.requiresNewSnapshot(
+        oldCols, oldCols + ("alias" -> ColumnInfo("nvarchar")), probes),
+      () => reg.register("g6-value", evolvedBreaking))
+    assert(d2.resnapshot, "registry rejection must drive the decision")
+    assert(d2.reason.contains("registry"), d2.reason)
+
+    // Evolution 3: the column diff itself disqualifies (type change) —
+    // the registry is never consulted.
+    var consulted = false
+    val d3 = SchemaEvolution.decideWithRegistry(
+      SchemaEvolution.requiresNewSnapshot(
+        oldCols, oldCols + ("id" -> ColumnInfo("nvarchar", isNullable = false)),
+        probes),
+      () => { consulted = true; 0 })
+    assert(d3.resnapshot && !consulted,
+      "a disqualifying column diff must short-circuit the registry call")
   }
 
   test("drop-in for the in-memory registry through the AvroSerde encoder path") {
