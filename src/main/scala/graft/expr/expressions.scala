@@ -288,6 +288,36 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Fused hashed uni+bigram feature buckets (`text_quality_model`,
+    * r10): the DISTINCT word unigrams + bigrams of `text` (split on a
+    * single space, trailing empties kept — `split(text, ' ')`
+    * semantics), each hashed into [0, buckets) with the engine-shared
+    * md5 top-60 hash. Semantics identical to the
+    * `transform(array_distinct(concat(ws, word_bigrams(text))), g -> H(g) % B)`
+    * spelling the DuckDB oracle runs — fused because that HOF pays an
+    * interpreted md5 lambda per gram (~2M calls at sf0.1, the dominant
+    * cost of the learned-classifier featurize). */
+  def featBuckets(text: UTF8String, buckets: Int): ArrayData = {
+    val parts = text.split(UTF8String.fromString(" "), -1)
+    val space = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < parts.length) { seen.add(parts(i)); i += 1 }
+    i = 0
+    while (i < parts.length - 1) {
+      seen.add(UTF8String.concat(parts(i), space, parts(i + 1)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      out(j) = md5Top60(it.next().getBytes) % buckets
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused ADC-table build (r7): the query side of [[pqEncode]] — the
     * flattened `subspaces × cents` table of exact BIGINT squared
     * distances from the vector's micro-unit form to every codebook
@@ -716,6 +746,21 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `feat_buckets(text, buckets)` — fused hashed uni+bigram feature
+  * buckets (see [[Kernels.featBuckets]]). */
+case class FeatBuckets(child: Expression, buckets: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.featBuckets(v.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.Kernels.featBuckets($s, $buckets)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `rp_project(vec)` — fused JL ±1 random projection (see
   * [[Kernels.rpProject]]). */
 case class RpProject(child: Expression, outDim: Int, inDim: Int)
@@ -919,6 +964,18 @@ object GraftFunctions {
       args => RpProject(args(0), RpOutDim, RpInDim))
     Bridge.registerFunction(spark, "word_bigrams",
       args => WordBigrams(args(0)))
+    Bridge.registerFunction(spark, "feat_buckets",
+      args => {
+        require(args.length == 2 && args(1).foldable,
+          "feat_buckets(text, buckets): buckets must be a literal")
+        val b = args(1).eval() match {
+          case i: Int => i
+          case l: Long if l == l.toInt => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"feat_buckets: buckets must be an Int-range integer literal, got $other")
+        }
+        FeatBuckets(args(0), b)
+      })
     Bridge.registerFunction(spark, "float_dot",
       args => FloatDotProduct(args(0), args(1)))
     Bridge.registerFunction(spark, "truncate_utf8",

@@ -38,8 +38,20 @@ object MediaCodec {
   def patternWidth(docId: Long): Int = (8 + docId % 8).toInt
   def patternHeight(docId: Long): Int = (8 + docId % 5).toInt
 
+  /** Expensive-to-open writer context, one per partition — `ImageIO
+    * .write` per row would re-scan the writer registry and construct an
+    * ImageWriter per document, exactly the per-row codec-open cost the
+    * decode half hoists. */
+  final class PngWriter private[MediaCodec] () {
+    private[MediaCodec] val writer =
+      ImageIO.getImageWritersByFormatName("png").next()
+    def dispose(): Unit = writer.dispose()
+  }
+
+  def openWriter(): PngWriter = new PngWriter
+
   /** Encode the document's gray test pattern as a REAL PNG byte stream. */
-  def synthesizeGrayPng(docId: Long): Array[Byte] = {
+  def synthesizeGrayPng(ctx: PngWriter, docId: Long): Array[Byte] = {
     val w = patternWidth(docId)
     val h = patternHeight(docId)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
@@ -51,8 +63,18 @@ object MediaCodec {
       y += 1
     }
     val out = new ByteArrayOutputStream()
-    require(ImageIO.write(img, "png", out), "JDK PNG writer unavailable")
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      ctx.writer.setOutput(ios)
+      ctx.writer.write(img)
+    } finally ios.close()
     out.toByteArray
+  }
+
+  /** One-shot convenience (tests, tools): opens and disposes a writer. */
+  def synthesizeGrayPng(docId: Long): Array[Byte] = {
+    val ctx = openWriter()
+    try synthesizeGrayPng(ctx, docId) finally ctx.dispose()
   }
 
   /** Decoded real-pixel statistics: (width, height, pixelSum, pixelHash)

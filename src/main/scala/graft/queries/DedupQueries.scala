@@ -936,11 +936,17 @@ object DedupQueries {
     val storeDir = sys.props("java.io.tmpdir") +
       "/graft_ddstore_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    // Fingerprint of the base corpus: doc count + total chars (a narrow
-    // two-column scan — cheap next to the anchoring pass it guards).
-    val fp = base.selectExpr("count(*) AS n", "sum(length(text)) AS chars")
+    // Fingerprint of the base corpus: doc count + an order-independent
+    // CONTENT hash (sum of each row's keyed 60-bit md5 — count/char-sum
+    // alone would validate a store whose docs merely swapped contents),
+    // plus the store format version so a kernel/layout change can never
+    // reuse stores built under the old hash. One narrow scan — cheap
+    // next to the anchoring pass it guards.
+    val fp = base.selectExpr("count(*) AS n",
+      s"sum(${hSpark("concat(cast(doc_id AS string), ':', text)")} % 1000000007) AS content")
       .collect().head
-    val fpStr = s"${fp.getLong(0)}:${fp.getLong(1)}:cap=${IncrementalDedup.BoilerplateCap}"
+    val fpStr = s"${fp.getLong(0)}:${fp.getLong(1)}" +
+      s":v=${IncrementalDedup.StoreFormatVersion}:cap=${IncrementalDedup.BoilerplateCap}"
     val marker = new java.io.File(s"$storeDir/FINGERPRINT")
     val valid = marker.exists &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fpStr

@@ -35,13 +35,13 @@ object LearnedQueries {
     * column), hashed into [0, Buckets). Distinct-per-GRAM before hashing:
     * a doc repeats a feature only if two distinct grams collide — the
     * standard hashing-trick bag, identical in both engines. */
-  private[graft] def featBucketsSpark(ws: String, buckets: Int = Buckets) =
-    s"""transform(array_distinct(concat($ws,
-       |    CASE WHEN size($ws) >= 2
-       |         THEN transform(sequence(1, size($ws) - 1),
-       |                i -> concat(element_at($ws, i), ' ', element_at($ws, i + 1)))
-       |         ELSE CAST(array() AS ARRAY<STRING>) END)),
-       |  g -> ${hSpark("g")} % $buckets)""".stripMargin
+  /** Spark spelling rides the fused `feat_buckets` codegen kernel — one
+    * pass, no interpreted per-gram md5 lambda (the HOF spelling measured
+    * ~2M interpreted hash calls at sf0.1); the DuckDB spelling below is
+    * the kernel's proven-equal explicit form. Callers must
+    * `GraftFunctions.register` first. */
+  private[graft] def featBucketsSpark(text: String, buckets: Int = Buckets) =
+    s"feat_buckets($text, $buckets)"
 
   private def featBucketsDuck(ws: String, buckets: Int = Buckets) =
     s"""list_transform(list_distinct(list_concat($ws,
@@ -84,27 +84,11 @@ object LearnedQueries {
   // all-pairs, no vocab-sized shuffle (buckets cap the key space by
   // construction). The train/test split (doc_id % 5) makes the holdout
   // accuracy the spec asserts an honest generalization number.
-  private def qmSql(engine: String): String = {
-    val duck = engine == "duck"
-    val div = if (duck) "//" else "div"
-    val feat = if (duck) featBucketsDuck("ws") else featBucketsSpark("ws")
-    val quality = if (duck) TextQueries.qualityDuck("text") else TextQueries.qualitySpark("text")
-    val explodeFeats =
-      if (duck) "SELECT doc_id, label, is_train, unnest(fs) AS f FROM docs_f"
-      else "SELECT doc_id, label, is_train, f FROM docs_f LATERAL VIEW explode(fs) AS f"
-    s"""WITH docs_f AS (
-       |  SELECT doc_id,
-       |         CASE WHEN $quality >= 0.66 THEN 1 ELSE 0 END AS label,
-       |         CASE WHEN doc_id % 5 != 0 THEN 1 ELSE 0 END AS is_train,
-       |         $feat AS fs
-       |  FROM (SELECT doc_id, text, ${if (duck) "string_split(text, ' ')" else "split(text, ' ')"} AS ws
-       |        FROM documents)),
-       |feats AS ($explodeFeats),
-       |totals AS (
-       |  SELECT CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-       |         CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
-       |  FROM docs_f WHERE is_train = 1),
-       |counts AS (
+  /** Training + scoring CTE chain shared by both engines, over a `feats`
+    * relation of (doc_id, label, is_train, f) and a `totals` relation of
+    * (n1, n0); yields the per-doc `scored` rows. */
+  private def qmModelCtes(div: String): String =
+    s"""counts AS (
        |  SELECT f,
        |         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
        |         CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
@@ -114,34 +98,89 @@ object LearnedQueries {
        |  FROM counts CROSS JOIN totals),
        |w_default AS (
        |  SELECT ${rMicro("0", "n1", div)} - ${rMicro("0", "n0", div)} AS w
-       |  FROM totals),
-       |scored AS (
-       |  SELECT fe.doc_id, fe.label, fe.is_train,
-       |         CAST(count(*) AS BIGINT) AS n_feats,
-       |         CAST(sum(coalesce(w.w, wd.w)) AS BIGINT) AS score_micro
-       |  FROM feats fe LEFT JOIN weights w ON fe.f = w.f CROSS JOIN w_default wd
-       |  GROUP BY fe.doc_id, fe.label, fe.is_train),
-       |thr AS (
-       |  SELECT (CAST(sum(CASE WHEN label = 1 THEN score_micro ELSE 0 END) AS DOUBLE)
-       |            / sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
-       |        + CAST(sum(CASE WHEN label = 0 THEN score_micro ELSE 0 END) AS DOUBLE)
-       |            / sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)) / 2.0 AS t
-       |  FROM scored WHERE is_train = 1)
-       |SELECT s.doc_id, s.label, s.is_train, s.n_feats, s.score_micro,
-       |       CASE WHEN CAST(s.score_micro AS DOUBLE) > thr.t THEN 1 ELSE 0 END AS predicted,
-       |       CASE WHEN (CASE WHEN CAST(s.score_micro AS DOUBLE) > thr.t THEN 1 ELSE 0 END) = s.label
-       |            THEN 1 ELSE 0 END AS correct
-       |FROM scored s CROSS JOIN thr""".stripMargin
-  }
+       |  FROM totals)
+       |SELECT fe.doc_id, fe.label, fe.is_train,
+       |       CAST(count(*) AS BIGINT) AS n_feats,
+       |       CAST(sum(coalesce(w.w, wd.w)) AS BIGINT) AS score_micro
+       |FROM feats fe LEFT JOIN weights w ON fe.f = w.f CROSS JOIN w_default wd
+       |GROUP BY fe.doc_id, fe.label, fe.is_train""".stripMargin
+
+  /** Verdict over the `scored` relation (shared by both engines):
+    * threshold = midpoint of the train classes' exact mean scores. */
+  private def qmVerdict: String =
+    """thr AS (
+      |  SELECT (CAST(sum(CASE WHEN label = 1 THEN score_micro ELSE 0 END) AS DOUBLE)
+      |            / sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+      |        + CAST(sum(CASE WHEN label = 0 THEN score_micro ELSE 0 END) AS DOUBLE)
+      |            / sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)) / 2.0 AS t
+      |  FROM scored WHERE is_train = 1)
+      |SELECT s.doc_id, s.label, s.is_train, s.n_feats, s.score_micro,
+      |       CASE WHEN CAST(s.score_micro AS DOUBLE) > thr.t THEN 1 ELSE 0 END AS predicted,
+      |       CASE WHEN (CASE WHEN CAST(s.score_micro AS DOUBLE) > thr.t THEN 1 ELSE 0 END) = s.label
+      |            THEN 1 ELSE 0 END AS correct
+      |FROM scored s CROSS JOIN thr""".stripMargin
 
   def textQualityModel(spark: SparkSession, dir: String): DataFrame = {
     spark.read.parquet(s"$dir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
       .createOrReplaceTempView("documents")
-    spark.sql(qmSql("spark"))
+    graft.expr.GraftFunctions.register(spark)
+    val quality = TextQueries.qualitySpark("text")
+    // Featurize ONCE and pin: feats feeds training counts, scoring, and
+    // (via scored) the threshold — Catalyst inlines CTEs, so without the
+    // pin the hash-featurize pass reruns per consumer (measured 4.4 s at
+    // sf0.1; pinned ~1 s). The explode rides the fused word_bigrams
+    // kernel, not an interpreted per-gram lambda.
+    // label/is_train are computed in the PER-DOC subquery: hoisted above
+    // the explode they run once per document; after it, the quality
+    // expression's regexes would run once per FEATURE row (~400x).
+    spark.sql(
+      s"""SELECT doc_id, label, is_train, f
+         |FROM (SELECT doc_id,
+         |             CASE WHEN $quality >= 0.66 THEN 1 ELSE 0 END AS label,
+         |             CASE WHEN doc_id % 5 != 0 THEN 1 ELSE 0 END AS is_train,
+         |             ${featBucketsSpark("text")} AS fs
+         |      FROM documents)
+         |LATERAL VIEW explode(fs) AS f""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("qm_feats_t")
+    // Class totals re-derive from the narrow documents scan (no explode)
+    // rather than a count-distinct over the feature stream. The scored
+    // table (one row per doc) is pinned too: the threshold aggregate and
+    // the final verdict both consume it, and inlining would re-run the
+    // scoring join per consumer.
+    spark.sql(
+      s"""WITH feats AS (SELECT * FROM qm_feats_t),
+         |totals AS (
+         |  SELECT CAST(sum(CASE WHEN $quality >= 0.66 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN $quality < 0.66 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+         |  FROM documents WHERE doc_id % 5 != 0),
+         |${qmModelCtes("div")}""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("qm_scored_t")
+    spark.sql(
+      s"""WITH scored AS (SELECT * FROM qm_scored_t),
+         |$qmVerdict""".stripMargin)
   }
 
-  val textQualityModelSql: String = qmSql("duck")
+  val textQualityModelSql: String = {
+    val quality = TextQueries.qualityDuck("text")
+    s"""WITH docs_f AS (
+       |  SELECT doc_id,
+       |         CASE WHEN $quality >= 0.66 THEN 1 ELSE 0 END AS label,
+       |         CASE WHEN doc_id % 5 != 0 THEN 1 ELSE 0 END AS is_train,
+       |         ${featBucketsDuck("ws")} AS fs
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |        FROM documents)),
+       |feats AS (SELECT doc_id, label, is_train, unnest(fs) AS f FROM docs_f),
+       |totals AS (
+       |  SELECT CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |         CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+       |  FROM docs_f WHERE is_train = 1),
+       |scored AS (
+       |WITH ${qmModelCtes("//")}),
+       |$qmVerdict""".stripMargin
+  }
 
   // ── text_lm_score ★ — stupid-backoff bigram LM predictability ────────
   //
@@ -164,42 +203,13 @@ object LearnedQueries {
   // token) via vocab-keyed equi-joins; docs then join their per-doc
   // bigram counts against it on the gram key. No all-pairs; the hottest
   // key is a common bigram, absorbed map-side by the count combine.
-  private def lmSql(engine: String): String = {
-    val duck = engine == "duck"
-    val div = if (duck) "//" else "div"
-    val split = if (duck) "string_split(text, ' ')" else "split(text, ' ')"
-    val bigrams =
-      if (duck)
-        """CASE WHEN len(ws) >= 2
-          |     THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
-          |     ELSE []::VARCHAR[] END""".stripMargin
-      else
-        """CASE WHEN size(ws) >= 2
-          |     THEN transform(sequence(1, size(ws) - 1),
-          |            i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
-          |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
-    val explodeTok =
-      if (duck) "SELECT doc_id, unnest(ws) AS w FROM w_t"
-      else "SELECT doc_id, w FROM w_t LATERAL VIEW explode(ws) AS w"
-    val explodeBi =
-      if (duck) s"SELECT doc_id, unnest($bigrams) AS gram FROM w_t"
-      else s"SELECT doc_id, gram FROM w_t LATERAL VIEW explode($bigrams) AS gram"
-    val prefix = if (duck) "string_split(d.gram, ' ')[1]" else "split(d.gram, ' ')[0]"
-    val suffix = if (duck) "string_split(d.gram, ' ')[2]" else "split(d.gram, ' ')[1]"
-    s"""WITH w_t AS (SELECT doc_id, $split AS ws FROM documents),
-       |tokens AS ($explodeTok),
-       |bi AS ($explodeBi),
-       |train_uni AS (
-       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM tokens
-       |  WHERE doc_id % 2 = 0 GROUP BY w),
-       |train_n AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS n FROM tokens WHERE doc_id % 2 = 0),
-       |train_bi AS (
-       |  SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM bi
-       |  WHERE doc_id % 2 = 0 GROUP BY gram),
-       |doc_bi AS (
-       |  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS k
-       |  FROM bi GROUP BY doc_id, gram),
+  /** LM tail shared by both engines, over `bi_c` = per-doc bigram counts
+    * (doc_id, gram, k), `train_bi`, `train_uni`, and token total
+    * `train_n` (derived as sum over train_uni — same value as counting
+    * the token stream, one scan cheaper). */
+  private def lmTail(div: String, prefix: String, suffix: String): String =
+    s"""train_n AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n FROM train_uni),
        |cond AS (
        |  SELECT d.gram,
        |         CASE WHEN tb.c2 IS NOT NULL
@@ -221,20 +231,61 @@ object LearnedQueries {
        |SELECT doc_id, n_grams, sum_micro,
        |       CAST(sum_micro AS DOUBLE) / n_grams AS lm_score
        |FROM scored""".stripMargin
+
+  /** Spark side over a registered `documents` view: the bigram
+    * OCCURRENCE stream rides the fused word_bigrams kernel and is pinned
+    * once (train counts + per-doc counts both consume it; Catalyst would
+    * otherwise rerun the explode per consumer). */
+  private[graft] def runLmScore(spark: SparkSession): DataFrame = {
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      """SELECT doc_id, gram
+        |FROM documents LATERAL VIEW explode(word_bigrams(text)) AS gram""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("lm_bi_t")
+    spark.sql(
+      s"""WITH tokens AS (
+         |  SELECT doc_id, w
+         |  FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+         |  LATERAL VIEW explode(ws) AS w),
+         |train_uni AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM tokens
+         |  WHERE doc_id % 2 = 0 GROUP BY w),
+         |train_bi AS (
+         |  SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM lm_bi_t
+         |  WHERE doc_id % 2 = 0 GROUP BY gram),
+         |doc_bi AS (
+         |  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS k
+         |  FROM lm_bi_t GROUP BY doc_id, gram),
+         |${lmTail("div", "split(d.gram, ' ')[0]", "split(d.gram, ' ')[1]")}""".stripMargin)
   }
 
   def textLmScore(spark: SparkSession, dir: String): DataFrame = {
     spark.read.parquet(s"$dir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
       .createOrReplaceTempView("documents")
-    spark.sql(lmSql("spark"))
+    runLmScore(spark)
   }
 
-  val textLmScoreSql: String = lmSql("duck")
-
-  /** Spark-side LM SQL over a registered `documents` view — exposed for
-    * specs that score bespoke fixtures with the exact catalog query. */
-  private[graft] val textLmScoreSqlSpark: String = lmSql("spark")
+  val textLmScoreSql: String =
+    s"""WITH w_t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tokens AS (SELECT doc_id, unnest(ws) AS w FROM w_t),
+       |bi AS (
+       |  SELECT doc_id,
+       |         unnest(CASE WHEN len(ws) >= 2
+       |                THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+       |                ELSE []::VARCHAR[] END) AS gram
+       |  FROM w_t),
+       |train_uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM tokens
+       |  WHERE doc_id % 2 = 0 GROUP BY w),
+       |train_bi AS (
+       |  SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM bi
+       |  WHERE doc_id % 2 = 0 GROUP BY gram),
+       |doc_bi AS (
+       |  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS k
+       |  FROM bi GROUP BY doc_id, gram),
+       |${lmTail("//", "string_split(d.gram, ' ')[1]", "string_split(d.gram, ' ')[2]")}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_model" -> (textQualityModel _),

@@ -305,12 +305,13 @@ object MultimodalQueries {
     val ids = spark.sql("SELECT doc_id FROM documents").as[Long]
     ids.mapPartitions { it =>
       val pngReader = MediaCodec.openReader()
+      val pngWriter = MediaCodec.openWriter()
       val stubCodec = MediaStub.openCodec()
       it.map { docId =>
         if (docId % 3 == 0) {
           // Real container, real decode: synthesize the PNG then read the
           // pixels back out of the actual byte stream.
-          val bytes = MediaCodec.synthesizeGrayPng(docId)
+          val bytes = MediaCodec.synthesizeGrayPng(pngWriter, docId)
           val d = MediaCodec.decodeGrayPng(pngReader, bytes)
           val nPx = d.width.toLong * d.height
           (docId, "png", d.width, d.height, nPx, d.pixelSum, d.pixelHash,

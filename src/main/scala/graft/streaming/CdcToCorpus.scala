@@ -63,16 +63,18 @@ object CdcToCorpus {
     val b = waveBase(spark, dir)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text", "lang", "source")
+    // `div`, not `/`: long `/` is DOUBLE division (the SyntheticCdc
+    // hazard) and must match waveBase's integer maxId / 8.
     val inserts = docs.select(col("doc_id"),
-      (col("doc_id") / 8).cast("long").as("lsn_num"),
+      expr("doc_id div 8").as("lsn_num"),
       col("doc_id").as("seqval_num"), lit(2).as("operation"),
       col("text"), col("lang"), col("source"))
     val updates = docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"),
-      (lit(b) + col("doc_id") / 8).cast("long").as("lsn_num"),
+      (lit(b) + expr("doc_id div 8")).as("lsn_num"),
       col("doc_id").as("seqval_num"), lit(4).as("operation"),
       concat(col("text"), lit(RevisedSuffix)).as("text"), col("lang"), col("source"))
     val deletes = docs.filter(col("doc_id") % 13 === 0).select(col("doc_id"),
-      (lit(2 * b) + col("doc_id") / 8).cast("long").as("lsn_num"),
+      (lit(2 * b) + expr("doc_id div 8")).as("lsn_num"),
       col("doc_id").as("seqval_num"), lit(1).as("operation"),
       lit("").as("text"), col("lang"), col("source"))
     inserts.unionByName(updates).unionByName(deletes)

@@ -44,6 +44,11 @@ object IncrementalDedup {
   /** Store bucket count: file-level layout parallelism for the claims. */
   val Buckets = 64
 
+  /** Bump on ANY change to the anchor kernel or the store layout: the
+    * catalog query's fingerprint embeds it, so persisted stores built
+    * under an older hash/layout can never be silently reused. */
+  val StoreFormatVersion = 1
+
   /** Distinct (doc_id, h) anchor claims of `docs` (doc_id, text) — the
     * same fused rolling-hash kernel as `dd_substring`. */
   def anchors(spark: SparkSession, docs: DataFrame): DataFrame = {
@@ -51,13 +56,37 @@ object IncrementalDedup {
     docs.selectExpr("doc_id", "explode(substring_anchors(text)) AS h").distinct()
   }
 
-  /** Build (overwrite) the store from the base corpus. */
+  /** Build (overwrite) the store from the base corpus. The old claims
+    * tree is deleted EXPLICITLY first: several streaming modules set
+    * session-wide `partitionOverwriteMode=dynamic`, under which a
+    * partitioned Overwrite only replaces the bucket partitions present
+    * in the new data — a shrunken base corpus would leave stale buckets
+    * behind and produce phantom pairs. */
   def buildStore(spark: SparkSession, baseDocs: DataFrame, storeDir: String): Unit = {
     val a = anchors(spark, baseDocs)
       .withColumn("bucket", pmod(col("h"), lit(Buckets.toLong)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/claims"), true)
     a.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(s"$storeDir/claims")
     a.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/counts")
+  }
+
+  /** The store's doc-id space and an incoming shard must be DISJOINT:
+    * a doc re-ingested under an id the store already claims would pair
+    * with itself and double-count shared anchors against the batch
+    * contract. Re-crawls must arrive COMPACTED (the CdcToCorpus story:
+    * last-wins state first, dedup second) or under fresh ids. The guard
+    * is an id-only semi join — bounded metadata next to the anchor
+    * work it protects. */
+  private def requireDisjoint(newA: DataFrame, storeClaims: DataFrame): Unit = {
+    val clash = newA.select("doc_id").distinct()
+      .join(storeClaims.select("doc_id").distinct(), "doc_id")
+      .limit(5).collect().map(_.getLong(0))
+    require(clash.isEmpty,
+      s"shard re-uses doc ids already in the claim store (e.g. ${clash.mkString(", ")}); " +
+        "compact re-crawls to current state before incremental dedup, or assign fresh ids")
   }
 
   /** Pairs (doc_a < doc_b, shared_anchors ≥ 2) touching the new shard,
@@ -69,6 +98,7 @@ object IncrementalDedup {
     val newA = anchors(spark, newDocs).localCheckpoint()
     val storeClaims = spark.read.parquet(s"$storeDir/claims").select("doc_id", "h")
     val storeCounts = spark.read.parquet(s"$storeDir/counts")
+    requireDisjoint(newA, storeClaims)
     val newCounts = newA.groupBy(col("h")).agg(count(lit(1)).as("new_cnt"))
     // Global cap: store + new docs per anchor. Anchors absent from the
     // new shard can never pair with it — inner join from the new side.
@@ -95,6 +125,8 @@ object IncrementalDedup {
   def appendIncrement(spark: SparkSession, newDocs: DataFrame, storeDir: String): Unit = {
     val newA = anchors(spark, newDocs)
       .withColumn("bucket", pmod(col("h"), lit(Buckets.toLong)))
+    requireDisjoint(newA,
+      spark.read.parquet(s"$storeDir/claims").select("doc_id", "h"))
     newA.write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$storeDir/claims")
     val merged = spark.read.parquet(s"$storeDir/counts")
       .withColumnRenamed("cnt", "old_cnt")

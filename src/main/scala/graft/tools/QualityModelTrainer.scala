@@ -45,11 +45,12 @@ object QualityModelTrainer {
     * featurization both train and score run (same SQL fragment as the
     * oracle-checked catalog query, so tool and query cannot drift). */
   def featurize(spark: SparkSession, docs: DataFrame, buckets: Int): DataFrame = {
+    graft.expr.GraftFunctions.register(spark)
     docs.createOrReplaceTempView("qmt_docs")
     spark.sql(
       s"""SELECT doc_id, f
-         |FROM (SELECT doc_id, ${LearnedQueries.featBucketsSpark("ws", buckets)} AS fs
-         |      FROM (SELECT doc_id, split(text, ' ') AS ws FROM qmt_docs))
+         |FROM (SELECT doc_id, ${LearnedQueries.featBucketsSpark("text", buckets)} AS fs
+         |      FROM qmt_docs)
          |LATERAL VIEW explode(fs) AS f""".stripMargin)
   }
 

@@ -151,4 +151,21 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.substringAnchors(UTF8String.fromString("short"), 8, 4)
       .numElements() === 0)
   }
+
+  test("featBuckets: matches the HOF model (distinct uni+bigrams, md5 top-60 mod B)") {
+    // Independent model: split on single space (trailing empties kept),
+    // distinct grams in first-occurrence order, H(g) % B.
+    def model(s: String, b: Int): Seq[Long] = {
+      val ws = s.split(" ", -1).toSeq
+      val grams = (ws ++ ws.zip(ws.drop(1)).map { case (a, c) => s"$a $c" }).distinct
+      grams.map(g => Kernels.md5Top60(g.getBytes("UTF-8")) % b)
+    }
+    val cases = Seq("", "one", "a b", "a b c a b", "x  y", " lead", "trail ",
+      "\u00e9 \u4e2d \ud83d\ude00 \u00e9 \u4e2d") ++ Seq.fill(50)(randomStr(40))
+    cases.foreach { s =>
+      val got = Kernels.featBuckets(UTF8String.fromString(s), 4096)
+      val want = model(s, 4096)
+      assert(got.toLongArray().toSeq == want, s"mismatch for '$s'")
+    }
+  }
 }

@@ -53,7 +53,7 @@ class QualityModelSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def fixture = {
     val ss = spark; import ss.implicits._
     (0L until 200L).map { i =>
-      val label = (i % 2).toInt // even ids good, odd ids spam
+      val label = (i % 2).toInt // odd ids: label 1 = prose; even ids: label 0 = spam
       (i, doc(i, if (label == 1) proseVocab else spamVocab), label)
     }.toDF("doc_id", "text", "label")
   }
@@ -119,8 +119,7 @@ class QualityModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val docs = ((0L until 40L).map(i => (i, template)) ++ fresh).toDF("doc_id", "text")
     docs.createOrReplaceTempView("documents")
-    val scored = spark.sql(
-      graft.queries.LearnedQueries.textLmScoreSqlSpark)
+    val scored = graft.queries.LearnedQueries.runLmScore(spark)
       .collect().map(r => r.getLong(0) -> r.getAs[Double]("lm_score")).toMap
     val tmplMean = (0L until 40L).map(scored).sum / 40
     val freshMean = fresh.map(f => scored(f._1)).sum / 20
