@@ -119,6 +119,90 @@ object IncrementalDedup {
       .filter(col("shared_anchors") >= 2)
   }
 
+  // ── MinHash/LSH band-claim store ─────────────────────────────────────
+  //
+  // The NEAR-dup sibling of the anchor store: persist each base doc's 16
+  // minhashes and its 4 LSH band claims; an increment computes signatures
+  // for the NEW shard only, finds candidates from band-claim equi-joins
+  // (new↔new and new↔store), and verifies est. Jaccard ≥ 0.5 against the
+  // persisted signatures — base TEXT is never re-shingled. Semantics
+  // equal the batch `dd_minhash_lsh` restricted to pairs touching the
+  // shard (no cap in the batch operator, so none here; a hot band bucket
+  // is the salted-join/AQE-skew territory of `dd_minhash_lsh_salted`).
+
+  /** (doc_id, mh) signatures via the fused minhash_signature kernel. */
+  def signaturesOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.register(spark)
+    docs.selectExpr("doc_id", "minhash_signature(text) AS mh")
+  }
+
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("mh"),
+        explode(expr("sequence(0, 3)")).as("band_idx"))
+      .select(col("doc_id"), col("band_idx"),
+        expr("array_join(transform(slice(mh, band_idx*4 + 1, 4), " +
+          "x -> cast(x as string)), '-')").as("band_key"))
+
+  private val EstJaccard =
+    "CAST(size(filter(sequence(1, 16), " +
+      "i -> element_at(ma, i) = element_at(mb, i))) AS DOUBLE) / 16.0"
+
+  /** Build (overwrite) the band store: signatures + band claims. */
+  def buildBandStore(spark: SparkSession, baseDocs: DataFrame, storeDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("sigs", "bands").foreach(t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/$t"), true))
+    val sigs = signaturesOf(spark, baseDocs).localCheckpoint()
+    sigs.write.mode(SaveMode.Overwrite).parquet(s"$storeDir/sigs")
+    bandsOf(sigs).withColumn("bucket",
+        pmod(expr(s"${graft.queries.DedupQueries.hSpark("band_key")}"), lit(Buckets.toLong)))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(s"$storeDir/bands")
+  }
+
+  /** Near-dup pairs (doc_a < doc_b, est_jaccard ≥ 0.5) touching the new
+    * shard, against the persisted band store. */
+  def bandPairsForIncrement(spark: SparkSession, newDocs: DataFrame,
+                            storeDir: String): DataFrame = {
+    val newSigs = signaturesOf(spark, newDocs).localCheckpoint()
+    val newBands = bandsOf(newSigs).localCheckpoint()
+    val storeBands = spark.read.parquet(s"$storeDir/bands")
+      .select("doc_id", "band_idx", "band_key")
+    val storeSigs = spark.read.parquet(s"$storeDir/sigs")
+    requireDisjoint(newSigs, storeSigs)
+    val newNew = newBands.as("a").join(newBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val newOld = newBands.as("n").join(storeBands.as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.band_key") === col("o.band_key"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+    val pairs = newNew.unionAll(newOld).distinct()
+    // Verify against signatures: each side resolves from the shard's
+    // signatures or the store's — never from text.
+    val allSigs = newSigs.unionAll(
+      storeSigs.select("doc_id", "mh")).localCheckpoint()
+    pairs
+      .join(allSigs.select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")
+      .join(allSigs.select(col("doc_id").as("doc_b"), col("mh").as("mb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), expr(EstJaccard).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
+  /** Fold the served shard into the band store. */
+  def appendBandIncrement(spark: SparkSession, newDocs: DataFrame,
+                          storeDir: String): Unit = {
+    val sigs = signaturesOf(spark, newDocs).localCheckpoint()
+    requireDisjoint(sigs, spark.read.parquet(s"$storeDir/sigs"))
+    sigs.write.mode(SaveMode.Append).parquet(s"$storeDir/sigs")
+    bandsOf(sigs).withColumn("bucket",
+        pmod(expr(s"${graft.queries.DedupQueries.hSpark("band_key")}"), lit(Buckets.toLong)))
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$storeDir/bands")
+  }
+
   /** Fold the served increment into the store: append claims, merge
     * counts (a full-outer sum keyed on the anchor hash — id-only work,
     * never text). */

@@ -96,6 +96,69 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shard2 must pair against shard1 through the store: $got2")
   }
 
+  /** Full-batch MinHash/LSH pairs over `docs` — the dd_minhash_lsh fold. */
+  private def batchLshPairs(docs: DataFrame): Set[(Long, Long, Double)] = {
+    docs.createOrReplaceTempView("idd_lsh_batch")
+    spark.sql(
+      """WITH mh_t AS (
+        |  SELECT doc_id, minhash_signature(text) AS mh FROM idd_lsh_batch),
+        |bands AS (
+        |  SELECT doc_id, band_idx,
+        |         array_join(transform(slice(mh, band_idx*4 + 1, 4),
+        |           x -> cast(x as string)), '-') AS band_key
+        |  FROM mh_t LATERAL VIEW explode(sequence(0, 3)) AS band_idx),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id),
+        |cand AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |         CAST(size(filter(sequence(1, 16),
+        |           i -> element_at(ma.mh, i) = element_at(mb.mh, i))) AS DOUBLE) / 16.0
+        |           AS est_jaccard
+        |  FROM pairs p
+        |  JOIN mh_t ma ON ma.doc_id = p.doc_a
+        |  JOIN mh_t mb ON mb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.5""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("band store: two increments match full-batch LSH pairs touching each shard") {
+    val ss = spark; import ss.implicits._
+    // Near-dups: identical passages (exact signature match) plus unique
+    // fillers; shard 2 re-crawls a shard-1 passage so its pair must
+    // resolve purely through the persisted store.
+    val base = ((0L until 6L).map(i => (i, passage((i % 3).toInt))) ++
+      (10L until 14L).map(i => (i, unique(i)))).toDF("doc_id", "text")
+    val shard1 = (Seq((100L, passage(0)), (101L, passage(7))) ++
+      (102L until 104L).map(i => (i, unique(i)))).toDF("doc_id", "text")
+    val shard2 = Seq((200L, passage(7)), (201L, passage(1)), (202L, unique(202L)))
+      .toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("idd-band").toString
+    IncrementalDedup.buildBandStore(spark, base, dir)
+
+    def got(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def touching(full: Set[(Long, Long, Double)], ids: Set[Long]) =
+      full.filter(p => ids.contains(p._1) || ids.contains(p._2))
+
+    val got1 = got(IncrementalDedup.bandPairsForIncrement(spark, shard1, dir))
+    val full1 = batchLshPairs(base.unionAll(shard1))
+    assert(got1 == touching(full1, Set(100L, 101L, 102L, 103L)))
+    assert(got1.nonEmpty, "fixture should produce near-dup pairs")
+
+    IncrementalDedup.appendBandIncrement(spark, shard1, dir)
+    val got2 = got(IncrementalDedup.bandPairsForIncrement(spark, shard2, dir))
+    val full2 = batchLshPairs(base.unionAll(shard1).unionAll(shard2))
+    assert(got2 == touching(full2, Set(200L, 201L, 202L)))
+    // 200 duplicates ONLY the shard-1 doc 101 (passage(7) is in no base
+    // doc): the pair must arrive through the appended store claims.
+    assert(got2.exists(p => p._1 == 101L && p._2 == 200L),
+      s"shard2 must pair against shard1 through the store: $got2")
+  }
+
   test("an increment pushing an anchor past the cap silences it, as batch would") {
     val ss = spark; import ss.implicits._
     val boiler = passage(9)
