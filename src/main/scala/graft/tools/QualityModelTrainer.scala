@@ -46,12 +46,10 @@ object QualityModelTrainer {
     * oracle-checked catalog query, so tool and query cannot drift). */
   def featurize(spark: SparkSession, docs: DataFrame, buckets: Int): DataFrame = {
     graft.expr.GraftFunctions.register(spark)
-    docs.createOrReplaceTempView("qmt_docs")
-    spark.sql(
-      s"""SELECT doc_id, f
-         |FROM (SELECT doc_id, ${LearnedQueries.featBucketsSpark("text", buckets)} AS fs
-         |      FROM qmt_docs)
-         |LATERAL VIEW explode(fs) AS f""".stripMargin)
+    // Pure DataFrame transform (no temp view): the streaming gate calls
+    // this per micro-batch on the stream's cloned session.
+    docs.select(col("doc_id"),
+      explode(expr(LearnedQueries.featBucketsSpark("text", buckets))).as("f"))
   }
 
   /** Fit on `docs` (doc_id: Long, text: String, label: Int ∈ {0,1}). */
