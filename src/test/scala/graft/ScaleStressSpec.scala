@@ -196,4 +196,85 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rnks.length <= 3 && rnks.sameElements(1 to rnks.length))
     }
   }
+
+  test("dd_incremental serves a shard against a ~33k-doc claim store at sf≈1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    var df: org.apache.spark.sql.DataFrame = null
+    val n = timed("dd_incremental @ sf~1") {
+      df = SparkEntry.queries("dd_incremental")(spark, dir)
+      df.localCheckpoint().createOrReplaceTempView("stress_ddi")
+      spark.table("stress_ddi").count()
+    }
+    // Replicated copies share every anchor, so shard↔store pairs must
+    // exist; the combined cap (store+new ≤ 64) keeps fan-out bounded.
+    assert(n > 0, "replicated corpus must produce shard-touching pairs")
+    val bad = spark.sql(
+      "SELECT count(*) FROM stress_ddi WHERE doc_a % 3 != 2 AND doc_b % 3 != 2")
+      .head().getLong(0)
+    assert(bad === 0, s"$bad pairs touch no shard doc")
+    assert(spark.sql("SELECT count(*) FROM stress_ddi WHERE shared_anchors < 2")
+      .head().getLong(0) === 0)
+  }
+
+  test("dd_incremental_lsh serves a shard against the sf≈1 band store") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    var df: org.apache.spark.sql.DataFrame = null
+    val n = timed("dd_incremental_lsh @ sf~1") {
+      df = SparkEntry.queries("dd_incremental_lsh")(spark, dir)
+      df.localCheckpoint().createOrReplaceTempView("stress_ddl")
+      spark.table("stress_ddl").count()
+    }
+    assert(n > 0, "replicated corpus must produce shard-touching near-dups")
+    val bad = spark.sql(
+      "SELECT count(*) FROM stress_ddl WHERE doc_a % 3 != 2 AND doc_b % 3 != 2")
+      .head().getLong(0)
+    assert(bad === 0, s"$bad pairs touch no shard doc")
+    assert(spark.sql("SELECT count(*) FROM stress_ddl WHERE est_jaccard < 0.5")
+      .head().getLong(0) === 0)
+  }
+
+  test("text_quality_model trains and scores the full sf≈1 corpus") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    val docCount = spark.read.parquet(s"$dir/documents.parquet").count()
+    var df: org.apache.spark.sql.DataFrame = null
+    val stats = timed("text_quality_model @ sf~1") {
+      df = SparkEntry.queries("text_quality_model")(spark, dir)
+      df.agg(count(lit(1)), sum(col("predicted")), sum(col("correct"))).head()
+    }
+    assert(stats.getLong(0) === docCount, "every doc must be scored")
+    val predicted1 = stats.getLong(1)
+    assert(predicted1 > 0 && predicted1 < docCount,
+      s"degenerate verdict: $predicted1 of $docCount predicted 1")
+    // The model mimics its own weak labels far above chance even at 10x.
+    assert(stats.getLong(2).toDouble / stats.getLong(0) > 0.7,
+      s"train-label agreement collapsed: ${stats.getLong(2)} / ${stats.getLong(0)}")
+  }
+
+  test("text_lm_score is EXACTLY invariant under uniform 10x replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Uniform replication multiplies every bigram count, prefix count and
+    // the token total by the SAME factor (copies preserve id parity, so
+    // the train split replicates too) — every micro-unit conditional is
+    // therefore bit-identical: (2e6·10c2 + 10c1) div (2·10c1) floors the
+    // same value as (2e6·c2 + c1) div (2·c1). The corpus-level score
+    // distribution at sf≈1 must EQUAL sf0.1's, with 10x the rows — the
+    // scale-invariance that proves the fold is counting structure, not
+    // volume.
+    val baseStats = SparkEntry.queries("text_lm_score")(spark, "/root/testdata/sf0.1")
+      .agg(count(lit(1)), min(col("lm_score")), max(col("lm_score"))).head()
+    var df: org.apache.spark.sql.DataFrame = null
+    val stats = timed("text_lm_score @ sf~1") {
+      df = SparkEntry.queries("text_lm_score")(spark, dir)
+      df.agg(count(lit(1)), min(col("lm_score")), max(col("lm_score"))).head()
+    }
+    assert(stats.getLong(0) === Copies * baseStats.getLong(0),
+      "every copy must score")
+    assert(stats.getDouble(1) === baseStats.getDouble(1) &&
+      stats.getDouble(2) === baseStats.getDouble(2),
+      s"score distribution must be replication-invariant: " +
+        s"base [${baseStats.getDouble(1)}, ${baseStats.getDouble(2)}] vs " +
+        s"sf≈1 [${stats.getDouble(1)}, ${stats.getDouble(2)}]")
+    // And inside the micro-unit domain.
+    assert(stats.getDouble(1) >= 0.0 && stats.getDouble(2) <= 1000000.0)
+  }
 }
