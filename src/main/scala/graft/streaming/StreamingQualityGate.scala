@@ -30,31 +30,45 @@ import graft.tools.QualityModelTrainer.QualityModel
   */
 object StreamingQualityGate {
 
-  /** Score a (micro-)batch with the literal-embedded model: one narrow
-    * featurize + per-doc aggregation; bit-identical to the batch scorer. */
-  def scoreBatch(batch: DataFrame, model: QualityModel,
-      buckets: Int = graft.queries.LearnedQueries.Buckets): DataFrame = {
-    val spark = batch.sparkSession
-    graft.expr.GraftFunctions.register(spark)
-    // ≤ `buckets` entries — bounded by construction, rides the plan as a
-    // literal map exactly like the trained ANN centroids.
+  /** The model resolved to plan literals, ONCE per stream — not per
+    * micro-batch: the weight lookup (≤ `buckets` entries, bounded by
+    * construction) rides every batch's plan as a literal map exactly
+    * like the trained ANN centroids. */
+  final case class ResolvedModel(
+      lookup: org.apache.spark.sql.Column, defaultWeight: Long,
+      threshold: Double, buckets: Int)
+
+  def resolve(model: QualityModel,
+      buckets: Int = graft.queries.LearnedQueries.Buckets): ResolvedModel = {
     val wmap = model.weights.select("f", "w").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val lookup = map(wmap.toSeq.sortBy(_._1).flatMap {
-      case (f, w) => Seq(lit(f), lit(w)) }: _*)
-    QualityModelTrainer.featurize(spark, batch, buckets)
-      .groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n_feats"),
-        sum(coalesce(element_at(lookup, col("f")), lit(model.defaultWeight)))
-          .as("score_micro"))
-      .withColumn("predicted",
-        when(col("score_micro").cast("double") > model.threshold, 1).otherwise(0))
+    ResolvedModel(
+      map(wmap.toSeq.sortBy(_._1).flatMap {
+        case (f, w) => Seq(lit(f), lit(w)) }: _*),
+      model.defaultWeight, model.threshold, buckets)
   }
 
+  /** Score a (micro-)batch with the literal-embedded model: one narrow
+    * featurize + per-doc aggregation; bit-identical to the batch scorer. */
+  def scoreBatch(batch: DataFrame, rm: ResolvedModel): DataFrame = {
+    val spark = batch.sparkSession
+    graft.expr.GraftFunctions.register(spark)
+    QualityModelTrainer.featurize(spark, batch, rm.buckets)
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_feats"),
+        sum(coalesce(element_at(rm.lookup, col("f")), lit(rm.defaultWeight)))
+          .as("score_micro"))
+      .withColumn("predicted",
+        when(col("score_micro").cast("double") > rm.threshold, 1).otherwise(0))
+  }
+
+  def scoreBatch(batch: DataFrame, model: QualityModel): DataFrame =
+    scoreBatch(batch, resolve(model))
+
   /** Admit `batch` documents the model accepts (predicted = 1). */
-  def gate(batch: DataFrame, model: QualityModel): DataFrame =
+  def gate(batch: DataFrame, rm: ResolvedModel): DataFrame =
     batch.join(
-      scoreBatch(batch, model).filter(col("predicted") === 1)
+      scoreBatch(batch, rm).filter(col("predicted") === 1)
         .select("doc_id", "score_micro"),
       "doc_id")
 
@@ -63,10 +77,8 @@ object StreamingQualityGate {
     * calls over one checkpoint model a restarting service. */
   def run(spark: SparkSession, dropDir: String, modelDir: String,
       sinkDir: String, checkpointDir: String): Unit = {
-    val model = QualityModelTrainer.load(spark, modelDir)
     // Resolve the literal weight map ONCE on the driver, not per batch.
-    val wmapRows = model.weights.select("f", "w").localCheckpoint()
-    val resolved = model.copy(weights = wmapRows)
+    val resolved = resolve(QualityModelTrainer.load(spark, modelDir))
     val schema = spark.read.parquet(dropDir).schema
     val q = spark.readStream
       .schema(schema)
