@@ -38,14 +38,16 @@ object StreamingQualityGate {
       lookup: org.apache.spark.sql.Column, defaultWeight: Long,
       threshold: Double, buckets: Int)
 
-  def resolve(model: QualityModel,
-      buckets: Int = graft.queries.LearnedQueries.Buckets): ResolvedModel = {
+  def resolve(model: QualityModel): ResolvedModel = {
     val wmap = model.weights.select("f", "w").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // The bucket count comes from the MODEL (persisted with it): weights
+    // are keyed in [0, model.buckets), so featurizing with any other
+    // space would silently score garbage.
     ResolvedModel(
       map(wmap.toSeq.sortBy(_._1).flatMap {
         case (f, w) => Seq(lit(f), lit(w)) }: _*),
-      model.defaultWeight, model.threshold, buckets)
+      model.defaultWeight, model.threshold, model.buckets)
   }
 
   /** Score a (micro-)batch with the literal-embedded model: one narrow
@@ -72,14 +74,24 @@ object StreamingQualityGate {
         .select("doc_id", "score_micro"),
       "doc_id")
 
+  /** Default arriving-document schema — supplied explicitly so the
+    * service boots cleanly on an EMPTY drop directory (schema inference
+    * from dropDir would throw before the first file arrives). */
+  val DocSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+
   /** Stream documents from `dropDir`, admit model-accepted ones into
     * `sinkDir`. AvailableNow drains what's present and exits; successive
     * calls over one checkpoint model a restarting service. */
   def run(spark: SparkSession, dropDir: String, modelDir: String,
-      sinkDir: String, checkpointDir: String): Unit = {
+      sinkDir: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType = DocSchema): Unit = {
     // Resolve the literal weight map ONCE on the driver, not per batch.
     val resolved = resolve(QualityModelTrainer.load(spark, modelDir))
-    val schema = spark.read.parquet(dropDir).schema
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")

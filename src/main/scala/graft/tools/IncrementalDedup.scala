@@ -147,17 +147,24 @@ object IncrementalDedup {
     "CAST(size(filter(sequence(1, 16), " +
       "i -> element_at(ma, i) = element_at(mb, i))) AS DOUBLE) / 16.0"
 
+  /** The ONE spelling of the band-store layout (sigs + bucketed bands):
+    * build and append must not fork the format. */
+  private def writeBandTables(sigs: DataFrame, storeDir: String,
+      mode: SaveMode): Unit = {
+    sigs.write.mode(mode).parquet(s"$storeDir/sigs")
+    bandsOf(sigs).withColumn("bucket",
+        pmod(expr(s"${graft.queries.DedupQueries.hSpark("band_key")}"), lit(Buckets.toLong)))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$storeDir/bands")
+  }
+
   /** Build (overwrite) the band store: signatures + band claims. */
   def buildBandStore(spark: SparkSession, baseDocs: DataFrame, storeDir: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     Seq("sigs", "bands").foreach(t =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/$t"), true))
-    val sigs = signaturesOf(spark, baseDocs).localCheckpoint()
-    sigs.write.mode(SaveMode.Overwrite).parquet(s"$storeDir/sigs")
-    bandsOf(sigs).withColumn("bucket",
-        pmod(expr(s"${graft.queries.DedupQueries.hSpark("band_key")}"), lit(Buckets.toLong)))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(s"$storeDir/bands")
+    writeBandTables(signaturesOf(spark, baseDocs).localCheckpoint(), storeDir,
+      SaveMode.Overwrite)
   }
 
   /** Near-dup pairs (doc_a < doc_b, est_jaccard ≥ 0.5) touching the new
@@ -197,10 +204,7 @@ object IncrementalDedup {
                           storeDir: String): Unit = {
     val sigs = signaturesOf(spark, newDocs).localCheckpoint()
     requireDisjoint(sigs, spark.read.parquet(s"$storeDir/sigs"))
-    sigs.write.mode(SaveMode.Append).parquet(s"$storeDir/sigs")
-    bandsOf(sigs).withColumn("bucket",
-        pmod(expr(s"${graft.queries.DedupQueries.hSpark("band_key")}"), lit(Buckets.toLong)))
-      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$storeDir/bands")
+    writeBandTables(sigs, storeDir, SaveMode.Append)
   }
 
   /** Fold the served increment into the store: append claims, merge

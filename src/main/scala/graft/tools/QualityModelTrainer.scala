@@ -35,7 +35,8 @@ object QualityModelTrainer {
     * micro-units (midpoint of train class means; IEEE double of two
     * exact integer ratios). */
   final case class QualityModel(
-      weights: DataFrame, n1: Long, n0: Long, threshold: Double) {
+      weights: DataFrame, n1: Long, n0: Long, threshold: Double,
+      buckets: Int) {
     /** Weight of a feature bucket never seen in training. */
     def defaultWeight: Long =
       LearnedQueries.rMicroLong(0, n1) - LearnedQueries.rMicroLong(0, n0)
@@ -74,10 +75,10 @@ object QualityModelTrainer {
       (expr(LearnedQueries.rMicro("c1", n1.toString, "div")) -
         expr(LearnedQueries.rMicro("c0", n0.toString, "div"))).as("w"))
       .localCheckpoint() // pin: scored twice below (threshold + serving)
-    val m0 = QualityModel(weights, n1, n0, threshold = 0.0)
+    val m0 = QualityModel(weights, n1, n0, threshold = 0.0, buckets = buckets)
     // Threshold = midpoint of the train classes' mean scores. Exact
     // integer sums; the two divisions + mean are the only IEEE steps.
-    val s = score(spark, docs.select("doc_id", "text"), m0, buckets)
+    val s = score(spark, docs.select("doc_id", "text"), m0)
       .join(broadcast(labels), "doc_id")
       .groupBy(col("label")).agg(
         sum(col("score_micro")).as("sm"), count(lit(1)).as("n"))
@@ -89,9 +90,8 @@ object QualityModelTrainer {
 
   /** Score (doc_id, text) rows: (doc_id, n_feats, score_micro, predicted).
     * The weight table broadcasts; one per-doc aggregation. */
-  def score(spark: SparkSession, docs: DataFrame, model: QualityModel,
-            buckets: Int = LearnedQueries.Buckets): DataFrame =
-    featurize(spark, docs, buckets)
+  def score(spark: SparkSession, docs: DataFrame, model: QualityModel): DataFrame =
+    featurize(spark, docs, model.buckets)
       .join(broadcast(model.weights.select("f", "w")), Seq("f"), "left")
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_feats"),
@@ -100,11 +100,15 @@ object QualityModelTrainer {
         when(col("score_micro").cast("double") > model.threshold, 1).otherwise(0))
 
   /** Persist: `dir/weights` parquet + `dir/meta` parquet (n1, n0,
-    * threshold — one row). */
+    * threshold, buckets — one row). The bucket count is part of the
+    * MODEL, not a serving option: weights are keyed in [0, buckets), so
+    * scoring with any other feature space silently produces garbage —
+    * persisting it makes a mismatch impossible by construction. */
   def save(spark: SparkSession, model: QualityModel, dir: String): Unit = {
     model.weights.coalesce(1).write.mode("overwrite").parquet(s"$dir/weights")
     import spark.implicits._
-    Seq((model.n1, model.n0, model.threshold)).toDF("n1", "n0", "threshold")
+    Seq((model.n1, model.n0, model.threshold, model.buckets))
+      .toDF("n1", "n0", "threshold", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -112,6 +116,6 @@ object QualityModelTrainer {
     val meta = spark.read.parquet(s"$dir/meta").collect().head
     QualityModel(spark.read.parquet(s"$dir/weights"),
       meta.getAs[Long]("n1"), meta.getAs[Long]("n0"),
-      meta.getAs[Double]("threshold"))
+      meta.getAs[Double]("threshold"), meta.getAs[Int]("buckets"))
   }
 }
