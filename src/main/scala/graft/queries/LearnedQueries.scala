@@ -287,11 +287,71 @@ object LearnedQueries {
        |  FROM bi GROUP BY doc_id, gram),
        |${lmTail("//", "string_split(d.gram, ' ')[1]", "string_split(d.gram, ' ')[2]")}""".stripMargin
 
+  // ── pipe_source_card ★ — the per-source DATA CARD: one row per ingest
+  // source composing the dup-pressure, rule-quality and LM-predictability
+  // signals the curation decisions key on (which feeds need dedup, which
+  // are template farms, which carry novel text). Every aggregate is an
+  // exact integer sum (doc counts, distinct-content counts, threshold
+  // counts, micro-unit LM sums); the two ratios are single IEEE divisions
+  // of those sums — engine-exact, no double accumulation anywhere.
+  // Shape: two map-side-combined per-source aggregations (one over the
+  // narrow doc scan, one over the LM's per-doc output joined back to its
+  // source) + a 20-row join. The LM stage reuses text_lm_score verbatim.
+  private def sourceCardTail(lmAgg: String): String =
+    s"""agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       |         CAST(count(DISTINCT h) AS BIGINT) AS distinct_texts,
+       |         CAST(sum(hi) AS BIGINT) AS hi_quality
+       |  FROM base GROUP BY source),
+       |$lmAgg
+       |SELECT a.source, a.docs, a.distinct_texts,
+       |       CAST(a.docs - a.distinct_texts AS DOUBLE) / a.docs AS dup_frac,
+       |       a.hi_quality,
+       |       m.lm_grams, m.lm_sum_micro,
+       |       CAST(m.lm_sum_micro AS DOUBLE) / m.lm_grams AS lm_mean
+       |FROM agg a JOIN lmagg m ON a.source = m.source""".stripMargin
+
+  def pipeSourceCard(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .createOrReplaceTempView("documents")
+    runLmScore(spark).createOrReplaceTempView("lm_scored_t")
+    spark.sql(
+      s"""WITH base AS (
+         |  SELECT doc_id, source, md5(text) AS h,
+         |         CASE WHEN ${TextQueries.qualitySpark("text")} >= 0.66
+         |              THEN 1 ELSE 0 END AS hi
+         |  FROM documents),
+         |${sourceCardTail(
+        """lmagg AS (
+          |  SELECT d.source, CAST(sum(l.n_grams) AS BIGINT) AS lm_grams,
+          |         CAST(sum(l.sum_micro) AS BIGINT) AS lm_sum_micro
+          |  FROM lm_scored_t l JOIN documents d ON l.doc_id = d.doc_id
+          |  GROUP BY d.source)""".stripMargin)}""".stripMargin)
+  }
+
+  val pipeSourceCardSql: String =
+    s"""WITH lm_scored AS (
+       |$textLmScoreSql),
+       |base AS (
+       |  SELECT doc_id, source, md5(text) AS h,
+       |         CASE WHEN ${TextQueries.qualityDuck("text")} >= 0.66
+       |              THEN 1 ELSE 0 END AS hi
+       |  FROM documents),
+       |${sourceCardTail(
+      """lmagg AS (
+        |  SELECT d.source, CAST(sum(l.n_grams) AS BIGINT) AS lm_grams,
+        |         CAST(sum(l.sum_micro) AS BIGINT) AS lm_sum_micro
+        |  FROM lm_scored l JOIN documents d ON l.doc_id = d.doc_id
+        |  GROUP BY d.source)""".stripMargin)}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_model" -> (textQualityModel _),
-    "text_lm_score" -> (textLmScore _))
+    "text_lm_score" -> (textLmScore _),
+    "pipe_source_card" -> (pipeSourceCard _))
 
   val oracle: Map[String, String] = Map(
     "text_quality_model" -> textQualityModelSql,
-    "text_lm_score" -> textLmScoreSql)
+    "text_lm_score" -> textLmScoreSql,
+    "pipe_source_card" -> pipeSourceCardSql)
 }

@@ -95,7 +95,7 @@ class QualityModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     QualityModelTrainer.save(spark, model, dir)
     val loaded = QualityModelTrainer.load(spark, dir)
     assert(loaded.n1 == model.n1 && loaded.n0 == model.n0 &&
-      loaded.threshold == model.threshold)
+      loaded.threshold == model.threshold && loaded.buckets == model.buckets)
     val direct = QualityModelTrainer.score(spark, docs.select("doc_id", "text"), model)
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("score_micro")).toMap
     val served = QualityModelTrainer.score(spark, docs.select("doc_id", "text"), loaded)
