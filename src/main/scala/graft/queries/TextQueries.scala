@@ -536,7 +536,56 @@ object TextQueries {
       |FROM exact e JOIN tot t ON e.lang = t.lang
       |WHERE e.cnt * 1024 > t.n_grams""".stripMargin
 
+  // ── text_encoding_quality ★ — encoding-damage detection (the validity
+  // filter C4-style pipelines run before any content scoring): count
+  // C0 control characters (minus tab/LF/CR, which legitimate text
+  // carries), U+FFFD replacement characters (the scar mis-decoded bytes
+  // leave), and report the clean-character ratio + a binary verdict.
+  // Narrow single-pass regexp/replace arithmetic — scan speed at any
+  // scale; counts are exact integers, the one ratio a single IEEE
+  // division. The fixture corpus is clean (all rows verdict 1), which
+  // the oracle proves; `TextEncodingSpec` pins DETECTION on a bespoke
+  // mojibake fixture the driver data can't provide.
+  // NOTE the per-engine regex escaping: Spark's SQL parser processes
+  // backslash escapes in string literals (so the regex `\x00` must be
+  // written `\\x00` in the SQL text); DuckDB single-quoted literals pass
+  // backslashes through verbatim.
+  // The U+FFFD needle is an embedded literal, NOT chr(65533): Spark's
+  // char()/chr() wraps its argument mod 256, so chr(65533) is 'ý' there
+  // while DuckDB's chr() yields the real replacement character.
+  private val Replacement = "\uFFFD"
+
+  private def encodingSql(pat: String, replaceAllFlag: String): String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(length(text) - length(regexp_replace(text,
+       |    '$pat', ''$replaceAllFlag)) AS BIGINT)
+       |    AS ctrl_chars,
+       |  CAST(length(text) - length(replace(text, '$Replacement', ''))
+       |    AS BIGINT) AS replacement_chars,
+       |  CAST(length(regexp_replace(text,
+       |    '$pat', ''$replaceAllFlag)) -
+       |    (length(text) - length(replace(text, '$Replacement', '')))
+       |    AS DOUBLE) / length(text) AS clean_ratio,
+       |  CASE WHEN length(text) = length(regexp_replace(text,
+       |         '$pat', ''$replaceAllFlag))
+       |        AND length(text) = length(replace(text, '$Replacement', ''))
+       |       THEN 1 ELSE 0 END AS verdict
+       |FROM documents WHERE length(text) > 0""".stripMargin
+
+  private[graft] val textEncodingQualitySparkSql =
+    encodingSql("[\\\\x00-\\\\x08\\\\x0b\\\\x0c\\\\x0e-\\\\x1f]", "")
+
+  def textEncodingQuality(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(textEncodingQualitySparkSql)
+  }
+
+  val textEncodingQualitySql: String =
+    encodingSql("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ", 'g'")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_encoding_quality" -> (textEncodingQuality _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_scrub" -> (textScrub _),
@@ -552,6 +601,7 @@ object TextQueries {
     "pipe_curation" -> (pipeCuration _))
 
   val oracle: Map[String, String] = Map(
+    "text_encoding_quality" -> textEncodingQualitySql,
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_ngram_novelty" -> textNgramNoveltySql,
     "text_scrub" -> textScrubSql,
