@@ -30,9 +30,15 @@ object Bench {
     // materializes (session-memoized), so run the producer first — the
     // order a production dedup pipeline uses — and each query's timing
     // is its marginal cost.
+    // (Same producer-first ordering for the BPE pair: text_bpe_train
+    // materializes the session-memoized merge list text_bpe_encode loads.)
     val ordered = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(_ == "dd_minhash_lsh")
-      .flatMap(n => if (n == "dd_cluster") Seq("dd_minhash_lsh", n) else Seq(n))
+      .filterNot(Set("dd_minhash_lsh", "text_bpe_train"))
+      .flatMap {
+        case n @ "dd_cluster"     => Seq("dd_minhash_lsh", n)
+        case n @ "text_bpe_encode" => Seq("text_bpe_train", n)
+        case n                    => Seq(n)
+      }
     // A FAILED query records +Infinity, never its time-to-failure: a
     // fast pass-2 error (e.g. a dropped temp-view dependency) would
     // otherwise win the per-query min and fabricate a speedup. A query
@@ -73,6 +79,7 @@ object Bench {
     val passResults: Seq[Seq[(String, Double)]] = (1 to passes).map { i =>
       if (i > 1) {
         graft.queries.DedupQueries.clearSessionMemos()
+        graft.queries.TokenizerQueries.clearSessionMemos()
         graft.operators.AsOfJoin.clearBoundsCache()
         graft.operators.PinnedStages.releaseShared(spark)
       }

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** TRAINED byte-pair-encoding tokenizer (Sennrich et al. 2016; the GPT-2
+  * tokenizer's training recipe): the one learned artifact every LLM data
+  * pipeline ships that the catalog still lacked. Two oracle-checked
+  * queries: `text_bpe_train` emits the learned merge table itself and
+  * `text_bpe_encode` re-tokenizes the corpus with it (per-document token
+  * accounting — the number a pretraining budget is priced in).
+  *
+  * Engine-exactness discipline (the `text_quality_model` pattern: pin the
+  * LEARNED ARTIFACT bit-for-bit, not just a score): the DuckDB oracle
+  * RETRAINS the identical tokenizer with a generated chain of CTE levels,
+  * one per merge. That works because every training step is exact integer
+  * arithmetic plus one string primitive both engines implement with the
+  * same semantics:
+  *
+  *  - Token alphabet = single characters. A merged pair becomes ONE fresh
+  *    private-use-plane character (U+E000+i), so "apply merge i" is
+  *    `replace(seg, pair, merged)` — and sequential left-to-right
+  *    non-overlapping replacement over a single-char token alphabet IS
+  *    canonical BPE pair application, including runs: merging (a,a) in
+  *    "aaaa" yields exactly two tokens in Spark, DuckDB, and the BPE
+  *    definition alike (`BpeSpec` pins it in both engines).
+  *  - Pair statistics are BIGINT sums of word frequencies; the argmax
+  *    tie-breaks (count DESC, pair ASC) in binary string order, identical
+  *    in both engines.
+  *  - Words never contain spaces, so the whole corpus encodes by applying
+  *    the merge chain to the space-joined word stream in one pass — a
+  *    space can never participate in a learned pair, which makes the
+  *    word-boundary barrier structural rather than per-word loop work.
+  *
+  * Scale shape (100 TB): the corpus is scanned ONCE, into the word-
+  * frequency table (vocab-keyed map-side-combined count — the classical
+  * BPE trainer state, Sennrich §3.2). The merge loop runs on that
+  * checkpointed vocab-sized table only: per merge, one tiny aggregation
+  * (pair counts weighted by word freq) and a LIMIT-1 argmax — the k-means
+  * trainer's driver-metadata discipline (1 row per round). Encoding is a
+  * narrow per-document map (a 16-deep codegen'd replace chain), no
+  * shuffle, scan speed. Nothing vocabulary-sized ever reaches the driver
+  * and nothing corpus-sized is ever re-scanned by the loop.
+  */
+object TokenizerQueries {
+
+  /** Number of merge rounds. A production tokenizer runs 30-50k; the
+    * loop cost is per-merge constant over the vocab table, so the count
+    * is a budget knob, not a design bound. 16 keeps the generated oracle
+    * CTE chain readable and the suite fast. */
+  val Merges = 16
+
+  /** Merge i's fresh token symbol: one BMP private-use-plane char. */
+  private def mergedChar(i: Int): String = (0xE000 + i).toChar.toString
+
+  /** Never-occurring search char for identity-replace at oracle levels
+    * past an early training stop (distinct PUA range from [[mergedChar]]). */
+  private def dummyChar(i: Int): Int = 0xE100 + i
+
+  final case class Merge(idx: Int, pair: String, merged: String, count: Long)
+
+  // Session-scoped memo: text_bpe_train and text_bpe_encode share one
+  // training run per (session, dir) — the dd_minhash_lsh/dd_cluster
+  // producer/consumer discipline. Bench clears it between passes so every
+  // pass pays the real training cost.
+  private val mergeMemo =
+    scala.collection.mutable.Map[(String, String), Seq[Merge]]()
+
+  private[graft] def clearSessionMemos(): Unit = mergeMemo.clear()
+
+  private def viewDocs(spark: SparkSession, dir: String): Unit =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .createOrReplaceTempView("documents")
+
+  /** Train [[Merges]] BPE merges over the registered `documents` view.
+    * One corpus scan builds the word-frequency table (localCheckpointed —
+    * vocab-sized); each round then aggregates pair counts over it and
+    * collects the single argmax row (bounded driver metadata, the
+    * KMeansTrainer discipline). Stops early when no pair occurs twice. */
+  private[graft] def trainMergesOnView(spark: SparkSession): Seq[Merge] = {
+    spark.sql(
+      """SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS word
+        |      FROM documents)
+        |GROUP BY word""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("bpe_words_t")
+    val out = scala.collection.mutable.Buffer[Merge]()
+    var segExpr = "word"
+    var i = 0
+    var stopped = false
+    while (i < Merges && !stopped) {
+      val best = spark.sql(
+        s"""SELECT pair, c FROM (
+           |  SELECT pair, CAST(sum(freq) AS BIGINT) AS c
+           |  FROM (SELECT freq,
+           |               explode(transform(sequence(1, length($segExpr) - 1),
+           |                                 j -> substring($segExpr, j, 2))) AS pair
+           |        FROM bpe_words_t WHERE length($segExpr) >= 2)
+           |  GROUP BY pair)
+           |WHERE c >= 2 ORDER BY c DESC, pair ASC LIMIT 1""".stripMargin).collect()
+      if (best.isEmpty) stopped = true
+      else {
+        val pair = best(0).getString(0)
+        out += Merge(i, pair, mergedChar(i), best(0).getLong(1))
+        segExpr = s"replace($segExpr, '$pair', '${mergedChar(i)}')"
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def trainMerges(spark: SparkSession, dir: String): Seq[Merge] = {
+    val key = (spark.sparkContext.applicationId + "/" + spark.sparkContext.startTime, dir)
+    mergeMemo.getOrElseUpdate(key, { viewDocs(spark, dir); trainMergesOnView(spark) })
+  }
+
+  // ── text_bpe_train ★ — the learned merge table itself ────────────────
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainMerges(spark, dir)
+    import spark.implicits._
+    merges.map(m => (m.idx, m.pair, m.merged, m.count))
+      .toDF("merge_idx", "pair", "merged", "pair_count")
+  }
+
+  /** Oracle prologue: wordsraw + seg0, then per level i a p_i (the argmax
+    * pair, empty past an early stop — `c >= 2` filters it out) and
+    * seg_{i+1} (identity when p_i is empty: the coalesce falls back to a
+    * char that occurs in no segmentation). */
+  private def oracleLevels: String = {
+    val sb = new StringBuilder
+    sb ++=
+      """wordsraw AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |        FROM documents)
+        |  GROUP BY word),
+        |seg0 AS MATERIALIZED (SELECT freq, word AS seg FROM wordsraw)""".stripMargin
+    for (i <- 0 until Merges) {
+      sb ++= s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT pair, c FROM (
+        |    SELECT pair, CAST(sum(freq) AS BIGINT) AS c
+        |    FROM (SELECT freq, unnest(list_transform(range(1, length(seg)),
+        |                                             j -> seg[j:j+1])) AS pair
+        |          FROM seg$i WHERE length(seg) >= 2)
+        |    GROUP BY pair)
+        |  WHERE c >= 2 ORDER BY c DESC, pair ASC LIMIT 1),
+        |seg${i + 1} AS MATERIALIZED (
+        |  SELECT freq,
+        |         replace(seg, coalesce((SELECT pair FROM p$i), chr(${dummyChar(i)})),
+        |                 chr(${0xE000 + i})) AS seg
+        |  FROM seg$i)""".stripMargin
+    }
+    sb.result()
+  }
+
+  val textBpeTrainSql: String = {
+    val rows = (0 until Merges).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS merge_idx, pair, chr(${0xE000 + i}) AS merged,
+         |       c AS pair_count FROM p$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $oracleLevels\n$rows"
+  }
+
+  // ── text_bpe_encode ★ — corpus re-tokenization with the trained merges
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainMerges(spark, dir)
+    viewDocs(spark, dir)
+    val chain = merges.foldLeft("joined") { (e, m) =>
+      s"replace($e, '${m.pair}', '${m.merged}')"
+    }
+    spark.sql(
+      s"""SELECT doc_id, n_words, alpha_chars,
+         |       CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(length($chain) - (n_words - 1) AS BIGINT) END AS bpe_tokens,
+         |       CASE WHEN n_words = 0 THEN CAST(NULL AS DOUBLE)
+         |            ELSE CAST(alpha_chars AS DOUBLE)
+         |                 / (length($chain) - (n_words - 1)) END AS chars_per_token
+         |FROM (SELECT doc_id, CAST(size(words) AS BIGINT) AS n_words,
+         |             CASE WHEN size(words) = 0 THEN CAST(0 AS BIGINT)
+         |                  ELSE CAST(length(concat_ws(' ', words)) - (size(words) - 1) AS BIGINT)
+         |             END AS alpha_chars,
+         |             concat_ws(' ', words) AS joined
+         |      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS words
+         |            FROM documents))""".stripMargin)
+  }
+
+  val textBpeEncodeSql: String = {
+    val chain = (0 until Merges).foldLeft("joined") { (e, i) =>
+      s"replace($e, coalesce((SELECT pair FROM p$i), chr(${dummyChar(i)})), chr(${0xE000 + i}))"
+    }
+    s"""WITH $oracleLevels,
+       |docs_w AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+       |         CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(length(array_to_string(words, ' ')) - (len(words) - 1) AS BIGINT)
+       |         END AS alpha_chars,
+       |         array_to_string(words, ' ') AS joined
+       |  FROM docs_w)
+       |SELECT doc_id, n_words, alpha_chars,
+       |       CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(length($chain) - (n_words - 1) AS BIGINT) END AS bpe_tokens,
+       |       CASE WHEN n_words = 0 THEN CAST(NULL AS DOUBLE)
+       |            ELSE CAST(alpha_chars AS DOUBLE)
+       |                 / (length($chain) - (n_words - 1)) END AS chars_per_token
+       |FROM base""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_encode" -> (textBpeEncode _))
+
+  val oracle: Map[String, String] = Map(
+    "text_bpe_train" -> textBpeTrainSql,
+    "text_bpe_encode" -> textBpeEncodeSql)
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TokenizerQueries
+
+/** BPE trainer semantics the engine-parity oracle cannot see from the
+  * driver corpus alone: the exact merge schedule on a hand-computable
+  * fixture (including overlapping-run pair counting and the early stop),
+  * the replace-primitive run semantics the single-char token alphabet
+  * relies on, learning (the dominant word contracts to ONE token), and
+  * determinism across retrains. */
+class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("bpe-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(texts: Seq[String]): Unit = {
+    val ss = spark; import ss.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+  }
+
+  test("sequential replace merges runs like canonical BPE (leftmost, non-overlapping)") {
+    // The single-char token alphabet makes replace() exactly BPE pair
+    // application — including the run case a space-separated token
+    // representation gets wrong (its replace consumes the shared
+    // delimiter and under-merges 'a a a a' to three tokens).
+    val got = spark.sql("SELECT replace('aaaa', 'aa', 'Z')").collect().head.getString(0)
+    assert(got == "ZZ")
+  }
+
+  test("hand-computable merge schedule: overlapping-run counts, ties, early stop") {
+    // words: 'aaaa' freq 2 (6 overlapping 'aa' pairs), 'the' freq 3.
+    docs(Seq("aaaa the the", "aaaa the"))
+    val m = TokenizerQueries.trainMergesOnView(spark)
+    val e0 = 0xE000.toChar; val e1 = 0xE001.toChar; val e2 = 0xE002.toChar
+    assert(m.map(x => (x.idx, x.pair, x.merged, x.count)) == Seq(
+      (0, "aa", s"$e0", 6L),          // 3 overlapping positions x freq 2
+      (1, "he", s"$e1", 3L),          // tie with 'th' at 3 -> lexicographic
+      (2, s"t$e1", s"$e2", 3L),       // 'the' completes as one token
+      (3, s"$e0$e0", s"${0xE003.toChar}", 2L))) // 'aaaa' -> 2 tokens -> 1
+    // Early stop: nothing left with count >= 2 after 4 merges.
+    assert(m.size == 4 && m.size < TokenizerQueries.Merges)
+  }
+
+  test("encode collapses the fixture to the expected token counts") {
+    docs(Seq("aaaa the the", "aaaa the"))
+    // Memo is keyed by dir; call the view-level trainer + build the chain
+    // through the public query on a real dir is covered by the oracle
+    // gate, so here drive the encode arithmetic directly.
+    val m = TokenizerQueries.trainMergesOnView(spark)
+    val chain = m.foldLeft("concat_ws(' ', regexp_extract_all(lower(text), '[a-z]+', 0))") {
+      (e, x) => s"replace($e, '${x.pair}', '${x.merged}')"
+    }
+    val encoded = spark.sql(s"SELECT doc_id, $chain AS enc FROM documents ORDER BY doc_id")
+      .collect().map(_.getString(1))
+    // 'aaaa the the' -> [e0e0, te1, te1] -> [e3, e2, e2]
+    assert(encoded(0).split(' ').map(_.length).toSeq == Seq(1, 1, 1))
+    assert(encoded(1).split(' ').map(_.length).toSeq == Seq(1, 1))
+  }
+
+  test("the dominant word contracts to a single token (learning, not parity)") {
+    // 'pretraining' (11 chars) dominates a background of varied words;
+    // within 16 merges BPE must spend its budget there first.
+    val noise = Seq("alpha beta", "gamma delta", "epsilon zeta")
+    docs(Seq.fill(50)("pretraining pretraining pretraining") ++ noise)
+    val m = TokenizerQueries.trainMergesOnView(spark)
+    val seg = m.foldLeft("pretraining")((s, x) => s.replace(x.pair, x.merged))
+    assert(seg.length == 1,
+      s"expected 'pretraining' to become one token, got ${seg.length} symbols")
+  }
+
+  test("retraining is deterministic") {
+    docs(Seq("spark scan table join", "spark scan table", "join table spark"))
+    val a = TokenizerQueries.trainMergesOnView(spark)
+    val b = TokenizerQueries.trainMergesOnView(spark)
+    assert(a == b && a.nonEmpty)
+  }
+}
