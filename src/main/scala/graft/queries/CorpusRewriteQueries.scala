@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Document REWRITE operators — the catalog's dedup family detects
+  * duplicate pairs and picks keeper documents; these two operators change
+  * the documents themselves, which is what the C4 / "Deduplicating
+  * Training Data" (Lee et al. 2022) pipelines actually ship:
+  *
+  *  - `dd_span_rewrite`: excise corpus-duplicated word spans from every
+  *    document, keeping exactly the first occurrence corpus-wide (the
+  *    ExactSubstr-removal variant of substring dedup — `dd_substring`
+  *    only REPORTS the duplicated-passage pairs).
+  *  - `pipe_chunk`: split documents into overlapping fixed-width token
+  *    windows (the pretraining/RAG chunking step between curation and
+  *    packing).
+  *
+  * Both are engine-exact: block/chunk boundaries are integer word
+  * arithmetic, content keys are md5 strings, and the rebuilt document is
+  * reduced to its md5 + exact word counts so no float or large-text
+  * column reaches the compare.
+  */
+object CorpusRewriteQueries {
+
+  private def viewDocs(spark: SparkSession, dir: String): Unit =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .createOrReplaceTempView("documents")
+
+  // ── dd_span_rewrite ★ — corpus-duplicated span excision ──────────────
+  //
+  // Spans are ALIGNED B-word blocks (B = 16): alignment makes the block
+  // set linear in corpus size (vs every-offset windows) and the rewrite
+  // well-defined — each word belongs to exactly one block, so excision
+  // never splits or double-drops. The keeper rule is global first
+  // occurrence: min (doc_id, block_idx), encoded as one BIGINT
+  // doc_id * 100000 + block_idx (block_idx < 100000 by construction:
+  // a 10^5-block document at B=16 would be a 1.6M-word pathology worth
+  // rejecting upstream).
+  //
+  // Scale shape (100 TB): one bounded explode (n_words / B rows per
+  // doc), one map-side-combined aggregate keyed by the block hash (the
+  // hottest key — a boilerplate block — collapses map-side to one row
+  // per task), one hash equi-join back, one per-doc re-aggregation.
+  // Never all-pairs, no window over the corpus, document text never
+  // shuffles twice (blocks carry only B-word slices).
+  val SpanBlock = 16
+
+  def ddSpanRewrite(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+         |blocks AS (
+         |  SELECT doc_id, bidx,
+         |         md5(array_join(slice(ws, bidx * $SpanBlock + 1, $SpanBlock), ' ')) AS h,
+         |         array_join(slice(ws, bidx * $SpanBlock + 1, $SpanBlock), ' ') AS btext,
+         |         CAST(size(slice(ws, bidx * $SpanBlock + 1, $SpanBlock)) AS BIGINT) AS bwords
+         |  FROM w
+         |  LATERAL VIEW explode(sequence(0,
+         |    CAST(ceil(size(ws) / $SpanBlock.0) AS INT) - 1)) AS bidx),
+         |firsts AS (
+         |  SELECT h, min(doc_id * 100000 + bidx) AS first_key
+         |  FROM blocks GROUP BY h),
+         |marked AS (
+         |  SELECT b.doc_id, b.bidx, b.btext, b.bwords,
+         |         CASE WHEN b.doc_id * 100000 + b.bidx = f.first_key
+         |              THEN 1 ELSE 0 END AS keep
+         |  FROM blocks b JOIN firsts f ON b.h = f.h)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_blocks,
+         |       CAST(sum(keep) AS BIGINT) AS kept_blocks,
+         |       CAST(sum(CASE WHEN keep = 1 THEN bwords ELSE 0 END) AS BIGINT)
+         |         AS new_n_words,
+         |       md5(array_join(transform(
+         |             array_sort(collect_list(
+         |               CASE WHEN keep = 1 THEN struct(bidx, btext) END)),
+         |             x -> x.btext), ' ')) AS new_hash
+         |FROM marked GROUP BY doc_id""".stripMargin)
+  }
+
+  val ddSpanRewriteSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |blocks AS (
+       |  SELECT doc_id, CAST(j AS BIGINT) AS bidx,
+       |         md5(array_to_string(ws[(j * $SpanBlock + 1):((j + 1) * $SpanBlock)], ' ')) AS h,
+       |         array_to_string(ws[(j * $SpanBlock + 1):((j + 1) * $SpanBlock)], ' ') AS btext,
+       |         CAST(len(ws[(j * $SpanBlock + 1):((j + 1) * $SpanBlock)]) AS BIGINT) AS bwords
+       |  FROM w, LATERAL unnest(range(0,
+       |         CAST(ceil(len(ws) / $SpanBlock.0) AS BIGINT))) AS t(j)),
+       |firsts AS (
+       |  SELECT h, min(doc_id * 100000 + bidx) AS first_key
+       |  FROM blocks GROUP BY h),
+       |marked AS (
+       |  SELECT b.doc_id, b.bidx, b.btext, b.bwords,
+       |         CASE WHEN b.doc_id * 100000 + b.bidx = f.first_key
+       |              THEN 1 ELSE 0 END AS keep
+       |  FROM blocks b JOIN firsts f ON b.h = f.h)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_blocks,
+       |       CAST(sum(keep) AS BIGINT) AS kept_blocks,
+       |       CAST(sum(CASE WHEN keep = 1 THEN bwords ELSE 0 END) AS BIGINT)
+       |         AS new_n_words,
+       |       md5(coalesce(string_agg(CASE WHEN keep = 1 THEN btext END, ' '
+       |                               ORDER BY bidx), '')) AS new_hash
+       |FROM marked GROUP BY doc_id""".stripMargin
+
+  // ── pipe_chunk ★ — overlapping token-window chunking ─────────────────
+  //
+  // Fixed window W = 48 words, stride S = 32 (W - S = 16 words of
+  // overlap, the context-bridging margin). Chunk starts are the stride
+  // grid below n_words, so the tail chunk may be short but no text is
+  // dropped; every chunk carries its provenance (doc_id, start_word) —
+  // what a RAG store or packing stage joins back on.
+  //
+  // Scale shape: ONE bounded explode (ceil(n/S) rows per doc) and
+  // nothing else — no shuffle, no window; chunk text leaves the operator
+  // as md5 + exact word count.
+  val ChunkWindow = 48
+  val ChunkStride = 32
+
+  def pipeChunk(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+         |SELECT doc_id,
+         |       CAST(s AS BIGINT) AS start_word,
+         |       CAST(s DIV $ChunkStride AS BIGINT) AS chunk_idx,
+         |       CAST(size(slice(ws, s + 1, $ChunkWindow)) AS BIGINT) AS chunk_words,
+         |       md5(array_join(slice(ws, s + 1, $ChunkWindow), ' ')) AS chunk_hash
+         |FROM w
+         |LATERAL VIEW explode(sequence(0, size(ws) - 1, $ChunkStride)) AS s""".stripMargin)
+  }
+
+  val pipeChunkSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |SELECT doc_id,
+       |       CAST(j AS BIGINT) AS start_word,
+       |       CAST(j // $ChunkStride AS BIGINT) AS chunk_idx,
+       |       CAST(len(ws[(j + 1):(j + $ChunkWindow)]) AS BIGINT) AS chunk_words,
+       |       md5(array_to_string(ws[(j + 1):(j + $ChunkWindow)], ' ')) AS chunk_hash
+       |FROM w, LATERAL unnest(range(0, len(ws), $ChunkStride)) AS t(j)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_span_rewrite" -> (ddSpanRewrite _),
+    "pipe_chunk" -> (pipeChunk _))
+
+  val oracle: Map[String, String] = Map(
+    "dd_span_rewrite" -> ddSpanRewriteSql,
+    "pipe_chunk" -> pipeChunkSql)
+}
