@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** PCA top-component projection over the embedding corpus — the
+  * decorrelation/compaction step (whitening, plot axes, pre-clustering
+  * dimensionality cut) that sits beside `emb_rp_project`'s data-oblivious
+  * JL cut: PCA is the data-AWARE version, and its trained artifact (the
+  * leading eigenvector) is learned here with the same engine-exactness
+  * discipline as the PQ codebooks and the BPE merges — every training
+  * step is integer arithmetic, so the DuckDB oracle retrains the
+  * identical component and the per-vector projections match bit-for-bit.
+  *
+  * The exactness recipe:
+  *  - components quantize to 1e4 micro-units (`round` half-away-from-zero
+  *    in both engines — the emb_pq_encode precedent);
+  *  - the covariance is the integer matrix n·S2[i][j] − S1[i]·S1[j]
+  *    (uncentered sums only, so every entry is an exact BIGINT — no mean
+  *    subtraction in floats);
+  *  - power iteration runs in integers with explicit rescaling, and every
+  *    division TRUNCATES toward zero on both sides: DuckDB's integer `//`
+  *    truncates (verified: -7 // 2 = -3, unlike its float `//` which
+  *    floors), matching Scala's `/` — a floor-division spelling here
+  *    diverges by one ulp on negative covariance entries and cascades;
+  *  - the eigenvector's sign is fixed by the first nonzero component
+  *    (power iteration converges up to sign);
+  *  - the per-vector projection is an exact integer dot product; the
+  *    single IEEE division at the end only rescales for readability.
+  *
+  * Scale shape (100 TB): the corpus contributes ONE map-side-combined
+  * aggregation keyed by (i, j) — Dim² = 4096 keys, the k-means-style
+  * constant-bounded reduction — and the iteration itself runs on the
+  * driver over that Dim×Dim matrix (bounded metadata, the KMeansTrainer /
+  * AnnIndex-codebook discipline: k·d longs, NOT data). Projection is one
+  * narrow map with the eigenvector embedded as a literal (the
+  * StreamingVectorIngest centroid trick — no join, no shuffle).
+  *
+  * Overflow budget: |q| ≤ 1e4, so S2 ≤ n·1e8 and |cov| ≤ n²·1e8 — safe in
+  * BIGINT to n ≈ 3e5 vectors per training sample; beyond that, train on a
+  * deterministic sample or drop QScale a decade (knobs, not redesigns).
+  */
+object PcaQueries {
+
+  val Dim = 64
+  val QScale = 10000L           // component micro-units
+  val VScale = 1000000L         // eigenvector magnitude target
+  val CScaleCap = 1000000000L   // pre-scale covariance to |c| ≲ 1e9
+  val Iters = 12
+
+  private def viewEmb(spark: SparkSession, dir: String): Unit =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .createOrReplaceTempView("embeddings")
+
+  /** Integer power iteration over the exact covariance of the registered
+    * `embeddings` view; returns the sign-fixed eigenvector (Dim longs,
+    * ~VScale magnitude). All divisions truncate (see class doc). */
+  private[graft] def trainTopComponentOnView(spark: SparkSession): Array[Long] = {
+    val cov = spark.sql(
+      s"""WITH q AS (
+         |  SELECT vec_id, pos AS i,
+         |         CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT) AS qx
+         |  FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x),
+         |s1 AS (SELECT i, CAST(sum(qx) AS BIGINT) AS s FROM q GROUP BY i),
+         |s2 AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.qx * b.qx) AS BIGINT) AS s
+         |       FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+         |SELECT s2.i, s2.j, n.n * s2.s - sa.s * sb.s AS c
+         |FROM s2 JOIN s1 sa ON s2.i = sa.i JOIN s1 sb ON s2.j = sb.i
+         |CROSS JOIN n""".stripMargin).collect()
+    val c = Array.ofDim[Long](Dim, Dim)
+    cov.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val cmax = c.iterator.flatten.map(math.abs).max
+    val cs = 1L + cmax / CScaleCap
+    for (i <- 0 until Dim; j <- 0 until Dim) c(i)(j) = c(i)(j) / cs
+    var v = Array.fill(Dim)(VScale)
+    for (_ <- 0 until Iters) {
+      val w = Array.tabulate(Dim) { i =>
+        var acc = 0L; var j = 0
+        while (j < Dim) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val nrm = math.max(1L, w.iterator.map(math.abs).max / VScale)
+      v = w.map(_ / nrm)
+    }
+    if (v.find(_ != 0L).exists(_ < 0L)) v.map(x => -x) else v
+  }
+
+  // ── emb_pca_project ★ — per-vector projection on the trained component
+  def embPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    val v = trainTopComponentOnView(spark)
+    val varr = v.mkString("array(", "L, ", "L)")
+    spark.sql(
+      s"""SELECT vec_id, label, proj_raw,
+         |       CAST(proj_raw AS DOUBLE) / ${QScale * VScale}.0 AS proj
+         |FROM (
+         |  SELECT vec_id, label,
+         |         aggregate(transform(embedding, (x, i) ->
+         |             CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT)
+         |               * element_at($varr, i + 1)),
+         |           CAST(0 AS BIGINT), (acc, e) -> acc + e) AS proj_raw
+         |  FROM embeddings)""".stripMargin)
+  }
+
+  val embPcaProjectSql: String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, CAST(i AS INTEGER) AS i,
+         |         CAST(round(embedding[i]::DOUBLE * $QScale) AS BIGINT) AS qx
+         |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)),
+         |s1 AS MATERIALIZED (
+         |  SELECT i, CAST(sum(qx) AS BIGINT) AS s FROM q GROUP BY i),
+         |s2 AS (
+         |  SELECT a.i AS i, b.i AS j, CAST(sum(a.qx * b.qx) AS BIGINT) AS s
+         |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         |cov AS MATERIALIZED (
+         |  SELECT s2.i, s2.j, CAST(nn.n * s2.s - sa.s * sb.s AS BIGINT) AS c
+         |  FROM s2 JOIN s1 sa ON s2.i = sa.i JOIN s1 sb ON s2.j = sb.i
+         |  CROSS JOIN nn),
+         |cs AS (SELECT 1 + max(abs(c)) // $CScaleCap AS s FROM cov),
+         |covs AS MATERIALIZED (SELECT i, j, c // s AS c FROM cov, cs),
+         |v0 AS MATERIALIZED (
+         |  SELECT i, CAST($VScale AS BIGINT) AS v
+         |  FROM (SELECT DISTINCT i FROM q))""".stripMargin
+    for (t <- 1 to Iters) {
+      sb ++= s""",
+         |w$t AS MATERIALIZED (
+         |  SELECT c.i AS i, CAST(sum(c.c * v.v) AS BIGINT) AS w
+         |  FROM covs c JOIN v${t - 1} v ON c.j = v.i GROUP BY c.i),
+         |m$t AS (SELECT greatest(1, max(abs(w)) // $VScale) AS nrm FROM w$t),
+         |v$t AS MATERIALIZED (SELECT i, w // nrm AS v FROM w$t, m$t)""".stripMargin
+    }
+    sb ++= s""",
+       |sgn AS (SELECT CASE WHEN coalesce((SELECT v FROM v$Iters WHERE v != 0
+       |                                   ORDER BY i LIMIT 1), 0) < 0
+       |                    THEN -1 ELSE 1 END AS s),
+       |vf AS MATERIALIZED (SELECT i, v * s AS v FROM v$Iters, sgn),
+       |proj AS (
+       |  SELECT e.vec_id, e.label,
+       |         CAST(sum(CAST(round(e.embedding[t.i]::DOUBLE * $QScale) AS BIGINT)
+       |                  * vf.v) AS BIGINT) AS proj_raw
+       |  FROM embeddings e, LATERAL unnest(range(1, len(e.embedding) + 1)) AS t(i), vf
+       |  WHERE vf.i = t.i
+       |  GROUP BY e.vec_id, e.label)
+       |SELECT vec_id, label, proj_raw,
+       |       CAST(proj_raw AS DOUBLE) / ${QScale * VScale}.0 AS proj
+       |FROM proj""".stripMargin
+    sb.result()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca_project" -> (embPcaProject _))
+
+  val oracle: Map[String, String] = Map(
+    "emb_pca_project" -> embPcaProjectSql)
+}
