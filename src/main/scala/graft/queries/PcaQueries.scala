@@ -56,14 +56,24 @@ object PcaQueries {
     * `embeddings` view; returns the sign-fixed eigenvector (Dim longs,
     * ~VScale magnitude). All divisions truncate (see class doc). */
   private[graft] def trainTopComponentOnView(spark: SparkSession): Array[Long] = {
+    // The outer product is generated PER ROW by a double posexplode of
+    // the same quantized array — no self-join, so the corpus never
+    // shuffles; only the 4096-key map-side-combined partials do. (The
+    // oracle spells the same sums as a vec_id self-join; the values are
+    // identical — exact integer sums are association-free.)
     val cov = spark.sql(
-      s"""WITH q AS (
-         |  SELECT vec_id, pos AS i,
-         |         CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT) AS qx
-         |  FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x),
-         |s1 AS (SELECT i, CAST(sum(qx) AS BIGINT) AS s FROM q GROUP BY i),
-         |s2 AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.qx * b.qx) AS BIGINT) AS s
-         |       FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |         transform(embedding,
+         |           x -> CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |s2 AS (SELECT i, j, CAST(sum(qi * qj) AS BIGINT) AS s
+         |       FROM qv
+         |       LATERAL VIEW posexplode(q) AS i, qi
+         |       LATERAL VIEW posexplode(q) AS j, qj
+         |       GROUP BY i, j),
+         |s1 AS (SELECT i, CAST(sum(qi) AS BIGINT) AS s
+         |       FROM qv LATERAL VIEW posexplode(q) AS i, qi GROUP BY i),
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
          |SELECT s2.i, s2.j, n.n * s2.s - sa.s * sb.s AS c
          |FROM s2 JOIN s1 sa ON s2.i = sa.i JOIN s1 sb ON s2.j = sb.i

@@ -759,8 +759,12 @@ object PipelineQueries {
   // contamination report ranks offenders by.
   //
   // Scale shape identical to pipe_decontaminate: the eval shingle set is
-  // fixed-size → broadcasts; the training side streams map-side through
-  // the explode; both counts are map-side-combined aggs keyed by doc_id.
+  // fixed-size → broadcasts — pinned with an explicit hint (r10) so the
+  // plan cannot drift to a shuffle join when size estimates are off (in
+  // this fixture the eval slice is carved from the corpus and grows with
+  // it; in production it is a fixed eval suite); the training side
+  // streams map-side through the explode; both counts are
+  // map-side-combined aggs keyed by doc_id.
   // Only contaminated documents reach the output (the HAVING filter on
   // the hit count), so the result is report-sized, not corpus-sized.
   def pipeContaminationRate(spark: SparkSession, dir: String): DataFrame = {
@@ -778,7 +782,7 @@ object PipelineQueries {
          |  FROM (SELECT doc_id, array_distinct(${shingleSpark("w")}) AS shs
          |        FROM eligible WHERE doc_id % 11 <> 0)
          |  LATERAL VIEW explode(shs) AS sh)
-         |SELECT t.doc_id,
+         |SELECT /*+ BROADCAST(e) */ t.doc_id,
          |       count(*) AS total_shingles,
          |       count(e.sh) AS hit_shingles,
          |       CAST(count(e.sh) AS DOUBLE) / count(*) AS contamination_rate
@@ -804,7 +808,84 @@ object PipelineQueries {
       |GROUP BY t.doc_id
       |HAVING count(e.sh) > 0""".stripMargin
 
+  // ── pipe_dataset_diff (r10) — corpus SNAPSHOT DIFF: the dataset-
+  // versioning audit ("what changed between yesterday's corpus and
+  // today's") every managed training dataset publishes alongside a new
+  // version — additions, takedown removals, re-crawl changes, and the
+  // per-source token delta that shifts the mixture weights.
+  //
+  // The fixture carves two versions deterministically: v1 lacks the
+  // doc_id % 13 = 0 documents (they are v2's ADDITIONS), v1 carries the
+  // doc_id % 11 = 0 documents that v2 drops (REMOVALS — the takedown
+  // case), and the doc_id % 17 = 0 survivors gain a revision suffix in
+  // v2 (CHANGED). The diff itself is content-based (md5), not
+  // flag-based: a "re-crawl" that reproduces identical bytes correctly
+  // reports unchanged.
+  //
+  // Scale shape (100 TB): one full-outer equi-join on the doc key —
+  // the canonical snapshot-diff plan, hash-partitioned on doc_id with
+  // both sides pruned to (id, source, hash, token count) at the scan —
+  // then one map-side-combined (source, status) aggregate; the report is
+  // sources × 4 rows. Document text never shuffles (only its md5).
+  def pipeDatasetDiff(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH v1 AS (
+        |  SELECT doc_id, source, md5(text) AS h,
+        |         CAST(size(split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |         md5(CASE WHEN doc_id % 17 = 0 THEN concat(text, ' rev2')
+        |                  ELSE text END) AS h,
+        |         CAST(size(split(CASE WHEN doc_id % 17 = 0
+        |                              THEN concat(text, ' rev2')
+        |                              ELSE text END, ' ')) AS BIGINT) AS toks
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |diff AS (
+        |  SELECT coalesce(a.source, b.source) AS source,
+        |         CASE WHEN a.doc_id IS NULL THEN 'added'
+        |              WHEN b.doc_id IS NULL THEN 'removed'
+        |              WHEN a.h <> b.h THEN 'changed'
+        |              ELSE 'unchanged' END AS status,
+        |         coalesce(b.toks, CAST(0 AS BIGINT))
+        |           - coalesce(a.toks, CAST(0 AS BIGINT)) AS tok_delta
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT source, status,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(tok_delta) AS BIGINT) AS token_delta
+        |FROM diff GROUP BY source, status""".stripMargin)
+  }
+
+  val pipeDatasetDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, source, md5(text) AS h,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents WHERE doc_id % 13 <> 0),
+      |v2 AS (
+      |  SELECT doc_id, source,
+      |         md5(CASE WHEN doc_id % 17 = 0 THEN concat(text, ' rev2')
+      |                  ELSE text END) AS h,
+      |         CAST(len(string_split(CASE WHEN doc_id % 17 = 0
+      |                                    THEN concat(text, ' rev2')
+      |                                    ELSE text END, ' ')) AS BIGINT) AS toks
+      |  FROM documents WHERE doc_id % 11 <> 0),
+      |diff AS (
+      |  SELECT coalesce(a.source, b.source) AS source,
+      |         CASE WHEN a.doc_id IS NULL THEN 'added'
+      |              WHEN b.doc_id IS NULL THEN 'removed'
+      |              WHEN a.h <> b.h THEN 'changed'
+      |              ELSE 'unchanged' END AS status,
+      |         coalesce(b.toks, CAST(0 AS BIGINT))
+      |           - coalesce(a.toks, CAST(0 AS BIGINT)) AS tok_delta
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      |SELECT source, status,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(tok_delta) AS BIGINT) AS token_delta
+      |FROM diff GROUP BY source, status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dataset_diff" -> (pipeDatasetDiff _),
     "pipe_curriculum" -> (pipeCurriculum _),
     "pipe_contamination_rate" -> (pipeContaminationRate _),
     "sk_kmv_distinct" -> (skKmvDistinct _),
@@ -821,6 +902,7 @@ object PipelineQueries {
     "pipe_shuffle" -> (pipeShuffle _))
 
   val oracle: Map[String, String] = Map(
+    "pipe_dataset_diff" -> pipeDatasetDiffSql,
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_contamination_rate" -> pipeContaminationRateSql,
     "sk_kmv_distinct" -> skKmvDistinctSql,

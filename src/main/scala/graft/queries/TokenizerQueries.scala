@@ -77,7 +77,8 @@ object TokenizerQueries {
     * vocab-sized); each round then aggregates pair counts over it and
     * collects the single argmax row (bounded driver metadata, the
     * KMeansTrainer discipline). Stops early when no pair occurs twice. */
-  private[graft] def trainMergesOnView(spark: SparkSession): Seq[Merge] = {
+  private[graft] def trainMergesOnView(
+      spark: SparkSession, maxMerges: Int = Merges): Seq[Merge] = {
     spark.sql(
       """SELECT word, CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS word
@@ -89,7 +90,7 @@ object TokenizerQueries {
     var segExpr = "word"
     var i = 0
     var stopped = false
-    while (i < Merges && !stopped) {
+    while (i < maxMerges && !stopped) {
       val best = spark.sql(
         s"""SELECT pair, c FROM (
            |  SELECT pair, CAST(sum(freq) AS BIGINT) AS c

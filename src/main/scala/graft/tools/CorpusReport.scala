@@ -57,6 +57,20 @@ object CorpusReport {
         .agg(max("contamination_rate")).head().get(0))
         .fold(0.0)(_.asInstanceOf[Double]))
     val heavyHitters = swept(spark)(q("text_heavy_hitters")(spark, sfDir).count())
+    // r10 signals: tokenizer efficiency (mean chars per BPE token — the
+    // number a pretraining budget converts corpus bytes with) and
+    // duplicated-span pressure (fraction of aligned blocks the span
+    // rewrite would excise — the C4-style cut size). Both are exact
+    // integer sums with one final division.
+    val bpe = swept(spark)(q("text_bpe_encode")(spark, sfDir)
+      .agg(sum("alpha_chars"), sum("bpe_tokens")).head())
+    val bpeCharsPerToken =
+      if (bpe.getLong(1) == 0L) 0.0 else bpe.getLong(0).toDouble / bpe.getLong(1)
+    val span = swept(spark)(q("dd_span_rewrite")(spark, sfDir)
+      .agg(sum("n_blocks"), sum("kept_blocks")).head())
+    val spanDupFraction =
+      if (span.getLong(0) == 0L) 0.0
+      else (span.getLong(0) - span.getLong(1)).toDouble / span.getLong(0)
 
     s"""{"docs":$docs,"exact_dup_groups":$dupGroups,""" +
       s""""near_dup_clusters":$ndClusters,"contaminated_docs":$contaminated,""" +
@@ -65,7 +79,9 @@ object CorpusReport {
       s""""curated_tokens_kept":$keptTokens,""" +
       s""""containment_pairs":$containmentPairs,""" +
       s""""worst_contamination_rate":$worstContamination,""" +
-      s""""heavy_hitter_bigrams":$heavyHitters}"""
+      s""""heavy_hitter_bigrams":$heavyHitters,""" +
+      s""""bpe_chars_per_token":$bpeCharsPerToken,""" +
+      s""""span_dup_block_fraction":$spanDupFraction}"""
   }
 
   /** CLI: `CorpusReport <sfDir>`. */

@@ -45,5 +45,10 @@ class CorpusReportSpec extends AnyFunSuite with BeforeAndAfterAll {
     val worst = field("worst_contamination_rate").toDouble
     assert(worst >= 0.0 && worst <= 1.0)
     assert(field("heavy_hitter_bigrams").toLong > 0)
+    // BPE compresses (strictly more than 1 char/token on any wordy
+    // corpus) and the span-dup fraction is a valid fraction.
+    assert(field("bpe_chars_per_token").toDouble > 1.0)
+    val spanDup = field("span_dup_block_fraction").toDouble
+    assert(spanDup >= 0.0 && spanDup <= 1.0)
   }
 }

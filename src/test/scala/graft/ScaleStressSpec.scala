@@ -277,4 +277,65 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // And inside the micro-unit domain.
     assert(stats.getDouble(1) >= 0.0 && stats.getDouble(2) <= 1000000.0)
   }
+
+  test("text_bpe_train learns the IDENTICAL merge schedule under 10x replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Uniform replication multiplies every word frequency — and therefore
+    // every pair count — by exactly 10: the argmax sequence, tie-breaks
+    // included, cannot change. The learned tokenizer must be bit-identical
+    // with counts x10 (the BPE sibling of text_lm_score's invariance).
+    def table(d: String) = SparkEntry.queries("text_bpe_train")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val base = table("/root/testdata/sf0.1")
+    val scaled = timed("text_bpe_train @ sf~1")(table(dir))
+    assert(scaled == base.map { case (i, p, m, c) => (i, p, m, c * Copies) })
+  }
+
+  test("dd_span_rewrite at sf≈1: later copies empty out; copy 0 is replication-invariant") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    def rows(d: String) = SparkEntry.queries("dd_span_rewrite")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("dd_span_rewrite @ sf~1")(rows(dir))
+    // Every block of a copy-k>0 document first occurred in copy 0, so the
+    // rewrite must excise ALL of it.
+    val later = scaled.filter(_._1 >= IdStride)
+    assert(later.size == (Copies - 1) * base.size)
+    assert(later.values.forall { case (_, kept, words, _) => kept == 0L && words == 0L },
+      "a non-first copy kept a block")
+    // And copy 0's rewrite is exactly the standalone sf0.1 rewrite: the
+    // extra copies never steal a first occurrence from the lowest ids.
+    assert(scaled.filter(_._1 < IdStride) == base)
+  }
+
+  test("pipe_chunk scales linearly with an unchanged distinct-chunk set at sf≈1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    val b = SparkEntry.queries("pipe_chunk")(spark, "/root/testdata/sf0.1")
+      .agg(count(lit(1)), countDistinct(col("chunk_hash"))).head()
+    val s = timed("pipe_chunk @ sf~1") {
+      SparkEntry.queries("pipe_chunk")(spark, dir)
+        .agg(count(lit(1)), countDistinct(col("chunk_hash"))).head()
+    }
+    assert(s.getLong(0) == Copies * b.getLong(0), "chunk volume must be linear")
+    assert(s.getLong(1) == b.getLong(1), "replication must add no new distinct chunks")
+  }
+
+  test("emb_pca_project direction is stable under 10x replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    def train(d: String): Array[Long] = {
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .createOrReplaceTempView("embeddings")
+      graft.queries.PcaQueries.trainTopComponentOnView(spark)
+    }
+    val vb = train("/root/testdata/sf0.1").map(_.toDouble)
+    val vs = timed("emb_pca_train @ sf~1")(train(dir)).map(_.toDouble)
+    // Replication scales the integer covariance ~uniformly (up to the
+    // pre-scale division's rounding), so the learned direction must agree
+    // to high precision even though the integers differ.
+    val cos = (vb, vs).zipped.map(_ * _).sum /
+      (math.sqrt(vb.map(x => x * x).sum) * math.sqrt(vs.map(x => x * x).sum))
+    assert(math.abs(cos) > 0.9999, s"|cos| = ${math.abs(cos)}")
+  }
 }
