@@ -48,16 +48,25 @@ object CorpusRewriteQueries {
 
   def ddSpanRewrite(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
+    // Materialize the block explode ONCE and pin it: `firsts` and
+    // `marked` both consume it, and Catalyst inlines CTEs — without the
+    // pin the most expensive stage (split + slice + md5 over every
+    // document) runs twice (the dd_substring precedent). Transient pin;
+    // Verify/Bench sweep it after the query. The btext slice is spelled
+    // once and the hash derives from the projected column.
     spark.sql(
-      s"""WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
-         |blocks AS (
+      s"""SELECT doc_id, bidx, md5(btext) AS h, btext,
+         |       CAST(size(split(btext, ' ')) AS BIGINT) AS bwords
+         |FROM (
          |  SELECT doc_id, bidx,
-         |         md5(array_join(slice(ws, bidx * $SpanBlock + 1, $SpanBlock), ' ')) AS h,
-         |         array_join(slice(ws, bidx * $SpanBlock + 1, $SpanBlock), ' ') AS btext,
-         |         CAST(size(slice(ws, bidx * $SpanBlock + 1, $SpanBlock)) AS BIGINT) AS bwords
-         |  FROM w
+         |         array_join(slice(ws, bidx * $SpanBlock + 1, $SpanBlock), ' ') AS btext
+         |  FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
          |  LATERAL VIEW explode(sequence(0,
-         |    CAST(ceil(size(ws) / $SpanBlock.0) AS INT) - 1)) AS bidx),
+         |    CAST(ceil(size(ws) / $SpanBlock.0) AS INT) - 1)) AS bidx)""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("span_blocks_t")
+    spark.sql(
+      s"""WITH blocks AS (SELECT * FROM span_blocks_t),
          |firsts AS (
          |  SELECT h, min(doc_id * 100000 + bidx) AS first_key
          |  FROM blocks GROUP BY h),

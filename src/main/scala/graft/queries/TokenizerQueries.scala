@@ -73,43 +73,61 @@ object TokenizerQueries {
       .createOrReplaceTempView("documents")
 
   /** Train [[Merges]] BPE merges over the registered `documents` view.
-    * One corpus scan builds the word-frequency table (localCheckpointed —
-    * vocab-sized); each round then aggregates pair counts over it and
-    * collects the single argmax row (bounded driver metadata, the
-    * KMeansTrainer discipline). Stops early when no pair occurs twice. */
+    * One corpus scan builds the (seg, freq) vocab table
+    * (localCheckpointed — vocab-sized); each round aggregates pair counts
+    * over it, collects the single argmax row (bounded driver metadata,
+    * the KMeansTrainer discipline), and RE-MATERIALIZES the segmentation
+    * with one depth-1 replace — so round cost is genuinely per-merge
+    * constant (a growing inline replace chain would re-apply every prior
+    * merge to every word each round: O(merges²) work and a
+    * codegen-breaking expression tree at production merge counts).
+    * Stops early when no pair occurs twice. The per-round checkpoints
+    * are transient pins; Verify/Bench sweep them after the query. */
   private[graft] def trainMergesOnView(
       spark: SparkSession, maxMerges: Int = Merges): Seq[Merge] = {
-    spark.sql(
-      """SELECT word, CAST(count(*) AS BIGINT) AS freq
+    var seg = spark.sql(
+      """SELECT word AS seg, CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS word
         |      FROM documents)
         |GROUP BY word""".stripMargin)
       .localCheckpoint()
-      .createOrReplaceTempView("bpe_words_t")
     val out = scala.collection.mutable.Buffer[Merge]()
-    var segExpr = "word"
     var i = 0
     var stopped = false
     while (i < maxMerges && !stopped) {
+      seg.createOrReplaceTempView("bpe_seg_t")
       val best = spark.sql(
         s"""SELECT pair, c FROM (
            |  SELECT pair, CAST(sum(freq) AS BIGINT) AS c
            |  FROM (SELECT freq,
-           |               explode(transform(sequence(1, length($segExpr) - 1),
-           |                                 j -> substring($segExpr, j, 2))) AS pair
-           |        FROM bpe_words_t WHERE length($segExpr) >= 2)
+           |               explode(transform(sequence(1, length(seg) - 1),
+           |                                 j -> substring(seg, j, 2))) AS pair
+           |        FROM bpe_seg_t WHERE length(seg) >= 2)
            |  GROUP BY pair)
            |WHERE c >= 2 ORDER BY c DESC, pair ASC LIMIT 1""".stripMargin).collect()
       if (best.isEmpty) stopped = true
       else {
         val pair = best(0).getString(0)
         out += Merge(i, pair, mergedChar(i), best(0).getLong(1))
-        segExpr = s"replace($segExpr, '$pair', '${mergedChar(i)}')"
+        // Lazy checkpoint: materializes inside the NEXT round's argmax
+        // job (one job per round, not two) while still truncating the
+        // lineage to depth 1 over the previous round's blocks.
+        seg = spark.sql(
+          s"""SELECT replace(seg, '$pair', '${mergedChar(i)}') AS seg, freq
+             |FROM bpe_seg_t""".stripMargin)
+          .localCheckpoint(false)
         i += 1
       }
     }
     out.toSeq
   }
+
+  /** The encode fold: apply the learned merges in order to a column
+    * holding a segmented token stream. THE shared spelling — the catalog
+    * query, the persisted tool ([[graft.tools.BpeTokenizer]]) and the
+    * spec all call this one helper so they cannot drift. */
+  private[graft] def encodeExpr(merges: Seq[Merge], col: String): String =
+    merges.foldLeft(col)((e, m) => s"replace($e, '${m.pair}', '${m.merged}')")
 
   private def trainMerges(spark: SparkSession, dir: String): Seq[Merge] = {
     val key = (spark.sparkContext.applicationId + "/" + spark.sparkContext.startTime, dir)
@@ -168,9 +186,7 @@ object TokenizerQueries {
   def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val merges = trainMerges(spark, dir)
     viewDocs(spark, dir)
-    val chain = merges.foldLeft("joined") { (e, m) =>
-      s"replace($e, '${m.pair}', '${m.merged}')"
-    }
+    val chain = encodeExpr(merges, "joined")
     spark.sql(
       s"""SELECT doc_id, n_words, alpha_chars,
          |       CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)

@@ -48,10 +48,11 @@ object BpeTokenizer {
       .sortBy(_.idx).toSeq
 
   /** The encode chain as a SQL expression over a column holding the
-    * space-joined lowercase word stream. Shared with the catalog query's
-    * spelling so tool and query cannot drift. */
+    * space-joined lowercase word stream — a direct delegation to the
+    * catalog query's one shared spelling (TokenizerQueries.encodeExpr),
+    * so tool and query cannot drift. */
   def encodeExpr(merges: Seq[Merge], joinedCol: String): String =
-    merges.foldLeft(joinedCol)((e, m) => s"replace($e, '${m.pair}', '${m.merged}')")
+    TokenizerQueries.encodeExpr(merges, joinedCol)
 
   /** Human-readable expansion of every token symbol the model can emit:
     * merged symbols expand through their pair, recursively; base

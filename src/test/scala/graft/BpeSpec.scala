@@ -62,9 +62,8 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // through the public query on a real dir is covered by the oracle
     // gate, so here drive the encode arithmetic directly.
     val m = TokenizerQueries.trainMergesOnView(spark)
-    val chain = m.foldLeft("concat_ws(' ', regexp_extract_all(lower(text), '[a-z]+', 0))") {
-      (e, x) => s"replace($e, '${x.pair}', '${x.merged}')"
-    }
+    val chain = TokenizerQueries.encodeExpr(m,
+      "concat_ws(' ', regexp_extract_all(lower(text), '[a-z]+', 0))")
     val encoded = spark.sql(s"SELECT doc_id, $chain AS enc FROM documents ORDER BY doc_id")
       .collect().map(_.getString(1))
     // 'aaaa the the' -> [e0e0, te1, te1] -> [e3, e2, e2]
