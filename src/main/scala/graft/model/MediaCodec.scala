@@ -82,6 +82,81 @@ object MediaCodec {
     * h = (h*31 + gray) mod 1e9+7 (the `text_fingerprint` discipline). */
   final case class DecodedPng(width: Int, height: Int, pixelSum: Long, pixelHash: Long)
 
+  /** A decoded 8-bit gray raster (row-major) — the in-memory form the
+    * resize/transform stages operate on. */
+  final case class GrayRaster(width: Int, height: Int, pixels: Array[Int]) {
+    def apply(x: Int, y: Int): Int = pixels(y * width + x)
+    /** Row-major (sum, polynomial hash) — the same fold as
+      * [[decodeGrayPng]], so stats computed from a raster and stats
+      * computed during decode cannot drift. */
+    def stats: (Long, Long) = {
+      var sum = 0L; var hash = 0L; var i = 0
+      while (i < pixels.length) {
+        sum += pixels(i); hash = (hash * 31 + pixels(i)) % 1000000007L; i += 1
+      }
+      (sum, hash)
+    }
+  }
+
+  /** Decode the full raster (tiny fixtures; a production raster stays
+    * inside the partition too — it never shuffles). */
+  def decodeGrayRaster(ctx: PngReader, bytes: Array[Byte]): GrayRaster = {
+    require(isPng(bytes), "not a PNG stream")
+    val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      ctx.reader.setInput(in, true, true)
+      val img = ctx.reader.read(0)
+      val w = img.getWidth; val h = img.getHeight
+      val raster = img.getRaster
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      GrayRaster(w, h, px)
+    } finally in.close()
+  }
+
+  /** Nearest-neighbor half-resolution downsample: output (ceil(w/2),
+    * ceil(h/2)), output pixel (x, y) = input pixel (2x, 2y) — the
+    * deterministic thumbnail/feature-pyramid step, chosen over
+    * interpolation because it is exactly recomputable from the source
+    * pattern (the oracle evaluates the pattern at even coordinates). */
+  def resizeNearestHalf(r: GrayRaster): GrayRaster = {
+    val rw = (r.width + 1) / 2
+    val rh = (r.height + 1) / 2
+    val out = new Array[Int](rw * rh)
+    var y = 0
+    while (y < rh) {
+      var x = 0
+      while (x < rw) { out(y * rw + x) = r(2 * x, 2 * y); x += 1 }
+      y += 1
+    }
+    GrayRaster(rw, rh, out)
+  }
+
+  /** Re-encode an arbitrary gray raster as a REAL PNG byte stream (the
+    * thumbnail write-back half of the resize boundary). */
+  def encodeGrayPng(ctx: PngWriter, r: GrayRaster): Array[Byte] = {
+    val img = new BufferedImage(r.width, r.height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < r.height) {
+      var x = 0
+      while (x < r.width) { raster.setSample(x, y, 0, r(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      ctx.writer.setOutput(ios)
+      ctx.writer.write(img)
+    } finally ios.close()
+    out.toByteArray
+  }
+
   /** Expensive-to-open reader context, one per partition (the same
     * contract as [[MediaStub.openCodec]], but real). */
   final class PngReader private[MediaCodec] () {

@@ -330,6 +330,63 @@ object MultimodalQueries {
       "pixel_hash", "mean_luma")
   }
 
+  // ── mm_resize (r10) — REAL thumbnail resize of REAL decoded pixels:
+  // the §8 brief's "resize" op, runnable now that the PNG path decodes
+  // actual rasters. Each PNG asset is decoded, downsampled nearest-
+  // neighbor to half resolution (output pixel (x,y) = input (2x,2y) —
+  // deterministic, so the oracle recomputes the resized raster by
+  // evaluating the source pattern at even coordinates), and RE-ENCODED
+  // into a real PNG container, which is decoded once more in-line: the
+  // roundtrip_ok column is 1 only if the re-encoded container reproduces
+  // the resized raster bit-for-bit, so a codec break fails the oracle
+  // compare. Scale shape: narrow mapPartitions over PNG ids only, all
+  // three codec contexts opened once per partition, rasters never leave
+  // the partition — no shuffle.
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    import spark.implicits._
+    import graft.model.MediaCodec
+    val ids = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 3 = 0").as[Long]
+    ids.mapPartitions { it =>
+      val reader = MediaCodec.openReader()
+      val writer = MediaCodec.openWriter()
+      it.map { docId =>
+        val bytes = MediaCodec.synthesizeGrayPng(writer, docId)
+        val full = MediaCodec.decodeGrayRaster(reader, bytes)
+        val small = MediaCodec.resizeNearestHalf(full)
+        val (sum, hash) = small.stats
+        val reencoded = MediaCodec.encodeGrayPng(writer, small)
+        val back = MediaCodec.decodeGrayRaster(reader, reencoded)
+        val ok = back.width == small.width && back.height == small.height &&
+          java.util.Arrays.equals(back.pixels, small.pixels)
+        val nPx = small.width.toLong * small.height
+        (docId, full.width, full.height, small.width, small.height, nPx,
+          sum, hash, sum.toDouble / (255.0 * nPx), if (ok) 1 else 0)
+      }
+    }.toDF("doc_id", "width", "height", "r_width", "r_height", "r_px",
+      "r_luma_sum", "r_pixel_hash", "r_mean_luma", "roundtrip_ok")
+  }
+
+  val mmResizeSql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 8 AS INT) AS w,
+      |         CAST(8 + doc_id % 5 AS INT) AS h,
+      |         CAST((8 + doc_id % 8 + 1) // 2 AS INT) AS rw,
+      |         CAST((8 + doc_id % 5 + 1) // 2 AS INT) AS rh,
+      |         flatten(list_transform(range(0, (8 + doc_id % 5 + 1) // 2), y ->
+      |           list_transform(range(0, (8 + doc_id % 8 + 1) // 2), x ->
+      |             (doc_id * 31 + 7 * (2 * x) + 13 * (2 * y)) % 256))) AS gs
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id, w AS width, h AS height, rw AS r_width, rh AS r_height,
+      |       CAST(rw * rh AS BIGINT) AS r_px,
+      |       CAST(list_sum(gs) AS BIGINT) AS r_luma_sum,
+      |       CAST(list_reduce([0] || gs,
+      |         (acc, g) -> (acc * 31 + g) % 1000000007) AS BIGINT) AS r_pixel_hash,
+      |       CAST(list_sum(gs) AS DOUBLE) / (255.0 * rw * rh) AS r_mean_luma,
+      |       CAST(1 AS INT) AS roundtrip_ok
+      |FROM px""".stripMargin
+
   val mmDecodePngSql: String =
     """WITH px AS (
       |  SELECT doc_id,
@@ -363,6 +420,7 @@ object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_png" -> (mmDecodePng _),
+    "mm_resize" -> (mmResize _),
     "mm_near_dup_bands" -> (mmNearDupBands _),
     "mm_metadata_extract" -> (mmMetadataExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -371,6 +429,7 @@ object MultimodalQueries {
 
   val oracle: Map[String, String] = Map(
     "mm_decode_png" -> mmDecodePngSql,
+    "mm_resize" -> mmResizeSql,
     "mm_near_dup_bands" -> mmNearDupBandsSql,
     "mm_metadata_extract" -> mmMetadataExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,

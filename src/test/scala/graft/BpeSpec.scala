@@ -82,6 +82,32 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected 'pretraining' to become one token, got ${seg.length} symbols")
   }
 
+  test("property: on random corpora, encoding conserves the letter stream") {
+    // Seeded-random corpora (the KernelsSpec discipline): whatever BPE
+    // learns, applying the merges then expanding every token must
+    // reconstruct each word exactly, and the token count must equal the
+    // encoded segmentation length — the conservation law a tokenizer
+    // cannot break on ANY input.
+    val rng = new scala.util.Random(42)
+    for (round <- 0 until 5) {
+      val vocab = Seq.fill(8 + rng.nextInt(10))(
+        (0 until (1 + rng.nextInt(9))).map(_ => ('a' + rng.nextInt(6)).toChar).mkString)
+      val texts = Seq.fill(20)(
+        (0 until (3 + rng.nextInt(12))).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      docs(texts)
+      val m = TokenizerQueries.trainMergesOnView(spark)
+      val exp = graft.tools.BpeTokenizer.expansions(m)
+      val chain = TokenizerQueries.encodeExpr(m,
+        "concat_ws(' ', regexp_extract_all(lower(text), '[a-z]+', 0))")
+      spark.sql(s"SELECT text, $chain AS enc FROM documents").collect().foreach { r =>
+        val letters = "[a-z]+".r.findAllIn(r.getString(0)).mkString
+        val rebuilt = r.getString(1).filter(_ != ' ')
+          .map(c => exp.getOrElse(c.toString, c.toString)).mkString
+        assert(rebuilt == letters, s"round $round")
+      }
+    }
+  }
+
   test("retraining is deterministic") {
     docs(Seq("spark scan table join", "spark scan table", "join table spark"))
     val a = TokenizerQueries.trainMergesOnView(spark)

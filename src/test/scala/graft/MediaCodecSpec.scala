@@ -48,4 +48,32 @@ class MediaCodecSpec extends AnyFunSuite {
     }
     reader.dispose()
   }
+
+  test("nearest-neighbor half resize subsamples even coordinates; odd dims ceil") {
+    val reader = MediaCodec.openReader()
+    for (docId <- Seq(0L, 1L, 3L, 9L, 42L, 999L)) {
+      val full = MediaCodec.decodeGrayRaster(reader, MediaCodec.synthesizeGrayPng(docId))
+      val small = MediaCodec.resizeNearestHalf(full)
+      assert(small.width == (full.width + 1) / 2 && small.height == (full.height + 1) / 2)
+      for (y <- 0 until small.height; x <- 0 until small.width)
+        assert(small(x, y) == MediaCodec.patternGray(docId, 2 * x, 2 * y),
+          s"doc $docId resized pixel ($x,$y)")
+    }
+    reader.dispose()
+  }
+
+  test("re-encoding a resized raster yields a valid PNG that decodes bit-for-bit") {
+    val reader = MediaCodec.openReader()
+    val writer = MediaCodec.openWriter()
+    for (docId <- Seq(0L, 3L, 42L)) {
+      val small = MediaCodec.resizeNearestHalf(
+        MediaCodec.decodeGrayRaster(reader, MediaCodec.synthesizeGrayPng(docId)))
+      val bytes = MediaCodec.encodeGrayPng(writer, small)
+      assert(MediaCodec.isPng(bytes))
+      val back = MediaCodec.decodeGrayRaster(reader, bytes)
+      assert(back.width == small.width && back.height == small.height)
+      assert(back.pixels.toSeq == small.pixels.toSeq)
+    }
+    writer.dispose(); reader.dispose()
+  }
 }
