@@ -776,7 +776,83 @@ object SimilarityQueries {
       |              THEN q[d + 1] ELSE -q[d + 1] END)) AS BIGINT) AS val
       |FROM qv, range(0, 16) AS t(j)""".stripMargin
 
+  // ── ann_knn_graph (r10) — the k-NN GRAPH over the whole corpus: top-3
+  // cosine neighbors for EVERY vector, candidates restricted to the
+  // vector's coarse cluster (the SemDeDup/IVF routing — nprobe=1). The
+  // graph is what diversity sampling, graph-based dedup, and SemDeDup's
+  // keeper selection consume; the ann_* serving queries answer point
+  // probes, this materializes the corpus-wide artifact. Candidate
+  // generation is within-cluster only: per-reducer work is bounded by
+  // |cluster|², the published corpus-scale trade (k ≈ √n trained
+  // centroids at production, the tools/KMeansTrainer swap — plan shape
+  // untouched). Singleton clusters emit no rows (documented: a vector
+  // with no in-cluster peer has no edge at nprobe=1). Ties break by
+  // neighbor id; cosines are the bit-identical float_dot folds.
+  def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      s"""WITH normed AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(float_dot(embedding, embedding)) AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |  FROM normed WHERE vec_id BETWEEN 100 AND 115),
+         |assign AS (
+         |  SELECT n.vec_id, c.c_id, n.embedding, n.nrm,
+         |         row_number() OVER (PARTITION BY n.vec_id
+         |           ORDER BY float_dot(n.embedding, c.c_emb) / (n.nrm * c.c_nrm) DESC,
+         |                    c.c_id) AS crnk
+         |  FROM normed n CROSS JOIN cents c),
+         |members AS (SELECT vec_id, c_id, embedding, nrm FROM assign WHERE crnk = 1),
+         |edges AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id, a.c_id,
+         |         float_dot(a.embedding, b.embedding) / (a.nrm * b.nrm) AS cs
+         |  FROM members a JOIN members b
+         |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, nbr_id, c_id, cs,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cs DESC, nbr_id) AS rnk
+         |  FROM edges)
+         |SELECT vec_id, CAST(rnk AS INT) AS rnk, nbr_id,
+         |       CAST(c_id AS BIGINT) AS cluster_id, cs AS cos_sim
+         |FROM ranked WHERE rnk <= 3""".stripMargin)
+  }
+
+  val annKnnGraphSql: String =
+    s"""WITH normed AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotD("embedding", "embedding",
+                             "range(1, len(embedding) + 1)")}) AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM normed WHERE vec_id BETWEEN 100 AND 115),
+       |assign AS (
+       |  SELECT n.vec_id, c.c_id, n.embedding, n.nrm,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |           ${dotD("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+       |           c.c_id) AS crnk
+       |  FROM normed n CROSS JOIN cents c),
+       |members AS (SELECT vec_id, c_id, embedding, nrm FROM assign WHERE crnk = 1),
+       |edges AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id, a.c_id,
+       |         ${dotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cs
+       |  FROM members a JOIN members b
+       |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, nbr_id, c_id, cs,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cs DESC, nbr_id) AS rnk
+       |  FROM edges)
+       |SELECT vec_id, CAST(rnk AS INT) AS rnk, nbr_id,
+       |       CAST(c_id AS BIGINT) AS cluster_id, cs AS cos_sim
+       |FROM ranked WHERE rnk <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_knn_graph" -> (annKnnGraph _),
     "emb_rp_project" -> (embRpProject _),
     "ann_pq_rerank_topk" -> (annPqRerankTopk _),
     "emb_pq_encode" -> (embPqEncode _),
@@ -791,6 +867,7 @@ object SimilarityQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracle: Map[String, String] = Map(
+    "ann_knn_graph" -> annKnnGraphSql,
     "emb_rp_project" -> embRpProjectSql,
     "ann_pq_rerank_topk" -> annPqRerankTopkSql,
     "emb_pq_encode" -> embPqEncodeSql,

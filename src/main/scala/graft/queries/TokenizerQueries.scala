@@ -203,10 +203,16 @@ object TokenizerQueries {
          |            FROM documents))""".stripMargin)
   }
 
-  val textBpeEncodeSql: String = {
-    val chain = (0 until Merges).foldLeft("joined") { (e, i) =>
+  /** The oracle-side encode chain over the CTE-level merge artifacts:
+    * levels past an early stop have empty p_i, and the coalesce dummy
+    * (a char occurring nowhere) turns their replace into identity. */
+  private def duckEncodeChain(col: String): String =
+    (0 until Merges).foldLeft(col) { (e, i) =>
       s"replace($e, coalesce((SELECT pair FROM p$i), chr(${dummyChar(i)})), chr(${0xE000 + i}))"
     }
+
+  val textBpeEncodeSql: String = {
+    val chain = duckEncodeChain("joined")
     s"""WITH $oracleLevels,
        |docs_w AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
@@ -227,11 +233,78 @@ object TokenizerQueries {
        |FROM base""".stripMargin
   }
 
+  // ── pipe_tokenize_pack ★ — sequence packing by REAL tokenizer counts:
+  // `pipe_pack` budgets with the chars/4 estimate; production packs by
+  // the ACTUAL token count of the tokenizer the model trains with. This
+  // composes the trained merge chain into the packing window — the
+  // budget axis becomes exact BPE tokens (512/sequence). Same scale
+  // shape as pipe_pack (one window PARTITION BY source, sources pack
+  // independently); the tokenize step is the narrow encode chain, and
+  // the training run is shared with text_bpe_train/encode through the
+  // session memo.
+  def pipeTokenizePack(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainMerges(spark, dir)
+    viewDocs(spark, dir)
+    val chain = encodeExpr(merges, "joined")
+    spark.sql(
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |         concat_ws(' ', regexp_extract_all(lower(text), '[a-z]+', 0)) AS joined,
+         |         size(regexp_extract_all(lower(text), '[a-z]+', 0)) AS n_words
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(length($chain) - (n_words - 1) AS BIGINT)
+         |         END AS bpe_tokens
+         |  FROM base),
+         |packed AS (
+         |  SELECT doc_id, source, bpe_tokens,
+         |         sum(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM toks)
+         |SELECT source, CAST((cum - bpe_tokens) div 512 AS INT) AS chunk,
+         |       count(*) AS docs,
+         |       CAST(sum(bpe_tokens) AS BIGINT) AS chunk_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM packed
+         |GROUP BY source, chunk""".stripMargin)
+  }
+
+  val pipeTokenizePackSql: String = {
+    val chain = duckEncodeChain("joined")
+    s"""WITH $oracleLevels,
+       |base AS (
+       |  SELECT doc_id, source,
+       |         array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ') AS joined,
+       |         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(length($chain) - (n_words - 1) AS BIGINT)
+       |         END AS bpe_tokens
+       |  FROM base),
+       |packed AS (
+       |  SELECT doc_id, source, bpe_tokens,
+       |         sum(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM toks)
+       |SELECT source, CAST((cum - bpe_tokens) // 512 AS INT) AS chunk,
+       |       count(*) AS docs,
+       |       CAST(sum(bpe_tokens) AS BIGINT) AS chunk_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM packed
+       |GROUP BY source, chunk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (textBpeTrain _),
-    "text_bpe_encode" -> (textBpeEncode _))
+    "text_bpe_encode" -> (textBpeEncode _),
+    "pipe_tokenize_pack" -> (pipeTokenizePack _))
 
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> textBpeTrainSql,
-    "text_bpe_encode" -> textBpeEncodeSql)
+    "text_bpe_encode" -> textBpeEncodeSql,
+    "pipe_tokenize_pack" -> pipeTokenizePackSql)
 }
