@@ -552,7 +552,106 @@ object CdcQueries {
       |       min(event_id) AS first_event, max(event_id) AS last_event
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  // E10 ★ strict ordered funnel over the event stream: signup → first
+  // view AFTER the signup → first purchase AFTER that view, per user —
+  // the canonical behavioral conversion analysis (and an ordered-
+  // sequence pattern SQL gets wrong without the stage-anchored joins:
+  // min(purchase) alone would count purchases that happened before the
+  // user ever viewed). Times ride the proven integer-microsecond axis
+  // (unix_micros ↔ epoch_us, the e9 parity path). Shape: three
+  // map-side-combined per-user MIN aggregates chained by equi-joins on
+  // user_id (each with a one-sided time residual) — high-cardinality
+  // keys, no windows, no all-pairs; users: 150 at sf0.01, millions at
+  // production, all parallel.
+  def e10Funnel(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_type, unix_micros(ts) AS t FROM events_t),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t2
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.t > s1.t1
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t3
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.t > s2.t2
+        |       GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t1 AS signup_us, s2.t2 AS first_view_us,
+        |       s3.t3 AS first_purchase_us,
+        |       CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |            WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS stage_reached,
+        |       CASE WHEN s3.t3 IS NOT NULL
+        |            THEN CAST((s3.t3 - s1.t1) div 1000 AS BIGINT) END AS ms_to_convert
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin)
+  }
+
+  val e10Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.t) AS t2
+      |       FROM e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'view' AND e.t > s1.t1
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.t) AS t3
+      |       FROM e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.t > s2.t2
+      |       GROUP BY e.user_id)
+      |SELECT s1.user_id, s1.t1 AS signup_us, s2.t2 AS first_view_us,
+      |       s3.t3 AS first_purchase_us,
+      |       CASE WHEN s3.t3 IS NOT NULL THEN 3
+      |            WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS stage_reached,
+      |       CASE WHEN s3.t3 IS NOT NULL
+      |            THEN CAST((s3.t3 - s1.t1) // 1000 AS BIGINT) END AS ms_to_convert
+      |FROM s1
+      |LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
+  // E11 ★ weekly cohort retention: users grouped by first-seen week, the
+  // classic "of the week-w cohort, how many came back in week w+k"
+  // triangle every growth/engagement report is built from. Integer
+  // microsecond axis; week index = t div 604800e6 relative to the
+  // corpus epoch — all integer arithmetic, both engines bit-equal.
+  // Shape: one per-user MIN (first seen), one distinct (user, week)
+  // reduction, one equi-join on user_id, one (cohort, offset) count —
+  // every stage map-side-combined on high-cardinality or bounded keys.
+  def e11Retention(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(
+      """WITH e AS (
+        |  SELECT user_id, unix_micros(ts) div 604800000000 AS wk FROM events_t),
+        |epoch0 AS (SELECT min(wk) AS w0 FROM e),
+        |firsts AS (SELECT user_id, min(wk) AS first_wk FROM e GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, wk FROM e)
+        |SELECT CAST(f.first_wk - x.w0 AS BIGINT) AS cohort_week,
+        |       CAST(a.wk - f.first_wk AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+        |FROM active a JOIN firsts f ON a.user_id = f.user_id
+        |CROSS JOIN epoch0 x
+        |GROUP BY f.first_wk - x.w0, a.wk - f.first_wk""".stripMargin)
+  }
+
+  val e11Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |epoch0 AS (SELECT min(wk) AS w0 FROM e),
+      |firsts AS (SELECT user_id, min(wk) AS first_wk FROM e GROUP BY user_id),
+      |active AS (SELECT DISTINCT user_id, wk FROM e)
+      |SELECT CAST(f.first_wk - x.w0 AS BIGINT) AS cohort_week,
+      |       CAST(a.wk - f.first_wk AS BIGINT) AS week_offset,
+      |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+      |FROM active a JOIN firsts f ON a.user_id = f.user_id
+      |CROSS JOIN epoch0 x
+      |GROUP BY f.first_wk - x.w0, a.wk - f.first_wk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_retention" -> (e11Retention _),
+    "e10_funnel" -> (e10Funnel _),
     "a1_change_scan" -> (a1ChangeScan _),
     "c7_asof_join" -> (c7AsofJoin _),
     "c8_range_join" -> (c8RangeJoin _),
@@ -576,6 +675,8 @@ object CdcQueries {
     "e5_offset_gaps" -> (e5OffsetGaps _))
 
   val oracle: Map[String, String] = Map(
+    "e11_retention" -> e11Sql,
+    "e10_funnel" -> e10Sql,
     "a1_change_scan" -> a1Sql,
     "c7_asof_join" -> c7Sql,
     "c8_range_join" -> c8Sql,

@@ -322,6 +322,54 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.getLong(1) == b.getLong(1), "replication must add no new distinct chunks")
   }
 
+  test("sk_hll_distinct is EXACTLY invariant under 10x replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Replication adds no new distinct words, and register maxes are a
+    // semilattice over the distinct set — every output column must be
+    // bit-identical to the sf0.1 run.
+    def rows(d: String) = SparkEntry.queries("sk_hll_distinct")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getDouble(3), r.getLong(4))).toMap
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("sk_hll_distinct @ sf~1")(rows(dir))
+    assert(scaled == base, "HLL must not see volume, only distinct values")
+  }
+
+  test("ann_knn_graph at sf≈1: every copy's nearest neighbors are its own copies") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Each vector has 9 exact copies in its cluster (identical embedding
+    // ⇒ identical centroid assignment), so every top-3 edge must sit at
+    // cosine ≈ 1 (a neighbor beating an exact copy is itself an
+    // exact-grade duplicate), and the overwhelming share must point at
+    // copies of the same base vector — organic near-identical pairs in
+    // the base corpus may legitimately tie in, so the same-base claim is
+    // a floor, not an equality.
+    val g = timed("ann_knn_graph @ sf~1") {
+      SparkEntry.queries("ann_knn_graph")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4)))
+    }
+    assert(g.nonEmpty)
+    val low = g.filter(_._3 < 0.999999)
+    assert(low.isEmpty,
+      s"${low.size} edges below 0.999999 despite 9 exact copies in-cluster")
+    val sameBase = g.count { case (v, n, _) => (v % IdStride) == (n % IdStride) }
+    assert(sameBase.toDouble / g.size > 0.9,
+      s"only $sameBase/${g.size} edges point at same-base copies")
+  }
+
+  test("pipe_tokenize_pack scales token mass linearly at sf≈1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // The tokenizer is replication-invariant (proven above), so the
+    // total packed BPE token mass must be exactly 10x the sf0.1 mass.
+    val b = SparkEntry.queries("pipe_tokenize_pack")(spark, "/root/testdata/sf0.1")
+      .agg(sum(col("chunk_tokens"))).head().getLong(0)
+    val s = timed("pipe_tokenize_pack @ sf~1") {
+      SparkEntry.queries("pipe_tokenize_pack")(spark, dir)
+        .agg(sum(col("chunk_tokens"))).head().getLong(0)
+    }
+    assert(s == Copies * b, s"token mass $s != ${Copies}x$b")
+  }
+
   test("emb_pca_project direction is stable under 10x replication") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     def train(d: String): Array[Long] = {
