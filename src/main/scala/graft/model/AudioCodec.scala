@@ -1,0 +1,90 @@
+package graft.model
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** REAL audio container codec through the JDK's `javax.sound.sampled`
+  * WAV support — the audio sibling of [[MediaCodec]]'s PNG path: a
+  * deterministic 16-bit PCM test signal is encoded into an actual WAV
+  * container (RIFF header, fmt/data chunks — written by the JDK, not by
+  * hand) and decoded back to real samples; the signal statistics are
+  * computed from the DECODED stream. PCM-in-WAV is lossless, so a single
+  * sample dropped, reordered, or byte-swapped by the container round
+  * trip changes the exact integer statistics and fails the oracle
+  * compare.
+  *
+  * The sample formula is pure integer arithmetic over (doc_id, i), so
+  * the DuckDB oracle recomputes every statistic without touching a WAV:
+  *   s(doc, i) = ((doc·7919 + i·2654435761) mod 65536) − 32768
+  * (positive operands before the mod on both engines).
+  */
+object AudioCodec {
+
+  val SampleRate = 8000f
+
+  /** Deterministic 16-bit sample i of document `docId`. */
+  def sample(docId: Long, i: Int): Int =
+    ((docId * 7919L + i.toLong * 2654435761L) % 65536L).toInt - 32768
+
+  /** 800..1599 samples (0.1-0.2 s at 8 kHz) — bounded like the PNG
+    * pattern dims, so the oracle's per-doc fold stays cheap. */
+  def sampleCount(docId: Long): Int = (800 + docId % 800).toInt
+
+  def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  private val format =
+    new AudioFormat(SampleRate, 16, 1, true /*signed*/, false /*little-endian*/)
+
+  /** Encode the document's PCM test signal as a REAL WAV byte stream. */
+  def synthesizeWav(docId: Long): Array[Byte] = {
+    val n = sampleCount(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sample(docId, i)
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val in = new AudioInputStream(new ByteArrayInputStream(pcm), format, n.toLong)
+    val out = new ByteArrayOutputStream()
+    try AudioSystem.write(in, AudioFileFormat.Type.WAVE, out) finally in.close()
+    out.toByteArray
+  }
+
+  /** Decoded real-sample statistics: all exact integers (sum of squares
+    * instead of RMS — no sqrt in the compare path), plus the row-order
+    * polynomial hash (the MediaCodec pixel-hash discipline, over the
+    * NON-NEGATIVE shifted sample so the fold stays in [0, 1e9+7)). */
+  final case class DecodedWav(nSamples: Long, sumAbs: Long, sumSq: Long,
+      peak: Int, zeroCrossings: Long, sampleHash: Long)
+
+  def decodeWav(bytes: Array[Byte]): DecodedWav = {
+    require(isWav(bytes), "not a WAV stream")
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+        s"unexpected decoded format: $f")
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      var sumAbs = 0L; var sumSq = 0L; var peak = 0; var zc = 0L; var hash = 0L
+      var prev = 0; var i = 0
+      while (i < n) {
+        val s = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort.toInt
+        sumAbs += math.abs(s)
+        sumSq += s.toLong * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0))) zc += 1
+        hash = (hash * 31 + (s + 32768)) % 1000000007L
+        prev = s
+        i += 1
+      }
+      DecodedWav(n.toLong, sumAbs, sumSq, peak, zc, hash)
+    } finally ais.close()
+  }
+}

@@ -5,11 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.model.MediaStub
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
-  * with typed metadata. The codec itself is STUBBED (no image/audio libs
-  * in this environment) behind [[graft.model.MediaStub]] — a deterministic
-  * fake whose header layout stands in for a container format — but the
-  * Spark-side plumbing (binary columns, schema, batch-shaped partition
-  * processing, frame-sampling fan-out) is real and oracle-checked.
+  * with typed metadata. Two container formats decode REAL bytes through
+  * JDK codecs — PNG via javax.imageio ([[graft.model.MediaCodec]]:
+  * `mm_decode_png`, `mm_resize`) and WAV via javax.sound
+  * ([[graft.model.AudioCodec]]: `mm_decode_wav`); jpeg/webp remain
+  * stubbed behind [[graft.model.MediaStub]] (no external codec libs in
+  * this environment) — a deterministic fake whose header layout stands
+  * in for a container format. The Spark-side plumbing (binary columns,
+  * schema, batch-shaped partition processing, frame-sampling fan-out) is
+  * real and oracle-checked throughout.
   *
   * Scale notes: media rows are wide (MBs each at production); the
   * partition sizing lever is `spark.sql.files.maxPartitionBytes`, and the
@@ -330,6 +334,53 @@ object MultimodalQueries {
       "pixel_hash", "mean_luma")
   }
 
+  // ── mm_decode_wav (r10) — REAL audio container decode through the
+  // JDK's javax.sound WAV codec (the audio sibling of mm_decode_png):
+  // every doc_id % 4 = 1 asset is an ACTUAL WAV container (RIFF/fmt/data
+  // chunks written by the JDK) holding a deterministic 16-bit PCM test
+  // signal; the signal statistics (abs-sum, energy, peak, zero
+  // crossings, rolling hash) are computed from the DECODED stream.
+  // PCM-in-WAV is lossless, so one dropped/byte-swapped sample fails the
+  // oracle compare — and the oracle recomputes everything from the
+  // integer sample formula without touching a WAV. Scale shape: narrow
+  // mapPartitions, no shuffle; container bytes never leave the
+  // partition.
+  def mmDecodeWav(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    import spark.implicits._
+    import graft.model.AudioCodec
+    val ids = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 4 = 1").as[Long]
+    ids.mapPartitions { it =>
+      it.map { docId =>
+        val bytes = AudioCodec.synthesizeWav(docId)
+        val d = AudioCodec.decodeWav(bytes)
+        (docId, d.nSamples, d.sumAbs, d.sumSq, d.peak, d.zeroCrossings,
+          d.sampleHash, d.sumAbs.toDouble / d.nSamples)
+      }
+    }.toDF("doc_id", "n_samples", "sum_abs", "sum_sq", "peak",
+      "zero_crossings", "sample_hash", "mean_abs")
+  }
+
+  val mmDecodeWavSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id, CAST(800 + doc_id % 800 AS BIGINT) AS n,
+      |         list_transform(range(0, 800 + doc_id % 800),
+      |           i -> CAST((doc_id * 7919 + i * 2654435761) % 65536 - 32768
+      |                AS BIGINT)) AS ss
+      |  FROM documents WHERE doc_id % 4 = 1)
+      |SELECT doc_id, n AS n_samples,
+      |       CAST(list_sum(list_transform(ss, s -> abs(s))) AS BIGINT) AS sum_abs,
+      |       CAST(list_sum(list_transform(ss, s -> s * s)) AS BIGINT) AS sum_sq,
+      |       CAST(list_max(list_transform(ss, s -> abs(s))) AS INT) AS peak,
+      |       CAST(list_sum(list_transform(range(1, CAST(n AS INT)), i ->
+      |         CASE WHEN (ss[i] < 0 AND ss[i + 1] >= 0)
+      |                OR (ss[i] >= 0 AND ss[i + 1] < 0)
+      |              THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+      |       CAST(list_reduce([0] || list_transform(ss, s -> s + 32768),
+      |         (acc, s) -> (acc * 31 + s) % 1000000007) AS BIGINT) AS sample_hash,
+      |       CAST(list_sum(list_transform(ss, s -> abs(s))) AS DOUBLE) / n AS mean_abs
+      |FROM sig""".stripMargin
+
   // ── mm_resize (r10) — REAL thumbnail resize of REAL decoded pixels:
   // the §8 brief's "resize" op, runnable now that the PNG path decodes
   // actual rasters. Each PNG asset is decoded, downsampled nearest-
@@ -421,6 +472,7 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_png" -> (mmDecodePng _),
     "mm_resize" -> (mmResize _),
+    "mm_decode_wav" -> (mmDecodeWav _),
     "mm_near_dup_bands" -> (mmNearDupBands _),
     "mm_metadata_extract" -> (mmMetadataExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -430,6 +482,7 @@ object MultimodalQueries {
   val oracle: Map[String, String] = Map(
     "mm_decode_png" -> mmDecodePngSql,
     "mm_resize" -> mmResizeSql,
+    "mm_decode_wav" -> mmDecodeWavSql,
     "mm_near_dup_bands" -> mmNearDupBandsSql,
     "mm_metadata_extract" -> mmMetadataExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,

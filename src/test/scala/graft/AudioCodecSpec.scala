@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.AudioCodec
+
+/** The REAL-codec half of the audio boundary: the JDK WAV round trip
+  * must reproduce the PCM test signal exactly (PCM-in-WAV is lossless —
+  * deviation is a codec-path bug, not noise), the container must be a
+  * genuine RIFF/WAVE stream, and non-WAV / truncated inputs must be
+  * rejected loudly. */
+class AudioCodecSpec extends AnyFunSuite {
+
+  test("WAV encode→decode round trip reproduces the signal exactly") {
+    for (docId <- Seq(0L, 1L, 5L, 42L, 999L, 123457L)) {
+      val bytes = AudioCodec.synthesizeWav(docId)
+      assert(AudioCodec.isWav(bytes), "synthesized stream lacks the RIFF/WAVE magic")
+      val d = AudioCodec.decodeWav(bytes)
+      val n = AudioCodec.sampleCount(docId)
+      assert(d.nSamples == n)
+      var sumAbs = 0L; var sumSq = 0L; var peak = 0; var zc = 0L; var hash = 0L
+      var prev = 0
+      for (i <- 0 until n) {
+        val s = AudioCodec.sample(docId, i)
+        sumAbs += math.abs(s); sumSq += s.toLong * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0))) zc += 1
+        hash = (hash * 31 + (s + 32768)) % 1000000007L
+        prev = s
+      }
+      assert(d.sumAbs == sumAbs && d.sumSq == sumSq && d.peak == peak,
+        s"doc $docId magnitude stats drifted")
+      assert(d.zeroCrossings == zc, s"doc $docId zero crossings drifted")
+      assert(d.sampleHash == hash, s"doc $docId sample order/values drifted")
+    }
+  }
+
+  test("non-WAV and truncated containers are rejected, not mis-decoded") {
+    intercept[IllegalArgumentException] {
+      AudioCodec.decodeWav(Array[Byte](1, 2, 3, 4))
+    }
+    // A real PNG is not a WAV.
+    val png = graft.model.MediaCodec.synthesizeGrayPng(7L)
+    intercept[IllegalArgumentException] { AudioCodec.decodeWav(png) }
+    // RIFF magic intact, stream cut mid-data: must throw or return only
+    // complete frames — never fabricate samples. The JDK reader stops at
+    // the truncation point; the strict check is that decode NEVER claims
+    // the full sample count.
+    val wav = AudioCodec.synthesizeWav(9L)
+    val cut = wav.take(wav.length / 2)
+    val claimed =
+      try Some(AudioCodec.decodeWav(cut).nSamples)
+      catch { case _: Exception => None }
+    assert(claimed.forall(_ < AudioCodec.sampleCount(9L)),
+      "truncated WAV decoded to the full sample count")
+  }
+}
