@@ -2,7 +2,7 @@ package graft.model
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
 
 /** REAL audio container codec through the JDK's `javax.sound.sampled`
   * WAV support — the audio sibling of [[MediaCodec]]'s PNG path: a
@@ -39,8 +39,54 @@ object AudioCodec {
   private val format =
     new AudioFormat(SampleRate, 16, 1, true /*signed*/, false /*little-endian*/)
 
-  /** Encode the document's PCM test signal as a REAL WAV byte stream. */
-  def synthesizeWav(docId: Long): Array[Byte] = {
+  /** Expensive-to-open writer context, one per partition: the static
+    * `AudioSystem.write` entry point re-scans the SPI provider registry
+    * per call — the per-row codec-open cost the PNG path's
+    * `MediaCodec.PngWriter` exists to hoist, applied to audio. */
+  final class WavWriter private[AudioCodec] () {
+    private[AudioCodec] val writer: javax.sound.sampled.spi.AudioFileWriter = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+      var found: javax.sound.sampled.spi.AudioFileWriter = null
+      while (found == null && it.hasNext) {
+        val w = it.next()
+        if (w.isFileTypeSupported(AudioFileFormat.Type.WAVE)) found = w
+      }
+      require(found != null, "no WAV AudioFileWriter provider on this JDK")
+      found
+    }
+  }
+
+  def openWriter(): WavWriter = new WavWriter
+
+  /** Expensive-to-open reader context, one per partition: the static
+    * `AudioSystem.getAudioInputStream` probes EVERY installed
+    * AudioFileReader with exception-driven parsing per call; this pins
+    * the WAV-capable provider once (selected by probing a synthesized
+    * container, not by class name). */
+  final class WavReader private[AudioCodec] () {
+    private[AudioCodec] val reader: javax.sound.sampled.spi.AudioFileReader = {
+      val probe = synthesizeWav(new WavWriter, 0L)
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      var found: javax.sound.sampled.spi.AudioFileReader = null
+      while (found == null && it.hasNext) {
+        val r = it.next()
+        try {
+          val s = r.getAudioInputStream(new ByteArrayInputStream(probe))
+          s.close(); found = r
+        } catch { case _: Exception => () }
+      }
+      require(found != null, "no WAV AudioFileReader provider on this JDK")
+      found
+    }
+  }
+
+  def openReader(): WavReader = new WavReader
+
+  /** Encode the document's PCM test signal as a REAL WAV byte stream,
+    * through a per-partition writer context. */
+  def synthesizeWav(ctx: WavWriter, docId: Long): Array[Byte] = {
     val n = sampleCount(docId)
     val pcm = new Array[Byte](n * 2)
     var i = 0
@@ -52,9 +98,12 @@ object AudioCodec {
     }
     val in = new AudioInputStream(new ByteArrayInputStream(pcm), format, n.toLong)
     val out = new ByteArrayOutputStream()
-    try AudioSystem.write(in, AudioFileFormat.Type.WAVE, out) finally in.close()
+    try ctx.writer.write(in, AudioFileFormat.Type.WAVE, out) finally in.close()
     out.toByteArray
   }
+
+  /** One-shot convenience (tests, tools): opens a writer per call. */
+  def synthesizeWav(docId: Long): Array[Byte] = synthesizeWav(new WavWriter, docId)
 
   /** Decoded real-sample statistics: all exact integers (sum of squares
     * instead of RMS — no sqrt in the compare path), plus the row-order
@@ -63,9 +112,9 @@ object AudioCodec {
   final case class DecodedWav(nSamples: Long, sumAbs: Long, sumSq: Long,
       peak: Int, zeroCrossings: Long, sampleHash: Long)
 
-  def decodeWav(bytes: Array[Byte]): DecodedWav = {
+  def decodeWav(ctx: WavReader, bytes: Array[Byte]): DecodedWav = {
     require(isWav(bytes), "not a WAV stream")
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val ais = ctx.reader.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
       val f = ais.getFormat
       require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
@@ -87,4 +136,7 @@ object AudioCodec {
       DecodedWav(n.toLong, sumAbs, sumSq, peak, zc, hash)
     } finally ais.close()
   }
+
+  /** One-shot convenience (tests, tools): opens a reader per call. */
+  def decodeWav(bytes: Array[Byte]): DecodedWav = decodeWav(new WavReader, bytes)
 }

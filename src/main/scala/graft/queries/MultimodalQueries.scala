@@ -351,9 +351,11 @@ object MultimodalQueries {
     import graft.model.AudioCodec
     val ids = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 4 = 1").as[Long]
     ids.mapPartitions { it =>
+      val writer = AudioCodec.openWriter()
+      val reader = AudioCodec.openReader()
       it.map { docId =>
-        val bytes = AudioCodec.synthesizeWav(docId)
-        val d = AudioCodec.decodeWav(bytes)
+        val bytes = AudioCodec.synthesizeWav(writer, docId)
+        val d = AudioCodec.decodeWav(reader, bytes)
         (docId, d.nSamples, d.sumAbs, d.sumSq, d.peak, d.zeroCrossings,
           d.sampleHash, d.sumAbs.toDouble / d.nSamples)
       }

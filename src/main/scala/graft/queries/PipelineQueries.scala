@@ -160,7 +160,7 @@ object PipelineQueries {
         |         sum(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM toks)
-        |SELECT source, CAST((cum - est_tokens) div 512 AS INT) AS chunk,
+        |SELECT source, CAST((cum - est_tokens) div 512 AS BIGINT) AS chunk,
         |       count(*) AS docs,
         |       CAST(sum(est_tokens) AS BIGINT) AS chunk_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
@@ -178,7 +178,7 @@ object PipelineQueries {
       |         sum(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM toks)
-      |SELECT source, CAST((cum - est_tokens) // 512 AS INT) AS chunk,
+      |SELECT source, CAST((cum - est_tokens) // 512 AS BIGINT) AS chunk,
       |       count(*) AS docs,
       |       CAST(sum(est_tokens) AS BIGINT) AS chunk_tokens,
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc

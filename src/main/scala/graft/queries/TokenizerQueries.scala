@@ -263,7 +263,7 @@ object TokenizerQueries {
          |         sum(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM toks)
-         |SELECT source, CAST((cum - bpe_tokens) div 512 AS INT) AS chunk,
+         |SELECT source, CAST((cum - bpe_tokens) div 512 AS BIGINT) AS chunk,
          |       count(*) AS docs,
          |       CAST(sum(bpe_tokens) AS BIGINT) AS chunk_tokens,
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
@@ -290,7 +290,7 @@ object TokenizerQueries {
        |         sum(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM toks)
-       |SELECT source, CAST((cum - bpe_tokens) // 512 AS INT) AS chunk,
+       |SELECT source, CAST((cum - bpe_tokens) // 512 AS BIGINT) AS chunk,
        |       count(*) AS docs,
        |       CAST(sum(bpe_tokens) AS BIGINT) AS chunk_tokens,
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc

@@ -49,6 +49,52 @@ class StreamingFunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
       == FunnelState(9, -1, -1))
   }
 
+  test("partial-stage users: batch and stream agree on stalls, nulls, and strict ordering") {
+    // The driver fixture converts EVERY signup user to stage 3, so the
+    // stage-1/stage-2 arms, the NULL view/purchase columns, and the
+    // purchase-before-view strictness rule are only exercised here.
+    val base = Files.createTempDirectory("funnel-partial").toString
+    val ss = spark; import ss.implicits._
+    val events = Seq(
+      // u1: signup only -> stage 1, both later stages NULL.
+      (1L, "signup", 1000000L, 10L),
+      // u2: purchase BEFORE its first view must NOT count -> stage 2.
+      (2L, "signup", 1000000L, 20L),
+      (2L, "purchase", 2000000L, 21L),
+      (2L, "view", 3000000L, 22L),
+      // u3: full ordered chain -> stage 3.
+      (3L, "signup", 1000000L, 30L),
+      (3L, "view", 2000000L, 31L),
+      (3L, "purchase", 3000000L, 32L),
+      // u4: view+purchase but NO signup -> absent from both outputs.
+      (4L, "view", 1000000L, 40L),
+      (4L, "purchase", 2000000L, 41L))
+    events.toDF("user_id", "event_type", "t_us", "event_id")
+      .selectExpr("user_id", "event_type", "timestamp_micros(t_us) AS ts",
+        "event_id", "CAST(0.0 AS DOUBLE) AS value", "'' AS props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/events.parquet")
+
+    val batch = CdcQueries.e10Funnel(spark, base).collect()
+      .map(r => r.getLong(0) -> (r.getInt(4), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(batch.keySet == Set(1L, 2L, 3L))
+    assert(batch(1L) == (1, 1000000L, None, None))
+    assert(batch(2L) == (2, 1000000L, Some(3000000L), None))
+    assert(batch(3L) == (3, 1000000L, Some(2000000L), Some(3000000L)))
+
+    val (drop, sink, ckpt) = (s"$base/drop", s"$base/sink", s"$base/ckpt")
+    events.toDF("user_id", "event_type", "t_us", "event_id")
+      .orderBy("t_us", "event_id").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$drop/wave=1")
+    StreamingFunnel.run(spark, drop, sink, ckpt)
+    val streamed = StreamingFunnel.positions(spark, sink).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(streamed == batch)
+  }
+
   test("ordered two-wave stream with restart equals the batch funnel") {
     val base = Files.createTempDirectory("sfunnel").toString
     val (drop, sink, ckpt) = (s"$base/drop", s"$base/sink", s"$base/ckpt")
