@@ -30,14 +30,16 @@ object Bench {
     // materializes (session-memoized), so run the producer first — the
     // order a production dedup pipeline uses — and each query's timing
     // is its marginal cost.
-    // (Same producer-first ordering for the BPE pair: text_bpe_train
-    // materializes the session-memoized merge list text_bpe_encode loads.)
+    // (Same producer-first ordering for the BPE family: text_bpe_train
+    // materializes the session-memoized merge list; it must run before
+    // its alphabetically-EARLIEST consumer — pipe_tokenize_pack — or the
+    // training cost lands in the wrong query's timing.)
     val ordered = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(Set("dd_minhash_lsh", "text_bpe_train"))
       .flatMap {
-        case n @ "dd_cluster"     => Seq("dd_minhash_lsh", n)
-        case n @ "text_bpe_encode" => Seq("text_bpe_train", n)
-        case n                    => Seq(n)
+        case n @ "dd_cluster"         => Seq("dd_minhash_lsh", n)
+        case n @ "pipe_tokenize_pack" => Seq("text_bpe_train", n)
+        case n                        => Seq(n)
       }
     // A FAILED query records +Infinity, never its time-to-failure: a
     // fast pass-2 error (e.g. a dropped temp-view dependency) would

@@ -44,11 +44,14 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.setLogLevel("WARN")
     if (stressEnabled) {
       dir = Files.createTempDirectory("graft-sf1").toString
-      Seq("documents", "embeddings").foreach { t =>
+      // events replicate on BOTH ids: user_id (each copy is a fresh user
+      // population with the same temporal behavior) and event_id (tie
+      // breaks stay unique).
+      Seq("documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"),
+        "events" -> Seq("user_id", "event_id")).foreach { case (t, idCols) =>
         val base = spark.read.parquet(s"/root/testdata/sf0.1/$t.parquet")
-        val idCol = if (t == "documents") "doc_id" else "vec_id"
         val scaled = (0 until Copies).map { i =>
-          base.withColumn(idCol, col(idCol) + lit(i * IdStride))
+          idCols.foldLeft(base)((df, c) => df.withColumn(c, col(c) + lit(i * IdStride)))
         }.reduce(_ unionByName _)
         // Spread across real splits: file-split parallelism governs the
         // scan, same reason DedupQueries repartitions its doc view.
@@ -368,6 +371,34 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         .agg(sum(col("chunk_tokens"))).head().getLong(0)
     }
     assert(s == Copies * b, s"token mass $s != ${Copies}x$b")
+  }
+
+  test("e10_funnel replicates user-for-user at sf≈1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Every copy is a fresh user with the base user's exact event times,
+    // so the funnel must produce 10x the rows with identical per-user
+    // stage times — behavioral analytics sees population, not volume.
+    def rows(d: String) = SparkEntry.queries("e10_funnel")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getInt(4), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toMap
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("e10_funnel @ sf~1")(rows(dir))
+    assert(scaled.size == Copies * base.size)
+    scaled.foreach { case (u, row) =>
+      assert(row == base(u % IdStride), s"user $u diverged from its base copy")
+    }
+  }
+
+  test("e11_retention scales every cohort cell exactly 10x at sf≈1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    def cells(d: String) = SparkEntry.queries("e11_retention")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val base = cells("/root/testdata/sf0.1")
+    val scaled = timed("e11_retention @ sf~1")(cells(dir))
+    assert(scaled.keySet == base.keySet, "replication must add no new cohort cells")
+    base.foreach { case (k, n) =>
+      assert(scaled(k) == Copies * n, s"cell $k: ${scaled(k)} != ${Copies}x$n")
+    }
   }
 
   test("emb_pca_project direction is stable under 10x replication") {
