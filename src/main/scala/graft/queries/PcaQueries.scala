@@ -52,10 +52,34 @@ object PcaQueries {
       .repartition(spark.sparkContext.defaultParallelism)
       .createOrReplaceTempView("embeddings")
 
-  /** Integer power iteration over the exact covariance of the registered
-    * `embeddings` view; returns the sign-fixed eigenvector (Dim longs,
-    * ~VScale magnitude). All divisions truncate (see class doc). */
-  private[graft] def trainTopComponentOnView(spark: SparkSession): Array[Long] = {
+  /** Power iteration (optionally orthogonalized against a fixed prior
+    * component after each normalization — the deflation that isolates
+    * the SECOND component) over a pre-scaled covariance. The
+    * orthogonalization coefficient is applied through an exact 128-bit
+    * product-then-divide ((cn · v1_d) / cd in BigInt ↔ DuckDB HUGEINT,
+    * both truncating toward zero), so no staging divisions are needed
+    * and both engines land identical integers. */
+  private def iterate(c: Array[Array[Long]], orth: Option[Array[Long]]): Array[Long] = {
+    val cd = orth.map(v1 => v1.map(x => x * x).sum)
+    var v = Array.fill(Dim)(VScale)
+    for (_ <- 0 until Iters) {
+      val w = Array.tabulate(Dim) { i =>
+        var acc = 0L; var j = 0
+        while (j < Dim) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val nrm = math.max(1L, w.iterator.map(math.abs).max / VScale)
+      v = w.map(_ / nrm)
+      orth.foreach { v1 =>
+        val cn = (0 until Dim).map(d => v(d) * v1(d)).sum
+        v = Array.tabulate(Dim)(d => v(d) - (BigInt(cn) * v1(d) / cd.get).toLong)
+      }
+    }
+    if (v.find(_ != 0L).exists(_ < 0L)) v.map(x => -x) else v
+  }
+
+  /** Collect + pre-scale the exact integer covariance (see class doc). */
+  private def covScaled(spark: SparkSession): Array[Array[Long]] = {
     // The outer product is generated PER ROW by a double posexplode of
     // the same quantized array — no self-join, so the corpus never
     // shuffles; only the 4096-key map-side-combined partials do. (The
@@ -83,17 +107,22 @@ object PcaQueries {
     val cmax = c.iterator.flatten.map(math.abs).max
     val cs = 1L + cmax / CScaleCap
     for (i <- 0 until Dim; j <- 0 until Dim) c(i)(j) = c(i)(j) / cs
-    var v = Array.fill(Dim)(VScale)
-    for (_ <- 0 until Iters) {
-      val w = Array.tabulate(Dim) { i =>
-        var acc = 0L; var j = 0
-        while (j < Dim) { acc += c(i)(j) * v(j); j += 1 }
-        acc
-      }
-      val nrm = math.max(1L, w.iterator.map(math.abs).max / VScale)
-      v = w.map(_ / nrm)
-    }
-    if (v.find(_ != 0L).exists(_ < 0L)) v.map(x => -x) else v
+    c
+  }
+
+  /** Integer power iteration over the exact covariance of the registered
+    * `embeddings` view; returns the sign-fixed eigenvector (Dim longs,
+    * ~VScale magnitude). All divisions truncate (see class doc). */
+  private[graft] def trainTopComponentOnView(spark: SparkSession): Array[Long] =
+    iterate(covScaled(spark), None)
+
+  /** Top TWO components: the second runs the same iteration deflated
+    * against the first (per-step orthogonalization — orthogonal
+    * iteration restricted to the v1-complement). */
+  private[graft] def trainTop2OnView(spark: SparkSession): (Array[Long], Array[Long]) = {
+    val c = covScaled(spark)
+    val v1 = iterate(c, None)
+    (v1, iterate(c, Some(v1)))
   }
 
   // ── emb_pca_project ★ — per-vector projection on the trained component
@@ -113,10 +142,38 @@ object PcaQueries {
          |  FROM embeddings)""".stripMargin)
   }
 
-  val embPcaProjectSql: String = {
+  // ── emb_pca_top2 ★ — the top TWO components: v2 runs the identical
+  // iteration DEFLATED against v1 (after each normalization, subtract
+  // the v1 projection — exact via a 128-bit product-then-divide, DuckDB
+  // HUGEINT ↔ driver BigInt, both truncating toward zero). Output: both
+  // projections per vector — the 2-D map/whitening axes.
+  def embPcaTop2(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    val (v1, v2) = trainTop2OnView(spark)
+    val a1 = v1.mkString("array(", "L, ", "L)")
+    val a2 = v2.mkString("array(", "L, ", "L)")
+    def proj(varr: String) =
+      s"""aggregate(transform(embedding, (x, i) ->
+         |      CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT)
+         |        * element_at($varr, i + 1)),
+         |    CAST(0 AS BIGINT), (acc, e) -> acc + e)""".stripMargin
+    spark.sql(
+      s"""SELECT vec_id, label, proj1_raw, proj2_raw,
+         |       CAST(proj1_raw AS DOUBLE) / ${QScale * VScale}.0 AS proj1,
+         |       CAST(proj2_raw AS DOUBLE) / ${QScale * VScale}.0 AS proj2
+         |FROM (
+         |  SELECT vec_id, label,
+         |         ${proj(a1)} AS proj1_raw,
+         |         ${proj(a2)} AS proj2_raw
+         |  FROM embeddings)""".stripMargin)
+  }
+
+  /** Shared oracle body: covariance prologue + the v1 iteration chain,
+    * through the sign-fixed `vf`. Both catalog oracles extend this. */
+  private def pcaCommonSql: String = {
     val sb = new StringBuilder
     sb ++=
-      s"""WITH q AS MATERIALIZED (
+      s"""q AS MATERIALIZED (
          |  SELECT vec_id, CAST(i AS INTEGER) AS i,
          |         CAST(round(embedding[i]::DOUBLE * $QScale) AS BIGINT) AS qx
          |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)),
@@ -147,7 +204,12 @@ object PcaQueries {
        |sgn AS (SELECT CASE WHEN coalesce((SELECT v FROM v$Iters WHERE v != 0
        |                                   ORDER BY i LIMIT 1), 0) < 0
        |                    THEN -1 ELSE 1 END AS s),
-       |vf AS MATERIALIZED (SELECT i, v * s AS v FROM v$Iters, sgn),
+       |vf AS MATERIALIZED (SELECT i, v * s AS v FROM v$Iters, sgn)""".stripMargin
+    sb.result()
+  }
+
+  val embPcaProjectSql: String =
+    s"""WITH $pcaCommonSql,
        |proj AS (
        |  SELECT e.vec_id, e.label,
        |         CAST(sum(CAST(round(e.embedding[t.i]::DOUBLE * $QScale) AS BIGINT)
@@ -158,12 +220,57 @@ object PcaQueries {
        |SELECT vec_id, label, proj_raw,
        |       CAST(proj_raw AS DOUBLE) / ${QScale * VScale}.0 AS proj
        |FROM proj""".stripMargin
+
+  val embPcaTop2Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $pcaCommonSql"
+    sb ++= s""",
+       |cd AS (SELECT CAST(sum(v * v) AS BIGINT) AS cd FROM vf),
+       |u0 AS MATERIALIZED (
+       |  SELECT i, CAST($VScale AS BIGINT) AS v
+       |  FROM (SELECT DISTINCT i FROM q))""".stripMargin
+    for (t <- 1 to Iters) {
+      sb ++= s""",
+         |uw$t AS MATERIALIZED (
+         |  SELECT c.i AS i, CAST(sum(c.c * v.v) AS BIGINT) AS w
+         |  FROM covs c JOIN u${t - 1} v ON c.j = v.i GROUP BY c.i),
+         |um$t AS (SELECT greatest(1, max(abs(w)) // $VScale) AS nrm FROM uw$t),
+         |up$t AS MATERIALIZED (SELECT i, w // nrm AS v FROM uw$t, um$t),
+         |ucn$t AS (SELECT CAST(sum(p.v * f.v) AS BIGINT) AS cn
+         |          FROM up$t p JOIN vf f ON p.i = f.i),
+         |u$t AS MATERIALIZED (
+         |  SELECT p.i,
+         |         p.v - CAST((CAST(n.cn AS HUGEINT) * f.v) // d.cd AS BIGINT) AS v
+         |  FROM up$t p JOIN vf f ON p.i = f.i
+         |  CROSS JOIN ucn$t n CROSS JOIN cd d)""".stripMargin
+    }
+    sb ++= s""",
+       |usgn AS (SELECT CASE WHEN coalesce((SELECT v FROM u$Iters WHERE v != 0
+       |                                    ORDER BY i LIMIT 1), 0) < 0
+       |                     THEN -1 ELSE 1 END AS s),
+       |uf AS MATERIALIZED (SELECT i, v * s AS v FROM u$Iters, usgn),
+       |proj AS (
+       |  SELECT e.vec_id, e.label,
+       |         CAST(sum(CAST(round(e.embedding[t.i]::DOUBLE * $QScale) AS BIGINT)
+       |                  * vf.v) AS BIGINT) AS proj1_raw,
+       |         CAST(sum(CAST(round(e.embedding[t.i]::DOUBLE * $QScale) AS BIGINT)
+       |                  * uf.v) AS BIGINT) AS proj2_raw
+       |  FROM embeddings e, LATERAL unnest(range(1, len(e.embedding) + 1)) AS t(i),
+       |       vf, uf
+       |  WHERE vf.i = t.i AND uf.i = t.i
+       |  GROUP BY e.vec_id, e.label)
+       |SELECT vec_id, label, proj1_raw, proj2_raw,
+       |       CAST(proj1_raw AS DOUBLE) / ${QScale * VScale}.0 AS proj1,
+       |       CAST(proj2_raw AS DOUBLE) / ${QScale * VScale}.0 AS proj2
+       |FROM proj""".stripMargin
     sb.result()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "emb_pca_project" -> (embPcaProject _))
+    "emb_pca_project" -> (embPcaProject _),
+    "emb_pca_top2" -> (embPcaTop2 _))
 
   val oracle: Map[String, String] = Map(
-    "emb_pca_project" -> embPcaProjectSql)
+    "emb_pca_project" -> embPcaProjectSql,
+    "emb_pca_top2" -> embPcaTop2Sql)
 }

@@ -57,6 +57,39 @@ class PcaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(cos) > 0.99, s"|cos(v, u)| = ${math.abs(cos)}")
   }
 
+  test("deflated second component recovers the planted secondary direction") {
+    // Two planted orthogonal directions with 1 : 0.45 strength; the
+    // deflated iteration must find the second without re-finding the
+    // first.
+    val u1 = Array.tabulate(D)(d => math.sin(d + 1.0))
+    val n1 = math.sqrt(u1.map(x => x * x).sum)
+    val u1h = u1.map(_ / n1)
+    val raw2 = Array.tabulate(D)(d => math.cos(2.0 * d + 1.0))
+    val dot12 = (0 until D).map(d => raw2(d) * u1h(d)).sum
+    val o2 = Array.tabulate(D)(d => raw2(d) - dot12 * u1h(d))
+    val n2 = math.sqrt(o2.map(x => x * x).sum)
+    val u2h = o2.map(_ / n2)
+    val ss = spark; import ss.implicits._
+    val rows = (0 until 400).map { k =>
+      val a = lcg(k); val b = lcg(k + 7919)
+      val vec = Array.tabulate(D)(d =>
+        (a * u1h(d) + 0.45 * b * u2h(d) + 0.02 * lcg(k * 100 + d)).toFloat)
+      (k.toLong, vec, k % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label").createOrReplaceTempView("embeddings")
+    val (v1, v2) = PcaQueries.trainTop2OnView(spark)
+    def cosTo(v: Array[Long], u: Array[Double]): Double = {
+      val vd = v.map(_.toDouble); val nv = math.sqrt(vd.map(x => x * x).sum)
+      (0 until D).map(d => vd(d) / nv * u(d)).sum
+    }
+    assert(math.abs(cosTo(v1, u1h)) > 0.99, s"v1 missed u1: ${cosTo(v1, u1h)}")
+    assert(math.abs(cosTo(v2, u2h)) > 0.98, s"v2 missed u2: ${cosTo(v2, u2h)}")
+    val v1d = v1.map(_.toDouble); val v2d = v2.map(_.toDouble)
+    val c12 = (0 until D).map(d => v1d(d) * v2d(d)).sum /
+      (math.sqrt(v1d.map(x => x * x).sum) * math.sqrt(v2d.map(x => x * x).sum))
+    assert(math.abs(c12) < 0.05, s"components not orthogonal: $c12")
+  }
+
   test("training is deterministic and the sign convention holds") {
     planted()
     val a = PcaQueries.trainTopComponentOnView(spark)

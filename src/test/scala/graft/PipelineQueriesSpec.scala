@@ -64,9 +64,9 @@ class PipelineQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // first_doc. (Ids MAY legitimately skip when a single document is
     // larger than the 512-token budget — don't assert contiguity.)
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
-      val byChunk = rs.sortBy(_.getInt(1))
-      assert(byChunk.head.getInt(1) == 0)
-      assert(byChunk.map(_.getInt(1)).toSeq == byChunk.map(_.getInt(1)).distinct.sorted.toSeq)
+      val byChunk = rs.sortBy(_.getLong(1))
+      assert(byChunk.head.getLong(1) == 0L)
+      assert(byChunk.map(_.getLong(1)).toSeq == byChunk.map(_.getLong(1)).distinct.sorted.toSeq)
       val firsts = byChunk.map(_.getLong(4))
       assert(firsts.toSeq == firsts.sortBy(identity).toSeq)
     }
@@ -74,7 +74,7 @@ class PipelineQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // chunk but a source's last must have accumulated >= 512 tokens by the
     // time the next chunk opens (chunk_tokens can exceed 512 via overhang).
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
-      val byChunk = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+      val byChunk = rs.sortBy(_.getLong(1)).map(_.getLong(3))
       byChunk.dropRight(1).zipWithIndex.foreach { case (_, i) =>
         assert(byChunk.take(i + 1).sum >= 512L * (i + 1) - 512,
           "chunk opened before its budget was reached")
