@@ -33,10 +33,10 @@ object CorpusRewriteQueries {
   // set linear in corpus size (vs every-offset windows) and the rewrite
   // well-defined — each word belongs to exactly one block, so excision
   // never splits or double-drops. The keeper rule is global first
-  // occurrence: min (doc_id, block_idx), encoded as one BIGINT
-  // doc_id * 100000 + block_idx (block_idx < 100000 by construction:
-  // a 10^5-block document at B=16 would be a 1.6M-word pathology worth
-  // rejecting upstream).
+  // occurrence: min (doc_id, block_idx) as a lexicographic STRUCT min
+  // (both engines order structs field-by-field), so no packed-BIGINT
+  // encoding exists to collide — a 10^5-block document (1.6M words,
+  // plausible in web corpora) resolves its keeper correctly.
   //
   // Scale shape (100 TB): one bounded explode (n_words / B rows per
   // doc), one map-side-combined aggregate keyed by the block hash (the
@@ -68,11 +68,11 @@ object CorpusRewriteQueries {
     spark.sql(
       s"""WITH blocks AS (SELECT * FROM span_blocks_t),
          |firsts AS (
-         |  SELECT h, min(doc_id * 100000 + bidx) AS first_key
+         |  SELECT h, min(named_struct('d', doc_id, 'b', bidx)) AS first_key
          |  FROM blocks GROUP BY h),
          |marked AS (
          |  SELECT b.doc_id, b.bidx, b.btext, b.bwords,
-         |         CASE WHEN b.doc_id * 100000 + b.bidx = f.first_key
+         |         CASE WHEN named_struct('d', b.doc_id, 'b', b.bidx) = f.first_key
          |              THEN 1 ELSE 0 END AS keep
          |  FROM blocks b JOIN firsts f ON b.h = f.h)
          |SELECT doc_id,
@@ -97,11 +97,11 @@ object CorpusRewriteQueries {
        |  FROM w, LATERAL unnest(range(0,
        |         CAST(ceil(len(ws) / $SpanBlock.0) AS BIGINT))) AS t(j)),
        |firsts AS (
-       |  SELECT h, min(doc_id * 100000 + bidx) AS first_key
+       |  SELECT h, min(struct_pack(d := doc_id, b := bidx)) AS first_key
        |  FROM blocks GROUP BY h),
        |marked AS (
        |  SELECT b.doc_id, b.bidx, b.btext, b.bwords,
-       |         CASE WHEN b.doc_id * 100000 + b.bidx = f.first_key
+       |         CASE WHEN struct_pack(d := b.doc_id, b := b.bidx) = f.first_key
        |              THEN 1 ELSE 0 END AS keep
        |  FROM blocks b JOIN firsts f ON b.h = f.h)
        |SELECT doc_id,

@@ -99,9 +99,23 @@ object PcaQueries {
          |s1 AS (SELECT i, CAST(sum(qi) AS BIGINT) AS s
          |       FROM qv LATERAL VIEW posexplode(q) AS i, qi GROUP BY i),
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
-         |SELECT s2.i, s2.j, n.n * s2.s - sa.s * sb.s AS c
+         |SELECT s2.i, s2.j, n.n * s2.s - sa.s * sb.s AS c, n.n AS n
          |FROM s2 JOIN s1 sa ON s2.i = sa.i JOIN s1 sb ON s2.j = sb.i
          |CROSS JOIN n""".stripMargin).collect()
+    // Enforce the documented overflow budget (class doc): |cov| ≤ 2·n²·QScale²,
+    // so n must stay below sqrt(Long.Max / (2·QScale²)) ≈ 2.1e5 at QScale=1e4.
+    // Spark wraps BIGINT overflow silently under the default non-ANSI mode —
+    // past the bound it would train a wrong component with no error (the
+    // DuckDB oracle raises instead); fail loudly here so the budget is a
+    // hard contract, not a comment.
+    val nBound = math.sqrt(Long.MaxValue.toDouble / (2.0 * QScale * QScale)).toLong
+    cov.headOption.foreach { r =>
+      val n = r.getLong(3)
+      require(n <= nBound,
+        s"PCA training sample of $n vectors exceeds the exact-BIGINT covariance " +
+          s"budget ($nBound at QScale=$QScale); train on a deterministic sample " +
+          "or drop QScale a decade")
+    }
     val c = Array.ofDim[Long](Dim, Dim)
     cov.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getLong(2))
     val cmax = c.iterator.flatten.map(math.abs).max

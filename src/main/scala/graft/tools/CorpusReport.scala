@@ -37,15 +37,19 @@ object CorpusReport {
     val dupGroups = swept(spark)(q("dd_exact")(spark, sfDir).count())
     val ndClusters = swept(spark)(q("dd_cluster")(spark, sfDir)
       .select("cluster_id").distinct().count())
+    // All the sum() aggregates below return NULL over zero rows, which
+    // would NPE in getLong before the zero-denominator guards run —
+    // coalesce to 0 so the report degrades to zeros on an empty corpus.
     val contaminated = swept(spark)(q("pipe_decontaminate")(spark, sfDir)
-      .agg(sum("contaminated_docs")).head().getLong(0))
+      .agg(coalesce(sum("contaminated_docs"), lit(0L))).head().getLong(0))
     val quant = swept(spark)(q("text_length_quantiles")(spark, sfDir).collect()
-      .map(r => r.getDouble(0) -> r.getLong(1)).toMap)
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap.withDefaultValue(0L))
     val vocab = swept(spark)(q("sk_kmv_distinct")(spark, sfDir)
-      .agg(sum("exact_distinct").cast("long"), sum("kmv_estimate"))
+      .agg(coalesce(sum("exact_distinct").cast("long"), lit(0L)),
+        coalesce(sum("kmv_estimate"), lit(0.0)))
       .head())
     val keptTokens = swept(spark)(q("pipe_curation")(spark, sfDir)
-      .agg(sum("tokens_kept")).head().getLong(0))
+      .agg(coalesce(sum("tokens_kept"), lit(0L))).head().getLong(0))
     // r8 signals: containment (embedded-document) pairs the symmetric
     // near-dup metrics miss, the worst per-document contamination
     // fraction (the graded dirtiness behind partial-drop policies), and
@@ -63,11 +67,13 @@ object CorpusReport {
     // rewrite would excise — the C4-style cut size). Both are exact
     // integer sums with one final division.
     val bpe = swept(spark)(q("text_bpe_encode")(spark, sfDir)
-      .agg(sum("alpha_chars"), sum("bpe_tokens")).head())
+      .agg(coalesce(sum("alpha_chars"), lit(0L)),
+        coalesce(sum("bpe_tokens"), lit(0L))).head())
     val bpeCharsPerToken =
       if (bpe.getLong(1) == 0L) 0.0 else bpe.getLong(0).toDouble / bpe.getLong(1)
     val span = swept(spark)(q("dd_span_rewrite")(spark, sfDir)
-      .agg(sum("n_blocks"), sum("kept_blocks")).head())
+      .agg(coalesce(sum("n_blocks"), lit(0L)),
+        coalesce(sum("kept_blocks"), lit(0L))).head())
     val spanDupFraction =
       if (span.getLong(0) == 0L) 0.0
       else (span.getLong(0) - span.getLong(1)).toDouble / span.getLong(0)
