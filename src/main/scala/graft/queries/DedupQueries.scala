@@ -540,18 +540,16 @@ object DedupQueries {
   // IVF index makes — leaving the plan shape untouched. Output: each
   // removed vector with its kept representative (min id among matches),
   // its cluster, and the best cosine that condemned it.
-  def ddSemantic(spark: SparkSession, dir: String): DataFrame = {
-    viewEmb(spark, dir)
-    graft.expr.GraftFunctions.register(spark)
-    spark.sql(
-      s"""WITH corpus AS ($embCorpusSpark),
+  /** Shared plan body: `centsCte` supplies the coarse centroid relation —
+    * fixture picks for the catalog query, trained KMeansTrainer output
+    * for [[ddSemanticTrained]] (the production swap; plan unchanged). */
+  private def ddSemanticSqlWith(centsCte: String): String =
+    s"""WITH corpus AS ($embCorpusSpark),
          |normed AS (
          |  SELECT vec_id, embedding,
          |         sqrt(float_dot(embedding, embedding)) AS nrm
          |  FROM corpus),
-         |cents AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-         |  FROM normed WHERE vec_id BETWEEN 100 AND 115),
+         |cents AS ($centsCte),
          |assign AS (
          |  SELECT n.vec_id, c.c_id, n.embedding, n.nrm,
          |         row_number() OVER (PARTITION BY n.vec_id
@@ -567,7 +565,32 @@ object DedupQueries {
          |SELECT vec_removed, min(vec_kept) AS vec_kept,
          |       min(c_id) AS cluster_id, max(cs) AS max_cos
          |FROM pairs WHERE cs >= 0.95
-         |GROUP BY vec_removed""".stripMargin)
+         |GROUP BY vec_removed""".stripMargin
+
+  def ddSemantic(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(ddSemanticSqlWith(
+      """SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+        |  FROM normed WHERE vec_id BETWEEN 100 AND 115""".stripMargin))
+  }
+
+  /** The k ≈ √n production swap (r11): SemDeDup routed through TRAINED
+    * coarse centroids (KMeansTrainer.train output) instead of the 16
+    * fixture picks — the swap the operator doc promises, demonstrated at
+    * sf≈1 in ScaleStressSpec with the per-reducer-bound assertion.
+    * Centroids cast to float so scoring/tie-breaks match the catalog
+    * query exactly. */
+  def ddSemanticTrained(spark: SparkSession, dir: String,
+      centroids: DataFrame): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    centroids.selectExpr("CAST(c_id AS BIGINT) AS c_id",
+        "transform(c_emb, x -> CAST(x AS FLOAT)) AS c_emb")
+      .createOrReplaceTempView("sem_trained_cents")
+    spark.sql(ddSemanticSqlWith(
+      """SELECT c_id, c_emb, sqrt(float_dot(c_emb, c_emb)) AS c_nrm
+        |  FROM sem_trained_cents""".stripMargin))
   }
 
   val ddSemanticSql: String =

@@ -788,17 +788,17 @@ object SimilarityQueries {
   // untouched). Singleton clusters emit no rows (documented: a vector
   // with no in-cluster peer has no edge at nprobe=1). Ties break by
   // neighbor id; cosines are the bit-identical float_dot folds.
-  def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
-    viewEmb(spark, dir)
-    graft.expr.GraftFunctions.register(spark)
-    spark.sql(
-      s"""WITH normed AS (
+  /** Shared plan body: `centsCte` supplies the coarse centroid relation
+    * (c_id, c_emb float array, c_nrm). The catalog query routes through
+    * 16 deterministic fixture picks (oracle-checkable); the production
+    * form swaps in tools/KMeansTrainer output via [[annKnnGraphTrained]]
+    * — identical plan shape, only the broadcast side changes. */
+  private def knnGraphSqlWith(centsCte: String): String =
+    s"""WITH normed AS (
          |  SELECT vec_id, embedding,
          |         sqrt(float_dot(embedding, embedding)) AS nrm
          |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-         |  FROM normed WHERE vec_id BETWEEN 100 AND 115),
+         |cents AS ($centsCte),
          |assign AS (
          |  SELECT n.vec_id, c.c_id, n.embedding, n.nrm,
          |         row_number() OVER (PARTITION BY n.vec_id
@@ -818,7 +818,33 @@ object SimilarityQueries {
          |  FROM edges)
          |SELECT vec_id, CAST(rnk AS INT) AS rnk, nbr_id,
          |       CAST(c_id AS BIGINT) AS cluster_id, cs AS cos_sim
-         |FROM ranked WHERE rnk <= 3""".stripMargin)
+         |FROM ranked WHERE rnk <= 3""".stripMargin
+
+  def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(knnGraphSqlWith(
+      """SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+        |  FROM normed WHERE vec_id BETWEEN 100 AND 115""".stripMargin))
+  }
+
+  /** The k ≈ √n production swap (r11): the identical knn-graph plan with
+    * TRAINED coarse centroids ([[graft.tools.KMeansTrainer.train]]
+    * output: c_id, c_emb array<double>) replacing the 16 fixture picks —
+    * per-reducer work drops from |corpus/16|² toward |corpus/√n|².
+    * Centroids cast to float so the scoring kernel (`float_dot`) and
+    * tie-breaks are byte-identical to the catalog query's. Demonstrated
+    * at sf≈1 in ScaleStressSpec with the reducer-bound assertion. */
+  def annKnnGraphTrained(spark: SparkSession, dir: String,
+      centroids: DataFrame): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    centroids.selectExpr("CAST(c_id AS BIGINT) AS c_id",
+        "transform(c_emb, x -> CAST(x AS FLOAT)) AS c_emb")
+      .createOrReplaceTempView("knn_trained_cents")
+    spark.sql(knnGraphSqlWith(
+      """SELECT c_id, c_emb, sqrt(float_dot(c_emb, c_emb)) AS c_nrm
+        |  FROM knn_trained_cents""".stripMargin))
   }
 
   val annKnnGraphSql: String =

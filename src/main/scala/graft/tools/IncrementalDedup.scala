@@ -223,12 +223,71 @@ object IncrementalDedup {
         (coalesce(col("old_cnt"), lit(0L)) + coalesce(col("new_cnt"), lit(0L))).as("cnt"))
     // Counts rewrite: stage to a tmp dir then swap — the read above lazily
     // streams from the same files an in-place overwrite would delete.
-    val tmp = s"$storeDir/counts_next"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    stageAndSwap(spark, merged, s"$storeDir/counts")
+  }
+
+  // ── Store lifecycle: compaction + capped-anchor aging (r11) ──────────
+  //
+  // Every append leaves one parquet file-set per increment inside each
+  // bucket partition (bands/sigs likewise), so after many increments a
+  // serve pays per-file open cost proportional to store AGE, not store
+  // SIZE. Compaction rewrites each table into one healthy file-set while
+  // a concurrent reader never sees a half-compacted store: write to a
+  // sibling `_next` dir, then delete-and-rename swap (the counts-rewrite
+  // discipline; single-writer assumed, like the appends themselves).
+
+  /** Stage `df` beside `dst` then atomically swap it in. */
+  private def stageAndSwap(spark: SparkSession, df: DataFrame, dst: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val tmp = s"${dst}_next"
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(s"$storeDir/counts")
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    fs.delete(dstPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dstPath)
+  }
+
+  /** Compact the anchor store after many appends: claims rewrite into one
+    * file-set per bucket, and claims of CAPPED anchors age out — counts
+    * only ever grow, so an anchor past the boilerplate cap can never pair
+    * again and its claims are dead weight. The counts row SURVIVES the
+    * expiry (dropping it would resurrect the anchor as "unseen" and let
+    * `old_cnt + new_cnt <= cap` pass again), so serve results are exactly
+    * unchanged: the `rare` filter already excluded those anchors before
+    * their claims were dropped. `IncrementalDedupSpec` proves
+    * serve-after-compact == serve-before across three increments.
+    *
+    * One documented softening: `requireDisjoint` checks incoming doc ids
+    * against the CLAIMS table, so a store doc whose every anchor was
+    * boilerplate no longer trips the guard after compaction — the dedup
+    * RESULTS for such a doc are identical (capped anchors never pair). */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    val counts = spark.read.parquet(s"$storeDir/counts")
+    val live = spark.read.parquet(s"$storeDir/claims").select("doc_id", "h")
+      .join(counts.filter(col("cnt") <= BoilerplateCap).select("h"), "h")
+      .withColumn("bucket", pmod(col("h"), lit(Buckets.toLong)))
+      .repartition(Buckets, col("bucket"))
+      // The claims_next write must not stream lazily from the files the
+      // swap is about to delete — materialize before swapping. (The write
+      // itself completes before the swap, so this pin is belt-and-braces
+      // against output-committer retries reading a vanished source.)
+      .localCheckpoint()
+    stageAndSwap(spark, live, s"$storeDir/claims", Seq("bucket"))
+    stageAndSwap(spark, counts.repartition(Buckets).localCheckpoint(),
+      s"$storeDir/counts")
+  }
+
+  /** Compact the band store: same file-health rewrite for sigs + bands.
+    * No cap exists in the near-dup semantics, so nothing ages out —
+    * this is purely the per-increment-file-set cleanup. */
+  def compactBandStore(spark: SparkSession, storeDir: String): Unit = {
+    val sigs = spark.read.parquet(s"$storeDir/sigs")
+      .repartition(Buckets).localCheckpoint()
+    stageAndSwap(spark, sigs, s"$storeDir/sigs")
+    val bands = spark.read.parquet(s"$storeDir/bands")
+      .repartition(Buckets, col("bucket")).localCheckpoint()
+    stageAndSwap(spark, bands, s"$storeDir/bands", Seq("bucket"))
   }
 }

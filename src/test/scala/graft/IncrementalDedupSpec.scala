@@ -159,6 +159,95 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shard2 must pair against shard1 through the store: $got2")
   }
 
+  /** Count the parquet data files under a store table — the file-health
+    * number compaction exists to restore (appends leave one file-set per
+    * increment). */
+  private def parquetFiles(dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .count(p => p.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("_"))
+  }
+
+  test("serve-after-compact equals serve-before across three increments; capped claims age out") {
+    import org.apache.spark.sql.functions._
+    val ss = spark; import ss.implicits._
+    val cap = IncrementalDedup.BoilerplateCap
+    // Base: passage-sharing originals, unique docs, AND 70 copies of a
+    // boilerplate passage — past the cap from day one, so the store
+    // carries dead claims for compaction to age out.
+    val base = ((0L until 10L).map(i => (i, passage((i % 5).toInt))) ++
+      (10L until 20L).map(i => (i, unique(i))) ++
+      (300L until 370L).map(i => (i, passage(9)))).toDF("doc_id", "text")
+    val shard1 = ((100L until 105L).map(i => (i, passage((i % 5).toInt))) ++
+      (105L until 110L).map(i => (i, unique(i)))).toDF("doc_id", "text")
+    val shard2 = (Seq((200L, passage(1)), (201L, unique(107L))) ++
+      (202L until 205L).map(i => (i, unique(i)))).toDF("doc_id", "text")
+    // 401 re-duplicates the TEXT of shard-2's doc 201 (= unique(107)).
+    val shard3 = (Seq((400L, passage(2)), (401L, unique(107L)), (402L, passage(9))) ++
+      (403L until 405L).map(i => (i, unique(i)))).toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("idd-compact").toString
+    IncrementalDedup.buildStore(spark, base, dir)
+    IncrementalDedup.appendIncrement(spark, shard1, dir)
+    IncrementalDedup.appendIncrement(spark, shard2, dir)
+
+    val before = increments(IncrementalDedup.pairsForIncrement(spark, shard3, dir))
+    val filesBefore = parquetFiles(s"$dir/claims")
+    IncrementalDedup.compact(spark, dir)
+    val filesAfter = parquetFiles(s"$dir/claims")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the claims file count ($filesBefore -> $filesAfter)")
+
+    val after = increments(IncrementalDedup.pairsForIncrement(spark, shard3, dir))
+    assert(after == before, "serve-after-compact diverged from serve-before")
+    // And both equal the batch contract over the full 3-increment corpus.
+    val full = batchPairs(
+      base.unionAll(shard1).unionAll(shard2).unionAll(shard3))
+    assert(after == touching(full, (400L until 405L).toSet))
+    assert(after.nonEmpty, "fixture should produce cross-increment pairs")
+    // 401 duplicates shard-2's 201 — provable only through the compacted
+    // store (shard 2 text was never rescanned).
+    assert(after.exists(p => p._1 == 201L && p._2 == 401L))
+    // 402 is a fresh copy of the CAPPED boilerplate: must stay silent.
+    assert(!after.exists(p => p._1 == 402L || p._2 == 402L))
+
+    // Aging: no claim survives for a capped anchor, but its COUNT row
+    // does (dropping it would resurrect the anchor as unseen).
+    val claims = spark.read.parquet(s"$dir/claims")
+    val counts = spark.read.parquet(s"$dir/counts")
+    val capped = counts.filter(col("cnt") > cap)
+    assert(capped.count() > 0, "fixture should have a capped anchor")
+    assert(claims.join(capped, "h").count() === 0,
+      "capped anchors' claims must age out at compaction")
+  }
+
+  test("band store: serve-after-compact equals serve-before") {
+    val ss = spark; import ss.implicits._
+    val base = ((0L until 6L).map(i => (i, passage((i % 3).toInt))) ++
+      (10L until 14L).map(i => (i, unique(i)))).toDF("doc_id", "text")
+    val shard1 = (Seq((100L, passage(0)), (101L, passage(7))) ++
+      (102L until 104L).map(i => (i, unique(i)))).toDF("doc_id", "text")
+    val shard2 = Seq((200L, passage(7)), (201L, passage(1)), (202L, unique(202L)))
+      .toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("idd-band-compact").toString
+    IncrementalDedup.buildBandStore(spark, base, dir)
+    IncrementalDedup.appendBandIncrement(spark, shard1, dir)
+
+    def got(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = got(IncrementalDedup.bandPairsForIncrement(spark, shard2, dir))
+    val filesBefore = parquetFiles(s"$dir/bands")
+    IncrementalDedup.compactBandStore(spark, dir)
+    assert(parquetFiles(s"$dir/bands") < filesBefore,
+      "compaction must shrink the bands file count")
+    val after = got(IncrementalDedup.bandPairsForIncrement(spark, shard2, dir))
+    assert(after == before, "band serve-after-compact diverged")
+    assert(after.exists(p => p._1 == 101L && p._2 == 200L),
+      "the through-the-store pair must survive compaction")
+  }
+
   test("an increment pushing an anchor past the cap silences it, as batch would") {
     val ss = spark; import ss.implicits._
     val boiler = passage(9)

@@ -360,6 +360,66 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only $sameBase/${g.size} edges point at same-base copies")
   }
 
+  test("trained k≈√n centroids shrink the knn/semantic reducer bound at sf≈1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // The SURVEY rows for ann_knn_graph / dd_semantic promise "k ≈ √n
+    // trained centroids at production — the KMeansTrainer swap". Run the
+    // swap: train √n ≈ 140 coarse centroids on the sf≈1 corpus, route
+    // BOTH operators through them, and assert (a) the per-reducer bound
+    // — the within-cluster pair join's largest reducer does |cluster|²
+    // work — actually drops vs the 16-way fixture routing, and (b) edge
+    // quality holds (the 9 exact copies of every vector share its
+    // cluster under ANY centroid set, so every top-3 edge still scores
+    // cosine ≈ 1 and semantic dedup still removes all cross-copy dups).
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nVec = emb.count()
+    val k = math.max(16, math.round(math.sqrt(nVec.toDouble)).toInt)
+    val (cents, iters) = timed(s"KMeansTrainer k=$k @ sf~1") {
+      graft.tools.KMeansTrainer.train(spark, emb, k, maxIters = 5)
+    }
+    info(s"trained $k centroids in $iters Lloyd rounds over $nVec vectors")
+
+    def reducerStats(c: org.apache.spark.sql.DataFrame) =
+      graft.tools.KMeansTrainer.assign(spark, emb, c)
+        .groupBy("c_id").count()
+        .agg(max("count"), sum(col("count") * col("count"))).head()
+    val fixtureCents = emb.filter(col("vec_id").between(100, 115))
+      .selectExpr("CAST(vec_id AS INT) AS c_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb")
+    val f = reducerStats(fixtureCents)
+    val t = reducerStats(cents)
+    val (maxF, workF) = (f.getLong(0), f.getLong(1))
+    val (maxT, workT) = (t.getLong(0), t.getLong(1))
+    info(f"fixture routing: max|c|=$maxF, Σ|c|²=$workF; trained: max|c|=$maxT, " +
+      f"Σ|c|²=$workT (${workF.toDouble / workT}%.1fx less pair work)")
+    assert(maxT < maxF,
+      s"largest trained cluster ($maxT) must undercut the fixture's ($maxF)")
+    assert(workT * 3 <= workF,
+      s"trained pair work $workT must be ≤ 1/3 of fixture $workF")
+
+    val g = timed("ann_knn_graph TRAINED @ sf~1") {
+      graft.queries.SimilarityQueries.annKnnGraphTrained(spark, dir, cents)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4)))
+    }
+    assert(g.nonEmpty)
+    val low = g.filter(_._3 < 0.999999)
+    assert(low.isEmpty,
+      s"${low.size} trained-routing edges below 0.999999 despite 9 exact copies in-cluster")
+    val sameBase = g.count { case (v, nb, _) => (v % IdStride) == (nb % IdStride) }
+    assert(sameBase.toDouble / g.size > 0.9,
+      s"only $sameBase/${g.size} trained-routing edges point at same-base copies")
+
+    val nBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").count()
+    var sem: org.apache.spark.sql.DataFrame = null
+    val removed = timed("dd_semantic TRAINED @ sf~1") {
+      sem = graft.queries.DedupQueries.ddSemanticTrained(spark, dir, cents)
+      sem.count()
+    }
+    assert(removed >= 9L * nBase,
+      s"expected ≥ ${9L * nBase} semantic removals under trained routing, got $removed")
+    assert(sem.filter(col("vec_kept") >= col("vec_removed")).limit(1).count() === 0)
+  }
+
   test("pipe_tokenize_pack scales token mass linearly at sf≈1") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     // The tokenizer is replication-invariant (proven above), so the
