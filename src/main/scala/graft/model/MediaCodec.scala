@@ -167,6 +167,123 @@ object MediaCodec {
 
   def openReader(): PngReader = new PngReader
 
+  // ── GIF: the multi-frame container (r11) ────────────────────────────
+  //
+  // The JDK's javax.imageio GIF plugin reads AND writes multi-image
+  // sequences, which upgrades `mm_frame_sample`'s stride *plumbing* into
+  // actual frame extraction from an actual animated container
+  // (`mm_decode_gif`). Frames are 8-bit indexed with an identity gray
+  // palette (entry i = gray i), so the palette round trip is lossless
+  // and the same oracle discipline as PNG applies: per-frame pixels are
+  // integer arithmetic over (doc_id, frame, x, y), and one frame dropped,
+  // reordered, or quantized by the codec fails the per-frame hash.
+
+  /** GIF magic ("GIF8" — covers 87a and 89a). */
+  def isGif(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8'
+
+  /** Deterministic gray value of pixel (x, y) in frame `frame` — the
+    * single source of truth for synthesis AND the oracle (the animated
+    * sibling of [[patternGray]]). */
+  def patternGrayFrame(docId: Long, frame: Int, x: Int, y: Int): Int =
+    (((docId * 31 + 17L * frame + 7L * x + 13L * y) % 256) + 256).toInt % 256
+
+  /** Frames per synthetic animation: 4..12 — enough that the ceil(n/8)
+    * sampling stride takes both of its values. */
+  def gifFrameCount(docId: Long): Int = (4 + docId % 9).toInt
+
+  /** Identity 256-gray palette: index i maps to rgb(i, i, i), so an
+    * indexed raster encodes gray values losslessly through the GIF
+    * color table. */
+  private val grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  final class GifWriter private[MediaCodec] () {
+    private[MediaCodec] val writer =
+      ImageIO.getImageWritersByFormatName("gif").next()
+    def dispose(): Unit = writer.dispose()
+  }
+  def openGifWriter(): GifWriter = new GifWriter
+
+  final class GifReader private[MediaCodec] () {
+    private[MediaCodec] val reader =
+      ImageIO.getImageReadersByFormatName("gif").next()
+    def dispose(): Unit = reader.dispose()
+  }
+  def openGifReader(): GifReader = new GifReader
+
+  /** Encode the document's animated gray test pattern as a REAL
+    * multi-frame GIF byte stream (`prepareWriteSequence` /
+    * `writeToSequence` — the actual animation API, not N separate
+    * single-frame files). */
+  def synthesizeAnimatedGif(ctx: GifWriter, docId: Long): Array[Byte] = {
+    val w = patternWidth(docId)
+    val h = patternHeight(docId)
+    val out = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      ctx.writer.setOutput(ios)
+      ctx.writer.prepareWriteSequence(null)
+      var f = 0
+      val n = gifFrameCount(docId)
+      while (f < n) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, patternGrayFrame(docId, f, x, y)); x += 1
+          }
+          y += 1
+        }
+        ctx.writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      ctx.writer.endWriteSequence()
+    } finally ios.close()
+    out.toByteArray
+  }
+
+  /** One decoded animation frame's real-pixel statistics (same fold as
+    * [[DecodedPng]]). */
+  final case class DecodedGifFrame(frameIdx: Int, width: Int, height: Int,
+      pixelSum: Long, pixelHash: Long)
+
+  /** Decode EVERY frame of a multi-frame GIF from the actual byte
+    * stream. Gray values are read through `getRGB` (palette lookup), so
+    * the statistics cannot silently depend on color-table ORDER — only
+    * on the colors the codec actually reproduces. */
+  def decodeGifFrames(ctx: GifReader, bytes: Array[Byte]): IndexedSeq[DecodedGifFrame] = {
+    require(isGif(bytes), "not a GIF stream")
+    val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      // seekForwardOnly=false: getNumImages(true) must be free to scan.
+      ctx.reader.setInput(in, false, true)
+      val n = ctx.reader.getNumImages(true)
+      (0 until n).map { i =>
+        val img = ctx.reader.read(i)
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L; var hash = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = img.getRGB(x, y) & 0xff
+            sum += g
+            hash = (hash * 31 + g) % 1000000007L
+            x += 1
+          }
+          y += 1
+        }
+        DecodedGifFrame(i, w, h, sum, hash)
+      }
+    } finally in.close()
+  }
+
   def decodeGrayPng(ctx: PngReader, bytes: Array[Byte]): DecodedPng = {
     require(isPng(bytes), "not a PNG stream")
     val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))

@@ -2,16 +2,21 @@ package graft.model
 
 /** STUB media codec for multimodal columns.
   *
-  * SCOPE (narrowed in r10): the PNG path is REAL — see
+  * SCOPE (narrowed in r10, again in r11): the PNG path is REAL — see
   * [[graft.model.MediaCodec]], which encodes/decodes actual PNG streams
   * through the JDK's `javax.imageio` and computes pixel statistics from
-  * the decoded raster (`mm_decode_png`). This stub remains for container
-  * formats with no JDK decoder in this environment (jpeg decode quality /
-  * webp entirely). The container header layout is real and parsed for
-  * real — 4-byte big-endian width, 4-byte height, 1-byte format id —
-  * only the pixel-level work (`meanLuma`) is a deterministic fake so the
-  * surrounding Spark plumbing (binary columns, per-partition codec reuse,
-  * typed Dataset output) can be exercised and tested.
+  * the decoded raster (`mm_decode_png`, `mm_resize`) — and so are WAV
+  * audio ([[AudioCodec]], `mm_decode_wav`) and, since r11, multi-frame
+  * animated GIF (`MediaCodec.decodeGifFrames`, `mm_decode_gif`: real
+  * frame extraction from a real animation container). This stub remains
+  * only for container formats with no lossless JDK decoder in this
+  * environment: webp entirely, and jpeg — whose JDK codec exists but is
+  * LOSSY, which breaks the exact-statistics oracle discipline every real
+  * decode here is held to. The container header layout is real and
+  * parsed for real — 4-byte big-endian width, 4-byte height, 1-byte
+  * format id — only the pixel-level work (`meanLuma`) is a deterministic
+  * fake so the surrounding Spark plumbing (binary columns, per-partition
+  * codec reuse, typed Dataset output) can be exercised and tested.
   */
 object MediaStub {
 

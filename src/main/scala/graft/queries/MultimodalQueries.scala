@@ -5,12 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.model.MediaStub
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
-  * with typed metadata. Two container formats decode REAL bytes through
+  * with typed metadata. Three container formats decode REAL bytes through
   * JDK codecs — PNG via javax.imageio ([[graft.model.MediaCodec]]:
-  * `mm_decode_png`, `mm_resize`) and WAV via javax.sound
-  * ([[graft.model.AudioCodec]]: `mm_decode_wav`); jpeg/webp remain
-  * stubbed behind [[graft.model.MediaStub]] (no external codec libs in
-  * this environment) — a deterministic fake whose header layout stands
+  * `mm_decode_png`, `mm_resize`), multi-frame animated GIF
+  * (`mm_decode_gif` — actual frame extraction, r11), and WAV via
+  * javax.sound ([[graft.model.AudioCodec]]: `mm_decode_wav`); jpeg/webp
+  * remain stubbed behind [[graft.model.MediaStub]] (no lossless JDK codec
+  * for either) — a deterministic fake whose header layout stands
   * in for a container format. The Spark-side plumbing (binary columns,
   * schema, batch-shaped partition processing, frame-sampling fan-out) is
   * real and oracle-checked throughout.
@@ -334,6 +335,62 @@ object MultimodalQueries {
       "pixel_hash", "mean_luma")
   }
 
+  // ── mm_decode_gif (r11) — REAL multi-frame container decode: the JDK's
+  // javax.imageio GIF plugin writes and reads multi-image sequences, so
+  // mm_frame_sample's stride discipline now runs over ACTUAL frames
+  // extracted from ACTUAL animated GIF bytes. Every doc_id % 10 = 0 asset
+  // (mm_frame_sample's subset) becomes a 4..12-frame animation of
+  // deterministic gray patterns (identity gray palette — lossless);
+  // frames are sampled every ceil(n/8)-th index and per-frame pixel sum +
+  // rolling hash are computed from the DECODED frame. The oracle
+  // recomputes per-frame statistics from the integer pattern formula, so
+  // a frame dropped, reordered, or palette-quantized by the codec fails
+  // the compare. Scale shape: narrow mapPartitions flatMap (bounded
+  // fan-out ≤ 8 sampled frames/asset), no shuffle; writer+reader opened
+  // once per partition; container bytes never leave the partition.
+  def mmDecodeGif(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    import spark.implicits._
+    import graft.model.MediaCodec
+    val ids = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 10 = 0").as[Long]
+    ids.mapPartitions { it =>
+      val writer = MediaCodec.openGifWriter()
+      val reader = MediaCodec.openGifReader()
+      it.flatMap { docId =>
+        val bytes = MediaCodec.synthesizeAnimatedGif(writer, docId)
+        val frames = MediaCodec.decodeGifFrames(reader, bytes)
+        val n = frames.size
+        val stride = math.max(math.ceil(n / 8.0).toInt, 1)
+        (0 until n by stride).map { f =>
+          val d = frames(f)
+          (docId, n.toLong, f.toLong, d.width, d.height, d.pixelSum, d.pixelHash)
+        }
+      }
+    }.toDF("doc_id", "n_frames", "frame_idx", "width", "height",
+      "luma_sum", "pixel_hash")
+  }
+
+  val mmDecodeGifSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 8 AS INT) AS w,
+      |         CAST(8 + doc_id % 5 AS INT) AS h,
+      |         CAST(4 + doc_id % 9 AS INT) AS nf
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |frames AS (
+      |  SELECT doc_id, w, h, nf, CAST(f AS BIGINT) AS frame_idx,
+      |         flatten(list_transform(range(0, h), y ->
+      |           list_transform(range(0, w), x ->
+      |             (doc_id * 31 + 17 * f + 7 * x + 13 * y) % 256))) AS gs
+      |  FROM g, LATERAL unnest(range(0, nf,
+      |         greatest(CAST(ceil(nf / 8.0) AS INT), 1))) AS t(f))
+      |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, frame_idx,
+      |       w AS width, h AS height,
+      |       CAST(list_sum(gs) AS BIGINT) AS luma_sum,
+      |       CAST(list_reduce([0] || gs,
+      |         (acc, g) -> (acc * 31 + g) % 1000000007) AS BIGINT) AS pixel_hash
+      |FROM frames""".stripMargin
+
   // ── mm_decode_wav (r10) — REAL audio container decode through the
   // JDK's javax.sound WAV codec (the audio sibling of mm_decode_png):
   // every doc_id % 4 = 1 asset is an ACTUAL WAV container (RIFF/fmt/data
@@ -472,6 +529,7 @@ object MultimodalQueries {
       |FROM (SELECT * FROM png UNION ALL SELECT * FROM stub)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_gif" -> (mmDecodeGif _),
     "mm_decode_png" -> (mmDecodePng _),
     "mm_resize" -> (mmResize _),
     "mm_decode_wav" -> (mmDecodeWav _),
@@ -482,6 +540,7 @@ object MultimodalQueries {
     "mm_dedup_assets" -> (mmDedupAssets _))
 
   val oracle: Map[String, String] = Map(
+    "mm_decode_gif" -> mmDecodeGifSql,
     "mm_decode_png" -> mmDecodePngSql,
     "mm_resize" -> mmResizeSql,
     "mm_decode_wav" -> mmDecodeWavSql,

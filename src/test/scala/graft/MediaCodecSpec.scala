@@ -76,4 +76,45 @@ class MediaCodecSpec extends AnyFunSuite {
     }
     writer.dispose(); reader.dispose()
   }
+
+  test("animated GIF round trip reproduces every frame's pattern exactly, contexts reused") {
+    val writer = MediaCodec.openGifWriter()
+    val reader = MediaCodec.openGifReader()
+    // One writer+reader across all assets — the per-partition contract.
+    for (docId <- Seq(0L, 1L, 7L, 10L, 42L, 170L)) {
+      val bytes = MediaCodec.synthesizeAnimatedGif(writer, docId)
+      assert(MediaCodec.isGif(bytes))
+      val frames = MediaCodec.decodeGifFrames(reader, bytes)
+      assert(frames.size == MediaCodec.gifFrameCount(docId),
+        s"doc $docId: frame count ${frames.size}")
+      val w = MediaCodec.patternWidth(docId)
+      val h = MediaCodec.patternHeight(docId)
+      frames.zipWithIndex.foreach { case (fr, f) =>
+        assert(fr.width == w && fr.height == h, s"doc $docId frame $f dims")
+        var sum = 0L; var hash = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val g = MediaCodec.patternGrayFrame(docId, f, x, y)
+          sum += g; hash = (hash * 31 + g) % 1000000007L
+        }
+        assert(fr.pixelSum == sum && fr.pixelHash == hash,
+          s"doc $docId frame $f decoded stats diverged — codec not lossless")
+      }
+    }
+    writer.dispose(); reader.dispose()
+  }
+
+  test("non-GIF and truncated GIF streams are rejected loudly") {
+    val reader = MediaCodec.openGifReader()
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeGifFrames(reader, MediaCodec.synthesizeGrayPng(3L))
+    }
+    val good = {
+      val w = MediaCodec.openGifWriter()
+      try MediaCodec.synthesizeAnimatedGif(w, 10L) finally w.dispose()
+    }
+    intercept[Exception] {
+      MediaCodec.decodeGifFrames(reader, good.take(good.length / 2))
+    }
+    reader.dispose()
+  }
 }
