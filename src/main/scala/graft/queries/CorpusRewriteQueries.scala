@@ -127,17 +127,24 @@ object CorpusRewriteQueries {
   val ChunkWindow = 48
   val ChunkStride = 32
 
+  /** The chunk explode as a batch-to-batch transform over (doc_id, text)
+    * rows — the ONE spelling of the window/stride/provenance expressions,
+    * consumed by the catalog query below AND by the streaming ingest
+    * composition ([[graft.streaming.CorpusIngest.runWithChunks]]), so the
+    * two paths cannot drift. */
+  def chunksOf(docs: DataFrame): DataFrame = docs
+    .selectExpr("doc_id", "split(text, ' ') AS ws")
+    .selectExpr("doc_id", "ws",
+      s"explode(sequence(0, size(ws) - 1, $ChunkStride)) AS s")
+    .selectExpr("doc_id",
+      "CAST(s AS BIGINT) AS start_word",
+      s"CAST(s DIV $ChunkStride AS BIGINT) AS chunk_idx",
+      s"CAST(size(slice(ws, s + 1, $ChunkWindow)) AS BIGINT) AS chunk_words",
+      s"md5(array_join(slice(ws, s + 1, $ChunkWindow), ' ')) AS chunk_hash")
+
   def pipeChunk(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
-    spark.sql(
-      s"""WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents)
-         |SELECT doc_id,
-         |       CAST(s AS BIGINT) AS start_word,
-         |       CAST(s DIV $ChunkStride AS BIGINT) AS chunk_idx,
-         |       CAST(size(slice(ws, s + 1, $ChunkWindow)) AS BIGINT) AS chunk_words,
-         |       md5(array_join(slice(ws, s + 1, $ChunkWindow), ' ')) AS chunk_hash
-         |FROM w
-         |LATERAL VIEW explode(sequence(0, size(ws) - 1, $ChunkStride)) AS s""".stripMargin)
+    chunksOf(spark.table("documents"))
   }
 
   val pipeChunkSql: String =

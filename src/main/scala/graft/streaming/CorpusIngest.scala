@@ -63,6 +63,54 @@ object CorpusIngest {
     query.awaitTermination()
   }
 
+  /** RAG-ingest composition (r11): the same gate → state-store dedup
+    * admission as [[run]], but every ADMITTED document is ALSO chunked —
+    * `pipe_chunk`'s overlapping 48/32 windows with (doc_id, start_word)
+    * provenance, via the SHARED transform
+    * [[graft.queries.CorpusRewriteQueries.chunksOf]] so stream and batch
+    * cannot drift — in the SAME micro-batch: the document row and its
+    * chunks commit together.
+    *
+    * Exactly-once: foreachBatch bypasses the file sink's commit log, so
+    * both writes are idempotent `batch_id=N` partition OVERWRITES (the
+    * [[StreamingDecontaminate]] discipline) — a batch replayed after a
+    * crash-before-checkpoint rewrites its own partition and nothing
+    * else. The admitted batch pins once (`localCheckpoint`) because two
+    * sinks consume it; the stateful dedup must not recompute per sink.
+    * Chunking is STATELESS — admission carries all the cross-batch
+    * memory, so the chunker adds no state-store pressure. */
+  def runWithChunks(spark: SparkSession, dropDir: String, docSinkDir: String,
+      chunkSinkDir: String, checkpointDir: String,
+      minQuality: Double = 0.5): Unit = {
+    val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars INT"
+    val incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dropDir)
+    val admitted = featurize(incoming)
+      .filter(col("quality") >= minQuality)
+      .dropDuplicates("content_hash")
+    val query = admitted.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val pinned = batch.localCheckpoint()
+        pinned
+          .select("doc_id", "content_hash", "lang", "source", "n_words", "quality")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(docSinkDir)
+        graft.queries.CorpusRewriteQueries.chunksOf(pinned)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(chunkSinkDir)
+        pinned.unpersist()
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** The admission ledger: per language, how many documents the stream
     * kept and their mean quality — the monitoring query an operator runs
     * against the curated sink. */
