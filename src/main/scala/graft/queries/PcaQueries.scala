@@ -52,15 +52,16 @@ object PcaQueries {
       .repartition(spark.sparkContext.defaultParallelism)
       .createOrReplaceTempView("embeddings")
 
-  /** Power iteration (optionally orthogonalized against a fixed prior
-    * component after each normalization — the deflation that isolates
-    * the SECOND component) over a pre-scaled covariance. The
-    * orthogonalization coefficient is applied through an exact 128-bit
-    * product-then-divide ((cn · v1_d) / cd in BigInt ↔ DuckDB HUGEINT,
+  /** Power iteration, orthogonalized after each normalization against
+    * every PRIOR component in order (the sequential deflation that
+    * isolates component k from components 1..k-1; empty `orths` = the
+    * dominant component) over a pre-scaled covariance. Each
+    * orthogonalization coefficient applies through an exact 128-bit
+    * product-then-divide ((cn · v_j) / cd_j in BigInt ↔ DuckDB HUGEINT,
     * both truncating toward zero), so no staging divisions are needed
     * and both engines land identical integers. */
-  private def iterate(c: Array[Array[Long]], orth: Option[Array[Long]]): Array[Long] = {
-    val cd = orth.map(v1 => v1.map(x => x * x).sum)
+  private def iterate(c: Array[Array[Long]], orths: Seq[Array[Long]]): Array[Long] = {
+    val cds = orths.map(vj => vj.map(x => x * x).sum)
     var v = Array.fill(Dim)(VScale)
     for (_ <- 0 until Iters) {
       val w = Array.tabulate(Dim) { i =>
@@ -70,9 +71,9 @@ object PcaQueries {
       }
       val nrm = math.max(1L, w.iterator.map(math.abs).max / VScale)
       v = w.map(_ / nrm)
-      orth.foreach { v1 =>
-        val cn = (0 until Dim).map(d => v(d) * v1(d)).sum
-        v = Array.tabulate(Dim)(d => v(d) - (BigInt(cn) * v1(d) / cd.get).toLong)
+      orths.zip(cds).foreach { case (vj, cd) =>
+        val cn = (0 until Dim).map(d => v(d) * vj(d)).sum
+        v = Array.tabulate(Dim)(d => v(d) - (BigInt(cn) * vj(d) / cd).toLong)
       }
     }
     if (v.find(_ != 0L).exists(_ < 0L)) v.map(x => -x) else v
@@ -128,15 +129,26 @@ object PcaQueries {
     * `embeddings` view; returns the sign-fixed eigenvector (Dim longs,
     * ~VScale magnitude). All divisions truncate (see class doc). */
   private[graft] def trainTopComponentOnView(spark: SparkSession): Array[Long] =
-    iterate(covScaled(spark), None)
+    iterate(covScaled(spark), Nil)
 
   /** Top TWO components: the second runs the same iteration deflated
     * against the first (per-step orthogonalization — orthogonal
     * iteration restricted to the v1-complement). */
   private[graft] def trainTop2OnView(spark: SparkSession): (Array[Long], Array[Long]) = {
     val c = covScaled(spark)
-    val v1 = iterate(c, None)
-    (v1, iterate(c, Some(v1)))
+    val v1 = iterate(c, Nil)
+    (v1, iterate(c, Seq(v1)))
+  }
+
+  /** Top K components by sequential deflation: component k iterates
+    * orthogonalized against components 1..k-1 (r11 — the generalization
+    * of [[trainTop2OnView]] that makes `emb_pca_project` a real
+    * dimensionality cut: 8 whitening axes, not a plot pair). */
+  private[graft] def trainTopKOnView(spark: SparkSession, k: Int): Seq[Array[Long]] = {
+    val c = covScaled(spark)
+    val out = scala.collection.mutable.Buffer[Array[Long]]()
+    for (_ <- 0 until k) out += iterate(c, out.toSeq)
+    out.toSeq
   }
 
   // ── emb_pca_project ★ — per-vector projection on the trained component
@@ -180,6 +192,39 @@ object PcaQueries {
          |         ${proj(a1)} AS proj1_raw,
          |         ${proj(a2)} AS proj2_raw
          |  FROM embeddings)""".stripMargin)
+  }
+
+  /** Components for `emb_pca_topk` — a real dimensionality cut (64 → 8).
+    * The oracle CTE chain grows as K·Iters·K, so 8 keeps it generatable
+    * and fast while being the working whitening width. */
+  val TopK = 8
+
+  // ── emb_pca_topk ★ (r11) — the top K=8 principal components, long
+  // format (one row per vector × component): component k trains by the
+  // identical integer iteration deflated sequentially against components
+  // 1..k-1 (each orthogonalization an exact 128-bit product-then-divide,
+  // both engines truncating — the emb_pca_top2 discipline, generalized).
+  // The oracle retrains ALL EIGHT eigenvectors through a generated chain
+  // of CTE levels. Scale shape unchanged: ONE 4096-key map-side-combined
+  // covariance agg for the corpus; all k iterations run driver-side on
+  // the 64×64 matrix (bounded metadata); projection is one narrow map
+  // with the k eigenvectors as plan literals + a bounded posexplode
+  // (k rows/vector) — no join, no shuffle.
+  def embPcaTopk(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    val vs = trainTopKOnView(spark, TopK)
+    def proj(varr: String) =
+      s"""aggregate(transform(embedding, (x, i) ->
+         |      CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT)
+         |        * element_at($varr, i + 1)),
+         |    CAST(0 AS BIGINT), (acc, e) -> acc + e)""".stripMargin
+    val projArr = vs.map(v => proj(v.mkString("array(", "L, ", "L)")))
+      .mkString("array(\n", ",\n", ")")
+    spark.sql(
+      s"""SELECT vec_id, label, CAST(comp + 1 AS INT) AS component, proj_raw,
+         |       CAST(proj_raw AS DOUBLE) / ${QScale * VScale}.0 AS proj
+         |FROM (SELECT vec_id, label, $projArr AS projs FROM embeddings)
+         |LATERAL VIEW posexplode(projs) AS comp, proj_raw""".stripMargin)
   }
 
   /** Shared oracle body: covariance prologue + the v1 iteration chain,
@@ -280,11 +325,76 @@ object PcaQueries {
     sb.result()
   }
 
+  /** Generated oracle for the K-component retrain: after the shared v1
+    * chain (aliased f1), each component c = 2..K runs Iters levels —
+    * normalize, then deflate SEQUENTIALLY against f1..f{c-1} (one cn +
+    * one HUGEINT product-then-divide sub-CTE per prior component, the
+    * exact spelling the driver's `iterate` applies) — then sign-fix into
+    * f{c}. Projections union per component. */
+  val embPcaTopkSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $pcaCommonSql"
+    sb ++= s""",
+       |f1 AS MATERIALIZED (SELECT i, v FROM vf),
+       |cd1 AS (SELECT CAST(sum(v * v) AS BIGINT) AS cd FROM f1)""".stripMargin
+    for (c <- 2 to TopK) {
+      sb ++= s""",
+         |c${c}u0 AS MATERIALIZED (
+         |  SELECT i, CAST($VScale AS BIGINT) AS v
+         |  FROM (SELECT DISTINCT i FROM q))""".stripMargin
+      for (t <- 1 to Iters) {
+        sb ++= s""",
+           |c${c}w$t AS MATERIALIZED (
+           |  SELECT c.i AS i, CAST(sum(c.c * v.v) AS BIGINT) AS w
+           |  FROM covs c JOIN c${c}u${t - 1} v ON c.j = v.i GROUP BY c.i),
+           |c${c}m$t AS (SELECT greatest(1, max(abs(w)) // $VScale) AS nrm FROM c${c}w$t),
+           |c${c}t${t}d0 AS MATERIALIZED (
+           |  SELECT i, w // nrm AS v FROM c${c}w$t, c${c}m$t)""".stripMargin
+        for (j <- 1 until c) {
+          sb ++= s""",
+             |c${c}t${t}n$j AS (SELECT CAST(sum(p.v * f.v) AS BIGINT) AS cn
+             |                  FROM c${c}t${t}d${j - 1} p JOIN f$j f ON p.i = f.i),
+             |c${c}t${t}d$j AS MATERIALIZED (
+             |  SELECT p.i,
+             |         p.v - CAST((CAST(n.cn AS HUGEINT) * f.v) // d.cd AS BIGINT) AS v
+             |  FROM c${c}t${t}d${j - 1} p JOIN f$j f ON p.i = f.i
+             |  CROSS JOIN c${c}t${t}n$j n CROSS JOIN cd$j d)""".stripMargin
+        }
+        sb ++= s""",
+           |c${c}u$t AS (SELECT i, v FROM c${c}t${t}d${c - 1})""".stripMargin
+      }
+      sb ++= s""",
+         |c${c}sgn AS (SELECT CASE WHEN coalesce((SELECT v FROM c${c}u$Iters WHERE v != 0
+         |                                        ORDER BY i LIMIT 1), 0) < 0
+         |                         THEN -1 ELSE 1 END AS s),
+         |f$c AS MATERIALIZED (SELECT i, v * s AS v FROM c${c}u$Iters, c${c}sgn),
+         |cd$c AS (SELECT CAST(sum(v * v) AS BIGINT) AS cd FROM f$c)""".stripMargin
+    }
+    for (c <- 1 to TopK) {
+      sb ++= s""",
+         |pr$c AS (
+         |  SELECT e.vec_id, e.label, CAST($c AS INTEGER) AS component,
+         |         CAST(sum(CAST(round(e.embedding[t.i]::DOUBLE * $QScale) AS BIGINT)
+         |                  * f.v) AS BIGINT) AS proj_raw
+         |  FROM embeddings e, LATERAL unnest(range(1, len(e.embedding) + 1)) AS t(i),
+         |       f$c f
+         |  WHERE f.i = t.i
+         |  GROUP BY e.vec_id, e.label)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT vec_id, label, component, proj_raw,
+       |       CAST(proj_raw AS DOUBLE) / ${QScale * VScale}.0 AS proj
+       |FROM (${(1 to TopK).map(c => s"SELECT * FROM pr$c").mkString("\n      UNION ALL ")})""".stripMargin
+    sb.result()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca_project" -> (embPcaProject _),
-    "emb_pca_top2" -> (embPcaTop2 _))
+    "emb_pca_top2" -> (embPcaTop2 _),
+    "emb_pca_topk" -> (embPcaTopk _))
 
   val oracle: Map[String, String] = Map(
     "emb_pca_project" -> embPcaProjectSql,
-    "emb_pca_top2" -> embPcaTop2Sql)
+    "emb_pca_top2" -> embPcaTop2Sql,
+    "emb_pca_topk" -> embPcaTopkSql)
 }

@@ -90,6 +90,64 @@ class PcaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(c12) < 0.05, s"components not orthogonal: $c12")
   }
 
+  test("sequentially deflated top-8 recovers all planted directions, mutually orthogonal") {
+    // Eight orthonormal planted directions (Gram-Schmidt over
+    // deterministic raw vectors) with strengths 0.8^i — variance ratio
+    // 0.64 between neighbors, so 12 power-iteration rounds separate each
+    // pair decisively; the k-th trained component must match the k-th
+    // planted direction without re-finding any earlier one.
+    val K = graft.queries.PcaQueries.TopK
+    val us = {
+      val basis = scala.collection.mutable.Buffer[Array[Double]]()
+      for (i <- 0 until K) {
+        val raw = Array.tabulate(D)(d => math.sin((i + 1) * (d + 1) * 0.7 + i))
+        val o = raw.clone()
+        basis.foreach { b =>
+          val dot = (0 until D).map(d => o(d) * b(d)).sum
+          for (d <- 0 until D) o(d) -= dot * b(d)
+        }
+        val n = math.sqrt(o.map(x => x * x).sum)
+        basis += o.map(_ / n)
+      }
+      basis.toSeq
+    }
+    // The single-step `lcg` is AFFINE in its seed (nearby seeds give
+    // near-constant offsets), which correlates per-component
+    // coefficients; the 8-way mixture needs genuinely independent ones —
+    // splitmix64 finalizer.
+    def mix(seed: Long): Double = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      ((z >>> 11) % 2000000) / 1000000.0 - 1.0
+    }
+    val ss = spark; import ss.implicits._
+    val rows = (0 until 400).map { k =>
+      val vec = Array.tabulate(D) { d =>
+        var x = 0.02 * mix(k * 100000L + d)
+        for (i <- 0 until K) x += math.pow(0.8, i) * mix(k * 131L + i * 7 + 1) * us(i)(d)
+        x.toFloat
+      }
+      (k.toLong, vec, k % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label").createOrReplaceTempView("embeddings")
+    val vs = graft.queries.PcaQueries.trainTopKOnView(spark, K)
+    def unit(v: Array[Long]): Array[Double] = {
+      val vd = v.map(_.toDouble); val n = math.sqrt(vd.map(x => x * x).sum)
+      vd.map(_ / n)
+    }
+    val vh = vs.map(unit)
+    for (i <- 0 until K) {
+      val cos = (0 until D).map(d => vh(i)(d) * us(i)(d)).sum
+      assert(math.abs(cos) > 0.95, s"component ${i + 1} missed its direction: $cos")
+    }
+    for (i <- 0 until K; j <- 0 until i) {
+      val c = (0 until D).map(d => vh(i)(d) * vh(j)(d)).sum
+      assert(math.abs(c) < 0.05, s"components ${j + 1},${i + 1} not orthogonal: $c")
+    }
+  }
+
   test("training is deterministic and the sign convention holds") {
     planted()
     val a = PcaQueries.trainTopComponentOnView(spark)

@@ -295,6 +295,54 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scaled == base.map { case (i, p, m, c) => (i, p, m, c * Copies) })
   }
 
+  test("text_bpe_train at 1,024 merges: per-round cost stays flat, schedule prefix-stable") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // The production claim (TokenizerQueries.Merges doc): 30-50k merges
+    // are a budget knob because each round costs one vocab-sized
+    // aggregation + a LIMIT-1 argmax, constant over rounds. Demonstrate
+    // it: train 64 merges to measure the short-run rate, then 1,024
+    // end-to-end, and assert the amortized per-round cost of the long
+    // run shows no O(rounds²) creep. Greedy BPE is a prefix property —
+    // the long run's first 64 merges must be IDENTICAL to the short
+    // run's — and the rolling unpersist must keep pinned storage at ~2
+    // vocab tables regardless of merge count.
+    //
+    // Corpus: the driver fixture's templated vocabulary saturates at 89
+    // merges (measured — no pair occurs twice after that), so the DEPTH
+    // demo trains on a synthetic vocabulary with production-like pair
+    // diversity: 10k distinct 64-char pseudo-random words over a
+    // 16-letter alphabet (640k positions — 5-gram types still repeat at
+    // this size, so merges stay available far past 1,024). Deterministic
+    // (md5 of the row id), so the prefix-stability assertion is exact.
+    spark.sql(
+      """SELECT id AS doc_id,
+        |       translate(concat(md5(cast(id AS string)),
+        |                        md5(cast(id + 1000000 AS string))),
+        |                 '0123456789', 'ghijklmnop') AS text
+        |FROM range(10000)""".stripMargin)
+      .repartition(32).createOrReplaceTempView("documents")
+    def timedRun(n: Int): (Seq[graft.queries.TokenizerQueries.Merge], Double) = {
+      val t0 = System.nanoTime()
+      val m = graft.queries.TokenizerQueries.trainMergesOnView(spark, n)
+      (m, (System.nanoTime() - t0) / 1e9)
+    }
+    val (short, tShort) = timedRun(64)
+    assert(short.size == 64, s"short run stopped early at ${short.size}")
+    val (long, tLong) = timedRun(1024)
+    assert(long.size == 1024, s"long run stopped early at ${long.size}")
+    val perShort = tShort / 64
+    val perLong = tLong / 1024
+    info(f"64 merges: $tShort%.1f s (${perShort * 1000}%.0f ms/round); " +
+      f"1,024 merges: $tLong%.1f s (${perLong * 1000}%.0f ms/round)")
+    assert(perLong <= 2.5 * perShort,
+      f"per-round cost crept: ${perLong * 1000}%.0f ms vs ${perShort * 1000}%.0f ms")
+    assert(long.take(64) == short, "greedy schedule must be prefix-stable")
+    // Rolling unpersist held: pinned RDDs are bounded, not ~1,024.
+    val pinned = spark.sparkContext.getPersistentRDDs.size
+    assert(pinned < 32, s"$pinned pinned RDDs after the 1,024-merge run")
+    graft.operators.PinnedStages.sweepTransient(spark)
+  }
+
   test("dd_span_rewrite at sf≈1: later copies empty out; copy 0 is replication-invariant") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     def rows(d: String) = SparkEntry.queries("dd_span_rewrite")(spark, d)
