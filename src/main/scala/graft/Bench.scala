@@ -82,6 +82,7 @@ object Bench {
       if (i > 1) {
         graft.queries.DedupQueries.clearSessionMemos()
         graft.queries.TokenizerQueries.clearSessionMemos()
+        graft.queries.PcaQueries.clearSessionMemos()
         graft.operators.AsOfJoin.clearBoundsCache()
         graft.operators.PinnedStages.releaseShared(spark)
       }

@@ -52,6 +52,35 @@ object PcaQueries {
       .repartition(spark.sparkContext.defaultParallelism)
       .createOrReplaceTempView("embeddings")
 
+  // Session-scoped memo (r11): the three catalog queries (project / top2 /
+  // topk) share ONE covariance pass and one component chain per
+  // (session, dir) — deflation is a prefix property (component k does not
+  // depend on how many more will be trained), so serving top2 from the
+  // topk chain is bit-identical to training it alone. The
+  // dd_minhash/TokenizerQueries memo discipline; Bench clears it between
+  // passes so every pass pays the real training cost.
+  private val componentMemo = scala.collection.mutable.Map[
+    (String, String), (Array[Array[Long]], Seq[Array[Long]])]()
+
+  private[graft] def clearSessionMemos(): Unit =
+    synchronized { componentMemo.clear() }
+
+  /** First `k` components for the catalog dir, training only what the
+    * memo does not already hold. */
+  private def trainedComponents(spark: SparkSession, dir: String,
+      k: Int): Seq[Array[Long]] = synchronized {
+    val key = (spark.sparkContext.applicationId + "/" +
+      spark.sparkContext.startTime, dir)
+    val (c, comps) = componentMemo.getOrElse(key, {
+      viewEmb(spark, dir)
+      (covScaled(spark), Seq.empty[Array[Long]])
+    })
+    var cs = comps
+    while (cs.size < k) cs = cs :+ iterate(c, cs)
+    componentMemo(key) = (c, cs)
+    cs.take(k)
+  }
+
   /** Power iteration, orthogonalized after each normalization against
     * every PRIOR component in order (the sequential deflation that
     * isolates component k from components 1..k-1; empty `orths` = the
@@ -153,8 +182,8 @@ object PcaQueries {
 
   // ── emb_pca_project ★ — per-vector projection on the trained component
   def embPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val v = trainedComponents(spark, dir, 1).head
     viewEmb(spark, dir)
-    val v = trainTopComponentOnView(spark)
     val varr = v.mkString("array(", "L, ", "L)")
     spark.sql(
       s"""SELECT vec_id, label, proj_raw,
@@ -174,8 +203,8 @@ object PcaQueries {
   // HUGEINT ↔ driver BigInt, both truncating toward zero). Output: both
   // projections per vector — the 2-D map/whitening axes.
   def embPcaTop2(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(v1, v2) = trainedComponents(spark, dir, 2)
     viewEmb(spark, dir)
-    val (v1, v2) = trainTop2OnView(spark)
     val a1 = v1.mkString("array(", "L, ", "L)")
     val a2 = v2.mkString("array(", "L, ", "L)")
     def proj(varr: String) =
@@ -211,8 +240,8 @@ object PcaQueries {
   // with the k eigenvectors as plan literals + a bounded posexplode
   // (k rows/vector) — no join, no shuffle.
   def embPcaTopk(spark: SparkSession, dir: String): DataFrame = {
+    val vs = trainedComponents(spark, dir, TopK)
     viewEmb(spark, dir)
-    val vs = trainTopKOnView(spark, TopK)
     def proj(varr: String) =
       s"""aggregate(transform(embedding, (x, i) ->
          |      CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT)
