@@ -1002,6 +1002,18 @@ object GraftFunctions {
         }
         KmvBottomK(args(0), k)
       })
+    Bridge.registerFunction(spark, "bottomk_sample",
+      args => {
+        require(args.length == 3 && args(2).foldable,
+          "bottomk_sample(hash, value, k): k must be a literal")
+        val k = args(2).eval() match {
+          case i: Int => i
+          case l: Long if l == l.toInt => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"bottomk_sample: k must be an Int-range integer literal, got $other")
+        }
+        BottomKSample(args(0), args(1), k)
+      })
     Bridge.registerFunction(spark, "mg_candidates",
       args => {
         require(args.length == 2 && args(1).foldable,

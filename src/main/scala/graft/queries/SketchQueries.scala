@@ -119,9 +119,68 @@ object SketchQueries {
        |       e.exact_distinct
        |FROM nums n JOIN exact e ON n.lang = e.lang""".stripMargin
 
+  // ── sk_sample_quantiles ★ (r11) — sampled order statistics per group
+  // via the deterministic bottom-K-by-hash sample
+  // (`expr/BottomKSample`, K = 256): per language, estimate the p25 /
+  // p50 / p75 document length from the values carried by the K smallest
+  // md5 hashes of the doc id. This completes the production sketch
+  // quartet (KMV distinct, HLL, Misra–Gries heavy hitters, sampled
+  // quantiles) — the per-group distribution summary a 100 TB profile
+  // pass ships when the exact two-phase selection
+  // (`text_length_quantiles`) is too expensive to run per group.
+  //
+  // Scale shape: the naive per-group sample — row_number() OVER
+  // (PARTITION BY lang ORDER BY hash) — sorts every group's FULL
+  // contents on one reducer per group; the aggregate instead folds
+  // map-side into K-bounded buffers and ships ≤ K (hash, value) pairs
+  // per group across the shuffle (bottom-k-by-hash is a semilattice, so
+  // partials merge in any order). Deterministic (md5-ordered), so the
+  // ESTIMATES themselves pass the binary oracle gate: DuckDB draws the
+  // identical sample by sorting on the same hash.
+  val SampleK = 256
+
+  def skSampleQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      s"""WITH s AS (
+         |  SELECT lang,
+         |         bottomk_sample(${hSpark("cast(doc_id as string)")},
+         |                        CAST(length(text) AS BIGINT), $SampleK) AS vals
+         |  FROM documents GROUP BY lang),
+         |q AS (SELECT lang, array_sort(vals) AS sv, size(vals) AS n FROM s)
+         |SELECT lang, CAST(n AS BIGINT) AS sample_n,
+         |       element_at(sv, greatest(CAST(ceil(0.25 * n) AS INT), 1)) AS p25_est,
+         |       element_at(sv, greatest(CAST(ceil(0.50 * n) AS INT), 1)) AS p50_est,
+         |       element_at(sv, greatest(CAST(ceil(0.75 * n) AS INT), 1)) AS p75_est
+         |FROM q""".stripMargin)
+  }
+
+  /** The oracle draws the IDENTICAL sample (bottom-K by the same md5
+    * hash, min value per hash — the aggregate's collision rule) with
+    * window functions, which on fixture scale is fine. */
+  val skSampleQuantilesSql: String =
+    s"""WITH h AS (
+       |  SELECT lang, ${hDuck("CAST(doc_id AS VARCHAR)")} AS h,
+       |         CAST(length(text) AS BIGINT) AS v
+       |  FROM documents),
+       |d AS (SELECT lang, h, min(v) AS v FROM h GROUP BY lang, h),
+       |r AS (SELECT lang, v,
+       |             row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+       |      FROM d),
+       |s AS (SELECT lang, list(v ORDER BY v) AS sv, count(*) AS n
+       |      FROM r WHERE rn <= $SampleK GROUP BY lang)
+       |SELECT lang, CAST(n AS BIGINT) AS sample_n,
+       |       CAST(sv[greatest(CAST(ceil(0.25 * n) AS BIGINT), 1)] AS BIGINT) AS p25_est,
+       |       CAST(sv[greatest(CAST(ceil(0.50 * n) AS BIGINT), 1)] AS BIGINT) AS p50_est,
+       |       CAST(sv[greatest(CAST(ceil(0.75 * n) AS BIGINT), 1)] AS BIGINT) AS p75_est
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sk_hll_distinct" -> (skHllDistinct _))
+    "sk_hll_distinct" -> (skHllDistinct _),
+    "sk_sample_quantiles" -> (skSampleQuantiles _))
 
   val oracle: Map[String, String] = Map(
-    "sk_hll_distinct" -> skHllDistinctSql)
+    "sk_hll_distinct" -> skHllDistinctSql,
+    "sk_sample_quantiles" -> skSampleQuantilesSql)
 }
