@@ -31,6 +31,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the eviction candidate; K is sketch-sized, so O(log K) per row is
   * noise next to the md5 itself.
   */
+object BottomKSample {
+  /** The ONE insertion rule — dedup by hash keeping the MIN value,
+    * K-bound by evicting the largest hash — shared by the Catalyst
+    * aggregate and the streaming fold
+    * ([[graft.streaming.StreamingSampleQuantiles]]) so the two paths
+    * cannot drift. */
+  def put(buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
+      h: Long, v: Long, k: Int): Unit = {
+    val existing = buf.get(h)
+    if (existing == null || v < existing) buf.put(h, v)
+    if (buf.size > k) buf.pollLastEntry()
+  }
+}
+
 case class BottomKSample(
     hashChild: Expression,
     valueChild: Expression,
@@ -45,11 +59,7 @@ case class BottomKSample(
     new java.util.TreeMap[java.lang.Long, java.lang.Long]()
 
   private def put(buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
-      h: Long, v: Long): Unit = {
-    val existing = buf.get(h)
-    if (existing == null || v < existing) buf.put(h, v)
-    if (buf.size > k) buf.pollLastEntry()
-  }
+      h: Long, v: Long): Unit = BottomKSample.put(buf, h, v, k)
 
   override def update(buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
       input: InternalRow): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
