@@ -649,7 +649,119 @@ object CdcQueries {
       |CROSS JOIN epoch0 x
       |GROUP BY f.first_wk - x.w0, a.wk - f.first_wk""".stripMargin
 
+  // C12 (r11) ★ SCD Type-2 history build: fold the CDC change log into a
+  // slowly-changing-dimension version table — the canonical "turn a change
+  // stream into a queryable history" materialization every warehouse
+  // downstream of the reference's topics builds (the reference emits the
+  // stream, `parsed_row.py`'s operation alphabet; SCD2 is its table form).
+  // Per business key (user_id): after-image changes (Insert=2,
+  // PostUpdate=4) open versions; ANY next event on the key — including a
+  // Delete=1 — closes the previous one. Validity rides BOTH coordinates:
+  // the transaction axis (lsn) and the strict per-change axis (seqval,
+  // unique ⇒ tie-free versioning within a transaction).
+  // Shape: ONE repartition-by-key + in-partition sort (the single window
+  // lead()), no self-join, no all-pairs — at 100 TB this is exactly one
+  // shuffle of the change log keyed by the dimension key; key cardinality
+  // is users (high), so all reducers parallel.
+  def c12Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("seqval_num"))
+    SyntheticCdc.changeRows(spark, dir)
+      .filter(col("operation").isin(1, 2, 4))
+      .select(col("user_id"), col("seqval_num"), col("lsn_num"),
+        col("operation"), col("event_type"), col("value"))
+      .withColumn("next_seq", lead(col("seqval_num"), 1).over(w))
+      .withColumn("next_lsn", lead(col("lsn_num"), 1).over(w))
+      .withColumn("next_op", lead(col("operation"), 1).over(w))
+      .filter(col("operation") =!= 1)
+      .select(
+        col("user_id"),
+        col("seqval_num").as("version_seq"),
+        col("event_type"),
+        col("value"),
+        col("lsn_num").as("valid_from_lsn"),
+        col("next_lsn").as("valid_to_lsn"),
+        col("next_seq").as("valid_to_seq"),
+        coalesce(col("next_op") === 1, lit(false)).as("closed_by_delete"),
+        col("next_seq").isNull.as("is_current"))
+  }
+
+  val c12Sql: String =
+    s"""WITH change_rows AS ($cr), ev AS (
+       |  SELECT user_id, seqval_num, lsn_num, operation, event_type, value
+       |  FROM change_rows WHERE operation IN (1, 2, 4)),
+       |led AS (
+       |  SELECT user_id, seqval_num, lsn_num, operation, event_type, value,
+       |         lead(seqval_num) OVER w AS next_seq,
+       |         lead(lsn_num) OVER w AS next_lsn,
+       |         lead(operation) OVER w AS next_op
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY seqval_num))
+       |SELECT user_id, seqval_num AS version_seq, event_type, value,
+       |       lsn_num AS valid_from_lsn, next_lsn AS valid_to_lsn,
+       |       next_seq AS valid_to_seq,
+       |       coalesce(next_op = 1, FALSE) AS closed_by_delete,
+       |       (next_seq IS NULL) AS is_current
+       |FROM led WHERE operation <> 1""".stripMargin
+
+  // C13 (r11) ★ point-in-time (PIT) probe join against the C12 history:
+  // "what did each user's row look like at time T" — the lookup shape
+  // every feature-store / training-label join uses (probe at label time
+  // against the dimension history, never at read time). Probes: each
+  // user at the 25/50/75% marks of the strict seqval axis (deterministic,
+  // corpus-derived). Matching version: valid_from_seq <= t < valid_to_seq
+  // (open versions unbounded above); a probe landing in a post-delete gap
+  // or before first insert finds no row — inner join drops it, exactly
+  // the "key did not exist at T" semantics.
+  // Shape: equi-join on user_id with a range residual — per-key version
+  // chains are bounded by that key's change count, so reducers stay
+  // balanced; the 1-row max-seq scalar broadcasts. No all-pairs anywhere.
+  def c13PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val versions = c12Scd2(spark, dir)
+      .select(col("user_id"), col("version_seq"), col("event_type"),
+        col("value"), col("valid_to_seq"))
+    val changes = SyntheticCdc.changeRows(spark, dir)
+    val maxSeq = changes.agg(max(col("seqval_num")).as("max_seq"))
+    val probes = changes.select(col("user_id")).distinct()
+      .crossJoin(broadcast(maxSeq))
+      .withColumn("q", explode(array(lit(1L), lit(2L), lit(3L))))
+      .select(col("user_id"),
+        expr("CAST(q * max_seq div 4 AS BIGINT)").as("as_of_seq"))
+    probes.join(versions,
+        probes("user_id") === versions("user_id") &&
+          versions("version_seq") <= probes("as_of_seq") &&
+          (versions("valid_to_seq").isNull ||
+            versions("valid_to_seq") > probes("as_of_seq")))
+      .select(probes("user_id"), col("as_of_seq"), col("version_seq"),
+        col("event_type"), col("value"))
+  }
+
+  val c13Sql: String =
+    s"""WITH change_rows AS ($cr), ev AS (
+       |  SELECT user_id, seqval_num, lsn_num, operation, event_type, value
+       |  FROM change_rows WHERE operation IN (1, 2, 4)),
+       |led AS (
+       |  SELECT user_id, seqval_num, operation, event_type, value,
+       |         lead(seqval_num) OVER w AS next_seq
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY seqval_num)),
+       |versions AS (
+       |  SELECT user_id, seqval_num AS version_seq, event_type, value,
+       |         next_seq AS valid_to_seq
+       |  FROM led WHERE operation <> 1),
+       |mx AS (SELECT max(seqval_num) AS max_seq FROM change_rows),
+       |probes AS (
+       |  SELECT u.user_id,
+       |         CAST(q.q * mx.max_seq // 4 AS BIGINT) AS as_of_seq
+       |  FROM (SELECT DISTINCT user_id FROM change_rows) u
+       |  CROSS JOIN mx
+       |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS q) q)
+       |SELECT p.user_id, p.as_of_seq, v.version_seq, v.event_type, v.value
+       |FROM probes p JOIN versions v
+       |  ON p.user_id = v.user_id
+       | AND v.version_seq <= p.as_of_seq
+       | AND (v.valid_to_seq IS NULL OR v.valid_to_seq > p.as_of_seq)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c12_scd2" -> (c12Scd2 _),
+    "c13_point_in_time" -> (c13PointInTime _),
     "e11_retention" -> (e11Retention _),
     "e10_funnel" -> (e10Funnel _),
     "a1_change_scan" -> (a1ChangeScan _),
@@ -675,6 +787,8 @@ object CdcQueries {
     "e5_offset_gaps" -> (e5OffsetGaps _))
 
   val oracle: Map[String, String] = Map(
+    "c12_scd2" -> c12Sql,
+    "c13_point_in_time" -> c13Sql,
     "e11_retention" -> e11Sql,
     "e10_funnel" -> e10Sql,
     "a1_change_scan" -> a1Sql,
