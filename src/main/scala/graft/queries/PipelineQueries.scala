@@ -884,7 +884,99 @@ object PipelineQueries {
       |       CAST(sum(tok_delta) AS BIGINT) AS token_delta
       |FROM diff GROUP BY source, status""".stripMargin
 
+  // ── pipe_pii_scrub ★ (r11) — multi-category PII redaction: emails,
+  // phone numbers, SSN-shaped ids, 16-digit card numbers, and IPv4
+  // addresses masked with typed placeholder tokens, counted per category,
+  // and audited (re-running every detector over the scrubbed text must
+  // find zero residual matches — the property a compliance review asks
+  // for). The C4/Dolma-style pre-training scrub pass.
+  //
+  // The synthetic corpus contains no organic PII, so the fixture INJECTS
+  // it deterministically (pure integer/string functions of doc_id —
+  // identical in both engines): every 7th doc an email, 11th a phone,
+  // 13th an IPv4, 17th a card, 19th an SSN. Patterns use [0-9]/[.]
+  // classes only — the portable subset of Java regex and DuckDB's RE2.
+  // Category shapes are mutually exclusive by construction (3-2-4 vs
+  // 3-3-4 dash groups, @ vs dots vs bare digit run), so per-category
+  // counts are order-independent and the replace chain cannot cascade.
+  //
+  // Shape: narrow per-row regex work, no shuffle, scan speed — the 100 TB
+  // cost is exactly one pass over the text column.
+  private val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ip", "([0-9]{1,3}[.]){3}[0-9]{1,3}", "<IP>"),
+    ("card", "4[0-9]{15}", "<CARD>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+  /** PII-injected corpus: the SQL `ptext` expression (engine param picks
+    * the cast spelling; everything else is common SQL). */
+  private def piiInject(castStr: String): String =
+    s"""concat(text,
+       |  CASE WHEN doc_id % 7 = 0 THEN concat(' contact user',
+       |    CAST(doc_id AS $castStr), '@mail', CAST(doc_id % 17 AS $castStr),
+       |    '.example.com') ELSE '' END,
+       |  CASE WHEN doc_id % 11 = 0 THEN concat(' call 555-',
+       |    lpad(CAST(doc_id % 1000 AS $castStr), 3, '0'), '-',
+       |    lpad(CAST(doc_id % 10000 AS $castStr), 4, '0')) ELSE '' END,
+       |  CASE WHEN doc_id % 13 = 0 THEN concat(' from 10.',
+       |    CAST(doc_id % 256 AS $castStr), '.',
+       |    CAST((doc_id * 7) % 256 AS $castStr), '.',
+       |    CAST((doc_id * 3) % 256 AS $castStr)) ELSE '' END,
+       |  CASE WHEN doc_id % 17 = 0 THEN concat(' card 4',
+       |    lpad(CAST(doc_id % 1000000 AS $castStr), 15, '0')) ELSE '' END,
+       |  CASE WHEN doc_id % 19 = 0 THEN concat(' ssn ',
+       |    lpad(CAST(doc_id % 1000 AS $castStr), 3, '0'), '-',
+       |    lpad(CAST(doc_id % 100 AS $castStr), 2, '0'), '-',
+       |    lpad(CAST(doc_id % 10000 AS $castStr), 4, '0')) ELSE '' END)""".stripMargin
+
+  def pipePiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    val chain = piiPatterns.foldLeft("ptext") { case (acc, (_, pat, tok)) =>
+      s"regexp_replace($acc, '$pat', '$tok')" }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      s"size(regexp_extract_all(ptext, '$pat', 0)) AS n_$name" }.mkString(",\n  ")
+    val residual = piiPatterns.map { case (_, pat, _) =>
+      s"size(regexp_extract_all(scrubbed, '$pat', 0))" }.mkString(" + ")
+    spark.sql(
+      s"""WITH pii AS (
+         |  SELECT doc_id, source, ${piiInject("STRING")} AS ptext
+         |  FROM documents),
+         |scrubbed AS (
+         |  SELECT doc_id, source, $chain AS scrubbed,
+         |  $counts
+         |  FROM pii)
+         |SELECT doc_id, source, scrubbed,
+         |       n_email, n_ip, n_card, n_ssn, n_phone,
+         |       n_email + n_ip + n_card + n_ssn + n_phone AS n_redactions,
+         |       $residual AS residual
+         |FROM scrubbed""".stripMargin)
+  }
+
+  val pipePiiScrubSql: String = {
+    val chain = piiPatterns.foldLeft("ptext") { case (acc, (_, pat, tok)) =>
+      s"regexp_replace($acc, '$pat', '$tok', 'g')" }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(ptext, '$pat')) AS INT) AS n_$name" }
+      .mkString(",\n  ")
+    val residual = piiPatterns.map { case (_, pat, _) =>
+      s"CAST(len(regexp_extract_all(scrubbed, '$pat')) AS INT)" }.mkString(" + ")
+    s"""WITH pii AS (
+       |  SELECT doc_id, source, ${piiInject("VARCHAR")} AS ptext
+       |  FROM documents),
+       |scrubbed AS (
+       |  SELECT doc_id, source, $chain AS scrubbed,
+       |  $counts
+       |  FROM pii)
+       |SELECT doc_id, source, scrubbed,
+       |       n_email, n_ip, n_card, n_ssn, n_phone,
+       |       n_email + n_ip + n_card + n_ssn + n_phone AS n_redactions,
+       |       $residual AS residual
+       |FROM scrubbed""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_pii_scrub" -> (pipePiiScrub _),
     "pipe_dataset_diff" -> (pipeDatasetDiff _),
     "pipe_curriculum" -> (pipeCurriculum _),
     "pipe_contamination_rate" -> (pipeContaminationRate _),
@@ -902,6 +994,7 @@ object PipelineQueries {
     "pipe_shuffle" -> (pipeShuffle _))
 
   val oracle: Map[String, String] = Map(
+    "pipe_pii_scrub" -> pipePiiScrubSql,
     "pipe_dataset_diff" -> pipeDatasetDiffSql,
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_contamination_rate" -> pipeContaminationRateSql,

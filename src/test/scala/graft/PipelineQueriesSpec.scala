@@ -27,6 +27,32 @@ class PipelineQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def plan(name: String): String =
     run(name).queryExecution.executedPlan.toString
 
+  test("pipe_pii_scrub: every injected category is found, masked, and leaves no residual") {
+    import org.apache.spark.sql.functions._
+    val out = run("pipe_pii_scrub").cache()
+    try {
+      // Injection schedule → detection floor, per category.
+      Seq(7 -> "n_email", 11 -> "n_phone", 13 -> "n_ip", 17 -> "n_card",
+          19 -> "n_ssn").foreach { case (m, c) =>
+        val missed = out.filter(col("doc_id") % m === 0 && col(c) < 1).count()
+        assert(missed === 0L, s"doc_id%$m==0 rows missing a $c detection")
+      }
+      // The compliance property: zero residual matches after the scrub,
+      // and the scrubbed text carries the typed mask tokens.
+      assert(out.filter(col("residual") =!= 0).count() === 0L)
+      assert(out.filter(col("doc_id") % 7 === 0 &&
+        !col("scrubbed").contains("<EMAIL>")).count() === 0L)
+      // No scrub on untouched docs: n_redactions == 0 implies scrubbed
+      // text equals the injected text equals the original.
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val unchanged = out.filter(col("n_redactions") === 0)
+        .join(docs, "doc_id")
+        .filter(col("scrubbed") =!= col("text")).count()
+      assert(unchanged === 0L, "document without PII was modified")
+    } finally out.unpersist()
+  }
+
   test("pipe_decontaminate: per-source counts conserve and eval docs are excluded") {
     val rows = run("pipe_decontaminate").collect()
     assert(rows.length == 20)
