@@ -176,11 +176,162 @@ object SketchQueries {
        |       CAST(sv[greatest(CAST(ceil(0.75 * n) AS BIGINT), 1)] AS BIGINT) AS p75_est
        |FROM s""".stripMargin
 
+  // ── sk_kmv_intersect ★ (r11) — SET OPERATIONS on sketches: for every
+  // unordered language pair, estimate |A∪B|, |A∩B|, and Jaccard(A,B) of
+  // the two 5-word-SHINGLE sets (the shared contamination unit,
+  // [[PipelineQueries.shingleSpark]] — the 31-word synthetic vocabulary
+  // is fully shared across langs, so the word level is degenerate;
+  // shingle sets run 3k-11k per lang with overlaps from 0 to ~200,
+  // including zero-intersection pairs exercising the coalesce path)
+  // from their K=256 KMV bottom-k signatures alone
+  // (Beyer et al. 2007): merge the two signatures, keep the union's
+  // bottom-k L, estimate the union from L's k-th smallest hash, and
+  // scale by ρ = |{h ∈ L present in both signatures}| / |L|. This is the
+  // sketch-algebra half the distinct-count sketches were missing — at
+  // 100 TB you estimate cross-source overlap WITHOUT ever co-scanning the
+  // two sources: each source ships 256 longs, the pair math is constant.
+  //
+  // Deterministic (engine-shared md5-top-60 hash), so estimates pass the
+  // binary oracle gate; exact intersection/Jaccard ride along as the
+  // fixture-scale accuracy witness (production drops them).
+  //
+  // Scale shape: one per-language KmvBottomK fold (≤K longs/group across
+  // the shuffle), then all pair work happens on #langs·K rows — the
+  // lang-pair grid is |langs|² (bounded by construction, broadcast); the
+  // exact witness is a vocabulary equi-join on the word (each word ≤1 row
+  // per lang after DISTINCT — no fanout).
+  def skKmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      s"""WITH words AS (
+         |  SELECT DISTINCT lang, word
+         |  FROM (SELECT lang, ${PipelineQueries.shingleSpark("ws")} AS gs
+         |        FROM (SELECT lang, split(text, ' ') AS ws FROM documents)
+         |        WHERE size(ws) >= 5)
+         |  LATERAL VIEW explode(gs) AS word),
+         |hashed AS (SELECT lang, ${hSpark("word")} AS h FROM words),
+         |sigs AS (
+         |  SELECT lang, h
+         |  FROM (SELECT lang, kmv_bottomk(h, 256) AS bk FROM hashed GROUP BY lang)
+         |  LATERAL VIEW explode(bk) AS h),
+         |pairs AS (
+         |  SELECT a.lang AS l1, b.lang AS l2
+         |  FROM (SELECT DISTINCT lang FROM documents) a
+         |  JOIN (SELECT DISTINCT lang FROM documents) b ON a.lang < b.lang),
+         |merged AS (
+         |  SELECT p.l1, p.l2, s.h FROM pairs p JOIN sigs s ON s.lang = p.l1
+         |  UNION
+         |  SELECT p.l1, p.l2, s.h FROM pairs p JOIN sigs s ON s.lang = p.l2),
+         |unionk AS (
+         |  SELECT l1, l2, h,
+         |         row_number() OVER (PARTITION BY l1, l2 ORDER BY h) AS rnk
+         |  FROM merged),
+         |l AS (SELECT l1, l2, h FROM unionk WHERE rnk <= 256),
+         |folded AS (
+         |  SELECT l1, l2, CAST(count(*) AS BIGINT) AS k_used, max(h) AS hk
+         |  FROM l GROUP BY l1, l2),
+         |rho AS (
+         |  SELECT l.l1, l.l2, CAST(count(*) AS BIGINT) AS rho_num
+         |  FROM l
+         |  JOIN sigs s1 ON s1.lang = l.l1 AND s1.h = l.h
+         |  JOIN sigs s2 ON s2.lang = l.l2 AND s2.h = l.h
+         |  GROUP BY l.l1, l.l2),
+         |sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY lang),
+         |inter_exact AS (
+         |  SELECT w1.lang AS l1, w2.lang AS l2, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM words w1 JOIN words w2 ON w1.word = w2.word AND w1.lang < w2.lang
+         |  GROUP BY w1.lang, w2.lang),
+         |est AS (
+         |  SELECT f.l1, f.l2, f.k_used, coalesce(r.rho_num, 0) AS rho_num,
+         |         CASE WHEN f.k_used < 256 THEN CAST(f.k_used AS DOUBLE)
+         |              ELSE CAST(f.k_used - 1 AS DOUBLE)
+         |                   / (CAST(f.hk AS DOUBLE) / CAST($kmvNorm AS DOUBLE))
+         |         END AS union_est
+         |  FROM folded f LEFT JOIN rho r ON f.l1 = r.l1 AND f.l2 = r.l2)
+         |SELECT e.l1 AS lang_a, e.l2 AS lang_b, e.k_used, e.rho_num,
+         |       e.union_est,
+         |       CAST(e.rho_num AS DOUBLE) / e.k_used * e.union_est AS inter_est,
+         |       CAST(e.rho_num AS DOUBLE) / e.k_used AS jaccard_est,
+         |       CAST(coalesce(x.n_inter, 0) AS BIGINT) AS exact_inter,
+         |       CAST(coalesce(x.n_inter, 0) AS DOUBLE)
+         |         / (s1.n + s2.n - coalesce(x.n_inter, 0)) AS exact_jaccard
+         |FROM est e
+         |LEFT JOIN inter_exact x ON e.l1 = x.l1 AND e.l2 = x.l2
+         |JOIN sizes s1 ON s1.lang = e.l1
+         |JOIN sizes s2 ON s2.lang = e.l2""".stripMargin)
+  }
+
+  private val kmvNorm = "1152921504606846976" // 2^60: 15 hex chars of md5
+
+  // DuckDB has no custom aggregates: the signature is the ranked window
+  // over each language's distinct hashes — that this matches the
+  // partial-merged KmvBottomK path bit-for-bit IS the mergeability claim.
+  val skKmvIntersectSql: String =
+    s"""WITH words AS (
+       |  SELECT DISTINCT lang, unnest(${PipelineQueries.shingleDuck("ws")}) AS word
+       |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= 5),
+       |hashed AS (SELECT lang, ${hDuck("word")} AS h FROM words),
+       |sigs AS (
+       |  SELECT lang, h
+       |  FROM (SELECT lang, h,
+       |          row_number() OVER (PARTITION BY lang ORDER BY h) AS rnk
+       |        FROM hashed)
+       |  WHERE rnk <= 256),
+       |pairs AS (
+       |  SELECT a.lang AS l1, b.lang AS l2
+       |  FROM (SELECT DISTINCT lang FROM documents) a
+       |  JOIN (SELECT DISTINCT lang FROM documents) b ON a.lang < b.lang),
+       |merged AS (
+       |  SELECT p.l1, p.l2, s.h FROM pairs p JOIN sigs s ON s.lang = p.l1
+       |  UNION
+       |  SELECT p.l1, p.l2, s.h FROM pairs p JOIN sigs s ON s.lang = p.l2),
+       |unionk AS (
+       |  SELECT l1, l2, h,
+       |         row_number() OVER (PARTITION BY l1, l2 ORDER BY h) AS rnk
+       |  FROM merged),
+       |l AS (SELECT l1, l2, h FROM unionk WHERE rnk <= 256),
+       |folded AS (
+       |  SELECT l1, l2, CAST(count(*) AS BIGINT) AS k_used, max(h) AS hk
+       |  FROM l GROUP BY l1, l2),
+       |rho AS (
+       |  SELECT l.l1, l.l2, CAST(count(*) AS BIGINT) AS rho_num
+       |  FROM l
+       |  JOIN sigs s1 ON s1.lang = l.l1 AND s1.h = l.h
+       |  JOIN sigs s2 ON s2.lang = l.l2 AND s2.h = l.h
+       |  GROUP BY l.l1, l.l2),
+       |sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY lang),
+       |inter_exact AS (
+       |  SELECT w1.lang AS l1, w2.lang AS l2, CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM words w1 JOIN words w2 ON w1.word = w2.word AND w1.lang < w2.lang
+       |  GROUP BY w1.lang, w2.lang),
+       |est AS (
+       |  SELECT f.l1, f.l2, f.k_used, coalesce(r.rho_num, 0) AS rho_num,
+       |         CASE WHEN f.k_used < 256 THEN CAST(f.k_used AS DOUBLE)
+       |              ELSE CAST(f.k_used - 1 AS DOUBLE)
+       |                   / (CAST(f.hk AS DOUBLE) / CAST($kmvNorm AS DOUBLE))
+       |         END AS union_est
+       |  FROM folded f LEFT JOIN rho r ON f.l1 = r.l1 AND f.l2 = r.l2)
+       |SELECT e.l1 AS lang_a, e.l2 AS lang_b, e.k_used, e.rho_num,
+       |       e.union_est,
+       |       CAST(e.rho_num AS DOUBLE) / e.k_used * e.union_est AS inter_est,
+       |       CAST(e.rho_num AS DOUBLE) / e.k_used AS jaccard_est,
+       |       CAST(coalesce(x.n_inter, 0) AS BIGINT) AS exact_inter,
+       |       CAST(coalesce(x.n_inter, 0) AS DOUBLE)
+       |         / (s1.n + s2.n - coalesce(x.n_inter, 0)) AS exact_jaccard
+       |FROM est e
+       |LEFT JOIN inter_exact x ON e.l1 = x.l1 AND e.l2 = x.l2
+       |JOIN sizes s1 ON s1.lang = e.l1
+       |JOIN sizes s2 ON s2.lang = e.l2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_hll_distinct" -> (skHllDistinct _),
+    "sk_kmv_intersect" -> (skKmvIntersect _),
     "sk_sample_quantiles" -> (skSampleQuantiles _))
 
   val oracle: Map[String, String] = Map(
     "sk_hll_distinct" -> skHllDistinctSql,
+    "sk_kmv_intersect" -> skKmvIntersectSql,
     "sk_sample_quantiles" -> skSampleQuantilesSql)
 }
