@@ -139,4 +139,26 @@ object AudioCodec {
 
   /** One-shot convenience (tests, tools): opens a reader per call. */
   def decodeWav(bytes: Array[Byte]): DecodedWav = decodeWav(new WavReader, bytes)
+
+  /** Decode the container to its raw sample vector (the input to framed
+    * feature extraction — [[graft.queries.MultimodalQueries]]'s
+    * `mm_audio_features`). Same format requirements as [[decodeWav]]. */
+  def decodeSamples(ctx: WavReader, bytes: Array[Byte]): Array[Int] = {
+    require(isWav(bytes), "not a WAV stream")
+    val ais = ctx.reader.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+        s"unexpected decoded format: $f")
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort.toInt
+        i += 1
+      }
+      out
+    } finally ais.close()
+  }
 }

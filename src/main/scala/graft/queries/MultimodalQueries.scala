@@ -528,7 +528,85 @@ object MultimodalQueries {
       |            ELSE CAST(luma_sum AS DOUBLE) / 255.0 END AS mean_luma
       |FROM (SELECT * FROM png UNION ALL SELECT * FROM stub)""".stripMargin
 
+  // ── mm_audio_features ★ (r11) — FRAMED feature extraction over REAL
+  // decoded samples: each WAV asset is container-decoded
+  // ([[graft.model.AudioCodec.decodeSamples]]) and cut into 256-sample
+  // frames; per frame the op emits energy (Σs²), abs-sum, peak,
+  // INTRA-frame zero crossings, and the frame's polynomial sample hash.
+  // This is the VAD / silence-trim / speech-segment front end an audio
+  // training pipeline runs before transcription or filtering — the
+  // framed sibling of mm_decode_wav's whole-stream statistics. All
+  // integers; the oracle recomputes every frame from the sample formula
+  // (one wrong sample in one frame fails that frame's hash).
+  // Scale shape: narrow mapPartitions (codec context per partition,
+  // bounded ≤7-frame fan-out per row), no shuffle; container bytes and
+  // sample vectors never leave the partition.
+  val AudioFrameLen = 256
+
+  def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    import spark.implicits._
+    import graft.model.AudioCodec
+    val ids = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 4 = 1").as[Long]
+    ids.mapPartitions { it =>
+      val writer = AudioCodec.openWriter()
+      val reader = AudioCodec.openReader()
+      it.flatMap { docId =>
+        val bytes = AudioCodec.synthesizeWav(writer, docId)
+        val ss = AudioCodec.decodeSamples(reader, bytes)
+        val nFrames = (ss.length + AudioFrameLen - 1) / AudioFrameLen
+        (0 until nFrames).iterator.map { f =>
+          val lo = f * AudioFrameLen
+          val hi = math.min(ss.length, lo + AudioFrameLen)
+          var sumAbs = 0L; var energy = 0L; var peak = 0; var zc = 0L
+          var hash = 0L; var i = lo
+          while (i < hi) {
+            val s = ss(i)
+            sumAbs += math.abs(s); energy += s.toLong * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (i > lo && ((ss(i - 1) < 0 && s >= 0) || (ss(i - 1) >= 0 && s < 0)))
+              zc += 1
+            hash = (hash * 31 + (s + 32768)) % 1000000007L
+            i += 1
+          }
+          (docId, f, hi - lo, energy, sumAbs, peak, zc, hash)
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "frame_len", "energy", "sum_abs", "peak",
+      "zero_crossings", "frame_hash")
+  }
+
+  val mmAudioFeaturesSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, CAST(800 + doc_id % 800 AS BIGINT) AS n,
+       |         list_transform(range(0, 800 + doc_id % 800),
+       |           i -> CAST((doc_id * 7919 + i * 2654435761) % 65536 - 32768
+       |                AS BIGINT)) AS ss
+       |  FROM documents WHERE doc_id % 4 = 1),
+       |fr AS (
+       |  SELECT doc_id, n, ss,
+       |         unnest(range(0, CAST((n + ${AudioFrameLen - 1}) // $AudioFrameLen
+       |                        AS INT))) AS f
+       |  FROM sig),
+       |cut AS (
+       |  SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       |         ss[f * $AudioFrameLen + 1 :
+       |            CAST(least(n, (f + 1) * $AudioFrameLen) AS INT)] AS v
+       |  FROM fr)
+       |SELECT doc_id, frame_idx, CAST(len(v) AS INT) AS frame_len,
+       |       CAST(list_sum(list_transform(v, s -> s * s)) AS BIGINT) AS energy,
+       |       CAST(list_sum(list_transform(v, s -> abs(s))) AS BIGINT) AS sum_abs,
+       |       CAST(list_max(list_transform(v, s -> abs(s))) AS INT) AS peak,
+       |       CAST(coalesce(list_sum(list_transform(range(2, len(v) + 1), i ->
+       |         CASE WHEN (v[i - 1] < 0 AND v[i] >= 0)
+       |                OR (v[i - 1] >= 0 AND v[i] < 0)
+       |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings,
+       |       CAST(list_reduce([0] || list_transform(v, s -> s + 32768),
+       |         (acc, s) -> (acc * 31 + s) % 1000000007) AS BIGINT) AS frame_hash
+       |FROM cut""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_features" -> (mmAudioFeatures _),
     "mm_decode_gif" -> (mmDecodeGif _),
     "mm_decode_png" -> (mmDecodePng _),
     "mm_resize" -> (mmResize _),
@@ -540,6 +618,7 @@ object MultimodalQueries {
     "mm_dedup_assets" -> (mmDedupAssets _))
 
   val oracle: Map[String, String] = Map(
+    "mm_audio_features" -> mmAudioFeaturesSql,
     "mm_decode_gif" -> mmDecodeGifSql,
     "mm_decode_png" -> mmDecodePngSql,
     "mm_resize" -> mmResizeSql,

@@ -35,6 +35,29 @@ class AudioCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeSamples matches the formula and framed stats conserve the whole-stream stats") {
+    for (docId <- Seq(1L, 13L, 1001L)) {
+      val bytes = AudioCodec.synthesizeWav(docId)
+      val ss = AudioCodec.decodeSamples(AudioCodec.openReader(), bytes)
+      assert(ss.length == AudioCodec.sampleCount(docId))
+      assert(ss.indices.forall(i => ss(i) == AudioCodec.sample(docId, i)),
+        s"doc $docId decoded samples drifted from the formula")
+      // Conservation: per-frame energies/abs-sums over any framing sum to
+      // the whole-stream statistics; intra-frame zero crossings can only
+      // miss the frame-boundary pairs.
+      val d = AudioCodec.decodeWav(bytes)
+      val frames = ss.grouped(256).toSeq
+      assert(frames.map(_.map(s => s.toLong * s).sum).sum == d.sumSq)
+      assert(frames.map(_.map(s => math.abs(s).toLong).sum).sum == d.sumAbs)
+      val intraZc = frames.map(f =>
+        f.sliding(2).count(p => p.length == 2 &&
+          ((p(0) < 0 && p(1) >= 0) || (p(0) >= 0 && p(1) < 0)))).sum
+      assert(intraZc <= d.zeroCrossings &&
+        d.zeroCrossings - intraZc < frames.length,
+        s"doc $docId framed zero-crossings inconsistent with stream total")
+    }
+  }
+
   test("non-WAV and truncated containers are rejected, not mis-decoded") {
     intercept[IllegalArgumentException] {
       AudioCodec.decodeWav(Array[Byte](1, 2, 3, 4))
