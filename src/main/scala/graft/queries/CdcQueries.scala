@@ -663,27 +663,10 @@ object CdcQueries {
   // lead()), no self-join, no all-pairs — at 100 TB this is exactly one
   // shuffle of the change log keyed by the dimension key; key cardinality
   // is users (high), so all reducers parallel.
-  def c12Scd2(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("seqval_num"))
-    SyntheticCdc.changeRows(spark, dir)
-      .filter(col("operation").isin(1, 2, 4))
-      .select(col("user_id"), col("seqval_num"), col("lsn_num"),
-        col("operation"), col("event_type"), col("value"))
-      .withColumn("next_seq", lead(col("seqval_num"), 1).over(w))
-      .withColumn("next_lsn", lead(col("lsn_num"), 1).over(w))
-      .withColumn("next_op", lead(col("operation"), 1).over(w))
-      .filter(col("operation") =!= 1)
-      .select(
-        col("user_id"),
-        col("seqval_num").as("version_seq"),
-        col("event_type"),
-        col("value"),
-        col("lsn_num").as("valid_from_lsn"),
-        col("next_lsn").as("valid_to_lsn"),
-        col("next_seq").as("valid_to_seq"),
-        coalesce(col("next_op") === 1, lit(false)).as("closed_by_delete"),
-        col("next_seq").isNull.as("is_current"))
-  }
+  // Shared builder: graft.tools.Scd2Maintain.build — the incremental
+  // maintenance tool applies new change batches to this exact shape.
+  def c12Scd2(spark: SparkSession, dir: String): DataFrame =
+    graft.tools.Scd2Maintain.build(SyntheticCdc.changeRows(spark, dir))
 
   val c12Sql: String =
     s"""WITH change_rows AS ($cr), ev AS (
