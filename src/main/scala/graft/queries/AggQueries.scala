@@ -130,7 +130,41 @@ object AggQueries {
        |       max(seqval_num) AS last_seqval
        |FROM change_rows GROUP BY user_id""".stripMargin
 
+  // D9 ★ (r11) — multi-dimensional CUBE aggregate: the OLAP rollup every
+  // monitoring/BI consumer runs over a change feed ("counts by
+  // (event_type, operation), by each alone, and in total" in ONE pass).
+  // GROUPING SETS/CUBE expand map-side — each input row feeds its 4
+  // grouping combinations before the shuffle, so the plan stays one
+  // map-side-combined aggregate (no four separate scans, no union of
+  // four GROUP BYs — the naive spelling at 100 TB). Explicit grouping()
+  // flags disambiguate "NULL group value" from "aggregated-over" (the
+  // classic CUBE output pitfall).
+  def d9Cube(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.changeRows(spark, dir).createOrReplaceTempView("change_rows_t")
+    spark.sql(
+      """SELECT event_type, operation,
+        |       CAST(grouping(event_type) AS INT) AS g_event_type,
+        |       CAST(grouping(operation) AS INT) AS g_operation,
+        |       count(*) AS n,
+        |       CAST(sum(mask_int) AS BIGINT) AS sum_mask,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_keys
+        |FROM change_rows_t
+        |GROUP BY CUBE(event_type, operation)""".stripMargin)
+  }
+
+  val d9Sql: String =
+    s"""WITH change_rows AS ($cr)
+       |SELECT event_type, operation,
+       |       CAST(grouping(event_type) AS INT) AS g_event_type,
+       |       CAST(grouping(operation) AS INT) AS g_operation,
+       |       count(*) AS n,
+       |       CAST(sum(mask_int) AS BIGINT) AS sum_mask,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_keys
+       |FROM change_rows
+       |GROUP BY CUBE(event_type, operation)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_cube" -> (d9Cube _),
     "d1_count_by_operation" -> (d1CountByOperation _),
     "d2_bounded_count" -> (d2BoundedCount _),
     "d3_keyed_range_count" -> (d3KeyedRangeCount _),
@@ -140,6 +174,7 @@ object AggQueries {
     "d8_latest_per_key" -> (d8LatestPerKey _))
 
   val oracle: Map[String, String] = Map(
+    "d9_cube" -> d9Sql,
     "d1_count_by_operation" -> d1Sql,
     "d2_bounded_count" -> d2Sql,
     "d3_keyed_range_count" -> d3Sql,

@@ -181,7 +181,51 @@ object EnvelopeQueries {
        |WHERE tran_end_time >= TIMESTAMP '2024-01-02 00:00:00'
        |ORDER BY tran_end_time, lsn_num LIMIT 1""".stripMargin
 
+  // F13 ★ (r11) — semi-structured payload extraction: the `props` column
+  // is a JSON document (the reference ships raw column values into the
+  // Avro envelope; real event payloads are JSON blobs, and every
+  // downstream consumer's first step is path extraction). Per event:
+  // pull `$.k` typed, flag malformed/missing paths instead of silently
+  // nulling, then aggregate per event_type — the "parse once, summarize"
+  // pass. Scale shape: JSON parsing is the narrow per-row cost (codegen'd
+  // get_json_object — no UDF); the aggregate is map-side combined.
+  def f13JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(
+      """WITH parsed AS (
+        |  SELECT event_type,
+        |         CAST(get_json_object(props, '$.k') AS BIGINT) AS k,
+        |         get_json_object(props, '$.absent') IS NULL AS no_absent
+        |  FROM events_t)
+        |SELECT event_type,
+        |       count(*) AS n,
+        |       CAST(count(k) AS BIGINT) AS n_parsed,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(min(k) AS BIGINT) AS min_k,
+        |       CAST(max(k) AS BIGINT) AS max_k,
+        |       CAST(sum(CASE WHEN no_absent THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_no_absent
+        |FROM parsed GROUP BY event_type""".stripMargin)
+  }
+
+  val f13Sql: String =
+    """WITH parsed AS (
+      |  SELECT event_type,
+      |         CAST(props->>'k' AS BIGINT) AS k,
+      |         (props->>'absent') IS NULL AS no_absent
+      |  FROM events)
+      |SELECT event_type,
+      |       count(*) AS n,
+      |       CAST(count(k) AS BIGINT) AS n_parsed,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       CAST(min(k) AS BIGINT) AS min_k,
+      |       CAST(max(k) AS BIGINT) AS max_k,
+      |       CAST(sum(CASE WHEN no_absent THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_no_absent
+      |FROM parsed GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f13_json_extract" -> (f13JsonExtract _),
     "envelope" -> (cdcEnvelope _),
     "f3_mask_decode" -> (f3MaskDecode _),
     "b6_truncate_utf8" -> (b6Truncate _),
@@ -192,6 +236,7 @@ object EnvelopeQueries {
     "f11_asof_lsn" -> (f11AsofLsn _))
 
   val oracle: Map[String, String] = Map(
+    "f13_json_extract" -> f13Sql,
     "envelope" -> envelopeSql,
     "f3_mask_decode" -> f3Sql,
     "b6_truncate_utf8" -> b6Sql,
