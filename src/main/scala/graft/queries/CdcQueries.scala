@@ -742,7 +742,66 @@ object CdcQueries {
        | AND v.version_seq <= p.as_of_seq
        | AND (v.valid_to_seq IS NULL OR v.valid_to_seq > p.as_of_seq)""".stripMargin
 
+  // E12 ★ (r11) — rate-anomaly detection over the event stream: per
+  // (event_type, hour), flag buckets whose arrival rate spikes above the
+  // trailing 3-bucket baseline — the monitoring question ("is this feed
+  // suddenly hot?") every CDC operator alerts on. Integer micro-unit
+  // ratio (n·1e6·baseline_buckets div baseline_sum) — no float averaging,
+  // both engines bit-equal; the first buckets of each series (empty
+  // baseline) emit NULL ratio rather than a fake signal.
+  // Shape: aggregate FIRST (one map-side-combined (type, bucket) count),
+  // THEN window over the aggregated series — the window's partition is
+  // the event type and its length is the time span in hours, never the
+  // raw event count; at 100 TB the windowed relation is already tiny.
+  def e12RateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(
+      """WITH buckets AS (
+        |  SELECT event_type, unix_micros(ts) div 3600000000 AS hr,
+        |         count(*) AS n
+        |  FROM events_t GROUP BY event_type, unix_micros(ts) div 3600000000),
+        |based AS (
+        |  SELECT event_type, hr, n,
+        |         sum(n) OVER w AS base_sum,
+        |         count(n) OVER w AS base_cnt
+        |  FROM buckets
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hr, n,
+        |       CAST(base_sum AS BIGINT) AS base_sum,
+        |       CAST(base_cnt AS BIGINT) AS base_cnt,
+        |       CASE WHEN base_sum > 0
+        |            THEN CAST(n * 1000000 * base_cnt div base_sum AS BIGINT)
+        |       END AS spike_ratio_micro,
+        |       coalesce(n * 1000000 * base_cnt div base_sum > 2000000, false)
+        |         AS is_spike
+        |FROM based""".stripMargin)
+  }
+
+  val e12Sql: String =
+    """WITH buckets AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |         count(*) AS n
+      |  FROM events GROUP BY event_type, epoch_us(ts) // 3600000000),
+      |based AS (
+      |  SELECT event_type, hr, n,
+      |         sum(n) OVER w AS base_sum,
+      |         count(n) OVER w AS base_cnt
+      |  FROM buckets
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+      |               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, hr, n,
+      |       CAST(base_sum AS BIGINT) AS base_sum,
+      |       CAST(base_cnt AS BIGINT) AS base_cnt,
+      |       CASE WHEN base_sum > 0
+      |            THEN CAST(n * 1000000 * base_cnt // base_sum AS BIGINT)
+      |       END AS spike_ratio_micro,
+      |       coalesce(n * 1000000 * base_cnt // base_sum > 2000000, false)
+      |         AS is_spike
+      |FROM based""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e12_rate_anomaly" -> (e12RateAnomaly _),
     "c12_scd2" -> (c12Scd2 _),
     "c13_point_in_time" -> (c13PointInTime _),
     "e11_retention" -> (e11Retention _),
@@ -770,6 +829,7 @@ object CdcQueries {
     "e5_offset_gaps" -> (e5OffsetGaps _))
 
   val oracle: Map[String, String] = Map(
+    "e12_rate_anomaly" -> e12Sql,
     "c12_scd2" -> c12Sql,
     "c13_point_in_time" -> c13Sql,
     "e11_retention" -> e11Sql,

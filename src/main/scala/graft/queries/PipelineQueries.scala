@@ -975,7 +975,46 @@ object PipelineQueries {
        |FROM scrubbed""".stripMargin
   }
 
+  // ── pipe_split ★ (r11) — LEAKAGE-SAFE train/validation split: the
+  // split decision is a pure function of the document's CONTENT hash,
+  // not its id — so byte-identical documents (exact dups, re-crawls,
+  // cross-source mirrors) land on the SAME side by construction, the
+  // property that keeps a validation set honest (id-hash splits leak
+  // every duplicated document across the boundary and inflate eval).
+  // ~10% validation via content-hash mod 10; group sizes reported so the
+  // split can be audited against the dup structure.
+  //
+  // Shape: the split itself is a NARROW scan-speed map (no shuffle —
+  // that is the point of deciding on content rather than cluster id);
+  // the group-size audit adds one map-side-combined agg + an equi-join
+  // on the content hash with fanout = dup-group size.
+  def pipeSplit(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH hashed AS (
+         |  SELECT doc_id, source, ${DedupQueries.hSpark("text")} AS grp
+         |  FROM documents),
+         |sizes AS (
+         |  SELECT grp, CAST(count(*) AS BIGINT) AS group_size
+         |  FROM hashed GROUP BY grp)
+         |SELECT h.doc_id, h.source, h.grp AS group_id, s.group_size,
+         |       CASE WHEN h.grp % 10 = 0 THEN 'val' ELSE 'train' END AS split
+         |FROM hashed h JOIN sizes s ON h.grp = s.grp""".stripMargin)
+  }
+
+  val pipeSplitSql: String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id, source, ${DedupQueries.hDuck("text")} AS grp
+       |  FROM documents),
+       |sizes AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS group_size
+       |  FROM hashed GROUP BY grp)
+       |SELECT h.doc_id, h.source, h.grp AS group_id, s.group_size,
+       |       CASE WHEN h.grp % 10 = 0 THEN 'val' ELSE 'train' END AS split
+       |FROM hashed h JOIN sizes s ON h.grp = s.grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_split" -> (pipeSplit _),
     "pipe_pii_scrub" -> (pipePiiScrub _),
     "pipe_dataset_diff" -> (pipeDatasetDiff _),
     "pipe_curriculum" -> (pipeCurriculum _),
@@ -994,6 +1033,7 @@ object PipelineQueries {
     "pipe_shuffle" -> (pipeShuffle _))
 
   val oracle: Map[String, String] = Map(
+    "pipe_split" -> pipeSplitSql,
     "pipe_pii_scrub" -> pipePiiScrubSql,
     "pipe_dataset_diff" -> pipeDatasetDiffSql,
     "pipe_curriculum" -> pipeCurriculumSql,

@@ -53,6 +53,34 @@ class PipelineQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally out.unpersist()
   }
 
+  test("pipe_split: duplicate contents never straddle the split boundary") {
+    import org.apache.spark.sql.functions._
+    // The driver corpus has no exact dups at this sf, so craft one with
+    // heavy duplication: 100 docs over 20 distinct contents (5 copies
+    // each) — the structure an id-hash split would leak.
+    val ss = spark; import ss.implicits._
+    val work = java.nio.file.Files.createTempDirectory("pipe-split").toString
+    (0 until 100).map(i => (i.toLong, s"content number ${i % 20} repeated text",
+        "en", s"src${i % 3}", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = SparkEntry.queries("pipe_split")(spark, work).cache()
+    try {
+      assert(out.count() === 100L)
+      // Every 5-copy group fully on one side.
+      assert(out.groupBy("group_id")
+        .agg(countDistinct("split").as("sides"), count(lit(1)).as("n"))
+        .filter(col("sides") =!= 1 || col("n") =!= 5).count() === 0L)
+      // And the real corpus: deterministic, ~10% val, nothing straddles.
+      val real = SparkEntry.queries("pipe_split")(spark, dir)
+      val valFrac = real.filter(col("split") === "val").count().toDouble /
+        real.count()
+      assert(valFrac > 0.03 && valFrac < 0.2, s"val fraction $valFrac")
+      assert(real.groupBy("group_id").agg(countDistinct("split").as("s"))
+        .filter(col("s") =!= 1).count() === 0L)
+    } finally out.unpersist()
+  }
+
   test("pipe_decontaminate: per-source counts conserve and eval docs are excluded") {
     val rows = run("pipe_decontaminate").collect()
     assert(rows.length == 20)

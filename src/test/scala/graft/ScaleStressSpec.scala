@@ -509,6 +509,94 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sk_kmv_intersect is EXACTLY invariant under 10x replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Replication adds no new distinct shingles per language, KMV
+    // signatures are functions of the distinct set only, and the exact
+    // witnesses are DISTINCT-based too — every column of every pair row
+    // must be bit-identical to the sf0.1 run.
+    def rows(d: String) = SparkEntry.queries("sk_kmv_intersect")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getLong(7), r.getDouble(8))).toMap
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("sk_kmv_intersect @ sf~1")(rows(dir))
+    assert(scaled == base, "KMV set algebra must not see volume, only distinct sets")
+  }
+
+  test("ann_hamming_topk at sf≈1: binary retrieval surfaces exact copies first") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Each probe vector has 9 exact copies (identical embedding ⇒
+    // identical sign words ⇒ Hamming 0 ⇒ cosine 1 at rerank), and
+    // Hamming-0 candidates saturate the shortlist head — so every
+    // returned neighbor must be a copy of the probe itself at cosine ≈ 1.
+    // This is the dup-collapse behavior a binary first-stage filter
+    // exists to provide at scale.
+    val rows = timed("ann_hamming_topk @ sf~1") {
+      SparkEntry.queries("ann_hamming_topk")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3),
+          r.getDouble(4)))
+    }
+    assert(rows.length == 15, s"expected 3 probes x 5, got ${rows.length}")
+    rows.foreach { case (q, v, ham, cs) =>
+      assert(v % IdStride == q && ham == 0 && cs > 0.9999999,
+        s"probe $q retrieved non-copy $v (hamming=$ham cos=$cs)")
+    }
+  }
+
+  test("c12_scd2 replicates user-for-user at sf≈1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Events replicate on (user_id, event_id): each copy is a fresh user
+    // population with the same relative change history, so the version
+    // table must scale exactly 10x with per-base-user version/current
+    // counts preserved in every copy.
+    def profile(d: String) = SparkEntry.queries("c12_scd2")(spark, d)
+      .groupBy(expr(s"user_id % $IdStride").as("base_user"))
+      .agg(count(lit(1)).as("versions"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("currents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = profile("/root/testdata/sf0.1")
+    val scaled = timed("c12_scd2 @ sf~1")(profile(dir))
+    assert(scaled.keySet == base.keySet)
+    scaled.foreach { case (u, (v, c)) =>
+      val (vb, cb) = base(u)
+      assert(v == 10 * vb && c == 10 * cb,
+        s"user $u versions $v currents $c vs base ${(vb, cb)}")
+    }
+  }
+
+  test("pipe_pii_scrub at sf≈1: zero residual across the full corpus") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Injection schedules differ per copy (doc_id shifts change the
+    // mod-class membership) — the invariant that holds regardless is the
+    // compliance one: after the scrub, NO document retains a detectable
+    // pattern, at any corpus size.
+    val (n, residual, redactions) = timed("pipe_pii_scrub @ sf~1") {
+      val out = SparkEntry.queries("pipe_pii_scrub")(spark, dir)
+        .agg(count(lit(1)), sum("residual"), sum("n_redactions")).head()
+      (out.getLong(0), out.getLong(1), out.getLong(2))
+    }
+    assert(n == 50000L, s"expected 10x5000 docs, got $n")
+    assert(residual == 0L, s"residual PII after scrub: $residual")
+    assert(redactions > 0L, "non-vacuous: some PII must have been injected")
+  }
+
+  test("pipe_split at sf≈1: every copy-set lands on one side of the split") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // The 10 exact copies of each base document share a content hash, so
+    // the content-keyed split must keep all 10 together — the leakage
+    // property that makes the validation set honest under duplication.
+    val straddlers = timed("pipe_split @ sf~1") {
+      SparkEntry.queries("pipe_split")(spark, dir)
+        .groupBy("group_id")
+        .agg(countDistinct("split").as("sides"), count(lit(1)).as("n"))
+        .filter(col("sides") =!= 1 || col("n") % Copies =!= 0)
+        .count()
+    }
+    assert(straddlers == 0L,
+      s"$straddlers duplicate groups straddle the train/val boundary")
+  }
+
   test("emb_pca_project direction is stable under 10x replication") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     def train(d: String): Array[Long] = {
