@@ -203,13 +203,20 @@ object SketchQueries {
   def skKmvIntersect(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     graft.expr.GraftFunctions.register(spark)
+    // The distinct shingle relation feeds THREE consumers (signatures,
+    // set sizes, the exact-witness join); Catalyst inlines CTEs, so
+    // without this materialization the shingle explode + md5 runs three
+    // times over the corpus.
     spark.sql(
-      s"""WITH words AS (
-         |  SELECT DISTINCT lang, word
-         |  FROM (SELECT lang, ${PipelineQueries.shingleSpark("ws")} AS gs
-         |        FROM (SELECT lang, split(text, ' ') AS ws FROM documents)
-         |        WHERE size(ws) >= 5)
-         |  LATERAL VIEW explode(gs) AS word),
+      s"""SELECT DISTINCT lang, word
+         |FROM (SELECT lang, ${PipelineQueries.shingleSpark("ws")} AS gs
+         |      FROM (SELECT lang, split(text, ' ') AS ws FROM documents)
+         |      WHERE size(ws) >= 5)
+         |LATERAL VIEW explode(gs) AS word""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("kmv_words_t")
+    spark.sql(
+      s"""WITH words AS (SELECT lang, word FROM kmv_words_t),
          |hashed AS (SELECT lang, ${hSpark("word")} AS h FROM words),
          |sigs AS (
          |  SELECT lang, h
