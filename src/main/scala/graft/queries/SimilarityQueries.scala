@@ -1003,9 +1003,150 @@ object SimilarityQueries {
        |SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, hamming, cs AS cos_sim
        |FROM reranked WHERE rnk <= 5""".stripMargin
 
+  // ── ann_ivfpq_topk ★ (r11) — the COMPOSED production index: IVF coarse
+  // routing + PQ codes stored IN the posting lists (FAISS `IVFx,PQ4` —
+  // what billion-vector serving actually deploys; Jégou et al. 2011
+  // §VI "IVFADC"). The two halves already exist separately
+  // (ann_ivf_topk routes but scores floats; ann_pq_adc_topk scores codes
+  // but scans everything): composed, a probe visits nprobe=2 posting
+  // lists and scores each member with 4 integer table lookups — scan
+  // fraction × 32-byte-free-scoring at once.
+  //
+  // Scale shape: the index build (assignment + encode) is one
+  // materialized relation (exactly what FAISS persists: list id + 4-byte
+  // code per vector); the probe join is an EQUI-join on the list id —
+  // strictly better than ADC's all-candidate fan-out; per-reducer work
+  // is bounded by posting-list size (the trained-centroid k≈√n swap
+  // bounds that — demonstrated at stress for knn/semantic). Engine-exact:
+  // routing is the cosine argmax both engines compute identically, ADC
+  // distances are integer micro-units.
+  def annIvfpqTopk(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      s"""SELECT vec_id, embedding,
+         |       sqrt(${dotS("embedding", "embedding")}) AS nrm
+         |FROM embeddings""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("ivfpq_normed_t")
+    // THE INDEX: every vector's nearest-centroid list id + its 4 PQ code
+    // positions (1-based for element_at) — built once, checkpointed.
+    spark.sql(
+      s"""WITH cents AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |  FROM ivfpq_normed_t WHERE vec_id BETWEEN 100 AND 115),
+         |assign AS (
+         |  SELECT n.vec_id, c.c_id,
+         |         row_number() OVER (PARTITION BY n.vec_id
+         |           ORDER BY ${dotS("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+         |                    c.c_id) AS crnk
+         |  FROM ivfpq_normed_t n CROSS JOIN cents c),
+         |enc AS (
+         |  SELECT vec_id, pq_encode(embedding) AS e FROM ivfpq_normed_t)
+         |SELECT a.vec_id, a.c_id, a.crnk,
+         |       cast(element_at(e.e, 1) + 1 AS INT) AS p0,
+         |       cast(element_at(e.e, 2) + 1 AS INT) AS p1,
+         |       cast(element_at(e.e, 3) + 1 AS INT) AS p2,
+         |       cast(element_at(e.e, 4) + 1 AS INT) AS p3
+         |FROM assign a JOIN enc e ON a.vec_id = e.vec_id
+         |WHERE a.crnk <= $ivfNprobe""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("ivfpq_index_t")
+    spark.sql(
+      s"""WITH lists AS (
+         |  SELECT vec_id, c_id, p0, p1, p2, p3 FROM ivfpq_index_t
+         |  WHERE crnk = 1),
+         |qroute AS (
+         |  SELECT vec_id AS q_id, c_id FROM ivfpq_index_t
+         |  WHERE vec_id < 3 AND crnk <= $ivfNprobe),
+         |qadc AS (
+         |  SELECT vec_id AS q_id, pq_adc_table(embedding) AS adc
+         |  FROM ivfpq_normed_t WHERE vec_id < 3),
+         |probes AS (
+         |  SELECT r.q_id, r.c_id, a.adc
+         |  FROM qroute r JOIN qadc a ON r.q_id = a.q_id),
+         |scored AS (
+         |  SELECT /*+ BROADCAST(p) */ p.q_id, l.vec_id, l.c_id,
+         |         element_at(p.adc, l.p0)
+         |       + element_at(p.adc, 16 + l.p1)
+         |       + element_at(p.adc, 32 + l.p2)
+         |       + element_at(p.adc, 48 + l.p3) AS adc_dist
+         |  FROM probes p
+         |  JOIN lists l ON l.c_id = p.c_id AND l.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, c_id, adc_dist,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY adc_dist, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, CAST(c_id AS INT) AS centroid_id,
+         |       CAST(adc_dist AS BIGINT) AS adc_dist, CAST(rnk AS INT) AS rnk
+         |FROM ranked WHERE rnk <= 5""".stripMargin)
+  }
+
+  val annIvfpqTopkSql: String = {
+    val diff = s"qv[s*16 + d + 1] - ((1103515245::BIGINT * (s*256 + c*16 + d) + 12345) % 2001 - 1000)"
+    s"""WITH normed AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce([0.0] || list_transform(embedding,
+       |           x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM normed WHERE vec_id BETWEEN 100 AND 115),
+       |assign AS (
+       |  SELECT n.vec_id, c.c_id,
+       |         row_number() OVER (PARTITION BY n.vec_id
+       |           ORDER BY ${dotD("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+       |                    c.c_id) AS crnk
+       |  FROM normed n CROSS JOIN cents c),
+       |q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(x::DOUBLE * 1000.0, 0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |dists AS (
+       |  SELECT vec_id,
+       |    list_transform(range(0, 4), s ->
+       |      list_transform(range(0, 16), c ->
+       |        CAST(list_sum(list_transform(range(0, 16), d ->
+       |          ($diff) * ($diff))) AS BIGINT))) AS dt
+       |  FROM q),
+       |enc AS (
+       |  SELECT vec_id,
+       |    CAST(list_position(dt[1], list_min(dt[1])) AS INT) AS p0,
+       |    CAST(list_position(dt[2], list_min(dt[2])) AS INT) AS p1,
+       |    CAST(list_position(dt[3], list_min(dt[3])) AS INT) AS p2,
+       |    CAST(list_position(dt[4], list_min(dt[4])) AS INT) AS p3
+       |  FROM dists),
+       |lists AS (
+       |  SELECT a.vec_id, a.c_id, e.p0, e.p1, e.p2, e.p3
+       |  FROM assign a JOIN enc e ON a.vec_id = e.vec_id WHERE a.crnk = 1),
+       |qroute AS (
+       |  SELECT vec_id AS q_id, c_id FROM assign
+       |  WHERE vec_id < 3 AND crnk <= $ivfNprobe),
+       |probes AS (
+       |  SELECT r.q_id, r.c_id, d.dt
+       |  FROM qroute r JOIN dists d ON r.q_id = d.vec_id),
+       |scored AS (
+       |  SELECT p.q_id, l.vec_id, l.c_id,
+       |         p.dt[1][l.p0] + p.dt[2][l.p1] + p.dt[3][l.p2] + p.dt[4][l.p3]
+       |           AS adc_dist
+       |  FROM probes p
+       |  JOIN lists l ON l.c_id = p.c_id AND l.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, c_id, adc_dist,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY adc_dist, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, CAST(c_id AS INT) AS centroid_id,
+       |       CAST(adc_dist AS BIGINT) AS adc_dist, CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= 5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_binarize" -> (embBinarize _),
     "ann_hamming_topk" -> (annHammingTopk _),
+    "ann_ivfpq_topk" -> (annIvfpqTopk _),
     "ann_knn_graph" -> (annKnnGraph _),
     "emb_rp_project" -> (embRpProject _),
     "ann_pq_rerank_topk" -> (annPqRerankTopk _),
@@ -1023,6 +1164,7 @@ object SimilarityQueries {
   val oracle: Map[String, String] = Map(
     "emb_binarize" -> embBinarizeSql,
     "ann_hamming_topk" -> annHammingTopkSql,
+    "ann_ivfpq_topk" -> annIvfpqTopkSql,
     "ann_knn_graph" -> annKnnGraphSql,
     "emb_rp_project" -> embRpProjectSql,
     "ann_pq_rerank_topk" -> annPqRerankTopkSql,

@@ -61,6 +61,25 @@ class AnnHammingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally out.unpersist()
   }
 
+  test("ann_ivfpq_topk: scores agree with global ADC and the scan is routed") {
+    val ivfpq = SparkEntry.queries("ann_ivfpq_topk")(spark, dir).cache()
+    try {
+      assert(ivfpq.groupBy("q_id").count().filter(col("count") =!= 5).count() === 0L)
+      // Cross-operator consistency: wherever the routed scan and the
+      // global ADC scan (ann_pq_adc_topk) return the same candidate, the
+      // integer ADC distance must be IDENTICAL — same codes, same table.
+      val adc = SparkEntry.queries("ann_pq_adc_topk")(spark, dir)
+        .select(col("q_id"), col("vec_id"), col("adc_dist").as("adc_global"))
+      val joined = ivfpq.join(adc, Seq("q_id", "vec_id"))
+      assert(joined.count() > 0L, "routed and global ADC top-k never overlap")
+      assert(joined.filter(col("adc_dist") =!= col("adc_global")).count() === 0L)
+      // Routing is real: each probe's results come from <= nprobe lists.
+      assert(ivfpq.groupBy("q_id")
+        .agg(countDistinct("centroid_id").as("lists")).filter(col("lists") > 2)
+        .count() === 0L)
+    } finally ivfpq.unpersist()
+  }
+
   test("ann_hamming_topk: stage-2 plan reranks via equi-joins (no second all-pairs)") {
     val p = SparkEntry.queries("ann_hamming_topk")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -58,6 +58,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ann_pq_adc_topk" -> "ADC table side is the fixed probe set (vec_id < 3), broadcast; candidates stream their 4-byte codes map-side",
     "ann_pq_rerank_topk" -> "stage 1 is ann_pq_adc_topk's shape verbatim (fixed probe set broadcast); the rerank joins are equi-joins on a probes*32-row shortlist",
     "ann_ivf_topk" -> "centroid table is 16 rows by construction, broadcast",
+    "ann_ivfpq_topk" -> "same 16-row centroid assignment cross join in the index build; the probe scan itself is an equi-join on the posting-list id",
     "dd_semantic" -> "centroid assignment cross join: 16 rows by construction, broadcast (the SemDeDup coarse-cluster step)",
     "ann_knn_graph" -> "same 16-row centroid assignment cross join as dd_semantic; the edge join itself is an equi-join on the cluster id",
     "pipe_upsample" -> "per-source rate table (#sources rows) against the single-row corpus-total aggregate",
