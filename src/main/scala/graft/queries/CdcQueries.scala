@@ -768,7 +768,7 @@ object CdcQueries {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
         |               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, hr, n,
-        |       CAST(base_sum AS BIGINT) AS base_sum,
+        |       CAST(coalesce(base_sum, 0) AS BIGINT) AS base_sum,
         |       CAST(base_cnt AS BIGINT) AS base_cnt,
         |       CASE WHEN base_sum > 0
         |            THEN CAST(n * 1000000 * base_cnt div base_sum AS BIGINT)
@@ -791,7 +791,7 @@ object CdcQueries {
       |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
       |               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
       |SELECT event_type, hr, n,
-      |       CAST(base_sum AS BIGINT) AS base_sum,
+      |       CAST(coalesce(base_sum, 0) AS BIGINT) AS base_sum,
       |       CAST(base_cnt AS BIGINT) AS base_cnt,
       |       CASE WHEN base_sum > 0
       |            THEN CAST(n * 1000000 * base_cnt // base_sum AS BIGINT)
@@ -800,7 +800,59 @@ object CdcQueries {
       |         AS is_spike
       |FROM based""".stripMargin
 
+  // E13 ★ (r11) — behavioral SEQUENCE mining: the per-user event-type
+  // transition matrix (first-order Markov counts) plus the transition
+  // probability in integer micro-units — "after a view, what do users do
+  // next?" — the model behind next-action prediction, funnel design, and
+  // bot detection (impossible transition rates). Self-loops kept: their
+  // rate is the repetition signal.
+  // Shape: ONE window (lag) partitioned by user_id — high-cardinality
+  // key, parallel — then one map-side-combined (from, to) count; the
+  // matrix is |event_types|² rows regardless of corpus size. The strict
+  // (ts, event_id) composite order makes the sequence engine-unambiguous.
+  def e13Transitions(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY unix_micros(ts), event_id) AS prev_type
+        |  FROM events_t),
+        |pairs AS (
+        |  SELECT prev_type AS from_type, event_type AS to_type,
+        |         count(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type),
+        |outs AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS out_total
+        |  FROM pairs GROUP BY from_type)
+        |SELECT p.from_type, p.to_type, p.n,
+        |       o.out_total,
+        |       CAST(p.n * 1000000 div o.out_total AS BIGINT) AS p_micro
+        |FROM pairs p JOIN outs o ON p.from_type = o.from_type""".stripMargin)
+  }
+
+  val e13Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT prev_type AS from_type, event_type AS to_type,
+      |         count(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, event_type),
+      |outs AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS out_total
+      |  FROM pairs GROUP BY from_type)
+      |SELECT p.from_type, p.to_type, p.n,
+      |       o.out_total,
+      |       CAST(p.n * 1000000 // o.out_total AS BIGINT) AS p_micro
+      |FROM pairs p JOIN outs o ON p.from_type = o.from_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_transitions" -> (e13Transitions _),
     "e12_rate_anomaly" -> (e12RateAnomaly _),
     "c12_scd2" -> (c12Scd2 _),
     "c13_point_in_time" -> (c13PointInTime _),
@@ -829,6 +881,7 @@ object CdcQueries {
     "e5_offset_gaps" -> (e5OffsetGaps _))
 
   val oracle: Map[String, String] = Map(
+    "e13_transitions" -> e13Sql,
     "e12_rate_anomaly" -> e12Sql,
     "c12_scd2" -> c12Sql,
     "c13_point_in_time" -> c13Sql,
