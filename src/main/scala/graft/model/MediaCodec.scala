@@ -84,6 +84,69 @@ object MediaCodec {
 
   /** A decoded 8-bit gray raster (row-major) — the in-memory form the
     * resize/transform stages operate on. */
+  /** The 8 LOWEST-SEQUENCY natural-order Hadamard indices for n = 16
+    * (sequency = sign changes of x ↦ (−1)^popcount(u AND x); natural
+    * index order does NOT sort by frequency — u = 1 alternates every
+    * sample). Shared constant with the mm_phash oracle SQL. */
+  val WhtSeq8: Array[Int] = Array(0, 8, 12, 4, 6, 14, 10, 2)
+
+  /** Integer Walsh–Hadamard perceptual signature (wHash family) of a
+    * gray raster: nearest-resample to a 16×16 grid, 2-D WHT with
+    * sign(u,x) = (−1)^popcount(u AND x) — pure ±1 integer arithmetic, no
+    * DCT cosines, so both engines compute it bit-identically — keep the
+    * 8×8 LOWEST-SEQUENCY block ([[WhtSeq8]]; the low-frequency energy a
+    * perceptual hash must key on), threshold the 63 non-DC coefficients
+    * at their exact median (the 32nd of the sorted 63), pack into one
+    * 63-bit BIGINT. Near-identical images land at small Hamming
+    * distance; the signature is a pure function of the pixels, so the
+    * oracle recomputes it from the pattern formula. */
+  def whtPhash(r: GrayRaster): Long = {
+    val g = new Array[Int](256)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        g(y * 16 + x) = r(x * r.width / 16, y * r.height / 16)
+        x += 1
+      }
+      y += 1
+    }
+    val cs = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        val un = WhtSeq8(u)
+        val vn = WhtSeq8(v)
+        var acc = 0L
+        var yy = 0
+        while (yy < 16) {
+          var xx = 0
+          while (xx < 16) {
+            val neg = (java.lang.Integer.bitCount(un & xx) +
+              java.lang.Integer.bitCount(vn & yy)) % 2 == 1
+            val p = g(yy * 16 + xx)
+            acc += (if (neg) -p else p)
+            xx += 1
+          }
+          yy += 1
+        }
+        cs(v * 8 + u) = acc
+        u += 1
+      }
+      v += 1
+    }
+    val nonDc = cs.drop(1)
+    val med = nonDc.sorted.apply(31)
+    var hash = 0L
+    var i = 0
+    while (i < 63) {
+      if (nonDc(i) > med) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
   final case class GrayRaster(width: Int, height: Int, pixels: Array[Int]) {
     def apply(x: Int, y: Int): Int = pixels(y * width + x)
     /** Row-major (sum, polynomial hash) — the same fold as

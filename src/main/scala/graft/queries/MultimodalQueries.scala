@@ -605,7 +605,73 @@ object MultimodalQueries {
        |         (acc, s) -> (acc * 31 + s) % 1000000007) AS BIGINT) AS frame_hash
        |FROM cut""".stripMargin
 
+  // ── mm_phash ★ (r11) — PERCEPTUAL image signature over REAL decoded
+  // pixels: each PNG asset is container-decoded and hashed with the
+  // integer Walsh–Hadamard signature ([[graft.model.MediaCodec.whtPhash]]
+  // — the wHash family: 16×16 nearest resample, ±1 natural-order WHT,
+  // 8×8 low-index block, median threshold, 63-bit pack). This is the
+  // image-dedup primitive (pHash/wHash) every multimodal curation
+  // pipeline runs — near-identical images land at small Hamming
+  // distance and feed the same popcount(xor) machinery as
+  // ann_hamming_topk. No DCT cosines anywhere: the transform is pure
+  // integer, so the oracle recomputes the EXACT signature from the
+  // pattern formula without decoding a PNG — one flipped pixel in the
+  // codec path flips coefficients and fails the compare.
+  // Scale shape: narrow mapPartitions over PNG ids, codec contexts once
+  // per partition, no shuffle.
+  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    import spark.implicits._
+    import graft.model.MediaCodec
+    val ids = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 3 = 0").as[Long]
+    ids.mapPartitions { it =>
+      val writer = MediaCodec.openWriter()
+      val reader = MediaCodec.openReader()
+      it.map { docId =>
+        val bytes = MediaCodec.synthesizeGrayPng(writer, docId)
+        val r = MediaCodec.decodeGrayRaster(reader, bytes)
+        val h = MediaCodec.whtPhash(r)
+        (docId, r.width, r.height, h, java.lang.Long.bitCount(h))
+      }
+    }.toDF("doc_id", "width", "height", "phash", "n_ones")
+  }
+
+  val mmPhashSql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 8 AS INT) AS w,
+      |         CAST(8 + doc_id % 5 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |coefs AS (
+      |  -- seqmap = the 8 lowest-sequency natural Hadamard indices for
+      |  -- n=16 (MediaCodec.WhtSeq8): natural index order is NOT sorted
+      |  -- by frequency, and a perceptual hash must key on the
+      |  -- low-frequency block.
+      |  SELECT doc_id, w, h,
+      |    flatten(list_transform([0, 8, 12, 4, 6, 14, 10, 2], v ->
+      |      list_transform([0, 8, 12, 4, 6, 14, 10, 2], u ->
+      |        CAST(list_sum(flatten(list_transform(range(0, 16), y ->
+      |          list_transform(range(0, 16), x ->
+      |            (CASE WHEN (bit_count(CAST(u AS BIGINT) & x)
+      |                      + bit_count(CAST(v AS BIGINT) & y)) % 2 = 1
+      |                  THEN -1 ELSE 1 END)
+      |            * ((doc_id * 31 + 7 * (x * w // 16) + 13 * (y * h // 16))
+      |               % 256))))) AS BIGINT)))) AS cs
+      |  FROM px),
+      |med AS (
+      |  SELECT doc_id, w, h, cs, list_sort(cs[2:64])[32] AS med FROM coefs),
+      |hashed AS (
+      |  SELECT doc_id, w, h,
+      |         CAST(list_sum(list_transform(range(2, 65), i ->
+      |           CASE WHEN cs[i] > med THEN CAST(1 AS BIGINT) << (i - 2)
+      |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+      |  FROM med)
+      |SELECT doc_id, w AS width, h AS height, phash,
+      |       CAST(bit_count(phash) AS INT) AS n_ones
+      |FROM hashed""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash" -> (mmPhash _),
     "mm_audio_features" -> (mmAudioFeatures _),
     "mm_decode_gif" -> (mmDecodeGif _),
     "mm_decode_png" -> (mmDecodePng _),
@@ -618,6 +684,7 @@ object MultimodalQueries {
     "mm_dedup_assets" -> (mmDedupAssets _))
 
   val oracle: Map[String, String] = Map(
+    "mm_phash" -> mmPhashSql,
     "mm_audio_features" -> mmAudioFeaturesSql,
     "mm_decode_gif" -> mmDecodeGifSql,
     "mm_decode_png" -> mmDecodePngSql,

@@ -32,6 +32,47 @@ class MediaCodecSpec extends AnyFunSuite {
     reader.dispose()
   }
 
+  test("whtPhash: perceptual locality on structured images") {
+    import MediaCodec.GrayRaster
+    // The locality property holds for images with low-frequency
+    // STRUCTURE (what perceptual hashes are for) — natural-image-like
+    // block scenes, not the fixture's spectrally-flat gradient (whose
+    // near-tied coefficients legitimately flip under any jitter; the
+    // catalog query only needs exactness there, which the oracle pins).
+    def scene(seed: Int, jitter: Int): GrayRaster = {
+      val w = 32; val h = 32
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val block = (((x / 8) + (y / 8) + seed) % 3) * 90 // coarse blocks
+        val grad = (x * (seed % 5 + 1)) / 4               // mild gradient
+        // Deterministic texture keeps the spectrum generic: an exactly
+        // tied coefficient (common in untextured synthetic blocks, never
+        // in photographs) sits ON the median and flips under any epsilon.
+        val texture = (x * 31 + y * 57 + seed * 97) % 23
+        val noise = if (jitter > 0 && i % 13 == 0) jitter else 0
+        math.min(255, block + grad + texture + noise)
+      }
+      GrayRaster(w, h, px)
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val pairs = (0 until 6).map { s =>
+      val clean = MediaCodec.whtPhash(scene(s, 0))
+      val jit = MediaCodec.whtPhash(scene(s, 5))
+      (clean, hamming(clean, jit))
+    }
+    // Mild jitter moves few bits on every structured scene...
+    pairs.foreach { case (_, d) => assert(d <= 12, s"jitter moved $d bits") }
+    // ...while DIFFERENT scenes sit far apart — and strictly farther
+    // than any jittered self-pair (the retrieval margin).
+    val hashes = pairs.map(_._1)
+    val cross = for (i <- hashes.indices; j <- hashes.indices if i < j)
+      yield hamming(hashes(i), hashes(j))
+    assert(cross.min > pairs.map(_._2).max,
+      s"cross-scene min ${cross.min} not above self-jitter max ${pairs.map(_._2).max}")
+    // Determinism.
+    assert(MediaCodec.whtPhash(scene(2, 0)) == MediaCodec.whtPhash(scene(2, 0)))
+  }
+
   test("non-PNG containers are rejected, not mis-decoded") {
     val reader = MediaCodec.openReader()
     val stubHeader = java.nio.ByteBuffer.allocate(9)
