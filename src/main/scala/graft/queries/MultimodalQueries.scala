@@ -670,7 +670,54 @@ object MultimodalQueries {
       |       CAST(bit_count(phash) AS INT) AS n_ones
       |FROM hashed""".stripMargin
 
+  // ── mm_phash_dedup ★ (r11) — near-duplicate IMAGE pairs by Hamming
+  // distance over the perceptual signatures, with the PIGEONHOLE banding
+  // guarantee: the 63-bit phash splits into 8 contiguous 8-bit bands;
+  // two signatures within Hamming distance ≤ 7 MUST agree exactly on at
+  // least one band (8 flips cannot touch 8 bands when there are ≤ 7), so
+  // the band equi-join has 100% recall at the threshold — exact LSH, not
+  // probabilistic. Candidates verify with one popcount(xor).
+  // Scale shape: explode ≤8 rows/asset, equi-join on (band_idx, band
+  // value) — never all-pairs; per-key fan-out is the band collision
+  // count (bounded in practice; a production deployment caps boilerplate
+  // bands exactly like dd_substring's 64-doc cap).
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    mmPhash(spark, dir).createOrReplaceTempView("phash_t")
+    spark.sql(
+      """WITH bands AS (
+        |  SELECT doc_id, phash, i,
+        |         shiftright(phash, 8 * i) & 255 AS v
+        |  FROM phash_t LATERAL VIEW explode(sequence(0, 7)) AS i),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.phash AS pa, b.phash AS pb
+        |  FROM bands a JOIN bands b
+        |    ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(pa ^ pb) AS INT) AS hamming
+        |FROM cand WHERE bit_count(pa ^ pb) <= 7""".stripMargin)
+  }
+
+  val mmPhashDedupSql: String = {
+    // The full phash derivation (mmPhashSql through `hashed`) + banding.
+    val body = mmPhashSql.substring(0, mmPhashSql.indexOf("SELECT doc_id, w AS width")).trim
+    s"""$body,
+       |bands AS (
+       |  SELECT doc_id, phash, CAST(t.i AS INT) AS i,
+       |         (phash >> (8 * t.i)) & 255 AS v
+       |  FROM hashed CROSS JOIN (SELECT unnest(range(0, 8)) AS i) t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.phash AS pa, b.phash AS pb
+       |  FROM bands a JOIN bands b
+       |    ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(pa, pb)) <= 7""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_phash" -> (mmPhash _),
     "mm_audio_features" -> (mmAudioFeatures _),
     "mm_decode_gif" -> (mmDecodeGif _),
@@ -685,6 +732,7 @@ object MultimodalQueries {
 
   val oracle: Map[String, String] = Map(
     "mm_phash" -> mmPhashSql,
+    "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_audio_features" -> mmAudioFeaturesSql,
     "mm_decode_gif" -> mmDecodeGifSql,
     "mm_decode_png" -> mmDecodePngSql,

@@ -80,6 +80,23 @@ class AnnHammingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally ivfpq.unpersist()
   }
 
+  test("mm_phash_dedup: pigeonhole banding finds EVERY pair within threshold") {
+    // The banding guarantee is exact recall at hd <= 7 — compare the
+    // banded join against the brute-force pair set.
+    val sigs = SparkEntry.queries("mm_phash")(spark, dir)
+      .select("doc_id", "phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, pa) <- sigs; (b, pb) <- sigs if a < b
+      hd = java.lang.Long.bitCount(pa ^ pb) if hd <= 7
+    } yield (a, b, hd)).toSet
+    val banded = SparkEntry.queries("mm_phash_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute,
+      s"banded ${banded.size} vs brute ${brute.size}: recall guarantee broken")
+    assert(brute.nonEmpty, "fixture has no near-dup assets — test is vacuous")
+  }
+
   test("ann_hamming_topk: stage-2 plan reranks via equi-joins (no second all-pairs)") {
     val p = SparkEntry.queries("ann_hamming_topk")(spark, dir)
       .queryExecution.executedPlan.toString
