@@ -1013,7 +1013,68 @@ object PipelineQueries {
        |       CASE WHEN h.grp % 10 = 0 THEN 'val' ELSE 'train' END AS split
        |FROM hashed h JOIN sizes s ON h.grp = s.grp""".stripMargin
 
+  // ── pipe_mix_temperature ★ (r11) — TEMPERATURE-based mixture
+  // reweighting (the multilingual/multi-source rebalancing mT5/XLM-R
+  // style: sample rate ∝ share^α flattens the head and lifts the tail):
+  // α = 1/2 via INTEGER sqrt — floor(sqrt(n)) over BIGINT counts, so
+  // every weight is an integer, the normalizer is an integer sum (no
+  // order-sensitive float accumulation), and the rates are exact
+  // micro-unit divisions both engines compute bit-identically. Emits
+  // proportional share vs temperature rate so the flattening is visible
+  // (low-resource sources get temp_rate > share).
+  // Shape: one map-side-combined per-source count + one 1-row total —
+  // report-sized output at any corpus scale.
+  def pipeMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH skewed AS (
+        |  -- The driver corpus is uniform per source; derive the skewed
+        |  -- sub-corpus (source srcK keeps ~(K+1)/23 of its docs) so the
+        |  -- flattening is observable: without it share == temp_rate and
+        |  -- the operator demonstrates nothing.
+        |  SELECT source FROM documents
+        |  WHERE doc_id % 23 <= CAST(substring(source, 4) AS INT)),
+        |counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM skewed
+        |  GROUP BY source),
+        |weighted AS (
+        |  SELECT source, n,
+        |         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+        |  FROM counts),
+        |totals AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS total_n,
+        |         CAST(sum(w) AS BIGINT) AS total_w
+        |  FROM weighted)
+        |SELECT w.source, w.n AS n_docs,
+        |       CAST(w.n * 1000000 div t.total_n AS BIGINT) AS share_micro,
+        |       w.w AS weight,
+        |       CAST(w.w * 1000000 div t.total_w AS BIGINT) AS temp_rate_micro
+        |FROM weighted w CROSS JOIN totals t""".stripMargin)
+  }
+
+  val pipeMixTemperatureSql: String =
+    """WITH skewed AS (
+      |  SELECT source FROM documents
+      |  WHERE doc_id % 23 <= CAST(substring(source, 4) AS INT)),
+      |counts AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM skewed
+      |  GROUP BY source),
+      |weighted AS (
+      |  SELECT source, n,
+      |         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+      |  FROM counts),
+      |totals AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS total_n,
+      |         CAST(sum(w) AS BIGINT) AS total_w
+      |  FROM weighted)
+      |SELECT w.source, w.n AS n_docs,
+      |       CAST(w.n * 1000000 // t.total_n AS BIGINT) AS share_micro,
+      |       w.w AS weight,
+      |       CAST(w.w * 1000000 // t.total_w AS BIGINT) AS temp_rate_micro
+      |FROM weighted w CROSS JOIN totals t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_mix_temperature" -> (pipeMixTemperature _),
     "pipe_split" -> (pipeSplit _),
     "pipe_pii_scrub" -> (pipePiiScrub _),
     "pipe_dataset_diff" -> (pipeDatasetDiff _),
@@ -1033,6 +1094,7 @@ object PipelineQueries {
     "pipe_shuffle" -> (pipeShuffle _))
 
   val oracle: Map[String, String] = Map(
+    "pipe_mix_temperature" -> pipeMixTemperatureSql,
     "pipe_split" -> pipeSplitSql,
     "pipe_pii_scrub" -> pipePiiScrubSql,
     "pipe_dataset_diff" -> pipeDatasetDiffSql,

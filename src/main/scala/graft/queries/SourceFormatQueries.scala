@@ -32,6 +32,7 @@ object SourceFormatQueries {
     fmt match {
       case "csv" => w.option("header", "true").csv(out)
       case "json" => w.json(out)
+      case "orc" => w.orc(out)
     }
     out
   }
@@ -62,6 +63,15 @@ object SourceFormatQueries {
     project(spark.read.schema(eventsSchema).json(out))
   }
 
+  // A15 ★ (r11) — ORC round trip: the other columnar container (Hive
+  // lineage); binary-typed storage, so losslessness is expected — the
+  // round trip proves the reader/writer pair and its predicate/prune
+  // integration are actually wired.
+  def a15OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = stage(spark, dir, "orc")
+    project(spark.read.schema(eventsSchema).orc(out))
+  }
+
   /** Oracle: the same projection straight from parquet — equality IS the
     * losslessness claim. */
   private val oracleSqlText =
@@ -71,9 +81,11 @@ object SourceFormatQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_csv_roundtrip" -> (a13CsvRoundtrip _),
-    "a14_jsonl_roundtrip" -> (a14JsonlRoundtrip _))
+    "a14_jsonl_roundtrip" -> (a14JsonlRoundtrip _),
+    "a15_orc_roundtrip" -> (a15OrcRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "a13_csv_roundtrip" -> oracleSqlText,
-    "a14_jsonl_roundtrip" -> oracleSqlText)
+    "a14_jsonl_roundtrip" -> oracleSqlText,
+    "a15_orc_roundtrip" -> oracleSqlText)
 }

@@ -190,6 +190,91 @@ object TextQueries {
       |SELECT lang, gram, cnt, CAST(rnk AS INT) AS rnk
       |FROM ranked WHERE rnk <= 3""".stripMargin
 
+  // ── text_collocations ★ (r11) — statistical phrase mining: the
+  // bigrams whose observed frequency most exceeds what their parts
+  // predict (unnormalized LIFT — the PMI exponent without the log, so
+  // the score stays integer-exact: c_ab·N·1e6 / (c_a·c_b), staged as two
+  // bounded integer divisions to keep headroom at any corpus size). The
+  // collocation list is what phrase-aware tokenizers and stopword-phrase
+  // filters train from. Min support 5 cuts hapax noise; ties break on
+  // the bigram text.
+  // Shape: explode → two map-side-combined counts → equi-joins on the
+  // word; the ranking window partitions by lang over candidate bigrams
+  // (vocab²-bounded, tiny) — never raw tokens.
+  def textCollocations(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      """WITH words AS (
+        |  SELECT lang, w
+        |  FROM (SELECT lang, split(text, ' ') AS ws FROM documents)
+        |  LATERAL VIEW explode(ws) AS w),
+        |uni AS (
+        |  SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM words
+        |  GROUP BY lang, w),
+        |totals AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS nw FROM words GROUP BY lang),
+        |grams AS (
+        |  SELECT lang, element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2
+        |  FROM (SELECT lang, split(text, ' ') AS ws FROM documents)
+        |  LATERAL VIEW explode(sequence(1, greatest(size(ws) - 1, 1))) AS i
+        |  WHERE size(ws) >= 2),
+        |big AS (
+        |  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM grams
+        |  GROUP BY lang, w1, w2),
+        |scored AS (
+        |  SELECT b.lang, concat(b.w1, ' ', b.w2) AS bigram, b.c_ab,
+        |         CAST((b.c_ab * 1000000 div u1.c) * t.nw div u2.c AS BIGINT)
+        |           AS lift_micro
+        |  FROM big b
+        |  JOIN uni u1 ON b.lang = u1.lang AND b.w1 = u1.w
+        |  JOIN uni u2 ON b.lang = u2.lang AND b.w2 = u2.w
+        |  JOIN totals t ON b.lang = t.lang
+        |  WHERE b.c_ab >= 5),
+        |ranked AS (
+        |  SELECT lang, bigram, c_ab, lift_micro,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY lift_micro DESC, bigram) AS rnk
+        |  FROM scored)
+        |SELECT lang, bigram, c_ab, lift_micro, CAST(rnk AS INT) AS rnk
+        |FROM ranked WHERE rnk <= 10""".stripMargin)
+  }
+
+  val textCollocationsSql: String =
+    """WITH words AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |uni AS (
+      |  SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM words
+      |  GROUP BY lang, w),
+      |totals AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS nw FROM words GROUP BY lang),
+      |grams AS (
+      |  SELECT lang,
+      |         unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+      |           i -> ws[i])) AS w1,
+      |         unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+      |           i -> ws[i + 1])) AS w2
+      |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 2),
+      |big AS (
+      |  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM grams
+      |  GROUP BY lang, w1, w2),
+      |scored AS (
+      |  SELECT b.lang, b.w1 || ' ' || b.w2 AS bigram, b.c_ab,
+      |         CAST((b.c_ab * 1000000 // u1.c) * t.nw // u2.c AS BIGINT)
+      |           AS lift_micro
+      |  FROM big b
+      |  JOIN uni u1 ON b.lang = u1.lang AND b.w1 = u1.w
+      |  JOIN uni u2 ON b.lang = u2.lang AND b.w2 = u2.w
+      |  JOIN totals t ON b.lang = t.lang
+      |  WHERE b.c_ab >= 5),
+      |ranked AS (
+      |  SELECT lang, bigram, c_ab, lift_micro,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY lift_micro DESC, bigram) AS rnk
+      |  FROM scored)
+      |SELECT lang, bigram, c_ab, lift_micro, CAST(rnk AS INT) AS rnk
+      |FROM ranked WHERE rnk <= 10""".stripMargin
+
   // ── sample_stratified ★ — deterministic stratified sampling: a
   // hash-gated 20% Bernoulli sample (reproducible across runs/engines,
   // unlike rand()), then a per-source quota of 10 via ranked window — the
@@ -598,6 +683,7 @@ object TextQueries {
     "text_token_count" -> (textTokenCount _),
     "text_fingerprint" -> (textFingerprint _),
     "text_ngram_topk" -> (textNgramTopk _),
+    "text_collocations" -> (textCollocations _),
     "pipe_curation" -> (pipeCuration _))
 
   val oracle: Map[String, String] = Map(
@@ -614,5 +700,6 @@ object TextQueries {
     "text_token_count" -> textTokenCountSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_ngram_topk" -> textNgramTopkSql,
+    "text_collocations" -> textCollocationsSql,
     "pipe_curation" -> pipeCurationSql)
 }

@@ -53,6 +53,22 @@ class PipelineQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally out.unpersist()
   }
 
+  test("pipe_mix_temperature: flattening lifts the tail and trims the head") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("pipe_mix_temperature")(spark, dir).cache()
+    try {
+      val rows = out.orderBy("n_docs").collect()
+      val (smallest, largest) = (rows.head, rows.last)
+      assert(smallest.getAs[Long]("temp_rate_micro") >
+        smallest.getAs[Long]("share_micro"), "tail source not up-weighted")
+      assert(largest.getAs[Long]("temp_rate_micro") <
+        largest.getAs[Long]("share_micro"), "head source not down-weighted")
+      // Rates are a near-partition of unity (integer floor loss < #sources).
+      val total = out.agg(sum("temp_rate_micro")).head.getLong(0)
+      assert(total > 1000000L - rows.length && total <= 1000000L)
+    } finally out.unpersist()
+  }
+
   test("pipe_split: duplicate contents never straddle the split boundary") {
     import org.apache.spark.sql.functions._
     // The driver corpus has no exact dups at this sf, so craft one with

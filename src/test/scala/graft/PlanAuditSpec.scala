@@ -70,6 +70,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d2_bounded_count" -> "bounded count against two scalar boundary rows",
     "c5_count_reconciliation" -> "4-row reconciliation summary joined to scalar boundaries",
     "pipe_mix" -> "per-source stats (≈20 rows) cross-joined with the 1-row corpus total — both aggregates, bounded by source cardinality",
+    "pipe_mix_temperature" -> "per-source weights (≈20 rows) cross-joined with the 1-row integer normalizer — both aggregates, bounded by source cardinality",
     "e11_retention" -> "1-row corpus-epoch scalar cross-joined as a broadcast constant; the user join itself is an equi-join on user_id",
     "text_length_quantiles" -> "rank refinement joins the 3-row quantile-boundary table (broadcast) against only the target buckets",
     "text_tfidf_topk" -> "the 1-row corpus-size scalar joins the tf table as a broadcast constant",
