@@ -851,7 +851,85 @@ object CdcQueries {
       |       CAST(p.n * 1000000 // o.out_total AS BIGINT) AS p_micro
       |FROM pairs p JOIN outs o ON p.from_type = o.from_type""".stripMargin
 
+  // E14 ★ (r11) — RFM segmentation: per-user Recency (hours since last
+  // event, against the corpus ceiling), Frequency (event count), and
+  // Monetary (Σ value in integer micro-units — round(value·1e6) per row,
+  // the emb_pq_encode micro-unit discipline, so the sum is an exact
+  // BIGINT, never a float accumulation) → 1-5 scores by equal-width
+  // integer buckets against the corpus maxima (the quantile-bucket
+  // variant needs a distribution pass; equal-width is the
+  // scale-degenerate form — one aggregate, zero extra shuffles) and the
+  // classic RFM segment code. The behavioral-segmentation report every
+  // growth team keys campaigns on.
+  // Shape: ONE map-side-combined per-user aggregate + a 1-row corpus
+  // maxima broadcast; output is one row per user, all integers.
+  def e14Rfm(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |         max(unix_micros(ts)) AS last_us,
+        |         CAST(count(*) AS BIGINT) AS frequency,
+        |         CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+        |           AS monetary_micro
+        |  FROM events_t GROUP BY user_id),
+        |tops AS (
+        |  SELECT max(last_us) AS ceil_us, max(frequency) AS max_f,
+        |         max(monetary_micro) AS max_m
+        |  FROM per_user),
+        |scored AS (
+        |  SELECT u.user_id,
+        |         CAST((t.ceil_us - u.last_us) div 3600000000 AS BIGINT)
+        |           AS recency_hours,
+        |         u.frequency, u.monetary_micro,
+        |         CAST(5 - least(CAST(4 AS BIGINT),
+        |           (t.ceil_us - u.last_us) div 3600000000 * 5
+        |             div (greatest((t.ceil_us - (SELECT min(last_us) FROM per_user))
+        |                  div 3600000000, CAST(1 AS BIGINT)) + 1)) AS INT) AS r_score,
+        |         CAST(1 + least(CAST(4 AS BIGINT),
+        |           u.frequency * 5 div (t.max_f + 1)) AS INT) AS f_score,
+        |         CAST(1 + least(CAST(4 AS BIGINT),
+        |           u.monetary_micro * 5 div (t.max_m + 1)) AS INT) AS m_score
+        |  FROM per_user u CROSS JOIN tops t)
+        |SELECT user_id, recency_hours, frequency, monetary_micro,
+        |       r_score, f_score, m_score,
+        |       r_score * 100 + f_score * 10 + m_score AS rfm_segment
+        |FROM scored""".stripMargin)
+  }
+
+  val e14Sql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |         max(epoch_us(ts)) AS last_us,
+      |         CAST(count(*) AS BIGINT) AS frequency,
+      |         CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+      |           AS monetary_micro
+      |  FROM events GROUP BY user_id),
+      |tops AS (
+      |  SELECT max(last_us) AS ceil_us, max(frequency) AS max_f,
+      |         max(monetary_micro) AS max_m
+      |  FROM per_user),
+      |scored AS (
+      |  SELECT u.user_id,
+      |         CAST((t.ceil_us - u.last_us) // 3600000000 AS BIGINT)
+      |           AS recency_hours,
+      |         u.frequency, u.monetary_micro,
+      |         CAST(5 - least(CAST(4 AS BIGINT),
+      |           (t.ceil_us - u.last_us) // 3600000000 * 5
+      |             // (greatest((t.ceil_us - (SELECT min(last_us) FROM per_user))
+      |                  // 3600000000, CAST(1 AS BIGINT)) + 1)) AS INT) AS r_score,
+      |         CAST(1 + least(CAST(4 AS BIGINT),
+      |           u.frequency * 5 // (t.max_f + 1)) AS INT) AS f_score,
+      |         CAST(1 + least(CAST(4 AS BIGINT),
+      |           u.monetary_micro * 5 // (t.max_m + 1)) AS INT) AS m_score
+      |  FROM per_user u CROSS JOIN tops t)
+      |SELECT user_id, recency_hours, frequency, monetary_micro,
+      |       r_score, f_score, m_score,
+      |       r_score * 100 + f_score * 10 + m_score AS rfm_segment
+      |FROM scored""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e14_rfm" -> (e14Rfm _),
     "e13_transitions" -> (e13Transitions _),
     "e12_rate_anomaly" -> (e12RateAnomaly _),
     "c12_scd2" -> (c12Scd2 _),
@@ -881,6 +959,7 @@ object CdcQueries {
     "e5_offset_gaps" -> (e5OffsetGaps _))
 
   val oracle: Map[String, String] = Map(
+    "e14_rfm" -> e14Sql,
     "e13_transitions" -> e13Sql,
     "e12_rate_anomaly" -> e12Sql,
     "c12_scd2" -> c12Sql,
