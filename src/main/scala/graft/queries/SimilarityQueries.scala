@@ -1143,7 +1143,81 @@ object SimilarityQueries {
        |FROM ranked WHERE rnk <= 5""".stripMargin
   }
 
+  // ── ann_recall_report ★ (r11) — the index-quality REPORT: every
+  // approximate method in the catalog evaluated against the exact cosine
+  // baseline in one pass — per method, results returned, hits inside the
+  // exact top-5, and recall in integer micro-units. This is the
+  // completeness-critic operator an ANN deployment runs after every
+  // index rebuild (FAISS's recall@k benchmark as a catalog query); the
+  // oracle RERUNS all six pipelines and the baseline, so the report
+  // itself is engine-exact.
+  // Shape: each method's own scale shape (documented on its row);
+  // the report adds one equi-join on (q_id, vec_id) against the 15-row
+  // baseline and two bounded aggregations.
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, col}
+    val bf = annBruteforce(spark, dir).select(col("q_id"), col("vec_id"))
+      .localCheckpoint() // 15 rows; reused by every method's join
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ann_lsh_topk" -> annLshTopk(spark, dir),
+      "ann_ivf_topk" -> annIvfTopk(spark, dir),
+      "ann_pq_adc_topk" -> annPqAdcTopk(spark, dir),
+      "ann_pq_rerank_topk" -> annPqRerankTopk(spark, dir),
+      "ann_hamming_topk" -> annHammingTopk(spark, dir),
+      "ann_ivfpq_topk" -> annIvfpqTopk(spark, dir))
+    val union = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("q_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    union.createOrReplaceTempView("ann_report_union_t")
+    bf.createOrReplaceTempView("ann_report_bf_t")
+    spark.sql(
+      """WITH returned AS (
+        |  SELECT method, CAST(count(*) AS BIGINT) AS n_returned
+        |  FROM ann_report_union_t GROUP BY method),
+        |hits AS (
+        |  SELECT u.method, CAST(count(*) AS BIGINT) AS hits
+        |  FROM ann_report_union_t u
+        |  JOIN ann_report_bf_t b ON u.q_id = b.q_id AND u.vec_id = b.vec_id
+        |  GROUP BY u.method)
+        |SELECT r.method, r.n_returned, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |       CAST(coalesce(h.hits, 0) * 1000000 div 15 AS BIGINT)
+        |         AS recall_micro
+        |FROM returned r LEFT JOIN hits h ON r.method = h.method""".stripMargin)
+  }
+
+  val annRecallReportSql: String = {
+    val subs = Seq(
+      "ann_lsh_topk" -> annLshTopkSql,
+      "ann_ivf_topk" -> annIvfTopkSql,
+      "ann_pq_adc_topk" -> annPqAdcTopkSql,
+      "ann_pq_rerank_topk" -> annPqRerankTopkSql,
+      "ann_hamming_topk" -> annHammingTopkSql,
+      "ann_ivfpq_topk" -> annIvfpqTopkSql)
+    val unionSql = subs.map { case (m, sql) =>
+      s"SELECT '$m' AS method, q_id, vec_id FROM (\n$sql\n)"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH u AS (
+       |$unionSql
+       |),
+       |bf AS (
+       |  SELECT q_id, vec_id FROM (
+       |$annBruteforceSql
+       |)),
+       |returned AS (
+       |  SELECT method, CAST(count(*) AS BIGINT) AS n_returned
+       |  FROM u GROUP BY method),
+       |hits AS (
+       |  SELECT u.method, CAST(count(*) AS BIGINT) AS hits
+       |  FROM u JOIN bf b ON u.q_id = b.q_id AND u.vec_id = b.vec_id
+       |  GROUP BY u.method)
+       |SELECT r.method, r.n_returned, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(coalesce(h.hits, 0) * 1000000 // 15 AS BIGINT)
+       |         AS recall_micro
+       |FROM returned r LEFT JOIN hits h ON r.method = h.method""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_report" -> (annRecallReport _),
     "emb_binarize" -> (embBinarize _),
     "ann_hamming_topk" -> (annHammingTopk _),
     "ann_ivfpq_topk" -> (annIvfpqTopk _),
@@ -1162,6 +1236,7 @@ object SimilarityQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracle: Map[String, String] = Map(
+    "ann_recall_report" -> annRecallReportSql,
     "emb_binarize" -> embBinarizeSql,
     "ann_hamming_topk" -> annHammingTopkSql,
     "ann_ivfpq_topk" -> annIvfpqTopkSql,

@@ -59,6 +59,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ann_pq_rerank_topk" -> "stage 1 is ann_pq_adc_topk's shape verbatim (fixed probe set broadcast); the rerank joins are equi-joins on a probes*32-row shortlist",
     "ann_ivf_topk" -> "centroid table is 16 rows by construction, broadcast",
     "ann_ivfpq_topk" -> "same 16-row centroid assignment cross join in the index build; the probe scan itself is an equi-join on the posting-list id",
+    "ann_recall_report" -> "composition of the six ANN pipelines — each nested loop is one of their allowlisted fixed-probe/centroid broadcasts; the report's own joins are equi-joins on (q_id, vec_id) and method",
     "dd_semantic" -> "centroid assignment cross join: 16 rows by construction, broadcast (the SemDeDup coarse-cluster step)",
     "ann_knn_graph" -> "same 16-row centroid assignment cross join as dd_semantic; the edge join itself is an equi-join on the cluster id",
     "pipe_upsample" -> "per-source rate table (#sources rows) against the single-row corpus-total aggregate",
