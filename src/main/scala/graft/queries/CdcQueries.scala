@@ -928,7 +928,69 @@ object CdcQueries {
       |       r_score * 100 + f_score * 10 + m_score AS rfm_segment
       |FROM scored""".stripMargin
 
+  // E15 ★ (r11) — multi-touch ATTRIBUTION: for every purchase, the
+  // first and last marketing touch (click / view / signup) that preceded
+  // it in the user's event history, then the (first_touch, last_touch)
+  // attribution report with purchase counts, revenue (integer cents —
+  // round(value·100) per row, so the sum is an exact BIGINT) and distinct
+  // buyers; purchases with no prior touch attribute to 'organic'. The
+  // report every growth/ads pipeline keys spend decisions on, and the
+  // IGNORE NULLS running first/last window exercise the catalog lacked.
+  //
+  // Scale shape: ONE window pass partitioned by user (user histories are
+  // bounded; no global sort) + a map-side-combined 16-row aggregate.
+  // Ties broken by (ts, event_id) — total order, engine-identical.
+  def e15Attribution(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+        |         last(CASE WHEN event_type IN ('click','view','signup')
+        |                   THEN event_type END) IGNORE NULLS
+        |           OVER (PARTITION BY user_id ORDER BY unix_micros(ts), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS last_touch,
+        |         first(CASE WHEN event_type IN ('click','view','signup')
+        |                    THEN event_type END) IGNORE NULLS
+        |           OVER (PARTITION BY user_id ORDER BY unix_micros(ts), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS first_touch
+        |  FROM events_t)
+        |SELECT coalesce(first_touch, 'organic') AS first_touch,
+        |       coalesce(last_touch, 'organic') AS last_touch,
+        |       CAST(count(*) AS BIGINT) AS purchases,
+        |       CAST(sum(value_cents) AS BIGINT) AS revenue_cents,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM seq WHERE event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin)
+  }
+
+  val e15Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+      |         last_value(CASE WHEN event_type IN ('click','view','signup')
+      |                         THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS last_touch,
+      |         first_value(CASE WHEN event_type IN ('click','view','signup')
+      |                          THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS first_touch
+      |  FROM events)
+      |SELECT coalesce(first_touch, 'organic') AS first_touch,
+      |       coalesce(last_touch, 'organic') AS last_touch,
+      |       CAST(count(*) AS BIGINT) AS purchases,
+      |       CAST(sum(value_cents) AS BIGINT) AS revenue_cents,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      |FROM seq WHERE event_type = 'purchase'
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e15_attribution" -> (e15Attribution _),
     "e14_rfm" -> (e14Rfm _),
     "e13_transitions" -> (e13Transitions _),
     "e12_rate_anomaly" -> (e12RateAnomaly _),
@@ -959,6 +1021,7 @@ object CdcQueries {
     "e5_offset_gaps" -> (e5OffsetGaps _))
 
   val oracle: Map[String, String] = Map(
+    "e15_attribution" -> e15Sql,
     "e14_rfm" -> e14Sql,
     "e13_transitions" -> e13Sql,
     "e12_rate_anomaly" -> e12Sql,

@@ -119,9 +119,113 @@ object GraphQueries {
        |FROM r$Iterations r JOIN deg d ON r.node = d.src""".stripMargin
   }
 
+  // ── graph_triangles ★ (r11) — degree-oriented triangle counting ──────
+  //
+  // The second graph-analytics family member: exact triangle count +
+  // global clustering coefficient over the part CO-PURCHASE graph
+  // (edge = two parts in the same order; per-order fanout bounded by
+  // basket size, ≤ C(7,2) = 21 pairs/order in TPC-H shape). The
+  // community-structure / spam-detection primitive every web-graph
+  // pipeline ships next to PageRank.
+  //
+  // The scale trick is the ORIENTATION (Chiba–Nishizeki / Schank): order
+  // nodes by (degree, id) — packed into one BIGINT sort key, collision-
+  // free for id < 1e8 — and keep each edge only low→high. Every triangle
+  // then has EXACTLY one source (its ≺-least corner), so the count needs
+  // no /3 or /6 dedup, and the wedge join's per-node work is outdeg²
+  // where outdeg ≤ O(√m) BY CONSTRUCTION — the O(m^1.5) bound that makes
+  // exact triangle counting feasible at web scale. All three stages are
+  // equi-joins shuffling on node keys; nothing is all-pairs.
+  //
+  // Engine-exact: counts and the floor-div clustering coefficient
+  // (3T·1e6 div Σ C(d,2)) are all BIGINT arithmetic.
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .createOrReplaceTempView("li_t")
+    // The distinct co-purchase edge relation feeds degree + orientation
+    // (and through `oriented`, three join legs): pin it once — uncached,
+    // Catalyst re-runs the self-join explode per consumer.
+    spark.sql(
+      """SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        |FROM li_t a JOIN li_t b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("tri_pairs_t")
+    spark.sql(
+      """SELECT CASE WHEN o1.ok < o2.ok THEN pr.p1 ELSE pr.p2 END AS src,
+        |       CASE WHEN o1.ok < o2.ok THEN pr.p2 ELSE pr.p1 END AS dst,
+        |       CASE WHEN o1.ok < o2.ok THEN o2.ok ELSE o1.ok END AS dst_ok
+        |FROM tri_pairs_t pr
+        |JOIN (SELECT p, d * 100000000 + p AS ok FROM
+        |        (SELECT p, CAST(count(*) AS BIGINT) AS d FROM
+        |           (SELECT p1 AS p FROM tri_pairs_t
+        |            UNION ALL SELECT p2 AS p FROM tri_pairs_t)
+        |         GROUP BY p)) o1 ON o1.p = pr.p1
+        |JOIN (SELECT p, d * 100000000 + p AS ok FROM
+        |        (SELECT p, CAST(count(*) AS BIGINT) AS d FROM
+        |           (SELECT p1 AS p FROM tri_pairs_t
+        |            UNION ALL SELECT p2 AS p FROM tri_pairs_t)
+        |         GROUP BY p)) o2 ON o2.p = pr.p2""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("tri_oriented_t")
+    spark.sql(
+      """WITH deg AS (
+        |  SELECT p, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT p1 AS p FROM tri_pairs_t
+        |    UNION ALL SELECT p2 AS p FROM tri_pairs_t) GROUP BY p),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM tri_oriented_t e1
+        |  JOIN tri_oriented_t e2 ON e1.src = e2.src AND e1.dst_ok < e2.dst_ok
+        |  JOIN tri_oriented_t e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |wedges AS (
+        |  SELECT CAST(sum(d * (d - 1) div 2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM tri_pairs_t) AS n_edges,
+        |       (SELECT max(d) FROM deg) AS max_degree,
+        |       w.n_wedges, t.n_triangles,
+        |       CAST(3 * t.n_triangles * 1000000 div w.n_wedges AS BIGINT)
+        |         AS clustering_micro
+        |FROM tri t CROSS JOIN wedges w""".stripMargin)
+  }
+
+  val graphTrianglesSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT p, CAST(count(*) AS BIGINT) AS d FROM (
+      |    SELECT p1 AS p FROM pairs UNION ALL SELECT p2 AS p FROM pairs)
+      |  GROUP BY p),
+      |ork AS (SELECT p, d, d * 100000000 + p AS ok FROM deg),
+      |oriented AS (
+      |  SELECT CASE WHEN o1.ok < o2.ok THEN pr.p1 ELSE pr.p2 END AS src,
+      |         CASE WHEN o1.ok < o2.ok THEN pr.p2 ELSE pr.p1 END AS dst,
+      |         CASE WHEN o1.ok < o2.ok THEN o2.ok ELSE o1.ok END AS dst_ok
+      |  FROM pairs pr JOIN ork o1 ON o1.p = pr.p1 JOIN ork o2 ON o2.p = pr.p2),
+      |tri AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM oriented e1
+      |  JOIN oriented e2 ON e1.src = e2.src AND e1.dst_ok < e2.dst_ok
+      |  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |wedges AS (
+      |  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+      |       (SELECT max(d) FROM deg) AS max_degree,
+      |       w.n_wedges, t.n_triangles,
+      |       CAST(3 * t.n_triangles * 1000000 // w.n_wedges AS BIGINT)
+      |         AS clustering_micro
+      |FROM tri t CROSS JOIN wedges w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (graphPagerank _))
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _))
 
   val oracle: Map[String, String] = Map(
-    "graph_pagerank" -> graphPagerankSql)
+    "graph_pagerank" -> graphPagerankSql,
+    "graph_triangles" -> graphTrianglesSql)
 }

@@ -332,13 +332,258 @@ object SketchQueries {
        |JOIN sizes s1 ON s1.lang = e.l1
        |JOIN sizes s2 ON s2.lang = e.l2""".stripMargin
 
+  // ── sk_cms_topk ★ (r11) — Count-Min Sketch point estimates ───────────
+  //
+  // The frequency-sketch member the family was missing (Cormode &
+  // Muthukrishnan 2005): a DEPTH × WIDTH grid of counters, item x
+  // incrementing cell (i, h_i(x) mod WIDTH) in every row; a point
+  // estimate is the MIN over the item's DEPTH cells — always an
+  // OVERestimate (collisions only add), with error ≤ 2N/WIDTH at
+  // probability 1 − 2^−DEPTH. Counted items are word BIGRAMS (≈900
+  // distinct at fixture scale vs WIDTH = 256, so collisions are REAL —
+  // the overcount column is non-zero and the estimate≥exact inequality
+  // is exercised, not vacuous). Row hashes are the engine-shared
+  // md5-top-60 salted by the row index, so both engines build the
+  // identical grid and the ESTIMATES pass the binary gate.
+  //
+  // Scale shape (100 TB): the sketch is DEPTH·WIDTH = 1024 counters —
+  // a map-side-combined (row, cell) SUM whose shuffle cost is the
+  // sketch size, independent of corpus size (counter addition is
+  // commutative: partials merge in any order — the mergeability CMS
+  // exists for). Probing is a DEPTH·K-row broadcast against the grid.
+  // The exact_n witness is the fixture-scale accuracy check; production
+  // feeds the probe set from the Misra–Gries heavy hitters
+  // (`text_heavy_hitters`) instead of an exact second pass.
+  val CmsDepth = 4
+  val CmsWidth = 256
+  /** Probe the K most frequent bigrams (deterministic ties by gram). */
+  val CmsProbeK = 20
+
+  def skCmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    // The gram occurrence stream feeds TWO consumers (grid build + the
+    // exact witness); pin it once or Catalyst re-runs the explode.
+    spark.sql(
+      """SELECT gram
+        |FROM documents LATERAL VIEW explode(word_bigrams(text)) AS gram""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("cms_grams_t")
+    spark.sql(
+      s"""WITH cells AS (
+         |  SELECT i, ${hSpark("concat(cast(i as string), ':', gram)")} % $CmsWidth AS cell,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM cms_grams_t LATERAL VIEW explode(sequence(0, ${CmsDepth - 1})) AS i
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT gram, CAST(count(*) AS BIGINT) AS exact_n
+         |  FROM cms_grams_t GROUP BY gram
+         |  ORDER BY exact_n DESC, gram LIMIT $CmsProbeK),
+         |probe AS (
+         |  SELECT e.gram, e.exact_n, i,
+         |         ${hSpark("concat(cast(i as string), ':', e.gram)")} % $CmsWidth AS cell
+         |  FROM exact e LATERAL VIEW explode(sequence(0, ${CmsDepth - 1})) AS i)
+         |SELECT p.gram AS bigram, p.exact_n, min(c.c) AS cms_est,
+         |       min(c.c) - p.exact_n AS overcount
+         |FROM probe p JOIN cells c ON c.i = p.i AND c.cell = p.cell
+         |GROUP BY p.gram, p.exact_n""".stripMargin)
+  }
+
+  val skCmsTopkSql: String =
+    s"""WITH grams AS (
+       |  SELECT unnest(list_transform(range(1, len(ws)),
+       |                               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+       |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)),
+       |cells AS (
+       |  SELECT i, ${hDuck("CAST(i AS VARCHAR) || ':' || gram")} % $CmsWidth AS cell,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM grams CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS i) d
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT gram, CAST(count(*) AS BIGINT) AS exact_n FROM grams GROUP BY gram
+       |  ORDER BY exact_n DESC, gram LIMIT $CmsProbeK),
+       |probe AS (
+       |  SELECT e.gram, e.exact_n, i.i,
+       |         ${hDuck("CAST(i.i AS VARCHAR) || ':' || e.gram")} % $CmsWidth AS cell
+       |  FROM exact e CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS i) i)
+       |SELECT p.gram AS bigram, p.exact_n, min(c.c) AS cms_est,
+       |       min(c.c) - p.exact_n AS overcount
+       |FROM probe p JOIN cells c ON c.i = p.i AND c.cell = p.cell
+       |GROUP BY p.gram, p.exact_n""".stripMargin
+
+  // ── sk_hll_union ★ (r11) — HLL SET ALGEBRA across sketches ───────────
+  //
+  // The HLL sibling of sk_kmv_intersect: for every unordered language
+  // pair, estimate |A|, |B|, |A∪B| from the REGISTERS ALONE — the union
+  // sketch is the register-wise MAX of the two sketches (exactly the
+  // sketch either engine would have built over the concatenated streams:
+  // max is a semilattice, so HLL union is LOSSLESS, HLL's headline
+  // property) — and |A∩B| by inclusion–exclusion. At 100 TB each source
+  // ships 64 registers; all pair math is constant-size, no co-scan. The
+  // integer Σ2^(Mmax−Mj) fold keeps every estimate engine-exact (same
+  // discipline as sk_hll_distinct); word-level exact witnesses ride
+  // along at fixture scale.
+  //
+  // Counted items are the 5-word SHINGLES (the kmv_intersect unit — the
+  // word vocabulary is fully shared across langs, so word-level overlap
+  // is degenerate; shingle sets have real partial overlaps, so
+  // inclusion–exclusion produces a spread of intersection estimates).
+  def skHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    // Distinct (lang, shingle) feeds register build + both exact
+    // witnesses — pin once (the kmv_intersect discipline).
+    spark.sql(
+      s"""SELECT DISTINCT lang, word
+         |FROM (SELECT lang, ${PipelineQueries.shingleSpark("ws")} AS gs
+         |      FROM (SELECT lang, split(text, ' ') AS ws FROM documents)
+         |      WHERE size(ws) >= 5)
+         |LATERAL VIEW explode(gs) AS word""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("hllu_words_t")
+    val est = s"CAST($Alpha AS DOUBLE) * ${Registers * Registers}.0"
+    spark.sql(
+      s"""WITH regs AS (
+         |  SELECT lang, CAST(h % $Registers AS INT) AS j,
+         |         CAST(55 - length(bin(h div $Registers)) AS INT) AS rho
+         |  FROM (SELECT lang, ${hSpark("word")} AS h FROM hllu_words_t)),
+         |maxes AS (SELECT lang, j, max(rho) AS m FROM regs GROUP BY lang, j),
+         |grid AS (
+         |  SELECT lang, j FROM (SELECT DISTINCT lang FROM hllu_words_t)
+         |  LATERAL VIEW explode(sequence(0, ${Registers - 1})) AS j),
+         |filled AS (
+         |  SELECT g.lang, g.j, coalesce(m.m, 0) AS m
+         |  FROM grid g LEFT JOIN maxes m ON g.lang = m.lang AND g.j = m.j),
+         |single AS (
+         |  SELECT lang, max(m) AS mmax FROM filled GROUP BY lang),
+         |single_num AS (
+         |  SELECT f.lang, s.mmax,
+         |         CAST(sum(shiftleft(CAST(1 AS BIGINT), s.mmax - f.m)) AS BIGINT)
+         |           AS num
+         |  FROM filled f JOIN single s ON f.lang = s.lang
+         |  GROUP BY f.lang, s.mmax),
+         |single_est AS (
+         |  SELECT lang,
+         |         $est * pow(2.0, CAST(mmax AS DOUBLE)) / num AS e
+         |  FROM single_num),
+         |pairs AS (
+         |  SELECT a.lang AS l1, b.lang AS l2
+         |  FROM (SELECT DISTINCT lang FROM hllu_words_t) a
+         |  JOIN (SELECT DISTINCT lang FROM hllu_words_t) b ON a.lang < b.lang),
+         |u AS (
+         |  SELECT p.l1, p.l2, f1.j, greatest(f1.m, f2.m) AS m
+         |  FROM pairs p
+         |  JOIN filled f1 ON f1.lang = p.l1
+         |  JOIN filled f2 ON f2.lang = p.l2 AND f2.j = f1.j),
+         |u_fold AS (SELECT l1, l2, max(m) AS mmax FROM u GROUP BY l1, l2),
+         |u_num AS (
+         |  SELECT u.l1, u.l2, uf.mmax,
+         |         CAST(sum(shiftleft(CAST(1 AS BIGINT), uf.mmax - u.m)) AS BIGINT)
+         |           AS num
+         |  FROM u JOIN u_fold uf ON u.l1 = uf.l1 AND u.l2 = uf.l2
+         |  GROUP BY u.l1, u.l2, uf.mmax),
+         |u_est AS (
+         |  SELECT l1, l2,
+         |         $est * pow(2.0, CAST(mmax AS DOUBLE)) / num AS e
+         |  FROM u_num),
+         |sizes AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM hllu_words_t GROUP BY lang),
+         |inter_exact AS (
+         |  SELECT w1.lang AS l1, w2.lang AS l2, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM hllu_words_t w1
+         |  JOIN hllu_words_t w2 ON w1.word = w2.word AND w1.lang < w2.lang
+         |  GROUP BY w1.lang, w2.lang)
+         |SELECT ue.l1 AS lang_a, ue.l2 AS lang_b,
+         |       s1.e AS est_a, s2.e AS est_b, ue.e AS union_est,
+         |       s1.e + s2.e - ue.e AS inter_est,
+         |       CAST(z1.n + z2.n - coalesce(x.n_inter, 0) AS BIGINT) AS exact_union,
+         |       CAST(coalesce(x.n_inter, 0) AS BIGINT) AS exact_inter
+         |FROM u_est ue
+         |JOIN single_est s1 ON s1.lang = ue.l1
+         |JOIN single_est s2 ON s2.lang = ue.l2
+         |JOIN sizes z1 ON z1.lang = ue.l1
+         |JOIN sizes z2 ON z2.lang = ue.l2
+         |LEFT JOIN inter_exact x ON x.l1 = ue.l1 AND x.l2 = ue.l2""".stripMargin)
+  }
+
+  val skHllUnionSql: String = {
+    val est = s"CAST($Alpha AS DOUBLE) * ${Registers * Registers}.0"
+    s"""WITH words AS (
+       |  SELECT DISTINCT lang, unnest(${PipelineQueries.shingleDuck("ws")}) AS word
+       |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= 5),
+       |regs AS (
+       |  SELECT lang, CAST(h % $Registers AS INT) AS j,
+       |         CAST(55 - length(bin(h // $Registers)) AS INT) AS rho
+       |  FROM (SELECT lang, ${hDuck("word")} AS h FROM words)),
+       |maxes AS (SELECT lang, j, max(rho) AS m FROM regs GROUP BY lang, j),
+       |grid AS (
+       |  SELECT l.lang, CAST(t.j AS INT) AS j
+       |  FROM (SELECT DISTINCT lang FROM words) l
+       |  CROSS JOIN (SELECT unnest(range(0, $Registers)) AS j) t),
+       |filled AS (
+       |  SELECT g.lang, g.j, coalesce(m.m, 0) AS m
+       |  FROM grid g LEFT JOIN maxes m ON g.lang = m.lang AND g.j = m.j),
+       |single AS (
+       |  SELECT lang, max(m) AS mmax FROM filled GROUP BY lang),
+       |single_num AS (
+       |  SELECT f.lang, s.mmax,
+       |         CAST(sum(CAST(1 AS BIGINT) << (s.mmax - f.m)) AS BIGINT) AS num
+       |  FROM filled f JOIN single s ON f.lang = s.lang
+       |  GROUP BY f.lang, s.mmax),
+       |single_est AS (
+       |  SELECT lang,
+       |         $est * pow(2.0, CAST(mmax AS DOUBLE)) / num AS e
+       |  FROM single_num),
+       |pairs AS (
+       |  SELECT a.lang AS l1, b.lang AS l2
+       |  FROM (SELECT DISTINCT lang FROM words) a
+       |  JOIN (SELECT DISTINCT lang FROM words) b ON a.lang < b.lang),
+       |u AS (
+       |  SELECT p.l1, p.l2, f1.j, greatest(f1.m, f2.m) AS m
+       |  FROM pairs p
+       |  JOIN filled f1 ON f1.lang = p.l1
+       |  JOIN filled f2 ON f2.lang = p.l2 AND f2.j = f1.j),
+       |u_fold AS (SELECT l1, l2, max(m) AS mmax FROM u GROUP BY l1, l2),
+       |u_num AS (
+       |  SELECT u.l1, u.l2, uf.mmax,
+       |         CAST(sum(CAST(1 AS BIGINT) << (uf.mmax - u.m)) AS BIGINT) AS num
+       |  FROM u JOIN u_fold uf ON u.l1 = uf.l1 AND u.l2 = uf.l2
+       |  GROUP BY u.l1, u.l2, uf.mmax),
+       |u_est AS (
+       |  SELECT l1, l2,
+       |         $est * pow(2.0, CAST(mmax AS DOUBLE)) / num AS e
+       |  FROM u_num),
+       |sizes AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY lang),
+       |inter_exact AS (
+       |  SELECT w1.lang AS l1, w2.lang AS l2, CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM words w1
+       |  JOIN words w2 ON w1.word = w2.word AND w1.lang < w2.lang
+       |  GROUP BY w1.lang, w2.lang)
+       |SELECT ue.l1 AS lang_a, ue.l2 AS lang_b,
+       |       s1.e AS est_a, s2.e AS est_b, ue.e AS union_est,
+       |       s1.e + s2.e - ue.e AS inter_est,
+       |       CAST(z1.n + z2.n - coalesce(x.n_inter, 0) AS BIGINT) AS exact_union,
+       |       CAST(coalesce(x.n_inter, 0) AS BIGINT) AS exact_inter
+       |FROM u_est ue
+       |JOIN single_est s1 ON s1.lang = ue.l1
+       |JOIN single_est s2 ON s2.lang = ue.l2
+       |JOIN sizes z1 ON z1.lang = ue.l1
+       |JOIN sizes z2 ON z2.lang = ue.l2
+       |LEFT JOIN inter_exact x ON x.l1 = ue.l1 AND x.l2 = ue.l2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_hll_distinct" -> (skHllDistinct _),
+    "sk_hll_union" -> (skHllUnion _),
+    "sk_cms_topk" -> (skCmsTopk _),
     "sk_kmv_intersect" -> (skKmvIntersect _),
     "sk_sample_quantiles" -> (skSampleQuantiles _))
 
   val oracle: Map[String, String] = Map(
     "sk_hll_distinct" -> skHllDistinctSql,
+    "sk_hll_union" -> skHllUnionSql,
+    "sk_cms_topk" -> skCmsTopkSql,
     "sk_kmv_intersect" -> skKmvIntersectSql,
     "sk_sample_quantiles" -> skSampleQuantilesSql)
 }

@@ -80,7 +80,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "pipe_source_card" -> "inherits text_lm_score's 1-row train-token-total scalar; the card's own joins are per-source equi-joins over ~20-row aggregates",
     "c13_point_in_time" -> "1-row max-seq scalar cross-joined as a broadcast constant into the probe build; the PIT join itself is an equi-join on user_id with a range residual",
     "sk_kmv_intersect" -> "lang-pair grid: inequality join over the ~5-row distinct-language list, broadcast; all signature joins are equi-joins on (lang, hash)",
-    "e14_rfm" -> "1-row corpus-maxima aggregate (plus the 1-row min-recency scalar subquery) cross-joined as broadcast constants over the per-user aggregate")
+    "e14_rfm" -> "1-row corpus-maxima aggregate (plus the 1-row min-recency scalar subquery) cross-joined as broadcast constants over the per-user aggregate",
+    "sk_hll_union" -> "lang-pair grid: inequality join over the ~5-row distinct-language list, broadcast; all register joins are equi-joins on (lang, j)",
+    "graph_triangles" -> "1-row triangle-count x 1-row wedge-sum summary cross join (plus 1-row node/edge scalars); every data-sized join (pair build, orientation, wedge closure) is an equi-join on node keys")
 
   /** An unpartitioned window is legitimate ONLY over a table whose row
     * count is bounded by construction (buckets, partitions, quantile
