@@ -360,9 +360,12 @@ object PcaQueries {
     * one HUGEINT product-then-divide sub-CTE per prior component, the
     * exact spelling the driver's `iterate` applies) — then sign-fix into
     * f{c}. Projections union per component. */
-  val embPcaTopkSql: String = {
+  /** The full K-component training + projection chain (through the
+    * per-component `pr$c` relations) — shared by the topk and whiten
+    * oracles. */
+  private def pcaTopkChainSql: String = {
     val sb = new StringBuilder
-    sb ++= s"WITH $pcaCommonSql"
+    sb ++= pcaCommonSql
     sb ++= s""",
        |f1 AS MATERIALIZED (SELECT i, v FROM vf),
        |cd1 AS (SELECT CAST(sum(v * v) AS BIGINT) AS cd FROM f1)""".stripMargin
@@ -410,20 +413,104 @@ object PcaQueries {
          |  WHERE f.i = t.i
          |  GROUP BY e.vec_id, e.label)""".stripMargin
     }
-    sb ++= s"""
+    sb.result()
+  }
+
+  val embPcaTopkSql: String =
+    s"""WITH $pcaTopkChainSql
        |SELECT vec_id, label, component, proj_raw,
        |       CAST(proj_raw AS DOUBLE) / ${QScale * VScale}.0 AS proj
        |FROM (${(1 to TopK).map(c => s"SELECT * FROM pr$c").mkString("\n      UNION ALL ")})""".stripMargin
-    sb.result()
+
+  // ── emb_whiten ★ (r11) — PCA WHITENING: per-vector z-scores along the
+  // K=8 trained components — the decorrelated, unit-variance coordinates
+  // that feed distance-based consumers (clustering, ANN, outlier cuts)
+  // without any one high-variance axis dominating. Engine-exact by the
+  // established integer discipline: projections scale down to PdScale
+  // units (truncating div, both engines), per-component mean and
+  // variance use the truncating spellings s1 div n and s2 div n − mean²
+  // (identical on both sides, so the ESTIMATOR is shared, not just the
+  // data), the σ is floor(sqrt(double)) — IEEE sqrt is correctly
+  // rounded, so both engines floor the same value (the
+  // pipe_mix_temperature precedent) — and the z-score is an exact
+  // integer (pd − mean)·1000 div σ.
+  //
+  // Scale shape: the corpus contributes the SAME single 4096-key
+  // covariance agg (memoized with the other three PCA queries); the
+  // whiten pass is one narrow map (components as plan literals), one
+  // 8-row map-side-combined stats agg, and an 8-row broadcast join back
+  // — no data-sized shuffle beyond the stats fold.
+  //
+  // Overflow budget: |pd| ≤ ~6e5 ⇒ s2 ≤ n·3.6e11 — BIGINT-safe to
+  // n ≈ 2.5e7 vectors, comfortably past the PCA trainer's own n ≈ 3e5
+  // bound (enforced in covScaled).
+  val PdScale = 1000000L
+
+  def embWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val vs = trainedComponents(spark, dir, TopK)
+    viewEmb(spark, dir)
+    def proj(varr: String) =
+      s"""aggregate(transform(embedding, (x, i) ->
+         |      CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT)
+         |        * element_at($varr, i + 1)),
+         |    CAST(0 AS BIGINT), (acc, e) -> acc + e)""".stripMargin
+    val projArr = vs.map(v => proj(v.mkString("array(", "L, ", "L)")))
+      .mkString("array(\n", ",\n", ")")
+    spark.sql(
+      s"""WITH pd AS (
+         |  SELECT vec_id, label, CAST(comp + 1 AS INT) AS component,
+         |         proj_raw div $PdScale AS pd
+         |  FROM (SELECT vec_id, label, $projArr AS projs FROM embeddings)
+         |  LATERAL VIEW posexplode(projs) AS comp, proj_raw),
+         |stats AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(pd) AS BIGINT) AS s1,
+         |         CAST(sum(pd * pd) AS BIGINT) AS s2
+         |  FROM pd GROUP BY component),
+         |sd AS (
+         |  SELECT component, s1 div n AS mean_pd,
+         |         greatest(CAST(1 AS BIGINT),
+         |           CAST(floor(sqrt(CAST(greatest(CAST(0 AS BIGINT),
+         |             s2 div n - (s1 div n) * (s1 div n)) AS DOUBLE))) AS BIGINT))
+         |           AS sd_pd
+         |  FROM stats)
+         |SELECT p.vec_id, p.label, p.component,
+         |       (p.pd - s.mean_pd) * 1000 div s.sd_pd AS white_milli,
+         |       s.sd_pd
+         |FROM pd p JOIN sd s ON p.component = s.component""".stripMargin)
   }
+
+  val embWhitenSql: String =
+    s"""WITH $pcaTopkChainSql,
+       |allp AS (${(1 to TopK).map(c => s"SELECT * FROM pr$c").mkString("\n      UNION ALL ")}),
+       |pd AS (
+       |  SELECT vec_id, label, component, proj_raw // $PdScale AS pd FROM allp),
+       |stats AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(pd) AS BIGINT) AS s1,
+       |         CAST(sum(pd * pd) AS BIGINT) AS s2
+       |  FROM pd GROUP BY component),
+       |sd AS (
+       |  SELECT component, s1 // n AS mean_pd,
+       |         greatest(CAST(1 AS BIGINT),
+       |           CAST(floor(sqrt(CAST(greatest(CAST(0 AS BIGINT),
+       |             s2 // n - (s1 // n) * (s1 // n)) AS DOUBLE))) AS BIGINT))
+       |           AS sd_pd
+       |  FROM stats)
+       |SELECT p.vec_id, p.label, p.component,
+       |       (p.pd - s.mean_pd) * 1000 // s.sd_pd AS white_milli,
+       |       s.sd_pd
+       |FROM pd p JOIN sd s ON p.component = s.component""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca_project" -> (embPcaProject _),
     "emb_pca_top2" -> (embPcaTop2 _),
-    "emb_pca_topk" -> (embPcaTopk _))
+    "emb_pca_topk" -> (embPcaTopk _),
+    "emb_whiten" -> (embWhiten _))
 
   val oracle: Map[String, String] = Map(
     "emb_pca_project" -> embPcaProjectSql,
     "emb_pca_top2" -> embPcaTop2Sql,
-    "emb_pca_topk" -> embPcaTopkSql)
+    "emb_pca_topk" -> embPcaTopkSql,
+    "emb_whiten" -> embWhitenSql)
 }

@@ -47,8 +47,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       // events replicate on BOTH ids: user_id (each copy is a fresh user
       // population with the same temporal behavior) and event_id (tie
       // breaks stay unique).
+      // lineitem replicates on the ORDER key only: each copy re-buys the
+      // same part baskets, so the distinct co-purchase edge set — and
+      // everything graph_triangles derives from it — is invariant.
       Seq("documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"),
-        "events" -> Seq("user_id", "event_id")).foreach { case (t, idCols) =>
+        "events" -> Seq("user_id", "event_id"),
+        "lineitem" -> Seq("l_orderkey")).foreach { case (t, idCols) =>
         val base = spark.read.parquet(s"/root/testdata/sf0.1/$t.parquet")
         val scaled = (0 until Copies).map { i =>
           idCols.foldLeft(base)((df, c) => df.withColumn(c, col(c) + lit(i * IdStride)))
@@ -612,5 +616,71 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cos = (vb, vs).zipped.map(_ * _).sum /
       (math.sqrt(vb.map(x => x * x).sum) * math.sqrt(vs.map(x => x * x).sum))
     assert(math.abs(cos) > 0.9999, s"|cos| = ${math.abs(cos)}")
+  }
+
+  test("sk_cms_topk scales EXACTLY linearly under 10x replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Replicated docs multiply every bigram occurrence by exactly
+    // Copies: every grid cell, every exact count, and therefore every
+    // min-estimate and overcount is exactly x10 — counter sketches see
+    // volume linearly, never sub- or super-linearly.
+    def rows(d: String) = SparkEntry.queries("sk_cms_topk")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("sk_cms_topk @ sf~1")(rows(dir))
+    assert(scaled.keySet == base.keySet, "probe set must be stable")
+    base.foreach { case (g, (ex, est, over)) =>
+      assert(scaled(g) == ((ex * Copies, est * Copies, over * Copies)),
+        s"bigram '$g': ${scaled(g)} != 10x $base")
+    }
+  }
+
+  test("sk_hll_union is EXACTLY invariant under 10x replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Replication adds no new distinct shingles per language; register
+    // maxes — and the union sketch's register-wise max of them — are
+    // semilattices over the distinct set, so every estimate and witness
+    // must be bit-identical.
+    def rows(d: String) = SparkEntry.queries("sk_hll_union")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getLong(7))).toMap
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("sk_hll_union @ sf~1")(rows(dir))
+    assert(scaled == base, "HLL set algebra must not see volume")
+  }
+
+  test("graph_triangles is EXACTLY invariant under order-replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Each lineitem copy re-buys the same part baskets under fresh order
+    // keys: the DISTINCT co-purchase edge set collapses to the base
+    // graph, so nodes, edges, degrees, wedges, triangles, and the
+    // clustering coefficient are all bit-identical — while the pair
+    // build has to chew through 10x the raw lineitem volume.
+    def row(d: String) = SparkEntry.queries("graph_triangles")(spark, d)
+      .collect().head
+    val base = row("/root/testdata/sf0.1")
+    val scaled = timed("graph_triangles @ sf~1")(row(dir))
+    assert(scaled == base,
+      s"triangle summary diverged: $scaled != $base")
+    assert(base.getLong(4) > 0L, "triangle count must be non-vacuous")
+  }
+
+  test("e15_attribution scales EXACTLY linearly under 10x user replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Each copy is a fresh user population with identical per-user
+    // histories: every (first_touch, last_touch) cell's purchases,
+    // revenue, and distinct buyers are exactly x10.
+    def rows(d: String) = SparkEntry.queries("e15_attribution")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("e15_attribution @ sf~1")(rows(dir))
+    assert(scaled.keySet == base.keySet, "attribution cells must be stable")
+    base.foreach { case (k, (p, rev, u)) =>
+      assert(scaled(k) == ((p * Copies, rev * Copies, u * Copies)),
+        s"cell $k: ${scaled(k)} != 10x ($p, $rev, $u)")
+    }
   }
 }
