@@ -153,38 +153,51 @@ object GraphQueries {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin)
       .localCheckpoint()
       .createOrReplaceTempView("tri_pairs_t")
+    // The (degree, id) sort key per node — 20k rows, consumed by BOTH
+    // legs of the orientation join: pin once.
+    spark.sql(
+      """SELECT p, d, d * 100000000 + p AS ok FROM
+        |  (SELECT p, CAST(count(*) AS BIGINT) AS d FROM
+        |     (SELECT p1 AS p FROM tri_pairs_t
+        |      UNION ALL SELECT p2 AS p FROM tri_pairs_t)
+        |   GROUP BY p)""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("tri_ork_t")
+    // Oriented edges carry the closure probe key PACKED into one BIGINT
+    // (edge_key = src·1e8 + dst): the wedge-closure join then runs on a
+    // single long column instead of a two-column composite.
     spark.sql(
       """SELECT CASE WHEN o1.ok < o2.ok THEN pr.p1 ELSE pr.p2 END AS src,
         |       CASE WHEN o1.ok < o2.ok THEN pr.p2 ELSE pr.p1 END AS dst,
-        |       CASE WHEN o1.ok < o2.ok THEN o2.ok ELSE o1.ok END AS dst_ok
+        |       CASE WHEN o1.ok < o2.ok THEN o2.ok ELSE o1.ok END AS dst_ok,
+        |       CASE WHEN o1.ok < o2.ok THEN pr.p1 * 100000000 + pr.p2
+        |            ELSE pr.p2 * 100000000 + pr.p1 END AS edge_key
         |FROM tri_pairs_t pr
-        |JOIN (SELECT p, d * 100000000 + p AS ok FROM
-        |        (SELECT p, CAST(count(*) AS BIGINT) AS d FROM
-        |           (SELECT p1 AS p FROM tri_pairs_t
-        |            UNION ALL SELECT p2 AS p FROM tri_pairs_t)
-        |         GROUP BY p)) o1 ON o1.p = pr.p1
-        |JOIN (SELECT p, d * 100000000 + p AS ok FROM
-        |        (SELECT p, CAST(count(*) AS BIGINT) AS d FROM
-        |           (SELECT p1 AS p FROM tri_pairs_t
-        |            UNION ALL SELECT p2 AS p FROM tri_pairs_t)
-        |         GROUP BY p)) o2 ON o2.p = pr.p2""".stripMargin)
+        |JOIN tri_ork_t o1 ON o1.p = pr.p1
+        |JOIN tri_ork_t o2 ON o2.p = pr.p2""".stripMargin)
       .localCheckpoint()
       .createOrReplaceTempView("tri_oriented_t")
+    // The wedge stream (Σ C(outdeg, 2) rows — the O(m^1.5) volume the
+    // algorithm inherently ships) closes against the edge set via a
+    // SHUFFLE_HASH probe: hash-build on the m-row edge side, STREAM the
+    // wedges — a sort-merge here would sort the wedge stream, by far the
+    // largest relation in the plan, for no benefit.
     spark.sql(
-      """WITH deg AS (
-        |  SELECT p, CAST(count(*) AS BIGINT) AS d FROM (
-        |    SELECT p1 AS p FROM tri_pairs_t
-        |    UNION ALL SELECT p2 AS p FROM tri_pairs_t) GROUP BY p),
-        |tri AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
-        |  FROM tri_oriented_t e1
-        |  JOIN tri_oriented_t e2 ON e1.src = e2.src AND e1.dst_ok < e2.dst_ok
-        |  JOIN tri_oriented_t e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      """WITH tri AS (
+        |  SELECT /*+ SHUFFLE_HASH(e3) */
+        |         CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT e1.dst * 100000000 + e2.dst AS wedge_key
+        |        FROM tri_oriented_t e1
+        |        JOIN tri_oriented_t e2
+        |          ON e1.src = e2.src AND e1.dst_ok < e2.dst_ok) w
+        |  JOIN (SELECT edge_key FROM tri_oriented_t) e3
+        |    ON w.wedge_key = e3.edge_key),
         |wedges AS (
-        |  SELECT CAST(sum(d * (d - 1) div 2) AS BIGINT) AS n_wedges FROM deg)
-        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  SELECT CAST(sum(d * (d - 1) div 2) AS BIGINT) AS n_wedges
+        |  FROM tri_ork_t)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri_ork_t) AS n_nodes,
         |       (SELECT CAST(count(*) AS BIGINT) FROM tri_pairs_t) AS n_edges,
-        |       (SELECT max(d) FROM deg) AS max_degree,
+        |       (SELECT max(d) FROM tri_ork_t) AS max_degree,
         |       w.n_wedges, t.n_triangles,
         |       CAST(3 * t.n_triangles * 1000000 div w.n_wedges AS BIGINT)
         |         AS clustering_micro

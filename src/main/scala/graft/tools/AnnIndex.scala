@@ -76,6 +76,25 @@ object AnnIndex {
     val cents = centroids.withColumn("c_nrm",
       expr("sqrt(aggregate(c_emb, 0.0d, (a, x) -> a + x * x))"))
       .filter(col("c_nrm") > 0)
+    // Persist the routing artifact beside the postings (the buildPq
+    // layout): [[append]] must assign future shards against EXACTLY
+    // these centroids, and serving a store should never need the corpus
+    // the centroids were trained on.
+    cents.select(col("c_id"), col("c_emb"), col("c_nrm"))
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignFromCentroids(normed, cents, maxRank)
+      .write.mode("overwrite")
+      .partitionBy("c_id")
+      .parquet(s"$indexDir/postings")
+  }
+
+  /** The shared assignment relation: every vector scored against every
+    * (broadcast) centroid, crnk ranking by cosine with c_id tie-break.
+    * One spelling, used by build-time AND append-time assignment, so an
+    * appended shard's rows are bit-identical to what a scratch rebuild
+    * over the union corpus would produce. */
+  private def assignFromCentroids(normed: DataFrame, cents: DataFrame,
+      maxRank: Int): DataFrame =
     normed.join(broadcast(cents))
       .withColumn("score",
         expr("aggregate(zip_with(embedding, c_emb, (a, b) -> cast(a as double) * b), " +
@@ -85,9 +104,51 @@ object AnnIndex {
           .orderBy(col("score").desc, col("c_id"))))
       .filter(col("crnk") <= maxRank)
       .select(col("vec_id"), col("c_id"), col("crnk"), col("embedding"), col("nrm"))
-      .write.mode("overwrite")
-      .partitionBy("c_id")
+
+  /** INCREMENTAL index maintenance (r11): assign ONLY the new shard's
+    * vectors against the store's persisted centroids and append their
+    * posting rows — "index today's embeddings without rescanning
+    * yesterday's corpus", the IncrementalDedup discipline applied to the
+    * ANN store. Work is shard-sized: the base postings are never read
+    * beyond a per-centroid COUNT (the drift report), and the partitioned
+    * layout means appended files land only in the shard's c_id
+    * directories.
+    *
+    * Because [[assignFromCentroids]] is a pure per-vector function of
+    * the frozen centroid set, serve-after-append is bit-identical to a
+    * scratch rebuild over the union corpus (AnnIndexSpec pins it).
+    * Caller contract: shard vec_ids are disjoint from the store's.
+    *
+    * Returns the DRIFT REPORT — per centroid, base vs appended posting
+    * counts and the growth in basis points. A centroid whose list grows
+    * disproportionately is the retrain signal (frozen centroids slowly
+    * stop matching the data distribution; the report makes the decision
+    * observable instead of silent). */
+  def append(spark: SparkSession, shard: DataFrame, indexDir: String,
+      maxRank: Int = 2): DataFrame = {
+    graft.expr.GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val normed = shard
+      .withColumn("nrm", expr("sqrt(float_dot(embedding, embedding))"))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val base = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("crnk") === 1)
+      .groupBy(col("c_id")).agg(count(lit(1)).as("base_postings"))
+    val assigned = assignFromCentroids(normed, cents, maxRank)
+    assigned.write.mode("append").partitionBy("c_id")
       .parquet(s"$indexDir/postings")
+    val added = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("crnk") === 1)
+      .join(normed.select(col("vec_id")), "vec_id")
+      .groupBy(col("c_id")).agg(count(lit(1)).as("appended"))
+    base.join(added, Seq("c_id"), "full_outer")
+      .select(col("c_id").cast("int").as("centroid_id"),
+        coalesce(col("base_postings"), lit(0L)).as("base_postings"),
+        coalesce(col("appended"), lit(0L)).as("appended"),
+        (coalesce(col("appended"), lit(0L)) * 10000 /
+          greatest(coalesce(col("base_postings"), lit(0L)), lit(1L)))
+          .cast("long").as("growth_bp"))
   }
 
   /** Serve top-k for the query vectors already IN the index (by id).

@@ -88,6 +88,40 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean >= 0.5, s"mean recall $mean (per-query: $recalls)")
   }
 
+  test("appended shard serves bit-identical to a scratch rebuild over the union") {
+    import org.apache.spark.sql.functions.col
+    // Yesterday's corpus and today's shard, disjoint by id.
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    all.filter(col("vec_id") < 400).write.mode("overwrite")
+      .parquet(s"$work/base_corpus/embeddings.parquet")
+    val shard = all.filter(col("vec_id") >= 400)
+    val (centroids, _) = graft.tools.KMeansTrainer.train(
+      spark, spark.read.parquet(s"$work/base_corpus/embeddings.parquet"), k = 8)
+
+    // Incremental path: base build + shard append (base never rescanned).
+    AnnIndex.buildFromCentroids(spark, s"$work/base_corpus", s"$work/idx_inc", centroids)
+    val drift = AnnIndex.append(spark, shard.select("vec_id", "embedding"),
+      s"$work/idx_inc").collect()
+    assert(drift.map(_.getLong(2)).sum === shard.count(),
+      "every shard vector must land in exactly one posting list")
+    assert(drift.forall(_.getLong(3) >= 0L))
+
+    // Scratch path: same frozen centroids over the union corpus.
+    AnnIndex.buildFromCentroids(spark, sfDir, s"$work/idx_scratch", centroids)
+
+    val probes = Seq(0L, 42L, 123L, 420L, 480L)
+    def serve(idx: String) = AnnIndex.topk(spark, idx, probes, k = 5, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .toSet
+    val inc = serve(s"$work/idx_inc")
+    val scratch = serve(s"$work/idx_scratch")
+    assert(inc == scratch,
+      "append-then-serve must equal scratch-rebuild-then-serve bit-for-bit")
+    // Shard members are servable: a probe FROM the shard found neighbors.
+    assert(inc.exists(_._1 >= 400L))
+  }
+
   test("serving scans only the probed posting-list partitions") {
     val plan = AnnIndex.topk(spark, s"$work/idx", Seq(0L, 1L, 2L), k = 3, nprobe = 2)
       .queryExecution.executedPlan.toString
