@@ -315,13 +315,99 @@ object TokenizerQueries {
        |GROUP BY source, chunk""".stripMargin
   }
 
+  // ── text_bpe_roundtrip ★ (r11) — DECODE invertibility of the trained
+  // tokenizer: apply the merge chain, then expand it back by running the
+  // replacements in REVERSE (each merged token is one unique private-use
+  // char, so replace(merged → pair) walked last-to-first is the exact
+  // inverse, including nested merges), and assert decode(encode(x)) == x
+  // per document. The integrity witness a tokenizer ships with: a lossy
+  // tokenizer silently corrupts every downstream token count and every
+  // detokenized sample. Aggregated per source with token/char mass so
+  // the report doubles as the compression card.
+  //
+  // Scale shape: two narrow codegen'd replace chains back-to-back over
+  // one corpus scan + a per-source map-side-combined agg — no shuffle
+  // beyond the ≤#sources rows. Training is shared through the session
+  // memo (marginal cost zero after text_bpe_train).
+  private[graft] def decodeExpr(merges: Seq[Merge], col: String): String =
+    merges.reverse.foldLeft(col)((e, m) => s"replace($e, '${m.merged}', '${m.pair}')")
+
+  def textBpeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainMerges(spark, dir)
+    viewDocs(spark, dir)
+    val enc = encodeExpr(merges, "joined")
+    val dec = decodeExpr(merges, "encoded")
+    spark.sql(
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |         concat_ws(' ', regexp_extract_all(lower(text), '[a-z]+', 0)) AS joined,
+         |         CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0)) AS BIGINT)
+         |           AS n_words
+         |  FROM documents),
+         |enc AS (SELECT doc_id, source, joined, n_words, $enc AS encoded FROM base),
+         |rt AS (
+         |  SELECT doc_id, source, n_words,
+         |         CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(length(encoded) - (n_words - 1) AS BIGINT)
+         |         END AS bpe_tokens,
+         |         CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(length(joined) - (n_words - 1) AS BIGINT)
+         |         END AS alpha_chars,
+         |         CASE WHEN $dec = joined THEN 1 ELSE 0 END AS ok
+         |  FROM enc)
+         |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+         |       CAST(sum(ok) AS BIGINT) AS roundtrip_ok,
+         |       CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+         |       CAST(sum(alpha_chars) AS BIGINT) AS alpha_chars,
+         |       CAST(sum(alpha_chars) * 1000 div greatest(sum(bpe_tokens), 1)
+         |         AS BIGINT) AS chars_per_token_milli
+         |FROM rt GROUP BY source""".stripMargin)
+  }
+
+  private def duckDecodeChain(col: String): String =
+    (0 until Merges).reverse.foldLeft(col) { (e, i) =>
+      s"replace($e, chr(${0xE000 + i}), coalesce((SELECT pair FROM p$i), chr(${dummyChar(i)})))"
+    }
+
+  val textBpeRoundtripSql: String = {
+    val enc = duckEncodeChain("joined")
+    val dec = duckDecodeChain("encoded")
+    s"""WITH $oracleLevels,
+       |base AS (
+       |  SELECT doc_id, source,
+       |         array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ') AS joined,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+       |           AS n_words
+       |  FROM documents),
+       |enc AS (SELECT doc_id, source, joined, n_words, $enc AS encoded FROM base),
+       |rt AS (
+       |  SELECT doc_id, source, n_words,
+       |         CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(length(encoded) - (n_words - 1) AS BIGINT)
+       |         END AS bpe_tokens,
+       |         CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(length(joined) - (n_words - 1) AS BIGINT)
+       |         END AS alpha_chars,
+       |         CASE WHEN $dec = joined THEN 1 ELSE 0 END AS ok
+       |  FROM enc)
+       |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       |       CAST(sum(ok) AS BIGINT) AS roundtrip_ok,
+       |       CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |       CAST(sum(alpha_chars) AS BIGINT) AS alpha_chars,
+       |       CAST(sum(alpha_chars) * 1000 // greatest(sum(bpe_tokens), 1)
+       |         AS BIGINT) AS chars_per_token_milli
+       |FROM rt GROUP BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "text_bpe_roundtrip" -> (textBpeRoundtrip _),
     "pipe_tokenize_pack" -> (pipeTokenizePack _))
 
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,
+    "text_bpe_roundtrip" -> textBpeRoundtripSql,
     "pipe_tokenize_pack" -> pipeTokenizePackSql)
 }

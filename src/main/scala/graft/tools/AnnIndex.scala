@@ -135,12 +135,13 @@ object AnnIndex {
     val base = spark.read.parquet(s"$indexDir/postings")
       .filter(col("crnk") === 1)
       .groupBy(col("c_id")).agg(count(lit(1)).as("base_postings"))
-    val assigned = assignFromCentroids(normed, cents, maxRank)
+    // Pin the shard assignment: it feeds both the append write and the
+    // drift counts — without the pin the scoring join runs twice.
+    val assigned = assignFromCentroids(normed, cents, maxRank).localCheckpoint()
     assigned.write.mode("append").partitionBy("c_id")
       .parquet(s"$indexDir/postings")
-    val added = spark.read.parquet(s"$indexDir/postings")
+    val added = assigned
       .filter(col("crnk") === 1)
-      .join(normed.select(col("vec_id")), "vec_id")
       .groupBy(col("c_id")).agg(count(lit(1)).as("appended"))
     base.join(added, Seq("c_id"), "full_outer")
       .select(col("c_id").cast("int").as("centroid_id"),
