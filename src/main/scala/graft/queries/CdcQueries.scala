@@ -989,7 +989,59 @@ object CdcQueries {
       |FROM seq WHERE event_type = 'purchase'
       |GROUP BY 1, 2""".stripMargin
 
+  // E16 ★ (r11) — behavioral PATH mining: the top-20 length-3 event-type
+  // paths across all user histories, with each path's share of all
+  // length-3 windows in integer micro-units. e13's Markov matrix answers
+  // "what follows X"; paths answer "what JOURNEYS dominate" — the
+  // sequence-level view funnel design and anomaly triage start from
+  // (PrefixSpan's k=3 slice, which at this depth is exactly expressible
+  // as two stacked lags — no candidate generation needed).
+  //
+  // Scale shape: one window pass partitioned by user (two lag() reads of
+  // the same ordered frame — Spark evaluates both in a single Window
+  // operator), a map-side-combined ≤|types|³ aggregate, and a top-20.
+  // Ties total-ordered by the path itself so the cut is deterministic.
+  def e16PathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS step3,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY unix_micros(ts), event_id) AS step2,
+        |         lag(event_type, 2) OVER (PARTITION BY user_id
+        |           ORDER BY unix_micros(ts), event_id) AS step1
+        |  FROM events_t),
+        |paths AS (
+        |  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE step1 IS NOT NULL
+        |  GROUP BY step1, step2, step3),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM paths)
+        |SELECT p.step1, p.step2, p.step3, p.n,
+        |       CAST(p.n * 1000000 div t.total AS BIGINT) AS share_micro
+        |FROM paths p CROSS JOIN tot t
+        |ORDER BY p.n DESC, p.step1, p.step2, p.step3 LIMIT 20""".stripMargin)
+  }
+
+  val e16Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS step3,
+      |         lag(event_type, 1) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS step2,
+      |         lag(event_type, 2) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS step1
+      |  FROM events),
+      |paths AS (
+      |  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+      |  FROM seq WHERE step1 IS NOT NULL
+      |  GROUP BY step1, step2, step3),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM paths)
+      |SELECT p.step1, p.step2, p.step3, p.n,
+      |       CAST(p.n * 1000000 // t.total AS BIGINT) AS share_micro
+      |FROM paths p CROSS JOIN tot t
+      |ORDER BY p.n DESC, p.step1, p.step2, p.step3 LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e16_path_trigrams" -> (e16PathTrigrams _),
     "e15_attribution" -> (e15Attribution _),
     "e14_rfm" -> (e14Rfm _),
     "e13_transitions" -> (e13Transitions _),
@@ -1021,6 +1073,7 @@ object CdcQueries {
     "e5_offset_gaps" -> (e5OffsetGaps _))
 
   val oracle: Map[String, String] = Map(
+    "e16_path_trigrams" -> e16Sql,
     "e15_attribution" -> e15Sql,
     "e14_rfm" -> e14Sql,
     "e13_transitions" -> e13Sql,

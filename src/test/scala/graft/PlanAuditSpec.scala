@@ -82,6 +82,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "sk_kmv_intersect" -> "lang-pair grid: inequality join over the ~5-row distinct-language list, broadcast; all signature joins are equi-joins on (lang, hash)",
     "e14_rfm" -> "1-row corpus-maxima aggregate (plus the 1-row min-recency scalar subquery) cross-joined as broadcast constants over the per-user aggregate",
     "sk_hll_union" -> "lang-pair grid: inequality join over the ~5-row distinct-language list, broadcast; all register joins are equi-joins on (lang, j)",
+    "e16_path_trigrams" -> "1-row path-total scalar cross-joined as a broadcast constant over the bounded (≤|types|³) path table",
     "graph_triangles" -> "1-row triangle-count x 1-row wedge-sum summary cross join (plus 1-row node/edge scalars); every data-sized join (pair build, orientation, wedge closure) is an equi-join on node keys")
 
   /** An unpartitioned window is legitimate ONLY over a table whose row
