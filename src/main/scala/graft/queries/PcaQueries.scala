@@ -456,12 +456,18 @@ object PcaQueries {
          |    CAST(0 AS BIGINT), (acc, e) -> acc + e)""".stripMargin
     val projArr = vs.map(v => proj(v.mkString("array(", "L, ", "L)")))
       .mkString("array(\n", ",\n", ")")
+    // The projection map (8×64-term folds per vector — the query's
+    // dominant cost) feeds TWO consumers (stats agg + final join): pin
+    // it once or Catalyst inlines the CTE and runs it twice.
     spark.sql(
-      s"""WITH pd AS (
-         |  SELECT vec_id, label, CAST(comp + 1 AS INT) AS component,
-         |         proj_raw div $PdScale AS pd
-         |  FROM (SELECT vec_id, label, $projArr AS projs FROM embeddings)
-         |  LATERAL VIEW posexplode(projs) AS comp, proj_raw),
+      s"""SELECT vec_id, label, CAST(comp + 1 AS INT) AS component,
+         |       proj_raw div $PdScale AS pd
+         |FROM (SELECT vec_id, label, $projArr AS projs FROM embeddings)
+         |LATERAL VIEW posexplode(projs) AS comp, proj_raw""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("whiten_pd_t")
+    spark.sql(
+      s"""WITH pd AS (SELECT * FROM whiten_pd_t),
          |stats AS (
          |  SELECT component, CAST(count(*) AS BIGINT) AS n,
          |         CAST(sum(pd) AS BIGINT) AS s1,

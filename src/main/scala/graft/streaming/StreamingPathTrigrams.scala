@@ -31,7 +31,11 @@ object StreamingPathTrigrams {
     * order; each emits (prev2, prev1, current) once both exist. */
   private[graft] def advance(userId: Long, incoming: Seq[EventIn],
       prev: PathState): (PathState, Seq[PathRow]) = {
-    val events = incoming.sortBy(e => (e.tUs, e.eventId))
+    // Null event types (nullable drop schema) are skipped rather than
+    // stored: a null in state would NPE the nonEmpty guard on the next
+    // event and poison the checkpoint across restarts.
+    val events = incoming.filter(_.eventType != null)
+      .sortBy(e => (e.tUs, e.eventId))
     var st = prev
     val out = Seq.newBuilder[PathRow]
     events.foreach { e =>

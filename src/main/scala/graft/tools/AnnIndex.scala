@@ -56,6 +56,14 @@ object AnnIndex {
       .write.mode("overwrite")
       .partitionBy("c_id")
       .parquet(s"$indexDir/postings")
+    // Persist the routing artifact (the buildPq layout) so [[append]]
+    // works on fixture-pick stores too, not only trained ones.
+    spark.sql(
+      """SELECT CAST(vec_id AS INT) AS c_id,
+        |       CAST(embedding AS ARRAY<DOUBLE>) AS c_emb,
+        |       CAST(nrm AS DOUBLE) AS c_nrm
+        |FROM ann_build_normed WHERE vec_id BETWEEN 100 AND 115""".stripMargin)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
   /** Build the index from TRAINED centroids (the production loop:
@@ -116,7 +124,11 @@ object AnnIndex {
     *
     * Because [[assignFromCentroids]] is a pure per-vector function of
     * the frozen centroid set, serve-after-append is bit-identical to a
-    * scratch rebuild over the union corpus (AnnIndexSpec pins it).
+    * scratch [[buildFromCentroids]] rebuild over the union corpus
+    * (AnnIndexSpec pins it). For a [[build]]-created (fixture-pick)
+    * store the routing is consistent but not bit-pinned: build() scores
+    * with the fused float_dot kernel while append uses the double-fold
+    * spelling — identical except at float-summation ulp ties.
     * Caller contract: shard vec_ids are disjoint from the store's.
     *
     * Returns the DRIFT REPORT — per centroid, base vs appended posting
@@ -147,9 +159,8 @@ object AnnIndex {
       .select(col("c_id").cast("int").as("centroid_id"),
         coalesce(col("base_postings"), lit(0L)).as("base_postings"),
         coalesce(col("appended"), lit(0L)).as("appended"),
-        (coalesce(col("appended"), lit(0L)) * 10000 /
-          greatest(coalesce(col("base_postings"), lit(0L)), lit(1L)))
-          .cast("long").as("growth_bp"))
+        expr("coalesce(appended, 0L) * 10000 div " +
+          "greatest(coalesce(base_postings, 0L), 1L)").as("growth_bp"))
   }
 
   /** Serve top-k for the query vectors already IN the index (by id).

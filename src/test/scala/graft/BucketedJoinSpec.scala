@@ -58,8 +58,15 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(plain.queryExecution.executedPlan) === 2,
       "plain join should shuffle both sides")
 
-    // Layout changes the plan, never the answer.
-    assert(bucketed.count() === plain.count())
+    // Layout changes the plan, never the answer: full multiset equality,
+    // not just cardinality (a layout bug matching wrong rows while
+    // preserving counts must fail here).
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "o_custkey")
+    val b = bucketed.select(cols.head, cols.tail: _*)
+    val p = plain.select(cols.head, cols.tail: _*)
+    assert(b.exceptAll(p).isEmpty && p.exceptAll(b).isEmpty,
+      "bucketed and plain join results differ")
+    assert(b.count() > 0L)
   }
 
   test("aggregation on the bucket key also skips the exchange") {
