@@ -1038,7 +1038,94 @@ object DedupQueries {
        |WHERE shared_anchors >= 2
        |  AND (doc_a % 3 = 2 OR doc_b % 3 = 2)""".stripMargin
 
+  // ── dd_prefix_jaccard ★ (r11) — PREFIX-FILTERED exact similarity join
+  // (Chaudhuri/Bayardo's SSJoin/PPJoin family): all document pairs with
+  // exact 5-word-shingle Jaccard ≥ 1/2, WITHOUT the all-pairs join. Each
+  // set indexes only its PREFIX — the |s| − ⌈t·|s|⌉ + 1 tokens that come
+  // FIRST in a global rarest-first order (ascending document frequency,
+  // ties by shingle) — because two sets with J ≥ t must share at least
+  // one prefix token (the prefix-filter theorem). Candidates therefore
+  // come only from RARE tokens (a common shingle never enters a prefix
+  // until a set is nearly all common shingles), verification touches
+  // candidate pairs only, and the Jaccard test is exact integer
+  // cross-multiplication (2·inter ≥ union — no float threshold).
+  //
+  // THE ORACLE IS THE NAIVE DEFINITION: DuckDB computes qualifying pairs
+  // by the full all-pairs shingle join with no filter. The hash match is
+  // therefore a machine-checked proof that the prefix filter is LOSSLESS
+  // on this corpus — exact recall, not an approximation (vs the MinHash
+  // families, which trade recall for cost and witness it statistically).
+  //
+  // Scale shape: df + ranking are one agg + one doc-partitioned window
+  // over the shingle relation (pinned once); the candidate join's
+  // fan-out is Σ over prefix tokens of df² where the prefix selects the
+  // LOWEST-df tokens by construction — the PPJoin bound that makes exact
+  // similarity join feasible at corpus scale; verification is two
+  // equi-joins over the ≤|cand| pair list.
+  def ddPrefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""SELECT DISTINCT doc_id, g
+         |FROM (SELECT doc_id, ${PipelineQueries.shingleSpark("ws")} AS gs
+         |      FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+         |      WHERE size(ws) >= 5)
+         |LATERAL VIEW explode(gs) AS g""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("pj_sh_t")
+    spark.sql(
+      """WITH df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM pj_sh_t GROUP BY g),
+        |ranked AS (
+        |  SELECT s.doc_id, s.g,
+        |         row_number() OVER (PARTITION BY s.doc_id
+        |           ORDER BY d.df, s.g) AS rn
+        |  FROM pj_sh_t s JOIN df d ON s.g = d.g),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pj_sh_t GROUP BY doc_id),
+        |prefix AS (
+        |  SELECT r.doc_id, r.g
+        |  FROM ranked r JOIN sizes z ON r.doc_id = z.doc_id
+        |  WHERE r.rn <= z.n - (z.n + 1) div 2 + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS i
+        |  FROM cand c
+        |  JOIN pj_sh_t s1 ON s1.doc_id = c.d1
+        |  JOIN pj_sh_t s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
+        |  GROUP BY c.d1, c.d2)
+        |SELECT i.d1 AS doc_a, i.d2 AS doc_b, i.i AS inter_size,
+        |       z1.n + z2.n - i.i AS union_size,
+        |       CAST(i.i * 1000000 div (z1.n + z2.n - i.i) AS BIGINT)
+        |         AS jaccard_micro
+        |FROM inter i
+        |JOIN sizes z1 ON z1.doc_id = i.d1
+        |JOIN sizes z2 ON z2.doc_id = i.d2
+        |WHERE 2 * i.i >= z1.n + z2.n - i.i""".stripMargin)
+  }
+
+  /** The NAIVE definition — all-pairs, no prefix filter: matching this
+    * IS the losslessness proof. */
+  val ddPrefixJaccardSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${PipelineQueries.shingleDuck("ws")}) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= 5),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT i.d1 AS doc_a, i.d2 AS doc_b, i.i AS inter_size,
+       |       z1.n + z2.n - i.i AS union_size,
+       |       CAST(i.i * 1000000 // (z1.n + z2.n - i.i) AS BIGINT)
+       |         AS jaccard_micro
+       |FROM inter i
+       |JOIN sizes z1 ON z1.doc_id = i.d1
+       |JOIN sizes z2 ON z2.doc_id = i.d2
+       |WHERE 2 * i.i >= z1.n + z2.n - i.i""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_prefix_jaccard" -> (ddPrefixJaccard _),
     "dd_incremental" -> (ddIncremental _),
     "dd_incremental_lsh" -> (ddIncrementalLsh _),
     "dd_containment" -> (ddContainment _),
@@ -1057,6 +1144,7 @@ object DedupQueries {
     "dd_cluster_star" -> (ddClusterStar _))
 
   val oracle: Map[String, String] = Map(
+    "dd_prefix_jaccard" -> ddPrefixJaccardSql,
     "dd_incremental" -> ddIncrementalSql,
     "dd_incremental_lsh" -> ddIncrementalLshSql,
     "dd_containment" -> ddContainmentSql,

@@ -667,6 +667,24 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(base.getLong(4) > 0L, "triangle count must be non-vacuous")
   }
 
+  test("dd_prefix_jaccard pair count is EXACTLY predictable under 10x replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Copies have IDENTICAL shingle sets, so for every base qualifying
+    // pair (a, b) all 100 copy combinations qualify at the same Jaccard,
+    // and every copy-set contributes its C(10,2) = 45 J=1 self-pairs:
+    // scaled = 100·P_base + 45·D. An exact closed form — the prefix
+    // filter must stay lossless while the candidate join chews through
+    // the copy fan-out.
+    val base = SparkEntry.queries("dd_prefix_jaccard")(spark, "/root/testdata/sf0.1")
+      .count()
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .selectExpr("size(split(text, ' ')) >= 5 AS ok").filter(col("ok")).count()
+    val scaled = timed("dd_prefix_jaccard @ sf~1")(
+      SparkEntry.queries("dd_prefix_jaccard")(spark, dir).count())
+    assert(scaled === 100L * base + 45L * docs,
+      s"scaled=$scaled base=$base docs=$docs (expected ${100 * base + 45 * docs})")
+  }
+
   test("e15_attribution scales EXACTLY linearly under 10x user replication") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     // Each copy is a fresh user population with identical per-user
