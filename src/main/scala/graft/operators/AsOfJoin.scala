@@ -208,4 +208,25 @@ object AsOfJoin {
       .select(leftCols.map(c => col("__l").getField(c).as(c)) ++
         payload.map(p => col("__r").getField(p).as(p)): _*)
   }
+
+  /** FORWARD as-of: for every left row, the right row with the SMALLEST
+    * key `>=` the left key (inclusive, left-outer) — the "next event
+    * at-or-after" lookup (pandas merge_asof direction='forward', kdb's
+    * aj mirror). Reduces EXACTLY to the backward operator on NEGATED
+    * keys: max{r : -r <= -l} selects the same row as min{r : r >= l},
+    * every bucket/champion/carry argument mirrors, and ties stay
+    * inclusive — so the whole scale shape (and its guard, memo, and
+    * spec coverage) is inherited rather than duplicated. Keys must be
+    * > Long.MinValue (negation overflows the one sentinel value). */
+  def asOfForward(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, payload: Seq[String], bucketWidth: Long): DataFrame = {
+    val reserved = Set("__nl", "__nr")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asOfForward reserves ${reserved.mkString(", ")}; rename ${clash.mkString(", ")}")
+    val nl = left.withColumn("__nl", -col(leftKey).cast("long"))
+    val nr = right.withColumn("__nr", -col(rightKey).cast("long"))
+    asOf(nl, nr, "__nl", "__nr", payload, bucketWidth)
+      .drop("__nl")
+  }
 }

@@ -419,6 +419,37 @@ object CdcQueries {
        |       c.operation
        |FROM change_rows c ASOF LEFT JOIN m ON c.lsn_num >= m.map_lsn""".stripMargin
 
+  // C14 ★ (r11) — FORWARD as-of join: for every change row, the EARLIEST
+  // mapping entry at-or-after its LSN — "which upcoming checkpoint will
+  // first cover this change", the mirror of c7's "which past checkpoint
+  // last preceded it" (pandas merge_asof direction='forward'). Runs
+  // through [[graft.operators.AsOfJoin.asOfForward]], which reduces to
+  // the backward operator on negated keys — same bucketed scale shape,
+  // no new machinery. Oracle: DuckDB's native ASOF LEFT JOIN with the
+  // <= comparison.
+  def c14AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val changes = SyntheticCdc.changeRows(spark, dir)
+      .select(col("event_id"), col("lsn_num"), col("operation"))
+    val mapping = SyntheticCdc.lsnTimeMapping(spark, dir)
+      .filter(col("lsn_num") % 3 === 0 && col("lsn_num") >= 30)
+      .select(col("lsn_num").as("map_lsn"), col("tran_end_time"))
+    graft.operators.AsOfJoin.asOfForward(changes, mapping,
+        leftKey = "lsn_num", rightKey = "map_lsn",
+        payload = Seq("map_lsn", "tran_end_time"), bucketWidth = 64L)
+      .select(col("event_id"), col("lsn_num"), col("map_lsn"),
+        date_format(col("tran_end_time"), "yyyy-MM-dd'T'HH:mm:ss.SSS").as("__map_time"),
+        col("operation"))
+  }
+
+  val c14Sql: String =
+    s"""WITH change_rows AS ($cr), lsn_time AS ($ltm),
+       |m AS (SELECT lsn_num AS map_lsn, tran_end_time
+       |      FROM lsn_time WHERE lsn_num % 3 = 0 AND lsn_num >= 30)
+       |SELECT c.event_id, c.lsn_num, m.map_lsn,
+       |       strftime(m.tran_end_time, '%Y-%m-%dT%H:%M:%S.%g') AS "__map_time",
+       |       c.operation
+       |FROM change_rows c ASOF LEFT JOIN m ON c.lsn_num <= m.map_lsn""".stripMargin
+
   // C8 ★ range (point-in-interval) join: audit which "LSN hot windows"
   // (overlapping intervals derived from sparse orders keys) each change
   // row falls into, aggregated per window. Overlapping intervals mean a
@@ -1052,6 +1083,7 @@ object CdcQueries {
     "e10_funnel" -> (e10Funnel _),
     "a1_change_scan" -> (a1ChangeScan _),
     "c7_asof_join" -> (c7AsofJoin _),
+    "c14_asof_forward" -> (c14AsofForward _),
     "c8_range_join" -> (c8RangeJoin _),
     "c9_interval_overlap" -> (c9IntervalOverlap _),
     "e9_sessionize" -> (e9Sessionize _),
@@ -1084,6 +1116,7 @@ object CdcQueries {
     "e10_funnel" -> e10Sql,
     "a1_change_scan" -> a1Sql,
     "c7_asof_join" -> c7Sql,
+    "c14_asof_forward" -> c14Sql,
     "c8_range_join" -> c8Sql,
     "c9_interval_overlap" -> c9Sql,
     "e9_sessionize" -> e9Sql,

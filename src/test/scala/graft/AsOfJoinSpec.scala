@@ -54,6 +54,42 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("asOfForward matches the forward brute-force model on arbitrary layouts") {
+    val rnd = new scala.util.Random(7) // deterministic trials
+    val widths = Seq(1L, 7L, 64L, 1000L)
+    def fmodel(lefts: Seq[Long], rights: Seq[(Long, String)]): Map[Long, Option[(Long, String)]] =
+      lefts.map { lk =>
+        lk -> rights.filter(_._1 >= lk).sortBy(_._1).headOption
+      }.toMap
+    for (trial <- 0 until 12) {
+      val ss = spark; import ss.implicits._
+      val lefts = List.fill(1 + rnd.nextInt(60))(rnd.nextLong(401))
+      val rKeys = List.fill(1 + rnd.nextInt(30))(rnd.nextLong(401)).distinct
+      val width = widths(trial % widths.length)
+      val rights = rKeys.map(k => (k, s"p$k"))
+      val l = lefts.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("id", "k")
+      val r = rights.toDF("rk", "pay")
+      val out = AsOfJoin.asOfForward(l, r, "k", "rk", Seq("rk", "pay"), width)
+        .collect()
+        .map(row => (row.getLong(0), row.getLong(1),
+          if (row.isNullAt(2)) None else Some((row.getLong(2), row.getString(3)))))
+      assert(out.length == lefts.length)
+      val m = fmodel(lefts, rights)
+      out.foreach { case (_, k, got) => assert(got == m(k), s"key $k width $width") }
+    }
+  }
+
+  test("asOfForward: equal keys match inclusively; nothing ahead gives null") {
+    val ss = spark; import ss.implicits._
+    val l = Seq((1L, 10L), (2L, 11L), (3L, 99L)).toDF("id", "k")
+    val r = Seq((10L, "at10"), (20L, "at20")).toDF("rk", "pay")
+    val out = AsOfJoin.asOfForward(l, r, "k", "rk", Seq("pay"), 4L)
+      .collect().map(row => (row.getLong(0),
+        if (row.isNullAt(2)) null else row.getString(2))).toSet
+    assert(out == Set((1L, "at10"), (2L, "at20"), (3L, null)))
+  }
+
   test("duplicate left keys each resolve; equal keys match inclusively") {
     val ss = spark; import ss.implicits._
     val l = Seq((1L, 10L), (2L, 10L), (3L, 9L)).toDF("id", "k")

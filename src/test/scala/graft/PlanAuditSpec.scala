@@ -90,6 +90,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * boundaries — never raw data rows). */
   private val bareWindowAllowed: Map[String, String] = Map(
     "c7_asof_join" -> "carry-in prefix over the occupied-bucket champion table (guarded by effectiveBucketWidth)",
+    "c14_asof_forward" -> "the same carry-in prefix as c7 (asOfForward is the backward operator on negated keys)",
     "c6_ordered_compare" -> "ordered zip of the two 119-row comparison summaries (bounded reconciliation output)",
     "e4_ordering_regressions" -> "lag over per-partition summary rows, not raw changes",
     "e5_offset_gaps" -> "lag over per-partition offset summaries",
