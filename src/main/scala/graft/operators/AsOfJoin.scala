@@ -229,4 +229,31 @@ object AsOfJoin {
     asOf(nl, nr, "__nl", "__nr", payload, bucketWidth)
       .drop("__nl")
   }
+
+  /** NEAREST as-of: for every left row, the right row with the smallest
+    * absolute key distance, ties resolved BACKWARD (the pandas
+    * merge_asof direction='nearest' convention). Composed from one
+    * backward and one forward pass joined on `leftId` (caller-supplied
+    * unique row id — with duplicate left rows "the" nearest row per
+    * duplicate is only well-defined rowwise). The right key is attached
+    * to the payload automatically: the distance comparison needs it. */
+  def asOfNearest(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, payload: Seq[String], bucketWidth: Long,
+      leftId: String): DataFrame = {
+    val payKeys = (rightKey +: payload).distinct
+    val clash = left.columns.filter(payKeys.contains)
+    require(clash.isEmpty,
+      s"asOfNearest payload names ${clash.mkString(", ")} clash with left columns")
+    val leftCols = left.columns.toSeq
+    val b = asOf(left, right, leftKey, rightKey, payKeys, bucketWidth)
+    val f = asOfForward(left, right, leftKey, rightKey, payKeys, bucketWidth)
+      .select(col(leftId) +: payKeys.map(c => col(c).as(s"__f_$c")): _*)
+    val lk = col(leftKey).cast("long")
+    val bk = col(rightKey).cast("long")
+    val fk = col(s"__f_$rightKey").cast("long")
+    val takeBackward = bk.isNotNull && (fk.isNull || (lk - bk) <= (fk - lk))
+    b.join(f, Seq(leftId))
+      .select(leftCols.map(col) ++ payKeys.map(p =>
+        when(takeBackward, col(p)).otherwise(col(s"__f_$p")).as(p)): _*)
+  }
 }

@@ -450,6 +450,47 @@ object CdcQueries {
        |       c.operation
        |FROM change_rows c ASOF LEFT JOIN m ON c.lsn_num <= m.map_lsn""".stripMargin
 
+  // C15 ★ (r11) — NEAREST as-of join: for every change row, the mapping
+  // entry with the smallest absolute LSN distance, ties backward (pandas
+  // merge_asof direction='nearest') — "which checkpoint best anchors
+  // this change", completing the as-of family (backward c7, forward c14,
+  // nearest here). Composed from one backward + one forward bucketed
+  // pass joined on the unique event id; the oracle composes DuckDB's two
+  // native ASOF directions with the same tie rule.
+  def c15AsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val changes = SyntheticCdc.changeRows(spark, dir)
+      .select(col("event_id"), col("lsn_num"), col("operation"))
+    val mapping = SyntheticCdc.lsnTimeMapping(spark, dir)
+      .filter(col("lsn_num") % 3 === 0 && col("lsn_num") >= 30)
+      .select(col("lsn_num").as("map_lsn"), col("tran_end_time"))
+    graft.operators.AsOfJoin.asOfNearest(changes, mapping,
+        leftKey = "lsn_num", rightKey = "map_lsn",
+        payload = Seq("tran_end_time"), bucketWidth = 64L,
+        leftId = "event_id")
+      .select(col("event_id"), col("lsn_num"), col("map_lsn"),
+        date_format(col("tran_end_time"), "yyyy-MM-dd'T'HH:mm:ss.SSS").as("__map_time"),
+        col("operation"))
+  }
+
+  val c15Sql: String =
+    s"""WITH change_rows AS ($cr), lsn_time AS ($ltm),
+       |m AS (SELECT lsn_num AS map_lsn, tran_end_time
+       |      FROM lsn_time WHERE lsn_num % 3 = 0 AND lsn_num >= 30),
+       |b AS (SELECT c.event_id, c.lsn_num, c.operation, m.map_lsn, m.tran_end_time
+       |      FROM change_rows c ASOF LEFT JOIN m ON c.lsn_num >= m.map_lsn),
+       |f AS (SELECT c.event_id, m.map_lsn, m.tran_end_time
+       |      FROM change_rows c ASOF LEFT JOIN m ON c.lsn_num <= m.map_lsn)
+       |SELECT b.event_id, b.lsn_num,
+       |       CASE WHEN b.map_lsn IS NOT NULL AND (f.map_lsn IS NULL
+       |                  OR (b.lsn_num - b.map_lsn) <= (f.map_lsn - b.lsn_num))
+       |            THEN b.map_lsn ELSE f.map_lsn END AS map_lsn,
+       |       strftime(CASE WHEN b.map_lsn IS NOT NULL AND (f.map_lsn IS NULL
+       |                  OR (b.lsn_num - b.map_lsn) <= (f.map_lsn - b.lsn_num))
+       |            THEN b.tran_end_time ELSE f.tran_end_time END,
+       |            '%Y-%m-%dT%H:%M:%S.%g') AS "__map_time",
+       |       b.operation
+       |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin
+
   // C8 ★ range (point-in-interval) join: audit which "LSN hot windows"
   // (overlapping intervals derived from sparse orders keys) each change
   // row falls into, aggregated per window. Overlapping intervals mean a
@@ -1084,6 +1125,7 @@ object CdcQueries {
     "a1_change_scan" -> (a1ChangeScan _),
     "c7_asof_join" -> (c7AsofJoin _),
     "c14_asof_forward" -> (c14AsofForward _),
+    "c15_asof_nearest" -> (c15AsofNearest _),
     "c8_range_join" -> (c8RangeJoin _),
     "c9_interval_overlap" -> (c9IntervalOverlap _),
     "e9_sessionize" -> (e9Sessionize _),
@@ -1117,6 +1159,7 @@ object CdcQueries {
     "a1_change_scan" -> a1Sql,
     "c7_asof_join" -> c7Sql,
     "c14_asof_forward" -> c14Sql,
+    "c15_asof_nearest" -> c15Sql,
     "c8_range_join" -> c8Sql,
     "c9_interval_overlap" -> c9Sql,
     "e9_sessionize" -> e9Sql,

@@ -90,6 +90,17 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set((1L, "at10"), (2L, "at20"), (3L, null)))
   }
 
+  test("asOfNearest picks the closer side, ties backward, degrades to the non-null side") {
+    val ss = spark; import ss.implicits._
+    // k=5: only forward (8). k=12: back 10 (d2) beats fwd 15 (d3).
+    // k=9: tie (8 vs 10) -> backward. k=99: only backward (15).
+    val l = Seq((1L, 5L), (2L, 12L), (3L, 9L), (4L, 99L)).toDF("id", "k")
+    val r = Seq((8L, "a"), (10L, "b"), (15L, "c")).toDF("rk", "pay")
+    val out = AsOfJoin.asOfNearest(l, r, "k", "rk", Seq("pay"), 4L, "id")
+      .collect().map(row => (row.getLong(0), row.getLong(2), row.getString(3))).toSet
+    assert(out == Set((1L, 8L, "a"), (2L, 10L, "b"), (3L, 8L, "a"), (4L, 15L, "c")))
+  }
+
   test("duplicate left keys each resolve; equal keys match inclusively") {
     val ss = spark; import ss.implicits._
     val l = Seq((1L, 10L), (2L, 10L), (3L, 9L)).toDF("id", "k")
