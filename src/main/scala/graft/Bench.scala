@@ -83,6 +83,7 @@ object Bench {
         graft.queries.DedupQueries.clearSessionMemos()
         graft.queries.TokenizerQueries.clearSessionMemos()
         graft.queries.PcaQueries.clearSessionMemos()
+        graft.queries.SketchQueries.clearSessionMemos()
         graft.operators.AsOfJoin.clearBoundsCache()
         graft.operators.PinnedStages.releaseShared(spark)
       }

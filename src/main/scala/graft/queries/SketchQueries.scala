@@ -39,6 +39,29 @@ object SketchQueries {
       .repartition(spark.sparkContext.defaultParallelism)
       .createOrReplaceTempView("documents")
 
+  /** The DISTINCT (lang, 5-word-shingle) relation — the input BOTH
+    * set-algebra queries (kmv_intersect, hll_union) sketch. Built and
+    * pinned once per (session, dir): the shingle explode is each query's
+    * dominant cost, and the sets it produces are identical, so the
+    * second consumer's marginal cost drops to the sketch math (the
+    * dd_minhash pair-memo discipline; Bench clears between passes). */
+  private val shingleMemo = scala.collection.mutable.Map[
+    (String, String), org.apache.spark.sql.DataFrame]()
+
+  private[graft] def clearSessionMemos(): Unit = shingleMemo.clear()
+
+  private def langShingles(spark: SparkSession, dir: String): DataFrame =
+    shingleMemo.getOrElseUpdate(
+      (spark.sparkContext.applicationId + "/" + spark.sparkContext.startTime, dir), {
+        viewDocs(spark, dir)
+        graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+          s"""SELECT DISTINCT lang, word
+             |FROM (SELECT lang, ${PipelineQueries.shingleSpark("ws")} AS gs
+             |      FROM (SELECT lang, split(text, ' ') AS ws FROM documents)
+             |      WHERE size(ws) >= 5)
+             |LATERAL VIEW explode(gs) AS word""".stripMargin))
+      })
+
   // ── sk_hll_distinct ★ — per-language HLL vocabulary estimate ─────────
   //
   // Register j = h mod 64; rank value v = h div 64 (54 bits of the
@@ -203,18 +226,9 @@ object SketchQueries {
   def skKmvIntersect(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     graft.expr.GraftFunctions.register(spark)
-    // The distinct shingle relation feeds THREE consumers (signatures,
-    // set sizes, the exact-witness join); Catalyst inlines CTEs, so
-    // without this materialization the shingle explode + md5 runs three
-    // times over the corpus.
-    spark.sql(
-      s"""SELECT DISTINCT lang, word
-         |FROM (SELECT lang, ${PipelineQueries.shingleSpark("ws")} AS gs
-         |      FROM (SELECT lang, split(text, ' ') AS ws FROM documents)
-         |      WHERE size(ws) >= 5)
-         |LATERAL VIEW explode(gs) AS word""".stripMargin)
-      .localCheckpoint()
-      .createOrReplaceTempView("kmv_words_t")
+    // The distinct shingle relation feeds THREE consumers here plus the
+    // hll_union sibling: served from the shared session memo.
+    langShingles(spark, dir).createOrReplaceTempView("kmv_words_t")
     spark.sql(
       s"""WITH words AS (SELECT lang, word FROM kmv_words_t),
          |hashed AS (SELECT lang, ${hSpark("word")} AS h FROM words),
@@ -431,15 +445,8 @@ object SketchQueries {
   def skHllUnion(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     // Distinct (lang, shingle) feeds register build + both exact
-    // witnesses — pin once (the kmv_intersect discipline).
-    spark.sql(
-      s"""SELECT DISTINCT lang, word
-         |FROM (SELECT lang, ${PipelineQueries.shingleSpark("ws")} AS gs
-         |      FROM (SELECT lang, split(text, ' ') AS ws FROM documents)
-         |      WHERE size(ws) >= 5)
-         |LATERAL VIEW explode(gs) AS word""".stripMargin)
-      .localCheckpoint()
-      .createOrReplaceTempView("hllu_words_t")
+    // witnesses here, plus the kmv_intersect sibling: shared memo.
+    langShingles(spark, dir).createOrReplaceTempView("hllu_words_t")
     val est = s"CAST($Alpha AS DOUBLE) * ${Registers * Registers}.0"
     spark.sql(
       s"""WITH regs AS (
