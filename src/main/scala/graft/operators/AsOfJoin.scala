@@ -217,15 +217,23 @@ object AsOfJoin {
     * every bucket/champion/carry argument mirrors, and ties stay
     * inclusive — so the whole scale shape (and its guard, memo, and
     * spec coverage) is inherited rather than duplicated. Keys must be
-    * > Long.MinValue (negation overflows the one sentinel value). */
+    * > Long.MinValue: negation maps that one sentinel to itself, which
+    * would silently make it every row's preferred match — so it is
+    * REJECTED at execution time (raise_error in the negation map), not
+    * just documented. */
   def asOfForward(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, payload: Seq[String], bucketWidth: Long): DataFrame = {
     val reserved = Set("__nl", "__nr")
     val clash = (left.columns ++ right.columns).filter(reserved)
     require(clash.isEmpty,
       s"asOfForward reserves ${reserved.mkString(", ")}; rename ${clash.mkString(", ")}")
-    val nl = left.withColumn("__nl", -col(leftKey).cast("long"))
-    val nr = right.withColumn("__nr", -col(rightKey).cast("long"))
+    def negOrFail(c: org.apache.spark.sql.Column) =
+      when(c === Long.MinValue,
+        raise_error(lit("asOfForward: key Long.MinValue is unsupported " +
+          "(negation maps it to itself)")).cast("long"))
+        .otherwise(-c)
+    val nl = left.withColumn("__nl", negOrFail(col(leftKey).cast("long")))
+    val nr = right.withColumn("__nr", negOrFail(col(rightKey).cast("long")))
     asOf(nl, nr, "__nl", "__nr", payload, bucketWidth)
       .drop("__nl")
   }
@@ -248,10 +256,17 @@ object AsOfJoin {
     val b = asOf(left, right, leftKey, rightKey, payKeys, bucketWidth)
     val f = asOfForward(left, right, leftKey, rightKey, payKeys, bucketWidth)
       .select(col(leftId) +: payKeys.map(c => col(c).as(s"__f_$c")): _*)
-    val lk = col(leftKey).cast("long")
+    // Distances compare in DECIMAL(38,0): a Long subtraction overflows
+    // for spans past 2^63 (lk = 2^62, bk = -2^62) and would silently
+    // pick the FARTHER side — exactly the pathological span the width
+    // guard already handles in BigInt, so the tie-break must survive it
+    // too. Exact integer arithmetic, no double rounding.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lk = col(leftKey).cast("long").cast(dec)
     val bk = col(rightKey).cast("long")
     val fk = col(s"__f_$rightKey").cast("long")
-    val takeBackward = bk.isNotNull && (fk.isNull || (lk - bk) <= (fk - lk))
+    val takeBackward = bk.isNotNull &&
+      (fk.isNull || (lk - bk.cast(dec)) <= (fk.cast(dec) - lk))
     b.join(f, Seq(leftId))
       .select(leftCols.map(col) ++ payKeys.map(p =>
         when(takeBackward, col(p)).otherwise(col(s"__f_$p")).as(p)): _*)

@@ -155,14 +155,23 @@ object GraphQueries {
       .createOrReplaceTempView("tri_pairs_t")
     // The (degree, id) sort key per node — 20k rows, consumed by BOTH
     // legs of the orientation join: pin once.
-    spark.sql(
+    val ork = spark.sql(
       """SELECT p, d, d * 100000000 + p AS ok FROM
         |  (SELECT p, CAST(count(*) AS BIGINT) AS d FROM
         |     (SELECT p1 AS p FROM tri_pairs_t
         |      UNION ALL SELECT p2 AS p FROM tri_pairs_t)
         |   GROUP BY p)""".stripMargin)
       .localCheckpoint()
-      .createOrReplaceTempView("tri_ork_t")
+    // The 1e8 packing is collision-free ONLY for ids < 1e8 — ENFORCED,
+    // not assumed (the dd_span_rewrite advisory's lesson: a silent
+    // collision corrupts counts identically in places no oracle can
+    // see). Bigger graphs re-pack with a wider multiplier or a struct
+    // key; failing loudly here is the contract.
+    val maxId = ork.agg(max(col("p"))).head.getLong(0)
+    require(maxId < 100000000L,
+      s"graph_triangles: node id $maxId >= 1e8 breaks the packed sort key; " +
+        "widen the multiplier for this id space")
+    ork.createOrReplaceTempView("tri_ork_t")
     // Oriented edges carry the closure probe key PACKED into one BIGINT
     // (edge_key = src·1e8 + dst): the wedge-closure join then runs on a
     // single long column instead of a two-column composite.

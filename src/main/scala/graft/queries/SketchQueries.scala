@@ -376,22 +376,27 @@ object SketchQueries {
   def skCmsTopk(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     graft.expr.GraftFunctions.register(spark)
-    // The gram occurrence stream feeds TWO consumers (grid build + the
-    // exact witness); pin it once or Catalyst re-runs the explode.
+    // One map-side-combined count over the occurrence stream FIRST, then
+    // everything downstream (grid + witness) works on the ~900 distinct
+    // grams: counter addition commutes, so hashing each distinct gram
+    // once per depth row and SUMMING its count builds the bit-identical
+    // grid at DEPTH·|vocab| md5 calls instead of DEPTH·N (the dominant
+    // cost of the naive spelling). Pinned: two consumers.
     spark.sql(
-      """SELECT gram
-        |FROM documents LATERAL VIEW explode(word_bigrams(text)) AS gram""".stripMargin)
+      """SELECT gram, CAST(count(*) AS BIGINT) AS n
+        |FROM documents LATERAL VIEW explode(word_bigrams(text)) AS gram
+        |GROUP BY gram""".stripMargin)
       .localCheckpoint()
-      .createOrReplaceTempView("cms_grams_t")
+      .createOrReplaceTempView("cms_counts_t")
     spark.sql(
       s"""WITH cells AS (
          |  SELECT i, ${hSpark("concat(cast(i as string), ':', gram)")} % $CmsWidth AS cell,
-         |         CAST(count(*) AS BIGINT) AS c
-         |  FROM cms_grams_t LATERAL VIEW explode(sequence(0, ${CmsDepth - 1})) AS i
+         |         CAST(sum(n) AS BIGINT) AS c
+         |  FROM cms_counts_t LATERAL VIEW explode(sequence(0, ${CmsDepth - 1})) AS i
          |  GROUP BY 1, 2),
          |exact AS (
-         |  SELECT gram, CAST(count(*) AS BIGINT) AS exact_n
-         |  FROM cms_grams_t GROUP BY gram
+         |  SELECT gram, n AS exact_n
+         |  FROM cms_counts_t
          |  ORDER BY exact_n DESC, gram LIMIT $CmsProbeK),
          |probe AS (
          |  SELECT e.gram, e.exact_n, i,

@@ -56,14 +56,16 @@ object AnnIndex {
       .write.mode("overwrite")
       .partitionBy("c_id")
       .parquet(s"$indexDir/postings")
-    // Persist the routing artifact (the buildPq layout) so [[append]]
-    // works on fixture-pick stores too, not only trained ones.
+    // Persist the routing artifact so [[append]] works on fixture-pick
+    // stores too. EXACTLY buildPq's schema (vec_id c_id, float c_emb,
+    // nrm c_nrm): topkPq's float_dot routing reads this same path, so a
+    // store where buildPq and build coexist must keep float elements —
+    // a double-cast here would silently corrupt PQ probe routing.
     spark.sql(
-      """SELECT CAST(vec_id AS INT) AS c_id,
-        |       CAST(embedding AS ARRAY<DOUBLE>) AS c_emb,
-        |       CAST(nrm AS DOUBLE) AS c_nrm
+      """SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
         |FROM ann_build_normed WHERE vec_id BETWEEN 100 AND 115""".stripMargin)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    writeMeta(spark, indexDir, 2)
   }
 
   /** Build the index from TRAINED centroids (the production loop:
@@ -87,14 +89,30 @@ object AnnIndex {
     // Persist the routing artifact beside the postings (the buildPq
     // layout): [[append]] must assign future shards against EXACTLY
     // these centroids, and serving a store should never need the corpus
-    // the centroids were trained on.
+    // the centroids were trained on. NOTE this overwrites any existing
+    // `centroids` artifact — one indexDir is ONE store; don't point a
+    // trained build at a dir already holding a PQ store's centroids.
     cents.select(col("c_id"), col("c_emb"), col("c_nrm"))
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    writeMeta(spark, indexDir, maxRank)
     assignFromCentroids(normed, cents, maxRank)
       .write.mode("overwrite")
       .partitionBy("c_id")
       .parquet(s"$indexDir/postings")
   }
+
+  /** Build-time parameters the store must carry so maintenance can't
+    * silently diverge from them (an append at a different routing depth
+    * than the build under-routes its shard). */
+  private def writeMeta(spark: SparkSession, indexDir: String, maxRank: Int): Unit =
+    spark.range(1).select(lit(maxRank).cast("int").as("max_rank"))
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+
+  /** The store's build-time maxRank; 2 for pre-meta stores (the only
+    * depth any of them were built with). */
+  private def storedMaxRank(spark: SparkSession, indexDir: String): Int =
+    try spark.read.parquet(s"$indexDir/meta").head().getInt(0)
+    catch { case _: Throwable => 2 }
 
   /** The shared assignment relation: every vector scored against every
     * (broadcast) centroid, crnk ranking by cosine with c_id tie-break.
@@ -137,8 +155,12 @@ object AnnIndex {
     * stop matching the data distribution; the report makes the decision
     * observable instead of silent). */
   def append(spark: SparkSession, shard: DataFrame, indexDir: String,
-      maxRank: Int = 2): DataFrame = {
+      maxRank: Int = 0): DataFrame = {
     graft.expr.GraftFunctions.register(spark)
+    // Default (0) = the store's own build-time depth: appending at a
+    // different maxRank than the build would under-route the shard and
+    // silently break the scratch-rebuild equivalence.
+    val rank = if (maxRank > 0) maxRank else storedMaxRank(spark, indexDir)
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val normed = shard
       .withColumn("nrm", expr("sqrt(float_dot(embedding, embedding))"))
@@ -149,7 +171,7 @@ object AnnIndex {
       .groupBy(col("c_id")).agg(count(lit(1)).as("base_postings"))
     // Pin the shard assignment: it feeds both the append write and the
     // drift counts — without the pin the scoring join runs twice.
-    val assigned = assignFromCentroids(normed, cents, maxRank).localCheckpoint()
+    val assigned = assignFromCentroids(normed, cents, rank).localCheckpoint()
     assigned.write.mode("append").partitionBy("c_id")
       .parquet(s"$indexDir/postings")
     val added = assigned
