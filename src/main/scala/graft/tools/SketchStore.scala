@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.queries.DedupQueries.hSpark
+import graft.queries.SketchQueries.{Alpha, Registers}
+
+/** Persisted MERGEABLE sketch store — the incremental trio's third member
+  * (dedup claims: `IncrementalDedup`; ANN postings: `AnnIndex.append`;
+  * distinct-count registers: here). Each day's shard folds its documents
+  * into per-(lang, register) HLL maxima and APPENDS them; serving reads
+  * the store and register-wise-maxes across shards. Because register max
+  * is a semilattice (associative, commutative, idempotent), the served
+  * estimate is EXACTLY the estimate a from-scratch pass over the union
+  * corpus computes — not approximately: sketch mergeability is an
+  * algebraic identity, and `SketchStoreSpec` pins it bit-for-bit against
+  * the batch `sk_hll_distinct` query.
+  *
+  * Scale shape: an append scans ONLY its shard (one narrow hash pass +
+  * a (lang, register)-keyed map-side-combined MAX — ≤ langs·64 rows
+  * written); serving never touches any corpus, just the ~shards·langs·64
+  * register rows. Re-appending the same shard is harmless (idempotent
+  * max), which is what makes at-least-once ingestion safe with no
+  * dedup bookkeeping.
+  */
+object SketchStore {
+
+  /** Fold `docs` (columns: lang, text) into HLL register maxima and
+    * append them to the store under `shardId`. */
+  def appendHll(spark: SparkSession, docs: DataFrame, storeDir: String,
+      shardId: String): Unit = {
+    docs.createOrReplaceTempView("sketch_store_docs")
+    spark.sql(
+      s"""SELECT '$shardId' AS shard, lang,
+         |       CAST(h % $Registers AS INT) AS j,
+         |       CAST(max(55 - length(bin(h div $Registers))) AS INT) AS m
+         |FROM (SELECT lang, ${hSpark("w")} AS h
+         |      FROM sketch_store_docs
+         |      LATERAL VIEW explode(split(text, ' ')) AS w)
+         |GROUP BY lang, CAST(h % $Registers AS INT)""".stripMargin)
+      .write.mode(SaveMode.Append).parquet(s"$storeDir/hll")
+  }
+
+  /** Serve the per-language distinct estimate from the store alone:
+    * register-wise max across shards, then the identical integer-fold
+    * estimate spelling as `sk_hll_distinct` (minus its fixture-scale
+    * exact witness, which serving by design cannot and need not
+    * compute). */
+  def serveDistinct(spark: SparkSession, storeDir: String): DataFrame = {
+    spark.read.parquet(s"$storeDir/hll")
+      .createOrReplaceTempView("sketch_store_hll")
+    spark.sql(
+      s"""WITH maxes AS (
+         |  SELECT lang, j, max(m) AS m FROM sketch_store_hll GROUP BY lang, j),
+         |grid AS (
+         |  SELECT lang, j FROM (SELECT DISTINCT lang FROM sketch_store_hll)
+         |  LATERAL VIEW explode(sequence(0, ${Registers - 1})) AS j),
+         |filled AS (
+         |  SELECT g.lang, g.j, coalesce(m.m, 0) AS m
+         |  FROM grid g LEFT JOIN maxes m ON g.lang = m.lang AND g.j = m.j),
+         |folded AS (
+         |  SELECT lang, max(m) AS mmax,
+         |         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS zero_registers
+         |  FROM filled GROUP BY lang),
+         |nums AS (
+         |  SELECT f.lang, fo.mmax, fo.zero_registers,
+         |         CAST(sum(shiftleft(CAST(1 AS BIGINT), fo.mmax - f.m)) AS BIGINT)
+         |           AS num
+         |  FROM filled f JOIN folded fo ON f.lang = fo.lang
+         |  GROUP BY f.lang, fo.mmax, fo.zero_registers)
+         |SELECT lang, zero_registers, CAST(mmax AS INT) AS max_register,
+         |       CAST($Alpha AS DOUBLE) * ${Registers * Registers}.0
+         |         * pow(2.0, CAST(mmax AS DOUBLE)) / num AS hll_estimate
+         |FROM nums""".stripMargin)
+  }
+}

@@ -75,4 +75,25 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(agg.queryExecution.executedPlan) === 0,
       s"bucketed agg shuffles:\n${agg.queryExecution.executedPlan}")
   }
+
+  test("bucketed edges + unbucketed rank vector: ONLY the rank side shuffles") {
+    // The GraphQueries claim made concrete: with the big edge relation
+    // bucketed on the join key, an iteration-style join against a small
+    // per-node table exchanges exactly ONE side — the small vector.
+    // (shuffle.partitions is set to the bucket count so the planner can
+    // align the unbucketed side to the bucketed layout.)
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val rank = spark.read.parquet(s"$dir/orders.parquet")
+        .selectExpr("o_orderkey AS l_orderkey", "CAST(1 AS BIGINT) AS r")
+        .groupBy("l_orderkey").sum("r")
+      val joined = spark.table("li_bucketed").join(rank, "l_orderkey")
+      val n = shuffles(joined.queryExecution.executedPlan)
+      assert(n === 1,
+        s"expected exactly one exchange (the rank side), got $n:\n" +
+          joined.queryExecution.executedPlan)
+      assert(joined.count() > 0L)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
 }
