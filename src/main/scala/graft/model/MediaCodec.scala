@@ -230,6 +230,77 @@ object MediaCodec {
 
   def openReader(): PngReader = new PngReader
 
+  // ── JPEG: the LOSSY codec (r11) ─────────────────────────────────────
+  //
+  // javax.imageio ships a real JPEG plugin, so the jpeg route no longer
+  // needs MediaStub — but JPEG is lossy BY DESIGN, which changes the
+  // verification discipline: the binary oracle gate cannot apply
+  // (decoded pixels are codec-defined, not pattern-defined), so
+  // `mm_decode_jpeg` emits the per-asset reconstruction-error statistics
+  // against the source pattern and the SPEC pins the honest contract
+  // instead: dimensions exact, decode deterministic (same bytes → same
+  // pixels), error bounded, and error NONZERO somewhere (a fake decode
+  // that echoed the pattern would be suspiciously perfect). The driver
+  // records the rows-only check — the same honesty tier as other
+  // non-SQL-expressible ops.
+
+  /** JPEG magic (SOI marker). */
+  def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte
+
+  /** Writer+reader context pair, one per partition. */
+  final class JpegCodec private[MediaCodec] () {
+    private[MediaCodec] val writer =
+      ImageIO.getImageWritersByFormatName("jpeg").next()
+    private[MediaCodec] val reader =
+      ImageIO.getImageReadersByFormatName("jpeg").next()
+    def dispose(): Unit = { writer.dispose(); reader.dispose() }
+  }
+
+  def openJpegCodec(): JpegCodec = new JpegCodec
+
+  /** Encode the document's gray test pattern as a REAL JPEG stream
+    * (default quality — the lossiness is the point). */
+  def synthesizeGrayJpeg(ctx: JpegCodec, docId: Long): Array[Byte] = {
+    val w = patternWidth(docId)
+    val h = patternHeight(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, patternGray(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      ctx.writer.setOutput(ios)
+      ctx.writer.write(img)
+    } finally ios.close()
+    out.toByteArray
+  }
+
+  /** Decode a JPEG stream to the gray raster. */
+  def decodeGrayJpeg(ctx: JpegCodec, bytes: Array[Byte]): GrayRaster = {
+    require(isJpeg(bytes), "not a JPEG stream")
+    val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      ctx.reader.setInput(in, true, true)
+      val img = ctx.reader.read(0)
+      val w = img.getWidth; val h = img.getHeight
+      val raster = img.getRaster
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      GrayRaster(w, h, px)
+    } finally in.close()
+  }
+
   // ── GIF: the multi-frame container (r11) ────────────────────────────
   //
   // The JDK's javax.imageio GIF plugin reads AND writes multi-image

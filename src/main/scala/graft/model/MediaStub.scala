@@ -8,11 +8,14 @@ package graft.model
   * the decoded raster (`mm_decode_png`, `mm_resize`) — and so are WAV
   * audio ([[AudioCodec]], `mm_decode_wav`) and, since r11, multi-frame
   * animated GIF (`MediaCodec.decodeGifFrames`, `mm_decode_gif`: real
-  * frame extraction from a real animation container). This stub remains
-  * only for container formats with no lossless JDK decoder in this
-  * environment: webp entirely, and jpeg — whose JDK codec exists but is
-  * LOSSY, which breaks the exact-statistics oracle discipline every real
-  * decode here is held to. The container header layout is real and
+  * frame extraction from a real animation container). JPEG also left
+  * the stub late in r11: `mm_decode_jpeg` runs the JDK's real (lossy)
+  * JPEG codec with the honest verification tier lossiness demands —
+  * reconstruction-error statistics + spec-pinned bounds instead of a
+  * binary oracle (the stub route inside `mm_decode_png`/`mm_decode_stub`
+  * keeps exercising the jpeg HEADER id for plumbing coverage). This stub
+  * therefore remains only for webp — no JDK decoder exists in this
+  * environment. The container header layout is real and
   * parsed for real — 4-byte big-endian width, 4-byte height, 1-byte
   * format id — only the pixel-level work (`meanLuma`) is a deterministic
   * fake so the surrounding Spark plumbing (binary columns, per-partition

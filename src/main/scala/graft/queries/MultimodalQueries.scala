@@ -716,7 +716,53 @@ object MultimodalQueries {
        |FROM cand WHERE bit_count(xor(pa, pb)) <= 7""".stripMargin
   }
 
+  // ── mm_decode_jpeg (r11) — REAL decode through the JDK's LOSSY JPEG
+  // codec: the jpeg route (doc_id % 3 == 1) leaves MediaStub — actual
+  // JPEG containers are encoded from the deterministic gray pattern and
+  // decoded back to actual pixels. Lossy-by-design changes the honesty
+  // discipline: the binary oracle cannot apply (decoded pixels are
+  // codec-defined), so the query EMITS the reconstruction-error
+  // statistics against the source pattern (max / total absolute error)
+  // and `MediaCodecSpec` pins the contract — dimensions exact, decode
+  // deterministic, error bounded, error nonzero somewhere (a decode that
+  // echoed the pattern perfectly would not be a JPEG decode). Driver
+  // records the rows-only check (no oracle entry). Scale shape: narrow
+  // mapPartitions, codec contexts opened once per partition, no shuffle.
+  def mmDecodeJpeg(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    import spark.implicits._
+    import graft.model.MediaCodec
+    val ids = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 3 = 1")
+      .as[Long]
+    ids.mapPartitions { it =>
+      val codec = MediaCodec.openJpegCodec()
+      it.map { docId =>
+        val bytes = MediaCodec.synthesizeGrayJpeg(codec, docId)
+        val d = MediaCodec.decodeGrayJpeg(codec, bytes)
+        val (sum, hash) = d.stats
+        var maxErr = 0L; var sumErr = 0L
+        var y = 0
+        while (y < d.height) {
+          var x = 0
+          while (x < d.width) {
+            val e = math.abs(d(x, y) - MediaCodec.patternGray(docId, x, y)).toLong
+            if (e > maxErr) maxErr = e
+            sumErr += e
+            x += 1
+          }
+          y += 1
+        }
+        val nPx = d.width.toLong * d.height
+        (docId, d.width, d.height, nPx, bytes.length.toLong, sum, hash,
+          maxErr, sumErr, sumErr * 1000 / nPx)
+      }
+    }.toDF("doc_id", "width", "height", "n_px", "container_bytes",
+      "luma_sum", "pixel_hash", "max_abs_err", "sum_abs_err",
+      "mean_abs_err_milli")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_jpeg" -> (mmDecodeJpeg _),
     "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_phash" -> (mmPhash _),
     "mm_audio_features" -> (mmAudioFeatures _),

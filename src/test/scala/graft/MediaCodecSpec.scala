@@ -158,4 +158,36 @@ class MediaCodecSpec extends AnyFunSuite {
     }
     reader.dispose()
   }
+
+  test("JPEG decode: dims exact, deterministic, error bounded AND nonzero (really lossy)") {
+    val codec = MediaCodec.openJpegCodec()
+    try {
+      var anyErr = false
+      (1L to 60L by 3L).foreach { docId => // the jpeg route: doc_id % 3 == 1
+        val bytes = MediaCodec.synthesizeGrayJpeg(codec, docId)
+        assert(MediaCodec.isJpeg(bytes), "writer must emit a real JPEG stream")
+        val d1 = MediaCodec.decodeGrayJpeg(codec, bytes)
+        assert(d1.width == MediaCodec.patternWidth(docId) &&
+          d1.height == MediaCodec.patternHeight(docId),
+          s"doc $docId: dimensions must survive the lossy round trip")
+        // Deterministic: same bytes decode to the same pixels.
+        val d2 = MediaCodec.decodeGrayJpeg(codec, bytes)
+        assert(d1.pixels.sameElements(d2.pixels), "decode must be deterministic")
+        var maxErr = 0
+        var i = 0
+        while (i < d1.pixels.length) {
+          val x = i % d1.width; val y = i / d1.width
+          val e = math.abs(d1.pixels(i) - MediaCodec.patternGray(docId, x, y))
+          if (e > maxErr) maxErr = e
+          i += 1
+        }
+        // The pattern has hard mod-256 wrap edges; default-quality JPEG
+        // rings around them but must stay in a sane envelope.
+        assert(maxErr <= 160, s"doc $docId: max |err| $maxErr out of envelope")
+        if (maxErr > 0) anyErr = true
+      }
+      assert(anyErr,
+        "every decode was pixel-perfect — that is not a JPEG codec")
+    } finally codec.dispose()
+  }
 }
