@@ -26,18 +26,21 @@ import graft.queries.SketchQueries.{Alpha, Registers}
 object SketchStore {
 
   /** Fold `docs` (columns: lang, text) into HLL register maxima and
-    * append them to the store under `shardId`. */
+    * append them to the store under `shardId`. Pure DataFrame ops on the
+    * input — no temp view, so it works identically on a batch relation
+    * and on a `foreachBatch` micro-batch (whose isolated session would
+    * not see a view registered on the outer one). */
   def appendHll(spark: SparkSession, docs: DataFrame, storeDir: String,
       shardId: String): Unit = {
-    docs.createOrReplaceTempView("sketch_store_docs")
-    spark.sql(
-      s"""SELECT '$shardId' AS shard, lang,
-         |       CAST(h % $Registers AS INT) AS j,
-         |       CAST(max(55 - length(bin(h div $Registers))) AS INT) AS m
-         |FROM (SELECT lang, ${hSpark("w")} AS h
-         |      FROM sketch_store_docs
-         |      LATERAL VIEW explode(split(text, ' ')) AS w)
-         |GROUP BY lang, CAST(h % $Registers AS INT)""".stripMargin)
+    import org.apache.spark.sql.functions._
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .selectExpr("lang", s"${hSpark("w")} AS h")
+      .selectExpr(s"'$shardId' AS shard", "lang",
+        s"CAST(h % $Registers AS INT) AS j",
+        s"CAST(55 - length(bin(h div $Registers)) AS INT) AS rho")
+      .groupBy(col("shard"), col("lang"), col("j"))
+      .agg(max(col("rho")).cast("int").as("m"))
       .write.mode(SaveMode.Append).parquet(s"$storeDir/hll")
   }
 
