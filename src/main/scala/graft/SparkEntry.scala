@@ -20,7 +20,7 @@ object SparkEntry {
     CdcQueries.queries ++ EnvelopeQueries.queries ++ AggQueries.queries ++
       ValidationQueries.queries ++ DedupQueries.queries ++ SerdeQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++ MultimodalQueries.queries ++
-      PipelineQueries.queries ++ LearnedQueries.queries ++ TokenizerQueries.queries ++ CorpusRewriteQueries.queries ++ PcaQueries.queries ++ SketchQueries.queries ++ GraphQueries.queries ++ SourceFormatQueries.queries
+      PipelineQueries.queries ++ LearnedQueries.queries ++ TokenizerQueries.queries ++ CorpusRewriteQueries.queries ++ PcaQueries.queries ++ SketchQueries.queries ++ GraphQueries.queries ++ SourceFormatQueries.queries ++ TimeSeriesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
     CdcQueries.oracle ++ EnvelopeQueries.oracle ++ AggQueries.oracle ++
       ValidationQueries.oracle ++ DedupQueries.oracle ++ SerdeQueries.oracle ++
       SimilarityQueries.oracle ++ TextQueries.oracle ++ MultimodalQueries.oracle ++
-      PipelineQueries.oracle ++ LearnedQueries.oracle ++ TokenizerQueries.oracle ++ CorpusRewriteQueries.oracle ++ PcaQueries.oracle ++ SketchQueries.oracle ++ GraphQueries.oracle ++ SourceFormatQueries.oracle
+      PipelineQueries.oracle ++ LearnedQueries.oracle ++ TokenizerQueries.oracle ++ CorpusRewriteQueries.oracle ++ PcaQueries.oracle ++ SketchQueries.oracle ++ GraphQueries.oracle ++ SourceFormatQueries.oracle ++ TimeSeriesQueries.oracle
 }
