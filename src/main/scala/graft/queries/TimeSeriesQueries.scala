@@ -36,86 +36,58 @@ object TimeSeriesQueries {
   val Segments = 6
   /** Days per segment. */
   val SegDays = 5
+  /** SAX alphabet size (2 bits/segment). */
+  val SaxLevels = 4
 
-  def tsPaaTopk(spark: SparkSession, dir: String): DataFrame = {
-    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
-    spark.sql(
-      s"""WITH bounds AS (SELECT min(unix_micros(ts)) AS t0 FROM events_t),
-         |days AS (
-         |  SELECT user_id,
-         |         CAST((unix_micros(ts) - b.t0) div 86400000000 AS BIGINT) AS day,
-         |         CAST(count(*) AS BIGINT) AS c
-         |  FROM events_t CROSS JOIN bounds b
-         |  GROUP BY user_id, (unix_micros(ts) - b.t0) div 86400000000),
-         |paa AS (
-         |  SELECT user_id, CAST(day div $SegDays AS INT) AS seg,
-         |         CAST(sum(c) AS BIGINT) AS s
-         |  FROM days WHERE day div $SegDays < $Segments
-         |  GROUP BY user_id, CAST(day div $SegDays AS INT)),
-         |norms AS (
-         |  SELECT user_id, CAST(sum(c * c) AS BIGINT) AS n2
-         |  FROM days GROUP BY user_id),
-         |probes AS (SELECT user_id AS p FROM (SELECT DISTINCT user_id
-         |           FROM events_t) WHERE user_id < 3),
-         |paa_dist AS (
-         |  SELECT pr.p, o.user_id,
-         |         CAST(sum((coalesce(a.s, 0) - o.s) *
-         |                  (coalesce(a.s, 0) - o.s)) AS BIGINT) AS paa_d
-         |  FROM probes pr
-         |  JOIN paa o ON o.user_id != pr.p
-         |  LEFT JOIN paa a ON a.user_id = pr.p AND a.seg = o.seg
-         |  GROUP BY pr.p, o.user_id),
-         |inner_prod AS (
-         |  SELECT pr.p, o.user_id, CAST(sum(a.c * o.c) AS BIGINT) AS ip
-         |  FROM probes pr
-         |  JOIN days a ON a.user_id = pr.p
-         |  JOIN days o ON o.day = a.day AND o.user_id != pr.p
-         |  GROUP BY pr.p, o.user_id),
-         |full_dist AS (
-         |  SELECT d.p, d.user_id,
-         |         na.n2 + nb.n2 - 2 * coalesce(i.ip, 0) AS full_d
-         |  FROM paa_dist d
-         |  JOIN norms na ON na.user_id = d.p
-         |  JOIN norms nb ON nb.user_id = d.user_id
-         |  LEFT JOIN inner_prod i ON i.p = d.p AND i.user_id = d.user_id),
-         |ranked AS (
-         |  SELECT d.p, d.user_id, d.paa_d, f.full_d,
-         |         CASE WHEN d.paa_d div $SegDays <= f.full_d THEN 1 ELSE 0 END
-         |           AS lb_ok,
-         |         row_number() OVER (PARTITION BY d.p
-         |           ORDER BY d.paa_d, d.user_id) AS rnk
-         |  FROM paa_dist d
-         |  JOIN full_dist f ON f.p = d.p AND f.user_id = d.user_id)
-         |SELECT p AS probe_user, user_id, paa_d, full_d,
-         |       CAST(lb_ok AS INT) AS lb_ok, CAST(rnk AS INT) AS rnk
-         |FROM ranked WHERE rnk <= 3""".stripMargin)
-  }
-
-  val tsPaaTopkSql: String =
-    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-       |bounds AS (SELECT min(us) AS t0 FROM ev),
+  /** The shared series prologue (bounds → days → DENSE paa),
+    * parameterized on the integer-division spelling and the 0..K-1
+    * segment generator — ONE text for both engines so the two ts_
+    * queries (and the two engines) cannot drift. `paa` is DENSIFIED
+    * (every user × every segment, empty windows = 0): a sparse relation
+    * silently drops (s_probe − 0)² terms for users with an event-free
+    * window, underestimating their distance (one such user exists at
+    * sf0.1). */
+  private def seriesCtes(idiv: String, table: String, usExpr: String,
+      segGrid: String): String =
+    s"""bounds AS (SELECT min($usExpr) AS t0 FROM $table),
        |days AS (
-       |  SELECT user_id, CAST((us - b.t0) // 86400000000 AS BIGINT) AS day,
+       |  SELECT user_id,
+       |         CAST(($usExpr - b.t0) $idiv 86400000000 AS BIGINT) AS day,
        |         CAST(count(*) AS BIGINT) AS c
-       |  FROM ev CROSS JOIN bounds b
-       |  GROUP BY user_id, (us - b.t0) // 86400000000),
-       |paa AS (
-       |  SELECT user_id, CAST(day // $SegDays AS INT) AS seg,
+       |  FROM $table CROSS JOIN bounds b
+       |  GROUP BY user_id, ($usExpr - b.t0) $idiv 86400000000),
+       |paa_sparse AS (
+       |  SELECT user_id, CAST(day $idiv $SegDays AS INT) AS seg,
        |         CAST(sum(c) AS BIGINT) AS s
-       |  FROM days WHERE day // $SegDays < $Segments
-       |  GROUP BY user_id, CAST(day // $SegDays AS INT)),
-       |norms AS (
+       |  FROM days WHERE day $idiv $SegDays < $Segments
+       |  GROUP BY user_id, CAST(day $idiv $SegDays AS INT)),
+       |paa AS (
+       |  SELECT u.user_id, g.seg, coalesce(p.s, CAST(0 AS BIGINT)) AS s
+       |  FROM (SELECT DISTINCT user_id FROM days) u
+       |  CROSS JOIN ($segGrid) g
+       |  LEFT JOIN paa_sparse p ON p.user_id = u.user_id AND p.seg = g.seg)""".stripMargin
+
+  private def seriesSpark = seriesCtes("div", "events_t", "unix_micros(ts)",
+    s"SELECT CAST(x AS INT) AS seg FROM (SELECT explode(sequence(0, ${Segments - 1})) AS x)")
+  private def seriesDuck =
+    "ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),\n" +
+      seriesCtes("//", "ev", "us",
+        s"SELECT CAST(unnest(range(0, $Segments)) AS INT) AS seg")
+
+  /** Everything after the prologue differs between engines ONLY in the
+    * integer-division token: one body text, two renderings. */
+  private def paaCommon(idiv: String): String =
+    s"""norms AS (
        |  SELECT user_id, CAST(sum(c * c) AS BIGINT) AS n2
        |  FROM days GROUP BY user_id),
-       |probes AS (SELECT user_id AS p FROM (SELECT DISTINCT user_id FROM ev)
-       |           WHERE user_id < 3),
+       |probes AS (SELECT user_id AS p FROM (SELECT DISTINCT user_id
+       |           FROM days) d WHERE user_id < 3),
        |paa_dist AS (
        |  SELECT pr.p, o.user_id,
-       |         CAST(sum((coalesce(a.s, 0) - o.s) *
-       |                  (coalesce(a.s, 0) - o.s)) AS BIGINT) AS paa_d
+       |         CAST(sum((a.s - o.s) * (a.s - o.s)) AS BIGINT) AS paa_d
        |  FROM probes pr
        |  JOIN paa o ON o.user_id != pr.p
-       |  LEFT JOIN paa a ON a.user_id = pr.p AND a.seg = o.seg
+       |  JOIN paa a ON a.user_id = pr.p AND a.seg = o.seg
        |  GROUP BY pr.p, o.user_id),
        |inner_prod AS (
        |  SELECT pr.p, o.user_id, CAST(sum(a.c * o.c) AS BIGINT) AS ip
@@ -132,19 +104,127 @@ object TimeSeriesQueries {
        |  LEFT JOIN inner_prod i ON i.p = d.p AND i.user_id = d.user_id),
        |ranked AS (
        |  SELECT d.p, d.user_id, d.paa_d, f.full_d,
-       |         CASE WHEN d.paa_d // $SegDays <= f.full_d THEN 1 ELSE 0 END
+       |         CASE WHEN d.paa_d $idiv $SegDays <= f.full_d THEN 1 ELSE 0 END
        |           AS lb_ok,
        |         row_number() OVER (PARTITION BY d.p
        |           ORDER BY d.paa_d, d.user_id) AS rnk
        |  FROM paa_dist d
-       |  JOIN full_dist f ON f.p = d.p AND f.user_id = d.user_id)
-       |SELECT p AS probe_user, user_id, paa_d, full_d,
-       |       CAST(lb_ok AS INT) AS lb_ok, CAST(rnk AS INT) AS rnk
-       |FROM ranked WHERE rnk <= 3""".stripMargin
+       |  JOIN full_dist f ON f.p = d.p AND f.user_id = d.user_id)""".stripMargin
+
+  private val paaTopkSelect: String =
+    """SELECT p AS probe_user, user_id, paa_d, full_d,
+      |       CAST(lb_ok AS INT) AS lb_ok, CAST(rnk AS INT) AS rnk
+      |FROM ranked WHERE rnk <= 3""".stripMargin
+
+  def tsPaaTopk(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(s"WITH $seriesSpark,\n${paaCommon("div")}\n$paaTopkSelect")
+  }
+
+  val tsPaaTopkSql: String = s"WITH $seriesDuck,\n${paaCommon("//")}\n$paaTopkSelect"
+
+  // ── ts_sax_prune ★ (r11) — the iSAX INDEX demonstrated, with a
+  // machine-checked ADMISSIBILITY witness: every user's PAA vector
+  // discretizes to a 6-symbol SAX word (2 bits/segment, equal-width
+  // integer breakpoints over the corpus PAA range — packed into one
+  // BIGINT, no string assembly), words group into buckets, and for each
+  // probe the per-bucket MINDIST (Σ per-segment squared gap to the
+  // level's EXACT integer bounds — every member's segment sum lies
+  // inside its level bounds by construction, so MINDIST lower-bounds the
+  // distance to every bucket member) prunes buckets whose bound exceeds
+  // the probe's current k-th-best distance. The output is the pruning
+  // report per probe — buckets/users pruned vs scanned — plus
+  // `admissible_violations`: the count of TRUE top-3 neighbors living in
+  // a pruned bucket, pinned 0 by the oracle compare. That is the GEMINI
+  // no-false-dismissal guarantee as a checked column, not a citation.
+  //
+  // Scale shape: words/buckets are one more K-rows/user map +
+  // ≤levels^K-row agg; the MINDIST table is probes × buckets × K —
+  // bounded by the alphabet, not the corpus; at production the bucket
+  // relation IS the index (partitioned by word), probes read only
+  // unpruned partitions, and the admissibility column is the regression
+  // test that the integer breakpoint math never clips a true neighbor.
+  private def saxBody(idiv: String, shl: (String, String) => String): String = {
+    val one = "CAST(1 AS BIGINT)"
+    s"""rng AS (SELECT min(s) AS lo, max(s) AS hi FROM paa),
+       |lv AS (
+       |  SELECT p.user_id, p.seg,
+       |         least($SaxLevels - 1,
+       |               (p.s - r.lo) * $SaxLevels $idiv (r.hi - r.lo + 1)) AS l
+       |  FROM paa p CROSS JOIN rng r),
+       |words AS (
+       |  SELECT user_id,
+       |         CAST(sum(${shl("l", "2 * seg")}) AS BIGINT) AS word
+       |  FROM lv GROUP BY user_id),
+       |buckets AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n_users
+       |  FROM words GROUP BY word),
+       |top3 AS (SELECT p, user_id, paa_d FROM ranked WHERE rnk <= 3),
+       |kth AS (SELECT p, max(paa_d) AS t FROM top3 GROUP BY p),
+       |bucket_lv AS (
+       |  SELECT b.word, b.n_users, g.seg,
+       |         CAST((b.word $idiv ${shl(one, "2 * g.seg")}) % $SaxLevels AS BIGINT)
+       |           AS l
+       |  FROM buckets b CROSS JOIN (SELECT DISTINCT seg FROM paa) g),
+       |mind AS (
+       |  SELECT pp.user_id AS p, bl.word,
+       |         CAST(sum(
+       |           CASE WHEN pp.s < r.lo + (bl.l * (r.hi - r.lo + 1)
+       |                                    + $SaxLevels - 1) $idiv $SaxLevels
+       |                THEN (r.lo + (bl.l * (r.hi - r.lo + 1)
+       |                              + $SaxLevels - 1) $idiv $SaxLevels - pp.s)
+       |                     * (r.lo + (bl.l * (r.hi - r.lo + 1)
+       |                                + $SaxLevels - 1) $idiv $SaxLevels - pp.s)
+       |                WHEN pp.s > r.lo + ((bl.l + 1) * (r.hi - r.lo + 1)
+       |                                    + $SaxLevels - 1) $idiv $SaxLevels - 1
+       |                THEN (pp.s - (r.lo + ((bl.l + 1) * (r.hi - r.lo + 1)
+       |                              + $SaxLevels - 1) $idiv $SaxLevels - 1))
+       |                     * (pp.s - (r.lo + ((bl.l + 1) * (r.hi - r.lo + 1)
+       |                                + $SaxLevels - 1) $idiv $SaxLevels - 1))
+       |                ELSE 0 END) AS BIGINT) AS mindist
+       |  FROM (SELECT user_id, seg, s FROM paa WHERE user_id < 3) pp
+       |  JOIN bucket_lv bl ON bl.seg = pp.seg
+       |  CROSS JOIN rng r
+       |  GROUP BY pp.user_id, bl.word),
+       |pruned AS (
+       |  SELECT m.p, m.word,
+       |         CASE WHEN m.mindist > k.t THEN 1 ELSE 0 END AS is_pruned
+       |  FROM mind m JOIN kth k ON k.p = m.p),
+       |viol AS (
+       |  SELECT t.p, CAST(count(*) AS BIGINT) AS v
+       |  FROM top3 t
+       |  JOIN words w ON w.user_id = t.user_id
+       |  JOIN pruned pr ON pr.p = t.p AND pr.word = w.word
+       |  WHERE pr.is_pruned = 1
+       |  GROUP BY t.p)
+       |SELECT pr.p AS probe_user,
+       |       CAST(count(*) AS BIGINT) AS n_buckets,
+       |       CAST(sum(pr.is_pruned) AS BIGINT) AS buckets_pruned,
+       |       CAST(sum(b.n_users) AS BIGINT) AS users_total,
+       |       CAST(sum(CASE WHEN pr.is_pruned = 1 THEN b.n_users ELSE 0 END)
+       |         AS BIGINT) AS users_pruned,
+       |       CAST(coalesce(max(v.v), 0) AS BIGINT) AS admissible_violations
+       |FROM pruned pr
+       |JOIN buckets b ON b.word = pr.word
+       |LEFT JOIN viol v ON v.p = pr.p
+       |GROUP BY pr.p""".stripMargin
+  }
+
+  def tsSaxPrune(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(s"WITH $seriesSpark,\n${paaCommon("div")},\n" +
+      saxBody("div", (a, b) => s"shiftleft(CAST($a AS BIGINT), $b)"))
+  }
+
+  val tsSaxPruneSql: String =
+    s"WITH $seriesDuck,\n${paaCommon("//")},\n" +
+      saxBody("//", (a, b) => s"(CAST($a AS BIGINT) << ($b))")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ts_paa_topk" -> (tsPaaTopk _))
+    "ts_paa_topk" -> (tsPaaTopk _),
+    "ts_sax_prune" -> (tsSaxPrune _))
 
   val oracle: Map[String, String] = Map(
-    "ts_paa_topk" -> tsPaaTopkSql)
+    "ts_paa_topk" -> tsPaaTopkSql,
+    "ts_sax_prune" -> tsSaxPruneSql)
 }
