@@ -685,6 +685,40 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scaled=$scaled base=$base docs=$docs (expected ${100 * base + 45 * docs})")
   }
 
+  test("ts_paa_topk at sf~1: every probe's nearest neighbors are its own copies, at distance 0") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // User replication creates 9 copies of each probe with IDENTICAL
+    // event series: the true top-3 must be copies of the probe at
+    // paa_d = full_d = 0, with the lower-bound witness intact.
+    val rows = timed("ts_paa_topk @ sf~1")(
+      SparkEntry.queries("ts_paa_topk")(spark, dir).collect())
+    assert(rows.length === 9)
+    rows.foreach { r =>
+      val (p, u) = (r.getLong(0), r.getLong(1))
+      assert(u % IdStride === p, s"probe $p matched non-copy $u")
+      assert(r.getLong(2) === 0L && r.getLong(3) === 0L,
+        s"copy pair ($p, $u) not at distance zero")
+      assert(r.getInt(4) === 1, "lower-bound witness must hold")
+    }
+  }
+
+  test("ts_sax_prune at sf~1: pruning stays admissible with copies in play") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Copies share the probe's SAX word (identical PAA vector), so the
+    // probe's own bucket can never prune, and no true neighbor may be
+    // dismissed — the no-false-dismissal column must stay 0 while the
+    // index still prunes a nontrivial share of the 15,000-user corpus
+    // (sf0.1's 1,500 users × 10 replicated populations).
+    val rows = timed("ts_sax_prune @ sf~1")(
+      SparkEntry.queries("ts_sax_prune")(spark, dir).collect())
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getLong(5) === 0L, "admissibility violated at scale")
+      assert(r.getLong(4) > 0L, "index pruned nothing — vacuous at scale")
+      assert(r.getLong(3) === 15000L, s"users_total ${r.getLong(3)}")
+    }
+  }
+
   test("e15_attribution scales EXACTLY linearly under 10x user replication") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     // Each copy is a fresh user population with identical per-user
