@@ -1046,8 +1046,11 @@ object DedupQueries {
   // ties by shingle) — because two sets with J ≥ t must share at least
   // one prefix token (the prefix-filter theorem). Candidates therefore
   // come only from RARE tokens (a common shingle never enters a prefix
-  // until a set is nearly all common shingles), verification touches
-  // candidate pairs only, and the Jaccard test is exact integer
+  // until a set is nearly all common shingles), the POSITIONAL filter
+  // (PPJoin, Xiao et al. 2008) prunes candidates whose best common
+  // prefix token leaves too little remaining overlap to reach the
+  // required α = ⌈(|x|+|y|)/3⌉, verification touches the surviving
+  // pairs only, and the Jaccard test is exact integer
   // cross-multiplication (2·inter ≥ union — no float threshold).
   //
   // THE ORACLE IS THE NAIVE DEFINITION: DuckDB computes qualifying pairs
@@ -1081,12 +1084,15 @@ object DedupQueries {
         |  FROM pj_sh_t s JOIN df d ON s.g = d.g),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pj_sh_t GROUP BY doc_id),
         |prefix AS (
-        |  SELECT r.doc_id, r.g
+        |  SELECT r.doc_id, r.g, r.rn, z.n
         |  FROM ranked r JOIN sizes z ON r.doc_id = z.doc_id
         |  WHERE r.rn <= z.n - (z.n + 1) div 2 + 1),
         |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        |  HAVING max(least(a.n - a.rn, b.n - b.rn) + 1)
+        |         >= (a.n + b.n + 2) div 3),
         |inter AS (
         |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS i
         |  FROM cand c
@@ -1102,6 +1108,77 @@ object DedupQueries {
         |JOIN sizes z2 ON z2.doc_id = i.d2
         |WHERE 2 * i.i >= z1.n + z2.n - i.i""".stripMargin)
   }
+
+  // ── dd_prefix_stats ★ (r11) — the filter-cascade AUDIT for
+  // dd_prefix_jaccard: how many pairs the bare prefix join generates,
+  // how many survive the positional filter, and how many actually
+  // qualify — the measured pruning factors an exact-similarity-join
+  // deployment sizes its cluster by. Both engines run the identical
+  // cascade (the pagerank algorithm-mirroring oracle discipline), so
+  // the counts themselves are oracle-pinned.
+  def ddPrefixStats(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    ddPrefixJaccard(spark, dir).createOrReplaceTempView("pj_qualify_t")
+    spark.sql(
+      """WITH df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM pj_sh_t GROUP BY g),
+        |ranked AS (
+        |  SELECT s.doc_id, s.g,
+        |         row_number() OVER (PARTITION BY s.doc_id
+        |           ORDER BY d.df, s.g) AS rn
+        |  FROM pj_sh_t s JOIN df d ON s.g = d.g),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pj_sh_t GROUP BY doc_id),
+        |prefix AS (
+        |  SELECT r.doc_id, r.g, r.rn, z.n
+        |  FROM ranked r JOIN sizes z ON r.doc_id = z.doc_id
+        |  WHERE r.rn <= z.n - (z.n + 1) div 2 + 1),
+        |joined AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         max(least(a.n - a.rn, b.n - b.rn) + 1) AS ub,
+        |         max((a.n + b.n + 2) div 3) AS alpha
+        |  FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT CAST((SELECT count(*) FROM joined) AS BIGINT) AS prefix_pairs,
+        |       CAST((SELECT count(*) FROM joined WHERE ub >= alpha) AS BIGINT)
+        |         AS positional_pairs,
+        |       CAST((SELECT count(*) FROM pj_qualify_t) AS BIGINT)
+        |         AS qualifying_pairs""".stripMargin)
+  }
+
+  val ddPrefixStatsSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${PipelineQueries.shingleDuck("ws")}) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= 5),
+       |df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY g),
+       |ranked AS (
+       |  SELECT s.doc_id, s.g,
+       |         row_number() OVER (PARTITION BY s.doc_id
+       |           ORDER BY d.df, s.g) AS rn
+       |  FROM sh s JOIN df d ON s.g = d.g),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |prefix AS (
+       |  SELECT r.doc_id, r.g, r.rn, z.n
+       |  FROM ranked r JOIN sizes z ON r.doc_id = z.doc_id
+       |  WHERE r.rn <= z.n - (z.n + 1) // 2 + 1),
+       |joined AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |         max(least(a.n - a.rn, b.n - b.rn) + 1) AS ub,
+       |         max((a.n + b.n + 2) // 3) AS alpha
+       |  FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |qual AS (
+       |  SELECT i.d1 FROM inter i
+       |  JOIN sizes z1 ON z1.doc_id = i.d1
+       |  JOIN sizes z2 ON z2.doc_id = i.d2
+       |  WHERE 2 * i.i >= z1.n + z2.n - i.i)
+       |SELECT CAST((SELECT count(*) FROM joined) AS BIGINT) AS prefix_pairs,
+       |       CAST((SELECT count(*) FROM joined WHERE ub >= alpha) AS BIGINT)
+       |         AS positional_pairs,
+       |       CAST((SELECT count(*) FROM qual) AS BIGINT) AS qualifying_pairs""".stripMargin
 
   /** The NAIVE definition — all-pairs, no prefix filter: matching this
     * IS the losslessness proof. */
@@ -1126,6 +1203,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_prefix_jaccard" -> (ddPrefixJaccard _),
+    "dd_prefix_stats" -> (ddPrefixStats _),
     "dd_incremental" -> (ddIncremental _),
     "dd_incremental_lsh" -> (ddIncrementalLsh _),
     "dd_containment" -> (ddContainment _),
@@ -1145,6 +1223,7 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "dd_prefix_jaccard" -> ddPrefixJaccardSql,
+    "dd_prefix_stats" -> ddPrefixStatsSql,
     "dd_incremental" -> ddIncrementalSql,
     "dd_incremental_lsh" -> ddIncrementalLshSql,
     "dd_containment" -> ddContainmentSql,
