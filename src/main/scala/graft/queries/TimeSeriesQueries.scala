@@ -216,15 +216,93 @@ object TimeSeriesQueries {
       saxBody("div", (a, b) => s"shiftleft(CAST($a AS BIGINT), $b)"))
   }
 
+  /** Sakoe–Chiba band half-width for the LB_Keogh envelopes. */
+  val Band = 2
+  /** Dense series length (the fixture's 30-day span). */
+  val SpanDays = 30
+
+  // ── ts_lbkeogh ★ (r11) — envelope lower bounds toward ELASTIC
+  // matching: per candidate series, the Sakoe–Chiba band-r upper/lower
+  // ENVELOPES (running max/min over a ±r-day RANGE window — the window
+  // pattern the catalog lacked), and per (probe, candidate) the LB_Keogh
+  // bound: Σ (q_i − U_i)² where q pokes above the envelope, (L_i − q_i)²
+  // where it dips below, 0 inside. The chain LB_Keogh ≤ DTW ≤ ED is the
+  // foundation of every elastic-distance index (Keogh & Ratanamahatana
+  // 2005); full DTW is r12's recursive step, but the SANDWICH ENDS are
+  // exactly computable today, so `sandwich_ok` (lb ≤ exact Euclidean
+  // distance) is emitted and oracle-pinned per result pair — a bound
+  // violation anywhere fails the hash, making the envelope math itself
+  // machine-checked.
+  //
+  // Engine-exact: dense 30-day integer vectors (missing days = 0),
+  // RANGE-frame max/min, BIGINT sums of squares throughout. Scale shape:
+  // the dense grid is 30 rows/user by construction; envelopes are one
+  // user-partitioned window pass; probe scoring broadcasts 3×30 probe
+  // days against the envelope relation (equi-join on day); top-3 by
+  // exact ED with the bound riding along.
+  private def lbkeoghBody: String =
+    s"""dgrid AS (
+       |  SELECT u.user_id, g.day, coalesce(d.c, CAST(0 AS BIGINT)) AS c
+       |  FROM (SELECT DISTINCT user_id FROM days) u
+       |  CROSS JOIN (SELECT CAST(seg AS BIGINT) * $SegDays + o.off AS day
+       |              FROM (SELECT DISTINCT seg FROM paa) s
+       |              CROSS JOIN (SELECT CAST(0 AS BIGINT) AS off UNION ALL
+       |                          SELECT 1 UNION ALL SELECT 2 UNION ALL
+       |                          SELECT 3 UNION ALL SELECT 4) o) g
+       |  LEFT JOIN days d ON d.user_id = u.user_id AND d.day = g.day),
+       |env AS (
+       |  SELECT user_id, day, c,
+       |         max(c) OVER (PARTITION BY user_id ORDER BY day
+       |           RANGE BETWEEN $Band PRECEDING AND $Band FOLLOWING) AS u_env,
+       |         min(c) OVER (PARTITION BY user_id ORDER BY day
+       |           RANGE BETWEEN $Band PRECEDING AND $Band FOLLOWING) AS l_env
+       |  FROM dgrid),
+       |probe_days AS (
+       |  SELECT user_id AS p, day, c AS q FROM dgrid WHERE user_id < 3),
+       |lb AS (
+       |  SELECT pd.p, e.user_id,
+       |         CAST(sum(CASE WHEN pd.q > e.u_env
+       |                       THEN (pd.q - e.u_env) * (pd.q - e.u_env)
+       |                       WHEN pd.q < e.l_env
+       |                       THEN (e.l_env - pd.q) * (e.l_env - pd.q)
+       |                       ELSE 0 END) AS BIGINT) AS lb_keogh
+       |  FROM probe_days pd
+       |  JOIN env e ON e.day = pd.day AND e.user_id != pd.p
+       |  GROUP BY pd.p, e.user_id),
+       |ed AS (
+       |  SELECT pd.p, g.user_id,
+       |         CAST(sum((pd.q - g.c) * (pd.q - g.c)) AS BIGINT) AS full_d
+       |  FROM probe_days pd
+       |  JOIN dgrid g ON g.day = pd.day AND g.user_id != pd.p
+       |  GROUP BY pd.p, g.user_id),
+       |scored AS (
+       |  SELECT l.p, l.user_id, l.lb_keogh, e.full_d,
+       |         CASE WHEN l.lb_keogh <= e.full_d THEN 1 ELSE 0 END AS sandwich_ok,
+       |         row_number() OVER (PARTITION BY l.p
+       |           ORDER BY e.full_d, l.user_id) AS rnk
+       |  FROM lb l JOIN ed e ON e.p = l.p AND e.user_id = l.user_id)
+       |SELECT p AS probe_user, user_id, lb_keogh, full_d,
+       |       CAST(sandwich_ok AS INT) AS sandwich_ok, CAST(rnk AS INT) AS rnk
+       |FROM scored WHERE rnk <= 3""".stripMargin
+
+  def tsLbKeogh(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(s"WITH $seriesSpark,\n$lbkeoghBody")
+  }
+
+  val tsLbKeoghSql: String = s"WITH $seriesDuck,\n$lbkeoghBody"
+
   val tsSaxPruneSql: String =
     s"WITH $seriesDuck,\n${paaCommon("//")},\n" +
       saxBody("//", (a, b) => s"(CAST($a AS BIGINT) << ($b))")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_paa_topk" -> (tsPaaTopk _),
-    "ts_sax_prune" -> (tsSaxPrune _))
+    "ts_sax_prune" -> (tsSaxPrune _),
+    "ts_lbkeogh" -> (tsLbKeogh _))
 
   val oracle: Map[String, String] = Map(
     "ts_paa_topk" -> tsPaaTopkSql,
-    "ts_sax_prune" -> tsSaxPruneSql)
+    "ts_sax_prune" -> tsSaxPruneSql,
+    "ts_lbkeogh" -> tsLbKeoghSql)
 }
