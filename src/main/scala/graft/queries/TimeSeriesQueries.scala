@@ -240,7 +240,10 @@ object TimeSeriesQueries {
   // user-partitioned window pass; probe scoring broadcasts 3×30 probe
   // days against the envelope relation (equi-join on day); top-3 by
   // exact ED with the bound riding along.
-  private def lbkeoghBody: String =
+  /** The shared envelope/bound prologue (dense grid → Sakoe–Chiba
+    * envelopes → LB_Keogh + exact ED per probe pair) — ONE text consumed
+    * by both ts_lbkeogh and ts_dtw_topk, in both engines. */
+  private def envLbCtes: String =
     s"""dgrid AS (
        |  SELECT u.user_id, g.day, coalesce(d.c, CAST(0 AS BIGINT)) AS c
        |  FROM (SELECT DISTINCT user_id FROM days) u
@@ -274,7 +277,10 @@ object TimeSeriesQueries {
        |         CAST(sum((pd.q - g.c) * (pd.q - g.c)) AS BIGINT) AS full_d
        |  FROM probe_days pd
        |  JOIN dgrid g ON g.day = pd.day AND g.user_id != pd.p
-       |  GROUP BY pd.p, g.user_id),
+       |  GROUP BY pd.p, g.user_id)""".stripMargin
+
+  private def lbkeoghBody: String =
+    s"""$envLbCtes,
        |scored AS (
        |  SELECT l.p, l.user_id, l.lb_keogh, e.full_d,
        |         CASE WHEN l.lb_keogh <= e.full_d THEN 1 ELSE 0 END AS sandwich_ok,
@@ -296,13 +302,161 @@ object TimeSeriesQueries {
     s"WITH $seriesDuck,\n${paaCommon("//")},\n" +
       saxBody("//", (a, b) => s"(CAST($a AS BIGINT) << ($b))")
 
+  /** LB_Keogh-ranked candidate cap before the exact DTW refinement —
+    * the GEMINI filter-and-refine contract: the quadratic kernel runs on
+    * a CONSTANT number of pairs per probe regardless of corpus size. */
+  val DtwCandidates = 20
+  /** Band-reachability sentinel: out-of-band DP cells hold Inf; every
+    * in-band add saturates at least(Inf, ·) so both engines clip
+    * identically (max real path cost ≪ Inf; Inf + cost never overflows
+    * BIGINT). */
+  val DtwInf = 4000000000000000L
+
+  // ── ts_dtw_topk ★ (r11) — the RECURSIVE DTW kernel itself (the step
+  // the lbkeogh notes deferred): exact Sakoe–Chiba band-r Dynamic Time
+  // Warping over the dense 30-day integer vectors, run GEMINI-style —
+  // LB_Keogh ranks the corpus, only the top-$DtwCandidates candidates
+  // per probe reach the O(n·band) DP, and the full elastic sandwich
+  // LB_Keogh ≤ DTW ≤ ED (lower bound admissible for the SAME band;
+  // the diagonal i=j path is inside every band so ED upper-bounds) is
+  // emitted per result pair as `chain_ok` and oracle-pinned — a bound
+  // violation anywhere fails the hash, so the DP recurrence itself is
+  // machine-checked, in BOTH engines, via two structurally different
+  // implementations:
+  //   Spark — a nested `aggregate` higher-order fold: the outer fold
+  //   walks DP rows carrying the previous row extended with the virtual
+  //   D[i][-1] cell; the inner fold builds each row left-to-right (the
+  //   within-row new[j-1] dependency). Pure codegen'd expressions over
+  //   ARRAY<BIGINT>; no UDF, no shuffle beyond the candidate join.
+  //   DuckDB — anti-diagonal recursion in a recursive CTE: cells on
+  //   diagonal d depend only on diagonals d-1/d-2, so each step carries
+  //   TWO diagonals as lists and computes the next with one
+  //   list_transform (no within-row dependency on the diagonal).
+  // Identical integers out of both is the strongest cross-check the
+  // harness offers for a dynamic program.
+  //
+  // Scale shape (100 TB): lb/ed are the same bounded probe broadcasts as
+  // ts_lbkeogh; the DP stage is probes × $DtwCandidates rows of pure
+  // per-row expression work (no shuffle, no state) — the refinement cost
+  // is decoupled from corpus size by the admissible filter, which is the
+  // entire point of the lower-bound cascade.
+  private val dtwCandCtes: String =
+    s"""cand AS (
+       |  SELECT l.p, l.user_id, l.lb_keogh, e.full_d,
+       |         row_number() OVER (PARTITION BY l.p
+       |           ORDER BY l.lb_keogh, l.user_id) AS crk
+       |  FROM lb l JOIN ed e ON e.p = l.p AND e.user_id = l.user_id),
+       |capped AS (SELECT * FROM cand WHERE crk <= $DtwCandidates),
+       |pairsv AS (
+       |  SELECT cd.p, cd.user_id, cd.lb_keogh, cd.full_d, qa.v AS qv, ca.v AS cv
+       |  FROM capped cd
+       |  JOIN vecs qa ON qa.user_id = cd.p
+       |  JOIN vecs ca ON ca.user_id = cd.user_id)""".stripMargin
+
+  private val dtwFinal: String =
+    s"""scoredd AS (
+       |  SELECT d.p, d.user_id, c.lb_keogh, d.dtw_d, c.full_d,
+       |         CASE WHEN c.lb_keogh <= d.dtw_d AND d.dtw_d <= c.full_d
+       |              THEN 1 ELSE 0 END AS chain_ok,
+       |         row_number() OVER (PARTITION BY d.p
+       |           ORDER BY d.dtw_d, d.user_id) AS rnk
+       |  FROM dtwed d
+       |  JOIN capped c ON c.p = d.p AND c.user_id = d.user_id)
+       |SELECT p AS probe_user, user_id, lb_keogh, dtw_d, full_d,
+       |       CAST(chain_ok AS INT) AS chain_ok, CAST(rnk AS INT) AS rnk
+       |FROM scoredd WHERE rnk <= 3""".stripMargin
+
+  /** The Spark-side DTW kernel as a pure SQL expression over two
+    * ARRAY<BIGINT> columns of length n: a nested `aggregate` fold. The
+    * outer accumulator pe = [D[i-1][-1], D[i-1][0..n-1]] (virtual left
+    * border first), so D[i-1][j] = pe[j+2] and D[i-1][j-1] = pe[j+1];
+    * seeding pe = [0, Inf…] makes D[0][0] = cost(0,0) with no special
+    * case. Public so DtwSpec can pin it against a reference DP on
+    * arbitrary vectors. */
+  def dtwAggExpr(n: Int, band: Int, qCol: String, cCol: String): String = {
+    val inf = s"CAST($DtwInf AS BIGINT)"
+    s"""aggregate(
+       |  sequence(0, ${n - 1}),
+       |  concat(array(CAST(0 AS BIGINT)),
+       |         transform(sequence(1, $n), x -> $inf)),
+       |  (pe, i) -> concat(array($inf),
+       |    aggregate(sequence(0, ${n - 1}), CAST(array() AS ARRAY<BIGINT>),
+       |      (nr, j) -> concat(nr, array(
+       |        CASE WHEN (i - j) > $band OR (j - i) > $band THEN $inf
+       |        ELSE least($inf,
+       |          (element_at($qCol, i + 1) - element_at($cCol, j + 1))
+       |            * (element_at($qCol, i + 1) - element_at($cCol, j + 1))
+       |          + least(element_at(pe, j + 2), element_at(pe, j + 1),
+       |                  CASE WHEN j > 0 THEN element_at(nr, j)
+       |                       ELSE $inf END))
+       |        END)))),
+       |  pe -> element_at(pe, ${n + 1}))""".stripMargin
+  }
+
+  def tsDtwTopk(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    val dtwExpr = dtwAggExpr(SpanDays, Band, "qv", "cv")
+    spark.sql(
+      s"""WITH $seriesSpark,
+         |$envLbCtes,
+         |vecs AS (
+         |  SELECT user_id,
+         |         transform(array_sort(collect_list(struct(day, c))),
+         |                   x -> CAST(x.c AS BIGINT)) AS v
+         |  FROM dgrid GROUP BY user_id),
+         |$dtwCandCtes,
+         |dtwed AS (SELECT p, user_id, $dtwExpr AS dtw_d FROM pairsv),
+         |$dtwFinal""".stripMargin)
+  }
+
+  val tsDtwTopkSql: String = {
+    val n = SpanDays
+    val inf = s"$DtwInf::BIGINT"
+    // Anti-diagonal recursion: step s holds diagonals s (d1) and s-1
+    // (d0) as row-indexed lists (value of cell (i, d-i) at position
+    // i+1); cell (i, j=s+1-i) reads preds (i-1,j)=d1[i], (i,j-1)=d1[i+1],
+    // (i-1,j-1)=d0[i]; out-of-range list_extract → NULL → coalesce Inf.
+    s"""WITH RECURSIVE $seriesDuck,
+       |$envLbCtes,
+       |vecs AS (SELECT user_id, list(c ORDER BY day) AS v
+       |         FROM dgrid GROUP BY user_id),
+       |$dtwCandCtes,
+       |dp AS (
+       |  SELECT p, user_id, qv, cv, 0 AS s,
+       |         list_transform(range(0, $n), i ->
+       |           CASE WHEN i = 0
+       |                THEN (qv[1] - cv[1]) * (qv[1] - cv[1])
+       |                ELSE $inf END) AS d1,
+       |         list_transform(range(0, $n), i -> $inf) AS d0
+       |  FROM pairsv
+       |  UNION ALL
+       |  SELECT p, user_id, qv, cv, s + 1,
+       |         list_transform(range(0, $n), i ->
+       |           CASE WHEN (s + 1 - i) BETWEEN 0 AND ${n - 1}
+       |                     AND abs(i - (s + 1 - i)) <= $Band
+       |                THEN least($inf,
+       |                  (qv[i + 1] - cv[s + 1 - i + 1])
+       |                    * (qv[i + 1] - cv[s + 1 - i + 1])
+       |                  + least(coalesce(d1[i], $inf),
+       |                          coalesce(d1[i + 1], $inf),
+       |                          coalesce(d0[i], $inf)))
+       |                ELSE $inf END) AS d1,
+       |         d1 AS d0
+       |  FROM dp WHERE s < ${2 * n - 2}),
+       |dtwed AS (SELECT p, user_id, d1[$n] AS dtw_d
+       |          FROM dp WHERE s = ${2 * n - 2}),
+       |$dtwFinal""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_paa_topk" -> (tsPaaTopk _),
     "ts_sax_prune" -> (tsSaxPrune _),
-    "ts_lbkeogh" -> (tsLbKeogh _))
+    "ts_lbkeogh" -> (tsLbKeogh _),
+    "ts_dtw_topk" -> (tsDtwTopk _))
 
   val oracle: Map[String, String] = Map(
     "ts_paa_topk" -> tsPaaTopkSql,
     "ts_sax_prune" -> tsSaxPruneSql,
-    "ts_lbkeogh" -> tsLbKeoghSql)
+    "ts_lbkeogh" -> tsLbKeoghSql,
+    "ts_dtw_topk" -> tsDtwTopkSql)
 }

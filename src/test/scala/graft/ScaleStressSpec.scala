@@ -719,6 +719,43 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ts_lbkeogh at sf~1: copies are the nearest neighbors and the envelope bound holds") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Identical copied series sit inside their own Sakoe–Chiba envelope
+    // at every day, so each probe's 9 copies score lb = ed = 0 and must
+    // be the ED top-3, with the LB_Keogh ≤ ED sandwich end intact.
+    val rows = timed("ts_lbkeogh @ sf~1")(
+      SparkEntry.queries("ts_lbkeogh")(spark, dir).collect())
+    assert(rows.length === 9)
+    rows.foreach { r =>
+      assert(r.getLong(1) % IdStride === r.getLong(0),
+        s"probe ${r.getLong(0)} matched non-copy ${r.getLong(1)}")
+      assert(r.getLong(2) === 0L && r.getLong(3) === 0L,
+        "copy pair not at lb = ed = 0")
+      assert(r.getInt(4) === 1, "LB_Keogh <= ED violated")
+    }
+  }
+
+  test("ts_dtw_topk at sf~1: the DTW refinement finds the copies through the LB cascade") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // At sf0.1 no candidate scores lb_keogh = 0 against any probe
+    // (checked when this case was written), so under replication the
+    // probe's 9 copies are EXACTLY the zero-LB set: the candidate cap
+    // must admit them first, the DP must score them dtw = 0, and the
+    // full LB_Keogh <= DTW <= ED chain must hold on every emitted pair
+    // while the kernel runs over the 15,000-user corpus.
+    val rows = timed("ts_dtw_topk @ sf~1")(
+      SparkEntry.queries("ts_dtw_topk")(spark, dir).collect())
+    assert(rows.length === 9)
+    rows.foreach { r =>
+      assert(r.getLong(1) % IdStride === r.getLong(0),
+        s"probe ${r.getLong(0)} matched non-copy ${r.getLong(1)}")
+      assert(r.getLong(2) === 0L && r.getLong(3) === 0L && r.getLong(4) === 0L,
+        "copy pair not at lb = dtw = ed = 0")
+      assert(r.getInt(5) === 1, "the elastic sandwich broke at scale")
+    }
+  }
+
   test("e15_attribution scales EXACTLY linearly under 10x user replication") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     // Each copy is a fresh user population with identical per-user
