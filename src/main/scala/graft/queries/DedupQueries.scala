@@ -1046,10 +1046,16 @@ object DedupQueries {
   // ties by shingle) — because two sets with J ≥ t must share at least
   // one prefix token (the prefix-filter theorem). Candidates therefore
   // come only from RARE tokens (a common shingle never enters a prefix
-  // until a set is nearly all common shingles), the POSITIONAL filter
-  // (PPJoin, Xiao et al. 2008) prunes candidates whose best common
-  // prefix token leaves too little remaining overlap to reach the
-  // required α = ⌈(|x|+|y|)/3⌉, verification touches the surviving
+  // until a set is nearly all common shingles), TWO sound overlap upper
+  // bounds prune candidates that cannot reach the required
+  // α = ⌈(|x|+|y|)/3⌉ — the POSITIONAL filter (PPJoin, Xiao et al.
+  // 2008: 1 + remaining slots after the FIRST shared prefix token; rank
+  // order is globally consistent, so the max-over-tokens spelling IS the
+  // first-token bound) and the SUFFIX-SLOT bound (PPJoin+'s suffix-side
+  // tightening in aggregate form: cnt shared prefix tokens + remaining
+  // slots after the LAST one — every common token outside both prefixes
+  // must rank after it on both sides, by the same order consistency).
+  // least() of the two decides; verification touches the surviving
   // pairs only, and the Jaccard test is exact integer
   // cross-multiplication (2·inter ≥ union — no float threshold).
   //
@@ -1091,7 +1097,8 @@ object DedupQueries {
         |  SELECT a.doc_id AS d1, b.doc_id AS d2
         |  FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
-        |  HAVING max(least(a.n - a.rn, b.n - b.rn) + 1)
+        |  HAVING least(max(least(a.n - a.rn, b.n - b.rn)) + 1,
+        |               count(*) + least(a.n - max(a.rn), b.n - max(b.rn)))
         |         >= (a.n + b.n + 2) div 3),
         |inter AS (
         |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS i
@@ -1111,11 +1118,13 @@ object DedupQueries {
 
   // ── dd_prefix_stats ★ (r11) — the filter-cascade AUDIT for
   // dd_prefix_jaccard: how many pairs the bare prefix join generates,
-  // how many survive the positional filter, and how many actually
-  // qualify — the measured pruning factors an exact-similarity-join
-  // deployment sizes its cluster by. Both engines run the identical
-  // cascade (the pagerank algorithm-mirroring oracle discipline), so
-  // the counts themselves are oracle-pinned.
+  // how many survive the positional (first-token) filter, how many
+  // survive the combined positional + suffix-slot filter (the HAVING
+  // dd_prefix_jaccard actually runs), and how many actually qualify —
+  // the measured pruning factors an exact-similarity-join deployment
+  // sizes its cluster by. Both engines run the identical cascade (the
+  // pagerank algorithm-mirroring oracle discipline), so the counts
+  // themselves are oracle-pinned.
   def ddPrefixStats(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     ddPrefixJaccard(spark, dir).createOrReplaceTempView("pj_qualify_t")
@@ -1134,12 +1143,15 @@ object DedupQueries {
         |joined AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
         |         max(least(a.n - a.rn, b.n - b.rn) + 1) AS ub,
+        |         count(*) + least(a.n - max(a.rn), b.n - max(b.rn)) AS ub2,
         |         max((a.n + b.n + 2) div 3) AS alpha
         |  FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
+        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
         |SELECT CAST((SELECT count(*) FROM joined) AS BIGINT) AS prefix_pairs,
         |       CAST((SELECT count(*) FROM joined WHERE ub >= alpha) AS BIGINT)
         |         AS positional_pairs,
+        |       CAST((SELECT count(*) FROM joined
+        |             WHERE least(ub, ub2) >= alpha) AS BIGINT) AS suffix_pairs,
         |       CAST((SELECT count(*) FROM pj_qualify_t) AS BIGINT)
         |         AS qualifying_pairs""".stripMargin)
   }
@@ -1163,9 +1175,10 @@ object DedupQueries {
        |joined AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
        |         max(least(a.n - a.rn, b.n - b.rn) + 1) AS ub,
+       |         count(*) + least(a.n - max(a.rn), b.n - max(b.rn)) AS ub2,
        |         max((a.n + b.n + 2) // 3) AS alpha
        |  FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id),
+       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n),
        |inter AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -1178,6 +1191,8 @@ object DedupQueries {
        |SELECT CAST((SELECT count(*) FROM joined) AS BIGINT) AS prefix_pairs,
        |       CAST((SELECT count(*) FROM joined WHERE ub >= alpha) AS BIGINT)
        |         AS positional_pairs,
+       |       CAST((SELECT count(*) FROM joined
+       |             WHERE least(ub, ub2) >= alpha) AS BIGINT) AS suffix_pairs,
        |       CAST((SELECT count(*) FROM qual) AS BIGINT) AS qualifying_pairs""".stripMargin
 
   /** The NAIVE definition — all-pairs, no prefix filter: matching this

@@ -57,6 +57,30 @@ object TokenizerQueries {
     * generated oracle CTE chain readable and the suite fast. */
   val Merges = 16
 
+  /** Per-round batch cap: how many NON-INTERACTING merges one round may
+    * apply (and therefore the LIMIT of the per-round ranking fetch). The
+    * batch is the maximal pairwise symbol-disjoint PREFIX of the
+    * (count DESC, pair ASC) pair ranking, stopped at the first pair that
+    * shares a symbol with an accepted one — the construction under which
+    * batched training is EXACTLY the sequential greedy schedule (proof
+    * sketch, machine-checked by BpeSpec's batch-vs-sequential equality
+    * and by every retraining oracle):
+    *   - merging a pair cannot change the count of any symbol-disjoint
+    *     pair (no occurrence shares a position, and a replace can only
+    *     INSERT a fresh symbol between two old ones — never make two
+    *     pre-batch symbols newly adjacent);
+    *   - any NEW pair created by an accepted merge descends from a
+    *     progenitor pair sharing a symbol with it, which ranks below the
+    *     batch's stop point by construction, so its count can never
+    *     overtake a still-pending accepted pair;
+    *   - count ties lose lexically: a fresh symbol (PUA, allocated in
+    *     rank order) sorts above every pre-batch char, so `pair ASC`
+    *     prefers the pending accepted pair.
+    * This is the 30-50k-merge production lever: round count drops by the
+    * average batch width (≈the count of simultaneously-frequent disjoint
+    * pairs) with a bit-identical learned schedule. */
+  val MergeBatch = 16
+
   /** Merge i's fresh token symbol: one BMP private-use-plane char. */
   private def mergedChar(i: Int): String = (0xE000 + i).toChar.toString
 
@@ -82,17 +106,22 @@ object TokenizerQueries {
 
   /** Train [[Merges]] BPE merges over the registered `documents` view.
     * One corpus scan builds the (seg, freq) vocab table
-    * (localCheckpointed — vocab-sized); each round aggregates pair counts
-    * over it, collects the single argmax row (bounded driver metadata,
-    * the KMeansTrainer discipline), and RE-MATERIALIZES the segmentation
-    * with one depth-1 replace — so round cost is genuinely per-merge
-    * constant (a growing inline replace chain would re-apply every prior
-    * merge to every word each round: O(merges²) work and a
-    * codegen-breaking expression tree at production merge counts).
-    * Stops early when no pair occurs twice. The per-round checkpoints
-    * are transient pins; Verify/Bench sweep them after the query. */
+    * (localCheckpointed — vocab-sized); each round aggregates pair
+    * counts over it, collects the top-[[MergeBatch]] ranking rows
+    * (bounded driver metadata, the KMeansTrainer discipline), applies
+    * the maximal disjoint prefix as ONE batch, and RE-MATERIALIZES the
+    * segmentation with one ≤batch-deep replace — so round cost is
+    * per-round constant and the round COUNT shrinks by the average
+    * batch width, with a schedule provably identical to one-merge-
+    * per-round training (a growing inline replace chain would instead
+    * re-apply every prior merge to every word each round: O(merges²)
+    * work and a codegen-breaking expression tree at production merge
+    * counts). Stops early when no pair occurs twice. The per-round
+    * checkpoints are transient pins; Verify/Bench sweep them after the
+    * query. */
   private[graft] def trainMergesOnView(
-      spark: SparkSession, maxMerges: Int = Merges): Seq[Merge] = {
+      spark: SparkSession, maxMerges: Int = Merges,
+      maxBatch: Int = MergeBatch): Seq[Merge] = {
     var seg = spark.sql(
       """SELECT word AS seg, CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS word
@@ -101,10 +130,12 @@ object TokenizerQueries {
       .localCheckpoint()
     val out = scala.collection.mutable.Buffer[Merge]()
     var prevSeg: DataFrame = null
-    var i = 0
     var stopped = false
-    while (i < maxMerges && !stopped) {
+    var rounds = 0
+    while (out.size < maxMerges && !stopped) {
+      rounds += 1
       seg.createOrReplaceTempView("bpe_seg_t")
+      val fetch = math.min(maxBatch, maxMerges - out.size)
       val best = spark.sql(
         s"""SELECT pair, c FROM (
            |  SELECT pair, CAST(sum(freq) AS BIGINT) AS c
@@ -113,7 +144,7 @@ object TokenizerQueries {
            |                                 j -> substring(seg, j, 2))) AS pair
            |        FROM bpe_seg_t WHERE length(seg) >= 2)
            |  GROUP BY pair)
-           |WHERE c >= 2 ORDER BY c DESC, pair ASC LIMIT 1""".stripMargin).collect()
+           |WHERE c >= 2 ORDER BY c DESC, pair ASC LIMIT $fetch""".stripMargin).collect()
       // The collect above materialized THIS round's lazy checkpoint, so
       // the previous round's blocks (its depth-1 lineage source) are now
       // dead — free them. This bounds pinned storage at ~2 vocab tables
@@ -124,20 +155,45 @@ object TokenizerQueries {
       prevSeg = seg
       if (best.isEmpty) stopped = true
       else {
-        val pair = best(0).getString(0)
-        out += Merge(i, pair, mergedChar(i), best(0).getLong(1))
-        // Lazy checkpoint: materializes inside the NEXT round's argmax
+        // Maximal pairwise symbol-disjoint PREFIX of the ranking (see
+        // [[MergeBatch]] for why stopping at the FIRST interacting pair
+        // is what keeps the batched schedule bit-identical to the
+        // sequential greedy one).
+        val used = scala.collection.mutable.Set[Char]()
+        val batch = scala.collection.mutable.Buffer[(String, Long)]()
+        var halted = false
+        best.foreach { r =>
+          val p = r.getString(0)
+          if (!halted) {
+            if (p.exists(used.contains)) halted = true
+            else { batch += ((p, r.getLong(1))); used ++= p }
+          }
+        }
+        val base = out.size
+        batch.zipWithIndex.foreach { case ((p, c), k) =>
+          out += Merge(base + k, p, mergedChar(base + k), c)
+        }
+        // One re-materialization per ROUND: the |batch|-deep replace
+        // chain applies the accepted merges in rank order (disjointness
+        // makes the order immaterial to the result, but rank order keeps
+        // the chain equal to the sequential trainer's composition).
+        // Lazy checkpoint: materializes inside the NEXT round's ranking
         // job (one job per round, not two) while still truncating the
         // lineage to depth 1 over the previous round's blocks.
-        seg = spark.sql(
-          s"""SELECT replace(seg, '$pair', '${mergedChar(i)}') AS seg, freq
-             |FROM bpe_seg_t""".stripMargin)
+        val chain = batch.zipWithIndex.foldLeft("seg") {
+          case (e, ((p, _), k)) => s"replace($e, '$p', '${mergedChar(base + k)}')"
+        }
+        seg = spark.sql(s"SELECT $chain AS seg, freq FROM bpe_seg_t")
           .localCheckpoint(false)
-        i += 1
       }
     }
+    lastTrainRounds = rounds
     out.toSeq
   }
+
+  /** Rounds the last [[trainMergesOnView]] call ran — test/diagnostic
+    * instrumentation for the batching width (merges ÷ rounds). */
+  @volatile private[graft] var lastTrainRounds: Int = 0
 
   /** The encode fold: apply the learned merges in order to a column
     * holding a segmented token stream. THE shared spelling — the catalog

@@ -4,16 +4,17 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The PPJoin positional filter's predicate, exercised directly on
-  * crafted (size, prefix-position) layouts: the fixture corpora never
-  * trigger it (their qualifying pairs share EARLY prefix tokens — the
-  * dd_prefix_stats audit shows prefix_pairs == positional_pairs ==
-  * qualifying_pairs), so this spec is the evidence the filter FIRES when
-  * a common prefix token leaves too little remaining overlap, and never
-  * fires when the remaining overlap can still reach the α = ⌈(n+m)/3⌉
-  * threshold. Over-pruning is separately excluded by the oracle equality
-  * of dd_prefix_jaccard against the naive all-pairs definition at both
-  * SFs. */
+/** The PPJoin candidate-filter predicates — the positional (first shared
+  * prefix token) bound and the PPJoin+-style suffix-slot bound
+  * (cnt shared prefix tokens + remaining slots after the LAST one) —
+  * exercised directly on crafted (size, prefix-position) layouts: the
+  * fixture corpora rarely trigger them (their qualifying pairs share
+  * EARLY prefix tokens — the dd_prefix_stats audit measures each stage),
+  * so this spec is the evidence each bound FIRES when a shared token
+  * layout leaves too little remaining overlap to reach α = ⌈(n+m)/3⌉,
+  * and never fires when the overlap can still reach it. Over-pruning is
+  * separately excluded by the oracle equality of dd_prefix_jaccard
+  * against the naive all-pairs definition at both SFs. */
 class PrefixJaccardSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -38,7 +39,8 @@ class PrefixJaccardSpec extends AnyFunSuite with BeforeAndAfterAll {
         |FROM prefix_t a JOIN prefix_t b
         |  ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id, a.n, b.n
-        |HAVING max(least(a.n - a.rn, b.n - b.rn) + 1)
+        |HAVING least(max(least(a.n - a.rn, b.n - b.rn)) + 1,
+        |             count(*) + least(a.n - max(a.rn), b.n - max(b.rn)))
         |       >= (a.n + b.n + 2) div 3""".stripMargin)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
@@ -55,13 +57,22 @@ class PrefixJaccardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(surviving(rows) === Set((3L, 4L)))
   }
 
-  test("the BEST common token's bound decides, not the worst") {
-    // Pair shares two tokens: one late (bound 21 < 27) and one early
-    // (bound 40 ≥ 27) — the max-over-witnesses semantics must keep it.
+  test("the suffix-slot bound prunes what the positional bound alone would keep") {
+    // Pair (1,2) shares two tokens at ranks 1 and 20 (n = 40 each,
+    // α = 27). Positional (first-token) bound: min(39,39)+1 = 40 ≥ 27 —
+    // kept by PPJoin alone. Suffix-slot bound: every OTHER common token
+    // must rank after the last shared prefix token on both sides, so
+    // overlap ≤ 2 + min(40−20, 40−20) = 22 < 27 → prune, and the prune
+    // is provably safe (22 is a true upper bound on the overlap).
+    // Pair (3,4) shares two EARLY tokens (ranks 1, 2): suffix-slot bound
+    // 2 + 38 = 40 ≥ 27 — two witnesses must tighten only when the last
+    // one sits deep.
     val rows = Seq(
       (1L, "late", 20L, 40L), (2L, "late", 20L, 40L),
-      (1L, "early", 1L, 40L), (2L, "early", 1L, 40L))
-    assert(surviving(rows) === Set((1L, 2L)))
+      (1L, "early", 1L, 40L), (2L, "early", 1L, 40L),
+      (3L, "e1", 1L, 40L), (4L, "e1", 1L, 40L),
+      (3L, "e2", 2L, 40L), (4L, "e2", 2L, 40L))
+    assert(surviving(rows) === Set((3L, 4L)))
   }
 
   test("asymmetric sizes: the smaller remaining side bounds the overlap") {
