@@ -1112,7 +1112,64 @@ object CdcQueries {
       |FROM paths p CROSS JOIN tot t
       |ORDER BY p.n DESC, p.step1, p.step2, p.step3 LIMIT 20""".stripMargin
 
+  // ── e17_lifecycle ★ (r11) — growth accounting: per calendar week,
+  // how many users are NEW (first-ever activity), RETAINED (also active
+  // the immediately preceding week), RESURRECTED (active after a gap),
+  // and CHURNED (active last week, silent this week) — the canonical
+  // product-analytics ledger whose identity
+  // active_w = new_w + retained_w + resurrected_w (and
+  // churned_{w+1} = active_w − retained_{w+1}) downstream dashboards
+  // reconcile against. All integer week buckets; churn is emitted only
+  // up to the last observed week (no phantom churn past the horizon).
+  //
+  // Scale shape (100 TB): one (user, week) distinct, one user-
+  // partitioned lag/lead window, one ≤weeks×4-row final agg. The only
+  // scalars (epoch, horizon) ride broadcasts.
+  /** private[graft]: LifecycleSpec drives the same body over crafted
+    * (user, week) layouts — the fixture's users never lapse, so the
+    * churned/resurrected branches are only reachable in the spec. */
+  private[graft] def lifecycleBody(idiv: String): String =
+    s"""epoch0 AS (SELECT min(wk) AS w0 FROM e),
+       |horizon AS (SELECT max(wk) AS mw FROM e),
+       |active AS (SELECT DISTINCT user_id, wk FROM e),
+       |hist AS (
+       |  SELECT user_id, wk,
+       |         min(wk) OVER (PARTITION BY user_id) AS first_wk,
+       |         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+       |         lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+       |  FROM active),
+       |states AS (
+       |  SELECT user_id, wk,
+       |         CASE WHEN wk = first_wk THEN 'new'
+       |              WHEN prev_wk = wk - 1 THEN 'retained'
+       |              ELSE 'resurrected' END AS state
+       |  FROM hist
+       |  UNION ALL
+       |  SELECT h.user_id, h.wk + 1 AS wk, 'churned' AS state
+       |  FROM hist h CROSS JOIN horizon m
+       |  WHERE (h.next_wk IS NULL OR h.next_wk > h.wk + 1)
+       |    AND h.wk + 1 <= m.mw)
+       |SELECT CAST(s.wk - x.w0 AS BIGINT) AS week, s.state,
+       |       CAST(count(*) AS BIGINT) AS users
+       |FROM states s CROSS JOIN epoch0 x
+       |GROUP BY s.wk - x.w0, s.state""".stripMargin
+
+  def e17Lifecycle(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(
+      s"""WITH e AS (
+         |  SELECT user_id, unix_micros(ts) div 604800000000 AS wk
+         |  FROM events_t),
+         |${lifecycleBody("div")}""".stripMargin)
+  }
+
+  val e17Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+       |${lifecycleBody("//")}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e17_lifecycle" -> (e17Lifecycle _),
     "e16_path_trigrams" -> (e16PathTrigrams _),
     "e15_attribution" -> (e15Attribution _),
     "e14_rfm" -> (e14Rfm _),
@@ -1147,6 +1204,7 @@ object CdcQueries {
     "e5_offset_gaps" -> (e5OffsetGaps _))
 
   val oracle: Map[String, String] = Map(
+    "e17_lifecycle" -> e17Sql,
     "e16_path_trigrams" -> e16Sql,
     "e15_attribution" -> e15Sql,
     "e14_rfm" -> e14Sql,

@@ -1073,7 +1073,69 @@ object PipelineQueries {
       |       CAST(w.w * 1000000 // t.total_w AS BIGINT) AS temp_rate_micro
       |FROM weighted w CROSS JOIN totals t""".stripMargin
 
+  // ── pipe_zorder ★ (r11) — SPACE-FILLING-CURVE data layout (the
+  // OPTIMIZE ZORDER BY story): interleave the low 16 bits of two join/
+  // filter dimensions (l_partkey, l_suppkey) into a 32-bit Morton code,
+  // bucket rows into 1,024 z-ranges (≈files), and emit each bucket's
+  // per-dimension extents next to the same-count INSERTION-ORDER layout
+  // (l_orderkey ranges — what a naive append produces). The per-bucket
+  // (xmax−xmin+1)·(ymax−ymin+1) area IS the file-skipping witness: a
+  // min/max-zone-map scan with a predicate on EITHER dimension prunes
+  // proportionally to the summed extents, and z-order shrinks them by
+  // orders of magnitude while insertion order leaves every file
+  // full-width. ZorderSpec asserts the win; the oracle pins both
+  // layouts' exact extents (bit-spreading is pure integer &/|/shift —
+  // engine-identical).
+  //
+  // Scale shape (100 TB): the Morton code is a narrow per-row
+  // expression at scan speed; the layout itself would be one
+  // repartitionByRange(z) write — no extra shuffle beyond the write's
+  // own range exchange, which is the price of any clustered layout. The
+  // 1-row max-orderkey scalar rides a broadcast (allowlisted).
+  private def zorderBody(shl: (String, Int) => String, idiv: String): String = {
+    def spread(v: String): String = {
+      val s1 = s"(($v | ${shl(v, 8)}) & 16711935)"
+      val s2 = s"(($s1 | ${shl(s1, 4)}) & 252645135)"
+      val s3 = s"(($s2 | ${shl(s2, 2)}) & 858993459)"
+      s"(($s3 | ${shl(s3, 1)}) & 1431655765)"
+    }
+    val z = s"(${spread("x")} | ${shl(spread("y"), 1)})"
+    s"""dims AS (
+       |  SELECT CAST(l_orderkey AS BIGINT) AS ok,
+       |         CAST(l_partkey AS BIGINT) & 65535 AS x,
+       |         CAST(l_suppkey AS BIGINT) & 65535 AS y
+       |  FROM lineitem),
+       |mx AS (SELECT max(ok) AS m FROM dims),
+       |coded AS (
+       |  SELECT ok, x, y, CAST($z AS BIGINT) AS z FROM dims),
+       |mz AS (SELECT max(z) AS m FROM coded),
+       |both_layouts AS (
+       |  SELECT 'zorder' AS layout, c.z * 1024 $idiv (m.m + 1) AS bucket,
+       |         c.x, c.y
+       |  FROM coded c CROSS JOIN mz m
+       |  UNION ALL
+       |  SELECT 'insertion' AS layout, c.ok * 1024 $idiv (m.m + 1) AS bucket,
+       |         c.x, c.y
+       |  FROM coded c CROSS JOIN mx m)
+       |SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS cnt,
+       |       min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax,
+       |       CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT)
+       |         AS area
+       |FROM both_layouts GROUP BY layout, bucket""".stripMargin
+  }
+
+  def pipeZorder(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("lineitem")
+    spark.sql("WITH " + zorderBody((v, n) => s"shiftleft($v, $n)", "div"))
+  }
+
+  val pipeZorderSql: String =
+    "WITH " + zorderBody((v, n) => s"($v << $n)", "//")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_zorder" -> (pipeZorder _),
     "pipe_mix_temperature" -> (pipeMixTemperature _),
     "pipe_split" -> (pipeSplit _),
     "pipe_pii_scrub" -> (pipePiiScrub _),
@@ -1094,6 +1156,7 @@ object PipelineQueries {
     "pipe_shuffle" -> (pipeShuffle _))
 
   val oracle: Map[String, String] = Map(
+    "pipe_zorder" -> pipeZorderSql,
     "pipe_mix_temperature" -> pipeMixTemperatureSql,
     "pipe_split" -> pipeSplitSql,
     "pipe_pii_scrub" -> pipePiiScrubSql,

@@ -669,7 +669,77 @@ object TextQueries {
   val textEncodingQualitySql: String =
     encodingSql("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ", 'g'")
 
+  // ── text_spell_pairs ★ (r11) — bounded EDIT-DISTANCE similarity join
+  // over the corpus vocabulary (the typo/variant-mining operator): all
+  // distinct word pairs with Levenshtein ≤ 2, WITHOUT the all-pairs
+  // vocabulary join. Candidates come from the FastSS deletion
+  // neighborhood (Bocek et al. 2007): ed(x, y) ≤ k ⟹ the ≤k-deletion
+  // neighborhoods of x and y intersect (factor an optimal edit script
+  // into ≤k deletions from each side onto the common matched
+  // subsequence), so an equi-join on D≤2 variants has EXACT recall and
+  // the exact levenshtein verifies the survivors — same
+  // filter-and-refine discipline as dd_prefix_jaccard, for the edit
+  // metric. The oracle is the naive all-pairs definition: the hash match
+  // is the machine-checked losslessness proof.
+  //
+  // Scale shape (100 TB): everything is VOCAB-sized, never corpus-sized
+  // — one map-side-combined word count, then a ≤(1+L+L²/2)-wide variant
+  // explode (L capped at 24) and an equi-join on the variant key. The
+  // "" variant key (reachable only from words of length ≤ 2) is the one
+  // super-node and is alphabet-bounded (≤ 26+26² members) by
+  // construction. At production vocabularies the usual trims (document-
+  // frequency floor, per-variant fan-out cap) bolt onto the same plan.
+  private def d1Expr(w: String): String =
+    s"transform(sequence(1, length($w)), i -> " +
+      s"concat(substring($w, 1, i - 1), substring($w, i + 1)))"
+
+  def textSpellPairs(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH vocab AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS word
+         |        FROM documents)
+         |  WHERE length(word) <= 24
+         |  GROUP BY word),
+         |d1 AS (
+         |  SELECT word, freq, u
+         |  FROM vocab
+         |  LATERAL VIEW explode(array_distinct(
+         |    concat(array(word), ${d1Expr("word")}))) AS u),
+         |d2 AS (
+         |  SELECT DISTINCT word, freq, v
+         |  FROM d1
+         |  LATERAL VIEW explode(array_distinct(
+         |    CASE WHEN length(u) >= 1 THEN concat(array(u), ${d1Expr("u")})
+         |         ELSE array(u) END)) AS v),
+         |cand AS (
+         |  SELECT DISTINCT a.word AS word_a, a.freq AS freq_a,
+         |                  b.word AS word_b, b.freq AS freq_b
+         |  FROM d2 a JOIN d2 b ON a.v = b.v AND a.word < b.word)
+         |SELECT word_a, word_b,
+         |       CAST(levenshtein(word_a, word_b) AS BIGINT) AS edit_dist,
+         |       freq_a, freq_b
+         |FROM cand WHERE levenshtein(word_a, word_b) <= 2""".stripMargin)
+  }
+
+  /** The NAIVE definition — all vocabulary pairs, no deletion-
+    * neighborhood filter: matching this IS the losslessness proof. */
+  val textSpellPairsSql: String =
+    """WITH vocab AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |        FROM documents)
+      |  WHERE length(word) <= 24
+      |  GROUP BY word)
+      |SELECT a.word AS word_a, b.word AS word_b,
+      |       CAST(levenshtein(a.word, b.word) AS BIGINT) AS edit_dist,
+      |       a.freq AS freq_a, b.freq AS freq_b
+      |FROM vocab a JOIN vocab b ON a.word < b.word
+      |WHERE levenshtein(a.word, b.word) <= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_spell_pairs" -> (textSpellPairs _),
     "text_encoding_quality" -> (textEncodingQuality _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_ngram_novelty" -> (textNgramNovelty _),
@@ -687,6 +757,7 @@ object TextQueries {
     "pipe_curation" -> (pipeCuration _))
 
   val oracle: Map[String, String] = Map(
+    "text_spell_pairs" -> textSpellPairsSql,
     "text_encoding_quality" -> textEncodingQualitySql,
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_ngram_novelty" -> textNgramNoveltySql,

@@ -448,13 +448,69 @@ object TimeSeriesQueries {
        |$dtwFinal""".stripMargin
   }
 
+  /** Weekly period for the autocorrelation probe (days). */
+  val PeriodLag = 7
+  /** Activity floor: users with fewer active days carry no signal. */
+  val PeriodMinDays = 10
+
+  // ── ts_periodicity ★ (r11) — periodic-behavior mining: for each user,
+  // the lag-7 raw autocorrelation of the daily activity series
+  // (Σ c_t·c_{t+7} over shared days, normalized by the series energy
+  // Σ c_t² in integer micro-units) against the lag-1 contrast — the
+  // weekly-rhythm detector (batch jobs, weekday-only users, weekly
+  // digests) a behavioral pipeline runs before seasonality-aware
+  // modeling. Engine-exact: the sparse (user, day) relation self-joins
+  // on day+lag (missing days contribute exactly 0 — no densification
+  // needed for a product), all sums BIGINT, one floor division at the
+  // end. Top-10 by (periodicity DESC, user_id) via ORDER BY + LIMIT —
+  // TakeOrderedAndProject, no global sort, no window.
+  //
+  // Scale shape (100 TB): the self-join is an equi-join on
+  // (user_id, day) — co-partitioned with the series build; everything
+  // downstream is user-sized aggregation.
+  private def periodicityBody(idiv: String): String =
+    s"""energy AS (
+       |  SELECT user_id, CAST(sum(c * c) AS BIGINT) AS s0,
+       |         CAST(count(*) AS BIGINT) AS n_days
+       |  FROM days GROUP BY user_id),
+       |lag7 AS (
+       |  SELECT a.user_id, CAST(sum(a.c * b.c) AS BIGINT) AS s7
+       |  FROM days a JOIN days b
+       |    ON b.user_id = a.user_id AND b.day = a.day + $PeriodLag
+       |  GROUP BY a.user_id),
+       |lag1 AS (
+       |  SELECT a.user_id, CAST(sum(a.c * b.c) AS BIGINT) AS s1
+       |  FROM days a JOIN days b
+       |    ON b.user_id = a.user_id AND b.day = a.day + 1
+       |  GROUP BY a.user_id)
+       |SELECT e.user_id, e.n_days, e.s0,
+       |       coalesce(l7.s7, CAST(0 AS BIGINT)) AS s7,
+       |       coalesce(l1.s1, CAST(0 AS BIGINT)) AS s1,
+       |       CAST(coalesce(l7.s7, 0) * 1000000 $idiv e.s0 AS BIGINT)
+       |         AS periodicity_micro
+       |FROM energy e
+       |LEFT JOIN lag7 l7 ON l7.user_id = e.user_id
+       |LEFT JOIN lag1 l1 ON l1.user_id = e.user_id
+       |WHERE e.n_days >= $PeriodMinDays AND e.s0 > 0
+       |ORDER BY periodicity_micro DESC, e.user_id LIMIT 10""".stripMargin
+
+  def tsPeriodicity(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(s"WITH $seriesSpark,\n${periodicityBody("div")}")
+  }
+
+  val tsPeriodicitySql: String =
+    s"WITH $seriesDuck,\n${periodicityBody("//")}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_periodicity" -> (tsPeriodicity _),
     "ts_paa_topk" -> (tsPaaTopk _),
     "ts_sax_prune" -> (tsSaxPrune _),
     "ts_lbkeogh" -> (tsLbKeogh _),
     "ts_dtw_topk" -> (tsDtwTopk _))
 
   val oracle: Map[String, String] = Map(
+    "ts_periodicity" -> tsPeriodicitySql,
     "ts_paa_topk" -> tsPaaTopkSql,
     "ts_sax_prune" -> tsSaxPruneSql,
     "ts_lbkeogh" -> tsLbKeoghSql,

@@ -87,7 +87,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ts_dtw_topk" -> "inherits ts_lbkeogh's 30-row day grid / 1-row epoch broadcast constants; the DP stage is per-row expression work over the probes x 20 LB-capped candidate pairs, joined by equi-keys only",
     "ts_sax_prune" -> "same fixed 3-user probe tier as ts_paa_topk, plus the 1-row PAA-range scalar and the 6-row segment grid as broadcast constants; the bucket MINDIST table is bounded by the SAX alphabet, not the corpus",
     "ts_paa_topk" -> "fixed 3-user probe set (user_id < 3) broadcast against the PAA/day relations (the ANN fixed-probe convention); the 1-row corpus-epoch scalar rides the same broadcast tier",
-    "graph_triangles" -> "1-row triangle-count x 1-row wedge-sum summary cross join (plus 1-row node/edge scalars); every data-sized join (pair build, orientation, wedge closure) is an equi-join on node keys")
+    "graph_triangles" -> "1-row triangle-count x 1-row wedge-sum summary cross join (plus 1-row node/edge scalars); every data-sized join (pair build, orientation, wedge closure) is an equi-join on node keys",
+    "pipe_zorder" -> "two 1-row normalization scalars (max orderkey, max z-code) cross-joined as broadcast constants; the Morton code itself is a narrow per-row expression")
 
   /** An unpartitioned window is legitimate ONLY over a table whose row
     * count is bounded by construction (buckets, partitions, quantile

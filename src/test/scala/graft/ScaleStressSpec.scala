@@ -756,6 +756,42 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("text_spell_pairs: pair structure invariant, frequencies exactly x10 at sf~1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Replicated documents change no vocabulary — the deletion-
+    // neighborhood join must emit the IDENTICAL pair set with each
+    // word's frequency exactly x10 (losslessness and count exactness in
+    // one assertion).
+    def rows(d: String) = SparkEntry.queries("text_spell_pairs")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("text_spell_pairs @ sf~1")(rows(dir))
+    assert(base.nonEmpty, "vacuous: no edit pairs at sf0.1")
+    assert(scaled.keySet == base.keySet, "pair set must be invariant")
+    base.foreach { case (k, (d, fa, fb)) =>
+      assert(scaled(k) == ((d, fa * Copies, fb * Copies)), s"pair $k")
+    }
+  }
+
+  test("pipe_zorder: z-layout extents invariant, bucket counts exactly x10 at sf~1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // lineitem replicates on l_orderkey only, so every copy carries the
+    // same (partkey, suppkey) points: the z-order layout's buckets keep
+    // their exact extents and areas with counts x10. (The insertion
+    // layout legitimately shifts — copies append new orderkey ranges.)
+    def zrows(d: String) = SparkEntry.queries("pipe_zorder")(spark, d)
+      .collect().filter(_.getString(0) == "zorder")
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val base = zrows("/root/testdata/sf0.1")
+    val scaled = timed("pipe_zorder @ sf~1")(zrows(dir))
+    assert(scaled.keySet == base.keySet, "z-bucket set must be invariant")
+    base.foreach { case (b, (c, xa, xb, ya, yb, ar)) =>
+      assert(scaled(b) == ((c * Copies, xa, xb, ya, yb, ar)), s"bucket $b")
+    }
+  }
+
   test("e15_attribution scales EXACTLY linearly under 10x user replication") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     // Each copy is a fresh user population with identical per-user
