@@ -163,7 +163,63 @@ object AggQueries {
        |FROM change_rows
        |GROUP BY CUBE(event_type, operation)""".stripMargin
 
+  /** Support floor for d10: pairs must co-occur in at least this many
+    * baskets before a rule is scored (Agrawal's minsup — below it lift
+    * is noise). */
+  val MinPairOrders = 3
+
+  // ── d10_basket_rules ★ (r11) — pairwise ASSOCIATION-RULE mining over
+  // order baskets (the Apriori/market-basket classic the aggregation
+  // family lacked): support, directional confidence, and lift for every
+  // part pair co-purchased in ≥ [[MinPairOrders]] orders, top-20 by
+  // lift. Exact integer micro-units throughout: conf(a→b) =
+  // s(ab)·1e6 div s(a), lift = s(ab)·1e6·N div (s(a)·s(b)) — no float
+  // ever, so the ranking is engine-exact (bounds: s(ab)·1e6·N ≲ 2e13 at
+  // sf1, far inside BIGINT).
+  //
+  // Scale shape (100 TB): the basket relation is one DISTINCT; the pair
+  // build is the same self-equi-join-on-basket as graph_triangles' pair
+  // stage (fan-out Σ|basket|², bounded by basket size not corpus — the
+  // Apriori candidate bound); supports are map-side-combined aggs; the
+  // 1-row basket-count scalar broadcasts (allowlisted); final selection
+  // is TakeOrderedAndProject.
+  private def d10Body(idiv: String): String =
+    s"""b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM b),
+       |item AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY p),
+       |pair AS (
+       |  SELECT a.p AS pa, c.p AS pb, CAST(count(*) AS BIGINT) AS sab
+       |  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+       |  GROUP BY a.p, c.p
+       |  HAVING count(*) >= $MinPairOrders),
+       |dir AS (
+       |  SELECT pa AS item_a, pb AS item_b, sab FROM pair
+       |  UNION ALL
+       |  SELECT pb AS item_a, pa AS item_b, sab FROM pair),
+       |scored AS (
+       |  SELECT d.item_a, d.item_b, d.sab,
+       |         CAST(d.sab * 1000000 $idiv ia.s AS BIGINT) AS conf_micro,
+       |         CAST(d.sab * 1000000 * n.n $idiv (ia.s * ib.s) AS BIGINT)
+       |           AS lift_micro
+       |  FROM dir d
+       |  JOIN item ia ON ia.p = d.item_a
+       |  JOIN item ib ON ib.p = d.item_b
+       |  CROSS JOIN n)
+       |SELECT item_a, item_b, sab AS pair_orders, conf_micro, lift_micro
+       |FROM scored
+       |ORDER BY lift_micro DESC, conf_micro DESC, item_a, item_b
+       |LIMIT 20""".stripMargin
+
+  def d10BasketRules(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("lineitem")
+    spark.sql(s"WITH ${d10Body("div")}")
+  }
+
+  val d10Sql: String = s"WITH ${d10Body("//")}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_basket_rules" -> (d10BasketRules _),
     "d9_cube" -> (d9Cube _),
     "d1_count_by_operation" -> (d1CountByOperation _),
     "d2_bounded_count" -> (d2BoundedCount _),
@@ -174,6 +230,7 @@ object AggQueries {
     "d8_latest_per_key" -> (d8LatestPerKey _))
 
   val oracle: Map[String, String] = Map(
+    "d10_basket_rules" -> d10Sql,
     "d9_cube" -> d9Sql,
     "d1_count_by_operation" -> d1Sql,
     "d2_bounded_count" -> d2Sql,

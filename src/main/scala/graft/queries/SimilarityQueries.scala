@@ -1216,7 +1216,117 @@ object SimilarityQueries {
        |FROM returned r LEFT JOIN hits h ON r.method = h.method""".stripMargin
   }
 
+  // ── ann_sq_topk ★ (r11) — SCALAR-QUANTIZATION search (the IVF_SQ8
+  // building block: Faiss/Milvus's default billion-scale tradeoff — 64
+  // 1-byte codes per vector where PQ spends 4, for much tighter
+  // distances without codebook training): a per-DIMENSION uniform
+  // quantizer is "trained" in one corpus pass (min/max per dimension in
+  // integer micro-units), every candidate compresses to 64 byte codes,
+  // and search runs the ASYMMETRIC distance — the probe keeps its exact
+  // micro vector, each candidate dimension reconstructs to its cell
+  // CENTER lo + (c·W + W/2) div 256 (W = hi−lo+1), and the score is the
+  // exact BIGINT Σ (q_d − center(c_d))². Engine-exact end-to-end: the
+  // quantizer bounds, the codes, and every distance are integers, so the
+  // ranking can never flip on a float ulp.
+  //
+  // Scale shape: the trainer is ONE map-side-combined 64-row agg; the
+  // 64-long range arrays broadcast as a 1-row dimension (allowlisted);
+  // candidates carry codes map-side against the 3-probe broadcast — the
+  // ann_bruteforce shape with 8x smaller candidate payloads.
+  private val SqDims = 64
+
+  def annSqTopk(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    val w = (d: String) =>
+      s"(element_at(r.his, $d + 1) - element_at(r.los, $d + 1) + 1)"
+    val recon = (d: String) =>
+      s"(element_at(r.los, $d + 1) + (element_at(c.cd, $d + 1) * ${w(d)}" +
+        s" + ${w(d)} div 2) div 256)"
+    spark.sql(
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         transform(embedding,
+         |           x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT))
+         |           AS qv
+         |  FROM embeddings),
+         |dimstats AS (
+         |  SELECT pos, min(v) AS lo, max(v) AS hi
+         |  FROM (SELECT element_at(qv, pos + 1) AS v, pos
+         |        FROM q LATERAL VIEW explode(sequence(0, ${SqDims - 1})) AS pos)
+         |  GROUP BY pos),
+         |rng AS (
+         |  SELECT transform(array_sort(collect_list(struct(pos, lo))),
+         |                   x -> x.lo) AS los,
+         |         transform(array_sort(collect_list(struct(pos, hi))),
+         |                   x -> x.hi) AS his
+         |  FROM dimstats),
+         |codes AS (
+         |  SELECT q.vec_id,
+         |         transform(sequence(0, ${SqDims - 1}), d ->
+         |           (element_at(q.qv, d + 1) - element_at(r.los, d + 1)) * 256
+         |             div (element_at(r.his, d + 1) - element_at(r.los, d + 1) + 1))
+         |           AS cd
+         |  FROM q CROSS JOIN rng r),
+         |probes AS (SELECT vec_id AS q_id, qv FROM q WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT /*+ BROADCAST(p) */ p.q_id, c.vec_id,
+         |         aggregate(sequence(0, ${SqDims - 1}), CAST(0 AS BIGINT),
+         |           (acc, d) -> acc
+         |             + (element_at(p.qv, d + 1) - ${recon("d")})
+         |             * (element_at(p.qv, d + 1) - ${recon("d")})) AS sq_dist
+         |  FROM probes p JOIN codes c ON p.q_id <> c.vec_id
+         |  CROSS JOIN rng r),
+         |ranked AS (
+         |  SELECT q_id, vec_id, sq_dist,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY sq_dist, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, CAST(sq_dist AS BIGINT) AS sq_dist,
+         |       CAST(rnk AS INT) AS rnk
+         |FROM ranked WHERE rnk <= 5""".stripMargin)
+  }
+
+  val annSqTopkSql: String = {
+    val w = "(r.his[d + 1] - r.los[d + 1] + 1)"
+    val recon = s"(r.los[d + 1] + (c.cd[d + 1] * $w + $w // 2) // 256)"
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(x::DOUBLE * 1000.0, 0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |dimstats AS (
+       |  SELECT pos, min(qv[pos + 1]) AS lo, max(qv[pos + 1]) AS hi
+       |  FROM q CROSS JOIN (SELECT unnest(range(0, $SqDims)) AS pos)
+       |  GROUP BY pos),
+       |rng AS (
+       |  SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+       |  FROM dimstats),
+       |codes AS (
+       |  SELECT q.vec_id,
+       |         list_transform(range(0, $SqDims), d ->
+       |           (q.qv[d + 1] - r.los[d + 1]) * 256
+       |             // (r.his[d + 1] - r.los[d + 1] + 1)) AS cd
+       |  FROM q CROSS JOIN rng r),
+       |probes AS (SELECT vec_id AS q_id, qv FROM q WHERE vec_id < 3),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id,
+       |         CAST(list_sum(list_transform(range(0, $SqDims), d ->
+       |           (p.qv[d + 1] - $recon) * (p.qv[d + 1] - $recon)))
+       |           AS BIGINT) AS sq_dist
+       |  FROM probes p JOIN codes c ON p.q_id <> c.vec_id
+       |  CROSS JOIN rng r),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sq_dist,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY sq_dist, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, CAST(sq_dist AS BIGINT) AS sq_dist,
+       |       CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= 5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_sq_topk" -> (annSqTopk _),
     "ann_recall_report" -> (annRecallReport _),
     "emb_binarize" -> (embBinarize _),
     "ann_hamming_topk" -> (annHammingTopk _),
@@ -1236,6 +1346,7 @@ object SimilarityQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracle: Map[String, String] = Map(
+    "ann_sq_topk" -> annSqTopkSql,
     "ann_recall_report" -> annRecallReportSql,
     "emb_binarize" -> embBinarizeSql,
     "ann_hamming_topk" -> annHammingTopkSql,

@@ -738,7 +738,100 @@ object TextQueries {
       |FROM vocab a JOIN vocab b ON a.word < b.word
       |WHERE levenshtein(a.word, b.word) <= 2""".stripMargin
 
+  // ── text_spell_cluster ★ (r11) — VARIANT CLUSTERS over the edit-
+  // distance pair graph: connected components of text_spell_pairs'
+  // ed ≤ 2 graph (min-label propagation to fixpoint — the dd_cluster
+  // machinery applied to the edit metric), each word labeled with its
+  // cluster representative (component-min word — deterministic in both
+  // engines), cluster size, and the cluster's total corpus frequency —
+  // the "canonicalize spelling variants before counting" table a corpus
+  // pipeline folds rare variants with. The DuckDB oracle recomputes
+  // components by recursive reachability over the NAIVE pair graph, so
+  // the compare proves candidate generation AND clustering at once.
+  //
+  // Scale shape: the propagation loop runs over the PAIR graph (sparse —
+  // most vocabulary has no ed-2 neighbor), rounds ≤ component diameter;
+  // per round one equi-join + one map-side-combined min. Cluster stats
+  // are one vocab-sized agg.
+  def textSpellCluster(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = textSpellPairs(spark, dir)
+      .select(col("word_a"), col("word_b"), col("freq_a"), col("freq_b"))
+      .localCheckpoint()
+    val freqs = pairs.select(col("word_a").as("word"), col("freq_a").as("freq"))
+      .unionByName(pairs.select(col("word_b").as("word"), col("freq_b").as("freq")))
+      .distinct()
+    val edges = pairs.select(col("word_a").as("src"), col("word_b").as("dst"))
+      .unionByName(pairs.select(col("word_b").as("src"), col("word_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(prop, labels("node") === prop("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("node"), col("label"))
+      rounds += 1
+    }
+    labels.createOrReplaceTempView("spell_labels_t")
+    freqs.createOrReplaceTempView("spell_freqs_t")
+    spark.sql(
+      """WITH stats AS (
+        |  SELECT l.label AS rep, CAST(count(*) AS BIGINT) AS cluster_size,
+        |         CAST(sum(f.freq) AS BIGINT) AS cluster_freq
+        |  FROM spell_labels_t l JOIN spell_freqs_t f ON f.word = l.node
+        |  GROUP BY l.label)
+        |SELECT l.node AS word, f.freq, l.label AS rep,
+        |       s.cluster_size, s.cluster_freq,
+        |       CAST(CASE WHEN l.node = l.label THEN 1 ELSE 0 END AS INT)
+        |         AS is_rep
+        |FROM spell_labels_t l
+        |JOIN spell_freqs_t f ON f.word = l.node
+        |JOIN stats s ON s.rep = l.label""".stripMargin)
+  }
+
+  /** Recursive-reachability oracle over the NAIVE pair graph. */
+  val textSpellClusterSql: String =
+    """WITH RECURSIVE vocab AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |        FROM documents)
+      |  WHERE length(word) <= 24
+      |  GROUP BY word),
+      |cand AS (
+      |  SELECT a.word AS wa, b.word AS wb
+      |  FROM vocab a JOIN vocab b ON a.word < b.word
+      |  WHERE levenshtein(a.word, b.word) <= 2),
+      |edges AS (
+      |  SELECT wa AS src, wb AS dst FROM cand
+      |  UNION ALL SELECT wb, wa FROM cand),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |reach(node, peer) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer),
+      |labels AS (SELECT node, min(peer) AS rep FROM reach GROUP BY node),
+      |stats AS (
+      |  SELECT l.rep, CAST(count(*) AS BIGINT) AS cluster_size,
+      |         CAST(sum(v.freq) AS BIGINT) AS cluster_freq
+      |  FROM labels l JOIN vocab v ON v.word = l.node
+      |  GROUP BY l.rep)
+      |SELECT l.node AS word, v.freq, l.rep,
+      |       s.cluster_size, s.cluster_freq,
+      |       CAST(CASE WHEN l.node = l.rep THEN 1 ELSE 0 END AS INT) AS is_rep
+      |FROM labels l
+      |JOIN vocab v ON v.word = l.node
+      |JOIN stats s ON s.rep = l.rep""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_spell_cluster" -> (textSpellCluster _),
     "text_spell_pairs" -> (textSpellPairs _),
     "text_encoding_quality" -> (textEncodingQuality _),
     "text_heavy_hitters" -> (textHeavyHitters _),
@@ -757,6 +850,7 @@ object TextQueries {
     "pipe_curation" -> (pipeCuration _))
 
   val oracle: Map[String, String] = Map(
+    "text_spell_cluster" -> textSpellClusterSql,
     "text_spell_pairs" -> textSpellPairsSql,
     "text_encoding_quality" -> textEncodingQualitySql,
     "text_heavy_hitters" -> textHeavyHittersSql,

@@ -64,6 +64,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ann_knn_graph" -> "same 16-row centroid assignment cross join as dd_semantic; the edge join itself is an equi-join on the cluster id",
     "pipe_upsample" -> "per-source rate table (#sources rows) against the single-row corpus-total aggregate",
     "ann_range_search" -> "query side is the fixed probe set (vec_id < 3), broadcast",
+    "ann_sq_topk" -> "1-row per-dimension quantizer-range arrays cross-joined as broadcast constants; probe side is the fixed 3-vector set; candidate codes stream map-side",
     "dd_embedding_cosine" -> "label-blocked pair join; non-equi residual over the tiny blocked side",
     "f11_asof_lsn" -> "single-probe as-of lookup: one row against the mapping dimension",
     "c1_lsn_time_join" -> "broadcast dimension lookup with a range residual; fact side streams",
@@ -88,7 +89,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ts_sax_prune" -> "same fixed 3-user probe tier as ts_paa_topk, plus the 1-row PAA-range scalar and the 6-row segment grid as broadcast constants; the bucket MINDIST table is bounded by the SAX alphabet, not the corpus",
     "ts_paa_topk" -> "fixed 3-user probe set (user_id < 3) broadcast against the PAA/day relations (the ANN fixed-probe convention); the 1-row corpus-epoch scalar rides the same broadcast tier",
     "graph_triangles" -> "1-row triangle-count x 1-row wedge-sum summary cross join (plus 1-row node/edge scalars); every data-sized join (pair build, orientation, wedge closure) is an equi-join on node keys",
-    "pipe_zorder" -> "two 1-row normalization scalars (max orderkey, max z-code) cross-joined as broadcast constants; the Morton code itself is a narrow per-row expression")
+    "pipe_zorder" -> "two 1-row normalization scalars (max orderkey, max z-code) cross-joined as broadcast constants; the Morton code itself is a narrow per-row expression",
+    "d10_basket_rules" -> "1-row basket-count scalar cross-joined as a broadcast constant; pair build and support joins are equi-joins on basket/item keys",
+    "e17_lifecycle" -> "1-row epoch and horizon scalars cross-joined as broadcast constants; the state windows are user-partitioned and the ledger agg is weeks x 4 rows",
+    "ts_periodicity" -> "the 1-row corpus-epoch scalar from the shared series prologue; the lag joins are equi-joins on (user_id, day + lag)")
 
   /** An unpartitioned window is legitimate ONLY over a table whose row
     * count is bounded by construction (buckets, partitions, quantile

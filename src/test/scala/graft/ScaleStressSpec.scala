@@ -792,6 +792,66 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ann_sq_topk at sf~1: copies win at the probe's own quantization error") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Replicated vectors leave the per-dimension quantizer ranges
+    // unchanged (same value multiset), so every copy of a probe scores
+    // exactly the probe's self-quantization error (~75 micro-units² at
+    // sf0.1) while the nearest non-copy sits ~1.2e6 away: the top-5 must
+    // be five copies, all at one identical distance.
+    val rows = timed("ann_sq_topk @ sf~1")(
+      SparkEntry.queries("ann_sq_topk")(spark, dir).collect())
+    assert(rows.length === 15)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.forall(_.getLong(1) % IdStride === q),
+        s"probe $q matched a non-copy")
+      assert(rs.map(_.getLong(2)).distinct.length === 1,
+        s"copies of probe $q not at one distance")
+    }
+  }
+
+  test("d10_basket_rules: scaled rules are EXACTLY the x10 arithmetic of base supports") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // lineitem replicates on the order key only, so every support and
+    // the basket count scale by exactly x10. The top-20 SET legitimately
+    // shifts — the absolute minsup floor admits pairs whose base support
+    // was below it (that is what an absolute floor means under growth) —
+    // but every emitted rule's metrics must be the exact integer
+    // arithmetic of its BASE supports: sab x10, and confidence/lift
+    // bit-equal to the base-support formulas (the x10 cancels through
+    // both floors because numerator and denominator share it).
+    val scaled = timed("d10_basket_rules @ sf~1")(
+      SparkEntry.queries("d10_basket_rules")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap)
+    assert(scaled.size === 20)
+    // Base supports, floor-free, recomputed from the sf0.1 relation.
+    spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .createOrReplaceTempView("d10_base_li")
+    val baseRows = spark.sql(
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM d10_base_li),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM b),
+        |item AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY p),
+        |pair AS (SELECT a.p AS pa, c.p AS pb, CAST(count(*) AS BIGINT) AS sab
+        |         FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+        |         GROUP BY a.p, c.p)
+        |SELECT pa, pb, sab, ia.s AS sa, ib.s AS sb, n.n
+        |FROM pair JOIN item ia ON ia.p = pa JOIN item ib ON ib.p = pb
+        |CROSS JOIN n""".stripMargin).collect()
+      .flatMap { r =>
+        val (pa, pb, sab, sa, sb, n) = (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        Seq((pa, pb) -> (sab, sa, sb, n), (pb, pa) -> (sab, sb, sa, n))
+      }.toMap
+    scaled.foreach { case (k @ (a, b), (sab, conf, lift)) =>
+      val (bsab, bsa, bsb, bn) = baseRows((a, b))
+      assert(sab === bsab * Copies, s"rule $k support")
+      assert(conf === bsab * 1000000L / bsa, s"rule $k confidence")
+      assert(lift === bsab * 1000000L * bn / (bsa * bsb), s"rule $k lift")
+    }
+  }
+
   test("e15_attribution scales EXACTLY linearly under 10x user replication") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     // Each copy is a fresh user population with identical per-user
