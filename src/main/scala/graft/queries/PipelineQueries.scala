@@ -1134,7 +1134,102 @@ object PipelineQueries {
   val pipeZorderSql: String =
     "WITH " + zorderBody((v, n) => s"($v << $n)", "//")
 
+  // ── pipe_bloom_skip ★ (r11) — FILE-LEVEL BLOOM-FILTER SKIPPING (the
+  // pipe_zorder sibling on the point-lookup axis: zone maps prune range
+  // predicates, blooms prune equality predicates on high-cardinality
+  // keys where min/max is useless): the order-key domain splits into 32
+  // range "files", each builds a 4096-bit / 4-hash Bloom filter from the
+  // engine-shared md5-top-60 hash, and 20 probes (10 present keys, 10
+  // past-the-max absent keys) report how many candidate files survive
+  // and whether the true file is among them. No-false-negative is
+  // STRUCTURAL (a present key set every bit it probes); the false-
+  // positive skip ratio is the measured payoff — absent keys touch ~0
+  // of 32 files. `BloomSkipSpec` asserts both properties; the oracle
+  // pins every bit of the filter and every candidate count (pure
+  // integer hash/shift/mask arithmetic — engine-identical).
+  //
+  // Scale shape (100 TB): the build is one map-side-combined
+  // (file, word) bit_or over k rows per key — the Parquet bloom-filter
+  // write path's exact shape; probing touches K·files candidate rows
+  // per probe, never data. At production the bits table IS the index
+  // (collected per file into footer-sized arrays). Sizing: ~10 bits/key
+  // per file is the standard knob; the fixture constant (4096 bits for
+  // ≤500 keys/file at sf0.1) deliberately saturates ~10× past that —
+  // like any bloom, capacity is a BUILD-time parameter, not a property
+  // the filter degrades around gracefully.
+  private val BloomBuckets = 32
+  private val BloomBits = 4096
+  private val BloomK = 4
+
+  private def bloomBody(idiv: String, shl: (String, String) => String,
+      str: String => String, h: String => String,
+      explode10: String,
+      explodeSel: (String, String, String) => String): String = {
+    def pos(i: Int, key: String) =
+      s"${h(s"concat('bf$i:', ${str(key)})")} % $BloomBits"
+    val kposArr = (0 until BloomK).map(pos(_, "k")).mkString(", ")
+    val pposArr = (0 until BloomK).map(pos(_, "pk")).mkString(", ")
+    s"""keys AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+       |mx AS (SELECT max(k) AS m FROM keys),
+       |kb AS (SELECT k, k * $BloomBuckets $idiv (m + 1) AS bucket
+       |       FROM keys CROSS JOIN mx),
+       |kpos AS (${explodeSel("bucket", kposArr, "kb")}),
+       |bits AS (
+       |  SELECT bucket, pos $idiv 32 AS word,
+       |         bit_or(${shl("CAST(1 AS BIGINT)", "CAST(pos % 32 AS INT)")})
+       |           AS mask
+       |  FROM kpos GROUP BY bucket, pos $idiv 32),
+       |probes AS (
+       |  SELECT k AS pk, 1 AS present, bucket AS true_bucket
+       |  FROM (SELECT k, bucket FROM kb ORDER BY k LIMIT 10)
+       |  UNION ALL
+       |  SELECT m + off AS pk, 0 AS present, CAST(-1 AS BIGINT) AS true_bucket
+       |  FROM mx $explode10),
+       |praw AS (${explodeSel("pk, present, true_bucket", pposArr, "probes")}),
+       |ppos AS (
+       |  SELECT pk, present, true_bucket, pos $idiv 32 AS word,
+       |         ${shl("CAST(1 AS BIGINT)", "CAST(pos % 32 AS INT)")} AS pmask
+       |  FROM praw),
+       |cand AS (
+       |  SELECT p.pk, p.present, p.true_bucket, b.bucket
+       |  FROM ppos p JOIN bits b
+       |    ON b.word = p.word AND (b.mask & p.pmask) != 0
+       |  GROUP BY p.pk, p.present, p.true_bucket, b.bucket
+       |  HAVING count(*) = $BloomK)
+       |SELECT p.pk AS probe_key, CAST(p.present AS INT) AS present,
+       |       CAST(coalesce(c.nb, 0) AS BIGINT) AS candidate_buckets,
+       |       CAST(coalesce(c.hit, 0) AS INT) AS true_hit
+       |FROM (SELECT DISTINCT pk, present FROM ppos) p
+       |LEFT JOIN (
+       |  SELECT pk, count(*) AS nb,
+       |         max(CASE WHEN bucket = true_bucket THEN 1 ELSE 0 END) AS hit
+       |  FROM cand GROUP BY pk) c ON c.pk = p.pk""".stripMargin
+  }
+
+  def pipeBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("lineitem")
+    spark.sql("WITH " + bloomBody(
+      "div",
+      (v, n) => s"shiftleft($v, $n)",
+      k => s"CAST($k AS STRING)",
+      e => s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)",
+      "LATERAL VIEW explode(sequence(1, 10)) AS off",
+      (cols, arr, src) =>
+        s"SELECT $cols, pos FROM $src LATERAL VIEW explode(array($arr)) AS pos"))
+  }
+
+  val pipeBloomSkipSql: String =
+    "WITH " + bloomBody(
+      "//",
+      (v, n) => s"($v << ($n))",
+      k => s"CAST($k AS VARCHAR)",
+      e => s"('0x' || substr(md5($e), 1, 15))::BIGINT",
+      "CROSS JOIN (SELECT unnest(range(1, 11)) AS off)",
+      (cols, arr, src) => s"SELECT $cols, unnest([$arr]) AS pos FROM $src")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_bloom_skip" -> (pipeBloomSkip _),
     "pipe_zorder" -> (pipeZorder _),
     "pipe_mix_temperature" -> (pipeMixTemperature _),
     "pipe_split" -> (pipeSplit _),
@@ -1156,6 +1251,7 @@ object PipelineQueries {
     "pipe_shuffle" -> (pipeShuffle _))
 
   val oracle: Map[String, String] = Map(
+    "pipe_bloom_skip" -> pipeBloomSkipSql,
     "pipe_zorder" -> pipeZorderSql,
     "pipe_mix_temperature" -> pipeMixTemperatureSql,
     "pipe_split" -> pipeSplitSql,

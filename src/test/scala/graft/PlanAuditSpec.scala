@@ -92,6 +92,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "pipe_zorder" -> "two 1-row normalization scalars (max orderkey, max z-code) cross-joined as broadcast constants; the Morton code itself is a narrow per-row expression",
     "d10_basket_rules" -> "1-row basket-count scalar cross-joined as a broadcast constant; pair build and support joins are equi-joins on basket/item keys",
     "e17_lifecycle" -> "1-row epoch and horizon scalars cross-joined as broadcast constants; the state windows are user-partitioned and the ledger agg is weeks x 4 rows",
+    "pipe_bloom_skip" -> "1-row max-key scalar cross-joined as a broadcast constant (domain split + absent-probe synthesis); the filter build and probe are equi-joins on (bucket, word)",
     "ts_periodicity" -> "the 1-row corpus-epoch scalar from the shared series prologue; the lag joins are equi-joins on (user_id, day + lag)")
 
   /** An unpartitioned window is legitimate ONLY over a table whose row
