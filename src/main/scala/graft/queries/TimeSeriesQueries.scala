@@ -502,7 +502,73 @@ object TimeSeriesQueries {
   val tsPeriodicitySql: String =
     s"WITH $seriesDuck,\n${periodicityBody("//")}"
 
+  /** Matrix-profile subsequence length (days). */
+  val MpLen = 7
+  /** Trivial-match exclusion zone (windows closer than this overlap too
+    * much to count as a genuine repeat — the standard m/2 rule). */
+  val MpExcl = 4
+
+  // ── ts_discord ★ (r11) — MATRIX-PROFILE discord mining (Yeh et al.
+  // 2016): per user, every length-7 window of the dense 30-day series
+  // scores its nearest-neighbor distance among the user's OTHER windows
+  // (trivial overlaps excluded — the m/2 zone), and the window whose
+  // nearest neighbor is FARTHEST is the user's DISCORD: the week unlike
+  // any other week that user ever had — the subsequence-anomaly
+  // primitive (fraud weeks, outage weeks, behavior breaks). Top-10
+  // users by discord distance. Engine-exact: dense integer vectors,
+  // BIGINT sums of squares, deterministic ties (max distance → lowest
+  // window; ranking by (d², user)).
+  //
+  // Scale shape (100 TB): the all-window-pairs stage is bounded PER KEY
+  // by construction — 24 windows × 7 offsets × 24 partners ≈ 4k rows
+  // per user before the map-side-combined min, linear in users with no
+  // cross-user joins anywhere; the final cut is TakeOrderedAndProject.
+  // (The STOMP O(n) dot-product recurrence is the long-series
+  // refinement; at n=30 the quadratic form IS the right plan.)
+  /** private[graft]: DiscordSpec drives the same body over crafted
+    * series via a `dgrid` temp view, pinned against a reference matrix
+    * profile. */
+  private[graft] def discordBody(winExplode: String): String = {
+    s"""wd AS (
+       |  SELECT user_id, i, day - i AS t, c
+       |  FROM dgrid $winExplode),
+       |dpair AS (
+       |  SELECT a.user_id, a.i AS wi, b.i AS wj,
+       |         CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2
+       |  FROM wd a JOIN wd b
+       |    ON b.user_id = a.user_id AND b.t = a.t
+       |   AND abs(a.i - b.i) >= $MpExcl
+       |  GROUP BY a.user_id, a.i, b.i),
+       |profile AS (
+       |  SELECT user_id, wi, min(d2) AS nnd FROM dpair
+       |  GROUP BY user_id, wi),
+       |disc AS (
+       |  SELECT user_id, wi, nnd,
+       |         row_number() OVER (PARTITION BY user_id
+       |           ORDER BY nnd DESC, wi) AS rk
+       |  FROM profile)
+       |SELECT user_id, CAST(wi AS INT) AS discord_window, nnd AS discord_d2
+       |FROM disc WHERE rk = 1
+       |ORDER BY discord_d2 DESC, user_id LIMIT 10""".stripMargin
+  }
+
+  def tsDiscord(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    val wMax = SpanDays - MpLen
+    spark.sql(s"WITH $seriesSpark,\n$envLbCtes,\n" + discordBody(
+      s"LATERAL VIEW explode(sequence(greatest(0, day - ${MpLen - 1}), " +
+        s"least($wMax, day))) AS i"))
+  }
+
+  val tsDiscordSql: String = {
+    val wMax = SpanDays - MpLen
+    s"WITH $seriesDuck,\n$envLbCtes,\n" + discordBody(
+      s", unnest(range(greatest(0, day - ${MpLen - 1}), " +
+        s"least($wMax, day) + 1)) AS u(i)")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_discord" -> (tsDiscord _),
     "ts_periodicity" -> (tsPeriodicity _),
     "ts_paa_topk" -> (tsPaaTopk _),
     "ts_sax_prune" -> (tsSaxPrune _),
@@ -510,6 +576,7 @@ object TimeSeriesQueries {
     "ts_dtw_topk" -> (tsDtwTopk _))
 
   val oracle: Map[String, String] = Map(
+    "ts_discord" -> tsDiscordSql,
     "ts_periodicity" -> tsPeriodicitySql,
     "ts_paa_topk" -> tsPaaTopkSql,
     "ts_sax_prune" -> tsSaxPruneSql,

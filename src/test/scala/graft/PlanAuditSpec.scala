@@ -93,7 +93,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d10_basket_rules" -> "1-row basket-count scalar cross-joined as a broadcast constant; pair build and support joins are equi-joins on basket/item keys",
     "e17_lifecycle" -> "1-row epoch and horizon scalars cross-joined as broadcast constants; the state windows are user-partitioned and the ledger agg is weeks x 4 rows",
     "pipe_bloom_skip" -> "1-row max-key scalar cross-joined as a broadcast constant (domain split + absent-probe synthesis); the filter build and probe are equi-joins on (bucket, word)",
-    "ts_periodicity" -> "the 1-row corpus-epoch scalar from the shared series prologue; the lag joins are equi-joins on (user_id, day + lag)")
+    "ts_periodicity" -> "the 1-row corpus-epoch scalar from the shared series prologue; the lag joins are equi-joins on (user_id, day + lag)",
+    "ts_discord" -> "inherits the series prologue's 1-row epoch scalar and 30-row day grid broadcasts; the window-pair stage is an equi-join on (user_id, offset), bounded per key at 24x7x24 rows")
 
   /** An unpartitioned window is legitimate ONLY over a table whose row
     * count is bounded by construction (buckets, partitions, quantile

@@ -852,6 +852,28 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ts_discord at sf~1: the top-10 are the ten copies of the base discord champion") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Replicated users carry identical series, so every copy scores the
+    // base user's exact discord (window and distance); if the base
+    // champion's score is unique, the scaled top-10 must be precisely
+    // its ten copies — a full integer-invariance statement for the
+    // whole window-pair/profile/argmax pipeline.
+    val base = SparkEntry.queries("ts_discord")(spark, "/root/testdata/sf0.1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assume(base.length >= 2 && base(0)._3 > base(1)._3,
+      "base champion must be unique for the strong form")
+    val champ = base(0)
+    val scaled = timed("ts_discord @ sf~1")(
+      SparkEntry.queries("ts_discord")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))))
+    assert(scaled.length === 10)
+    scaled.foreach { case (u, w, d2) =>
+      assert(u % IdStride === champ._1, s"non-copy $u in the scaled top-10")
+      assert(w === champ._2 && d2 === champ._3, s"copy $u diverged: ($w, $d2)")
+    }
+  }
+
   test("e15_attribution scales EXACTLY linearly under 10x user replication") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     // Each copy is a fresh user population with identical per-user
