@@ -1325,7 +1325,124 @@ object SimilarityQueries {
        |FROM ranked WHERE rnk <= 5""".stripMargin
   }
 
+  // ── emb_mmr_rerank ★ (r11) — MAXIMAL MARGINAL RELEVANCE diversity
+  // re-rank (Carbonell & Goldstein 1998 — the serving-side step after
+  // any ANN shortlist: pure top-k returns five copies of the same
+  // near-dup; MMR trades relevance against redundancy): per probe, the
+  // exact-cosine top-20 shortlist greedily yields 5 picks, each
+  // maximizing λ·rel − (1−λ)·max-sim-to-already-picked with λ = 0.7.
+  // ENGINE-EXACT DECISIONS: cosines quantize to integer micro-units
+  // before any comparison (round half-up — the emb_pq_encode
+  // discipline), λ becomes the integer split 7·rel − 3·maxsim, ties
+  // break by vec_id, and the greedy recursion unrolls as 5 generated
+  // CTE levels in BOTH engines (the text_bpe_train oracle discipline:
+  // the oracle re-RUNS the greedy, not just the answer).
+  //
+  // Scale shape: stage 1 is ann_bruteforce's probe-broadcast scan (at
+  // production: any ANN index); everything after is probes × 20 rows —
+  // the pairwise-sim table is probes × 20 × 19 and each level's argmax
+  // is a ≤20-row partitioned window. Serving cost decoupled from corpus
+  // size by the shortlist, which is the point of rerank-after-retrieve.
+  private val MmrShortlist = 20
+  private val MmrPicks = 5
+
+  private def mmrLevels(simmCte: String): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""short AS (
+         |  SELECT q_id, vec_id, rel_micro
+         |  FROM (SELECT q_id, vec_id, rel_micro,
+         |               row_number() OVER (PARTITION BY q_id
+         |                 ORDER BY rel_micro DESC, vec_id) AS srk
+         |        FROM relm)
+         |  WHERE srk <= $MmrShortlist),
+         |$simmCte,
+         |sel1 AS (
+         |  SELECT q_id, vec_id, rel_micro FROM (
+         |    SELECT q_id, vec_id, rel_micro,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY rel_micro DESC, vec_id) AS rk
+         |    FROM short) WHERE rk = 1)""".stripMargin
+    for (k <- 2 to MmrPicks) {
+      val selu = (1 until k).map(i => s"SELECT * FROM sel$i")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+         |selu${k - 1} AS ($selu),
+         |cand$k AS (
+         |  SELECT s.q_id, s.vec_id, s.rel_micro, max(m.sim_micro) AS msim
+         |  FROM short s
+         |  JOIN selu${k - 1} t ON t.q_id = s.q_id
+         |  JOIN simm m ON m.q_id = s.q_id AND m.va = s.vec_id
+         |             AND m.vb = t.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${k - 1} u
+         |                    WHERE u.q_id = s.q_id AND u.vec_id = s.vec_id)
+         |  GROUP BY s.q_id, s.vec_id, s.rel_micro),
+         |sel$k AS (
+         |  SELECT q_id, vec_id, rel_micro FROM (
+         |    SELECT q_id, vec_id, rel_micro,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY 7 * rel_micro - 3 * msim DESC, vec_id) AS rk
+         |    FROM cand$k) WHERE rk = 1)""".stripMargin
+    }
+    sb ++= "\n" + (1 to MmrPicks).map(k =>
+      s"SELECT q_id, CAST($k AS INT) AS mmr_rank, vec_id, rel_micro FROM sel$k")
+      .mkString("\nUNION ALL\n")
+    sb.result()
+  }
+
+  def embMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      s"""SELECT vec_id, embedding,
+         |       sqrt(${dotS("embedding", "embedding")}) AS nrm
+         |FROM embeddings""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("mmr_normed_t")
+    spark.sql(
+      s"""WITH queries AS (SELECT * FROM mmr_normed_t WHERE vec_id < 3),
+         |relm AS (
+         |  SELECT /*+ BROADCAST(q) */ q.vec_id AS q_id, c.vec_id,
+         |         CAST(round(${dotS("q.embedding", "c.embedding")}
+         |               / (q.nrm * c.nrm) * 1000000, 0) AS BIGINT) AS rel_micro
+         |  FROM queries q JOIN mmr_normed_t c ON q.vec_id <> c.vec_id),
+         |${mmrLevels(
+        s"""simm AS (
+           |  SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+           |         CAST(round(${dotS("na.embedding", "nb.embedding")}
+           |               / (na.nrm * nb.nrm) * 1000000, 0) AS BIGINT)
+           |           AS sim_micro
+           |  FROM short a
+           |  JOIN short b ON b.q_id = a.q_id AND b.vec_id != a.vec_id
+           |  JOIN mmr_normed_t na ON na.vec_id = a.vec_id
+           |  JOIN mmr_normed_t nb ON nb.vec_id = b.vec_id)""".stripMargin)}""".stripMargin)
+  }
+
+  val embMmrRerankSql: String =
+    s"""WITH normed AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce([0.0] || list_transform(embedding,
+       |           x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |queries AS (SELECT * FROM normed WHERE vec_id < 3),
+       |relm AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |         CAST(round(${dotD("q.embedding", "c.embedding")}
+       |               / (q.nrm * c.nrm) * 1000000, 0) AS BIGINT) AS rel_micro
+       |  FROM queries q JOIN normed c ON q.vec_id <> c.vec_id),
+       |${mmrLevels(
+      s"""simm AS (
+         |  SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+         |         CAST(round(${dotD("na.embedding", "nb.embedding")}
+         |               / (na.nrm * nb.nrm) * 1000000, 0) AS BIGINT)
+         |           AS sim_micro
+         |  FROM short a
+         |  JOIN short b ON b.q_id = a.q_id AND b.vec_id != a.vec_id
+         |  JOIN normed na ON na.vec_id = a.vec_id
+         |  JOIN normed nb ON nb.vec_id = b.vec_id)""".stripMargin)}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_mmr_rerank" -> (embMmrRerank _),
     "ann_sq_topk" -> (annSqTopk _),
     "ann_recall_report" -> (annRecallReport _),
     "emb_binarize" -> (embBinarize _),
@@ -1346,6 +1463,7 @@ object SimilarityQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracle: Map[String, String] = Map(
+    "emb_mmr_rerank" -> embMmrRerankSql,
     "ann_sq_topk" -> annSqTopkSql,
     "ann_recall_report" -> annRecallReportSql,
     "emb_binarize" -> embBinarizeSql,

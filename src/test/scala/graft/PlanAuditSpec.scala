@@ -65,6 +65,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "pipe_upsample" -> "per-source rate table (#sources rows) against the single-row corpus-total aggregate",
     "ann_range_search" -> "query side is the fixed probe set (vec_id < 3), broadcast",
     "ann_sq_topk" -> "1-row per-dimension quantizer-range arrays cross-joined as broadcast constants; probe side is the fixed 3-vector set; candidate codes stream map-side",
+    "emb_mmr_rerank" -> "stage 1 is ann_bruteforce's fixed-probe broadcast scan; every greedy level runs on the probes x 20 shortlist (bounded by construction), with anti-membership NOT EXISTS against the <=4-row selected set",
     "dd_embedding_cosine" -> "label-blocked pair join; non-equi residual over the tiny blocked side",
     "f11_asof_lsn" -> "single-probe as-of lookup: one row against the mapping dimension",
     "c1_lsn_time_join" -> "broadcast dimension lookup with a range residual; fact side streams",
