@@ -156,11 +156,99 @@ object CorpusRewriteQueries {
        |       md5(array_to_string(ws[(j + 1):(j + $ChunkWindow)], ' ')) AS chunk_hash
        |FROM w, LATERAL unnest(range(0, len(ws), $ChunkStride)) AS t(j)""".stripMargin
 
+  /** CDC rolling-hash window (words) and boundary mask (avg chunk =
+    * CdcMask words). */
+  val CdcWin = 4
+  val CdcMask = 32
+
+  // ── pipe_cdc_chunk ★ (r11) — CONTENT-DEFINED CHUNKING (the
+  // rsync/LBFS rolling-hash trick, and the modern RAG-ingest upgrade
+  // over fixed-stride windows): a chunk boundary falls AFTER word i
+  // exactly when the hash of the last 4 words ≡ 0 (mod 32), so
+  // boundaries are properties of the CONTENT, not of positions — insert
+  // a paragraph at the top of a document and every chunk past the first
+  // resynchronization point keeps its identity (hash), where
+  // `pipe_chunk`'s fixed stride invalidates every chunk downstream.
+  // `CdcChunkSpec` pins exactly that contrast. Engine-exact: the
+  // boundary hash is the engine-shared md5-top-60; chunking is a
+  // doc-partitioned running sum; chunk hashes recompute from the
+  // original word array.
+  //
+  // Scale shape (100 TB): one explode to word positions, one
+  // doc-partitioned window (the per-key running sum), one group-by —
+  // scan-shaped, no joins beyond the final doc-array fetch; the dedup
+  // payoff is that shifted near-identical crawls now share chunk hashes
+  // and every downstream exact/LSH dedup operator sees them.
+  def cdcChunksOf(spark: SparkSession, docsView: String): DataFrame = {
+    val h = DedupQueries.hSpark(s"array_join(slice(ws, i - ${CdcWin - 1}, $CdcWin), ' ')")
+    spark.sql(
+      s"""WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM $docsView),
+         |pos AS (SELECT doc_id, ws, i
+         |        FROM w LATERAL VIEW explode(sequence(1, size(ws))) AS i),
+         |bnd AS (
+         |  SELECT doc_id, i,
+         |         CASE WHEN i >= $CdcWin AND $h % $CdcMask = 0
+         |              THEN 1 ELSE 0 END AS b
+         |  FROM pos),
+         |cids AS (
+         |  SELECT doc_id, i,
+         |         1 + coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS cid
+         |  FROM bnd),
+         |chunks AS (
+         |  SELECT doc_id, cid, CAST(min(i) AS BIGINT) AS start_word,
+         |         CAST(count(*) AS BIGINT) AS chunk_words
+         |  FROM cids GROUP BY doc_id, cid)
+         |SELECT c.doc_id, CAST(c.cid AS BIGINT) AS chunk_idx, c.start_word,
+         |       c.chunk_words,
+         |       md5(array_join(slice(w.ws, CAST(c.start_word AS INT),
+         |                            CAST(c.chunk_words AS INT)), ' '))
+         |         AS chunk_hash
+         |FROM chunks c JOIN w ON w.doc_id = c.doc_id""".stripMargin)
+  }
+
+  def pipeCdcChunk(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    cdcChunksOf(spark, "documents")
+  }
+
+  val pipeCdcChunkSql: String = {
+    val h = DedupQueries.hDuck(s"array_to_string(ws[(i - ${CdcWin - 1}):i], ' ')")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |pos AS (SELECT doc_id, ws, i
+       |        FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+       |bnd AS (
+       |  SELECT doc_id, i,
+       |         CASE WHEN i >= $CdcWin AND $h % $CdcMask = 0
+       |              THEN 1 ELSE 0 END AS b
+       |  FROM pos),
+       |cids AS (
+       |  SELECT doc_id, i,
+       |         1 + coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS cid
+       |  FROM bnd),
+       |chunks AS (
+       |  SELECT doc_id, cid, CAST(min(i) AS BIGINT) AS start_word,
+       |         CAST(count(*) AS BIGINT) AS chunk_words
+       |  FROM cids GROUP BY doc_id, cid)
+       |SELECT c.doc_id, CAST(c.cid AS BIGINT) AS chunk_idx, c.start_word,
+       |       c.chunk_words,
+       |       md5(array_to_string(
+       |         w.ws[CAST(c.start_word AS BIGINT)
+       |              :(c.start_word + c.chunk_words - 1)], ' '))
+       |         AS chunk_hash
+       |FROM chunks c JOIN w ON w.doc_id = c.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_span_rewrite" -> (ddSpanRewrite _),
-    "pipe_chunk" -> (pipeChunk _))
+    "pipe_chunk" -> (pipeChunk _),
+    "pipe_cdc_chunk" -> (pipeCdcChunk _))
 
   val oracle: Map[String, String] = Map(
     "dd_span_rewrite" -> ddSpanRewriteSql,
-    "pipe_chunk" -> pipeChunkSql)
+    "pipe_chunk" -> pipeChunkSql,
+    "pipe_cdc_chunk" -> pipeCdcChunkSql)
 }
