@@ -1164,7 +1164,8 @@ object SimilarityQueries {
       "ann_pq_adc_topk" -> annPqAdcTopk(spark, dir),
       "ann_pq_rerank_topk" -> annPqRerankTopk(spark, dir),
       "ann_hamming_topk" -> annHammingTopk(spark, dir),
-      "ann_ivfpq_topk" -> annIvfpqTopk(spark, dir))
+      "ann_ivfpq_topk" -> annIvfpqTopk(spark, dir),
+      "ann_sq_topk" -> annSqTopk(spark, dir))
     val union = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("q_id"), col("vec_id"))
     }.reduce(_ unionByName _)
@@ -1185,14 +1186,15 @@ object SimilarityQueries {
         |FROM returned r LEFT JOIN hits h ON r.method = h.method""".stripMargin)
   }
 
-  val annRecallReportSql: String = {
+  lazy val annRecallReportSql: String = {
     val subs = Seq(
       "ann_lsh_topk" -> annLshTopkSql,
       "ann_ivf_topk" -> annIvfTopkSql,
       "ann_pq_adc_topk" -> annPqAdcTopkSql,
       "ann_pq_rerank_topk" -> annPqRerankTopkSql,
       "ann_hamming_topk" -> annHammingTopkSql,
-      "ann_ivfpq_topk" -> annIvfpqTopkSql)
+      "ann_ivfpq_topk" -> annIvfpqTopkSql,
+      "ann_sq_topk" -> annSqTopkSql)
     val unionSql = subs.map { case (m, sql) =>
       s"SELECT '$m' AS method, q_id, vec_id FROM (\n$sql\n)"
     }.mkString("\nUNION ALL\n")
