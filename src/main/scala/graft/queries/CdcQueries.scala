@@ -419,6 +419,45 @@ object CdcQueries {
        |       c.operation
        |FROM change_rows c ASOF LEFT JOIN m ON c.lsn_num >= m.map_lsn""".stripMargin
 
+  // C16 ★ (r11) — TOLERANCE as-of join (pandas merge_asof's `tolerance`,
+  // kdb's wj window bound): the backward as-of match is DISCARDED —
+  // nulled, keeping the left row — when it lies farther back than the
+  // tolerance. The operational guard every as-of deployment needs: a
+  // stale checkpoint (here: mapping entries every 25 LSN, tolerance 10 —
+  // distances 11..24 really occur, so the guard bites on this fixture)
+  // silently attributing far-past state to a current row is worse than
+  // an honest NULL. Same bucketed AsOfJoin plan; the tolerance is one
+  // projection.
+  val AsofTolerance = 10L
+
+  def c16AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val changes = SyntheticCdc.changeRows(spark, dir)
+      .select(col("event_id"), col("lsn_num"), col("operation"))
+    val mapping = SyntheticCdc.lsnTimeMapping(spark, dir)
+      .filter(col("lsn_num") % 25 === 0)
+      .select(col("lsn_num").as("map_lsn"), col("tran_end_time"))
+    graft.operators.AsOfJoin.asOf(changes, mapping,
+        leftKey = "lsn_num", rightKey = "map_lsn",
+        payload = Seq("map_lsn"), bucketWidth = 64L)
+      .selectExpr("event_id", "lsn_num",
+        s"CASE WHEN lsn_num - map_lsn <= $AsofTolerance THEN map_lsn END AS map_lsn",
+        s"CASE WHEN lsn_num - map_lsn <= $AsofTolerance THEN lsn_num - map_lsn END AS asof_dist",
+        "operation")
+  }
+
+  val c16Sql: String =
+    s"""WITH change_rows AS ($cr), lsn_time AS ($ltm),
+       |m AS (SELECT lsn_num AS map_lsn FROM lsn_time WHERE lsn_num % 25 = 0),
+       |j AS (SELECT c.event_id, c.lsn_num, m.map_lsn, c.operation
+       |      FROM change_rows c ASOF LEFT JOIN m ON c.lsn_num >= m.map_lsn)
+       |SELECT event_id, lsn_num,
+       |       CASE WHEN lsn_num - map_lsn <= $AsofTolerance
+       |            THEN map_lsn END AS map_lsn,
+       |       CASE WHEN lsn_num - map_lsn <= $AsofTolerance
+       |            THEN lsn_num - map_lsn END AS asof_dist,
+       |       operation
+       |FROM j""".stripMargin
+
   // C14 ★ (r11) — FORWARD as-of join: for every change row, the EARLIEST
   // mapping entry at-or-after its LSN — "which upcoming checkpoint will
   // first cover this change", the mirror of c7's "which past checkpoint
@@ -1183,6 +1222,7 @@ object CdcQueries {
     "c7_asof_join" -> (c7AsofJoin _),
     "c14_asof_forward" -> (c14AsofForward _),
     "c15_asof_nearest" -> (c15AsofNearest _),
+    "c16_asof_tolerance" -> (c16AsofTolerance _),
     "c8_range_join" -> (c8RangeJoin _),
     "c9_interval_overlap" -> (c9IntervalOverlap _),
     "e9_sessionize" -> (e9Sessionize _),
@@ -1218,6 +1258,7 @@ object CdcQueries {
     "c7_asof_join" -> c7Sql,
     "c14_asof_forward" -> c14Sql,
     "c15_asof_nearest" -> c15Sql,
+    "c16_asof_tolerance" -> c16Sql,
     "c8_range_join" -> c8Sql,
     "c9_interval_overlap" -> c9Sql,
     "e9_sessionize" -> e9Sql,

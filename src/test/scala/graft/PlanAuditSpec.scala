@@ -103,6 +103,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val bareWindowAllowed: Map[String, String] = Map(
     "c7_asof_join" -> "carry-in prefix over the occupied-bucket champion table (guarded by effectiveBucketWidth)",
     "c14_asof_forward" -> "the same carry-in prefix as c7 (asOfForward is the backward operator on negated keys)",
+    "c16_asof_tolerance" -> "the same carry-in prefix as c7 (the tolerance is a post-join projection over the identical bucketed plan)",
     "c15_asof_nearest" -> "two carry-in prefixes (one per as-of direction), each over an occupied-bucket champion table",
     "c6_ordered_compare" -> "ordered zip of the two 119-row comparison summaries (bounded reconciliation output)",
     "e4_ordering_regressions" -> "lag over per-partition summary rows, not raw changes",

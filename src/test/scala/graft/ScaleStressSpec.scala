@@ -874,6 +874,22 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pipe_cdc_chunk: boundaries are content properties — chunk-hash set invariant at sf~1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Replicated documents chunk identically (boundaries depend only on
+    // content), so the DISTINCT chunk-hash set is exactly the base set
+    // and total chunk count is exactly x10 — the operator-level form of
+    // CdcChunkSpec's determinism property.
+    def stats(d: String) = {
+      val df = SparkEntry.queries("pipe_cdc_chunk")(spark, d)
+      (df.count(), df.select("chunk_hash").distinct().count())
+    }
+    val (baseN, baseH) = stats("/root/testdata/sf0.1")
+    val (n, h) = timed("pipe_cdc_chunk @ sf~1")(stats(dir))
+    assert(n === baseN * Copies, s"chunk count $n != ${Copies}x $baseN")
+    assert(h === baseH, s"distinct chunk hashes $h != $baseH")
+  }
+
   test("e15_attribution scales EXACTLY linearly under 10x user replication") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     // Each copy is a fresh user population with identical per-user
