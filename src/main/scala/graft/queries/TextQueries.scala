@@ -830,7 +830,92 @@ object TextQueries {
       |JOIN vocab v ON v.word = l.node
       |JOIN stats s ON s.rep = l.rep""".stripMargin
 
+  /** RAKE delimiter set: the en stopword list + the bare article (the
+    * fixture's dominant function words; RAKE splits candidate phrases at
+    * stopwords — Rose et al. 2010). */
+  private val rakeStops: Seq[String] =
+    stopwords.head._2 :+ "a"
+  /** Longest candidate phrase (words). */
+  val RakeMaxPhrase = 4
+
+  // ── text_rake ★ (r11) — RAKE keyword extraction (Rose et al. 2010 —
+  // the unsupervised keyphrase classic): candidate phrases are the
+  // maximal stopword-free word runs (the cdc-chunk running-sum grouping
+  // pattern: runs split where a delimiter increments the run id), each
+  // word scores degree/frequency over candidate members (degree = Σ
+  // phrase length over its occurrences — co-occurrence credit), and a
+  // phrase scores the sum of its members — top-10 phrases by score.
+  // Engine-exact: integer micro-unit word scores (deg·1e6 div freq),
+  // phrase scores are BIGINT sums, ties break on the phrase text.
+  //
+  // Scale shape (100 TB): one position explode + one doc-partitioned
+  // running-sum window + vocabulary-sized aggregations; the phrase/word
+  // joins are equi-joins on (doc, run) and word keys. TakeOrderedAnd-
+  // Project for the cut.
+  private def rakeBody(idiv: String, stopList: String,
+      phraseAgg: String): String =
+    s"""marked AS (
+       |  SELECT doc_id, i, w,
+       |         CASE WHEN w IN ($stopList) THEN 1 ELSE 0 END AS stop
+       |  FROM wordsp),
+       |cids AS (
+       |  SELECT doc_id, i, w, stop,
+       |         coalesce(sum(stop) OVER (PARTITION BY doc_id ORDER BY i
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS runid
+       |  FROM marked),
+       |runs AS (SELECT doc_id, runid, i, w FROM cids WHERE stop = 0),
+       |ph AS (
+       |  SELECT doc_id, runid, CAST(count(*) AS BIGINT) AS len,
+       |         $phraseAgg AS phrase
+       |  FROM runs GROUP BY doc_id, runid
+       |  HAVING count(*) <= $RakeMaxPhrase),
+       |ms AS (
+       |  SELECT r.doc_id, r.runid, r.w, p.len, p.phrase
+       |  FROM runs r
+       |  JOIN ph p ON p.doc_id = r.doc_id AND p.runid = r.runid),
+       |wstats AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |         CAST(sum(len) AS BIGINT) AS deg
+       |  FROM ms GROUP BY w),
+       |wscore AS (
+       |  SELECT w, CAST(deg * 1000000 $idiv freq AS BIGINT) AS ws
+       |  FROM wstats),
+       |occ AS (
+       |  SELECT m.doc_id, m.runid, m.phrase, m.len,
+       |         CAST(sum(s.ws) AS BIGINT) AS score
+       |  FROM ms m JOIN wscore s ON s.w = m.w
+       |  GROUP BY m.doc_id, m.runid, m.phrase, m.len)
+       |SELECT phrase, CAST(min(len) AS BIGINT) AS n_words,
+       |       CAST(count(*) AS BIGINT) AS n_occurrences,
+       |       CAST(min(score) AS BIGINT) AS score_micro
+       |FROM occ GROUP BY phrase
+       |ORDER BY score_micro DESC, phrase LIMIT 10""".stripMargin
+
+  def textRake(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    val stops = rakeStops.map("'" + _ + "'").mkString(", ")
+    spark.sql(
+      s"""WITH wordsp AS (
+         |  SELECT doc_id, i, element_at(ws, i) AS w
+         |  FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+         |  LATERAL VIEW explode(sequence(1, size(ws))) AS i),
+         |${rakeBody("div", stops,
+        "array_join(transform(array_sort(collect_list(struct(i, w))), x -> x.w), ' ')")}"""
+        .stripMargin)
+  }
+
+  val textRakeSql: String = {
+    val stops = rakeStops.map("'" + _ + "'").mkString(", ")
+    s"""WITH wordsp AS (
+       |  SELECT doc_id, i, ws[i] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |       unnest(range(1, len(ws) + 1)) AS t(i)),
+       |${rakeBody("//", stops, "string_agg(w, ' ' ORDER BY i)")}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake" -> (textRake _),
     "text_spell_cluster" -> (textSpellCluster _),
     "text_spell_pairs" -> (textSpellPairs _),
     "text_encoding_quality" -> (textEncodingQuality _),
@@ -850,6 +935,7 @@ object TextQueries {
     "pipe_curation" -> (pipeCuration _))
 
   val oracle: Map[String, String] = Map(
+    "text_rake" -> textRakeSql,
     "text_spell_cluster" -> textSpellClusterSql,
     "text_spell_pairs" -> textSpellPairsSql,
     "text_encoding_quality" -> textEncodingQualitySql,

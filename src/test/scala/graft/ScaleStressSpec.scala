@@ -890,6 +890,23 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h === baseH, s"distinct chunk hashes $h != $baseH")
   }
 
+  test("text_rake: keyphrase ranking EXACTLY invariant, occurrences x10 at sf~1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Replication multiplies every word's degree and frequency by the
+    // same factor, so word scores — and therefore phrase scores and the
+    // top-10 — are exactly invariant while occurrence counts scale x10.
+    def rows(d: String) = SparkEntry.queries("text_rake")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("text_rake @ sf~1")(rows(dir))
+    assert(base.nonEmpty && scaled.keySet == base.keySet,
+      "top keyphrase set must be invariant")
+    base.foreach { case (k, (w, occ, sc)) =>
+      assert(scaled(k) == ((w, occ * Copies, sc)), s"phrase '$k'")
+    }
+  }
+
   test("e15_attribution scales EXACTLY linearly under 10x user replication") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     // Each copy is a fresh user population with identical per-user
