@@ -914,7 +914,91 @@ object TextQueries {
        |${rakeBody("//", stops, "string_agg(w, ' ' ORDER BY i)")}""".stripMargin
   }
 
+  // ── text_textrank ★ (r11) — TextRank keyword scoring (Mihalcea &
+  // Tarau 2004): integer PageRank over the word CO-OCCURRENCE graph
+  // (undirected adjacency edges between consecutive words), the
+  // graph_pagerank machinery applied to text — RAKE's degree/frequency
+  // heuristic upgraded to the eigenvector centrality the paper made
+  // famous. Same engine-exact discipline: ranks in 1e12 micro-units,
+  // damping as the exact rational 17/20, five fixed rounds, zero
+  // doubles — the DuckDB oracle RERUNS all five rounds as a generated
+  // CTE chain, so the fixed-point iteration itself passes the binary
+  // gate.
+  //
+  // Scale shape (100 TB): the adjacency build is one scan + DISTINCT
+  // (vocab²-bounded, tiny in practice); per round ONE equi-join (ranks ⋈
+  // edges) + ONE map-side-combined sum — the Pregel shape, with the
+  // edge+degree relation cached and only the rank vector moving.
+  def textTextrank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    viewDocs(spark, dir)
+    val scale = GraphQueries.Scale
+    val iters = GraphQueries.Iterations
+    val half = spark.sql(
+      """SELECT DISTINCT least(w1, w2) AS src, greatest(w1, w2) AS dst
+        |FROM (SELECT element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2
+        |      FROM (SELECT split(text, ' ') AS ws FROM documents)
+        |      LATERAL VIEW explode(sequence(1, size(ws) - 1)) AS i)
+        |WHERE w1 != w2""".stripMargin).persist()
+    val edges = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
+    val edgeDeg = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("d"))
+      .repartition(col("src")).sortWithinPartitions("src")
+      .persist()
+    val n = deg.count()
+    val r0 = scale / n
+    val base = (3L * r0) / 20L
+    var ranks = deg.select(col("src").as("node"), lit(r0).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = edgeDeg
+        .join(ranks, edgeDeg("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(17 * r) div (20 * d)")).as("contrib"))
+        .select(col("dst").as("node"), (lit(base) + col("contrib")).as("r"))
+    }
+    ranks.join(deg, ranks("node") === deg("src"))
+      .select(col("node").as("word"), col("d").as("degree"),
+        col("r").as("rank_micro"))
+  }
+
+  val textTextrankSql: String = {
+    val scale = GraphQueries.Scale
+    val rounds = (1 to GraphQueries.Iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         b.base + sum((17 * r.r) // (20 * e.d)) AS r
+         |  FROM edge_deg e JOIN r${i - 1} r ON e.src = r.node
+         |  CROSS JOIN consts b
+         |  GROUP BY e.dst, b.base)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH half AS (
+       |  SELECT DISTINCT least(w1, w2) AS src, greatest(w1, w2) AS dst
+       |  FROM (SELECT ws[i] AS w1, ws[i + 1] AS w2
+       |        FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+       |             unnest(range(1, len(ws))) AS t(i))
+       |  WHERE w1 != w2),
+       |edges AS (
+       |  SELECT src, dst FROM half
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM half),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+       |edge_deg AS (
+       |  SELECT e.src, e.dst, d.d FROM edges e JOIN deg d ON e.src = d.src),
+       |consts AS (
+       |  SELECT CAST($scale // count(*) AS BIGINT) AS r0,
+       |         CAST((3 * ($scale // count(*))) // 20 AS BIGINT) AS base
+       |  FROM deg),
+       |r0 AS (SELECT d.src AS node, c.r0 AS r FROM deg d CROSS JOIN consts c),
+       |$rounds
+       |SELECT r.node AS word, d.d AS degree, CAST(r.r AS BIGINT) AS rank_micro
+       |FROM r${GraphQueries.Iterations} r JOIN deg d ON r.node = d.src"""
+      .stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_textrank" -> (textTextrank _),
     "text_rake" -> (textRake _),
     "text_spell_cluster" -> (textSpellCluster _),
     "text_spell_pairs" -> (textSpellPairs _),
@@ -935,6 +1019,7 @@ object TextQueries {
     "pipe_curation" -> (pipeCuration _))
 
   val oracle: Map[String, String] = Map(
+    "text_textrank" -> textTextrankSql,
     "text_rake" -> textRakeSql,
     "text_spell_cluster" -> textSpellClusterSql,
     "text_spell_pairs" -> textSpellPairsSql,

@@ -907,6 +907,19 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("text_textrank: ranks EXACTLY invariant under replication at sf~1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // The DISTINCT word-adjacency set is a pure content property, so
+    // degrees, the node count, and all five integer PageRank rounds are
+    // bit-identical under 10x document replication.
+    def rows(d: String) = SparkEntry.queries("text_textrank")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("text_textrank @ sf~1")(rows(dir))
+    assert(base.nonEmpty && scaled == base,
+      s"ranks diverged: sample ${(scaled.toSet diff base.toSet).take(3)}")
+  }
+
   test("e15_attribution scales EXACTLY linearly under 10x user replication") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     // Each copy is a fresh user population with identical per-user
