@@ -567,7 +567,57 @@ object TimeSeriesQueries {
         s"least($wMax, day) + 1)) AS u(i)")
   }
 
+  // ── ts_seasonal ★ (r11) — integer SEASONAL DECOMPOSITION (STL-lite):
+  // the corpus-level daily activity series splits into TREND (the
+  // un-normalized centered 7-day window sum — integer by construction),
+  // RESIDUAL (7·c_d − trend_d: scaling the point by the window width
+  // instead of dividing the window keeps every term exact), and the
+  // day-of-week SEASONAL profile (per-dow residual sum and count over
+  // the days where the full window exists) — the
+  // weekday/weekend-rhythm decomposition a capacity planner reads
+  // before any forecasting. Emitted per day with the dow profile joined
+  // back, so the output carries trend, residual, and seasonal in one
+  // row; every column BIGINT.
+  //
+  // Scale shape (100 TB): the series is ONE map-side-combined (day)
+  // count (the aggregation collapses the corpus before any window); the
+  // windows run over the 30-row aggregated series — bounded by the
+  // calendar, not the corpus (unpartitioned window allowlisted on that
+  // argument); the dow profile is a ≤7-row agg.
+  private def seasonalBody(idiv: String): String =
+    s"""daily AS (
+       |  SELECT day, CAST(sum(c) AS BIGINT) AS c
+       |  FROM days GROUP BY day),
+       |trended AS (
+       |  SELECT day, c,
+       |         CAST(sum(c) OVER (ORDER BY day
+       |             RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+       |           AS trend7,
+       |         CAST(count(*) OVER (ORDER BY day
+       |             RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+       |           AS wdays
+       |  FROM daily),
+       |resid AS (
+       |  SELECT day, c, trend7, day % 7 AS dow,
+       |         CASE WHEN wdays = 7 THEN 7 * c - trend7 END AS r
+       |  FROM trended),
+       |seasonal AS (
+       |  SELECT dow, CAST(sum(r) AS BIGINT) AS dow_resid,
+       |         CAST(count(r) AS BIGINT) AS dow_days
+       |  FROM resid GROUP BY dow)
+       |SELECT t.day, t.c, t.trend7, CAST(t.dow AS BIGINT) AS dow, t.r AS resid,
+       |       s.dow_resid, s.dow_days
+       |FROM resid t JOIN seasonal s ON s.dow = t.dow""".stripMargin
+
+  def tsSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(s"WITH $seriesSpark,\n${seasonalBody("div")}")
+  }
+
+  val tsSeasonalSql: String = s"WITH $seriesDuck,\n${seasonalBody("//")}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal" -> (tsSeasonal _),
     "ts_discord" -> (tsDiscord _),
     "ts_periodicity" -> (tsPeriodicity _),
     "ts_paa_topk" -> (tsPaaTopk _),
@@ -576,6 +626,7 @@ object TimeSeriesQueries {
     "ts_dtw_topk" -> (tsDtwTopk _))
 
   val oracle: Map[String, String] = Map(
+    "ts_seasonal" -> tsSeasonalSql,
     "ts_discord" -> tsDiscordSql,
     "ts_periodicity" -> tsPeriodicitySql,
     "ts_paa_topk" -> tsPaaTopkSql,

@@ -95,7 +95,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "e17_lifecycle" -> "1-row epoch and horizon scalars cross-joined as broadcast constants; the state windows are user-partitioned and the ledger agg is weeks x 4 rows",
     "pipe_bloom_skip" -> "1-row max-key scalar cross-joined as a broadcast constant (domain split + absent-probe synthesis); the filter build and probe are equi-joins on (bucket, word)",
     "ts_periodicity" -> "the 1-row corpus-epoch scalar from the shared series prologue; the lag joins are equi-joins on (user_id, day + lag)",
-    "ts_discord" -> "inherits the series prologue's 1-row epoch scalar and 30-row day grid broadcasts; the window-pair stage is an equi-join on (user_id, offset), bounded per key at 24x7x24 rows")
+    "ts_discord" -> "inherits the series prologue's 1-row epoch scalar and 30-row day grid broadcasts; the window-pair stage is an equi-join on (user_id, offset), bounded per key at 24x7x24 rows",
+    "ts_seasonal" -> "the series prologue's 1-row epoch scalar broadcast; everything downstream runs over the 30-row aggregated daily series")
 
   /** An unpartitioned window is legitimate ONLY over a table whose row
     * count is bounded by construction (buckets, partitions, quantile
@@ -108,7 +109,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "c6_ordered_compare" -> "ordered zip of the two 119-row comparison summaries (bounded reconciliation output)",
     "e4_ordering_regressions" -> "lag over per-partition summary rows, not raw changes",
     "e5_offset_gaps" -> "lag over per-partition offset summaries",
-    "text_length_quantiles" -> "prefix sum over the 12-row bucket histogram, never documents")
+    "text_length_quantiles" -> "prefix sum over the 12-row bucket histogram, never documents",
+    "ts_seasonal" -> "centered 7-day windows over the 30-row aggregated daily series — bounded by the calendar, not the corpus (the map-side day count collapses the data first)")
 
   private def violations(pred: (String, SparkPlan) => Boolean): Seq[String] =
     plans.collect { case (name, p) if pred(name, p) => name }

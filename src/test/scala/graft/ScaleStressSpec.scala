@@ -920,6 +920,26 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ranks diverged: sample ${(scaled.toSet diff base.toSet).take(3)}")
   }
 
+  test("ts_seasonal: every decomposition component scales EXACTLY x10 at sf~1") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Daily totals are sums over user populations, so the series, the
+    // 7-day trend, the x7 residuals, and the per-dow residual sums all
+    // scale by exactly the replication factor while window-day counts
+    // stay fixed — a full linearity statement for the decomposition.
+    def rows(d: String) = SparkEntry.queries("ts_seasonal")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          r.getLong(5), r.getLong(6))).toMap
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("ts_seasonal @ sf~1")(rows(dir))
+    assert(scaled.keySet == base.keySet)
+    base.foreach { case (day, (c, t7, dow, r, dr, dd)) =>
+      assert(scaled(day) == ((c * Copies, t7 * Copies, dow,
+        r.map(_ * Copies), dr * Copies, dd)), s"day $day")
+    }
+  }
+
   test("e15_attribution scales EXACTLY linearly under 10x user replication") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     // Each copy is a fresh user population with identical per-user
