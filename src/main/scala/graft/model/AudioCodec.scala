@@ -31,6 +31,18 @@ object AudioCodec {
     * pattern dims, so the oracle's per-doc fold stays cheap. */
   def sampleCount(docId: Long): Int = (800 + docId % 800).toInt
 
+  /** Speech/silence gate period (samples): every third 200-sample block
+    * is EXACT digital silence — the activity structure mm_vad_segments
+    * detects. Aligned to the VAD frame length (gate % frame == 0), so
+    * frames are purely speech or purely silence by construction. */
+  val GateBlock = 200
+
+  /** Deterministic GATED sample: the test signal with silence inserted
+    * in blocks 0, 3, 6, … — what a push-to-talk/voice recording looks
+    * like to a VAD front end. */
+  def gatedSample(docId: Long, i: Int): Int =
+    if ((i / GateBlock) % 3 == 0) 0 else sample(docId, i)
+
   def isWav(bytes: Array[Byte]): Boolean =
     bytes.length >= 12 &&
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
@@ -104,6 +116,24 @@ object AudioCodec {
 
   /** One-shot convenience (tests, tools): opens a writer per call. */
   def synthesizeWav(docId: Long): Array[Byte] = synthesizeWav(new WavWriter, docId)
+
+  /** Encode the GATED signal ([[gatedSample]]) as a REAL WAV byte
+    * stream — the voice-shaped asset class mm_vad_segments decodes. */
+  def synthesizeGatedWav(ctx: WavWriter, docId: Long): Array[Byte] = {
+    val n = sampleCount(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = gatedSample(docId, i)
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val in = new AudioInputStream(new ByteArrayInputStream(pcm), format, n.toLong)
+    val out = new ByteArrayOutputStream()
+    try ctx.writer.write(in, AudioFileFormat.Type.WAVE, out) finally in.close()
+    out.toByteArray
+  }
 
   /** Decoded real-sample statistics: all exact integers (sum of squares
     * instead of RMS — no sqrt in the compare path), plus the row-order

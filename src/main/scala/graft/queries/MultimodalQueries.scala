@@ -761,7 +761,102 @@ object MultimodalQueries {
       "mean_abs_err_milli")
   }
 
+  // ── mm_vad_segments ★ (r11) — VOICE-ACTIVITY segmentation over REAL
+  // decoded audio: every doc_id % 4 = 1 asset synthesizes the GATED
+  // voice-shaped signal (exact digital silence in every third 200-sample
+  // block — [[graft.model.AudioCodec.gatedSample]]), encodes it into an
+  // ACTUAL WAV container, container-decodes it back, frames the decoded
+  // stream at 100 samples, and emits each maximal run of
+  // above-threshold-energy frames as a speech SEGMENT (start frame,
+  // length, exact energy sum) — the silence-trim / speech-segment front
+  // end an audio pipeline runs before transcription, on real bytes
+  // through the real JDK codec. The gate aligns to the frame length, so
+  // segments are exact; the threshold (1e6) sits five orders of
+  // magnitude under speech-frame energy (~3.6e10) and above zero —
+  // nothing is tuned. The oracle recomputes every segment from the
+  // gated integer formula without touching a WAV: one dropped sample
+  // moves a frame's energy and fails the hash.
+  // Scale shape: narrow mapPartitions (codec contexts per partition,
+  // ≤16 frames per row folded to ≤3 segments), no shuffle.
+  val VadFrameLen = 100
+  val VadThreshold = 1000000L
+
+  def mmVadSegments(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    import spark.implicits._
+    import graft.model.AudioCodec
+    val ids = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 4 = 1").as[Long]
+    ids.mapPartitions { it =>
+      val writer = AudioCodec.openWriter()
+      val reader = AudioCodec.openReader()
+      it.flatMap { docId =>
+        val bytes = AudioCodec.synthesizeGatedWav(writer, docId)
+        val ss = AudioCodec.decodeSamples(reader, bytes)
+        val nFrames = (ss.length + VadFrameLen - 1) / VadFrameLen
+        val energies = (0 until nFrames).map { f =>
+          val lo = f * VadFrameLen
+          val hi = math.min(ss.length, lo + VadFrameLen)
+          var e = 0L; var i = lo
+          while (i < hi) { e += ss(i).toLong * ss(i); i += 1 }
+          e
+        }
+        val out = scala.collection.mutable.Buffer[(Long, Long, Long, Long, Long)]()
+        var segIdx = 0L
+        var f = 0
+        while (f < nFrames) {
+          if (energies(f) > VadThreshold) {
+            val start = f
+            var eSum = 0L
+            while (f < nFrames && energies(f) > VadThreshold) {
+              eSum += energies(f); f += 1
+            }
+            segIdx += 1
+            out += ((docId, segIdx, start.toLong, (f - start).toLong, eSum))
+          } else f += 1
+        }
+        out.iterator
+      }
+    }.toDF("doc_id", "seg_idx", "start_frame", "n_frames", "seg_energy")
+  }
+
+  val mmVadSegmentsSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, CAST(800 + doc_id % 800 AS BIGINT) AS n
+       |  FROM documents WHERE doc_id % 4 = 1),
+       |frames AS (
+       |  SELECT doc_id, n, f,
+       |         CAST(list_sum(list_transform(
+       |           range(f * $VadFrameLen, least(n, (f + 1) * $VadFrameLen)),
+       |           i -> CASE WHEN (i // ${graft.model.AudioCodec.GateBlock}) % 3 = 0
+       |                     THEN CAST(0 AS BIGINT)
+       |                     ELSE (CAST((doc_id * 7919 + i * 2654435761)
+       |                            % 65536 - 32768 AS BIGINT))
+       |                        * ((doc_id * 7919 + i * 2654435761)
+       |                            % 65536 - 32768) END)) AS BIGINT) AS e
+       |  FROM sig, unnest(range(0, (n + ${VadFrameLen - 1}) // $VadFrameLen))
+       |       AS t(f)),
+       |flags AS (
+       |  SELECT doc_id, f, e, CASE WHEN e > $VadThreshold THEN 1 ELSE 0 END AS sp
+       |  FROM frames),
+       |starts AS (
+       |  SELECT doc_id, f, e, sp,
+       |         CASE WHEN sp = 1 AND coalesce(lag(sp) OVER (PARTITION BY doc_id
+       |             ORDER BY f), 0) = 0 THEN 1 ELSE 0 END AS st
+       |  FROM flags),
+       |segd AS (
+       |  SELECT doc_id, f, e, sp,
+       |         sum(st) OVER (PARTITION BY doc_id ORDER BY f
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+       |  FROM starts)
+       |SELECT doc_id, CAST(seg AS BIGINT) AS seg_idx,
+       |       CAST(min(f) AS BIGINT) AS start_frame,
+       |       CAST(count(*) AS BIGINT) AS n_frames,
+       |       CAST(sum(e) AS BIGINT) AS seg_energy
+       |FROM segd WHERE sp = 1
+       |GROUP BY doc_id, seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_vad_segments" -> (mmVadSegments _),
     "mm_decode_jpeg" -> (mmDecodeJpeg _),
     "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_phash" -> (mmPhash _),
@@ -777,6 +872,7 @@ object MultimodalQueries {
     "mm_dedup_assets" -> (mmDedupAssets _))
 
   val oracle: Map[String, String] = Map(
+    "mm_vad_segments" -> mmVadSegmentsSql,
     "mm_phash" -> mmPhashSql,
     "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_audio_features" -> mmAudioFeaturesSql,

@@ -58,6 +58,21 @@ class AudioCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("the gated voice-shaped signal round-trips and silences are EXACT zeros") {
+    for (docId <- Seq(1L, 13L, 1001L)) {
+      val bytes = AudioCodec.synthesizeGatedWav(AudioCodec.openWriter(), docId)
+      val ss = AudioCodec.decodeSamples(AudioCodec.openReader(), bytes)
+      assert(ss.length == AudioCodec.sampleCount(docId))
+      assert(ss.indices.forall(i => ss(i) == AudioCodec.gatedSample(docId, i)),
+        s"doc $docId gated samples drifted from the formula")
+      // Every third 200-sample block is digital silence; the others are
+      // the live signal (non-vacuous: some nonzero sample exists there).
+      val silent = ss.indices.filter(i => (i / AudioCodec.GateBlock) % 3 == 0)
+      assert(silent.forall(ss(_) == 0), s"doc $docId silence not exact")
+      assert(ss.indices.exists(i => (i / AudioCodec.GateBlock) % 3 != 0 && ss(i) != 0))
+    }
+  }
+
   test("non-WAV and truncated containers are rejected, not mis-decoded") {
     intercept[IllegalArgumentException] {
       AudioCodec.decodeWav(Array[Byte](1, 2, 3, 4))
