@@ -242,13 +242,60 @@ object CorpusRewriteQueries {
        |FROM chunks c JOIN w ON w.doc_id = c.doc_id""".stripMargin
   }
 
+  // ── dd_chunk_dedup ★ (r11) — the CDC-chunking dedup PAYOFF measured:
+  // content-defined chunks dedupe across documents exactly where
+  // fixed-stride chunks cannot (shifted near-copies re-synchronize to
+  // the same boundaries — CdcChunkSpec's 12/13-vs-0/13 contrast), so
+  // this report is the number a storage/RAG deployment sizes its
+  // chunk-store by: per source, total chunk mass, distinct chunk
+  // hashes, the DUPLICATED mass (chunks whose hash occurs more than
+  // once corpus-wide — cross-source duplicates count everywhere they
+  // appear), and the micro-unit dup rate.
+  //
+  // Scale shape: pipe_cdc_chunk's scan-shaped plan + one corpus-wide
+  // (hash → count) agg + one broadcast-back equi-join + a ≤#sources
+  // report agg.
+  private def chunkDedupBody(idiv: String): String =
+    s"""hcnt AS (
+       |  SELECT chunk_hash, CAST(count(*) AS BIGINT) AS occ
+       |  FROM chunks GROUP BY chunk_hash),
+       |joined AS (
+       |  SELECT c.doc_id, c.chunk_hash, c.chunk_words, h.occ
+       |  FROM chunks c JOIN hcnt h ON h.chunk_hash = c.chunk_hash),
+       |bysrc AS (
+       |  SELECT d.source,
+       |         CAST(count(*) AS BIGINT) AS n_chunks,
+       |         CAST(count(DISTINCT j.chunk_hash) AS BIGINT) AS distinct_hashes,
+       |         CAST(sum(j.chunk_words) AS BIGINT) AS chunk_mass,
+       |         CAST(sum(CASE WHEN j.occ > 1 THEN j.chunk_words
+       |                       ELSE 0 END) AS BIGINT) AS dup_mass
+       |  FROM joined j JOIN documents d ON d.doc_id = j.doc_id
+       |  GROUP BY d.source)
+       |SELECT source, n_chunks, distinct_hashes, chunk_mass, dup_mass,
+       |       CAST(dup_mass * 1000000 $idiv chunk_mass AS BIGINT)
+       |         AS dup_rate_micro
+       |FROM bysrc""".stripMargin
+
+  def ddChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    cdcChunksOf(spark, "documents").createOrReplaceTempView("chunks")
+    spark.sql(s"WITH ${chunkDedupBody("div")}")
+  }
+
+  val ddChunkDedupSql: String =
+    s"""WITH chunks AS (
+       |$pipeCdcChunkSql),
+       |${chunkDedupBody("//")}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_span_rewrite" -> (ddSpanRewrite _),
     "pipe_chunk" -> (pipeChunk _),
-    "pipe_cdc_chunk" -> (pipeCdcChunk _))
+    "pipe_cdc_chunk" -> (pipeCdcChunk _),
+    "dd_chunk_dedup" -> (ddChunkDedup _))
 
   val oracle: Map[String, String] = Map(
     "dd_span_rewrite" -> ddSpanRewriteSql,
     "pipe_chunk" -> pipeChunkSql,
-    "pipe_cdc_chunk" -> pipeCdcChunkSql)
+    "pipe_cdc_chunk" -> pipeCdcChunkSql,
+    "dd_chunk_dedup" -> ddChunkDedupSql)
 }
