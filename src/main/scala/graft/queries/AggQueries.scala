@@ -163,6 +163,31 @@ object AggQueries {
        |FROM change_rows
        |GROUP BY CUBE(event_type, operation)""".stripMargin
 
+  // ── d11_rollup ★ (r11) — hierarchical ROLLUP totals (the subtotal
+  // report CUBE's power set is overkill for): per (returnflag, status)
+  // cells, per-returnflag subtotals, and the grand total in ONE pass —
+  // Spark expands grouping sets before the agg, so the three levels
+  // share a single map-side-combined shuffle instead of three scans.
+  // grouping() flags disambiguate NULL-as-subtotal from NULL data, same
+  // discipline as d9_cube.
+  def d11Rollup(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("lineitem_t")
+    spark.sql(d11Body("lineitem_t"))
+  }
+
+  private def d11Body(table: String): String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+       |       count(*) AS n,
+       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+       |FROM $table
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  val d11Sql: String = d11Body("lineitem")
+
   /** Support floor for d10: pairs must co-occur in at least this many
     * baskets before a rule is scored (Agrawal's minsup — below it lift
     * is noise). */
@@ -221,6 +246,7 @@ object AggQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_basket_rules" -> (d10BasketRules _),
     "d9_cube" -> (d9Cube _),
+    "d11_rollup" -> (d11Rollup _),
     "d1_count_by_operation" -> (d1CountByOperation _),
     "d2_bounded_count" -> (d2BoundedCount _),
     "d3_keyed_range_count" -> (d3KeyedRangeCount _),
@@ -232,6 +258,7 @@ object AggQueries {
   val oracle: Map[String, String] = Map(
     "d10_basket_rules" -> d10Sql,
     "d9_cube" -> d9Sql,
+    "d11_rollup" -> d11Sql,
     "d1_count_by_operation" -> d1Sql,
     "d2_bounded_count" -> d2Sql,
     "d3_keyed_range_count" -> d3Sql,

@@ -1216,7 +1216,110 @@ object DedupQueries {
        |JOIN sizes z2 ON z2.doc_id = i.d2
        |WHERE 2 * i.i >= z1.n + z2.n - i.i""".stripMargin
 
+  // ── text_winnow / dd_winnow ★ (r11) — WINNOWING fingerprint selection
+  // (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm):
+  // hash every K-word gram, slide a W-gram window, keep each window's
+  // MINIMUM hash; the selected set is a position-robust document
+  // fingerprint with two GUARANTEES the paper proves — any shared run of
+  // ≥ K+W−1 words produces at least one shared fingerprint (no false
+  // negatives on long matches), and density is ~2/(W+1) of grams (storage
+  // is a tunable fraction of the text). `text_winnow` reports per-doc
+  // selection stats (the density witness); `dd_winnow` is the MOSS match
+  // report: doc pairs sharing ≥ 2 selected fingerprints, with the
+  // containment ratio in micro-units. Engine-exact: the gram hash is the
+  // shared md5-top-60 kernel, window min is an integer window agg, and
+  // every ratio is integer division.
+  //
+  // Scale shape (100 TB): gram hashing + window min are ONE per-doc scan
+  // (window frame W−1 FOLLOWING — no self-join); fingerprints are ~2/(W+1)
+  // of grams, so the pair join runs on the REDUCED relation; the ≤64-doc
+  // frequency cap bounds per-fingerprint fan-out exactly like the LSH band
+  // cap (boilerplate fingerprints shared by everything never explode).
+  val WinnowK = 3
+  val WinnowW = 4
+  val WinnowDocCap = 64
+
+  /** Shared winnowing prologue: grams → window minima → per-doc distinct
+    * fingerprint set. One text, two renderings (the engine-drift guard). */
+  private def winnowCtes(h: String => String, split: String,
+      gram: String, grid: String): String =
+    s"""grams AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ${h(gram)} AS h
+       |  FROM (SELECT doc_id, $split AS ws FROM documents) d $grid
+       |  WHERE size_ws >= $WinnowK),
+       |wins AS (
+       |  SELECT doc_id, pos,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp,
+       |         count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM grams),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= ng - $WinnowW),
+       |sizes AS (
+       |  SELECT doc_id, CAST(max(ng) AS BIGINT) AS n_grams,
+       |         CAST(max(ng) - ${WinnowW - 1} AS BIGINT) AS n_windows
+       |  FROM wins GROUP BY doc_id),
+       |fsizes AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps
+       |  FROM fps GROUP BY doc_id)""".stripMargin
+
+  private def winnowSpark: String = winnowCtes(hSpark,
+    "split(text, ' ')",
+    s"array_join(slice(ws, i + 1, $WinnowK), ' ')",
+    s"""LATERAL VIEW explode(sequence(0,
+       |    CASE WHEN size(ws) >= $WinnowK THEN size(ws) - $WinnowK ELSE 0 END)) AS i
+       |  LATERAL VIEW explode(array(size(ws))) AS size_ws""".stripMargin)
+
+  private def winnowDuck: String = winnowCtes(hDuck,
+    "string_split(text, ' ')",
+    s"array_to_string(ws[(i + 1):(i + $WinnowK)], ' ')",
+    s""", LATERAL unnest(range(0,
+       |    CASE WHEN len(ws) >= $WinnowK THEN len(ws) - $WinnowK + 1 ELSE 1 END)) AS t(i),
+       |  LATERAL (SELECT len(ws) AS size_ws) s""".stripMargin)
+
+  private def winnowStatsTail(idiv: String): String =
+    s"""SELECT s.doc_id, s.n_grams, s.n_windows, f.n_fps,
+       |       CAST(f.n_fps * 1000000 $idiv s.n_windows AS BIGINT)
+       |         AS density_micro
+       |FROM sizes s JOIN fsizes f ON f.doc_id = s.doc_id
+       |WHERE s.n_windows >= 1""".stripMargin
+
+  private def winnowPairsTail(idiv: String): String =
+    s"""df AS (SELECT fp, count(*) AS nd FROM fps GROUP BY fp),
+       |keep AS (
+       |  SELECT f.doc_id, f.fp
+       |  FROM fps f JOIN df ON df.fp = f.fp
+       |  WHERE df.nd BETWEEN 2 AND $WinnowDocCap),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(count(*) AS BIGINT) AS shared_fps
+       |  FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT p.doc_a, p.doc_b, p.shared_fps,
+       |       CAST(p.shared_fps * 1000000 $idiv
+       |            (CASE WHEN fa.n_fps < fb.n_fps THEN fa.n_fps
+       |                  ELSE fb.n_fps END) AS BIGINT) AS containment_micro
+       |FROM pairs p
+       |JOIN fsizes fa ON fa.doc_id = p.doc_a
+       |JOIN fsizes fb ON fb.doc_id = p.doc_b
+       |WHERE p.shared_fps >= 2""".stripMargin
+
+  def textWinnow(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(s"WITH $winnowSpark\n${winnowStatsTail("div")}")
+  }
+
+  def ddWinnow(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(s"WITH $winnowSpark,\n${winnowPairsTail("div")}")
+  }
+
+  val textWinnowSql: String = s"WITH $winnowDuck\n${winnowStatsTail("//")}"
+  val ddWinnowSql: String = s"WITH $winnowDuck,\n${winnowPairsTail("//")}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow" -> (textWinnow _),
+    "dd_winnow" -> (ddWinnow _),
     "dd_prefix_jaccard" -> (ddPrefixJaccard _),
     "dd_prefix_stats" -> (ddPrefixStats _),
     "dd_incremental" -> (ddIncremental _),
@@ -1237,6 +1340,8 @@ object DedupQueries {
     "dd_cluster_star" -> (ddClusterStar _))
 
   val oracle: Map[String, String] = Map(
+    "text_winnow" -> textWinnowSql,
+    "dd_winnow" -> ddWinnowSql,
     "dd_prefix_jaccard" -> ddPrefixJaccardSql,
     "dd_prefix_stats" -> ddPrefixStatsSql,
     "dd_incremental" -> ddIncrementalSql,

@@ -855,7 +855,92 @@ object MultimodalQueries {
        |FROM segd WHERE sp = 1
        |GROUP BY doc_id, seg""".stripMargin
 
+  // ── mm_spectral_peak ★ (r11) — SPECTRAL analysis over REAL decoded
+  // audio with an EXACT-INTEGER basis: every WAV asset (doc_id % 4 = 1)
+  // is container-decoded and correlated against 8 square-wave basis
+  // functions (Walsh-style — w_k(i) = +1 when floor(2·k·i/N) is even,
+  // −1 otherwise: k half-period flips across the N samples), the audio
+  // front-end's "which band carries the energy" question (pitch-class /
+  // band-energy detection) answered without a single float: s_k is an
+  // exact BIGINT correlation, power_k = s_k², peak bin is the smallest-k
+  // argmax, and the dominance ratio is micro-unit integer division — so
+  // the DuckDB oracle recomputes every band from the sample formula and
+  // one dropped or byte-swapped sample flips the compare. (A float DFT
+  // would die on cos() ulp divergence across engines; the square-wave
+  // basis is the standard integer-exact surrogate.)
+  // Scale shape: narrow mapPartitions (codec contexts per partition,
+  // 8 bands folded per row in one pass over ≤1600 samples), no shuffle.
+  val SpectralBins = 8
+
+  def mmSpectralPeak(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    import spark.implicits._
+    import graft.model.AudioCodec
+    val ids = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 4 = 1").as[Long]
+    ids.mapPartitions { it =>
+      val writer = AudioCodec.openWriter()
+      val reader = AudioCodec.openReader()
+      it.map { docId =>
+        val bytes = AudioCodec.synthesizeWav(writer, docId)
+        val ss = AudioCodec.decodeSamples(reader, bytes)
+        val n = ss.length.toLong
+        val corr = new Array[Long](SpectralBins)
+        var i = 0
+        while (i < ss.length) {
+          val x = ss(i).toLong
+          var k = 1
+          while (k <= SpectralBins) {
+            val sign = if ((2L * k * i / n) % 2 == 0) 1L else -1L
+            corr(k - 1) += x * sign
+            k += 1
+          }
+          i += 1
+        }
+        var peakBin = 1L; var peakPower = corr(0) * corr(0); var total = 0L
+        var k = 1
+        while (k <= SpectralBins) {
+          val p = corr(k - 1) * corr(k - 1)
+          total += p
+          if (p > peakPower) { peakPower = p; peakBin = k.toLong }
+          k += 1
+        }
+        // Exact-integer inputs, one per-row IEEE division — engine-identical
+        // (×1e6 integer scaling would overflow BIGINT at peak ≈ 2.7e15).
+        val dom = if (total == 0L) 0.0 else peakPower.toDouble / total
+        (docId, n, peakBin, peakPower, total, dom)
+      }
+    }.toDF("doc_id", "n_samples", "peak_bin", "peak_power", "total_power",
+      "dominance")
+  }
+
+  val mmSpectralPeakSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, CAST(800 + doc_id % 800 AS BIGINT) AS n
+       |  FROM documents WHERE doc_id % 4 = 1),
+       |bands AS (
+       |  SELECT doc_id, n, CAST(k AS BIGINT) AS k,
+       |         CAST(list_sum(list_transform(range(0, n), i ->
+       |           (CAST((doc_id * 7919 + i * 2654435761) % 65536 - 32768
+       |             AS BIGINT))
+       |           * (CASE WHEN ((2 * k * i) // n) % 2 = 0 THEN 1 ELSE -1 END)))
+       |          AS BIGINT) AS s
+       |  FROM sig, unnest(range(1, ${SpectralBins + 1})) AS t(k)),
+       |powers AS (SELECT doc_id, n, k, s * s AS p FROM bands),
+       |mx AS (
+       |  SELECT doc_id, any_value(n) AS n_samples, max(p) AS peak_power,
+       |         CAST(sum(p) AS BIGINT) AS total_power
+       |  FROM powers GROUP BY doc_id)
+       |SELECT m.doc_id, m.n_samples, CAST(min(p2.k) AS BIGINT) AS peak_bin,
+       |       m.peak_power, m.total_power,
+       |       CASE WHEN m.total_power = 0 THEN 0.0
+       |            ELSE CAST(m.peak_power AS DOUBLE) / m.total_power
+       |       END AS dominance
+       |FROM mx m JOIN powers p2
+       |  ON p2.doc_id = m.doc_id AND p2.p = m.peak_power
+       |GROUP BY m.doc_id, m.n_samples, m.peak_power, m.total_power""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_spectral_peak" -> (mmSpectralPeak _),
     "mm_vad_segments" -> (mmVadSegments _),
     "mm_decode_jpeg" -> (mmDecodeJpeg _),
     "mm_phash_dedup" -> (mmPhashDedup _),
@@ -872,6 +957,7 @@ object MultimodalQueries {
     "mm_dedup_assets" -> (mmDedupAssets _))
 
   val oracle: Map[String, String] = Map(
+    "mm_spectral_peak" -> mmSpectralPeakSql,
     "mm_vad_segments" -> mmVadSegmentsSql,
     "mm_phash" -> mmPhashSql,
     "mm_phash_dedup" -> mmPhashDedupSql,

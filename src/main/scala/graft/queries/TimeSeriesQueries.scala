@@ -616,7 +616,217 @@ object TimeSeriesQueries {
 
   val tsSeasonalSql: String = s"WITH $seriesDuck,\n${seasonalBody("//")}"
 
+  // ── ts_changepoint ★ (r11) — CUSUM mean-shift changepoint detection
+  // over the per-user daily series (the monitoring question "when did
+  // this user's behavior change", and at corpus level "when did this
+  // source's volume shift" — the data-freshness alarm a training-data
+  // pipeline runs on ingest volumes). The statistic is the classic
+  // integer-scaled CUSUM deviation D_t = |n·S_t − t·S_n| (S_t the
+  // prefix sum, t = 1..n−1): maximized exactly in BIGINT (n = 30 days,
+  // counts are small — no overflow), argmax tie broken to the EARLIEST
+  // t, and the before/after segment sums emitted as witnesses so a
+  // consumer can compute both means without re-scanning. The day grid
+  // is DENSIFIED (event-free days count 0 — the same discipline as the
+  // PAA prologue: a sparse series would silently skip quiet days and
+  // shift every t).
+  //
+  // Scale shape (100 TB): one map-side-combined (user, day) count, one
+  // users×30 dense grid (the grid side is a 30-row broadcast), one
+  // 30-row-per-user window scan — the whole statistic is one shuffle on
+  // user_id; no pair joins, no global sort.
+  val CpDays = 30
+
+  private def changepointCtes(idiv: String, table: String, usExpr: String,
+      dayGrid: String): String =
+    s"""bounds AS (SELECT min($usExpr) AS t0 FROM $table),
+       |days AS (
+       |  SELECT user_id,
+       |         CAST(($usExpr - b.t0) $idiv 86400000000 AS BIGINT) AS day,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM $table CROSS JOIN bounds b
+       |  GROUP BY user_id, ($usExpr - b.t0) $idiv 86400000000),
+       |dense AS (
+       |  SELECT u.user_id, g.day, coalesce(d.c, CAST(0 AS BIGINT)) AS c
+       |  FROM (SELECT DISTINCT user_id FROM days) u
+       |  CROSS JOIN ($dayGrid) g
+       |  LEFT JOIN days d ON d.user_id = u.user_id AND d.day = g.day),
+       |cum AS (
+       |  SELECT user_id, day + 1 AS t,
+       |         sum(c) OVER (PARTITION BY user_id ORDER BY day
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
+       |         sum(c) OVER (PARTITION BY user_id) AS sn
+       |  FROM dense),
+       |dstat AS (
+       |  SELECT user_id, t, st, sn,
+       |         abs($CpDays * st - t * sn) AS dev
+       |  FROM cum WHERE t < $CpDays),
+       |mx AS (
+       |  SELECT user_id, max(dev) AS cp_stat, any_value(sn) AS total
+       |  FROM dstat GROUP BY user_id),
+       |cp AS (
+       |  SELECT m.user_id, m.cp_stat, m.total, min(d2.t) AS cp_t
+       |  FROM mx m JOIN dstat d2
+       |    ON d2.user_id = m.user_id AND d2.dev = m.cp_stat
+       |  GROUP BY m.user_id, m.cp_stat, m.total)
+       |SELECT c.user_id, CAST(c.cp_t AS BIGINT) AS cp_day,
+       |       CAST(c.cp_stat AS BIGINT) AS cp_stat,
+       |       CAST(c.total AS BIGINT) AS total_events,
+       |       CAST(d3.st AS BIGINT) AS before_sum,
+       |       CAST(c.total - d3.st AS BIGINT) AS after_sum
+       |FROM cp c JOIN dstat d3
+       |  ON d3.user_id = c.user_id AND d3.t = c.cp_t""".stripMargin
+
+  def tsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql("WITH " + changepointCtes("div", "events_t", "unix_micros(ts)",
+      s"SELECT CAST(x AS BIGINT) AS day FROM (SELECT explode(sequence(0, ${CpDays - 1})) AS x)"))
+  }
+
+  val tsChangepointSql: String =
+    "WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),\n" +
+      changepointCtes("//", "ev", "us",
+        s"SELECT CAST(unnest(range(0, $CpDays)) AS BIGINT) AS day")
+
+  // ── pipe_drift_report ★ (r11) — DISTRIBUTION-DRIFT monitoring between
+  // two time windows (the PSI dashboard every production training-data
+  // pipeline runs on its ingest: "does this month's mix still look like
+  // last month's?"). Buckets are (event_type × 6-hour band); the ref
+  // window is days 0–14, current is days 15+; each bucket reports both
+  // counts, both micro-unit shares, and the TRIANGULAR-DISCREPANCY term
+  // (p−q)²/(p+q) in micro-units — a bona-fide f-divergence (it bounds
+  // Jensen–Shannon within constant factors) chosen over PSI's
+  // (p−q)·ln(p/q) because it is EXACT in integer micro-units: ln() ulp
+  // divergence across engines would poison a hash-compared oracle, and
+  // unlike PSI it is finite when a bucket is empty on one side (a new
+  // event type appearing IS the drift signal, not a division error).
+  //
+  // Scale shape (100 TB): one scan, one map-side-combined
+  // (type, band, half) agg (≤2·|buckets| rows cross the shuffle), the
+  // two totals ride a 1-row broadcast. No pair joins, no windows over
+  // data-sized relations.
+  val DriftRefDays = 15
+
+  private def driftCtes(idiv: String, table: String, usExpr: String): String =
+    s"""bounds AS (SELECT min($usExpr) AS t0 FROM $table),
+       |base AS (
+       |  SELECT event_type,
+       |         CAST(($usExpr - b.t0) $idiv 86400000000 AS BIGINT) AS day,
+       |         CAST(($usExpr $idiv 21600000000) % 4 AS BIGINT) AS band
+       |  FROM $table CROSS JOIN bounds b),
+       |counts AS (
+       |  SELECT event_type, band,
+       |         CAST(sum(CASE WHEN day < $DriftRefDays THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS ref_n,
+       |         CAST(sum(CASE WHEN day >= $DriftRefDays THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS cur_n
+       |  FROM base GROUP BY event_type, band),
+       |tot AS (
+       |  SELECT CAST(sum(ref_n) AS BIGINT) AS r_total,
+       |         CAST(sum(cur_n) AS BIGINT) AS c_total
+       |  FROM counts),
+       |shares AS (
+       |  SELECT c.event_type, c.band, c.ref_n, c.cur_n,
+       |         CAST(c.ref_n * 1000000 $idiv t.r_total AS BIGINT) AS p_micro,
+       |         CAST(c.cur_n * 1000000 $idiv t.c_total AS BIGINT) AS q_micro
+       |  FROM counts c CROSS JOIN tot t)
+       |SELECT event_type, band, ref_n, cur_n, p_micro, q_micro,
+       |       CAST(CASE WHEN p_micro + q_micro = 0 THEN 0
+       |            ELSE (p_micro - q_micro) * (p_micro - q_micro)
+       |                 $idiv (p_micro + q_micro) END AS BIGINT) AS tri_micro
+       |FROM shares""".stripMargin
+
+  def pipeDriftReport(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql("WITH " + driftCtes("div", "events_t", "unix_micros(ts)"))
+  }
+
+  val pipeDriftReportSql: String =
+    "WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),\n" +
+      driftCtes("//", "ev", "us")
+
+  // ── ts_ewma ★ (r11) — exponentially-weighted smoothing + one-step
+  // forecast anomaly over the per-user daily series (the "is today's
+  // volume surprising given the trend" alarm — the recency-weighted
+  // sibling of ts_changepoint's level-shift test). α is fixed at 1/2 so
+  // the recurrence ewma_t = (ewma_{t-1} + c_t)/2 has an EXACT integer
+  // closed form: E_t = Σ_{i≤t} c_i·2^i gives ewma_t = E_t / 2^(t+1) with
+  // no float ever — E_t is one prefix-sum window over the dense series,
+  // and both the forecast (ewma_{t-1} = E_{t-1}/2^t) and the absolute
+  // residual are emitted in milli-units via the SAME floor division in
+  // both engines. Overflow budget: E_29 ≤ c_max·2^30; ×1000 stays inside
+  // BIGINT for c_max up to ~8·10^6 events/user/day — far above the
+  // fixture and asserted nowhere cheaper than the milli scale. Each
+  // user reports the day whose residual is LARGEST (earliest-day
+  // tie-break) plus the end-of-window smoothed level — the alert row.
+  //
+  // Scale shape (100 TB): identical to ts_changepoint — one map-side
+  // (user, day) count, a 30-row broadcast day grid to densify, one
+  // per-user prefix window, one argmax equi-join. Single shuffle on
+  // user_id.
+  private def ewmaCtes(idiv: String, table: String, usExpr: String,
+      dayGrid: String, pow2: String => String): String =
+    s"""bounds AS (SELECT min($usExpr) AS t0 FROM $table),
+       |days AS (
+       |  SELECT user_id,
+       |         CAST(($usExpr - b.t0) $idiv 86400000000 AS BIGINT) AS day,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM $table CROSS JOIN bounds b
+       |  GROUP BY user_id, ($usExpr - b.t0) $idiv 86400000000),
+       |dense AS (
+       |  SELECT u.user_id, g.day, coalesce(d.c, CAST(0 AS BIGINT)) AS c
+       |  FROM (SELECT DISTINCT user_id FROM days) u
+       |  CROSS JOIN ($dayGrid) g
+       |  LEFT JOIN days d ON d.user_id = u.user_id AND d.day = g.day),
+       |cum AS (
+       |  SELECT user_id, day, c,
+       |         sum(c * ${pow2("day")}) OVER (PARTITION BY user_id
+       |           ORDER BY day
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS et
+       |  FROM dense),
+       |resid AS (
+       |  SELECT user_id, day, c,
+       |         CAST((et - c * ${pow2("day")}) * 1000 $idiv ${pow2("day")}
+       |           AS BIGINT) AS forecast_milli,
+       |         CAST(abs(c * ${pow2("day")} - (et - c * ${pow2("day")}))
+       |              * 1000 $idiv ${pow2("day")} AS BIGINT) AS dev_milli
+       |  FROM cum WHERE day >= 1),
+       |level AS (
+       |  SELECT user_id,
+       |         CAST(max(et) * 1000 $idiv ${pow2(s"CAST($CpDays AS BIGINT)")}
+       |           AS BIGINT) AS level_milli
+       |  FROM cum GROUP BY user_id),
+       |mx AS (
+       |  SELECT user_id, max(dev_milli) AS dev_milli FROM resid
+       |  GROUP BY user_id),
+       |pick AS (
+       |  SELECT m.user_id, m.dev_milli, min(r.day) AS anom_day
+       |  FROM mx m JOIN resid r
+       |    ON r.user_id = m.user_id AND r.dev_milli = m.dev_milli
+       |  GROUP BY m.user_id, m.dev_milli)
+       |SELECT p.user_id, CAST(p.anom_day AS BIGINT) AS anom_day,
+       |       r.c AS observed, r.forecast_milli, p.dev_milli,
+       |       l.level_milli
+       |FROM pick p
+       |JOIN resid r ON r.user_id = p.user_id AND r.day = p.anom_day
+       |JOIN level l ON l.user_id = p.user_id""".stripMargin
+
+  def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql("WITH " + ewmaCtes("div", "events_t", "unix_micros(ts)",
+      s"SELECT CAST(x AS BIGINT) AS day FROM (SELECT explode(sequence(0, ${CpDays - 1})) AS x)",
+      d => s"shiftleft(CAST(1 AS BIGINT), CAST($d AS INT))"))
+  }
+
+  val tsEwmaSql: String =
+    "WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),\n" +
+      ewmaCtes("//", "ev", "us",
+        s"SELECT CAST(unnest(range(0, $CpDays)) AS BIGINT) AS day",
+        d => s"(CAST(1 AS BIGINT) << CAST($d AS INT))")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_drift_report" -> (pipeDriftReport _),
+    "ts_changepoint" -> (tsChangepoint _),
+    "ts_ewma" -> (tsEwma _),
     "ts_seasonal" -> (tsSeasonal _),
     "ts_discord" -> (tsDiscord _),
     "ts_periodicity" -> (tsPeriodicity _),
@@ -626,6 +836,9 @@ object TimeSeriesQueries {
     "ts_dtw_topk" -> (tsDtwTopk _))
 
   val oracle: Map[String, String] = Map(
+    "pipe_drift_report" -> pipeDriftReportSql,
+    "ts_changepoint" -> tsChangepointSql,
+    "ts_ewma" -> tsEwmaSql,
     "ts_seasonal" -> tsSeasonalSql,
     "ts_discord" -> tsDiscordSql,
     "ts_periodicity" -> tsPeriodicitySql,

@@ -56,6 +56,20 @@ object ZorderStore {
       s"""SELECT *, z * $Buckets div (${maxZ} + 1) AS zb FROM zs_coded_t""")
       .repartition(8)
       .write.mode(SaveMode.Overwrite).partitionBy("zb").parquet(s"$storeDir/data")
+    // Per-bucket extent zone map, computed from what's actually on disk —
+    // the ≤Buckets-row sidecar that 2-D RANGE queries enumerate candidate
+    // partition directories from (pipe_zorder's extent table made part of
+    // the store). Written BEFORE the META marker so a reader that sees the
+    // marker always finds the zone map.
+    spark.read.parquet(s"$storeDir/data")
+      .groupBy("zb")
+      .agg(org.apache.spark.sql.functions.expr("min(l_partkey)").as("pmin"),
+        org.apache.spark.sql.functions.expr("max(l_partkey)").as("pmax"),
+        org.apache.spark.sql.functions.expr("min(l_suppkey)").as("smin"),
+        org.apache.spark.sql.functions.expr("max(l_suppkey)").as("smax"),
+        org.apache.spark.sql.functions.count("*").as("n"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/extents")
     Files.writeString(Paths.get(s"$storeDir/META"),
       s"v$FormatVersion maxZ=$maxZ buckets=$Buckets")
     spark.read.parquet(s"$storeDir/data").select("zb").distinct().count()
@@ -93,5 +107,27 @@ object ZorderStore {
     val zb = z * Buckets / (maxZ + 1)
     spark.read.parquet(s"$storeDir/data")
       .where(s"zb = $zb AND l_partkey = $partKey AND l_suppkey = $suppKey")
+  }
+
+  /** 2-D RANGE query (pLo ≤ l_partkey ≤ pHi, sLo ≤ l_suppkey ≤ sHi):
+    * enumerates candidate z-buckets from the persisted extent zone map
+    * (a ≤[[Buckets]]-row sidecar — bounded metadata, not a data-path
+    * collect) and reads ONLY those partition directories, with the exact
+    * rectangle as the residual filter. The z-layout is what makes the
+    * zone map selective on BOTH dimensions at once: insertion order
+    * leaves every bucket full-width in the non-sort dimension, so the
+    * same enumeration would keep every file. */
+  def rangeQuery(spark: SparkSession, storeDir: String,
+      pLo: Long, pHi: Long, sLo: Long, sHi: Long): DataFrame = {
+    readMaxZ(storeDir) // format check; the zone map itself drives pruning
+    val candidates = spark.read.parquet(s"$storeDir/extents")
+      .where(s"pmax >= $pLo AND pmin <= $pHi AND smax >= $sLo AND smin <= $sHi")
+      .selectExpr("CAST(zb AS BIGINT)").collect().map(_.getLong(0)).sorted
+    val data = spark.read.parquet(s"$storeDir/data")
+    if (candidates.isEmpty) data.where("1 = 0")
+    else data.where(
+      s"""zb IN (${candidates.mkString(",")})
+         | AND l_partkey BETWEEN $pLo AND $pHi
+         | AND l_suppkey BETWEEN $sLo AND $sHi""".stripMargin)
   }
 }

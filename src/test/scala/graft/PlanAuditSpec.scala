@@ -96,7 +96,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "pipe_bloom_skip" -> "1-row max-key scalar cross-joined as a broadcast constant (domain split + absent-probe synthesis); the filter build and probe are equi-joins on (bucket, word)",
     "ts_periodicity" -> "the 1-row corpus-epoch scalar from the shared series prologue; the lag joins are equi-joins on (user_id, day + lag)",
     "ts_discord" -> "inherits the series prologue's 1-row epoch scalar and 30-row day grid broadcasts; the window-pair stage is an equi-join on (user_id, offset), bounded per key at 24x7x24 rows",
-    "ts_seasonal" -> "the series prologue's 1-row epoch scalar broadcast; everything downstream runs over the 30-row aggregated daily series")
+    "ts_seasonal" -> "the series prologue's 1-row epoch scalar broadcast; everything downstream runs over the 30-row aggregated daily series",
+    "ts_changepoint" -> "the 1-row corpus-epoch scalar and the 30-row day grid cross-joined as broadcast constants to densify per-user series; the CUSUM argmax joins are equi-joins on (user_id, dev)/(user_id, t)",
+    "pipe_drift_report" -> "the 1-row corpus-epoch scalar and the 1-row (ref_total, cur_total) aggregate cross-joined as broadcast constants over the <=|types|x4 bucket table")
 
   /** An unpartitioned window is legitimate ONLY over a table whose row
     * count is bounded by construction (buckets, partitions, quantile

@@ -70,6 +70,34 @@ class ZorderStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("2-D range queries prune via the extent zone map and stay exact") {
+    // A small rectangle in both dimensions: the z-layout keeps each
+    // bucket narrow in BOTH partkey and suppkey, so the extent
+    // enumeration drops most directories; insertion order would keep
+    // every file (pipe_zorder's extent contrast pins that).
+    val (pLo, pHi, sLo, sHi) = (100L, 130L, 1L, 4L)
+    val hit = ZorderStore.rangeQuery(spark, store, pLo, pHi, sLo, sHi)
+    val totalFiles =
+      spark.read.parquet(s"$store/data").inputFiles.length.toLong
+    val pruned = scannedFiles(hit)
+    assert(pruned * 2 <= totalFiles,
+      s"range scanned $pruned of $totalFiles files — zone map not pruning")
+    val expected = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .where(s"l_partkey BETWEEN $pLo AND $pHi AND l_suppkey BETWEEN $sLo AND $sHi")
+    val exp = expected.count()
+    assert(hit.count() === exp, "range query lost/gained rows")
+    assert(exp > 0L, "vacuous range probe")
+    // Row-equal, not just count-equal.
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    assert(hit.selectExpr(cols: _*).exceptAll(expected.selectExpr(cols: _*)).isEmpty
+      && expected.selectExpr(cols: _*).exceptAll(hit.selectExpr(cols: _*)).isEmpty)
+  }
+
+  test("an empty-rectangle range returns empty without error") {
+    val none = ZorderStore.rangeQuery(spark, store, 1L, 2L, 99999L, 99999L)
+    assert(none.count() === 0L)
+  }
+
   test("a miss scans at most one directory and returns empty") {
     val miss = ZorderStore.lookup(spark, store, 12345L, 54321L)
     assert(miss.count() === 0L)
