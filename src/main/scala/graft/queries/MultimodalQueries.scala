@@ -939,7 +939,88 @@ object MultimodalQueries {
        |  ON p2.doc_id = m.doc_id AND p2.p = m.peak_power
        |GROUP BY m.doc_id, m.n_samples, m.peak_power, m.total_power""".stripMargin
 
+  // ── mm_edge_density ★ (r11) — integer GRADIENT statistics over REAL
+  // decoded pixels: every PNG asset (doc_id % 3 = 0) is container-decoded
+  // through javax.imageio and the first-difference field |p(x+1,y)−p(x,y)|
+  // / |p(x,y+1)−p(x,y)| is folded into exact BIGINT sums, the max
+  // gradient, and an edge count at the fixed threshold 32 — the
+  // "is this image flat, textured, or synthetic-banded" feature an
+  // image-curation pipeline buckets on (the integer skeleton of a Sobel
+  // pass; the full kernel adds taps, not machinery). ORACLE-CHECKED END
+  // TO END: the test pattern is integer arithmetic over (doc_id, x, y),
+  // so DuckDB recomputes every neighbor difference from the formula
+  // without seeing a PNG — one pixel dropped, shifted, or transposed by
+  // the codec round trip and the gradient sums diverge.
+  // Scale shape: narrow mapPartitions at the codec boundary (reader +
+  // writer opened once per partition), both gradient directions folded
+  // in ONE pass over the raster, no shuffle.
+  val EdgeThreshold = 32
+
+  def mmEdgeDensity(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    import spark.implicits._
+    import graft.model.MediaCodec
+    val ids = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 3 = 0").as[Long]
+    ids.mapPartitions { it =>
+      val writer = MediaCodec.openWriter()
+      val reader = MediaCodec.openReader()
+      it.map { docId =>
+        val bytes = MediaCodec.synthesizeGrayPng(writer, docId)
+        val r = MediaCodec.decodeGrayRaster(reader, bytes)
+        var hSum = 0L; var vSum = 0L; var mx = 0L; var edges = 0L
+        var y = 0
+        while (y < r.height) {
+          var x = 0
+          while (x < r.width) {
+            if (x + 1 < r.width) {
+              val d = math.abs(r(x + 1, y) - r(x, y)).toLong
+              hSum += d; if (d > mx) mx = d
+              if (d >= EdgeThreshold) edges += 1
+            }
+            if (y + 1 < r.height) {
+              val d = math.abs(r(x, y + 1) - r(x, y)).toLong
+              vSum += d; if (d > mx) mx = d
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (docId, r.width.toLong, r.height.toLong, hSum, vSum, mx, edges)
+      }
+    }.toDF("doc_id", "width", "height", "h_grad", "v_grad", "max_grad",
+      "n_edges")
+  }
+
+  val mmEdgeDensitySql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id, CAST(8 + doc_id % 8 AS BIGINT) AS w,
+       |         CAST(8 + doc_id % 5 AS BIGINT) AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |grid AS (
+       |  SELECT doc_id, w, h, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+       |  FROM dims, unnest(range(0, w)) AS tx(x), unnest(range(0, h)) AS ty(y)),
+       |diffs AS (
+       |  SELECT doc_id, w, h,
+       |    CASE WHEN x < w - 1 THEN
+       |      abs((doc_id * 31 + 7 * (x + 1) + 13 * y) % 256
+       |        - (doc_id * 31 + 7 * x + 13 * y) % 256)
+       |    ELSE 0 END AS hd,
+       |    CASE WHEN x < w - 1 THEN 1 ELSE 0 END AS hvalid,
+       |    CASE WHEN y < h - 1 THEN
+       |      abs((doc_id * 31 + 7 * x + 13 * (y + 1)) % 256
+       |        - (doc_id * 31 + 7 * x + 13 * y) % 256)
+       |    ELSE 0 END AS vd
+       |  FROM grid)
+       |SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+       |       CAST(sum(hd) AS BIGINT) AS h_grad,
+       |       CAST(sum(vd) AS BIGINT) AS v_grad,
+       |       CAST(max(greatest(hd, vd)) AS BIGINT) AS max_grad,
+       |       CAST(sum(CASE WHEN hvalid = 1 AND hd >= $EdgeThreshold
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_edges
+       |FROM diffs GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_edge_density" -> (mmEdgeDensity _),
     "mm_spectral_peak" -> (mmSpectralPeak _),
     "mm_vad_segments" -> (mmVadSegments _),
     "mm_decode_jpeg" -> (mmDecodeJpeg _),
@@ -957,6 +1038,7 @@ object MultimodalQueries {
     "mm_dedup_assets" -> (mmDedupAssets _))
 
   val oracle: Map[String, String] = Map(
+    "mm_edge_density" -> mmEdgeDensitySql,
     "mm_spectral_peak" -> mmSpectralPeakSql,
     "mm_vad_segments" -> mmVadSegmentsSql,
     "mm_phash" -> mmPhashSql,

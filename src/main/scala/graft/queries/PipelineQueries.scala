@@ -1228,7 +1228,89 @@ object PipelineQueries {
       "CROSS JOIN (SELECT unnest(range(1, 11)) AS off)",
       (cols, arr, src) => s"SELECT $cols, unnest([$arr]) AS pos FROM $src")
 
+  // ── pipe_source_divergence ★ (r11) — pairwise VOCABULARY divergence
+  // between sources (the mixture-design question "which corpora are
+  // near-duplicates of each other, which add diversity" — the
+  // source-level sibling of pipe_drift_report's time-window compare).
+  // Each source's unigram distribution is projected onto 256 shared hash
+  // buckets (the md5-top-60 kernel mod 256 — engine-identical), shares
+  // are exact micro-units, and each source PAIR reports the triangular
+  // discrepancy Σ (p−q)²/(p+q) — the same integer-exact f-divergence as
+  // the drift report (ln-free, finite when a bucket is one-sided), plus
+  // the count of one-sided buckets (vocabulary a source has that the
+  // other lacks).
+  //
+  // Scale shape (100 TB): token explosion feeds ONE map-side-combined
+  // (source, bucket) agg — ≤ |sources|·256 rows cross the shuffle; the
+  // pairwise compare is a self-join on bucket over that tiny relation
+  // (|sources|²·256 rows at worst, dozens of sources in practice); per-
+  // source totals ride a broadcast. The corpus is scanned exactly once.
+  val DivBuckets = 256
+
+  /** One query text for both engines — only the word-explode spelling,
+    * the hash kernel, and the integer-division token differ. Buckets
+    * whose share floors to 0 micro-units carry no distribution mass and
+    * are treated as absent vocabulary (identically in both engines).
+    * The algebra completes the inner bucket join losslessly:
+    * tri = Σ_shared (p−q)²/(p+q) + (mass_a − shared_mass_a)
+    *     + (mass_b − shared_mass_b), because a one-sided bucket's term
+    * is p²/p = p. Pair universe comes from the tiny source list so even
+    * a pair with NO shared vocabulary reports (as maximal divergence). */
+  private def divergenceCtes(idiv: String, split: String, explodeWs: String,
+      h: String => String): String =
+    s"""toks AS (
+       |  SELECT source, ${h("w")} % $DivBuckets AS b
+       |  FROM (SELECT source, $split AS ws FROM documents) d $explodeWs),
+       |counts AS (
+       |  SELECT source, b, CAST(count(*) AS BIGINT) AS n
+       |  FROM toks GROUP BY source, b),
+       |tots AS (
+       |  SELECT source, CAST(sum(n) AS BIGINT) AS tot
+       |  FROM counts GROUP BY source),
+       |shares AS (
+       |  SELECT c.source, c.b,
+       |         CAST(c.n * 1000000 $idiv t.tot AS BIGINT) AS p
+       |  FROM counts c JOIN tots t ON t.source = c.source
+       |  WHERE c.n * 1000000 $idiv t.tot > 0),
+       |bcount AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS nb,
+       |         CAST(sum(p) AS BIGINT) AS mass
+       |  FROM shares GROUP BY source),
+       |matched AS (
+       |  SELECT a.source AS src_a, b2.source AS src_b,
+       |         CAST(sum((a.p - b2.p) * (a.p - b2.p) $idiv (a.p + b2.p))
+       |           AS BIGINT) AS tri_shared,
+       |         CAST(count(*) AS BIGINT) AS n_shared,
+       |         CAST(sum(a.p) AS BIGINT) AS mass_a,
+       |         CAST(sum(b2.p) AS BIGINT) AS mass_b
+       |  FROM shares a
+       |  JOIN shares b2 ON b2.b = a.b AND a.source < b2.source
+       |  GROUP BY a.source, b2.source)
+       |SELECT ca.source AS src_a, cb.source AS src_b,
+       |       coalesce(m.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+       |       CAST(coalesce(m.tri_shared, CAST(0 AS BIGINT))
+       |            + (ca.mass - coalesce(m.mass_a, CAST(0 AS BIGINT)))
+       |            + (cb.mass - coalesce(m.mass_b, CAST(0 AS BIGINT)))
+       |         AS BIGINT) AS tri_micro,
+       |       CAST((ca.nb - coalesce(m.n_shared, CAST(0 AS BIGINT)))
+       |            + (cb.nb - coalesce(m.n_shared, CAST(0 AS BIGINT)))
+       |         AS BIGINT) AS one_sided
+       |FROM bcount ca
+       |JOIN bcount cb ON ca.source < cb.source
+       |LEFT JOIN matched m ON m.src_a = ca.source AND m.src_b = cb.source""".stripMargin
+
+  def pipeSourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql("WITH " + divergenceCtes("div", "split(text, ' ')",
+      "LATERAL VIEW explode(ws) t AS w", DedupQueries.hSpark))
+  }
+
+  val pipeSourceDivergenceSql: String =
+    "WITH " + divergenceCtes("//", "string_split(text, ' ')",
+      ", unnest(ws) AS t(w)", DedupQueries.hDuck)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_source_divergence" -> (pipeSourceDivergence _),
     "pipe_bloom_skip" -> (pipeBloomSkip _),
     "pipe_zorder" -> (pipeZorder _),
     "pipe_mix_temperature" -> (pipeMixTemperature _),
@@ -1251,6 +1333,7 @@ object PipelineQueries {
     "pipe_shuffle" -> (pipeShuffle _))
 
   val oracle: Map[String, String] = Map(
+    "pipe_source_divergence" -> pipeSourceDivergenceSql,
     "pipe_bloom_skip" -> pipeBloomSkipSql,
     "pipe_zorder" -> pipeZorderSql,
     "pipe_mix_temperature" -> pipeMixTemperatureSql,

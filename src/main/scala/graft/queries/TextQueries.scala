@@ -997,7 +997,61 @@ object TextQueries {
       .stripMargin
   }
 
+  // ── text_lix ★ (r11) — LIX readability index (Björnsson 1968: the
+  // classic corpus-curation difficulty score; unlike Flesch it needs no
+  // syllable model, so it stays EXACT-integer): LIX = words/sentences +
+  // 100·longwords/words, long = length ≥ 7 chars. Both terms are floored
+  // integer milli-unit divisions, identical in both engines; sentence
+  // count is the period count floored at 1 (a fragment with no '.' is
+  // one sentence, not a division error). The band column is the
+  // published reading-level cut (LIX < 25 easy … ≥ 55 academic) — the
+  // curriculum-bucketing feature pipe_curriculum-style mixes key on.
+  //
+  // Scale shape (100 TB): pure per-row scan work — no shuffle, no joins;
+  // every feature folds inside whole-stage codegen over one pass of the
+  // text column.
+  /** One body text for both engines — only the feature CTE (split/
+    * filter spellings) and the integer-division token differ. */
+  private def lixBody(idiv: String): String =
+    s"""SELECT doc_id, w AS n_words, s AS n_sents, lg AS n_long,
+       |       CAST(w * 1000 $idiv s + lg * 100000 $idiv w AS BIGINT)
+       |         AS lix_milli,
+       |       CASE WHEN w * 1000 $idiv s + lg * 100000 $idiv w < 25000
+       |              THEN 'easy'
+       |            WHEN w * 1000 $idiv s + lg * 100000 $idiv w < 40000
+       |              THEN 'standard'
+       |            WHEN w * 1000 $idiv s + lg * 100000 $idiv w < 55000
+       |              THEN 'hard'
+       |            ELSE 'academic' END AS band
+       |FROM f""".stripMargin
+
+  def textLix(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         CAST(size(split(text, ' ')) AS BIGINT) AS w,
+         |         CAST(greatest(length(text) - length(replace(text, '.', '')), 1)
+         |           AS BIGINT) AS s,
+         |         CAST(size(filter(split(text, ' '), x -> length(x) >= 7))
+         |           AS BIGINT) AS lg
+         |  FROM documents)
+         |${lixBody("div")}""".stripMargin)
+  }
+
+  val textLixSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+       |         CAST(greatest(length(text) - length(replace(text, '.', '')), 1)
+       |           AS BIGINT) AS s,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                              x -> length(x) >= 7)) AS BIGINT) AS lg
+       |  FROM documents)
+       |${lixBody("//")}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lix" -> (textLix _),
     "text_textrank" -> (textTextrank _),
     "text_rake" -> (textRake _),
     "text_spell_cluster" -> (textSpellCluster _),
@@ -1019,6 +1073,7 @@ object TextQueries {
     "pipe_curation" -> (pipeCuration _))
 
   val oracle: Map[String, String] = Map(
+    "text_lix" -> textLixSql,
     "text_textrank" -> textTextrankSql,
     "text_rake" -> textRakeSql,
     "text_spell_cluster" -> textSpellClusterSql,

@@ -98,6 +98,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ts_discord" -> "inherits the series prologue's 1-row epoch scalar and 30-row day grid broadcasts; the window-pair stage is an equi-join on (user_id, offset), bounded per key at 24x7x24 rows",
     "ts_seasonal" -> "the series prologue's 1-row epoch scalar broadcast; everything downstream runs over the 30-row aggregated daily series",
     "ts_changepoint" -> "the 1-row corpus-epoch scalar and the 30-row day grid cross-joined as broadcast constants to densify per-user series; the CUSUM argmax joins are equi-joins on (user_id, dev)/(user_id, t)",
+    "ts_ewma" -> "the same series densification as ts_changepoint: 1-row epoch scalar + 30-row day grid broadcasts; residual argmax joins are equi-joins on (user_id, dev_milli)/(user_id, day)",
+    "pipe_source_divergence" -> "the pair universe is bcount x bcount under source < source — bcount has one row per SOURCE (~20), bounded by the corpus's source vocabulary, broadcast both sides; the data-sized work is the equi-join on bucket over the <=|sources|x256 shares relation",
     "pipe_drift_report" -> "the 1-row corpus-epoch scalar and the 1-row (ref_total, cur_total) aggregate cross-joined as broadcast constants over the <=|types|x4 bucket table")
 
   /** An unpartitioned window is legitimate ONLY over a table whose row
