@@ -1055,9 +1055,20 @@ object DedupQueries {
   // tightening in aggregate form: cnt shared prefix tokens + remaining
   // slots after the LAST one — every common token outside both prefixes
   // must rank after it on both sides, by the same order consistency).
-  // least() of the two decides; verification touches the surviving
-  // pairs only, and the Jaccard test is exact integer
-  // cross-multiplication (2·inter ≥ union — no float threshold).
+  // least() of the two decides, then the surviving pairs face PPJoin+'s
+  // actual SUFFIX PROBE (r11, depth-1 of the paper's recursive
+  // partition): probe y's unseen part at its MEDIAN token m and class-
+  // partition x's unseen part around m by the global order — common
+  // tokens can never cross the partition (order consistency), so
+  // H(x_after, y_after) ≥ |xl−yl| + |xr−yr| + (m∈x ? 0 : 1) and
+  // O ≤ cnt + (ux + uy − H)/2. Soundness of the "after" parts: the LAST
+  // shared prefix token w at (px, py) dominates — any other common
+  // token ranked before w on one side would rank before w on both (one
+  // global order), forcing it into both prefixes, i.e. into cnt; so
+  // every uncounted common token lives strictly after (px, py).
+  // Verification touches the pairs that survive all three bounds, and
+  // the Jaccard test is exact integer cross-multiplication
+  // (2·inter ≥ union — no float threshold).
   //
   // THE ORACLE IS THE NAIVE DEFINITION: DuckDB computes qualifying pairs
   // by the full all-pairs shingle join with no filter. The hash match is
@@ -1071,6 +1082,51 @@ object DedupQueries {
   // LOWEST-df tokens by construction — the PPJoin bound that makes exact
   // similarity join feasible at corpus scale; verification is two
   // equi-joins over the ≤|cand| pair list.
+  /** PPJoin+ depth-1 suffix-probe CTEs (`med`, `probe`, `cand`), appended
+    * after `ranked`/`cand0` CTEs with the fixed column contract
+    * (d1, d2, n1, n2, cnt, px, py, alpha / ranked carrying df). ONE text
+    * rendered for both engines (the stats audit mirrors it in DuckDB;
+    * dd_prefix_jaccard itself is proven against the NAIVE oracle, so a
+    * probe that over-prunes fails the hash compare — machine-checked
+    * losslessness). yl/yr are the median split of y's unseen part
+    * (uy = n2 − py tokens at rn > py, median at py + (uy+1)/2); xl/xr/xm
+    * class-partition x's unseen part around the median token's global-
+    * order key (df, g). Pairs whose y-side is fully consumed (uy = 0)
+    * skip the probe — their bound cnt + min(ux, 0) already held. */
+  private[graft] def suffixProbe(idiv: String): String =
+    s"""med AS (
+       |  SELECT c.d1, c.d2, c.n1, c.n2, c.cnt, c.px, c.py, c.alpha,
+       |         r.df AS mdf, r.g AS mg
+       |  FROM cand0 c JOIN ranked r
+       |    ON r.doc_id = c.d2
+       |   AND r.rn = c.py + (c.n2 - c.py + 1) $idiv 2
+       |  WHERE c.n2 > c.py),
+       |probe AS (
+       |  SELECT m.d1, m.d2,
+       |         coalesce(sum(CASE WHEN r.df < m.mdf
+       |             OR (r.df = m.mdf AND r.g < m.mg) THEN 1 ELSE 0 END),
+       |           CAST(0 AS BIGINT)) AS xl,
+       |         coalesce(sum(CASE WHEN r.df > m.mdf
+       |             OR (r.df = m.mdf AND r.g > m.mg) THEN 1 ELSE 0 END),
+       |           CAST(0 AS BIGINT)) AS xr,
+       |         coalesce(max(CASE WHEN r.df = m.mdf AND r.g = m.mg
+       |             THEN 1 ELSE 0 END), 0) AS xm
+       |  FROM med m LEFT JOIN ranked r
+       |    ON r.doc_id = m.d1 AND r.rn > m.px
+       |  GROUP BY m.d1, m.d2),
+       |cand AS (
+       |  SELECT m.d1, m.d2 FROM med m
+       |  JOIN probe p ON p.d1 = m.d1 AND p.d2 = m.d2
+       |  WHERE m.cnt + greatest(
+       |          (m.n1 - m.px) + (m.n2 - m.py)
+       |          - (abs(p.xl - ((m.n2 - m.py + 1) $idiv 2 - 1))
+       |             + abs(p.xr - (m.n2 - m.py - (m.n2 - m.py + 1) $idiv 2))
+       |             + 1 - p.xm),
+       |          CAST(0 AS BIGINT)) $idiv 2
+       |        >= m.alpha
+       |  UNION ALL
+       |  SELECT c.d1, c.d2 FROM cand0 c WHERE c.n2 = c.py)""".stripMargin
+
   def ddPrefixJaccard(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     spark.sql(
@@ -1082,9 +1138,9 @@ object DedupQueries {
       .localCheckpoint()
       .createOrReplaceTempView("pj_sh_t")
     spark.sql(
-      """WITH df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM pj_sh_t GROUP BY g),
+      s"""WITH df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM pj_sh_t GROUP BY g),
         |ranked AS (
-        |  SELECT s.doc_id, s.g,
+        |  SELECT s.doc_id, s.g, d.df,
         |         row_number() OVER (PARTITION BY s.doc_id
         |           ORDER BY d.df, s.g) AS rn
         |  FROM pj_sh_t s JOIN df d ON s.g = d.g),
@@ -1093,13 +1149,17 @@ object DedupQueries {
         |  SELECT r.doc_id, r.g, r.rn, z.n
         |  FROM ranked r JOIN sizes z ON r.doc_id = z.doc_id
         |  WHERE r.rn <= z.n - (z.n + 1) div 2 + 1),
-        |cand AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |cand0 AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
+        |         CAST(count(*) AS BIGINT) AS cnt,
+        |         max(a.rn) AS px, max(b.rn) AS py,
+        |         (a.n + b.n + 2) div 3 AS alpha
         |  FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
         |  HAVING least(max(least(a.n - a.rn, b.n - b.rn)) + 1,
         |               count(*) + least(a.n - max(a.rn), b.n - max(b.rn)))
         |         >= (a.n + b.n + 2) div 3),
+        |${suffixProbe("div")},
         |inter AS (
         |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS i
         |  FROM cand c
@@ -1129,9 +1189,9 @@ object DedupQueries {
     viewDocs(spark, dir)
     ddPrefixJaccard(spark, dir).createOrReplaceTempView("pj_qualify_t")
     spark.sql(
-      """WITH df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM pj_sh_t GROUP BY g),
+      s"""WITH df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM pj_sh_t GROUP BY g),
         |ranked AS (
-        |  SELECT s.doc_id, s.g,
+        |  SELECT s.doc_id, s.g, d.df,
         |         row_number() OVER (PARTITION BY s.doc_id
         |           ORDER BY d.df, s.g) AS rn
         |  FROM pj_sh_t s JOIN df d ON s.g = d.g),
@@ -1141,17 +1201,24 @@ object DedupQueries {
         |  FROM ranked r JOIN sizes z ON r.doc_id = z.doc_id
         |  WHERE r.rn <= z.n - (z.n + 1) div 2 + 1),
         |joined AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
+        |         CAST(count(*) AS BIGINT) AS cnt,
+        |         max(a.rn) AS px, max(b.rn) AS py,
         |         max(least(a.n - a.rn, b.n - b.rn) + 1) AS ub,
         |         count(*) + least(a.n - max(a.rn), b.n - max(b.rn)) AS ub2,
         |         max((a.n + b.n + 2) div 3) AS alpha
         |  FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
+        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+        |cand0 AS (
+        |  SELECT d1, d2, n1, n2, cnt, px, py, alpha FROM joined
+        |  WHERE least(ub, ub2) >= alpha),
+        |${suffixProbe("div")}
         |SELECT CAST((SELECT count(*) FROM joined) AS BIGINT) AS prefix_pairs,
         |       CAST((SELECT count(*) FROM joined WHERE ub >= alpha) AS BIGINT)
         |         AS positional_pairs,
         |       CAST((SELECT count(*) FROM joined
         |             WHERE least(ub, ub2) >= alpha) AS BIGINT) AS suffix_pairs,
+        |       CAST((SELECT count(*) FROM cand) AS BIGINT) AS probe_pairs,
         |       CAST((SELECT count(*) FROM pj_qualify_t) AS BIGINT)
         |         AS qualifying_pairs""".stripMargin)
   }
@@ -1163,7 +1230,7 @@ object DedupQueries {
        |  WHERE len(ws) >= 5),
        |df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY g),
        |ranked AS (
-       |  SELECT s.doc_id, s.g,
+       |  SELECT s.doc_id, s.g, d.df,
        |         row_number() OVER (PARTITION BY s.doc_id
        |           ORDER BY d.df, s.g) AS rn
        |  FROM sh s JOIN df d ON s.g = d.g),
@@ -1173,12 +1240,18 @@ object DedupQueries {
        |  FROM ranked r JOIN sizes z ON r.doc_id = z.doc_id
        |  WHERE r.rn <= z.n - (z.n + 1) // 2 + 1),
        |joined AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
+       |         CAST(count(*) AS BIGINT) AS cnt,
+       |         max(a.rn) AS px, max(b.rn) AS py,
        |         max(least(a.n - a.rn, b.n - b.rn) + 1) AS ub,
        |         count(*) + least(a.n - max(a.rn), b.n - max(b.rn)) AS ub2,
        |         max((a.n + b.n + 2) // 3) AS alpha
        |  FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+       |cand0 AS (
+       |  SELECT d1, d2, n1, n2, cnt, px, py, alpha FROM joined
+       |  WHERE least(ub, ub2) >= alpha),
+       |${suffixProbe("//")},
        |inter AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -1193,6 +1266,7 @@ object DedupQueries {
        |         AS positional_pairs,
        |       CAST((SELECT count(*) FROM joined
        |             WHERE least(ub, ub2) >= alpha) AS BIGINT) AS suffix_pairs,
+       |       CAST((SELECT count(*) FROM cand) AS BIGINT) AS probe_pairs,
        |       CAST((SELECT count(*) FROM qual) AS BIGINT) AS qualifying_pairs""".stripMargin
 
   /** The NAIVE definition — all-pairs, no prefix filter: matching this
