@@ -252,6 +252,12 @@ object AsOfJoin {
     val clash = left.columns.filter(payKeys.contains)
     require(clash.isEmpty,
       s"asOfNearest payload names ${clash.mkString(", ")} clash with left columns")
+    // The forward pass renames each payload key to __f_<key>; a left
+    // column literally named __f_<key> would silently collide in that
+    // join and corrupt the tie-break — reserve the generated names too.
+    val fClash = left.columns.filter(payKeys.map(p => s"__f_$p").contains)
+    require(fClash.isEmpty,
+      s"asOfNearest reserves __f_<payload> names; rename ${fClash.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val b = asOf(left, right, leftKey, rightKey, payKeys, bucketWidth)
     val f = asOfForward(left, right, leftKey, rightKey, payKeys, bucketWidth)

@@ -780,6 +780,14 @@ object TextQueries {
       labels = next.select(col("node"), col("label"))
       rounds += 1
     }
+    // The 20-round cap bounds driver iterations, but a variant-chain
+    // component with diameter > 20 would exit the loop UNCONVERGED and
+    // silently return wrong cluster labels. Fail loudly instead — the
+    // dd_cluster discipline: a label-propagation result is only a result
+    // if the fixpoint was reached.
+    require(changed == 0,
+      s"text_spell_cluster: min-label propagation not converged after $rounds " +
+        "rounds (a component has diameter > 20); raise the round cap")
     labels.createOrReplaceTempView("spell_labels_t")
     freqs.createOrReplaceTempView("spell_freqs_t")
     spark.sql(

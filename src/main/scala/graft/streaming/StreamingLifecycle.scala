@@ -34,8 +34,16 @@ object StreamingLifecycle {
 
   /** `churnEmitted`: the churn row for `lastWk + 1` is already out
     * (a second flush, or activity following a flush-observed gap, must
-    * not duplicate it). */
-  final case class LcState(firstWk: Long, lastWk: Long, churnEmitted: Boolean)
+    * not duplicate it). `horizonWk`: the max flush week observed for
+    * this user (-1 before any flush) — flush ticks are STRICTLY
+    * TERMINAL for the weeks they cover: a flush at week w asserts "no
+    * more activity at weeks <= w", because a flush at lastWk+1 emits
+    * that week's churn row and later activity in the same week would
+    * add a retained/resurrected row the append sink cannot retract
+    * (a (user, week) with BOTH churned and retained — a ledger batch
+    * e17 can never produce). Violations fail loudly in [[advance]]. */
+  final case class LcState(firstWk: Long, lastWk: Long, churnEmitted: Boolean,
+      horizonWk: Long = -1L)
 
   final case class LcRow(userId: Long, wk: Long, state: String)
 
@@ -46,13 +54,23 @@ object StreamingLifecycle {
     var st: Option[LcState] = prev
     incoming.sortBy(e => (e.wk, e.flush)).foreach { e =>
       if (e.flush) {
-        st.foreach { s =>
+        st = st.map { s =>
           if (!s.churnEmitted && s.lastWk + 1 <= e.wk) {
             out += LcRow(userId, s.lastWk + 1, "churned")
-            st = Some(s.copy(churnEmitted = true))
-          }
+            s.copy(churnEmitted = true, horizonWk = math.max(s.horizonWk, e.wk))
+          } else s.copy(horizonWk = math.max(s.horizonWk, e.wk))
         }
       } else st match {
+        case Some(s) if e.wk <= s.horizonWk =>
+          // A flush at week w is a terminal assertion for weeks <= w: the
+          // churn row for this gap may already be in the append sink, and
+          // a retained/resurrected row for the same (user, week) could
+          // never be retracted. Fail loudly — the input violated the
+          // flush contract, the ledger must not silently corrupt.
+          throw new IllegalStateException(
+            s"StreamingLifecycle: user $userId activity at week ${e.wk} arrived " +
+              s"after a flush at week ${s.horizonWk}; flush ticks are terminal " +
+              "for the weeks they cover")
         case None =>
           out += LcRow(userId, e.wk, "new")
           st = Some(LcState(e.wk, e.wk, churnEmitted = false))

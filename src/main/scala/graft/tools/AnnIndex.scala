@@ -109,10 +109,16 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$indexDir/meta")
 
   /** The store's build-time maxRank; 2 for pre-meta stores (the only
-    * depth any of them were built with). */
-  private def storedMaxRank(spark: SparkSession, indexDir: String): Int =
-    try spark.read.parquet(s"$indexDir/meta").head().getInt(0)
-    catch { case _: Throwable => 2 }
+    * depth any of them were built with). Only a MISSING meta directory
+    * falls back to the pre-meta default — a meta file that exists but
+    * fails to read is corrupt, and silently defaulting there would
+    * under/over-route appends, exactly the divergence the meta artifact
+    * exists to prevent: fail loudly instead. */
+  private def storedMaxRank(spark: SparkSession, indexDir: String): Int = {
+    val metaPath = new java.io.File(s"$indexDir/meta")
+    if (!metaPath.exists()) 2
+    else spark.read.parquet(s"$indexDir/meta").head().getInt(0)
+  }
 
   /** The shared assignment relation: every vector scored against every
     * (broadcast) centroid, crnk ranking by cosine with c_id tie-break.

@@ -10,9 +10,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * promise to. `pipe_zorder` emits the zone-map witness (per-bucket
   * extents); this tool writes those buckets as partition directories, so
   * a (partkey, suppkey) probe computes its own z-bucket and Spark's
-  * partition pruning reads exactly one directory of the 1,024 —
-  * `ZorderStoreSpec` asserts it from `df.inputFiles`, the observable a
-  * claim about I/O must produce.
+  * partition pruning reads exactly one directory of the `Buckets` (64)
+  * partition directories — `ZorderStoreSpec` asserts it from
+  * `df.inputFiles`, the observable a claim about I/O must produce.
   *
   * The z-domain normalizer (max z) is persisted next to the data — a
   * probe must bucket with the SAME divisor the writer used or it reads

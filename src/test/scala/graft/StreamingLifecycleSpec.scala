@@ -50,7 +50,14 @@ class StreamingLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Activity after a flush-observed gap must NOT re-emit that churn.
     val (_, o5) = StreamingLifecycle.advance(1L, Seq(wk(18)), s4)
     assert(o5 == Seq(LcRow(1L, 18L, "resurrected")))
-    assert(s3.get == LcState(10L, 14L, churnEmitted = true))
+    assert(s3.get == LcState(10L, 14L, churnEmitted = true, horizonWk = 16L))
+    // Flush ticks are terminal for the weeks they cover: activity at a
+    // week <= an observed flush week would put churned AND retained in
+    // the append sink for one (user, week) — it must fail loudly.
+    val ex = intercept[IllegalStateException] {
+      StreamingLifecycle.advance(1L, Seq(wk(17)), s4)
+    }
+    assert(ex.getMessage.contains("terminal"))
   }
 
   private def runWaves(base: String,
