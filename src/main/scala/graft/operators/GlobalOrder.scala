@@ -48,7 +48,7 @@ object GlobalOrder {
     val sorted =
       if (spark.conf.get(ReliableCheckpointConf, "false").toBoolean)
         staged.checkpoint()
-      else staged.localCheckpoint()
+      else Pin.pin(staged) // respects the session-wide graft.pin.mode seam
     val counts = sorted.groupBy(col("__pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** The ONE materialization seam every "pin this shared relation" site in
+  * the library routes through (the r11 verdict's fault-tolerance ask).
+  *
+  * Why a seam: `localCheckpoint` is the cheapest pin — blocks live in
+  * executor storage, no lineage — and is the right default on a healthy
+  * cluster or in local mode. But a locally-checkpointed relation has NO
+  * lineage and NO replication: on a real cluster a lost executor makes
+  * its blocks unrecoverable and a long multi-stage catalog query dies
+  * instead of recomputing. Production runs that care route the SAME call
+  * sites to a reliable checkpoint (HDFS/object-store backed, survives
+  * executor loss) by flipping one session conf — no per-site decisions,
+  * no code change:
+  *
+  *   spark.conf.set("graft.pin.mode", "reliable")   // default "local"
+  *   spark.conf.set("graft.pin.dir",  "hdfs://...") // reliable-mode dir
+  *
+  * Modes:
+  *  - `local` (default): `Dataset.localCheckpoint` — executor-memory
+  *    blocks, swept between queries by [[PinnedStages]].
+  *  - `reliable`: `Dataset.checkpoint` — materialized to the checkpoint
+  *    directory (`graft.pin.dir`, or the SparkContext's already-set
+  *    checkpoint dir, or a java.io.tmpdir fallback for local runs);
+  *    survives executor loss, costs a write+read of the pinned relation.
+  *
+  * `PinModeSpec` spot-checks catalog queries bit-equal across modes.
+  */
+object Pin {
+
+  val ModeKey = "graft.pin.mode"
+  val DirKey = "graft.pin.dir"
+
+  def pin[T](ds: Dataset[T], eager: Boolean = true): Dataset[T] = {
+    val spark = ds.sparkSession
+    spark.conf.get(ModeKey, "local") match {
+      case "local" => ds.localCheckpoint(eager)
+      case "reliable" =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty || spark.conf.getOption(DirKey).isDefined)
+          sc.setCheckpointDir(spark.conf.getOption(DirKey).getOrElse(
+            s"${System.getProperty("java.io.tmpdir")}/graft-pin-${sc.applicationId}"))
+        ds.checkpoint(eager)
+      case other => throw new IllegalArgumentException(
+        s"$ModeKey must be 'local' or 'reliable', got '$other'")
+    }
+  }
+
+  /** `df.pinned()` — the mechanical drop-in for `df.localCheckpoint()`. */
+  implicit final class PinSyntax[T](private val ds: Dataset[T]) extends AnyVal {
+    def pinned(eager: Boolean = true): Dataset[T] = pin(ds, eager)
+  }
+}

@@ -41,7 +41,7 @@ object PinnedStages {
   def sharedCheckpoint[T](ds: Dataset[T]): Dataset[T] = synchronized {
     val sc = ds.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val out = ds.localCheckpoint()
+    val out = Pin.pin(ds) // reliable mode registers no persistent RDDs → no-op diff
     shared ++= sc.getPersistentRDDs.keySet.diff(before)
     out
   }

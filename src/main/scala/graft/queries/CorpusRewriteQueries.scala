@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Pin.PinSyntax
 
 /** Document REWRITE operators — the catalog's dedup family detects
   * duplicate pairs and picks keeper documents; these two operators change
@@ -63,7 +64,7 @@ object CorpusRewriteQueries {
          |  FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
          |  LATERAL VIEW explode(sequence(0,
          |    CAST(ceil(size(ws) / $SpanBlock.0) AS INT) - 1)) AS bidx)""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("span_blocks_t")
     spark.sql(
       s"""WITH blocks AS (SELECT * FROM span_blocks_t),

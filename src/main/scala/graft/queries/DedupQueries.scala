@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Pin.PinSyntax
 
 /** Training-data deduplication operators over the `documents` /
   * `embeddings` tables: exact hash dedup, MinHash+LSH banding, SimHash,
@@ -296,7 +297,7 @@ object DedupQueries {
       s"""WITH corpus AS ($corpusSparkSql)
          |SELECT doc_id, h
          |FROM corpus LATERAL VIEW explode(substring_anchors(text)) AS h""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("substring_anchor_t")
     spark.sql(
       s"""WITH rare AS (
@@ -387,7 +388,7 @@ object DedupQueries {
          |SELECT doc_id, transform(split(text, ' '), w -> ${hSpark("w")}) AS wh,
          |       size(split(text, ' ')) AS n
          |FROM corpus""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("wh_t")
     spark.sql(
       """WITH sh AS (
@@ -431,7 +432,7 @@ object DedupQueries {
          |         i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) AS g
          |FROM (SELECT doc_id, source, n_chars, split(text, ' ') AS ws FROM corpus)
          |WHERE size(ws) >= 2""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("grams_t")
     spark.sql(ngramPairSql("grams_t", lshSalts) +
       """
@@ -684,11 +685,11 @@ object DedupQueries {
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .repartition(parts, col("dst"))
-      .localCheckpoint()
+      .pinned()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .repartition(parts, col("node"))
-      .localCheckpoint()
+      .pinned()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -700,7 +701,7 @@ object DedupQueries {
         .select(col("node"),
           least(col("label"), coalesce(col("neighbor_min"), col("label"))).as("label"),
           (coalesce(col("neighbor_min"), col("label")) < col("label")).as("chg"))
-        .localCheckpoint()
+        .pinned()
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       rounds += 1
@@ -800,8 +801,8 @@ object DedupQueries {
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val nodes = pairs.select(col("u").as("node"))
       .unionByName(pairs.select(col("v").as("node"))).distinct()
-      .localCheckpoint()
-    var edges = pairs.distinct().localCheckpoint()
+      .pinned()
+    var edges = pairs.distinct().pinned()
     // Convergence = edge set reached the star-forest fixed point. Compare
     // rounds by (count, order-insensitive hash fold) — one tiny aggregate
     // job per round instead of a full except() anti-join. bit_xor over
@@ -819,7 +820,7 @@ object DedupQueries {
     var stable = false
     var rounds = 0
     while (!stable && rounds < 30) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).pinned()
       val cur = sig(next)
       stable = cur == prev
       prev = cur
@@ -893,7 +894,7 @@ object DedupQueries {
          |         i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) AS g
          |FROM (SELECT doc_id, split(text, ' ') AS ws FROM corpus)
          |WHERE size(ws) >= 2""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("containment_grams_t")
     spark.sql(
       """WITH gd AS (
@@ -1135,7 +1136,7 @@ object DedupQueries {
          |      FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
          |      WHERE size(ws) >= 5)
          |LATERAL VIEW explode(gs) AS g""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("pj_sh_t")
     spark.sql(
       s"""WITH df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM pj_sh_t GROUP BY g),

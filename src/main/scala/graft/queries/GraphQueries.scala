@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Pin.PinSyntax
 
 /** Iterative graph analytics over the relational fixture: PageRank on the
   * customer↔supplier bipartite graph induced by orders⋈lineitem (edge =
@@ -151,7 +152,7 @@ object GraphQueries {
       """SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
         |FROM li_t a JOIN li_t b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("tri_pairs_t")
     // The (degree, id) sort key per node — 20k rows, consumed by BOTH
     // legs of the orientation join: pin once.
@@ -161,7 +162,7 @@ object GraphQueries {
         |     (SELECT p1 AS p FROM tri_pairs_t
         |      UNION ALL SELECT p2 AS p FROM tri_pairs_t)
         |   GROUP BY p)""".stripMargin)
-      .localCheckpoint()
+      .pinned()
     // The 1e8 packing is collision-free ONLY for ids < 1e8 — ENFORCED,
     // not assumed (the dd_span_rewrite advisory's lesson: a silent
     // collision corrupts counts identically in places no oracle can
@@ -184,7 +185,7 @@ object GraphQueries {
         |FROM tri_pairs_t pr
         |JOIN tri_ork_t o1 ON o1.p = pr.p1
         |JOIN tri_ork_t o2 ON o2.p = pr.p2""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("tri_oriented_t")
     // The wedge stream (Σ C(outdeg, 2) rows — the O(m^1.5) volume the
     // algorithm inherently ships) closes against the edge set via a

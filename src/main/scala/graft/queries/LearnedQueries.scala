@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Pin.PinSyntax
 
 /** LEARNED corpus-curation models — the step past hand-written rules
   * (`text_quality`, `text_gopher_filters`): a trained linear quality
@@ -142,7 +143,7 @@ object LearnedQueries {
          |             ${featBucketsSpark("text")} AS fs
          |      FROM documents)
          |LATERAL VIEW explode(fs) AS f""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("qm_feats_t")
     // Class totals re-derive from the narrow documents scan (no explode)
     // rather than a count-distinct over the feature stream. The scored
@@ -156,7 +157,7 @@ object LearnedQueries {
          |         CAST(sum(CASE WHEN $quality < 0.66 THEN 1 ELSE 0 END) AS BIGINT) AS n0
          |  FROM documents WHERE doc_id % 5 != 0),
          |${qmModelCtes("div")}""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("qm_scored_t")
     spark.sql(
       s"""WITH scored AS (SELECT * FROM qm_scored_t),
@@ -241,7 +242,7 @@ object LearnedQueries {
     spark.sql(
       """SELECT doc_id, gram
         |FROM documents LATERAL VIEW explode(word_bigrams(text)) AS gram""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("lm_bi_t")
     spark.sql(
       s"""WITH tokens AS (

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.MediaStub
+import graft.operators.Pin.PinSyntax
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
   * with typed metadata. Three container formats decode REAL bytes through
@@ -218,7 +219,7 @@ object MultimodalQueries {
          |         substr(md5(substr(s, 1 + 2 * qlen, qlen)), 1, 16),
          |         substr(md5(substr(s, 1 + 3 * qlen)), 1, 16))) AS media
          |FROM q""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("mm_band_assets_t")
     spark.sql(
       s"""WITH assets AS (SELECT * FROM mm_band_assets_t),

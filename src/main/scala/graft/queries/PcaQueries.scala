@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Pin.PinSyntax
 
 /** PCA top-component projection over the embedding corpus — the
   * decorrelation/compaction step (whitening, plot axes, pre-clustering
@@ -464,7 +465,7 @@ object PcaQueries {
          |       proj_raw div $PdScale AS pd
          |FROM (SELECT vec_id, label, $projArr AS projs FROM embeddings)
          |LATERAL VIEW posexplode(projs) AS comp, proj_raw""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("whiten_pd_t")
     spark.sql(
       s"""WITH pd AS (SELECT * FROM whiten_pd_t),

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Pin.PinSyntax
 
 /** Corpus-assembly operators for a training-data pipeline over `documents`:
   * eval-set decontamination, token-budget sequence packing, domain-mixture
@@ -117,7 +118,7 @@ object PipelineQueries {
     // build, and the exact-verify join below would otherwise each re-run
     // the corpus scan + shingle explode (three jobs, three scans).
     val evalSh = shingled.where(col("doc_id") % 11 === 0).select(col("sh"))
-      .distinct().localCheckpoint()
+      .distinct().pinned()
 
     val nEval = evalSh.count()
     val bloom = evalSh.stat.bloomFilter("sh", math.max(nEval, 1L), 0.01)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Pin.PinSyntax
 
 /** Approximate-nearest-neighbor search over the `embeddings` table:
   * brute-force cosine top-k as the correctness baseline, and a
@@ -44,7 +45,7 @@ object SimilarityQueries {
       s"""SELECT vec_id, embedding,
          |       sqrt(${dotS("embedding", "embedding")}) AS nrm
          |FROM embeddings""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("bf_normed_t")
     spark.sql(
       s"""WITH queries AS (SELECT * FROM bf_normed_t WHERE vec_id < 3),
@@ -106,7 +107,7 @@ object SimilarityQueries {
          |       sqrt(${dotS("embedding", "embedding")}) AS nrm,
          |       hyperplane_bucket(embedding) AS bucket
          |FROM embeddings""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("ann_bucketed_t")
     spark.sql(
       s"""WITH bucketed AS (SELECT * FROM ann_bucketed_t),
@@ -176,7 +177,7 @@ object SimilarityQueries {
       s"""SELECT vec_id, embedding,
          |       sqrt(${dotS("embedding", "embedding")}) AS nrm
          |FROM embeddings""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("ivf_normed_t")
     // Materialize the assignment ONCE too — and carry (embedding, nrm)
     // through it: a real IVF index stores the VECTORS in the posting
@@ -197,7 +198,7 @@ object SimilarityQueries {
          |  FROM ivf_normed_t n CROSS JOIN cents c)
          |SELECT vec_id, c_id, crnk, embedding, nrm
          |FROM assign WHERE crnk <= $ivfNprobe""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("ivf_assign_t")
     // The probe side is a handful of (query × nprobe) rows BY DESIGN —
     // broadcast it explicitly (the checkpoint hides the statistics that
@@ -277,7 +278,7 @@ object SimilarityQueries {
       s"""SELECT vec_id, embedding,
          |       sqrt(${dotS("embedding", "embedding")}) AS nrm
          |FROM embeddings""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("rs_normed_t")
     // The τ predicate in the WHERE becomes the join condition (evaluated
     // once per candidate pair, necessarily); the SELECT's copy evaluates
@@ -938,7 +939,7 @@ object SimilarityQueries {
          |       sqrt(${dotS("embedding", "embedding")}) AS nrm,
          |       ${packWordSpark(1)} AS w0, ${packWordSpark(33)} AS w1
          |FROM embeddings""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("bin_index_t")
     spark.sql(
       s"""WITH queries AS (SELECT * FROM bin_index_t WHERE vec_id < 3),
@@ -1027,7 +1028,7 @@ object SimilarityQueries {
       s"""SELECT vec_id, embedding,
          |       sqrt(${dotS("embedding", "embedding")}) AS nrm
          |FROM embeddings""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("ivfpq_normed_t")
     // THE INDEX: every vector's nearest-centroid list id + its 4 PQ code
     // positions (1-based for element_at) — built once, checkpointed.
@@ -1050,7 +1051,7 @@ object SimilarityQueries {
          |       cast(element_at(e.e, 4) + 1 AS INT) AS p3
          |FROM assign a JOIN enc e ON a.vec_id = e.vec_id
          |WHERE a.crnk <= $ivfNprobe""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("ivfpq_index_t")
     spark.sql(
       s"""WITH lists AS (
@@ -1157,7 +1158,7 @@ object SimilarityQueries {
   def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{lit, col}
     val bf = annBruteforce(spark, dir).select(col("q_id"), col("vec_id"))
-      .localCheckpoint() // 15 rows; reused by every method's join
+      .pinned() // 15 rows; reused by every method's join
     val methods: Seq[(String, DataFrame)] = Seq(
       "ann_lsh_topk" -> annLshTopk(spark, dir),
       "ann_ivf_topk" -> annIvfTopk(spark, dir),
@@ -1408,7 +1409,7 @@ object SimilarityQueries {
       s"""SELECT vec_id, embedding,
          |       sqrt(${dotS("embedding", "embedding")}) AS nrm
          |FROM embeddings""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("mmr_normed_t")
     // Pin the shortlist (probes x 20 rows) and the pairwise-sim table
     // (probes x 20 x 19): every greedy level references both, and the
@@ -1421,7 +1422,7 @@ object SimilarityQueries {
          |               / (q.nrm * c.nrm) * 1000000, 0) AS BIGINT) AS rel_micro
          |  FROM queries q JOIN mmr_normed_t c ON q.vec_id <> c.vec_id)
          |$mmrShortCte""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("mmr_short_t")
     val simm = spark.sql(
       s"""SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,

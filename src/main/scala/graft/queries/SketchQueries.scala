@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import DedupQueries.{hSpark, hDuck}
+import graft.operators.Pin.PinSyntax
 
 /** Mergeable-sketch operators beyond the KMV bottom-k
   * (`sk_kmv_distinct`, in [[PipelineQueries]]) and the Misra–Gries heavy
@@ -386,7 +387,7 @@ object SketchQueries {
       """SELECT gram, CAST(count(*) AS BIGINT) AS n
         |FROM documents LATERAL VIEW explode(word_bigrams(text)) AS gram
         |GROUP BY gram""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("cms_counts_t")
     spark.sql(
       s"""WITH cells AS (

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Pin.PinSyntax
 
 /** Text-analysis operators for a training-data pipeline over `documents`:
   * stopword-heuristic language ID, quality scoring, token counting, and
@@ -588,7 +589,7 @@ object TextQueries {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_grams,
         |       mg_candidates(gram, 4096) AS mg
         |FROM grams GROUP BY lang""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("hh_summary_t")
     spark.sql(
       """WITH grams AS (
@@ -757,15 +758,15 @@ object TextQueries {
     import org.apache.spark.sql.functions._
     val pairs = textSpellPairs(spark, dir)
       .select(col("word_a"), col("word_b"), col("freq_a"), col("freq_b"))
-      .localCheckpoint()
+      .pinned()
     val freqs = pairs.select(col("word_a").as("word"), col("freq_a").as("freq"))
       .unionByName(pairs.select(col("word_b").as("word"), col("freq_b").as("freq")))
       .distinct()
     val edges = pairs.select(col("word_a").as("src"), col("word_b").as("dst"))
       .unionByName(pairs.select(col("word_b").as("src"), col("word_a").as("dst")))
-      .localCheckpoint()
+      .pinned()
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).pinned()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -775,7 +776,7 @@ object TextQueries {
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
-        .localCheckpoint()
+        .pinned()
       changed = next.filter(col("chg")).count()
       labels = next.select(col("node"), col("label"))
       rounds += 1

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Pin.PinSyntax
 
 /** TRAINED byte-pair-encoding tokenizer (Sennrich et al. 2016; the GPT-2
   * tokenizer's training recipe): the one learned artifact every LLM data
@@ -127,7 +128,7 @@ object TokenizerQueries {
         |FROM (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS word
         |      FROM documents)
         |GROUP BY word""".stripMargin)
-      .localCheckpoint()
+      .pinned()
     val out = scala.collection.mutable.Buffer[Merge]()
     var prevSeg: DataFrame = null
     var stopped = false
@@ -184,7 +185,7 @@ object TokenizerQueries {
           case (e, ((p, _), k)) => s"replace($e, '$p', '${mergedChar(base + k)}')"
         }
         seg = spark.sql(s"SELECT $chain AS seg, freq FROM bpe_seg_t")
-          .localCheckpoint(false)
+          .pinned(eager = false)
       }
     }
     lastTrainRounds = rounds

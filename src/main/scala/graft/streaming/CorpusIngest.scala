@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Pin.PinSyntax
 
 /** Continuous corpus ingestion with streaming dedup — the streaming form
   * of the batch dedup operators (SURVEY §8): documents arrive as parquet
@@ -96,7 +97,7 @@ object CorpusIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.sparkSession.conf
           .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        val pinned = batch.localCheckpoint()
+        val pinned = batch.pinned()
         pinned
           .select("doc_id", "content_hash", "lang", "source", "n_words", "quality")
           .withColumn("batch_id", lit(batchId))

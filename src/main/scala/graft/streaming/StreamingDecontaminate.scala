@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Pin.PinSyntax
 
 /** Streaming eval-set decontamination: the batch `pipe_decontaminate`
   * gate run continuously over an arriving corpus. Documents sharing any
@@ -56,7 +57,7 @@ object StreamingDecontaminate {
       sinkDir: String, checkpointDir: String): Unit = {
     val evalDocs = spark.read.parquet(evalDir)
     val evalSh = shingled(evalDocs)
-      .select(col("sh")).distinct().localCheckpoint()
+      .select(col("sh")).distinct().pinned()
     val in = spark.readStream
       .schema(evalDocs.schema)
       .option("maxFilesPerTrigger", "1")

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Pin.PinSyntax
 
 /** IVF ANN index persistence: build the inverted-file index ONCE, serve
   * top-k queries from it many times — the operational split behind
@@ -39,7 +40,7 @@ object AnnIndex {
       """SELECT vec_id, embedding,
         |       sqrt(float_dot(embedding, embedding)) AS nrm
         |FROM ann_build_emb""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("ann_build_normed")
     spark.sql(
       """WITH cents AS (
@@ -177,7 +178,7 @@ object AnnIndex {
       .groupBy(col("c_id")).agg(count(lit(1)).as("base_postings"))
     // Pin the shard assignment: it feeds both the append write and the
     // drift counts — without the pin the scoring join runs twice.
-    val assigned = assignFromCentroids(normed, cents, rank).localCheckpoint()
+    val assigned = assignFromCentroids(normed, cents, rank).pinned()
     assigned.write.mode("append").partitionBy("c_id")
       .parquet(s"$indexDir/postings")
     val added = assigned
@@ -243,7 +244,7 @@ object AnnIndex {
       """SELECT vec_id, embedding,
         |       sqrt(float_dot(embedding, embedding)) AS nrm
         |FROM ann_pq_emb""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("ann_pq_normed")
     spark.sql(
       """SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
@@ -302,7 +303,7 @@ object AnnIndex {
       """SELECT vec_id, embedding,
         |       sqrt(float_dot(embedding, embedding)) AS nrm
         |FROM ann_pq_emb""".stripMargin)
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView("ann_pq_normed")
     spark.sql(
       """SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
@@ -389,7 +390,7 @@ object AnnIndex {
          |FROM routed WHERE crnk <= $nprobe""".stripMargin)
       .withColumn("adc", adcCol)
       .drop("embedding")
-      .localCheckpoint()
+      .pinned()
     val probedCids = probes.select("c_id").distinct()
       .collect().map(_.getAs[Number](0).intValue).toSeq
     // mergeSchema: a store holding pre-upgrade files (no p0..p3) next to

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Pin.PinSyntax
 
 /** Incremental passage dedup against a PERSISTED claim store — the
   * 100 TB reality "dedup today's shard against yesterday's corpus WITHOUT
@@ -95,7 +96,7 @@ object IncrementalDedup {
                         storeDir: String): DataFrame = {
     // New-shard anchors are consumed three times (counts, new-new join,
     // new-old join) — pin once, the dd_substring discipline.
-    val newA = anchors(spark, newDocs).localCheckpoint()
+    val newA = anchors(spark, newDocs).pinned()
     val storeClaims = spark.read.parquet(s"$storeDir/claims").select("doc_id", "h")
     val storeCounts = spark.read.parquet(s"$storeDir/counts")
     requireDisjoint(newA, storeClaims)
@@ -163,7 +164,7 @@ object IncrementalDedup {
       spark.sparkContext.hadoopConfiguration)
     Seq("sigs", "bands").foreach(t =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/$t"), true))
-    writeBandTables(signaturesOf(spark, baseDocs).localCheckpoint(), storeDir,
+    writeBandTables(signaturesOf(spark, baseDocs).pinned(), storeDir,
       SaveMode.Overwrite)
   }
 
@@ -171,8 +172,8 @@ object IncrementalDedup {
     * shard, against the persisted band store. */
   def bandPairsForIncrement(spark: SparkSession, newDocs: DataFrame,
                             storeDir: String): DataFrame = {
-    val newSigs = signaturesOf(spark, newDocs).localCheckpoint()
-    val newBands = bandsOf(newSigs).localCheckpoint()
+    val newSigs = signaturesOf(spark, newDocs).pinned()
+    val newBands = bandsOf(newSigs).pinned()
     val storeBands = spark.read.parquet(s"$storeDir/bands")
       .select("doc_id", "band_idx", "band_key")
     val storeSigs = spark.read.parquet(s"$storeDir/sigs")
@@ -191,7 +192,7 @@ object IncrementalDedup {
     // Verify against signatures: each side resolves from the shard's
     // signatures or the store's — never from text.
     val allSigs = newSigs.unionAll(
-      storeSigs.select("doc_id", "mh")).localCheckpoint()
+      storeSigs.select("doc_id", "mh")).pinned()
     pairs
       .join(allSigs.select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")
       .join(allSigs.select(col("doc_id").as("doc_b"), col("mh").as("mb")), "doc_b")
@@ -202,7 +203,7 @@ object IncrementalDedup {
   /** Fold the served shard into the band store. */
   def appendBandIncrement(spark: SparkSession, newDocs: DataFrame,
                           storeDir: String): Unit = {
-    val sigs = signaturesOf(spark, newDocs).localCheckpoint()
+    val sigs = signaturesOf(spark, newDocs).pinned()
     requireDisjoint(sigs, spark.read.parquet(s"$storeDir/sigs"))
     writeBandTables(sigs, storeDir, SaveMode.Append)
   }
@@ -273,9 +274,9 @@ object IncrementalDedup {
       // swap is about to delete — materialize before swapping. (The write
       // itself completes before the swap, so this pin is belt-and-braces
       // against output-committer retries reading a vanished source.)
-      .localCheckpoint()
+      .pinned()
     stageAndSwap(spark, live, s"$storeDir/claims", Seq("bucket"))
-    stageAndSwap(spark, counts.repartition(Buckets).localCheckpoint(),
+    stageAndSwap(spark, counts.repartition(Buckets).pinned(),
       s"$storeDir/counts")
   }
 
@@ -284,10 +285,10 @@ object IncrementalDedup {
     * this is purely the per-increment-file-set cleanup. */
   def compactBandStore(spark: SparkSession, storeDir: String): Unit = {
     val sigs = spark.read.parquet(s"$storeDir/sigs")
-      .repartition(Buckets).localCheckpoint()
+      .repartition(Buckets).pinned()
     stageAndSwap(spark, sigs, s"$storeDir/sigs")
     val bands = spark.read.parquet(s"$storeDir/bands")
-      .repartition(Buckets, col("bucket")).localCheckpoint()
+      .repartition(Buckets, col("bucket")).pinned()
     stageAndSwap(spark, bands, s"$storeDir/bands", Seq("bucket"))
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.LearnedQueries
+import graft.operators.Pin.PinSyntax
 
 /** Persisted-model form of the `text_quality_model` trainer: fit the
   * linear quality classifier once on a labeled (or weakly-labeled) corpus,
@@ -74,7 +75,7 @@ object QualityModelTrainer {
       col("f"), col("c1"), col("c0"),
       (expr(LearnedQueries.rMicro("c1", n1.toString, "div")) -
         expr(LearnedQueries.rMicro("c0", n0.toString, "div"))).as("w"))
-      .localCheckpoint() // pin: scored twice below (threshold + serving)
+      .pinned() // pin: scored twice below (threshold + serving)
     val m0 = QualityModel(weights, n1, n0, threshold = 0.0, buckets = buckets)
     // Threshold = midpoint of the train classes' mean scores. Exact
     // integer sums; the two divisions + mean are the only IEEE steps.

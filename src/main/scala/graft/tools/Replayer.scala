@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Pin.PinSyntax
 
 /** A10/A11: the replayer — applies a published CDC log to a target table
   * with MERGE semantics (behavior of `cdc_kafka/replayer.py:355-533`):
@@ -112,7 +113,7 @@ object Replayer {
         org.apache.spark.sql.types.StructType.fromDDL(
           "userId LONG, seqvalNum LONG, eventType STRING, value DOUBLE"))
     // Materialize before overwriting the directory we read from.
-    val merged = applyLog(spark, log, target).localCheckpoint()
+    val merged = applyLog(spark, log, target).pinned()
     merged.write.mode("overwrite").parquet(targetDir)
     println(s"""{"target_rows": ${spark.read.parquet(targetDir).count()}}""")
     spark.stop()
