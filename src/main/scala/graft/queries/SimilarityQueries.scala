@@ -1491,7 +1491,180 @@ object SimilarityQueries {
        |  JOIN normed nb ON nb.vec_id = b.vec_id),
        |$mmrGreedy""".stripMargin
 
+  // ── ann_ivf_trained_topk ★ + ann_kmeans_centroids ★ (r12) — the
+  // PRODUCTION ROUTING PATH oracle-pinned (r11 verdict #1): IVF top-k
+  // where the coarse centroids are TRAINED by Lloyd's algorithm
+  // ([[graft.tools.KMeansTrainer.trainMicro]]), not picked from fixture
+  // ids. The whole chain is integer-exact — vectors quantize to shifted
+  // micro-units (round(x·1000) + 1024, non-negative by construction),
+  // distances are BIGINT squared-L2, the centroid update is the
+  // per-(c, dim) floor mean — so the DuckDB oracle REPLAYS all
+  // `KmRounds` Lloyd rounds as generated CTEs (the graph_pagerank /
+  // text_bpe_train discipline: the oracle re-runs the training loop,
+  // and the binary hash match is a machine-checked proof that the
+  // trained index, not just the final probe, is identical).
+  //
+  // Scale shape: per Lloyd round, the k-row centroid relation BROADCASTS
+  // onto the quantized scan (N never shuffles), argmin by per-vector
+  // window, ONE map-side-combined sum/count per (c, dim) with only the
+  // k·d mean rows reaching the driver. The serving stage is the same
+  // IVF routing join as ann_ivf_topk: posting lists shuffle once on
+  // centroid id, each probe touches nprobe lists. k grows as √n at
+  // production scale (the stress-proven KMeansTrainer swap); the CTE
+  // replay is scale-free because the oracle mirrors whatever k the
+  // builder passes.
+  private val KmK = 8
+  private val KmRounds = 3
+  private val KmScale = 1000L
+  private val KmShift = 1024L
+  private val KmNprobe = 2
+
+  private val qvSpark =
+    s"transform(embedding, x -> cast(round(cast(x as double) * $KmScale) as bigint) + $KmShift)"
+  private val qvDuck =
+    s"list_transform(embedding, x -> CAST(round(x::DOUBLE * $KmScale) AS BIGINT) + $KmShift)"
+  private def sqdistSpark(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+  private def sqdistDuck(a: String, b: String) =
+    s"""list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, 65),
+       |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)""".stripMargin
+
+  /** The trained final-assignment relation as a pinned temp view
+    * `kmt_asgf_t` (vec_id, qv, c_id, crnk, dist): trains the centroids,
+    * then ranks every vector's centroids by integer distance. Shared by
+    * both r12 queries. */
+  private def trainedAssignView(spark: SparkSession, dir: String): Unit = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.tools.KMeansTrainer.trainMicro(
+      spark, emb, KmK, KmRounds, KmScale, KmShift)
+    cents.createOrReplaceTempView("kmt_cents_t")
+    emb.selectExpr("vec_id", s"$qvSpark AS qv")
+      .pinned()
+      .createOrReplaceTempView("kmt_qvecs_t")
+    // Assignment is consumed by posting lists AND probe routing below —
+    // pin once; the centroid side is k rows, broadcast explicitly.
+    spark.sql(
+      s"""SELECT /*+ BROADCAST(c) */ n.vec_id, n.qv, c.c_id,
+         |       ${sqdistSpark("n.qv", "c.cent")} AS dist,
+         |       row_number() OVER (PARTITION BY n.vec_id
+         |         ORDER BY ${sqdistSpark("n.qv", "c.cent")}, c.c_id) AS crnk
+         |FROM kmt_qvecs_t n CROSS JOIN kmt_cents_t c""".stripMargin)
+      .where(s"crnk <= $KmNprobe")
+      .pinned()
+      .createOrReplaceTempView("kmt_asgf_t")
+  }
+
+  def annIvfTrainedTopk(spark: SparkSession, dir: String): DataFrame = {
+    trainedAssignView(spark, dir)
+    spark.sql(
+      s"""WITH lists AS (
+         |  SELECT vec_id, c_id, qv FROM kmt_asgf_t WHERE crnk = 1),
+         |qprobe AS (
+         |  SELECT vec_id AS q_id, c_id, qv AS q_qv
+         |  FROM kmt_asgf_t WHERE vec_id < 3 AND crnk <= $KmNprobe),
+         |scored AS (
+         |  SELECT /*+ BROADCAST(qp) */ qp.q_id, l.vec_id, l.c_id,
+         |         ${sqdistSpark("qp.q_qv", "l.qv")} AS dist
+         |  FROM qprobe qp
+         |  JOIN lists l ON l.c_id = qp.c_id AND l.vec_id <> qp.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, c_id, dist,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, CAST(c_id AS BIGINT) AS centroid_id,
+         |       CAST(rnk AS INT) AS rnk, CAST(dist AS BIGINT) AS dist
+         |FROM ranked WHERE rnk <= 3""".stripMargin)
+  }
+
+  def annKmeansCentroids(spark: SparkSession, dir: String): DataFrame = {
+    trainedAssignView(spark, dir)
+    spark.sql(
+      s"""WITH members AS (SELECT c_id, dist FROM kmt_asgf_t WHERE crnk = 1),
+         |sizes AS (
+         |  SELECT c_id, CAST(count(*) AS BIGINT) AS cluster_size,
+         |         CAST(sum(dist) AS BIGINT) AS inertia
+         |  FROM members GROUP BY c_id),
+         |cdims AS (
+         |  SELECT c_id, posexplode(cent) AS (dim0, cval) FROM kmt_cents_t)
+         |SELECT c.c_id, CAST(c.dim0 + 1 AS INT) AS dim,
+         |       CAST(c.cval AS BIGINT) AS cval,
+         |       coalesce(s.cluster_size, CAST(0 AS BIGINT)) AS cluster_size,
+         |       coalesce(s.inertia, CAST(0 AS BIGINT)) AS inertia
+         |FROM cdims c LEFT JOIN sizes s ON s.c_id = c.c_id""".stripMargin)
+  }
+
+  /** The shared Lloyd-replay CTE chain (qvecs → cents0 → … →
+    * cents`KmRounds` → asgf), generated once for both oracles. */
+  private val kmLloydCtes: String = {
+    val rounds = (1 to KmRounds).map { i =>
+      s"""asg$i AS (
+         |  SELECT vec_id, qv, c_id FROM (
+         |    SELECT n.vec_id, n.qv, c.c_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${sqdistDuck("n.qv", "c.cent")}, c.c_id) AS rnk
+         |    FROM qvecs n CROSS JOIN cents${i - 1} c) WHERE rnk = 1),
+         |upd$i AS (
+         |  SELECT c_id, list(m ORDER BY dim) AS cent FROM (
+         |    SELECT c_id, dim, CAST(sum(x) // count(*) AS BIGINT) AS m
+         |    FROM (SELECT c_id, unnest(qv) AS x,
+         |                 generate_subscripts(qv, 1) AS dim FROM asg$i)
+         |    GROUP BY c_id, dim)
+         |  GROUP BY c_id),
+         |cents$i AS (
+         |  SELECT p.c_id, COALESCE(u.cent, p.cent) AS cent
+         |  FROM cents${i - 1} p LEFT JOIN upd$i u ON u.c_id = p.c_id)""".stripMargin
+    }.mkString(",\n")
+    s"""qvecs AS (SELECT vec_id, $qvDuck AS qv FROM embeddings),
+       |cents0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c_id,
+       |         qv AS cent
+       |  FROM (SELECT vec_id, qv FROM qvecs ORDER BY vec_id LIMIT $KmK)),
+       |$rounds,
+       |asgf AS (
+       |  SELECT n.vec_id, n.qv, c.c_id,
+       |         ${sqdistDuck("n.qv", "c.cent")} AS dist,
+       |         row_number() OVER (PARTITION BY n.vec_id
+       |           ORDER BY ${sqdistDuck("n.qv", "c.cent")}, c.c_id) AS crnk
+       |  FROM qvecs n CROSS JOIN cents$KmRounds c)""".stripMargin
+  }
+
+  val annIvfTrainedTopkSql: String =
+    s"""WITH $kmLloydCtes,
+       |lists AS (SELECT vec_id, c_id, qv FROM asgf WHERE crnk = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS q_id, c_id, qv AS q_qv
+       |  FROM asgf WHERE vec_id < 3 AND crnk <= $KmNprobe),
+       |scored AS (
+       |  SELECT qp.q_id, l.vec_id, l.c_id,
+       |         ${sqdistDuck("qp.q_qv", "l.qv")} AS dist
+       |  FROM qprobe qp
+       |  JOIN lists l ON l.c_id = qp.c_id AND l.vec_id <> qp.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, c_id, dist,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, CAST(c_id AS BIGINT) AS centroid_id,
+       |       CAST(rnk AS INT) AS rnk, CAST(dist AS BIGINT) AS dist
+       |FROM ranked WHERE rnk <= 3""".stripMargin
+
+  val annKmeansCentroidsSql: String =
+    s"""WITH $kmLloydCtes,
+       |members AS (SELECT c_id, dist FROM asgf WHERE crnk = 1),
+       |sizes AS (
+       |  SELECT c_id, CAST(count(*) AS BIGINT) AS cluster_size,
+       |         CAST(sum(dist) AS BIGINT) AS inertia
+       |  FROM members GROUP BY c_id),
+       |cdims AS (
+       |  SELECT c_id, generate_subscripts(cent, 1) AS dim, unnest(cent) AS cval
+       |  FROM cents$KmRounds)
+       |SELECT c.c_id, CAST(c.dim AS INT) AS dim, CAST(c.cval AS BIGINT) AS cval,
+       |       COALESCE(s.cluster_size, CAST(0 AS BIGINT)) AS cluster_size,
+       |       COALESCE(s.inertia, CAST(0 AS BIGINT)) AS inertia
+       |FROM cdims c LEFT JOIN sizes s ON s.c_id = c.c_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_trained_topk" -> (annIvfTrainedTopk _),
+    "ann_kmeans_centroids" -> (annKmeansCentroids _),
     "emb_mmr_rerank" -> (embMmrRerank _),
     "ann_sq_topk" -> (annSqTopk _),
     "ann_recall_report" -> (annRecallReport _),
@@ -1513,6 +1686,8 @@ object SimilarityQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracle: Map[String, String] = Map(
+    "ann_ivf_trained_topk" -> annIvfTrainedTopkSql,
+    "ann_kmeans_centroids" -> annKmeansCentroidsSql,
     "emb_mmr_rerank" -> embMmrRerankSql,
     "ann_sq_topk" -> annSqTopkSql,
     "ann_recall_report" -> annRecallReportSql,

@@ -219,6 +219,72 @@ object KMeansTrainer {
     (flat, iters)
   }
 
+  /** INTEGER-EXACT Lloyd trainer (r12) — the oracle-pinnable variant of
+    * [[train]]: vectors quantize to SHIFTED MICRO-UNITS
+    * (`round(x·scale) + shift`, all non-negative so floor-div == trunc-div
+    * in every engine), distances are BIGINT squared-L2, and the centroid
+    * update is the per-(c, dim) floor mean `sum div count` — every
+    * operation exact integer arithmetic a DuckDB oracle replays
+    * bit-identically as generated CTEs (the graph_pagerank discipline).
+    * Fixed `rounds` (no convergence test) so the oracle unrolls exactly
+    * the same chain.
+    *
+    * Scale shape per round = [[train]]'s: k-row centroid broadcast onto
+    * the vector scan (N never shuffles), argmin by per-vector window with
+    * c_id tie-break, ONE map-side-combined sum/count per (c, dim) — k·d
+    * bounded rows collected to the driver for the floor means (the
+    * standard distributed-Lloyd loop; nothing data-sized reaches one
+    * node). Seeds = the k smallest vec_ids' quantized vectors; empty
+    * clusters keep their previous centroid.
+    *
+    * @return (c_id BIGINT, cent Array[Long]) — the trained micro-unit
+    *         centroids, identical to the oracle's round-`rounds` CTE. */
+  def trainMicro(spark: SparkSession, embeddings: DataFrame, k: Int,
+      rounds: Int, scale: Long = 1000L, shift: Long = 1024L): DataFrame = {
+    require(k >= 1 && rounds >= 0)
+    import spark.implicits._
+    val qvecs = embeddings
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> cast(round(cast(x as double) * $scale) as bigint) + $shift)")
+          .as("qv"))
+      .persist() // scanned twice per round + once for seeding
+    var cents: Seq[(Long, Seq[Long])] = qvecs
+      .orderBy("vec_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }.toSeq
+    // The quantized domain is non-negative BY CONSTRUCTION (shift covers
+    // the value range) — floor-div == trunc-div only holds there, and the
+    // oracle depends on it. Enforce, don't assume.
+    val minQ = qvecs.agg(min(expr("array_min(qv)"))).head.getLong(0)
+    require(minQ >= 0,
+      s"trainMicro: shifted micro-units must be non-negative, got min $minQ; raise shift")
+    for (_ <- 1 to rounds) {
+      val cDf = spark.createDataFrame(cents).toDF("c_id", "cent")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("c_id"))
+      val means = qvecs.join(broadcast(cDf))
+        .withColumn("dist",
+          expr("aggregate(zip_with(qv, cent, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("c_id"), posexplode(col("qv")).as(Seq("dim", "x")))
+        .groupBy(col("c_id"), col("dim"))
+        .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+        .collect() // k·d bounded rows — the distributed-Lloyd driver hop
+      val byC = means.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        byC.get(cid) match {
+          case None => (cid, old) // empty cluster keeps its centroid
+          case Some(rows) =>
+            (cid, rows.sortBy(_.getInt(1))
+              .map(r => r.getLong(2) / r.getLong(3)).toSeq)
+        }
+      }
+    }
+    qvecs.unpersist()
+    spark.createDataFrame(cents).toDF("c_id", "cent")
+  }
+
   /** Assign every vector to its trained centroid (the IVF posting-list
     * build input): broadcast join + per-vector argmax, same plan AND same
     * score as `ann_ivf_topk`'s assignment stage — full cosine, both norms

@@ -77,4 +77,34 @@ class KMeansTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val assigned = KMeansTrainer.assign(spark, data, cents)
     assert(assigned.count() === 10) // every vector assigned somewhere
   }
+
+  test("trainMicro: integer-exact, deterministic, recovers blob structure") {
+    val data = blobs()
+    val cents = KMeansTrainer.trainMicro(spark, data, k = 3, rounds = 3)
+    val rows = cents.orderBy("c_id").collect()
+    assert(rows.length === 3)
+    // All micro-unit values are in the shifted non-negative domain.
+    assert(rows.forall(_.getSeq[Long](1).forall(_ >= 0)))
+    // Each centroid's dominant (max-value) dimension is one blob axis;
+    // all three axes covered (the shift is uniform, so argmax survives).
+    val axes = rows.map { r =>
+      val c = r.getSeq[Long](1); c.indices.maxBy(c)
+    }.toSet
+    assert(axes === Set(0, 3, 6))
+    // Bit-identical across runs — the property the DuckDB oracle replay
+    // depends on.
+    val again = KMeansTrainer.trainMicro(spark, data, k = 3, rounds = 3)
+      .orderBy("c_id").collect()
+    assert(rows.map(_.getSeq[Long](1)).toSeq == again.map(_.getSeq[Long](1)).toSeq)
+  }
+
+  test("trainMicro rejects a shift too small for the value range") {
+    // blobs() values are non-negative, so force the domain negative to
+    // prove the guard fires (a real corpus with |x| > shift/scale hits
+    // the same path).
+    val ex = intercept[IllegalArgumentException] {
+      KMeansTrainer.trainMicro(spark, blobs(), k = 2, rounds = 1, shift = -2000L)
+    }
+    assert(ex.getMessage.contains("non-negative"))
+  }
 }

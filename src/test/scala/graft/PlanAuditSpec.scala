@@ -58,6 +58,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ann_pq_adc_topk" -> "ADC table side is the fixed probe set (vec_id < 3), broadcast; candidates stream their 4-byte codes map-side",
     "ann_pq_rerank_topk" -> "stage 1 is ann_pq_adc_topk's shape verbatim (fixed probe set broadcast); the rerank joins are equi-joins on a probes*32-row shortlist",
     "ann_ivf_topk" -> "centroid table is 16 rows by construction, broadcast",
+    "ann_ivf_trained_topk" -> "trained centroid table is k=8 rows by construction (trainMicro output), broadcast; the probe scan is an equi-join on the posting-list id",
+    "ann_kmeans_centroids" -> "same k=8 trained-centroid broadcast in the final assignment; the stats join is a left equi-join of the 512-row centroid-dim table against the 8-row size aggregate",
     "ann_ivfpq_topk" -> "same 16-row centroid assignment cross join in the index build; the probe scan itself is an equi-join on the posting-list id",
     "ann_recall_report" -> "composition of the six ANN pipelines — each nested loop is one of their allowlisted fixed-probe/centroid broadcasts; the report's own joins are equi-joins on (q_id, vec_id) and method",
     "dd_semantic" -> "centroid assignment cross join: 16 rows by construction, broadcast (the SemDeDup coarse-cluster step)",
