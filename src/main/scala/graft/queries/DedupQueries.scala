@@ -1115,8 +1115,8 @@ object DedupQueries {
        |  FROM med m LEFT JOIN ranked r
        |    ON r.doc_id = m.d1 AND r.rn > m.px
        |  GROUP BY m.d1, m.d2),
-       |cand AS (
-       |  SELECT m.d1, m.d2 FROM med m
+       |cand1 AS (
+       |  SELECT m.d1, m.d2, m.n1, m.n2, m.cnt, m.px, m.py, m.alpha FROM med m
        |  JOIN probe p ON p.d1 = m.d1 AND p.d2 = m.d2
        |  WHERE m.cnt + greatest(
        |          (m.n1 - m.px) + (m.n2 - m.py)
@@ -1126,9 +1126,102 @@ object DedupQueries {
        |          CAST(0 AS BIGINT)) $idiv 2
        |        >= m.alpha
        |  UNION ALL
-       |  SELECT c.d1, c.d2 FROM cand0 c WHERE c.n2 = c.py)""".stripMargin
+       |  SELECT c.d1, c.d2, c.n1, c.n2, c.cnt, c.px, c.py, c.alpha
+       |  FROM cand0 c WHERE c.n2 = c.py)""".stripMargin
 
-  def ddPrefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** PPJoin+ DEPTH-2 recursive suffix probe (r12 — the paper's recursive
+    * partition, one level deeper over the depth-1 survivors): y's unseen
+    * part splits at its median m into (yl, yr); each HALF splits again at
+    * its own median (m_l, m_r), and x's unseen part class-partitions into
+    * the seven resulting order classes in ONE aggregation pass. The
+    * Hamming lower bound composes recursively —
+    * H ≥ H(xl, yl) + (1 − x∋m) + H(xr, yr) with each half's
+    * H ≥ |xll − yll| + |xlr − ylr| + (1 − x∋m_half) — sound by the same
+    * order-consistency argument as depth 1 (a common token can never
+    * cross any partition boundary, because both sides rank by the one
+    * global (df, g) order). A half with no median (size 0) contributes
+    * its x-side count whole: every x token in an empty y-half is
+    * unmatched. Pairs with a fully-consumed y side pass through (their
+    * overlap is already exactly cnt). Emits `cand` (d1, d2) — the final
+    * verification list; losslessness is machine-checked by the naive
+    * all-pairs oracle exactly as for depth 1. */
+  private[graft] def suffixProbe2(idiv: String): String = {
+    def lt(a: String) = s"(r.df < m.${a}df OR (r.df = m.${a}df AND r.g < m.${a}g))"
+    def eq(a: String) = s"(r.df = m.${a}df AND r.g = m.${a}g)"
+    def gt(a: String) = s"(r.df > m.${a}df OR (r.df = m.${a}df AND r.g > m.${a}g))"
+    s"""medpos2 AS (
+       |  SELECT d1, d2, n1, n2, cnt, px, py, alpha,
+       |         n1 - px AS ux, n2 - py AS uy,
+       |         py + (n2 - py + 1) $idiv 2 AS rm
+       |  FROM cand1 WHERE n2 > py),
+       |medpos3 AS (
+       |  SELECT d1, d2, cnt, px, alpha, ux, uy, rm,
+       |         d2 AS yd, rm - py - 1 AS ly, n2 - rm AS ry,
+       |         py + (rm - py) $idiv 2 AS rml,
+       |         rm + (n2 - rm + 1) $idiv 2 AS rmr,
+       |         (rm - py) $idiv 2 - 1 AS yll,
+       |         (rm - py - 1) - (rm - py) $idiv 2 AS ylr,
+       |         (n2 - rm + 1) $idiv 2 - 1 AS yrl,
+       |         (n2 - rm) - (n2 - rm + 1) $idiv 2 AS yrr
+       |  FROM medpos2),
+       |med2 AS (
+       |  SELECT m.*, r.df AS mdf, r.g AS mg,
+       |         rl.df AS ldf, rl.g AS lg, rr.df AS rdf, rr.g AS rg
+       |  FROM medpos3 m
+       |  JOIN ranked r ON r.doc_id = m.yd AND r.rn = m.rm
+       |  LEFT JOIN ranked rl
+       |    ON rl.doc_id = m.yd AND rl.rn = m.rml AND m.ly >= 1
+       |  LEFT JOIN ranked rr
+       |    ON rr.doc_id = m.yd AND rr.rn = m.rmr AND m.ry >= 1),
+       |probe2 AS (
+       |  SELECT m.d1, m.d2,
+       |    coalesce(sum(CASE WHEN m.ly >= 1 AND ${lt("l")}
+       |        THEN 1 ELSE 0 END), CAST(0 AS BIGINT)) AS xll,
+       |    coalesce(max(CASE WHEN m.ly >= 1 AND ${eq("l")}
+       |        THEN 1 ELSE 0 END), 0) AS xlm,
+       |    coalesce(sum(CASE WHEN m.ly >= 1 AND ${gt("l")} AND ${lt("m")}
+       |        THEN 1 ELSE 0 END), CAST(0 AS BIGINT)) AS xlr,
+       |    coalesce(sum(CASE WHEN m.ly = 0 AND ${lt("m")}
+       |        THEN 1 ELSE 0 END), CAST(0 AS BIGINT)) AS xl0,
+       |    coalesce(max(CASE WHEN ${eq("m")} THEN 1 ELSE 0 END), 0) AS xm,
+       |    coalesce(sum(CASE WHEN m.ry >= 1 AND ${gt("m")} AND ${lt("r")}
+       |        THEN 1 ELSE 0 END), CAST(0 AS BIGINT)) AS xrl,
+       |    coalesce(max(CASE WHEN m.ry >= 1 AND ${eq("r")}
+       |        THEN 1 ELSE 0 END), 0) AS xrm,
+       |    coalesce(sum(CASE WHEN m.ry >= 1 AND ${gt("r")}
+       |        THEN 1 ELSE 0 END), CAST(0 AS BIGINT)) AS xrr,
+       |    coalesce(sum(CASE WHEN m.ry = 0 AND ${gt("m")}
+       |        THEN 1 ELSE 0 END), CAST(0 AS BIGINT)) AS xr0
+       |  FROM med2 m LEFT JOIN ranked r
+       |    ON r.doc_id = m.d1 AND r.rn > m.px
+       |  GROUP BY m.d1, m.d2),
+       |cand AS (
+       |  SELECT m.d1, m.d2 FROM med2 m
+       |  JOIN probe2 p ON p.d1 = m.d1 AND p.d2 = m.d2
+       |  WHERE m.cnt + greatest(
+       |          m.ux + m.uy - (
+       |            (CASE WHEN m.ly = 0 THEN p.xl0
+       |                  ELSE abs(p.xll - m.yll) + abs(p.xlr - m.ylr)
+       |                       + 1 - p.xlm END)
+       |            + (1 - p.xm)
+       |            + (CASE WHEN m.ry = 0 THEN p.xr0
+       |                    ELSE abs(p.xrl - m.yrl) + abs(p.xrr - m.yrr)
+       |                         + 1 - p.xrm END)),
+       |          CAST(0 AS BIGINT)) $idiv 2
+       |        >= m.alpha
+       |  UNION ALL
+       |  SELECT d1, d2 FROM cand1 WHERE n2 = py)""".stripMargin
+  }
+
+  /** Threshold-parameterized PPJoin+ (r12): t = `p`/`q` as an exact
+    * rational — prefix length n − ⌈t·n⌉ + 1, overlap floor
+    * α = ⌈t/(1+t)·(n1+n2)⌉, and the verification test q·i ≥ p·(n1+n2−i)
+    * are all integer formulas of (p, q), so ANY threshold gets the same
+    * machine-checked losslessness proof against the same naive oracle
+    * (which filters by the identical cross-multiplication). */
+  def ddPrefixJaccardAt(spark: SparkSession, dir: String,
+      p: Int, q: Int): DataFrame = {
+    require(p >= 1 && q > p, s"threshold p/q must be in (0, 1), got $p/$q")
     viewDocs(spark, dir)
     spark.sql(
       s"""SELECT DISTINCT doc_id, g
@@ -1149,18 +1242,19 @@ object DedupQueries {
         |prefix AS (
         |  SELECT r.doc_id, r.g, r.rn, z.n
         |  FROM ranked r JOIN sizes z ON r.doc_id = z.doc_id
-        |  WHERE r.rn <= z.n - (z.n + 1) div 2 + 1),
+        |  WHERE r.rn <= z.n - ($p * z.n + ${q - 1}) div $q + 1),
         |cand0 AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
         |         CAST(count(*) AS BIGINT) AS cnt,
         |         max(a.rn) AS px, max(b.rn) AS py,
-        |         (a.n + b.n + 2) div 3 AS alpha
+        |         ($p * (a.n + b.n) + ${p + q - 1}) div ${p + q} AS alpha
         |  FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
         |  HAVING least(max(least(a.n - a.rn, b.n - b.rn)) + 1,
         |               count(*) + least(a.n - max(a.rn), b.n - max(b.rn)))
-        |         >= (a.n + b.n + 2) div 3),
+        |         >= ($p * (a.n + b.n) + ${p + q - 1}) div ${p + q}),
         |${suffixProbe("div")},
+        |${suffixProbe2("div")},
         |inter AS (
         |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS i
         |  FROM cand c
@@ -1174,8 +1268,17 @@ object DedupQueries {
         |FROM inter i
         |JOIN sizes z1 ON z1.doc_id = i.d1
         |JOIN sizes z2 ON z2.doc_id = i.d2
-        |WHERE 2 * i.i >= z1.n + z2.n - i.i""".stripMargin)
+        |WHERE $q * i.i >= $p * (z1.n + z2.n - i.i)""".stripMargin)
   }
+
+  def ddPrefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    ddPrefixJaccardAt(spark, dir, 1, 2)
+
+  /** The t = 0.7 instantiation (r11 verdict #4): higher thresholds mean
+    * SHORTER prefixes — the cascade gets cheaper as t rises, and the
+    * oracle proof holds at any t. */
+  def ddPrefixJaccardT70(spark: SparkSession, dir: String): DataFrame =
+    ddPrefixJaccardAt(spark, dir, 7, 10)
 
   // ── dd_prefix_stats ★ (r11) — the filter-cascade AUDIT for
   // dd_prefix_jaccard: how many pairs the bare prefix join generates,
@@ -1213,13 +1316,15 @@ object DedupQueries {
         |cand0 AS (
         |  SELECT d1, d2, n1, n2, cnt, px, py, alpha FROM joined
         |  WHERE least(ub, ub2) >= alpha),
-        |${suffixProbe("div")}
+        |${suffixProbe("div")},
+        |${suffixProbe2("div")}
         |SELECT CAST((SELECT count(*) FROM joined) AS BIGINT) AS prefix_pairs,
         |       CAST((SELECT count(*) FROM joined WHERE ub >= alpha) AS BIGINT)
         |         AS positional_pairs,
         |       CAST((SELECT count(*) FROM joined
         |             WHERE least(ub, ub2) >= alpha) AS BIGINT) AS suffix_pairs,
-        |       CAST((SELECT count(*) FROM cand) AS BIGINT) AS probe_pairs,
+        |       CAST((SELECT count(*) FROM cand1) AS BIGINT) AS probe_pairs,
+        |       CAST((SELECT count(*) FROM cand) AS BIGINT) AS probe2_pairs,
         |       CAST((SELECT count(*) FROM pj_qualify_t) AS BIGINT)
         |         AS qualifying_pairs""".stripMargin)
   }
@@ -1253,6 +1358,7 @@ object DedupQueries {
        |  SELECT d1, d2, n1, n2, cnt, px, py, alpha FROM joined
        |  WHERE least(ub, ub2) >= alpha),
        |${suffixProbe("//")},
+       |${suffixProbe2("//")},
        |inter AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -1267,12 +1373,14 @@ object DedupQueries {
        |         AS positional_pairs,
        |       CAST((SELECT count(*) FROM joined
        |             WHERE least(ub, ub2) >= alpha) AS BIGINT) AS suffix_pairs,
-       |       CAST((SELECT count(*) FROM cand) AS BIGINT) AS probe_pairs,
+       |       CAST((SELECT count(*) FROM cand1) AS BIGINT) AS probe_pairs,
+       |       CAST((SELECT count(*) FROM cand) AS BIGINT) AS probe2_pairs,
        |       CAST((SELECT count(*) FROM qual) AS BIGINT) AS qualifying_pairs""".stripMargin
 
   /** The NAIVE definition — all-pairs, no prefix filter: matching this
-    * IS the losslessness proof. */
-  val ddPrefixJaccardSql: String =
+    * IS the losslessness proof, at any rational threshold p/q (the
+    * filter applied is only the cross-multiplied verification test). */
+  def ddPrefixJaccardSqlAt(p: Int, q: Int): String =
     s"""WITH sh AS (
        |  SELECT DISTINCT doc_id, unnest(${PipelineQueries.shingleDuck("ws")}) AS g
        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
@@ -1289,7 +1397,9 @@ object DedupQueries {
        |FROM inter i
        |JOIN sizes z1 ON z1.doc_id = i.d1
        |JOIN sizes z2 ON z2.doc_id = i.d2
-       |WHERE 2 * i.i >= z1.n + z2.n - i.i""".stripMargin
+       |WHERE $q * i.i >= $p * (z1.n + z2.n - i.i)""".stripMargin
+
+  val ddPrefixJaccardSql: String = ddPrefixJaccardSqlAt(1, 2)
 
   // ── text_winnow / dd_winnow ★ (r11) — WINNOWING fingerprint selection
   // (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm):
@@ -1396,6 +1506,7 @@ object DedupQueries {
     "text_winnow" -> (textWinnow _),
     "dd_winnow" -> (ddWinnow _),
     "dd_prefix_jaccard" -> (ddPrefixJaccard _),
+    "dd_prefix_jaccard_t70" -> (ddPrefixJaccardT70 _),
     "dd_prefix_stats" -> (ddPrefixStats _),
     "dd_incremental" -> (ddIncremental _),
     "dd_incremental_lsh" -> (ddIncrementalLsh _),
@@ -1418,6 +1529,7 @@ object DedupQueries {
     "text_winnow" -> textWinnowSql,
     "dd_winnow" -> ddWinnowSql,
     "dd_prefix_jaccard" -> ddPrefixJaccardSql,
+    "dd_prefix_jaccard_t70" -> ddPrefixJaccardSqlAt(7, 10),
     "dd_prefix_stats" -> ddPrefixStatsSql,
     "dd_incremental" -> ddIncrementalSql,
     "dd_incremental_lsh" -> ddIncrementalLshSql,

@@ -1166,7 +1166,8 @@ object SimilarityQueries {
       "ann_pq_rerank_topk" -> annPqRerankTopk(spark, dir),
       "ann_hamming_topk" -> annHammingTopk(spark, dir),
       "ann_ivfpq_topk" -> annIvfpqTopk(spark, dir),
-      "ann_sq_topk" -> annSqTopk(spark, dir))
+      "ann_sq_topk" -> annSqTopk(spark, dir),
+      "ann_nsw_topk" -> annNswTopk(spark, dir))
     val union = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("q_id"), col("vec_id"))
     }.reduce(_ unionByName _)
@@ -1195,7 +1196,8 @@ object SimilarityQueries {
       "ann_pq_rerank_topk" -> annPqRerankTopkSql,
       "ann_hamming_topk" -> annHammingTopkSql,
       "ann_ivfpq_topk" -> annIvfpqTopkSql,
-      "ann_sq_topk" -> annSqTopkSql)
+      "ann_sq_topk" -> annSqTopkSql,
+      "ann_nsw_topk" -> annNswTopkSql)
     val unionSql = subs.map { case (m, sql) =>
       s"SELECT '$m' AS method, q_id, vec_id FROM (\n$sql\n)"
     }.mkString("\nUNION ALL\n")
@@ -1491,6 +1493,168 @@ object SimilarityQueries {
        |  JOIN normed nb ON nb.vec_id = b.vec_id),
        |$mmrGreedy""".stripMargin
 
+  // ── ann_nsw_topk ★ (r12) — GRAPH-BASED ANN serving (r11 verdict #2):
+  // greedy BEAM SEARCH over a navigable small-world-style neighbor
+  // graph — the modern production ANN shape (NSW/HNSW: Malkov et al.;
+  // what hnswlib/Vespa/Lucene-HNSW serve with). The graph is the
+  // ann_knn_graph artifact made NAVIGABLE: each vector keeps its top-M
+  // cosine neighbors among candidates sharing either of its TWO nearest
+  // coarse lists (crnk ≤ 2 membership — the second-nearest list is what
+  // creates inter-cluster edges, without which beam search could never
+  // leave the entry point's cluster). Search: every probe starts at the
+  // global entry point (min vec_id), and each of `NswHops` hops expands
+  // the current beam's out-neighbors, rescores frontier ∪ neighbors
+  // against the probe, and keeps the best `NswBeam` — the HNSW layer-0
+  // ef-search loop, unrolled. ENGINE-EXACT DECISIONS: similarities
+  // quantize to integer micro-units before any comparison (the
+  // emb_mmr_rerank discipline), ties break by vec_id; the DuckDB oracle
+  // replays the SAME hop chain as generated CTEs.
+  //
+  // Scale shape: graph build is the bounded co-list pair join (per-
+  // reducer |list|², the allowlisted knn-graph trade; k ≈ √n trained
+  // centroids at production — the KMeansTrainer swap). Each search hop
+  // touches beam·M candidate rows PER PROBE via equi-joins on vec_id —
+  // serving cost is O(hops · beam · M), decoupled from corpus size,
+  // which is the point of graph ANN. Hop count is a constant (geometric
+  // expansion reaches everything navigable); frontiers are probes×beam
+  // rows, pinned per hop.
+  private val NswM = 6
+  private val NswBeam = 12
+  private val NswHops = 6
+
+  /** One search hop over relations `<prev>` (q_id, vec_id), `gedges`,
+    * and `<normed>`; dialect differences injected via `dot`. */
+  private def nswHopSql(prev: String, normed: String,
+      dot: (String, String) => String): String =
+    s"""SELECT q_id, vec_id, sim_micro FROM (
+       |  SELECT q_id, vec_id, sim_micro,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY sim_micro DESC, vec_id) AS rnk
+       |  FROM (
+       |    SELECT x.q_id, x.vec_id,
+       |           CAST(round(${dot("q.embedding", "c.embedding")}
+       |                 / (q.nrm * c.nrm) * 1000000, 0) AS BIGINT) AS sim_micro
+       |    FROM (SELECT q_id, vec_id FROM $prev
+       |          UNION
+       |          SELECT f.q_id, e.nbr_id AS vec_id
+       |          FROM $prev f JOIN gedges e ON e.vec_id = f.vec_id) x
+       |    JOIN $normed q ON q.vec_id = x.q_id
+       |    JOIN $normed c ON c.vec_id = x.vec_id))
+       |WHERE rnk <= $NswBeam""".stripMargin
+
+  def annNswTopk(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      s"""SELECT vec_id, embedding,
+         |       sqrt(${dotS("embedding", "embedding")}) AS nrm
+         |FROM embeddings""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("nsw_normed_t")
+    // The navigable out-edge relation: candidates from BOTH of each
+    // node's two nearest lists, top-M by micro-similarity. Pinned — the
+    // search loop joins it every hop.
+    spark.sql(
+      s"""WITH cents AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |  FROM nsw_normed_t WHERE vec_id BETWEEN 100 AND 115),
+         |memb AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT n.vec_id, c.c_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${dotS("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+         |                      c.c_id) AS crnk
+         |    FROM nsw_normed_t n CROSS JOIN cents c) WHERE crnk <= 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+         |  FROM memb a JOIN memb b
+         |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+         |gscored AS (
+         |  SELECT c.vec_id, c.nbr_id,
+         |         CAST(round(${dotS("x.embedding", "y.embedding")}
+         |               / (x.nrm * y.nrm) * 1000000, 0) AS BIGINT) AS sim_micro
+         |  FROM cand c
+         |  JOIN nsw_normed_t x ON x.vec_id = c.vec_id
+         |  JOIN nsw_normed_t y ON y.vec_id = c.nbr_id)
+         |SELECT vec_id, nbr_id FROM (
+         |  SELECT vec_id, nbr_id,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY sim_micro DESC, nbr_id) AS rnk
+         |  FROM gscored) WHERE rnk <= $NswM""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("nsw_gedges_t")
+    // Beam 0: every probe starts at the single global entry point.
+    spark.sql(
+      """SELECT q.vec_id AS q_id, e.entry AS vec_id
+        |FROM (SELECT vec_id FROM nsw_normed_t WHERE vec_id < 3) q
+        |CROSS JOIN (SELECT min(vec_id) AS entry FROM nsw_normed_t) e""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("nsw_f0_t")
+    for (h <- 1 to NswHops) {
+      spark.sql("WITH gedges AS (SELECT * FROM nsw_gedges_t)\n" +
+          nswHopSql(s"nsw_f${h - 1}_t", "nsw_normed_t", dotS))
+        .pinned()
+        .createOrReplaceTempView(s"nsw_f${h}_t")
+    }
+    spark.sql(
+      s"""SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, sim_micro
+         |FROM (SELECT q_id, vec_id, sim_micro,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY sim_micro DESC, vec_id) AS rnk
+         |      FROM nsw_f${NswHops}_t WHERE vec_id <> q_id)
+         |WHERE rnk <= 3""".stripMargin)
+  }
+
+  lazy val annNswTopkSql: String = {
+    val dot = (a: String, b: String) => dotD(a, b)
+    val hops = (1 to NswHops).map { h =>
+      s"""f$h AS (
+         |${nswHopSql(s"f${h - 1}", "normed", dot)})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH normed AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotD("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM normed WHERE vec_id BETWEEN 100 AND 115),
+       |memb AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT n.vec_id, c.c_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${dotD("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+       |                      c.c_id) AS crnk
+       |    FROM normed n CROSS JOIN cents c) WHERE crnk <= 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+       |  FROM memb a JOIN memb b
+       |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+       |gscored AS (
+       |  SELECT c.vec_id, c.nbr_id,
+       |         CAST(round(${dotD("x.embedding", "y.embedding")}
+       |               / (x.nrm * y.nrm) * 1000000, 0) AS BIGINT) AS sim_micro
+       |  FROM cand c
+       |  JOIN normed x ON x.vec_id = c.vec_id
+       |  JOIN normed y ON y.vec_id = c.nbr_id),
+       |gedges AS (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT vec_id, nbr_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY sim_micro DESC, nbr_id) AS rnk
+       |    FROM gscored) WHERE rnk <= $NswM),
+       |f0 AS (
+       |  SELECT q.vec_id AS q_id, e.entry AS vec_id
+       |  FROM (SELECT vec_id FROM normed WHERE vec_id < 3) q
+       |  CROSS JOIN (SELECT min(vec_id) AS entry FROM normed) e),
+       |$hops
+       |SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, sim_micro
+       |FROM (SELECT q_id, vec_id, sim_micro,
+       |             row_number() OVER (PARTITION BY q_id
+       |               ORDER BY sim_micro DESC, vec_id) AS rnk
+       |      FROM f$NswHops WHERE vec_id <> q_id)
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   // ── ann_ivf_trained_topk ★ + ann_kmeans_centroids ★ (r12) — the
   // PRODUCTION ROUTING PATH oracle-pinned (r11 verdict #1): IVF top-k
   // where the coarse centroids are TRAINED by Lloyd's algorithm
@@ -1663,6 +1827,7 @@ object SimilarityQueries {
        |FROM cdims c LEFT JOIN sizes s ON s.c_id = c.c_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_nsw_topk" -> (annNswTopk _),
     "ann_ivf_trained_topk" -> (annIvfTrainedTopk _),
     "ann_kmeans_centroids" -> (annKmeansCentroids _),
     "emb_mmr_rerank" -> (embMmrRerank _),
@@ -1686,6 +1851,7 @@ object SimilarityQueries {
     "emb_quantize" -> (embQuantize _))
 
   val oracle: Map[String, String] = Map(
+    "ann_nsw_topk" -> annNswTopkSql,
     "ann_ivf_trained_topk" -> annIvfTrainedTopkSql,
     "ann_kmeans_centroids" -> annKmeansCentroidsSql,
     "emb_mmr_rerank" -> embMmrRerankSql,

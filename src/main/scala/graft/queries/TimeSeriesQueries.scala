@@ -567,6 +567,142 @@ object TimeSeriesQueries {
         s"least($wMax, day) + 1)) AS u(i)")
   }
 
+  /** STOMP series length: 30 fixture days × 24 = 720 hourly buckets —
+    * the calendar fixes n regardless of SF (empty hours densify to 0),
+    * giving the ts family its demonstrated LONG-series plan (n ≥ 256,
+    * the r11 verdict ask) on fixture-derived data. */
+  val StompN = 720
+  /** STOMP subsequence length (one day of hours). */
+  val StompM = 24
+  /** Trivial-match exclusion zone — the standard m/2 rule. */
+  val StompExcl = StompM / 2
+
+  // ── ts_stomp_discord ★ (r12) — LONG-SERIES matrix-profile discords
+  // via the STOMP dot-product recurrence (Zhu et al., ICDM 2016): the
+  // corpus's hourly activity series (n = 720) scores every length-24
+  // window's nearest-neighbor squared Euclidean distance, and the
+  // windows whose nearest neighbors are FARTHEST are the discords — the
+  // days unlike any other day the corpus ever had. The O(n²m) all-pairs
+  // form ts_discord uses at n = 30 is the WRONG plan here; STOMP's
+  // observation is that along a DIAGONAL (fixed window offset k) the
+  // sliding dot product obeys QT(i+1, k) = QT(i, k) − x(i)·x(i+k) +
+  // x(i+m)·x(i+k+m) — a cumulative sum: QT(i, k) = cum(k, i+m−1) −
+  // cum(k, i−1) over the element products p(j, k) = x(j)·x(j+k). One
+  // cumsum window per diagonal turns every matrix cell into O(1), and
+  // dist²(i, i+k) = ss(i) + ss(i+k) − 2·QT(i, k) with ss the same
+  // cumsum trick on x². Integer-exact throughout (hourly counts are
+  // BIGINT); ties break by window id. StompSpec machine-checks the
+  // recurrence against the naive quadratic definition cell-by-cell;
+  // the DuckDB oracle REPLAYS the identical recurrence (shared CTE
+  // text, the generated-CTE discipline).
+  //
+  // Scale shape (100 TB): the series build is ONE map-side-combined
+  // hour count (the corpus collapses before anything quadratic); the
+  // diagonal stage is n−m−excl+1 ≈ 685 independent cumsum chains
+  // (PARTITION BY k — embarrassingly parallel, O(n) each, O(n²) total
+  // with O(1) per cell vs O(m) naive); the expansion join is an
+  // equi-join on h = j + k; per-key series at production partition by
+  // (key, k). The two unpartitioned windows run over the 720-row
+  // calendar-bounded series (the ts_seasonal argument); the final
+  // ranking window runs over the 697-row window-profile relation.
+  private[graft] def stompBody(idiv: String, usExpr: String, table: String,
+      hourGrid: String, kExplode: String,
+      finalSelect: String = StompDiscordSelect): String = {
+    val wMax = StompN - StompM // last valid window start
+    s"""sbounds AS (SELECT min($usExpr) AS t0 FROM $table),
+       |hourly AS (
+       |  SELECT CAST(($usExpr - b.t0) $idiv 3600000000 AS BIGINT) AS h,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM $table CROSS JOIN sbounds b
+       |  WHERE ($usExpr - b.t0) $idiv 3600000000 < $StompN
+       |  GROUP BY CAST(($usExpr - b.t0) $idiv 3600000000 AS BIGINT)),
+       |xs AS (
+       |  SELECT g.h, coalesce(s.c, CAST(0 AS BIGINT)) AS v
+       |  FROM ($hourGrid) g LEFT JOIN hourly s ON s.h = g.h),
+       |sq AS (
+       |  SELECT h, v,
+       |         CAST(sum(v * v) OVER (ORDER BY h
+       |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+       |  FROM xs),
+       |-- lag sources include rows the next CTE filters out: WHERE runs
+       |-- before window functions, so the filter must live downstream
+       |ssall AS (
+       |  SELECT h,
+       |         cum2 - coalesce(lag(cum2, $StompM) OVER (ORDER BY h),
+       |                         CAST(0 AS BIGINT)) AS ss2
+       |  FROM sq),
+       |ss AS (
+       |  SELECT h - ${StompM - 1} AS i, ss2
+       |  FROM ssall WHERE h >= ${StompM - 1}),
+       |diag AS (
+       |  SELECT e.j, e.k, e.v * b.v AS p
+       |  FROM (SELECT a.h AS j, a.v, kk.k
+       |        FROM xs a $kExplode) e
+       |  JOIN xs b ON b.h = e.j + e.k),
+       |qtc AS (
+       |  SELECT j, k,
+       |         CAST(sum(p) OVER (PARTITION BY k ORDER BY j
+       |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM diag),
+       |qtall AS (
+       |  SELECT j, k,
+       |         cum - coalesce(lag(cum, $StompM)
+       |             OVER (PARTITION BY k ORDER BY j), CAST(0 AS BIGINT)) AS qt
+       |  FROM qtc),
+       |qt AS (
+       |  SELECT j - ${StompM - 1} AS i, k, qt
+       |  FROM qtall WHERE j >= ${StompM - 1}),
+       |d2 AS (
+       |  SELECT q.i, q.k, sa.ss2 + sb.ss2 - 2 * q.qt AS d2
+       |  FROM qt q
+       |  JOIN ss sa ON sa.i = q.i
+       |  JOIN ss sb ON sb.i = q.i + q.k),
+       |mirrored AS (
+       |  SELECT i, i + k AS nb, d2 FROM d2
+       |  UNION ALL
+       |  SELECT i + k AS i, i AS nb, d2 FROM d2),
+       |mp AS (
+       |  SELECT i, min(d2) AS mp_d2 FROM mirrored GROUP BY i),
+       |nn AS (
+       |  SELECT b.i, min(b.nb) AS nn_start
+       |  FROM mirrored b JOIN mp m ON m.i = b.i AND b.d2 = m.mp_d2
+       |  GROUP BY b.i),
+       |disc AS (
+       |  SELECT m.i, m.mp_d2, n.nn_start,
+       |         row_number() OVER (ORDER BY m.mp_d2 DESC, m.i) AS rk
+       |  FROM mp m JOIN nn n ON n.i = m.i)
+       |$finalSelect""".stripMargin
+  }
+
+  /** The catalog cut: top-5 discords. */
+  private val StompDiscordSelect: String =
+    """SELECT CAST(rk AS INT) AS discord_rank, i AS win_start,
+      |       nn_start, mp_d2
+      |FROM disc WHERE rk <= 5 ORDER BY rk""".stripMargin
+
+  /** The FULL 697-window matrix profile from the production recurrence —
+    * StompSpec's witness surface (cell-by-cell vs the naive quadratic). */
+  private[graft] def stompFullProfile(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql("WITH " + stompBody("div", "unix_micros(ts)", "events_t",
+      s"SELECT CAST(x AS BIGINT) AS h FROM (SELECT explode(sequence(0, ${StompN - 1})) AS x)",
+      s"LATERAL VIEW explode(sequence($StompExcl, ${StompN - StompM})) kk AS k",
+      "SELECT i, mp_d2 FROM disc"))
+  }
+
+  def tsStompDiscord(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql("WITH " + stompBody("div", "unix_micros(ts)", "events_t",
+      s"SELECT CAST(x AS BIGINT) AS h FROM (SELECT explode(sequence(0, ${StompN - 1})) AS x)",
+      s"LATERAL VIEW explode(sequence($StompExcl, ${StompN - StompM})) kk AS k"))
+  }
+
+  val tsStompDiscordSql: String =
+    "WITH ev AS (SELECT epoch_us(ts) AS us FROM events),\n" +
+      stompBody("//", "us", "ev",
+        s"SELECT CAST(unnest(range(0, $StompN)) AS BIGINT) AS h",
+        s"CROSS JOIN (SELECT unnest(range($StompExcl, ${StompN - StompM + 1})) AS k) kk")
+
   // ── ts_seasonal ★ (r11) — integer SEASONAL DECOMPOSITION (STL-lite):
   // the corpus-level daily activity series splits into TREND (the
   // un-normalized centered 7-day window sum — integer by construction),
@@ -829,6 +965,7 @@ object TimeSeriesQueries {
     "ts_ewma" -> (tsEwma _),
     "ts_seasonal" -> (tsSeasonal _),
     "ts_discord" -> (tsDiscord _),
+    "ts_stomp_discord" -> (tsStompDiscord _),
     "ts_periodicity" -> (tsPeriodicity _),
     "ts_paa_topk" -> (tsPaaTopk _),
     "ts_sax_prune" -> (tsSaxPrune _),
@@ -841,6 +978,7 @@ object TimeSeriesQueries {
     "ts_ewma" -> tsEwmaSql,
     "ts_seasonal" -> tsSeasonalSql,
     "ts_discord" -> tsDiscordSql,
+    "ts_stomp_discord" -> tsStompDiscordSql,
     "ts_periodicity" -> tsPeriodicitySql,
     "ts_paa_topk" -> tsPaaTopkSql,
     "ts_sax_prune" -> tsSaxPruneSql,

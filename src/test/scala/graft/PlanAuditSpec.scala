@@ -61,7 +61,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ann_ivf_trained_topk" -> "trained centroid table is k=8 rows by construction (trainMicro output), broadcast; the probe scan is an equi-join on the posting-list id",
     "ann_kmeans_centroids" -> "same k=8 trained-centroid broadcast in the final assignment; the stats join is a left equi-join of the 512-row centroid-dim table against the 8-row size aggregate",
     "ann_ivfpq_topk" -> "same 16-row centroid assignment cross join in the index build; the probe scan itself is an equi-join on the posting-list id",
-    "ann_recall_report" -> "composition of the six ANN pipelines — each nested loop is one of their allowlisted fixed-probe/centroid broadcasts; the report's own joins are equi-joins on (q_id, vec_id) and method",
+    "ann_recall_report" -> "composition of the eight ANN pipelines — each nested loop is one of their allowlisted fixed-probe/centroid broadcasts; the report's own joins are equi-joins on (q_id, vec_id) and method",
+    "ann_nsw_topk" -> "16-row centroid assignment cross join (graph build, the ann_knn_graph shape) plus the 1-row entry-point scalar cross-joined to the 3-probe set; every search hop is an equi-join of the probes x beam frontier against the edge/normed relations",
     "dd_semantic" -> "centroid assignment cross join: 16 rows by construction, broadcast (the SemDeDup coarse-cluster step)",
     "ann_knn_graph" -> "same 16-row centroid assignment cross join as dd_semantic; the edge join itself is an equi-join on the cluster id",
     "pipe_upsample" -> "per-source rate table (#sources rows) against the single-row corpus-total aggregate",
@@ -99,6 +100,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ts_periodicity" -> "the 1-row corpus-epoch scalar from the shared series prologue; the lag joins are equi-joins on (user_id, day + lag)",
     "ts_discord" -> "inherits the series prologue's 1-row epoch scalar and 30-row day grid broadcasts; the window-pair stage is an equi-join on (user_id, offset), bounded per key at 24x7x24 rows",
     "ts_seasonal" -> "the series prologue's 1-row epoch scalar broadcast; everything downstream runs over the 30-row aggregated daily series",
+    "ts_stomp_discord" -> "the 1-row corpus-epoch scalar cross-joined to bucket hours; every quadratic-stage join (diagonal expansion, ss/qt assembly, mp/nn) is an equi-join on h/i/k over the 720-row calendar-bounded series",
     "ts_changepoint" -> "the 1-row corpus-epoch scalar and the 30-row day grid cross-joined as broadcast constants to densify per-user series; the CUSUM argmax joins are equi-joins on (user_id, dev)/(user_id, t)",
     "ts_ewma" -> "the same series densification as ts_changepoint: 1-row epoch scalar + 30-row day grid broadcasts; residual argmax joins are equi-joins on (user_id, dev_milli)/(user_id, day)",
     "pipe_source_divergence" -> "the pair universe is bcount x bcount under source < source — bcount has one row per SOURCE (~20), bounded by the corpus's source vocabulary, broadcast both sides; the data-sized work is the equi-join on bucket over the <=|sources|x256 shares relation",
@@ -116,7 +118,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "e4_ordering_regressions" -> "lag over per-partition summary rows, not raw changes",
     "e5_offset_gaps" -> "lag over per-partition offset summaries",
     "text_length_quantiles" -> "prefix sum over the 12-row bucket histogram, never documents",
-    "ts_seasonal" -> "centered 7-day windows over the 30-row aggregated daily series — bounded by the calendar, not the corpus (the map-side day count collapses the data first)")
+    "ts_seasonal" -> "centered 7-day windows over the 30-row aggregated daily series — bounded by the calendar, not the corpus (the map-side day count collapses the data first)",
+    "ts_stomp_discord" -> "the sliding sum-of-squares cumsum over the 720-row calendar-bounded hourly series and the final ranking over the 697-row window profile; the O(n²) diagonal cumsums are PARTITION BY k (not bare)")
 
   private def violations(pred: (String, SparkPlan) => Boolean): Seq[String] =
     plans.collect { case (name, p) if pred(name, p) => name }

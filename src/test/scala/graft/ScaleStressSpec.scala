@@ -956,4 +956,42 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"cell $k: ${scaled(k)} != 10x ($p, $rev, $u)")
     }
   }
+
+  test("ann_nsw_topk at sf≈1: beam search converges to exact copies") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Every probe has 9 exact copies in the corpus (sim_micro =
+    // 1,000,000) sharing its coarse lists, so the navigable graph links
+    // them into a perfect-similarity clique: a beam that reaches ANY
+    // copy chains into all of them within one hop. The invariant: every
+    // returned neighbor scores sim_micro = 1,000,000 (a result below
+    // that means the beam settled for a worse vector while a
+    // perfect-similarity clique was reachable — a navigability failure),
+    // and each probe's top-3 exist (9 rows).
+    val rows = timed("ann_nsw_topk @ sf~1") {
+      SparkEntry.queries("ann_nsw_topk")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    }
+    assert(rows.length == 9, s"expected 3 probes x top-3, got ${rows.length}")
+    val below = rows.filter(_._3 < 1000000L)
+    assert(below.isEmpty,
+      s"${below.size} beam results below perfect similarity despite 9 exact copies: " +
+        below.take(5).mkString(", "))
+  }
+
+  test("ann_ivf_trained_topk at sf≈1: trained routing serves copies first") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Identical vectors quantize identically, so each probe's 9 copies
+    // have integer distance 0 and share its trained centroid: the top-3
+    // must all be distance-0 copies of the probe's base vector.
+    val rows = timed("ann_ivf_trained_topk @ sf~1") {
+      SparkEntry.queries("ann_ivf_trained_topk")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    }
+    assert(rows.length == 9, s"expected 3 probes x top-3, got ${rows.length}")
+    rows.foreach { case (q, v, d) =>
+      assert(d == 0L, s"probe $q neighbor $v at distance $d, expected a 0-distance copy")
+      assert(v % IdStride == q % IdStride,
+        s"probe $q neighbor $v is not one of its copies")
+    }
+  }
 }
