@@ -92,7 +92,11 @@ object MultimodalQueries {
        |FROM assets""".stripMargin
 
   // ── mm_frame_sample ★ — per-"video" frame-index sampling: every
-  // ceil(n/8)-th frame, exploded to one row per sampled frame.
+  // ceil(n/8)-th frame, exploded to one row per sampled frame. Stays on
+  // the synthetic n_frames metadata tier BY DESIGN: it exercises the
+  // stride arithmetic across ALL asset formats with an exact closed-form
+  // oracle; the REAL-frame instantiation of the same stride discipline
+  // is mm_decode_gif below (actual multi-frame GIF bytes).
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
     viewDocs(spark, dir)
     spark.sql(

@@ -196,6 +196,120 @@ object TokenizerQueries {
     * instrumentation for the batching width (merges ÷ rounds). */
   @volatile private[graft] var lastTrainRounds: Int = 0
 
+  /** The adjacent-pair explode over a (seg, freq) relation — THE pair
+    * definition, shared by the full recount and the delta terms so the
+    * two trainers cannot drift. */
+  private def pairCountSql(rel: String, freqExpr: String): String =
+    s"""SELECT pair, CAST(sum(f) AS BIGINT) AS c
+       |FROM (SELECT $freqExpr AS f,
+       |             explode(transform(sequence(1, length(seg) - 1),
+       |                               j -> substring(seg, j, 2))) AS pair
+       |      FROM $rel WHERE length(seg) >= 2)
+       |GROUP BY pair""".stripMargin
+
+  /** [[trainMergesOnView]] with cross-round pair-count DELTA MAINTENANCE
+    * (r11 verdict #3 — the residual production lever): instead of
+    * re-exploding EVERY word's adjacent pairs each round (cost ∝ total
+    * vocab character mass, every round), the trainer keeps the
+    * (pair, count) table as a pinned relation and updates it per round by
+    * recounting ONLY the affected words — those containing an accepted
+    * pair, found by `instr` — subtracting their pre-merge pairs and
+    * adding their post-merge ones. Sound because a word with no accepted
+    * pair occurrence is byte-identical after the batch replace (so its
+    * pair multiset is too), and replacement by a fresh PUA char is
+    * injective (invert by replacing back), so vocab rows stay distinct
+    * and no re-grouping is needed. Per-round cost becomes
+    * O(|pair vocabulary| + affected character mass): as training deepens,
+    * accepted pairs get rarer and the affected set SHRINKS — the 30-50k-
+    * merge regime where the full recount's flat vocab-mass cost is the
+    * bottleneck. The maintained counts equal the full recount exactly
+    * (BpeSpec equality; ScaleStressSpec at 1,024 merges), so the ranking,
+    * batching, and learned schedule are bit-identical. */
+  private[graft] def trainMergesDelta(
+      spark: SparkSession, maxMerges: Int = Merges,
+      maxBatch: Int = MergeBatch): Seq[Merge] = {
+    var seg = spark.sql(
+      """SELECT word AS seg, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS word
+        |      FROM documents)
+        |GROUP BY word""".stripMargin)
+      .pinned()
+    seg.createOrReplaceTempView("bpe_seg_t")
+    var cnt = spark.sql(pairCountSql("bpe_seg_t", "freq")).pinned()
+    val out = scala.collection.mutable.Buffer[Merge]()
+    // Rolling two-generation unpersist (the trainMergesOnView
+    // discipline): generation R-1 pins are lineage sources of the
+    // still-lazy generation-R pins, so only R-2 is provably dead after
+    // round R's collect materializes generation R.
+    var prev: Seq[DataFrame] = Nil
+    var prev2: Seq[DataFrame] = Nil
+    var stopped = false
+    var rounds = 0
+    while (out.size < maxMerges && !stopped) {
+      rounds += 1
+      cnt.createOrReplaceTempView("bpe_cnt_t")
+      val fetch = math.min(maxBatch, maxMerges - out.size)
+      val best = spark.sql(
+        s"""SELECT pair, c FROM bpe_cnt_t
+           |WHERE c >= 2 ORDER BY c DESC, pair ASC LIMIT $fetch""".stripMargin)
+        .collect()
+      prev2.foreach(_.unpersist(blocking = false))
+      prev2 = prev
+      prev = Seq(seg, cnt)
+      if (best.isEmpty) stopped = true
+      else {
+        val used = scala.collection.mutable.Set[Char]()
+        val batch = scala.collection.mutable.Buffer[(String, Long)]()
+        var halted = false
+        best.foreach { r =>
+          val p = r.getString(0)
+          if (!halted) {
+            if (p.exists(used.contains)) halted = true
+            else { batch += ((p, r.getLong(1))); used ++= p }
+          }
+        }
+        val base = out.size
+        batch.zipWithIndex.foreach { case ((p, c), k) =>
+          out += Merge(base + k, p, mergedChar(base + k), c)
+        }
+        val chain = batch.zipWithIndex.foldLeft("seg") {
+          case (e, ((p, _), k)) => s"replace($e, '$p', '${mergedChar(base + k)}')"
+        }
+        val touched = batch.map { case (p, _) => s"instr(seg, '$p') > 0" }
+          .mkString(" OR ")
+        // cnt' = cnt + Σ(post-merge pairs of affected words)
+        //            − Σ(pre-merge pairs of affected words);
+        // zeroed pairs drop out (a later delta re-inserts them if merges
+        // ever make the pair adjacent again).
+        val newCnt = spark.sql(
+          s"""WITH aff AS (SELECT seg, freq FROM bpe_seg_t WHERE $touched),
+             |newaff AS (SELECT $chain AS seg, freq FROM aff),
+             |delta AS (
+             |  SELECT pair, CAST(sum(c) AS BIGINT) AS c FROM (
+             |    ${pairCountSql("aff", "-freq")}
+             |    UNION ALL
+             |    ${pairCountSql("newaff", "freq")})
+             |  GROUP BY pair)
+             |SELECT pair, CAST(sum(c) AS BIGINT) AS c
+             |FROM (SELECT pair, c FROM bpe_cnt_t
+             |      UNION ALL
+             |      SELECT pair, c FROM delta)
+             |GROUP BY pair HAVING sum(c) > 0""".stripMargin)
+          .pinned(eager = false)
+        val newSeg = spark.sql(s"SELECT $chain AS seg, freq FROM bpe_seg_t")
+          .pinned(eager = false)
+        seg = newSeg
+        cnt = newCnt
+        seg.createOrReplaceTempView("bpe_seg_t")
+      }
+    }
+    (prev2 ++ prev).foreach(_.unpersist(blocking = false))
+    seg.unpersist(blocking = false)
+    cnt.unpersist(blocking = false)
+    lastTrainRounds = rounds
+    out.toSeq
+  }
+
   /** The encode fold: apply the learned merges in order to a column
     * holding a segmented token stream. THE shared spelling — the catalog
     * query, the persisted tool ([[graft.tools.BpeTokenizer]]) and the

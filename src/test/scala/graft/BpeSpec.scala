@@ -145,4 +145,35 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"32 merges in $batchedRounds batched rounds " +
       s"(avg width ${32.0 / batchedRounds})")
   }
+
+  test("delta-maintained pair counts train the BIT-IDENTICAL schedule") {
+    // The r12 delta trainer keeps (pair, count) as a maintained relation
+    // updated only from affected words; if the maintenance missed any
+    // subtraction/insertion, a count would drift and the greedy ranking
+    // (count DESC, pair ASC) would diverge somewhere in 32 merges over
+    // the high-diversity corpus — the same witness the batching proof
+    // uses. Also checked on the fixture documents and for early-stop
+    // parity on a saturating corpus.
+    spark.sql(
+      """SELECT id AS doc_id,
+        |       translate(md5(cast(id AS string)),
+        |                 '0123456789', 'ghijklmnop') AS text
+        |FROM range(400)""".stripMargin)
+      .createOrReplaceTempView("documents")
+    val full = TokenizerQueries.trainMergesOnView(spark, 32)
+    val delta = TokenizerQueries.trainMergesDelta(spark, 32)
+    assert(delta == full, {
+      val firstDiff = delta.zip(full).indexWhere { case (a, b) => a != b }
+      s"schedules diverge at merge $firstDiff: " +
+        s"${delta.lift(firstDiff)} vs ${full.lift(firstDiff)}"
+    })
+    // Early stop: both trainers must stop at the same merge when no pair
+    // occurs twice anymore (the maintained table must not retain stale
+    // eligible counts past exhaustion).
+    docs(Seq("ab", "ab", "cd"))
+    val fullStop = TokenizerQueries.trainMergesOnView(spark, 8)
+    val deltaStop = TokenizerQueries.trainMergesDelta(spark, 8)
+    assert(deltaStop == fullStop && deltaStop.size < 8,
+      s"early-stop parity: $deltaStop vs $fullStop")
+  }
 }
