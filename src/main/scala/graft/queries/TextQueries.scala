@@ -1059,7 +1059,105 @@ object TextQueries {
        |  FROM documents)
        |${lixBody("//")}""".stripMargin
 
+  // ── text_bm25 ★ (r12) — BM25 retrieval over an inverted postings view:
+  // fixed probe queries (the ANN fixed-probe convention) against the
+  // (doc, term, tf) postings relation, Okapi scoring with the standard
+  // k1 = 1.2 / b = 0.75 saturation, top-10 documents per query. The
+  // retrieval scorer every RAG / hard-negative-mining pipeline runs next
+  // to the ANN family — tfidf ranks terms WITHIN a document; BM25 ranks
+  // DOCUMENTS for a query, with tf saturation and length normalization.
+  //
+  // Engine-exactness: idf is the LINEAR Robertson odds
+  // (N - df + 0.5)/(df + 0.5) — the same per-term ordering as
+  // log-idf but built only from correctly-rounded IEEE ops (the
+  // text_tfidf_topk precedent: ln() is libm-dependent and cannot land in
+  // a binary oracle). Each per-term contribution is quantized to integer
+  // micro-units (floor(c·1e6)) BEFORE the per-document sum, so the
+  // aggregation is order-independent BIGINT addition — a raw double sum
+  // would depend on partition visit order. Both engines evaluate the
+  // identical expression tree on identical doubles, so the quantized
+  // integers match bit-for-bit.
+  //
+  // Scale shape (100 TB): tf/dl/df are map-side-combined aggregates; the
+  // probe-term join hits the postings on the term key (at production the
+  // postings are bucketed by term — the inverted-index layout); the only
+  // broadcast constants are the 1-row N / avgdl scalars; ranking is a
+  // per-query window over the matched set. Nothing is all-pairs; the
+  // candidate set is Σ df over the QUERY's terms, exactly an inverted
+  // index probe.
+  private val bm25Probes: Seq[(Int, String)] = Seq(
+    0 -> "spark", 0 -> "join", 0 -> "window",
+    1 -> "dup", 1 -> "vector",
+    2 -> "customer", 2 -> "order", 2 -> "line")
+
+  /** The shared BM25 body; engine differences are confined to the word
+    * explode (`split`+LATERAL VIEW vs `string_split`+unnest) and the
+    * floor-div spelling, injected by the callers. */
+  private def bm25Body(valuesRow: String): String =
+    s"""tf AS (
+       |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       |  FROM words GROUP BY doc_id, word),
+       |dl AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |  FROM words GROUP BY doc_id),
+       |dfr AS (
+       |  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM words GROUP BY word),
+       |consts AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |avgl AS (
+       |  SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM dl),
+       |probes AS (SELECT * FROM $valuesRow AS q(q_id, term)),
+       |contrib AS (
+       |  SELECT p.q_id, t.doc_id,
+       |         CAST(floor(
+       |           (((c.n - CAST(d.df AS DOUBLE)) + 0.5)
+       |              / (CAST(d.df AS DOUBLE) + 0.5))
+       |           * ((CAST(t.tf AS DOUBLE) * 2.2)
+       |              / (CAST(t.tf AS DOUBLE)
+       |                 + 1.2 * (0.25 + (0.75 * CAST(l.dl AS DOUBLE)) / a.avgdl)))
+       |           * 1000000.0) AS BIGINT) AS c_micro
+       |  FROM probes p
+       |  JOIN tf t ON t.word = p.term
+       |  JOIN dfr d ON d.word = p.term
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN consts c CROSS JOIN avgl a),
+       |scored AS (
+       |  SELECT q_id, doc_id,
+       |         CAST(count(*) AS INT) AS n_terms,
+       |         CAST(sum(c_micro) AS BIGINT) AS score_micro
+       |  FROM contrib GROUP BY q_id, doc_id),
+       |ranked AS (
+       |  SELECT q_id, doc_id, n_terms, score_micro,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY score_micro DESC, doc_id) AS rnk
+       |  FROM scored)
+       |SELECT CAST(q_id AS INT) AS q_id, doc_id, n_terms, score_micro,
+       |       CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= 10""".stripMargin
+
+  private def bm25Values: String =
+    bm25Probes.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql(
+      s"""WITH words AS (
+         |  SELECT doc_id, word
+         |  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+         |  LATERAL VIEW explode(w) AS word),
+         |${bm25Body(s"VALUES $bm25Values")}""".stripMargin)
+  }
+
+  val textBm25Sql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |${bm25Body(s"(VALUES $bm25Values)")}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> (textBm25 _),
     "text_lix" -> (textLix _),
     "text_textrank" -> (textTextrank _),
     "text_rake" -> (textRake _),
@@ -1082,6 +1180,7 @@ object TextQueries {
     "pipe_curation" -> (pipeCuration _))
 
   val oracle: Map[String, String] = Map(
+    "text_bm25" -> textBm25Sql,
     "text_lix" -> textLixSql,
     "text_textrank" -> textTextrankSql,
     "text_rake" -> textRakeSql,

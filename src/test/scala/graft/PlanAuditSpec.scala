@@ -80,6 +80,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "e11_retention" -> "1-row corpus-epoch scalar cross-joined as a broadcast constant; the user join itself is an equi-join on user_id",
     "text_length_quantiles" -> "rank refinement joins the 3-row quantile-boundary table (broadcast) against only the target buckets",
     "text_tfidf_topk" -> "the 1-row corpus-size scalar joins the tf table as a broadcast constant",
+    "text_bm25" -> "the 1-row corpus-size and avg-doclen scalars cross-joined as broadcast constants; the probe-term and doc-length joins are equi-joins on term/doc_id (the inverted-index probe shape)",
     "text_quality_model" -> "1-row class-total / default-weight / threshold scalars cross-joined as broadcast constants; the feature-weight join itself is an equi-join on the bucket key",
     "text_lm_score" -> "1-row train-token-total scalar cross-joined as a broadcast constant; gram joins are equi-joins on the gram key",
     "pipe_source_card" -> "inherits text_lm_score's 1-row train-token-total scalar; the card's own joins are per-source equi-joins over ~20-row aggregates",
