@@ -34,7 +34,12 @@ object Bench {
     // materializes the session-memoized merge list; it must run before
     // its alphabetically-EARLIEST consumer — pipe_tokenize_pack — or the
     // training cost lands in the wrong query's timing.)
+    // Dev-loop filter (driver never sets it): bench only the named
+    // queries — for re-measuring one regression without the full sweep.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val ordered = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
       .filterNot(Set("dd_minhash_lsh", "text_bpe_train"))
       .flatMap {
         case n @ "dd_cluster"         => Seq("dd_minhash_lsh", n)

@@ -127,35 +127,40 @@ object LearnedQueries {
       .createOrReplaceTempView("documents")
     graft.expr.GraftFunctions.register(spark)
     val quality = TextQueries.qualitySpark("text")
-    // Featurize ONCE and pin: feats feeds training counts, scoring, and
-    // (via scored) the threshold — Catalyst inlines CTEs, so without the
-    // pin the hash-featurize pass reruns per consumer (measured 4.4 s at
-    // sf0.1; pinned ~1 s). The explode rides the fused word_bigrams
-    // kernel, not an interpreted per-gram lambda.
-    // label/is_train are computed in the PER-DOC subquery: hoisted above
-    // the explode they run once per document; after it, the quality
-    // expression's regexes would run once per FEATURE row (~400x).
+    // Featurize ONCE and pin PER-DOC (doc_id, label, is_train, fs-array):
+    // feats feeds training counts, scoring, and (via scored) the
+    // threshold — Catalyst inlines CTEs, so without a pin the
+    // hash-featurize pass reruns per consumer (measured 4.4 s at sf0.1).
+    // Pinning BEFORE the explode keeps the pinned blocks ~250× smaller
+    // (one array row per doc, not one row per feature) and the quality
+    // regexes still run once per DOCUMENT; each consumer then re-explodes
+    // from storage — a codegen'd generator over pinned arrays, measured
+    // cheaper than materializing the 13M-row exploded stream (r12: this
+    // re-layout took the query 2.11 s → 1.69 s at sf0.1, back under the
+    // r10 bench's 1.56 s × 1.3 regression line).
     spark.sql(
-      s"""SELECT doc_id, label, is_train, f
-         |FROM (SELECT doc_id,
-         |             CASE WHEN $quality >= 0.66 THEN 1 ELSE 0 END AS label,
-         |             CASE WHEN doc_id % 5 != 0 THEN 1 ELSE 0 END AS is_train,
-         |             ${featBucketsSpark("text")} AS fs
-         |      FROM documents)
-         |LATERAL VIEW explode(fs) AS f""".stripMargin)
+      s"""SELECT doc_id,
+         |       CASE WHEN $quality >= 0.66 THEN 1 ELSE 0 END AS label,
+         |       CASE WHEN doc_id % 5 != 0 THEN 1 ELSE 0 END AS is_train,
+         |       ${featBucketsSpark("text")} AS fs
+         |FROM documents""".stripMargin)
       .pinned()
+      .createOrReplaceTempView("qm_docs_t")
+    spark.sql(
+      """SELECT doc_id, label, is_train, f
+        |FROM qm_docs_t LATERAL VIEW explode(fs) AS f""".stripMargin)
       .createOrReplaceTempView("qm_feats_t")
-    // Class totals re-derive from the narrow documents scan (no explode)
-    // rather than a count-distinct over the feature stream. The scored
+    // Class totals come from the pinned per-doc relation (33k narrow
+    // rows) — never a second regex pass over the raw text. The scored
     // table (one row per doc) is pinned too: the threshold aggregate and
     // the final verdict both consume it, and inlining would re-run the
     // scoring join per consumer.
     spark.sql(
       s"""WITH feats AS (SELECT * FROM qm_feats_t),
          |totals AS (
-         |  SELECT CAST(sum(CASE WHEN $quality >= 0.66 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-         |         CAST(sum(CASE WHEN $quality < 0.66 THEN 1 ELSE 0 END) AS BIGINT) AS n0
-         |  FROM documents WHERE doc_id % 5 != 0),
+         |  SELECT CAST(sum(label) AS BIGINT) AS n1,
+         |         CAST(sum(1 - label) AS BIGINT) AS n0
+         |  FROM qm_docs_t WHERE is_train = 1),
          |${qmModelCtes("div")}""".stripMargin)
       .pinned()
       .createOrReplaceTempView("qm_scored_t")
