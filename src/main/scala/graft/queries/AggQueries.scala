@@ -243,7 +243,42 @@ object AggQueries {
 
   val d10Sql: String = s"WITH ${d10Body("//")}"
 
+  // ── d12_grouping_sets ★ (r12) — CUSTOM sparse grouping sets, the
+  // third member of the multi-level-aggregate trio (d9 CUBE = power set,
+  // d11 ROLLUP = hierarchy): a hand-picked set list a reporting layer
+  // actually asks for — (flag, status) operational cells, (flag, year)
+  // trend cells, per-year totals, and the grand total — WITHOUT paying
+  // for the unwanted combinations CUBE would add. One scan, one
+  // map-side-combined shuffle: Spark expands the sets before the
+  // aggregate exactly like CUBE/ROLLUP, so cost is (number of sets) ×
+  // the combine width, not extra passes. grouping() flags disambiguate
+  // NULL-as-subtotal, the d9/d11 discipline; the ship YEAR keeps raw
+  // timestamps out of the compared output.
+  private def d12Body(table: String): String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       CAST(year(l_shipdate) AS INT) AS ship_year,
+       |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+       |       CAST(grouping(year(l_shipdate)) AS INT) AS g_year,
+       |       count(*) AS n,
+       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       |FROM $table
+       |GROUP BY GROUPING SETS (
+       |  (l_returnflag, l_linestatus),
+       |  (l_returnflag, year(l_shipdate)),
+       |  (year(l_shipdate)),
+       |  ())""".stripMargin
+
+  def d12GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("lineitem_t")
+    spark.sql(d12Body("lineitem_t"))
+  }
+
+  val d12Sql: String = d12Body("lineitem")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_grouping_sets" -> (d12GroupingSets _),
     "d10_basket_rules" -> (d10BasketRules _),
     "d9_cube" -> (d9Cube _),
     "d11_rollup" -> (d11Rollup _),
@@ -256,6 +291,7 @@ object AggQueries {
     "d8_latest_per_key" -> (d8LatestPerKey _))
 
   val oracle: Map[String, String] = Map(
+    "d12_grouping_sets" -> d12Sql,
     "d10_basket_rules" -> d10Sql,
     "d9_cube" -> d9Sql,
     "d11_rollup" -> d11Sql,

@@ -503,15 +503,119 @@ object GraphQueries {
       |ORDER BY jaccard_micro DESC, c.p1, c.p2
       |LIMIT 50""".stripMargin
 
+  // ── graph_bfs ★ (r12) — multi-source shortest hop distances ──────────
+  // Frontier propagation from a fixed probe set (customers 1, 2 and
+  // supplier 1 — present at every SF) over the bipartite graph: the
+  // third Pregel shape next to pagerank (push-sum) and kcore (fixpoint)
+  // — reachability/radius analysis, the BFS layer under connected
+  // components, landmark distances, and influence-radius queries.
+  //
+  // Each round: dist' = min(dist, min over edges of neighbor dist + 1),
+  // written as one equi-join + one (probe, node) min-aggregation — both
+  // map-side combinable, pure BIGINT. [[BfsRounds]] = 8 is ≥2× the
+  // probed eccentricity (3–4 at sf0.001–0.1); the final round must be a
+  // fixpoint (loud require, the kcore discipline), and the oracle
+  // replays all 8 rounds as generated CTEs. Unreached nodes are absent
+  // in both engines.
+  //
+  // Scale shape (100 TB): the edge relation is the same cached
+  // edge-resident layout the other iterative ops use (only the dist
+  // vector shuffles); per round one join + one combine-heavy min-agg;
+  // production BFS additionally tracks the CHANGED frontier to skip
+  // settled nodes — at the fixture's diameter the dense-min form is the
+  // oracle-replayable equivalent with identical output.
+  /** Fixed BFS rounds; the last round must be a fixpoint. */
+  val BfsRounds = 8
+  /** Probe sources: (label, encoded node id) — custkeys 1, 2 ↦ 2c,
+    * suppkey 1 ↦ 2s+1 (the pagerank encoding). */
+  val BfsProbes: Seq[(String, Long)] =
+    Seq(("cust_1", 2L), ("cust_2", 4L), ("supp_1", 3L))
+
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val half = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst")).sortWithinPartitions("dst")
+      .persist()
+    import spark.implicits._
+    var dist = BfsProbes.toDF("probe", "node").select(
+      col("probe"), col("node"), lit(0L).as("d"))
+    var prev: DataFrame = null
+    for (i <- 1 to BfsRounds) {
+      val next = dist.union(
+          edges.join(dist, edges("dst") === dist("node"))
+            .select(col("probe"), edges("src").as("node"),
+              (col("d") + 1L).as("d")))
+        .groupBy("probe", "node").agg(min(col("d")).as("d"))
+      prev = dist
+      dist = if (i >= BfsRounds - 1) next.pinned() else next
+    }
+    val changed = dist.as("a")
+      .join(prev.as("b"),
+        col("a.probe") === col("b.probe") && col("a.node") === col("b.node"),
+        "full_outer")
+      .where(col("a.d").isNull || col("b.d").isNull || col("a.d") =!= col("b.d"))
+      .count()
+    require(changed == 0,
+      s"graph_bfs: distances not a fixpoint after $BfsRounds rounds " +
+        s"($changed entries still changing) — raise BfsRounds for this graph")
+    dist.select(
+      col("probe"),
+      when(col("node") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type"),
+      expr("node div 2").as("node_id"),
+      col("d").as("dist"))
+  }
+
+  val graphBfsSql: String = {
+    val probes = BfsProbes
+      .map { case (p, n) => s"('$p', $n)" }.mkString(", ")
+    val rounds = (1 to BfsRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT probe, node, CAST(min(d) AS BIGINT) AS d FROM (
+         |    SELECT probe, node, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT p.probe, e.src AS node, p.d + 1 AS d
+         |    FROM edges e JOIN d${i - 1} p ON p.node = e.dst)
+         |  GROUP BY probe, node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH half AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS (
+       |  SELECT src, dst FROM half
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM half),
+       |d0 AS (
+       |  SELECT probe, CAST(node AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+       |  FROM (VALUES $probes) AS q(probe, node)),
+       |$rounds
+       |SELECT probe,
+       |       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |         AS node_type,
+       |       CAST(node // 2 AS BIGINT) AS node_id,
+       |       d AS dist
+       |FROM d$BfsRounds""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
-    "graph_link_predict" -> (graphLinkPredict _))
+    "graph_link_predict" -> (graphLinkPredict _),
+    "graph_bfs" -> (graphBfs _))
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_kcore" -> graphKcoreSql,
-    "graph_link_predict" -> graphLinkPredictSql)
+    "graph_link_predict" -> graphLinkPredictSql,
+    "graph_bfs" -> graphBfsSql)
 }

@@ -703,6 +703,43 @@ object TimeSeriesQueries {
         s"SELECT CAST(unnest(range(0, $StompN)) AS BIGINT) AS h",
         s"CROSS JOIN (SELECT unnest(range($StompExcl, ${StompN - StompM + 1})) AS k) kk")
 
+  // ── ts_motif ★ (r12) — top-5 MOTIF pairs over the same long hourly
+  // series: the window pairs whose squared Euclidean distance is
+  // SMALLEST — the recurring daily patterns, the matrix profile's other
+  // half (discord = max of the min-profile, motif = min over pairs).
+  // Same STOMP diagonal recurrence, same engine-shared CTE text, two
+  // differences: the diagonal range starts at k = [[StompM]] so motif
+  // pairs never OVERLAP (an overlapping pair shares raw points and wins
+  // trivially — the discord profile's m/2 exclusion is too permissive
+  // for pair ranking), and the final cut ranks d² ascending over the
+  // pair relation directly (no per-window min needed). Integer-exact;
+  // ties break by (win_a, win_b).
+  //
+  // Scale shape: identical to ts_stomp_discord — ~673 independent O(n)
+  // diagonal cumsum chains, O(1) per cell; only the final
+  // TakeOrderedAndProject differs.
+  private val StompMotifSelect: String =
+    """SELECT CAST(rk AS INT) AS motif_rank, i AS win_a, i + k AS win_b, d2
+      |FROM (SELECT i, k, d2,
+      |             row_number() OVER (ORDER BY d2 ASC, i, k) AS rk
+      |      FROM d2)
+      |WHERE rk <= 5 ORDER BY rk""".stripMargin
+
+  def tsMotif(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql("WITH " + stompBody("div", "unix_micros(ts)", "events_t",
+      s"SELECT CAST(x AS BIGINT) AS h FROM (SELECT explode(sequence(0, ${StompN - 1})) AS x)",
+      s"LATERAL VIEW explode(sequence($StompM, ${StompN - StompM})) kk AS k",
+      StompMotifSelect))
+  }
+
+  val tsMotifSql: String =
+    "WITH ev AS (SELECT epoch_us(ts) AS us FROM events),\n" +
+      stompBody("//", "us", "ev",
+        s"SELECT CAST(unnest(range(0, $StompN)) AS BIGINT) AS h",
+        s"CROSS JOIN (SELECT unnest(range($StompM, ${StompN - StompM + 1})) AS k) kk",
+        StompMotifSelect)
+
   // ── ts_seasonal ★ (r11) — integer SEASONAL DECOMPOSITION (STL-lite):
   // the corpus-level daily activity series splits into TREND (the
   // un-normalized centered 7-day window sum — integer by construction),
@@ -966,6 +1003,7 @@ object TimeSeriesQueries {
     "ts_seasonal" -> (tsSeasonal _),
     "ts_discord" -> (tsDiscord _),
     "ts_stomp_discord" -> (tsStompDiscord _),
+    "ts_motif" -> (tsMotif _),
     "ts_periodicity" -> (tsPeriodicity _),
     "ts_paa_topk" -> (tsPaaTopk _),
     "ts_sax_prune" -> (tsSaxPrune _),
@@ -979,6 +1017,7 @@ object TimeSeriesQueries {
     "ts_seasonal" -> tsSeasonalSql,
     "ts_discord" -> tsDiscordSql,
     "ts_stomp_discord" -> tsStompDiscordSql,
+    "ts_motif" -> tsMotifSql,
     "ts_periodicity" -> tsPeriodicitySql,
     "ts_paa_topk" -> tsPaaTopkSql,
     "ts_sax_prune" -> tsSaxPruneSql,

@@ -102,6 +102,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ts_discord" -> "inherits the series prologue's 1-row epoch scalar and 30-row day grid broadcasts; the window-pair stage is an equi-join on (user_id, offset), bounded per key at 24x7x24 rows",
     "ts_seasonal" -> "the series prologue's 1-row epoch scalar broadcast; everything downstream runs over the 30-row aggregated daily series",
     "ts_stomp_discord" -> "the 1-row corpus-epoch scalar cross-joined to bucket hours; every quadratic-stage join (diagonal expansion, ss/qt assembly, mp/nn) is an equi-join on h/i/k over the 720-row calendar-bounded series",
+    "ts_motif" -> "same body as ts_stomp_discord: the 1-row corpus-epoch scalar cross-joined to bucket hours; all quadratic-stage joins are equi-joins on h/i/k over the 720-row calendar-bounded series",
     "ts_changepoint" -> "the 1-row corpus-epoch scalar and the 30-row day grid cross-joined as broadcast constants to densify per-user series; the CUSUM argmax joins are equi-joins on (user_id, dev)/(user_id, t)",
     "ts_ewma" -> "the same series densification as ts_changepoint: 1-row epoch scalar + 30-row day grid broadcasts; residual argmax joins are equi-joins on (user_id, dev_milli)/(user_id, day)",
     "pipe_source_divergence" -> "the pair universe is bcount x bcount under source < source — bcount has one row per SOURCE (~20), bounded by the corpus's source vocabulary, broadcast both sides; the data-sized work is the equi-join on bucket over the <=|sources|x256 shares relation",
@@ -120,7 +121,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "e5_offset_gaps" -> "lag over per-partition offset summaries",
     "text_length_quantiles" -> "prefix sum over the 12-row bucket histogram, never documents",
     "ts_seasonal" -> "centered 7-day windows over the 30-row aggregated daily series — bounded by the calendar, not the corpus (the map-side day count collapses the data first)",
-    "ts_stomp_discord" -> "the sliding sum-of-squares cumsum over the 720-row calendar-bounded hourly series and the final ranking over the 697-row window profile; the O(n²) diagonal cumsums are PARTITION BY k (not bare)")
+    "ts_stomp_discord" -> "the sliding sum-of-squares cumsum over the 720-row calendar-bounded hourly series and the final ranking over the 697-row window profile; the O(n²) diagonal cumsums are PARTITION BY k (not bare)",
+    "ts_motif" -> "same body as ts_stomp_discord: the 720-row series cumsums and the final ranking over the bounded non-overlap pair relation; diagonal cumsums are PARTITION BY k (not bare)")
 
   private def violations(pred: (String, SparkPlan) => Boolean): Seq[String] =
     plans.collect { case (name, p) if pred(name, p) => name }

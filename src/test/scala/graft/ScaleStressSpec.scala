@@ -50,8 +50,13 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       // lineitem replicates on the ORDER key only: each copy re-buys the
       // same part baskets, so the distinct co-purchase edge set — and
       // everything graph_triangles derives from it — is invariant.
+      // orders replicates on the ORDER key only (customers unchanged):
+      // each copy re-buys from the same customers, so the distinct
+      // customer↔supplier bipartite edge set — and the kcore/bfs results
+      // derived from it — is invariant while the joins chew 10x volume.
       Seq("documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"),
         "events" -> Seq("user_id", "event_id"),
+        "orders" -> Seq("o_orderkey"),
         "lineitem" -> Seq("l_orderkey")).foreach { case (t, idCols) =>
         val base = spark.read.parquet(s"/root/testdata/sf0.1/$t.parquet")
         val scaled = (0 until Copies).map { i =>
@@ -992,6 +997,65 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(d == 0L, s"probe $q neighbor $v at distance $d, expected a 0-distance copy")
       assert(v % IdStride == q % IdStride,
         s"probe $q neighbor $v is not one of its copies")
+    }
+  }
+
+  test("graph_kcore decomposition is EXACTLY invariant under order-replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Replicated orders re-buy from the SAME customers/suppliers, so the
+    // distinct bipartite edge set collapses to the base graph: every
+    // node's degree and coreness must be bit-identical to the sf0.1 run
+    // while the orders⋈lineitem build chews 10x the rows — and the
+    // h-operator must still hit its fixpoint inside KcoreRounds.
+    def rows(d: String) = SparkEntry.queries("graph_kcore")(spark, d)
+      .orderBy("node_type", "node_id").collect().toSeq
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("graph_kcore @ sf~1")(rows(dir))
+    assert(scaled === base, "coreness decomposition diverged under replication")
+    assert(base.map(_.getLong(3)).max > 1L, "max coreness must be non-vacuous")
+  }
+
+  test("graph_bfs distances are EXACTLY invariant under order-replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    def rows(d: String) = SparkEntry.queries("graph_bfs")(spark, d)
+      .orderBy("probe", "node_type", "node_id").collect().toSeq
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("graph_bfs @ sf~1")(rows(dir))
+    assert(scaled === base, "BFS distances diverged under replication")
+    assert(base.map(_.getLong(3)).max >= 2L, "radius must be non-vacuous")
+  }
+
+  test("graph_link_predict top-50 is EXACTLY invariant under order-replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // The distinct co-purchase edge set is replication-invariant, so
+    // degrees, common-neighbor counts, RA contributions, the support
+    // floor, and the top-50 cut are all bit-identical; only the pair
+    // build pays the 10x lineitem volume.
+    def rows(d: String) = SparkEntry.queries("graph_link_predict")(spark, d)
+      .orderBy("p1", "p2").collect().toSeq
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("graph_link_predict @ sf~1")(rows(dir))
+    assert(scaled === base, "link-prediction top-50 diverged under replication")
+    assert(base.map(_.getLong(4)).max >= 3L, "support floor must be non-vacuous")
+  }
+
+  test("text_bm25 at sf~1: each probe's top hit is a copy of the base top hit") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Replicating documents x10 multiplies N and every df by 10: the
+    // Robertson odds shift by a vanishing (±0.5-term) perturbation, so
+    // the base #1 — which leads by an integer micro-unit margin — must
+    // stay on top; its 10 identical copies tie at rank 1-10 broken by
+    // doc_id. Assert rank-1 identity per probe query (the robust
+    // invariant) plus the row-count contract.
+    def top1(d: String) = SparkEntry.queries("text_bm25")(spark, d)
+      .where(col("rnk") === 1).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val base = top1("/root/testdata/sf0.1")
+    val scaled = timed("text_bm25 @ sf~1")(top1(dir))
+    assert(scaled.keySet === base.keySet)
+    scaled.foreach { case (q, doc) =>
+      assert(doc % IdStride === base(q),
+        s"query $q: scaled top hit $doc is not a copy of base top ${base(q)}")
     }
   }
 }

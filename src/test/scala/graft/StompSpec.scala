@@ -86,6 +86,50 @@ class StompSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"i=$i naive=${naive(i)} stomp=${stomp(i)}").mkString("; "))
   }
 
+  test("emitted motifs are the naive pair ranking's bottom-5, non-overlapping") {
+    val n = TimeSeriesQueries.StompN
+    val m = TimeSeriesQueries.StompM
+    fixtures.SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    // Naive pair distances over the NON-OVERLAP diagonal range k >= m.
+    val naivePairs = spark.sql(
+      s"""WITH sbounds AS (SELECT min(unix_micros(ts)) AS t0 FROM events_t),
+         |hourly AS (
+         |  SELECT CAST((unix_micros(ts) - b.t0) div 3600000000 AS BIGINT) AS h,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM events_t CROSS JOIN sbounds b
+         |  WHERE (unix_micros(ts) - b.t0) div 3600000000 < $n
+         |  GROUP BY CAST((unix_micros(ts) - b.t0) div 3600000000 AS BIGINT)),
+         |xs AS (
+         |  SELECT g.h, coalesce(s.c, CAST(0 AS BIGINT)) AS v
+         |  FROM (SELECT CAST(x AS BIGINT) AS h
+         |        FROM (SELECT explode(sequence(0, ${n - 1})) AS x)) g
+         |  LEFT JOIN hourly s ON s.h = g.h),
+         |pairs AS (
+         |  SELECT e.i, e.k, e.v AS va, b.v AS vb
+         |  FROM (SELECT a.h - tt.t AS i, kk.k, tt.t, a.v
+         |        FROM xs a
+         |        LATERAL VIEW explode(sequence($m, ${n - m})) kk AS k
+         |        LATERAL VIEW explode(sequence(0, ${m - 1})) tt AS t) e
+         |  JOIN xs b ON b.h = e.i + e.k + e.t
+         |  WHERE e.i >= 0 AND e.i + e.k <= ${n - m})
+         |SELECT CAST(i AS BIGINT) AS i, CAST(k AS BIGINT) AS k,
+         |       CAST(sum((va - vb) * (va - vb)) AS BIGINT) AS d2
+         |FROM pairs GROUP BY i, k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = naivePairs
+      .sortBy { case (i, k, d) => (d, i, k) }.take(5)
+      .map { case (i, k, d) => (i, i + k, d) }
+    val emitted = TimeSeriesQueries.tsMotif(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(emitted.length == 5)
+    emitted.zip(expected).zipWithIndex.foreach {
+      case (((rk, a, b, d2), (na, nb, nd2)), idx) =>
+        assert(rk == idx + 1 && a == na && b == nb && d2 == nd2,
+          s"rank $rk: recurrence ($a, $b, $d2) != naive ($na, $nb, $nd2)")
+        assert(b - a >= m, s"motif pair ($a, $b) overlaps (separation < $m)")
+    }
+  }
+
   test("emitted discords are the naive profile's top-5 with deterministic ties") {
     val naive = naiveProfile()
     val emitted = TimeSeriesQueries.tsStompDiscord(spark, dir)
