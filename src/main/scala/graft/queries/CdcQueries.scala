@@ -1151,6 +1151,54 @@ object CdcQueries {
       |FROM paths p CROSS JOIN tot t
       |ORDER BY p.n DESC, p.step1, p.step2, p.step3 LIMIT 20""".stripMargin
 
+  // ── e18_sliding_window ★ (r12) — RANGE-frame sliding aggregation:
+  // each user's peak 7-CALENDAR-DAY activity burst. The frame is RANGE
+  // BETWEEN 6 PRECEDING AND CURRENT ROW over the integer day index —
+  // on SPARSE per-user series this is semantically different from the
+  // ROWS frames the rest of the catalog uses: RANGE spans the calendar
+  // (gaps shrink the window's row count), ROWS would span 7 *active*
+  // days regardless of gaps. The burst-detection / rate-limiting
+  // primitive every engagement pipeline ships; ties break toward the
+  // earliest peak day. Engine-exact: integer day floor-divisions,
+  // BIGINT sums, and a deterministic per-user rank.
+  //
+  // Scale shape (100 TB): the day series is ONE map-side-combined
+  // (user, day) count — the corpus collapses before any window; both
+  // windows are PARTITION BY user_id (parallel, bounded by a user's
+  // active-day count); the peak pick is a per-user rank, not a sort.
+  private def e18Body(idiv: String, usExpr: String, table: String): String =
+    s"""bounds AS (SELECT min($usExpr) AS t0 FROM $table),
+       |days AS (
+       |  SELECT user_id,
+       |         CAST(($usExpr - b.t0) $idiv 86400000000 AS BIGINT) AS day,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM $table CROSS JOIN bounds b
+       |  GROUP BY user_id, ($usExpr - b.t0) $idiv 86400000000),
+       |slid AS (
+       |  SELECT user_id, day, c,
+       |         CAST(sum(c) OVER (PARTITION BY user_id ORDER BY day
+       |           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS w7
+       |  FROM days),
+       |ranked AS (
+       |  SELECT user_id, day, w7,
+       |         row_number() OVER (PARTITION BY user_id
+       |           ORDER BY w7 DESC, day) AS rk,
+       |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+       |           AS n_days_active
+       |  FROM slid)
+       |SELECT user_id, n_days_active, day AS peak_end_day, w7 AS peak_7d
+       |FROM ranked WHERE rk = 1""".stripMargin
+
+  def e18SlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql("WITH " + e18Body("div", "unix_micros(ts)", "events_t"))
+  }
+
+  val e18Sql: String =
+    "WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),\n" +
+      e18Body("//", "us", "ev")
+
   // ── e17_lifecycle ★ (r11) — growth accounting: per calendar week,
   // how many users are NEW (first-ever activity), RETAINED (also active
   // the immediately preceding week), RESURRECTED (active after a gap),
@@ -1208,6 +1256,7 @@ object CdcQueries {
        |${lifecycleBody("//")}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e18_sliding_window" -> (e18SlidingWindow _),
     "e17_lifecycle" -> (e17Lifecycle _),
     "e16_path_trigrams" -> (e16PathTrigrams _),
     "e15_attribution" -> (e15Attribution _),
@@ -1244,6 +1293,7 @@ object CdcQueries {
     "e5_offset_gaps" -> (e5OffsetGaps _))
 
   val oracle: Map[String, String] = Map(
+    "e18_sliding_window" -> e18Sql,
     "e17_lifecycle" -> e17Sql,
     "e16_path_trigrams" -> e16Sql,
     "e15_attribution" -> e15Sql,

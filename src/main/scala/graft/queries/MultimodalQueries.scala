@@ -944,6 +944,136 @@ object MultimodalQueries {
        |  ON p2.doc_id = m.doc_id AND p2.p = m.peak_power
        |GROUP BY m.doc_id, m.n_samples, m.peak_power, m.total_power""".stripMargin
 
+  // ── mm_audio_fingerprint ★ (r12) — CONSTELLATION fingerprint matching
+  // (the Shazam shape, Wang 2003) over REAL decoded WAV audio: each
+  // asset's samples frame into fixed 100-sample windows, every frame's
+  // 8-band Walsh SIGN WORD (the mm_spectral_peak basis, frame-local;
+  // the sign pattern, not the argmax — the fixture's near-periodic
+  // streams make the peak bin degenerate while the sign word stays
+  // diverse) becomes a constellation point, adjacent words pair into
+  // landmark hashes h = (word_a·256 + word_b)·4 + Δframe, and probes
+  // match the corpus by
+  // counting hash hits PER TIME OFFSET — the offset histogram whose max
+  // ("aligned" votes) is what makes the scheme robust: true matches
+  // agree on one offset, chance collisions scatter. Probes are fixed
+  // WAV assets (doc_ids 1, 5, 9); each must retrieve ITSELF at rank 1
+  // with every hash aligned at offset 0 — the self-retrieval sanity an
+  // audio-dedup deployment smoke-tests first — and the runners-up are
+  // the fixture's REAL near-duplicates (streams differing by a tiny
+  // phase term, e.g. docs 1 and 481), which is the operator's point.
+  //
+  // Engine-exactness: the decode boundary is mapPartitions (the codec
+  // rule); everything after is integers — frame peaks (smallest-band
+  // argmax), packed hashes, vote counts, min-offset tie-breaks — and
+  // the DuckDB oracle recomputes every frame correlation from the
+  // sample formula, so one flipped sample anywhere breaks the compare.
+  //
+  // Scale shape (100 TB): peak extraction is one pass per asset at the
+  // codec boundary (no shuffle); the corpus hash index is ~2 rows per
+  // frame, equi-joined on the packed hash (at production: the posting
+  // list layout, bucketed by hash); vote counting is map-side-combined;
+  // ranking is a per-probe window over matched candidates only.
+  /** Fingerprint frame length in samples. */
+  val FpFrame = 100
+  /** Probe asset ids (all % 4 = 1 — WAV assets at every SF). */
+  val FpProbes = Seq(1L, 5L, 9L)
+
+  /** The engine-shared matching body over a `fp_peaks` relation of
+    * (doc_id, frame, word). */
+  private def fpMatchBody(peaks: String): String = {
+    val probeList = FpProbes.mkString(", ")
+    s"""hashes AS (
+       |  SELECT a.doc_id, a.frame,
+       |         (a.word * 256 + b.word) * 4 + (b.frame - a.frame) AS h
+       |  FROM $peaks a JOIN $peaks b
+       |    ON b.doc_id = a.doc_id AND b.frame - a.frame IN (1, 2)),
+       |fprobes AS (
+       |  SELECT doc_id AS probe, frame, h FROM hashes
+       |  WHERE doc_id IN ($probeList)),
+       |votes AS (
+       |  SELECT p.probe, c.doc_id AS cand, p.frame - c.frame AS off,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM fprobes p JOIN hashes c ON c.h = p.h
+       |  GROUP BY p.probe, c.doc_id, p.frame - c.frame),
+       |agg AS (
+       |  SELECT probe, cand,
+       |         CAST(sum(n) AS BIGINT) AS n_hash_matches,
+       |         CAST(max(n) AS BIGINT) AS n_aligned
+       |  FROM votes GROUP BY probe, cand),
+       |best AS (
+       |  SELECT a.probe, a.cand, a.n_hash_matches, a.n_aligned,
+       |         CAST(min(v.off) AS BIGINT) AS best_offset
+       |  FROM agg a JOIN votes v
+       |    ON v.probe = a.probe AND v.cand = a.cand AND v.n = a.n_aligned
+       |  GROUP BY a.probe, a.cand, a.n_hash_matches, a.n_aligned),
+       |rankedfp AS (
+       |  SELECT probe, cand, n_hash_matches, n_aligned, best_offset,
+       |         row_number() OVER (PARTITION BY probe
+       |           ORDER BY n_aligned DESC, n_hash_matches DESC, cand) AS rnk
+       |  FROM best)
+       |SELECT probe AS probe_id, cand AS match_id, n_hash_matches,
+       |       n_aligned, best_offset, CAST(rnk AS INT) AS rnk
+       |FROM rankedfp WHERE rnk <= 3""".stripMargin
+  }
+
+  def mmAudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    import spark.implicits._
+    import graft.model.AudioCodec
+    val ids = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 4 = 1").as[Long]
+    ids.mapPartitions { it =>
+      val writer = AudioCodec.openWriter()
+      val reader = AudioCodec.openReader()
+      it.flatMap { docId =>
+        val ss = AudioCodec.decodeSamples(reader, AudioCodec.synthesizeWav(writer, docId))
+        val nf = ss.length / FpFrame
+        (0 until nf).map { f =>
+          val corr = new Array[Long](SpectralBins)
+          var j = 0
+          while (j < FpFrame) {
+            val x = ss(f * FpFrame + j).toLong
+            var k = 1
+            while (k <= SpectralBins) {
+              val sign = if ((2L * k * j / FpFrame) % 2 == 0) 1L else -1L
+              corr(k - 1) += x * sign
+              k += 1
+            }
+            j += 1
+          }
+          var word = 0L
+          var k = 1
+          while (k <= SpectralBins) {
+            if (corr(k - 1) > 0L) word |= (1L << (k - 1))
+            k += 1
+          }
+          (docId, f.toLong, word)
+        }
+      }
+    }.toDF("doc_id", "frame", "word")
+      .createOrReplaceTempView("fp_peaks_t")
+    spark.sql("WITH " + fpMatchBody("fp_peaks_t"))
+  }
+
+  val mmAudioFingerprintSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, CAST(800 + doc_id % 800 AS BIGINT) AS n
+       |  FROM documents WHERE doc_id % 4 = 1),
+       |fcorr AS (
+       |  SELECT doc_id, f, k,
+       |         CAST(list_sum(list_transform(range(0, $FpFrame), j ->
+       |           (CAST((doc_id * 7919 + (f * $FpFrame + j) * 2654435761)
+       |              % 65536 - 32768 AS BIGINT))
+       |           * (CASE WHEN ((2 * k * j) // $FpFrame) % 2 = 0
+       |              THEN 1 ELSE -1 END))) AS BIGINT) AS s
+       |  FROM sig, unnest(range(0, n // $FpFrame)) AS tf(f),
+       |       unnest(range(1, ${SpectralBins + 1})) AS tk(k)),
+       |fp_peaks AS (
+       |  SELECT doc_id, CAST(f AS BIGINT) AS frame,
+       |         CAST(sum(CASE WHEN s > 0 THEN 1 << (k - 1) ELSE 0 END)
+       |           AS BIGINT) AS word
+       |  FROM fcorr GROUP BY doc_id, f),
+       |${fpMatchBody("fp_peaks")}""".stripMargin
+
   // ── mm_edge_density ★ (r11) — integer GRADIENT statistics over REAL
   // decoded pixels: every PNG asset (doc_id % 3 = 0) is container-decoded
   // through javax.imageio and the first-difference field |p(x+1,y)−p(x,y)|
@@ -1027,6 +1157,7 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_edge_density" -> (mmEdgeDensity _),
     "mm_spectral_peak" -> (mmSpectralPeak _),
+    "mm_audio_fingerprint" -> (mmAudioFingerprint _),
     "mm_vad_segments" -> (mmVadSegments _),
     "mm_decode_jpeg" -> (mmDecodeJpeg _),
     "mm_phash_dedup" -> (mmPhashDedup _),
@@ -1045,6 +1176,7 @@ object MultimodalQueries {
   val oracle: Map[String, String] = Map(
     "mm_edge_density" -> mmEdgeDensitySql,
     "mm_spectral_peak" -> mmSpectralPeakSql,
+    "mm_audio_fingerprint" -> mmAudioFingerprintSql,
     "mm_vad_segments" -> mmVadSegmentsSql,
     "mm_phash" -> mmPhashSql,
     "mm_phash_dedup" -> mmPhashDedupSql,

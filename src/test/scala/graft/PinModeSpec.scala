@@ -43,7 +43,8 @@ class PinModeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val probes = Seq(
     "dd_cluster", "graph_pagerank", "dd_prefix_jaccard", "ann_ivf_topk",
-    "text_bpe_train", "text_spell_cluster")
+    "text_bpe_train", "text_spell_cluster", "graph_kcore",
+    "graph_link_predict")
 
   test("catalog queries are bit-equal under graft.pin.mode=reliable") {
     val qs = SparkEntry.queries

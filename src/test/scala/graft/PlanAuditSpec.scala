@@ -78,6 +78,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "pipe_mix" -> "per-source stats (≈20 rows) cross-joined with the 1-row corpus total — both aggregates, bounded by source cardinality",
     "pipe_mix_temperature" -> "per-source weights (≈20 rows) cross-joined with the 1-row integer normalizer — both aggregates, bounded by source cardinality",
     "e11_retention" -> "1-row corpus-epoch scalar cross-joined as a broadcast constant; the user join itself is an equi-join on user_id",
+    "e18_sliding_window" -> "1-row corpus-epoch scalar cross-joined as a broadcast constant; the sliding window itself is PARTITION BY user_id",
     "text_length_quantiles" -> "rank refinement joins the 3-row quantile-boundary table (broadcast) against only the target buckets",
     "text_tfidf_topk" -> "the 1-row corpus-size scalar joins the tf table as a broadcast constant",
     "text_bm25" -> "the 1-row corpus-size and avg-doclen scalars cross-joined as broadcast constants; the probe-term and doc-length joins are equi-joins on term/doc_id (the inverted-index probe shape)",
