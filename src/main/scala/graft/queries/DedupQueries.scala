@@ -1502,7 +1502,99 @@ object DedupQueries {
   val textWinnowSql: String = s"WITH $winnowDuck\n${winnowStatsTail("//")}"
   val ddWinnowSql: String = s"WITH $winnowDuck,\n${winnowPairsTail("//")}"
 
+  // ── dd_recall_report ★ (r12) — the DEDUP-quality report, the
+  // ann_recall_report twin for the near-duplicate family: every
+  // approximate/alternative pair detector evaluated against the EXACT
+  // n-gram Jaccard baseline (dd_ngram_jaccard, the measure minhash
+  // estimates) in one pass — per method, pairs emitted, pairs inside
+  // the exact set, precision and recall in integer micro-units. This is
+  // the artifact a dedup deployment tunes band counts and thresholds
+  // by; the oracle RERUNS all four pipelines and the baseline, so the
+  // report itself is engine-exact. Read the rows by what each method
+  // MEASURES: minhash ESTIMATES the baseline's jaccard (its recall row
+  // is approximation quality — 100% at sf0.01) and containment upper-
+  // bounds it; winnow fingerprints and word-token prefix-jaccard target
+  // DIFFERENT similarity notions, so their rows quantify notion
+  // divergence, not error. (dd_simhash and dd_embedding_cosine emit
+  // clusters / embedding pairs, not document token pairs — they are
+  // evaluated by their own oracles, not forced into this one.)
+  // Shape: each method's own scale shape (documented on its row); the
+  // report adds equi-joins on (doc_a, doc_b) against the bounded exact
+  // pair set plus one 1-row baseline-size scalar (allowlisted).
+  def ddRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val exact = ddNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .pinned() // bounded exact pair set; reused by every method's join
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "dd_minhash_lsh" -> ddMinhashLsh(spark, dir),
+      "dd_winnow" -> ddWinnow(spark, dir),
+      "dd_containment" -> ddContainment(spark, dir),
+      "dd_prefix_jaccard" -> ddPrefixJaccard(spark, dir))
+    val union = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("doc_a"), col("doc_b"))
+    }.reduce(_ unionByName _)
+    union.createOrReplaceTempView("dd_report_union_t")
+    exact.createOrReplaceTempView("dd_report_exact_t")
+    spark.sql(
+      """WITH base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_exact FROM dd_report_exact_t),
+        |returned AS (
+        |  SELECT method, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM dd_report_union_t GROUP BY method),
+        |hits AS (
+        |  SELECT u.method, CAST(count(*) AS BIGINT) AS hits
+        |  FROM dd_report_union_t u
+        |  JOIN dd_report_exact_t e
+        |    ON u.doc_a = e.doc_a AND u.doc_b = e.doc_b
+        |  GROUP BY u.method)
+        |SELECT r.method, r.n_pairs, b.n_exact,
+        |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |       CAST(coalesce(h.hits, 0) * 1000000 div r.n_pairs AS BIGINT)
+        |         AS precision_micro,
+        |       CAST(coalesce(h.hits, 0) * 1000000 div b.n_exact AS BIGINT)
+        |         AS recall_micro
+        |FROM returned r
+        |LEFT JOIN hits h ON r.method = h.method
+        |CROSS JOIN base b""".stripMargin)
+  }
+
+  lazy val ddRecallReportSql: String = {
+    val subs = Seq(
+      "dd_minhash_lsh" -> ddMinhashLshSql,
+      "dd_winnow" -> ddWinnowSql,
+      "dd_containment" -> ddContainmentSql,
+      "dd_prefix_jaccard" -> ddPrefixJaccardSql)
+    val unionSql = subs.map { case (m, sql) =>
+      s"SELECT '$m' AS method, doc_a, doc_b FROM (\n$sql\n)"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH u AS (
+       |$unionSql
+       |),
+       |ex AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$ddNgramJaccardSql
+       |)),
+       |base AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+       |returned AS (
+       |  SELECT method, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM u GROUP BY method),
+       |hits AS (
+       |  SELECT u.method, CAST(count(*) AS BIGINT) AS hits
+       |  FROM u JOIN ex e ON u.doc_a = e.doc_a AND u.doc_b = e.doc_b
+       |  GROUP BY u.method)
+       |SELECT r.method, r.n_pairs, b.n_exact,
+       |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(coalesce(h.hits, 0) * 1000000 // r.n_pairs AS BIGINT)
+       |         AS precision_micro,
+       |       CAST(coalesce(h.hits, 0) * 1000000 // b.n_exact AS BIGINT)
+       |         AS recall_micro
+       |FROM returned r
+       |LEFT JOIN hits h ON r.method = h.method
+       |CROSS JOIN base b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_recall_report" -> (ddRecallReport _),
     "text_winnow" -> (textWinnow _),
     "dd_winnow" -> (ddWinnow _),
     "dd_prefix_jaccard" -> (ddPrefixJaccard _),
@@ -1526,6 +1618,7 @@ object DedupQueries {
     "dd_cluster_star" -> (ddClusterStar _))
 
   val oracle: Map[String, String] = Map(
+    "dd_recall_report" -> ddRecallReportSql,
     "text_winnow" -> textWinnowSql,
     "dd_winnow" -> ddWinnowSql,
     "dd_prefix_jaccard" -> ddPrefixJaccardSql,

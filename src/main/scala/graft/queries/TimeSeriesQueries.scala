@@ -782,6 +782,41 @@ object TimeSeriesQueries {
        |       s.dow_resid, s.dow_days
        |FROM resid t JOIN seasonal s ON s.dow = t.dow""".stripMargin
 
+  // ── ts_forecast_baseline ★ (r12) — the BACKTEST report: the two
+  // baselines every forecasting system must beat — seasonal-naive
+  // (ŷ(d) = y(d−7), the weekly-rhythm echo) and persistence
+  // (ŷ(d) = y(d−1)) — replayed over the corpus daily series with exact
+  // integer absolute errors and a per-day winner. This is the honesty
+  // artifact of a forecasting pipeline: a model that can't beat these
+  // two columns isn't a model. Forecast lookups are equi-joins on
+  // day−7 / day−1 (gap-safe — never a positional lag that would slip on
+  // a missing day); everything BIGINT.
+  //
+  // Scale shape (100 TB): the series is ONE map-side-combined day
+  // count — the corpus collapses to ≤30 rows before anything else; the
+  // joins and the verdict run on that bounded relation. Per-key
+  // backtests partition the same joins by key.
+  private def forecastBody(): String =
+    s"""daily AS (
+       |  SELECT day, CAST(sum(c) AS BIGINT) AS c
+       |  FROM days GROUP BY day)
+       |SELECT d.day, d.c AS actual,
+       |       s.c AS fc_seasonal, p.c AS fc_persist,
+       |       abs(d.c - s.c) AS ae_seasonal,
+       |       abs(d.c - p.c) AS ae_persist,
+       |       CASE WHEN abs(d.c - s.c) <= abs(d.c - p.c)
+       |            THEN 'seasonal' ELSE 'persist' END AS winner
+       |FROM daily d
+       |JOIN daily s ON s.day = d.day - 7
+       |JOIN daily p ON p.day = d.day - 1""".stripMargin
+
+  def tsForecastBaseline(spark: SparkSession, dir: String): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    spark.sql(s"WITH $seriesSpark,\n${forecastBody()}")
+  }
+
+  val tsForecastBaselineSql: String = s"WITH $seriesDuck,\n${forecastBody()}"
+
   def tsSeasonal(spark: SparkSession, dir: String): DataFrame = {
     SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
     spark.sql(s"WITH $seriesSpark,\n${seasonalBody("div")}")
@@ -1004,6 +1039,7 @@ object TimeSeriesQueries {
     "ts_discord" -> (tsDiscord _),
     "ts_stomp_discord" -> (tsStompDiscord _),
     "ts_motif" -> (tsMotif _),
+    "ts_forecast_baseline" -> (tsForecastBaseline _),
     "ts_periodicity" -> (tsPeriodicity _),
     "ts_paa_topk" -> (tsPaaTopk _),
     "ts_sax_prune" -> (tsSaxPrune _),
@@ -1018,6 +1054,7 @@ object TimeSeriesQueries {
     "ts_discord" -> tsDiscordSql,
     "ts_stomp_discord" -> tsStompDiscordSql,
     "ts_motif" -> tsMotifSql,
+    "ts_forecast_baseline" -> tsForecastBaselineSql,
     "ts_periodicity" -> tsPeriodicitySql,
     "ts_paa_topk" -> tsPaaTopkSql,
     "ts_sax_prune" -> tsSaxPruneSql,

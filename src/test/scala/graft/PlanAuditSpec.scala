@@ -80,6 +80,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "e11_retention" -> "1-row corpus-epoch scalar cross-joined as a broadcast constant; the user join itself is an equi-join on user_id",
     "e18_sliding_window" -> "1-row corpus-epoch scalar cross-joined as a broadcast constant; the sliding window itself is PARTITION BY user_id",
     "text_length_quantiles" -> "rank refinement joins the 3-row quantile-boundary table (broadcast) against only the target buckets",
+    "dd_recall_report" -> "composition of four dedup pipelines (each with its own bounded-pair construction) plus the 1-row exact-baseline-size scalar cross-joined as a broadcast constant; the hit joins are equi-joins on (doc_a, doc_b)",
     "text_tfidf_topk" -> "the 1-row corpus-size scalar joins the tf table as a broadcast constant",
     "text_bm25" -> "the 1-row corpus-size and avg-doclen scalars cross-joined as broadcast constants; the probe-term and doc-length joins are equi-joins on term/doc_id (the inverted-index probe shape)",
     "text_quality_model" -> "1-row class-total / default-weight / threshold scalars cross-joined as broadcast constants; the feature-weight join itself is an equi-join on the bucket key",
@@ -102,6 +103,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ts_periodicity" -> "the 1-row corpus-epoch scalar from the shared series prologue; the lag joins are equi-joins on (user_id, day + lag)",
     "ts_discord" -> "inherits the series prologue's 1-row epoch scalar and 30-row day grid broadcasts; the window-pair stage is an equi-join on (user_id, offset), bounded per key at 24x7x24 rows",
     "ts_seasonal" -> "the series prologue's 1-row epoch scalar broadcast; everything downstream runs over the 30-row aggregated daily series",
+    "ts_forecast_baseline" -> "the 1-row corpus-epoch scalar cross-joined as a broadcast constant; the backtest lookups are equi-joins on day-7/day-1 over the <=30-row daily aggregate",
     "ts_stomp_discord" -> "the 1-row corpus-epoch scalar cross-joined to bucket hours; every quadratic-stage join (diagonal expansion, ss/qt assembly, mp/nn) is an equi-join on h/i/k over the 720-row calendar-bounded series",
     "ts_motif" -> "same body as ts_stomp_discord: the 1-row corpus-epoch scalar cross-joined to bucket hours; all quadratic-stage joins are equi-joins on h/i/k over the 720-row calendar-bounded series",
     "ts_changepoint" -> "the 1-row corpus-epoch scalar and the 30-row day grid cross-joined as broadcast constants to densify per-user series; the CUSUM argmax joins are equi-joins on (user_id, dev)/(user_id, t)",
