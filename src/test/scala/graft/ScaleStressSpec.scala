@@ -1039,6 +1039,28 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(base.map(_.getLong(4)).max >= 3L, "support floor must be non-vacuous")
   }
 
+  test("graph_cc at sf~1: support growth legitimately fuses the strong-tie graph") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Order-replication multiplies every co-purchase count by 10, so the
+    // >=2-order support floor admits EVERY co-purchased pair — the same
+    // absolute-minsup semantics shift d10_basket_rules pins: the strong
+    // graph becomes the full co-purchase graph, whose giant component
+    // swallows (nearly) all 20k parts. Assert the shift explicitly and
+    // that the min-label fixpoint still lands inside CcRounds at 10x.
+    val base = SparkEntry.queries("graph_cc")(spark, "/root/testdata/sf0.1")
+      .collect()
+    val scaled = timed("graph_cc @ sf~1") {
+      SparkEntry.queries("graph_cc")(spark, dir).collect()
+    }
+    val baseComponents = base.map(_.getLong(1)).distinct.length
+    val scaledComponents = scaled.map(_.getLong(1)).distinct.length
+    assert(baseComponents > 100, s"base strong graph should fragment, got $baseComponents")
+    assert(scaledComponents < baseComponents / 10,
+      s"10x support should fuse components: $scaledComponents vs base $baseComponents")
+    assert(scaled.length > base.length * 2,
+      "the admitted edge set should cover far more parts at 10x")
+  }
+
   test("text_bm25 at sf~1: each probe's top hit is a copy of the base top hit") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     // Replicating documents x10 multiplies N and every df by 10: the
