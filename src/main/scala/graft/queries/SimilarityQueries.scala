@@ -1826,10 +1826,112 @@ object SimilarityQueries {
        |       COALESCE(s.inertia, CAST(0 AS BIGINT)) AS inertia
        |FROM cdims c LEFT JOIN sizes s ON s.c_id = c.c_id""".stripMargin
 
+  // ── emb_mrl_recall ★ (r12) — MATRYOSHKA truncation evaluation: exact
+  // cosine top-5 retrieval re-run at nested dimension budgets (first 8 /
+  // 16 / 32 / 64 dims) and scored against the full-dimension ranking —
+  // recall@5 per budget in integer micro-units. The report an
+  // MRL-trained embedding deployment (Kusupati et al. 2022) reads to
+  // pick its serving dimension: how much of the full ranking survives
+  // an 8× cheaper index. The 64-dim row is the identity sanity
+  // (recall = 1.0 by construction).
+  //
+  // Engine-exactness: per-budget dots and norms are left-to-right
+  // DOUBLE folds over IDENTICAL prefixes in both engines (the
+  // ann_bruteforce discipline — per-row arithmetic, never a float
+  // aggregation); ranks break ties by vec_id; the recall counts are
+  // BIGINT.
+  //
+  // Scale shape: one pinned norm pass (all four prefix norms in one
+  // scan), then per budget the bruteforce shape — fixed 3-probe
+  // broadcast against the candidate stream, map-side; the report joins
+  // the 15-row full-dim baseline. Nothing new shuffles.
+  val MrlDims = Seq(8, 16, 32, 64)
+
+  def embMrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    val normCols = MrlDims.map(d =>
+      s"sqrt(float_dot(slice(embedding, 1, $d), slice(embedding, 1, $d))) AS n$d")
+      .mkString(",\n       ")
+    spark.sql(
+      s"""SELECT vec_id, embedding,
+         |       $normCols
+         |FROM embeddings""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("mrl_normed_t")
+    val perDim = MrlDims.map { d =>
+      s"""SELECT /*+ BROADCAST(q) */ $d AS dim_budget,
+         |       q.vec_id AS q_id, c.vec_id AS vec_id,
+         |       float_dot(slice(q.embedding, 1, $d), slice(c.embedding, 1, $d))
+         |         / (q.n$d * c.n$d) AS cs
+         |FROM (SELECT * FROM mrl_normed_t WHERE vec_id < 3) q
+         |JOIN mrl_normed_t c ON q.vec_id <> c.vec_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    spark.sql(
+      s"""WITH scored AS (
+         |$perDim
+         |),
+         |ranked AS (
+         |  SELECT dim_budget, q_id, vec_id,
+         |         row_number() OVER (PARTITION BY dim_budget, q_id
+         |           ORDER BY cs DESC, vec_id) AS rnk
+         |  FROM scored),
+         |cut AS (SELECT * FROM ranked WHERE rnk <= 5),
+         |full5 AS (SELECT q_id, vec_id FROM cut WHERE dim_budget = 64)
+         |SELECT c.dim_budget,
+         |       CAST(count(*) AS BIGINT) AS n_returned,
+         |       CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS hits,
+         |       CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         * 1000000 div 15 AS BIGINT) AS recall_micro
+         |FROM cut c
+         |LEFT JOIN full5 f ON f.q_id = c.q_id AND f.vec_id = c.vec_id
+         |GROUP BY c.dim_budget""".stripMargin)
+  }
+
+  val embMrlRecallSql: String = {
+    val normCols = MrlDims.map(d =>
+      s"""sqrt(list_reduce([0.0] || list_transform(range(1, ${d + 1}),
+         |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE),
+         |    (x, y) -> x + y)) AS n$d""".stripMargin)
+      .mkString(",\n")
+    val perDim = MrlDims.map { d =>
+      s"""SELECT $d AS dim_budget, q.vec_id AS q_id, c.vec_id AS vec_id,
+         |       ${dotD("q.embedding", "c.embedding", s"range(1, ${d + 1})")}
+         |         / (q.n$d * c.n$d) AS cs
+         |FROM (SELECT * FROM mrl_normed WHERE vec_id < 3) q
+         |JOIN mrl_normed c ON q.vec_id <> c.vec_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH mrl_normed AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |$normCols
+       |  FROM embeddings),
+       |scored AS (
+       |$perDim
+       |),
+       |ranked AS (
+       |  SELECT dim_budget, q_id, vec_id,
+       |         row_number() OVER (PARTITION BY dim_budget, q_id
+       |           ORDER BY cs DESC, vec_id) AS rnk
+       |  FROM scored),
+       |cut AS (SELECT * FROM ranked WHERE rnk <= 5),
+       |full5 AS (SELECT q_id, vec_id FROM cut WHERE dim_budget = 64)
+       |SELECT c.dim_budget,
+       |       CAST(count(*) AS BIGINT) AS n_returned,
+       |       CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS hits,
+       |       CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |         * 1000000 // 15 AS BIGINT) AS recall_micro
+       |FROM cut c
+       |LEFT JOIN full5 f ON f.q_id = c.q_id AND f.vec_id = c.vec_id
+       |GROUP BY c.dim_budget""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_nsw_topk" -> (annNswTopk _),
     "ann_ivf_trained_topk" -> (annIvfTrainedTopk _),
     "ann_kmeans_centroids" -> (annKmeansCentroids _),
+    "emb_mrl_recall" -> (embMrlRecall _),
     "emb_mmr_rerank" -> (embMmrRerank _),
     "ann_sq_topk" -> (annSqTopk _),
     "ann_recall_report" -> (annRecallReport _),
@@ -1854,6 +1956,7 @@ object SimilarityQueries {
     "ann_nsw_topk" -> annNswTopkSql,
     "ann_ivf_trained_topk" -> annIvfTrainedTopkSql,
     "ann_kmeans_centroids" -> annKmeansCentroidsSql,
+    "emb_mrl_recall" -> embMrlRecallSql,
     "emb_mmr_rerank" -> embMmrRerankSql,
     "ann_sq_topk" -> annSqTopkSql,
     "ann_recall_report" -> annRecallReportSql,
