@@ -306,18 +306,23 @@ object GraphQueries {
         .agg(max(least(col("hv"), col("cum"))).as("h"))
     }
 
-    var h = deg.select(col("src").as("node"), col("d").as("h"))
-    var prev: DataFrame = null
-    for (i <- 1 to KcoreRounds) {
-      val next = step(h)
-      // Pin the last two rounds so the fixpoint check and the output
-      // don't re-run the 12-round lineage per action.
-      prev = h
-      h = if (i >= KcoreRounds - 1) next.pinned() else next
+    // Pin each round (the per-node h vector is small) and STOP at the
+    // observed fixpoint: once h stops changing, every further application
+    // is the identity, so the engine's early answer is provably the
+    // oracle's fixed-[[KcoreRounds]]-round answer — half the rounds on
+    // the fixture (fixpoint at 2–6 across SFs). [[KcoreRounds]] stays
+    // the REQUIRED bound: hitting it still changing fails loudly.
+    var h = deg.select(col("src").as("node"), col("d").as("h")).pinned()
+    var changed = -1L
+    var round = 0
+    while (changed != 0L && round < KcoreRounds) {
+      val next = step(h).pinned()
+      changed = next.as("a")
+        .join(h.as("b"), col("a.node") === col("b.node"))
+        .where(col("a.h") =!= col("b.h")).count()
+      h = next
+      round += 1
     }
-    val changed = h.as("a")
-      .join(prev.as("b"), col("a.node") === col("b.node"))
-      .where(col("a.h") =!= col("b.h")).count()
     require(changed == 0,
       s"graph_kcore: h-operator not a fixpoint after $KcoreRounds rounds " +
         s"($changed nodes still changing) — raise KcoreRounds for this graph")
@@ -550,25 +555,32 @@ object GraphQueries {
     // unpinned rounds double the subplan count per iteration — measured
     // 47 s at sf0.1 unpinned vs seconds pinned. The pinned relation is
     // the small per-(probe, node) dist vector, never the edges.
+    // Early-exit at the observed fixpoint (the graph_kcore argument:
+    // converged min-propagation is idempotent, so the early answer IS
+    // the oracle's fixed-round answer); BfsRounds stays the loud bound.
+    // New entries only ever ADD rows (dist can't lose or change a
+    // settled minimum upward), so row-count equality + no changed pair
+    // is the full fixpoint test.
     var dist = BfsProbes.toDF("probe", "node").select(
-      col("probe"), col("node"), lit(0L).as("d"))
-    var prev: DataFrame = null
-    for (_ <- 1 to BfsRounds) {
+      col("probe"), col("node"), lit(0L).as("d")).pinned()
+    var changed = -1L
+    var round = 0
+    while (changed != 0L && round < BfsRounds) {
       val next = dist.union(
           edges.join(dist, edges("dst") === dist("node"))
             .select(col("probe"), edges("src").as("node"),
               (col("d") + 1L).as("d")))
         .groupBy("probe", "node").agg(min(col("d")).as("d"))
         .pinned()
-      prev = dist
+      changed = next.as("a")
+        .join(dist.as("b"),
+          col("a.probe") === col("b.probe") && col("a.node") === col("b.node"),
+          "full_outer")
+        .where(col("a.d").isNull || col("b.d").isNull || col("a.d") =!= col("b.d"))
+        .count()
       dist = next
+      round += 1
     }
-    val changed = dist.as("a")
-      .join(prev.as("b"),
-        col("a.probe") === col("b.probe") && col("a.node") === col("b.node"),
-        "full_outer")
-      .where(col("a.d").isNull || col("b.d").isNull || col("a.d") =!= col("b.d"))
-      .count()
     require(changed == 0,
       s"graph_bfs: distances not a fixpoint after $BfsRounds rounds " +
         s"($changed entries still changing) — raise BfsRounds for this graph")
@@ -656,21 +668,23 @@ object GraphQueries {
       .persist()
     // Per-round pins, same reason as graph_bfs: the self-union doubles
     // unpinned lineage per round; the pinned label vector is small.
+    // Early-exit at the observed fixpoint, same argument as graph_bfs.
     var lab = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lab"))
-    var prev: DataFrame = null
-    for (_ <- 1 to CcRounds) {
+      .select(col("node"), col("node").as("lab")).pinned()
+    var changed = -1L
+    var round = 0
+    while (changed != 0L && round < CcRounds) {
       val next = lab.union(
           edges.join(lab, edges("dst") === lab("node"))
             .select(edges("src").as("node"), col("lab")))
         .groupBy("node").agg(min(col("lab")).as("lab"))
         .pinned()
-      prev = lab
+      changed = next.as("a")
+        .join(lab.as("b"), col("a.node") === col("b.node"))
+        .where(col("a.lab") =!= col("b.lab")).count()
       lab = next
+      round += 1
     }
-    val changed = lab.as("a")
-      .join(prev.as("b"), col("a.node") === col("b.node"))
-      .where(col("a.lab") =!= col("b.lab")).count()
     require(changed == 0,
       s"graph_cc: labels not a fixpoint after $CcRounds rounds " +
         s"($changed nodes still changing) — raise CcRounds for this graph")
