@@ -1826,6 +1826,79 @@ object SimilarityQueries {
        |       COALESCE(s.inertia, CAST(0 AS BIGINT)) AS inertia
        |FROM cdims c LEFT JOIN sizes s ON s.c_id = c.c_id""".stripMargin
 
+  // ── ann_filtered_topk ★ (r12) — FILTERED vector search: exact cosine
+  // top-5 restricted to candidates sharing the probe's label — the
+  // metadata-predicate + ANN combination that is production vector
+  // search's hard problem (filtered HNSW / partition-pruned IVF). This
+  // entry is the PRE-FILTER baseline: the predicate prunes the
+  // candidate stream BEFORE any distance work (at production, a
+  // label-partitioned index makes that prune a partition prune), and
+  // the output carries the per-probe filtered candidate count — the
+  // selectivity number that decides pre- vs post-filter serving. The
+  // post-filter alternative (over-fetch unfiltered top-k', then drop)
+  // loses recall exactly when selectivity is low; the pre-filter
+  // baseline is what it is measured against.
+  //
+  // Engine-exactness and shape: ann_bruteforce's discipline verbatim —
+  // per-row DOUBLE cosine (never a float aggregation), vec_id
+  // tie-breaks, the fixed 3-probe broadcast; the label equality rides
+  // the join condition, so Catalyst prunes before the dot product.
+  def annFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    spark.sql(
+      s"""SELECT vec_id, label, embedding,
+         |       sqrt(${dotS("embedding", "embedding")}) AS nrm
+         |FROM embeddings""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("flt_normed_t")
+    spark.sql(
+      s"""WITH queries AS (SELECT * FROM flt_normed_t WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT /*+ BROADCAST(q) */ q.vec_id AS q_id, q.label,
+         |         c.vec_id AS vec_id,
+         |         ${dotS("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cs
+         |  FROM queries q JOIN flt_normed_t c
+         |    ON c.label = q.label AND q.vec_id <> c.vec_id),
+         |counted AS (
+         |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM scored GROUP BY q_id),
+         |ranked AS (
+         |  SELECT q_id, label, vec_id, cs,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cs DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT r.q_id, CAST(r.label AS INT) AS label, r.vec_id,
+         |       CAST(r.rnk AS INT) AS rnk, r.cs AS cos_sim, c.n_candidates
+         |FROM ranked r JOIN counted c ON c.q_id = r.q_id
+         |WHERE r.rnk <= 5""".stripMargin)
+  }
+
+  val annFilteredTopkSql: String =
+    s"""WITH normed AS (
+       |  SELECT vec_id, label, embedding,
+       |         sqrt(list_reduce([0.0] || list_transform(embedding,
+       |           x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |queries AS (SELECT * FROM normed WHERE vec_id < 3),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.label, c.vec_id AS vec_id,
+       |         ${dotD("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cs
+       |  FROM queries q JOIN normed c
+       |    ON c.label = q.label AND q.vec_id <> c.vec_id),
+       |counted AS (
+       |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM scored GROUP BY q_id),
+       |ranked AS (
+       |  SELECT q_id, label, vec_id, cs,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cs DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT r.q_id, CAST(r.label AS INT) AS label, r.vec_id,
+       |       CAST(r.rnk AS INT) AS rnk, r.cs AS cos_sim, c.n_candidates
+       |FROM ranked r JOIN counted c ON c.q_id = r.q_id
+       |WHERE r.rnk <= 5""".stripMargin
+
   // ── emb_mrl_recall ★ (r12) — MATRYOSHKA truncation evaluation: exact
   // cosine top-5 retrieval re-run at nested dimension budgets (first 8 /
   // 16 / 32 / 64 dims) and scored against the full-dimension ranking —
@@ -1932,6 +2005,7 @@ object SimilarityQueries {
     "ann_ivf_trained_topk" -> (annIvfTrainedTopk _),
     "ann_kmeans_centroids" -> (annKmeansCentroids _),
     "emb_mrl_recall" -> (embMrlRecall _),
+    "ann_filtered_topk" -> (annFilteredTopk _),
     "emb_mmr_rerank" -> (embMmrRerank _),
     "ann_sq_topk" -> (annSqTopk _),
     "ann_recall_report" -> (annRecallReport _),
@@ -1957,6 +2031,7 @@ object SimilarityQueries {
     "ann_ivf_trained_topk" -> annIvfTrainedTopkSql,
     "ann_kmeans_centroids" -> annKmeansCentroidsSql,
     "emb_mrl_recall" -> embMrlRecallSql,
+    "ann_filtered_topk" -> annFilteredTopkSql,
     "emb_mmr_rerank" -> embMmrRerankSql,
     "ann_sq_topk" -> annSqTopkSql,
     "ann_recall_report" -> annRecallReportSql,

@@ -54,6 +54,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * not a function of the data. */
   private val nestedLoopAllowed: Map[String, String] = Map(
     "ann_bruteforce_topk" -> "query side is the fixed probe set (vec_id < 3), broadcast",
+    "ann_filtered_topk" -> "ann_bruteforce's fixed-probe broadcast with the label predicate riding the join condition (pre-filter prunes candidates before the dot product)",
     "emb_mrl_recall" -> "four dimension-budget replays of ann_bruteforce's shape — the fixed 3-probe set broadcast against the candidate stream; the report join is an equi-join on (q_id, vec_id) against the 15-row full-dim baseline",
     "ann_hamming_topk" -> "query side is the fixed probe set (vec_id < 3), broadcast; candidates stream their two 8-byte sign words map-side",
     "ann_pq_adc_topk" -> "ADC table side is the fixed probe set (vec_id < 3), broadcast; candidates stream their 4-byte codes map-side",
