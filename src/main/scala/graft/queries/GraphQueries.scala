@@ -728,13 +728,232 @@ object GraphQueries {
        |FROM l$CcRounds l JOIN sizes s ON s.lab = l.lab""".stripMargin
   }
 
+  // ── graph_lpa ★ (r12) — LABEL-PROPAGATION COMMUNITIES (Raghavan et
+  // al. 2007) over the strong-tie co-purchase graph (graph_cc's edge
+  // set): each round every node adopts the PLURALITY label among its
+  // neighbors, ties broken by the smaller label — the near-linear
+  // community detector (finer than connected components: cc finds the
+  // 2,308 islands at sf0.1, LPA splits the big ones into dense cores)
+  // that product-family and fraud-ring pipelines run when modularity
+  // methods are too expensive. Fully DETERMINISTIC synchronous variant:
+  // the plurality argmax is (count DESC, label ASC) — no randomized
+  // order, so runs are bit-identical and the DuckDB oracle REPLAYS all
+  // [[LpaRounds]] rounds as generated CTEs. Synchronous LPA may
+  // oscillate on bipartite-ish subgraphs instead of converging; the
+  // contract is therefore the FIXED-ROUND label vector (identical in
+  // both engines regardless), with an early exit only at an OBSERVED
+  // fixpoint — the update is a deterministic function of the label
+  // vector, so a fixpoint is idempotent and the early answer IS the
+  // fixed-round answer (the graph_bfs/graph_cc argument).
+  //
+  // Scale shape (100 TB): per round ONE equi-join (labels ⋈ edges, the
+  // edge relation resident/bucketed — only the label vector shuffles),
+  // one map-side-combined (node, label) count, and a per-node plurality
+  // pick. The pick is a per-node window over the COUNTED label
+  // histogram (≤ deg distinct labels per node, not the raw neighbor
+  // stream); round count is a small constant.
+  /** Fixed synchronous LPA rounds; early exit only at a fixpoint. */
+  val LpaRounds = 12
+
+  def graphLpa(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .createOrReplaceTempView("lpa_li_t")
+    val half = spark.sql(
+      s"""SELECT p1, p2 FROM (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         |         count(*) AS n_orders
+         |  FROM lpa_li_t a JOIN lpa_li_t b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY a.l_partkey, b.l_partkey)
+         |WHERE n_orders >= $CcMinOrders""".stripMargin)
+    val edges = half
+      .union(half.select(col("p2").as("p1"), col("p1").as("p2")))
+      .select(col("p1").as("src"), col("p2").as("dst"))
+      .repartition(col("dst")).sortWithinPartitions("dst")
+      .persist()
+    // Per-round pins (the label vector is per-node small); the plurality
+    // pick runs on the aggregated histogram, never the neighbor stream.
+    var lab = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab")).pinned()
+    var changed = -1L
+    var round = 0
+    while (changed != 0L && round < LpaRounds) {
+      val votes = edges.join(lab, edges("dst") === lab("node"))
+        .groupBy(edges("src").as("node"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("cnt").desc, col("lab"))
+      val next = votes
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") === 1)
+        .select(col("node"), col("lab"))
+        .pinned()
+      changed = next.as("a")
+        .join(lab.as("b"), col("a.node") === col("b.node"))
+        .where(col("a.lab") =!= col("b.lab")).count()
+      lab = next
+      round += 1
+    }
+    // NO fixpoint require — oscillation is legal for synchronous LPA;
+    // the oracle replays the same LpaRounds rounds either way.
+    val sizes = lab.groupBy("lab").agg(count(lit(1)).as("comm_size"))
+    lab.join(sizes, "lab")
+      .select(col("node").as("part_id"), col("lab").as("community"),
+        col("comm_size"))
+  }
+
+  val graphLpaSql: String = {
+    // AS MATERIALIZED — each round's histogram is consumed by the window
+    // pick; inlined, DuckDB re-expands the per-round chain.
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab,
+         |           row_number() OVER (PARTITION BY node
+         |             ORDER BY cnt DESC, lab) AS rnk
+         |    FROM (
+         |      SELECT e.src AS node, p.lab, count(*) AS cnt
+         |      FROM edges e JOIN l${i - 1} p ON p.node = e.dst
+         |      GROUP BY e.src, p.lab))
+         |  WHERE rnk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH half AS (
+       |  SELECT p1, p2 FROM (
+       |    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       |           count(*) AS n_orders
+       |    FROM lineitem a JOIN lineitem b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n_orders >= $CcMinOrders),
+       |edges AS MATERIALIZED (
+       |  SELECT p1 AS src, p2 AS dst FROM half
+       |  UNION ALL
+       |  SELECT p2 AS src, p1 AS dst FROM half),
+       |l0 AS (
+       |  SELECT node, node AS lab
+       |  FROM (SELECT DISTINCT src AS node FROM edges)),
+       |$rounds,
+       |sizes AS (
+       |  SELECT lab, CAST(count(*) AS BIGINT) AS comm_size
+       |  FROM l$LpaRounds GROUP BY lab)
+       |SELECT l.node AS part_id, l.lab AS community, s.comm_size
+       |FROM l$LpaRounds l JOIN sizes s ON s.lab = l.lab""".stripMargin
+  }
+
+  // ── graph_hits ★ (r12) — HITS hubs & authorities (Kleinberg 1999)
+  // over the DIRECTED customer→supplier purchase graph: hub scores on
+  // customers (buy from many good suppliers), authority scores on
+  // suppliers (bought by many good hubs) — the mutual-reinforcement
+  // ranking (the other classic link-analysis eigenvector next to
+  // PageRank) a marketplace runs to find power buyers and anchor
+  // vendors. ENGINE-EXACT: scores live in integer nano-units
+  // (SCALE = 1e9); each half-round is one equi-join + sum, then an
+  // L1 normalization by the 1-row total with floor division — pure
+  // BIGINT both engines compute bit-identically (products bounded by
+  // SCALE² = 1e18 < 2⁶³). The DuckDB oracle replays all [[HitsRounds]]
+  // rounds as generated CTEs (the pagerank discipline).
+  //
+  // Scale shape (100 TB): per half-round ONE equi-join against the
+  // resident edge relation (only the score vector shuffles), one
+  // map-side-combined sum, and a 1-row total cross-joined back
+  // (bounded scalar, the allowlisted pattern). Output is two
+  // TakeOrderedAndProject top-10s — no global sort, no windows.
+  /** Score nano-units: each vector L1-normalizes to ~HitsScale. */
+  val HitsScale = 1000000000L
+  /** Fixed HITS rounds (convergence is geometric; count is constant). */
+  val HitsRounds = 4
+
+  def graphHits(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    // Directed edges: customer → supplier, distinct. Resident for all
+    // 2·HitsRounds joins (the Pregel edge layout).
+    val edges = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+      .persist()
+    val nHubs = edges.select("src").distinct().count() // bounded metadata
+    val h0 = HitsScale / nHubs
+
+    // One half-round: propagate `prev` (node, s) across `edges` keyed by
+    // `from`→`to`, then L1-normalize by the 1-row total (floor div).
+    def halfRound(prev: DataFrame, from: String, to: String): DataFrame = {
+      val raw = edges.join(prev, edges(from) === prev("node"))
+        .groupBy(edges(to).as("node"))
+        .agg(sum(col("s")).as("raw"))
+        .pinned() // consumed twice: the total and the normalize
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"), expr(s"(raw * $HitsScale) div tot").as("s"))
+        .pinned()
+    }
+
+    var hub = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(h0).as("s")).pinned()
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsRounds) {
+      auth = halfRound(hub, "src", "dst")
+      hub = halfRound(auth, "dst", "src")
+    }
+    val topHubs = hub
+      .select(lit("customer").as("node_type"), col("node").as("node_id"),
+        col("s").as("score_nano"))
+      .orderBy(col("score_nano").desc, col("node_id")).limit(10)
+    val topAuths = auth
+      .select(lit("supplier").as("node_type"), col("node").as("node_id"),
+        col("s").as("score_nano"))
+      .orderBy(col("score_nano").desc, col("node_id")).limit(10)
+    topHubs.union(topAuths)
+  }
+
+  val graphHitsSql: String = {
+    // Each round: raw sums AS MATERIALIZED (consumed by both the 1-row
+    // total and the normalize — inlined, the chain doubles per round,
+    // the graph_bfs pathology).
+    def half(i: Int, out: String, prev: String, from: String, to: String) =
+      s"""${out}raw$i AS MATERIALIZED (
+         |  SELECT e.$to AS node, CAST(sum(p.s) AS BIGINT) AS raw
+         |  FROM edges e JOIN $prev p ON p.node = e.$from
+         |  GROUP BY e.$to),
+         |$out$i AS MATERIALIZED (
+         |  SELECT node, CAST((raw * $HitsScale) // t.tot AS BIGINT) AS s
+         |  FROM ${out}raw$i
+         |  CROSS JOIN (SELECT sum(raw) AS tot FROM ${out}raw$i) t)""".stripMargin
+    val rounds = (1 to HitsRounds).map { i =>
+      half(i, "a", s"h${i - 1}", "src", "dst") + ",\n" +
+        half(i, "h", s"a$i", "dst", "src")
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |h0 AS (
+       |  SELECT node, CAST($HitsScale // c.n AS BIGINT) AS s
+       |  FROM (SELECT DISTINCT src AS node FROM edges)
+       |  CROSS JOIN (SELECT count(DISTINCT src) AS n FROM edges) c),
+       |$rounds
+       |SELECT * FROM (
+       |  SELECT 'customer' AS node_type, node AS node_id, s AS score_nano
+       |  FROM h$HitsRounds ORDER BY s DESC, node LIMIT 10)
+       |UNION ALL
+       |SELECT * FROM (
+       |  SELECT 'supplier' AS node_type, node AS node_id, s AS score_nano
+       |  FROM a$HitsRounds ORDER BY s DESC, node LIMIT 10)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
     "graph_link_predict" -> (graphLinkPredict _),
     "graph_bfs" -> (graphBfs _),
-    "graph_cc" -> (graphCc _))
+    "graph_cc" -> (graphCc _),
+    "graph_lpa" -> (graphLpa _),
+    "graph_hits" -> (graphHits _))
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
@@ -742,5 +961,7 @@ object GraphQueries {
     "graph_kcore" -> graphKcoreSql,
     "graph_link_predict" -> graphLinkPredictSql,
     "graph_bfs" -> graphBfsSql,
-    "graph_cc" -> graphCcSql)
+    "graph_cc" -> graphCcSql,
+    "graph_lpa" -> graphLpaSql,
+    "graph_hits" -> graphHitsSql)
 }
