@@ -586,17 +586,192 @@ object SketchQueries {
        |LEFT JOIN inter_exact x ON x.l1 = ue.l1 AND x.l2 = ue.l2""".stripMargin
   }
 
+  // ── sk_qdigest ★ (r12) — MERGEABLE QUANTILE SKETCH (q-digest,
+  // Shrivastava et al. 2004): the sketch family's remaining gap — HLL
+  // answers distinct, KMV set algebra, CMS frequency, Misra–Gries heavy
+  // hitters; q-digest answers QUANTILES with a deterministic, mergeable,
+  // fixed-universe structure (the one a 1000-executor job can partial-
+  // aggregate and union in any order, unlike exact percentile_disc).
+  //
+  // Build, per language group, over doc lengths clamped to the
+  // [0, 2^B) universe (B = [[QdB]]; the 1023 clamp is a capacity
+  // parameter like pipe_bloom_skip's — never binding at fixture scale):
+  // leaf counts, then B bottom-up compression rounds — a sibling pair
+  // whose combined count fits the threshold θ = max(1, n/[[QdK]])
+  // pushes its mass to the parent; pairs that exceed θ keep their nodes
+  // at that level. Every materialized INTERNAL node therefore carries
+  // ≤ θ, so any root-to-leaf path hides ≤ B·θ mass — the classic
+  // ε = log(U)/k rank-error bound. Quantile query: order kept nodes by
+  // (hi, lvl), running sum, report the first node whose cumulative
+  // count reaches the target rank. ALL INTEGER — counts, floor-div
+  // thresholds, targets ceil((q·n + 99)/100) — so the DuckDB oracle
+  // replays the B compression rounds as generated CTEs and the binary
+  // hash gate proves the sketch itself, not just the estimates.
+  // Output pins estimate vs exact per (lang, quantile) with the
+  // realized rank error and the sketch size (kept_nodes ≪
+  // distinct_values is the compression witness).
+  //
+  // Scale shape (100 TB): the leaf histogram is one map-side-combined
+  // groupBy; each compression round aggregates a relation that SHRINKS
+  // geometrically (≤ k·B survivors per group by the bound); the query
+  // windows run over ≤ k·B rows per group, never raw data. Merging
+  // shards = unioning node counts + one recompression — the partial-agg
+  // shape (QdigestSpec proves merge-then-query stays inside the bound).
+  /** Universe bits: values live in [0, 2^QdB). */
+  val QdB = 10
+  /** Compression factor: θ = max(1, n div QdK) per group. */
+  val QdK = 16
+  /** Clamp ceiling (inclusive): 2^QdB − 1. */
+  val QdMax = (1 << QdB) - 1
+
+  /** The kept-node relation (lang, lvl, id, c, hi) — the sketch itself.
+    * Package-visible so QdigestSpec can cross-check the construction
+    * against an independent driver-side build. */
+  private[graft] def qdigestKept(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    viewDocs(spark, dir)
+    val vals = spark.sql(
+      s"""SELECT lang, CAST(least(n_chars, $QdMax) AS BIGINT) AS v, doc_id
+         |FROM documents""".stripMargin).pinned()
+    vals.createOrReplaceTempView("qd_vals_t")
+    val nd = vals.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("n_docs"),
+        greatest(expr(s"n_docs div $QdK"), lit(1L)).as("theta"))
+      .pinned()
+    nd.createOrReplaceTempView("qd_nd_t")
+    // Per-level pins: ps is consumed twice (kept filter + promote) and
+    // lvl twice (ps + kept) — unpinned, the lineage doubles per round
+    // (the graph_bfs pathology). Every pinned relation is ≤ the leaf
+    // histogram and shrinks geometrically.
+    var lvl = vals.groupBy(col("lang"), col("v").as("id"))
+      .agg(count(lit(1)).as("c")).pinned()
+    var kept: DataFrame = null
+    for (l <- 0 until QdB) {
+      val ps = lvl.groupBy(col("lang"), expr("id div 2").as("p"))
+        .agg(sum(col("c")).as("s"))
+        .join(nd, "lang")
+        .pinned()
+      val keptL = lvl.as("v")
+        .join(ps.as("p"),
+          col("v.lang") === col("p.lang") && expr("v.id div 2") === col("p.p"))
+        .where(col("p.s") > col("p.theta"))
+        .select(col("v.lang").as("lang"), lit(l).as("lvl"),
+          col("v.id").as("id"), col("v.c").as("c"),
+          ((col("v.id") + 1) * lit(1L << l) - 1).as("hi"))
+      kept = if (kept == null) keptL else kept.union(keptL)
+      lvl = ps.where(col("s") <= col("theta"))
+        .select(col("lang"), col("p").as("id"), col("s").as("c"))
+        .pinned()
+    }
+    // Whatever survives all B rounds sits at the root.
+    kept.union(lvl.select(col("lang"), lit(QdB).as("lvl"), col("id"),
+      col("c"), lit(QdMax.toLong).as("hi"))).pinned()
+  }
+
+  /** Query stage shared between dialects: `grid` is the 4-row quantile
+    * VALUES clause, `idiv` the integer-division operator, and the three
+    * relation names bind to either temp views (Spark) or CTEs (DuckDB). */
+  private def qdQuerySql(grid: String, idiv: String, kept: String,
+      nd: String, vals: String): String =
+    s"""cum AS (
+       |  SELECT lang, hi, lvl, c,
+       |         sum(c) OVER (PARTITION BY lang ORDER BY hi, lvl
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM $kept),
+       |targets AS (
+       |  SELECT n.lang, g.q_pct, n.n_docs, n.theta,
+       |         CAST((g.q_pct * n.n_docs + 99) $idiv 100 AS BIGINT) AS target
+       |  FROM $nd n CROSS JOIN ($grid) g),
+       |est AS (
+       |  SELECT t.lang, t.q_pct, t.n_docs, t.theta, t.target,
+       |         min(c.hi) AS est_value
+       |  FROM targets t JOIN cum c ON c.lang = t.lang AND c.cum >= t.target
+       |  GROUP BY t.lang, t.q_pct, t.n_docs, t.theta, t.target),
+       |exact_rk AS (
+       |  SELECT lang, v,
+       |         row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rn
+       |  FROM $vals),
+       |errv AS (
+       |  SELECT e.lang, e.q_pct,
+       |         CAST(count(x.v) AS BIGINT) - e.target AS err_rank
+       |  FROM est e JOIN $vals x
+       |    ON x.lang = e.lang AND x.v <= e.est_value
+       |  GROUP BY e.lang, e.q_pct, e.target),
+       |sketch_size AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS kept_nodes
+       |  FROM $kept GROUP BY lang),
+       |nvals AS (
+       |  SELECT lang, CAST(count(DISTINCT v) AS BIGINT) AS distinct_values
+       |  FROM $vals GROUP BY lang)
+       |SELECT e.lang, CAST(e.q_pct AS INT) AS q_pct, e.n_docs, e.theta,
+       |       e.est_value, ex.v AS exact_value, er.err_rank,
+       |       ss.kept_nodes, nv.distinct_values
+       |FROM est e
+       |JOIN exact_rk ex ON ex.lang = e.lang AND ex.rn = e.target
+       |JOIN errv er ON er.lang = e.lang AND er.q_pct = e.q_pct
+       |JOIN sketch_size ss ON ss.lang = e.lang
+       |JOIN nvals nv ON nv.lang = e.lang""".stripMargin
+
+  def skQdigest(spark: SparkSession, dir: String): DataFrame = {
+    qdigestKept(spark, dir).createOrReplaceTempView("qd_kept_t")
+    spark.sql("WITH " + qdQuerySql(
+      "SELECT q_pct FROM VALUES (25), (50), (75), (90) AS g(q_pct)",
+      "div", "qd_kept_t", "qd_nd_t", "qd_vals_t"))
+  }
+
+  val skQdigestSql: String = {
+    val levels = (0 until QdB).map { l =>
+      s"""ps$l AS MATERIALIZED (
+         |  SELECT v.lang, v.id // 2 AS p, CAST(sum(v.c) AS BIGINT) AS s
+         |  FROM lvl$l v GROUP BY v.lang, v.id // 2),
+         |kept$l AS (
+         |  SELECT v.lang, $l AS lvl, v.id, v.c,
+         |         (v.id + 1) * ${1L << l} - 1 AS hi
+         |  FROM lvl$l v
+         |  JOIN ps$l p ON p.lang = v.lang AND p.p = v.id // 2
+         |  JOIN nd n ON n.lang = v.lang
+         |  WHERE p.s > n.theta),
+         |lvl${l + 1} AS MATERIALIZED (
+         |  SELECT p.lang, p.p AS id, p.s AS c
+         |  FROM ps$l p JOIN nd n ON n.lang = p.lang
+         |  WHERE p.s <= n.theta)""".stripMargin
+    }.mkString(",\n")
+    val keptUnion = (0 until QdB).map(l => s"SELECT * FROM kept$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH vals AS MATERIALIZED (
+       |  SELECT lang, CAST(least(n_chars, $QdMax) AS BIGINT) AS v, doc_id
+       |  FROM documents),
+       |nd AS MATERIALIZED (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(greatest(count(*) // $QdK, 1) AS BIGINT) AS theta
+       |  FROM vals GROUP BY lang),
+       |lvl0 AS MATERIALIZED (
+       |  SELECT lang, v AS id, CAST(count(*) AS BIGINT) AS c
+       |  FROM vals GROUP BY lang, v),
+       |$levels,
+       |kept AS MATERIALIZED (
+       |  $keptUnion
+       |  UNION ALL
+       |  SELECT lang, $QdB AS lvl, id, c, CAST($QdMax AS BIGINT) AS hi
+       |  FROM lvl$QdB),
+       |${qdQuerySql(
+            "SELECT q_pct FROM (VALUES (25), (50), (75), (90)) AS q(q_pct)",
+            "//", "kept", "nd", "vals")}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_hll_distinct" -> (skHllDistinct _),
     "sk_hll_union" -> (skHllUnion _),
     "sk_cms_topk" -> (skCmsTopk _),
     "sk_kmv_intersect" -> (skKmvIntersect _),
-    "sk_sample_quantiles" -> (skSampleQuantiles _))
+    "sk_sample_quantiles" -> (skSampleQuantiles _),
+    "sk_qdigest" -> (skQdigest _))
 
   val oracle: Map[String, String] = Map(
     "sk_hll_distinct" -> skHllDistinctSql,
     "sk_hll_union" -> skHllUnionSql,
     "sk_cms_topk" -> skCmsTopkSql,
     "sk_kmv_intersect" -> skKmvIntersectSql,
-    "sk_sample_quantiles" -> skSampleQuantilesSql)
+    "sk_sample_quantiles" -> skSampleQuantilesSql,
+    "sk_qdigest" -> skQdigestSql)
 }
