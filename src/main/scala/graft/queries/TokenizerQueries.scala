@@ -570,15 +570,181 @@ object TokenizerQueries {
        |FROM rt GROUP BY source""".stripMargin
   }
 
+  // ── text_unigram_segment ★ (r12) — UNIGRAM-LM SUBWORD SEGMENTATION
+  // (the SentencePiece-unigram inference step, Kudo 2018): the second
+  // major tokenizer family next to BPE. A subword vocabulary (all
+  // character 1–4-grams, scored by corpus occurrence mass) segments each
+  // probe word into the MINIMUM-COST token sequence via Viterbi —
+  // shortest path on the word's position DAG. Costs are integer "bits":
+  // cost(g) = bitlen(total_mass) − bitlen(count(g)) + [[UniTokCost]],
+  // with bitlen = length(bin(x)) (exact in both engines, the HLL rho
+  // trick — no log2, no floats). The DP value packs (cost, n_tokens) as
+  // cost·64 + n_tokens, so the min is simultaneously cost-then-fewest-
+  // tokens and fully deterministic. The DP itself is [[UniMaxLen]]
+  // rounds of min-relaxation over the edge relation (the graph_bfs
+  // discipline: per round one equi-join + a min aggregation, pinned;
+  // early exit at the observed fixpoint, which is idempotent for
+  // min-relaxation), and the DuckDB oracle REPLAYS every round as
+  // generated CTEs. Single-character grams are always in-vocabulary, so
+  // every word is segmentable by construction — no UNK path needed.
+  //
+  // Scale shape (100 TB): the vocabulary build is the corpus-scale part
+  // — one word-frequency aggregation (map-side combined, vocab-keyed)
+  // and one bounded gram explode (≤ 42 grams/word over the DISTINCT
+  // word table, never raw text). The DP runs on the top-[[UniProbes]]
+  // probe table (bounded rows × ≤13 positions); production would run
+  // the same relational DP over the full distinct-word table — work
+  // linear in vocabulary, not corpus.
+  /** Probe word length bounds (and DP round count = max token count). */
+  val UniMaxLen = 12
+  /** Maximum subword gram length. */
+  val UniMaxGram = 4
+  /** Probe words: top-N by (freq DESC, word ASC). */
+  val UniProbes = 50
+  /** Per-token prior cost in bits (length penalty). */
+  val UniTokCost = 4
+
+  private def uniWordsSql(explode: String, rex: String): String =
+    s"""SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+       |FROM ($explode)
+       |WHERE $rex
+       |GROUP BY w""".stripMargin
+
+  def textUnigramSegment(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    val words = spark.sql(uniWordsSql(
+      "SELECT w FROM documents LATERAL VIEW explode(split(text, ' ')) AS w",
+      s"w rlike '^[a-z]{2,$UniMaxLen}$$'")).pinned()
+    words.createOrReplaceTempView("uni_words_t")
+    // Vocabulary: every 1..4-gram of every distinct word, weighted by
+    // word frequency; integer bit costs from the corpus total.
+    spark.sql(
+      s"""WITH occs AS (
+         |  SELECT substring(word, i, n) AS g, freq
+         |  FROM uni_words_t
+         |  LATERAL VIEW explode(sequence(1, length(word))) AS i
+         |  LATERAL VIEW explode(sequence(1, $UniMaxGram)) AS n
+         |  WHERE i + n - 1 <= length(word)),
+         |cnts AS (
+         |  SELECT g, CAST(sum(freq) AS BIGINT) AS cnt FROM occs GROUP BY g)
+         |SELECT g, cnt,
+         |       CAST(t.bltot - length(bin(cnt)) + $UniTokCost AS BIGINT) AS cost
+         |FROM cnts
+         |CROSS JOIN (SELECT length(bin(sum(cnt))) AS bltot FROM cnts) t""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("uni_vocab_t")
+    // Probe DAG edges: (word, i → j) labelled with the packed step.
+    spark.sql(
+      s"""WITH probes AS (
+         |  SELECT word, freq FROM uni_words_t
+         |  ORDER BY freq DESC, word LIMIT $UniProbes),
+         |pgrams AS (
+         |  SELECT p.word, i - 1 AS src, i + n - 1 AS dst,
+         |         substring(p.word, i, n) AS g
+         |  FROM probes p
+         |  LATERAL VIEW explode(sequence(1, length(p.word))) AS i
+         |  LATERAL VIEW explode(sequence(1, $UniMaxGram)) AS n
+         |  WHERE i + n - 1 <= length(p.word))
+         |SELECT pg.word, pg.src, pg.dst, v.cost * 64 + 1 AS step
+         |FROM pgrams pg JOIN uni_vocab_t v ON v.g = pg.g""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("uni_edges_t")
+    import org.apache.spark.sql.functions._
+    val edges = spark.table("uni_edges_t")
+    // Min-relaxation rounds, pinned per round (the graph_bfs loop).
+    var d = spark.sql("SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS val " +
+      "FROM uni_words_t ORDER BY freq DESC, word LIMIT " + UniProbes).pinned()
+    var changed = -1L
+    var round = 0
+    while (changed != 0L && round < UniMaxLen) {
+      val next = d.union(
+          edges.join(d, edges("word") === d("word") && edges("src") === d("pos"))
+            .select(edges("word"), col("dst").as("pos"),
+              (col("val") + col("step")).as("val")))
+        .groupBy("word", "pos").agg(min(col("val")).as("val"))
+        .pinned()
+      changed = next.as("a")
+        .join(d.as("b"),
+          col("a.word") === col("b.word") && col("a.pos") === col("b.pos"),
+          "full_outer")
+        .where(col("a.val").isNull || col("b.val").isNull ||
+          col("a.val") =!= col("b.val"))
+        .count()
+      d = next
+      round += 1
+    }
+    require(changed == 0,
+      s"text_unigram_segment: DP not a fixpoint after $UniMaxLen rounds")
+    d.createOrReplaceTempView("uni_dp_t")
+    spark.sql(
+      s"""SELECT p.word, p.freq, CAST(length(p.word) AS BIGINT) AS len,
+         |       CAST(dp.val div 64 AS BIGINT) AS cost_bits,
+         |       CAST(dp.val % 64 AS BIGINT) AS n_tokens
+         |FROM (SELECT word, freq FROM uni_words_t
+         |      ORDER BY freq DESC, word LIMIT $UniProbes) p
+         |JOIN uni_dp_t dp
+         |  ON dp.word = p.word AND dp.pos = length(p.word)""".stripMargin)
+  }
+
+  val textUnigramSegmentSql: String = {
+    val rounds = (1 to UniMaxLen).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT word, pos, CAST(min(val) AS BIGINT) AS val FROM (
+         |    SELECT word, pos, val FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.word, e.dst AS pos, p.val + e.step AS val
+         |    FROM edges e JOIN d${i - 1} p
+         |      ON p.word = e.word AND p.pos = e.src)
+         |  GROUP BY word, pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS MATERIALIZED (
+       |${uniWordsSql(
+            "SELECT unnest(string_split(text, ' ')) AS w FROM documents",
+            s"regexp_matches(w, '^[a-z]{2,$UniMaxLen}$$')")}),
+       |occs AS (
+       |  SELECT substr(word, i, n) AS g, freq
+       |  FROM words,
+       |       unnest(range(1, length(word) + 1)) AS t1(i),
+       |       unnest(range(1, $UniMaxGram + 1)) AS t2(n)
+       |  WHERE i + n - 1 <= length(word)),
+       |cnts AS MATERIALIZED (
+       |  SELECT g, CAST(sum(freq) AS BIGINT) AS cnt FROM occs GROUP BY g),
+       |vocab AS MATERIALIZED (
+       |  SELECT g, cnt,
+       |         CAST(t.bltot - length(bin(cnt)) + $UniTokCost AS BIGINT) AS cost
+       |  FROM cnts
+       |  CROSS JOIN (SELECT length(bin(sum(cnt))) AS bltot FROM cnts) t),
+       |probes AS MATERIALIZED (
+       |  SELECT word, freq FROM words ORDER BY freq DESC, word LIMIT $UniProbes),
+       |edges AS MATERIALIZED (
+       |  SELECT p.word, i - 1 AS src, i + n - 1 AS dst,
+       |         v.cost * 64 + 1 AS step
+       |  FROM probes p,
+       |       unnest(range(1, length(p.word) + 1)) AS t1(i),
+       |       unnest(range(1, $UniMaxGram + 1)) AS t2(n)
+       |  JOIN vocab v ON v.g = substr(p.word, i, n)
+       |  WHERE i + n - 1 <= length(p.word)),
+       |d0 AS (
+       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS val FROM probes),
+       |$rounds
+       |SELECT p.word, p.freq, CAST(length(p.word) AS BIGINT) AS len,
+       |       CAST(dp.val // 64 AS BIGINT) AS cost_bits,
+       |       CAST(dp.val % 64 AS BIGINT) AS n_tokens
+       |FROM probes p
+       |JOIN d$UniMaxLen dp ON dp.word = p.word AND dp.pos = length(p.word)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_bpe_roundtrip" -> (textBpeRoundtrip _),
-    "pipe_tokenize_pack" -> (pipeTokenizePack _))
+    "pipe_tokenize_pack" -> (pipeTokenizePack _),
+    "text_unigram_segment" -> (textUnigramSegment _))
 
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_bpe_roundtrip" -> textBpeRoundtripSql,
-    "pipe_tokenize_pack" -> pipeTokenizePackSql)
+    "pipe_tokenize_pack" -> pipeTokenizePackSql,
+    "text_unigram_segment" -> textUnigramSegmentSql)
 }
