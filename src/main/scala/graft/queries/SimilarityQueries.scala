@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Pin.PinSyntax
+import DedupQueries.{hSpark, hDuck}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table:
   * brute-force cosine top-k as the correctness baseline, and a
@@ -1167,7 +1168,8 @@ object SimilarityQueries {
       "ann_hamming_topk" -> annHammingTopk(spark, dir),
       "ann_ivfpq_topk" -> annIvfpqTopk(spark, dir),
       "ann_sq_topk" -> annSqTopk(spark, dir),
-      "ann_nsw_topk" -> annNswTopk(spark, dir))
+      "ann_nsw_topk" -> annNswTopk(spark, dir),
+      "ann_hnsw_topk" -> annHnswTopk(spark, dir))
     val union = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("q_id"), col("vec_id"))
     }.reduce(_ unionByName _)
@@ -1197,7 +1199,8 @@ object SimilarityQueries {
       "ann_hamming_topk" -> annHammingTopkSql,
       "ann_ivfpq_topk" -> annIvfpqTopkSql,
       "ann_sq_topk" -> annSqTopkSql,
-      "ann_nsw_topk" -> annNswTopkSql)
+      "ann_nsw_topk" -> annNswTopkSql,
+      "ann_hnsw_topk" -> annHnswTopkSql)
     val unionSql = subs.map { case (m, sql) =>
       s"SELECT '$m' AS method, q_id, vec_id FROM (\n$sql\n)"
     }.mkString("\nUNION ALL\n")
@@ -1518,7 +1521,7 @@ object SimilarityQueries {
   // which is the point of graph ANN. Hop count is a constant (geometric
   // expansion reaches everything navigable); frontiers are probes×beam
   // rows, pinned per hop.
-  private val NswM = 6
+  private val NswM = 12
   private val NswBeam = 12
   private val NswHops = 6
 
@@ -1545,10 +1548,24 @@ object SimilarityQueries {
   def annNswTopk(spark: SparkSession, dir: String): DataFrame = {
     viewEmb(spark, dir)
     graft.expr.GraftFunctions.register(spark)
+    // Index over DISTINCT vectors: exact-duplicate classes collapse to
+    // their min-id representative at build and expand back at serve.
+    // Stress-discovered degeneration (sf≈1, 10 exact copies each):
+    // without the collapse every node's M out-edges are consumed by its
+    // own copies, the graph shatters into disconnected duplicate
+    // cliques, and beam search can never leave the entry's clique —
+    // the duplicate-heavy-corpus failure every production graph-ANN
+    // index dedups away before wiring.
     spark.sql(
-      s"""SELECT vec_id, embedding,
-         |       sqrt(${dotS("embedding", "embedding")}) AS nrm
-         |FROM embeddings""".stripMargin)
+      s"""SELECT vec_id, embedding, nrm,
+         |       min(vec_id) OVER (PARTITION BY embedding) AS rep_id
+         |FROM (SELECT vec_id, embedding,
+         |             sqrt(${dotS("embedding", "embedding")}) AS nrm
+         |      FROM embeddings)""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("nsw_all_t")
+    spark.sql(
+      "SELECT vec_id, embedding, nrm FROM nsw_all_t WHERE vec_id = rep_id")
       .pinned()
       .createOrReplaceTempView("nsw_normed_t")
     // The navigable out-edge relation: candidates from BOTH of each
@@ -1596,12 +1613,17 @@ object SimilarityQueries {
         .pinned()
         .createOrReplaceTempView(s"nsw_f${h}_t")
     }
+    // Serve-time expansion: each frontier representative fans back out
+    // to its duplicate class (identical vectors share the rep's sim).
     spark.sql(
       s"""SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, sim_micro
          |FROM (SELECT q_id, vec_id, sim_micro,
          |             row_number() OVER (PARTITION BY q_id
          |               ORDER BY sim_micro DESC, vec_id) AS rnk
-         |      FROM nsw_f${NswHops}_t WHERE vec_id <> q_id)
+         |      FROM (SELECT f.q_id, a.vec_id, f.sim_micro
+         |            FROM nsw_f${NswHops}_t f
+         |            JOIN nsw_all_t a ON a.rep_id = f.vec_id)
+         |      WHERE vec_id <> q_id)
          |WHERE rnk <= 3""".stripMargin)
   }
 
@@ -1611,10 +1633,14 @@ object SimilarityQueries {
       s"""f$h AS (
          |${nswHopSql(s"f${h - 1}", "normed", dot)})""".stripMargin
     }.mkString(",\n")
-    s"""WITH normed AS (
-       |  SELECT vec_id, embedding,
-       |         sqrt(${dotD("embedding", "embedding")}) AS nrm
-       |  FROM embeddings),
+    s"""WITH alln AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm,
+       |         min(vec_id) OVER (PARTITION BY embedding) AS rep_id
+       |  FROM (SELECT vec_id, embedding,
+       |               sqrt(${dotD("embedding", "embedding")}) AS nrm
+       |        FROM embeddings)),
+       |normed AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm FROM alln WHERE vec_id = rep_id),
        |cents AS (
        |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
        |  FROM normed WHERE vec_id BETWEEN 100 AND 115),
@@ -1651,7 +1677,320 @@ object SimilarityQueries {
        |FROM (SELECT q_id, vec_id, sim_micro,
        |             row_number() OVER (PARTITION BY q_id
        |               ORDER BY sim_micro DESC, vec_id) AS rnk
-       |      FROM f$NswHops WHERE vec_id <> q_id)
+       |      FROM (SELECT f.q_id, a.vec_id, f.sim_micro
+       |            FROM f$NswHops f
+       |            JOIN alln a ON a.rep_id = f.vec_id)
+       |      WHERE vec_id <> q_id)
+       |WHERE rnk <= 3""".stripMargin
+  }
+
+  // ── ann_hnsw_topk ★ (r12) — HIERARCHICAL navigable-small-world search
+  // (Malkov & Yashunin 2016): the multi-layer upgrade of ann_nsw_topk and
+  // the exact serving shape of hnswlib/Lucene-HNSW/pgvector. Every vector
+  // gets a DETERMINISTIC geometric level from the engine-shared md5 hash
+  // (P[lvl ≥ 1] = 1/4, P[lvl ≥ 2] = 1/16 — the hash replaces HNSW's RNG,
+  // so both engines assign identical levels); layer l keeps only nodes
+  // with lvl ≥ l. Search descends:
+  // enter at the top layer's global entry point, take [[HnswHopsU]]
+  // narrow-beam hops on layers 2 then 1 (the greedy zoom-in), then run
+  // the layer-0 beam search — the ef-search loop — from the descended
+  // frontier. Three fixture-measured design points, each a real HNSW
+  // lesson: (1) layer 0 reuses NSW's two-nearest-coarse-list wiring,
+  // scored ONCE and re-ranked, but UPPER layers widen membership to the
+  // FOUR nearest coarse lists — the long-range links; with only crnk ≤ 2
+  // edges the upper graphs cannot cross cluster boundaries and the
+  // descent strands probes (bounded: only the geometrically-sparse
+  // lvl ≥ 1 nodes pay the wider fan-out). (2) The layer-0 stage is
+  // MULTI-SEEDED: descended frontier ∪ the flat entry point, so the
+  // hierarchy adds its zoomed-in region without betting the search on
+  // it. (3) ef (layer-0 beam) = 24, not the frontier width 12 — with a
+  // shared beam the high-sim descended seeds otherwise crowd out the
+  // low-sim path the flat entry needs (measured 33% recall at ef 12 vs
+  // 60%, tying flat NSW, at ef 24 — the textbook ef-vs-recall knob).
+  // All similarities quantize to integer micro-units before any
+  // decision; the DuckDB oracle replays the full descent chain as
+  // generated CTEs.
+  //
+  // Scale shape: one bounded pair-scoring stage (the allowlisted co-list
+  // trade, k ≈ √n trained centroids at production); upper layers are
+  // geometrically sparser so their edge builds are 1/16 and 1/256 of the
+  // layer-0 work; each search hop is an equi-join on vec_id touching
+  // beam·M rows per probe — serving cost O(hops·beam·M), independent of
+  // corpus size, with the hierarchy cutting the hops a flat NSW needs.
+  private val HnswM0 = 12
+  private val HnswMU = 4
+  private val HnswBeam0 = 24
+  private val HnswBeamU = 3
+  private val HnswHops0 = 6
+  private val HnswHopsU = 2
+
+  /** One search hop over `<prev>` (q_id, vec_id) expanding `<edges>`. */
+  private def hnswHopSql(prev: String, edges: String, normed: String,
+      beam: Int, dot: (String, String) => String): String =
+    s"""SELECT q_id, vec_id, sim_micro FROM (
+       |  SELECT q_id, vec_id, sim_micro,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY sim_micro DESC, vec_id) AS rnk
+       |  FROM (
+       |    SELECT x.q_id, x.vec_id,
+       |           CAST(round(${dot("q.embedding", "c.embedding")}
+       |                 / (q.nrm * c.nrm) * 1000000, 0) AS BIGINT) AS sim_micro
+       |    FROM (SELECT q_id, vec_id FROM $prev
+       |          UNION
+       |          SELECT f.q_id, e.nbr_id AS vec_id
+       |          FROM $prev f JOIN $edges e ON e.vec_id = f.vec_id) x
+       |    JOIN $normed q ON q.vec_id = x.q_id
+       |    JOIN $normed c ON c.vec_id = x.vec_id))
+       |WHERE rnk <= $beam""".stripMargin
+
+  /** Layer-l edge set: the once-scored co-list pairs, restricted to
+    * endpoints of level ≥ l, top-M per node. */
+  private def hnswEdgesSql(l: Int, m: Int, gsc: String, lv: String): String = {
+    val restrict = if (l == 0) gsc
+    else s"""(SELECT g.* FROM $gsc g
+            |   JOIN $lv la ON la.vec_id = g.vec_id AND la.lvl >= $l
+            |   JOIN $lv lb ON lb.vec_id = g.nbr_id AND lb.lvl >= $l)""".stripMargin
+    s"""SELECT vec_id, nbr_id FROM (
+       |  SELECT vec_id, nbr_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY sim_micro DESC, nbr_id) AS rnk
+       |  FROM $restrict) WHERE rnk <= $m""".stripMargin
+  }
+
+  def annHnswTopk(spark: SparkSession, dir: String): DataFrame = {
+    viewEmb(spark, dir)
+    graft.expr.GraftFunctions.register(spark)
+    val h = hSpark("CAST(vec_id AS STRING)")
+    // Index over DISTINCT vectors (the ann_nsw_topk duplicate-collapse:
+    // duplicate classes otherwise consume every out-edge and shatter
+    // the graph into cliques); expand back at serve.
+    spark.sql(
+      s"""SELECT vec_id, embedding, nrm,
+         |       min(vec_id) OVER (PARTITION BY embedding) AS rep_id
+         |FROM (SELECT vec_id, embedding,
+         |             sqrt(${dotS("embedding", "embedding")}) AS nrm
+         |      FROM embeddings)""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("hnsw_all_t")
+    spark.sql(
+      "SELECT vec_id, embedding, nrm FROM hnsw_all_t WHERE vec_id = rep_id")
+      .pinned()
+      .createOrReplaceTempView("hnsw_normed_t")
+    spark.sql(
+      s"""SELECT vec_id,
+         |       CASE WHEN $h % 16 = 0 THEN 2
+         |            WHEN $h % 4 = 0 THEN 1 ELSE 0 END AS lvl
+         |FROM hnsw_normed_t""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("hnsw_lv_t")
+    // Co-list pairs scored ONCE (the nsw graph build); every layer's
+    // edge set re-ranks this relation.
+    spark.sql(
+      s"""WITH cents AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |  FROM hnsw_normed_t WHERE vec_id BETWEEN 100 AND 115),
+         |memb AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT n.vec_id, c.c_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${dotS("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+         |                      c.c_id) AS crnk
+         |    FROM hnsw_normed_t n CROSS JOIN cents c) WHERE crnk <= 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+         |  FROM memb a JOIN memb b
+         |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id)
+         |SELECT c.vec_id, c.nbr_id,
+         |       CAST(round(${dotS("x.embedding", "y.embedding")}
+         |             / (x.nrm * y.nrm) * 1000000, 0) AS BIGINT) AS sim_micro
+         |FROM cand c
+         |JOIN hnsw_normed_t x ON x.vec_id = c.vec_id
+         |JOIN hnsw_normed_t y ON y.vec_id = c.nbr_id""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("hnsw_gsc_t")
+    // Upper-layer pair relation: lvl ≥ 1 nodes only, crnk ≤ 4 lists —
+    // the long-range links the descent needs to cross clusters.
+    spark.sql(
+      s"""WITH cents AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |  FROM hnsw_normed_t WHERE vec_id BETWEEN 100 AND 115),
+         |upper_nodes AS (
+         |  SELECT t.* FROM hnsw_normed_t t
+         |  JOIN hnsw_lv_t l ON l.vec_id = t.vec_id AND l.lvl >= 1),
+         |memb4 AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT n.vec_id, c.c_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${dotS("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+         |                      c.c_id) AS crnk
+         |    FROM upper_nodes n CROSS JOIN cents c) WHERE crnk <= 4),
+         |candu AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+         |  FROM memb4 a JOIN memb4 b
+         |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id)
+         |SELECT c.vec_id, c.nbr_id,
+         |       CAST(round(${dotS("x.embedding", "y.embedding")}
+         |             / (x.nrm * y.nrm) * 1000000, 0) AS BIGINT) AS sim_micro
+         |FROM candu c
+         |JOIN hnsw_normed_t x ON x.vec_id = c.vec_id
+         |JOIN hnsw_normed_t y ON y.vec_id = c.nbr_id""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("hnsw_gscu_t")
+    Seq((0, HnswM0, "hnsw_gsc_t", 0), (1, HnswMU, "hnsw_gscu_t", 0),
+        (2, HnswMU, "hnsw_gscu_t", 2)).foreach { case (l, m, gsc, filt) =>
+      spark.sql(hnswEdgesSql(filt, m, gsc, "hnsw_lv_t"))
+        .pinned()
+        .createOrReplaceTempView(s"hnsw_ed${l}_t")
+    }
+    // Entry: the highest non-empty layer's least node.
+    spark.sql(
+      """SELECT q.vec_id AS q_id, e.entry AS vec_id
+        |FROM (SELECT vec_id FROM hnsw_normed_t WHERE vec_id < 3) q
+        |CROSS JOIN (SELECT coalesce(
+        |    (SELECT min(vec_id) FROM hnsw_lv_t WHERE lvl >= 2),
+        |    (SELECT min(vec_id) FROM hnsw_lv_t WHERE lvl >= 1),
+        |    (SELECT min(vec_id) FROM hnsw_lv_t)) AS entry) e""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("hnsw_f0_t")
+    val upper =
+      Seq.fill(HnswHopsU)(("hnsw_ed2_t", HnswBeamU)) ++
+        Seq.fill(HnswHopsU)(("hnsw_ed1_t", HnswBeamU))
+    upper.zipWithIndex.foreach { case ((ed, beam), i) =>
+      spark.sql(hnswHopSql(s"hnsw_f${i}_t", ed, "hnsw_normed_t", beam, dotS))
+        .pinned()
+        .createOrReplaceTempView(s"hnsw_f${i + 1}_t")
+    }
+    // Layer-0 seeds: the descended frontier PLUS the layer-0 global
+    // entry (multi-seed ef-search — the descent contributes its zoomed-
+    // in region without ever being allowed to do worse than the flat
+    // NSW entry).
+    spark.sql(
+      s"""SELECT q_id, vec_id FROM hnsw_f${upper.size}_t
+         |UNION
+         |SELECT q.vec_id AS q_id, e.entry AS vec_id
+         |FROM (SELECT vec_id FROM hnsw_normed_t WHERE vec_id < 3) q
+         |CROSS JOIN (SELECT min(vec_id) AS entry FROM hnsw_normed_t) e""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView(s"hnsw_s0_t")
+    (1 to HnswHops0).foreach { i =>
+      val prev = if (i == 1) "hnsw_s0_t" else s"hnsw_s${i - 1}_t"
+      spark.sql(hnswHopSql(prev, "hnsw_ed0_t", "hnsw_normed_t", HnswBeam0, dotS))
+        .pinned()
+        .createOrReplaceTempView(s"hnsw_s${i}_t")
+    }
+    spark.sql(
+      s"""SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, sim_micro
+         |FROM (SELECT q_id, vec_id, sim_micro,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY sim_micro DESC, vec_id) AS rnk
+         |      FROM (SELECT f.q_id, a.vec_id, f.sim_micro
+         |            FROM hnsw_s${HnswHops0}_t f
+         |            JOIN hnsw_all_t a ON a.rep_id = f.vec_id)
+         |      WHERE vec_id <> q_id)
+         |WHERE rnk <= 3""".stripMargin)
+  }
+
+  lazy val annHnswTopkSql: String = {
+    val dot = (a: String, b: String) => dotD(a, b)
+    val h = hDuck("CAST(vec_id AS VARCHAR)")
+    val edgeCtes = Seq((0, HnswM0, "gsc", 0), (1, HnswMU, "gscu", 0),
+        (2, HnswMU, "gscu", 2)).map { case (l, m, gsc, filt) =>
+      s"""ed$l AS MATERIALIZED (
+         |${hnswEdgesSql(filt, m, gsc, "lv")})""".stripMargin
+    }.mkString(",\n")
+    val upper =
+      Seq.fill(HnswHopsU)(("ed2", HnswBeamU)) ++
+        Seq.fill(HnswHopsU)(("ed1", HnswBeamU))
+    val upperHops = upper.zipWithIndex.map { case ((ed, beam), i) =>
+      s"""f${i + 1} AS MATERIALIZED (
+         |${hnswHopSql(s"f$i", ed, "normed", beam, dot)})""".stripMargin
+    }.mkString(",\n")
+    val layer0Hops = (1 to HnswHops0).map { i =>
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      s"""s$i AS MATERIALIZED (
+         |${hnswHopSql(prev, "ed0", "normed", HnswBeam0, dot)})""".stripMargin
+    }.mkString(",\n")
+    val hops =
+      s"""$upperHops,
+         |s0 AS (
+         |  SELECT q_id, vec_id FROM f${upper.size}
+         |  UNION
+         |  SELECT q.vec_id AS q_id, e.entry AS vec_id
+         |  FROM (SELECT vec_id FROM normed WHERE vec_id < 3) q
+         |  CROSS JOIN (SELECT min(vec_id) AS entry FROM normed) e),
+         |$layer0Hops""".stripMargin
+    s"""WITH alln AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm,
+       |         min(vec_id) OVER (PARTITION BY embedding) AS rep_id
+       |  FROM (SELECT vec_id, embedding,
+       |               sqrt(${dotD("embedding", "embedding")}) AS nrm
+       |        FROM embeddings)),
+       |normed AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm FROM alln WHERE vec_id = rep_id),
+       |lv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         CASE WHEN $h % 16 = 0 THEN 2
+       |              WHEN $h % 4 = 0 THEN 1 ELSE 0 END AS lvl
+       |  FROM normed),
+       |cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM normed WHERE vec_id BETWEEN 100 AND 115),
+       |memb AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT n.vec_id, c.c_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${dotD("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+       |                      c.c_id) AS crnk
+       |    FROM normed n CROSS JOIN cents c) WHERE crnk <= 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+       |  FROM memb a JOIN memb b
+       |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+       |gsc AS MATERIALIZED (
+       |  SELECT c.vec_id, c.nbr_id,
+       |         CAST(round(${dotD("x.embedding", "y.embedding")}
+       |               / (x.nrm * y.nrm) * 1000000, 0) AS BIGINT) AS sim_micro
+       |  FROM cand c
+       |  JOIN normed x ON x.vec_id = c.vec_id
+       |  JOIN normed y ON y.vec_id = c.nbr_id),
+       |upper_nodes AS (
+       |  SELECT t.* FROM normed t
+       |  JOIN lv l ON l.vec_id = t.vec_id AND l.lvl >= 1),
+       |memb4 AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT n.vec_id, c.c_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${dotD("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+       |                      c.c_id) AS crnk
+       |    FROM upper_nodes n CROSS JOIN cents c) WHERE crnk <= 4),
+       |candu AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+       |  FROM memb4 a JOIN memb4 b
+       |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+       |gscu AS MATERIALIZED (
+       |  SELECT c.vec_id, c.nbr_id,
+       |         CAST(round(${dotD("x.embedding", "y.embedding")}
+       |               / (x.nrm * y.nrm) * 1000000, 0) AS BIGINT) AS sim_micro
+       |  FROM candu c
+       |  JOIN normed x ON x.vec_id = c.vec_id
+       |  JOIN normed y ON y.vec_id = c.nbr_id),
+       |$edgeCtes,
+       |f0 AS (
+       |  SELECT q.vec_id AS q_id, e.entry AS vec_id
+       |  FROM (SELECT vec_id FROM normed WHERE vec_id < 3) q
+       |  CROSS JOIN (SELECT coalesce(
+       |      (SELECT min(vec_id) FROM lv WHERE lvl >= 2),
+       |      (SELECT min(vec_id) FROM lv WHERE lvl >= 1),
+       |      (SELECT min(vec_id) FROM lv)) AS entry) e),
+       |$hops
+       |SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, sim_micro
+       |FROM (SELECT q_id, vec_id, sim_micro,
+       |             row_number() OVER (PARTITION BY q_id
+       |               ORDER BY sim_micro DESC, vec_id) AS rnk
+       |      FROM (SELECT f.q_id, a.vec_id, f.sim_micro
+       |            FROM s$HnswHops0 f
+       |            JOIN alln a ON a.rep_id = f.vec_id)
+       |      WHERE vec_id <> q_id)
        |WHERE rnk <= 3""".stripMargin
   }
 
@@ -2002,6 +2341,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_nsw_topk" -> (annNswTopk _),
+    "ann_hnsw_topk" -> (annHnswTopk _),
     "ann_ivf_trained_topk" -> (annIvfTrainedTopk _),
     "ann_kmeans_centroids" -> (annKmeansCentroids _),
     "emb_mrl_recall" -> (embMrlRecall _),
@@ -2028,6 +2368,7 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "ann_nsw_topk" -> annNswTopkSql,
+    "ann_hnsw_topk" -> annHnswTopkSql,
     "ann_ivf_trained_topk" -> annIvfTrainedTopkSql,
     "ann_kmeans_centroids" -> annKmeansCentroidsSql,
     "emb_mrl_recall" -> embMrlRecallSql,

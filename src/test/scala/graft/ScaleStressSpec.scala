@@ -1080,4 +1080,125 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"query $q: scaled top hit $doc is not a copy of base top ${base(q)}")
     }
   }
+
+  test("graph_hits scores are EXACTLY invariant under order-replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Replicated orders re-buy from the SAME customers/suppliers, so the
+    // DISTINCT directed edge set — and therefore every propagation sum,
+    // every L1 total, and both top-10s — is bit-identical to the sf0.1
+    // run while the orders⋈lineitem build chews 10x the rows.
+    def rows(d: String) = SparkEntry.queries("graph_hits")(spark, d)
+      .orderBy("node_type", "node_id").collect().toSeq
+    val base = rows("/root/testdata/sf0.1")
+    val scaled = timed("graph_hits @ sf~1")(rows(dir))
+    assert(scaled === base, "HITS scores diverged under replication")
+    assert(base.map(_.getLong(2)).distinct.length > 1,
+      "top-10 scores must be non-degenerate")
+  }
+
+  test("graph_lpa at sf~1: deterministic contract holds on the fused graph") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Same support-floor shift as graph_cc: x10 co-purchase counts admit
+    // every pair, so LPA runs on the near-complete co-purchase graph —
+    // where plurality flooding to ONE giant community is LPA's
+    // documented dense-graph behavior (the epidemic-label pathology the
+    // original paper notes), not a bug. Assert the structural contract
+    // instead: sizes add up per community, the fused graph covers most
+    // parts, and the flood is indeed the (expected) giant community.
+    val scaled = timed("graph_lpa @ sf~1") {
+      SparkEntry.queries("graph_lpa")(spark, dir).collect()
+    }
+    val byLab = scaled.groupBy(_.getLong(1))
+    byLab.foreach { case (lab, members) =>
+      assert(members.forall(_.getLong(2) == members.length.toLong),
+        s"community $lab size mismatch")
+    }
+    assert(scaled.length > 10000, "fused graph should cover most parts")
+    val giant = byLab.values.map(_.length).max
+    assert(giant > scaled.length / 2,
+      "expected the dense-graph label flood (a dominant community)")
+  }
+
+  test("sk_qdigest at sf~1: exact quantiles invariant, sketch size stays constant") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Replication multiplies every value's multiplicity by 10, which
+    // leaves every exact quantile VALUE unchanged — the invariance
+    // witness. The sketch itself re-compresses at the 10x θ; assert the
+    // q-digest contract: estimates never under-shoot (est ≥ exact), and
+    // the kept-node count stays below the 2k(B+1) CONSTANT — size
+    // independent of corpus scale is the whole point of the sketch.
+    import graft.queries.SketchQueries.{QdB, QdK}
+    def byKey(d: String) = SparkEntry.queries("sk_qdigest")(spark, d)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val base = byKey("/root/testdata/sf0.1")
+    val scaled = timed("sk_qdigest @ sf~1")(byKey(dir))
+    assert(scaled.keySet === base.keySet)
+    scaled.foreach { case (k, (est, exact, err, kept)) =>
+      assert(exact === base(k)._2, s"$k: exact quantile changed under replication")
+      assert(est >= exact, s"$k: estimate under-shoots")
+      assert(err >= 0L, s"$k: negative rank error")
+      assert(kept <= 2L * QdK * (QdB + 1), s"$k: sketch size $kept not constant")
+    }
+  }
+
+  test("text_unigram_segment at sf~1: relational DP still optimal at 10x counts") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // x10 frequencies shift every bitlen cost by ~log2(10), so
+    // segmentations may legitimately differ from the base run — the
+    // invariant is OPTIMALITY, not stability: re-run the classic
+    // driver-side Viterbi on the 10x vocabulary and demand equality.
+    import graft.queries.TokenizerQueries.{UniMaxGram, UniMaxLen, UniProbes, UniTokCost}
+    spark.read.parquet(s"$dir/documents.parquet")
+      .createOrReplaceTempView("docs_uni_stress")
+    val words = spark.sql(
+      s"""SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+         |FROM (SELECT explode(split(text, ' ')) AS w FROM docs_uni_stress)
+         |WHERE w rlike '^[a-z]{2,$UniMaxLen}$$'
+         |GROUP BY w""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      for (i <- 0 until w.length; n <- 1 to UniMaxGram if i + n <= w.length)
+        cnt.updateWith(w.substring(i, i + n))(p => Some(p.getOrElse(0L) + f))
+    }
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val blTot = bitlen(cnt.values.sum)
+    def viterbi(w: String): (Long, Long) = {
+      val d = Array.fill(w.length + 1)(Long.MaxValue)
+      d(0) = 0L
+      for (j <- 1 to w.length; n <- 1 to math.min(UniMaxGram, j)) {
+        val i = j - n
+        if (d(i) != Long.MaxValue) {
+          val c = blTot - bitlen(cnt(w.substring(i, j))) + UniTokCost
+          val v = d(i) + c * 64 + 1
+          if (v < d(j)) d(j) = v
+        }
+      }
+      (d(w.length) / 64, d(w.length) % 64)
+    }
+    val got = timed("text_unigram_segment @ sf~1") {
+      SparkEntry.queries("text_unigram_segment")(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    }
+    assert(got.size === math.min(UniProbes, words.size))
+    got.foreach { case (w, res) => assert(res === viterbi(w), s"word '$w'") }
+  }
+
+  test("ann_hnsw_topk at sf≈1: hierarchical search converges to exact copies") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // The ann_nsw_topk invariant on the hierarchical path: every probe
+    // has 9 exact copies sharing its coarse lists, so any beam reaching
+    // one chains into the clique — all 9 results must score a perfect
+    // 1,000,000 micro-similarity.
+    val rows = timed("ann_hnsw_topk @ sf~1") {
+      SparkEntry.queries("ann_hnsw_topk")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    }
+    assert(rows.length == 9, s"expected 3 probes x top-3, got ${rows.length}")
+    val below = rows.filter(_._3 < 1000000L)
+    assert(below.isEmpty,
+      s"${below.size} hierarchical results below perfect similarity: " +
+        below.take(5).mkString(", "))
+  }
 }
