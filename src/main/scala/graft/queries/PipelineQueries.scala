@@ -1310,7 +1310,97 @@ object PipelineQueries {
     "WITH " + divergenceCtes("//", "string_split(text, ' ')",
       ", unnest(ws) AS t(w)", DedupQueries.hDuck)
 
+  // ── pipe_dsir_weights ★ (r12) — DATA SELECTION VIA IMPORTANCE
+  // RESAMPLING weights (DSIR, Xie et al. 2023): the domain-targeting
+  // step a pretraining mixture runs to up-weight raw documents that
+  // look like a target domain. Features are hashed word unigrams into
+  // [[DsirBuckets]] buckets (the paper's hashed n-gram trick — feature
+  // space constant, never vocabulary-sized); the per-bucket importance
+  // is the log-likelihood ratio log2(p_target/p_raw), add-one smoothed
+  // and computed in DETERMINISTIC FIXED-POINT: Q10 (1/1024-bit) units
+  // via lg(x) = (bitlen(x)−1)·1024 + (x·1024 div 2^(bitlen(x)−1)) −
+  // 1024 — integer part from length(bin(x)) (the HLL rho trick),
+  // fractional part by linear mantissa interpolation (max ≈0.086-bit
+  // approximation error, identical in both engines; plain floor-log2
+  // has NO resolution here — hash buckets mix languages, so ratios sit
+  // within one octave of 1 and every bucket floors to 0, measured).
+  // A document's weight is the sum of its tokens' bucket scores. The
+  // target here is lang = 'en'; emitting the PER-LANGUAGE weight means
+  // the query is self-evaluating — the target language must surface
+  // with the highest mean per-token weight (DsirSpec pins it). The
+  // per-token mean uses a +2^16 shift so the floor division runs on
+  // non-negative operands in both engines (div vs // disagree on
+  // negatives).
+  //
+  // Scale shape (100 TB): one token-stream pass computes buckets
+  // map-side; bucket stats are a 256-row aggregate; scoring joins the
+  // 256-row broadcast back onto the stream; everything after is
+  // per-doc/per-lang aggregation. No vocabulary-sized state anywhere —
+  // the point of hashed features.
+  /** Hashed feature buckets (constant feature space). */
+  val DsirBuckets = 256
+  /** Per-token score shift making the mean's dividend non-negative
+    * (|score| ≤ ~40·1024 Q10 units). */
+  private val DsirShift = 65536L
+
+  /** Q10 fixed-point log2 of a positive BIGINT expression: integer part
+    * from the binary length, fractional part by linear mantissa
+    * interpolation. `idiv`/`shl` inject the dialect's integer division
+    * and left-shift. */
+  private def dsirLg(x: String, idiv: String,
+      shl: (String, String) => String): String =
+    s"((length(bin($x)) - 1) * 1024 + ($x * 1024 $idiv " +
+      s"${shl("CAST(1 AS BIGINT)", s"length(bin($x)) - 1")}) - 1024)"
+
+  private def dsirCtes(idiv: String, split: String, explode: String,
+      h: String => String, shl: (String, String) => String): String = {
+    val lgT = dsirLg("((c_t + 1) * t.n_r)", idiv, shl)
+    val lgR = dsirLg("((c_r + 1) * t.n_t)", idiv, shl)
+    s"""words AS (
+       |  SELECT doc_id, lang, ${h("w")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang, $split AS ws FROM documents) d
+       |  $explode),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_r,
+       |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_t
+       |  FROM words),
+       |bstats AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+       |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS c_t
+       |  FROM words GROUP BY b),
+       |scores AS (
+       |  SELECT b, CAST($lgT - $lgR AS BIGINT) AS score
+       |  FROM bstats CROSS JOIN tot t),
+       |docw AS (
+       |  SELECT w.doc_id, w.lang, CAST(count(*) AS BIGINT) AS toks,
+       |         CAST(sum(s.score) AS BIGINT) AS w_q10
+       |  FROM words w JOIN scores s ON s.b = w.b
+       |  GROUP BY w.doc_id, w.lang)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(toks) AS BIGINT) AS tokens,
+       |       CAST(sum(w_q10) AS BIGINT) AS w_q10_sum,
+       |       CAST((sum(w_q10) + $DsirShift * sum(toks))
+       |              $idiv sum(toks) - $DsirShift AS BIGINT)
+       |         AS mean_q10_bits
+       |FROM docw GROUP BY lang""".stripMargin
+  }
+
+  def pipeDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    spark.sql("WITH " + dsirCtes("div", "split(text, ' ')",
+      "LATERAL VIEW explode(ws) t AS w", DedupQueries.hSpark,
+      (a, b) => s"shiftleft($a, $b)"))
+  }
+
+  val pipeDsirWeightsSql: String =
+    "WITH " + dsirCtes("//", "string_split(text, ' ')",
+      ", unnest(ws) AS t(w)", DedupQueries.hDuck,
+      (a, b) => s"($a << ($b))")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dsir_weights" -> (pipeDsirWeights _),
     "pipe_source_divergence" -> (pipeSourceDivergence _),
     "pipe_bloom_skip" -> (pipeBloomSkip _),
     "pipe_zorder" -> (pipeZorder _),
@@ -1334,6 +1424,7 @@ object PipelineQueries {
     "pipe_shuffle" -> (pipeShuffle _))
 
   val oracle: Map[String, String] = Map(
+    "pipe_dsir_weights" -> pipeDsirWeightsSql,
     "pipe_source_divergence" -> pipeSourceDivergenceSql,
     "pipe_bloom_skip" -> pipeBloomSkipSql,
     "pipe_zorder" -> pipeZorderSql,

@@ -114,7 +114,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "pipe_source_divergence" -> "the pair universe is bcount x bcount under source < source — bcount has one row per SOURCE (~20), bounded by the corpus's source vocabulary, broadcast both sides; the data-sized work is the equi-join on bucket over the <=|sources|x256 shares relation",
     "pipe_drift_report" -> "the 1-row corpus-epoch scalar and the 1-row (ref_total, cur_total) aggregate cross-joined as broadcast constants over the <=|types|x4 bucket table",
     "graph_hits" -> "the 1-row L1-total scalar cross-joined as a broadcast constant per normalization (2 per round); every propagation is an equi-join of the per-node score vector against the resident edge relation",
-    "sk_qdigest" -> "the 4-row quantile grid cross-joined against the per-lang size/threshold aggregate (~5 rows); the rank probe is an equi-join on lang with a cum >= target residual over the <= k*B-row kept-node sketch")
+    "sk_qdigest" -> "the 4-row quantile grid cross-joined against the per-lang size/threshold aggregate (~5 rows); the rank probe is an equi-join on lang with a cum >= target residual over the <= k*B-row kept-node sketch",
+    "pipe_dsir_weights" -> "the 1-row (n_r, n_t) corpus-total scalar cross-joined onto the 256-row bucket-stats aggregate; the scoring join back onto the token stream is an equi-join on the bucket key")
 
   /** An unpartitioned window is legitimate ONLY over a table whose row
     * count is bounded by construction (buckets, partitions, quantile
