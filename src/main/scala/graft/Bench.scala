@@ -89,6 +89,7 @@ object Bench {
         graft.queries.TokenizerQueries.clearSessionMemos()
         graft.queries.PcaQueries.clearSessionMemos()
         graft.queries.SketchQueries.clearSessionMemos()
+        graft.queries.SimilarityQueries.clearSessionMemos()
         graft.operators.AsOfJoin.clearBoundsCache()
         graft.operators.PinnedStages.releaseShared(spark)
       }

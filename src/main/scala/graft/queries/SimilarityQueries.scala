@@ -23,6 +23,60 @@ object SimilarityQueries {
   private def viewEmb(spark: SparkSession, dir: String): Unit =
     spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
 
+  // Session memo: the duplicate-collapsed (alln, normed) relations and
+  // the crnk ≤ 2 scored co-list pair relation are IDENTICAL across the
+  // three graph-ANN pipelines (nsw / hnsw / nsw_diverse) — build once
+  // per (session, dir) and share (the shingle/merge-memo discipline;
+  // ann_recall_report otherwise pays the same graph build three times,
+  // and Bench clears between passes so every pass pays real cost).
+  private val nswBuildMemo = scala.collection.mutable.Map[
+    (String, String), (DataFrame, DataFrame, DataFrame)]()
+
+  private[graft] def clearSessionMemos(): Unit = nswBuildMemo.clear()
+
+  /** (alln, normed, gsc): all vectors with their duplicate-class rep,
+    * the distinct-vector index nodes, and the scored crnk ≤ 2 co-list
+    * pair relation every graph-ANN variant re-ranks. */
+  private def nswBuild(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    nswBuildMemo.getOrElseUpdate(
+      (spark.sparkContext.applicationId + "/" + spark.sparkContext.startTime, dir), {
+        viewEmb(spark, dir)
+        graft.expr.GraftFunctions.register(spark)
+        val alln = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+          s"""SELECT vec_id, embedding, nrm,
+             |       min(vec_id) OVER (PARTITION BY embedding) AS rep_id
+             |FROM (SELECT vec_id, embedding,
+             |             sqrt(${dotS("embedding", "embedding")}) AS nrm
+             |      FROM embeddings)""".stripMargin))
+        alln.createOrReplaceTempView("nswb_all_t")
+        val normed = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+          "SELECT vec_id, embedding, nrm FROM nswb_all_t WHERE vec_id = rep_id"))
+        normed.createOrReplaceTempView("nswb_normed_t")
+        val gsc = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+          s"""WITH cents AS (
+             |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+             |  FROM nswb_normed_t WHERE vec_id BETWEEN 100 AND 115),
+             |memb AS (
+             |  SELECT vec_id, c_id FROM (
+             |    SELECT n.vec_id, c.c_id,
+             |           row_number() OVER (PARTITION BY n.vec_id
+             |             ORDER BY ${dotS("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+             |                      c.c_id) AS crnk
+             |    FROM nswb_normed_t n CROSS JOIN cents c) WHERE crnk <= 2),
+             |cand AS (
+             |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+             |  FROM memb a JOIN memb b
+             |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id)
+             |SELECT c.vec_id, c.nbr_id,
+             |       CAST(round(${dotS("x.embedding", "y.embedding")}
+             |             / (x.nrm * y.nrm) * 1000000, 0) AS BIGINT) AS sim_micro
+             |FROM cand c
+             |JOIN nswb_normed_t x ON x.vec_id = c.vec_id
+             |JOIN nswb_normed_t y ON y.vec_id = c.nbr_id""".stripMargin))
+        (alln, normed, gsc)
+      })
+
   // Codegen'd custom expression (graft.expr.FloatDotProduct) — the
   // interpreted aggregate(zip_with(...)) equivalent is ~4x slower on the
   // quadratic scoring stage.
@@ -1169,7 +1223,8 @@ object SimilarityQueries {
       "ann_ivfpq_topk" -> annIvfpqTopk(spark, dir),
       "ann_sq_topk" -> annSqTopk(spark, dir),
       "ann_nsw_topk" -> annNswTopk(spark, dir),
-      "ann_hnsw_topk" -> annHnswTopk(spark, dir))
+      "ann_hnsw_topk" -> annHnswTopk(spark, dir),
+      "ann_nsw_diverse" -> annNswDiverse(spark, dir))
     val union = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("q_id"), col("vec_id"))
     }.reduce(_ unionByName _)
@@ -1200,7 +1255,8 @@ object SimilarityQueries {
       "ann_ivfpq_topk" -> annIvfpqTopkSql,
       "ann_sq_topk" -> annSqTopkSql,
       "ann_nsw_topk" -> annNswTopkSql,
-      "ann_hnsw_topk" -> annHnswTopkSql)
+      "ann_hnsw_topk" -> annHnswTopkSql,
+      "ann_nsw_diverse" -> annNswDiverseSql)
     val unionSql = subs.map { case (m, sql) =>
       s"SELECT '$m' AS method, q_id, vec_id FROM (\n$sql\n)"
     }.mkString("\nUNION ALL\n")
@@ -1546,8 +1602,6 @@ object SimilarityQueries {
        |WHERE rnk <= $NswBeam""".stripMargin
 
   def annNswTopk(spark: SparkSession, dir: String): DataFrame = {
-    viewEmb(spark, dir)
-    graft.expr.GraftFunctions.register(spark)
     // Index over DISTINCT vectors: exact-duplicate classes collapse to
     // their min-id representative at build and expand back at serve.
     // Stress-discovered degeneration (sf≈1, 10 exact copies each):
@@ -1555,49 +1609,21 @@ object SimilarityQueries {
     // own copies, the graph shatters into disconnected duplicate
     // cliques, and beam search can never leave the entry's clique —
     // the duplicate-heavy-corpus failure every production graph-ANN
-    // index dedups away before wiring.
+    // index dedups away before wiring. The collapse + coarse-pair
+    // scoring is the memoized [[nswBuild]] shared by the family.
+    val (alln, normed, gsc) = nswBuild(spark, dir)
+    alln.createOrReplaceTempView("nsw_all_t")
+    normed.createOrReplaceTempView("nsw_normed_t")
+    gsc.createOrReplaceTempView("nsw_gsc_t")
+    // The navigable out-edge relation: top-M by micro-similarity over
+    // the shared scored pairs. Pinned — the search loop joins it every
+    // hop.
     spark.sql(
-      s"""SELECT vec_id, embedding, nrm,
-         |       min(vec_id) OVER (PARTITION BY embedding) AS rep_id
-         |FROM (SELECT vec_id, embedding,
-         |             sqrt(${dotS("embedding", "embedding")}) AS nrm
-         |      FROM embeddings)""".stripMargin)
-      .pinned()
-      .createOrReplaceTempView("nsw_all_t")
-    spark.sql(
-      "SELECT vec_id, embedding, nrm FROM nsw_all_t WHERE vec_id = rep_id")
-      .pinned()
-      .createOrReplaceTempView("nsw_normed_t")
-    // The navigable out-edge relation: candidates from BOTH of each
-    // node's two nearest lists, top-M by micro-similarity. Pinned — the
-    // search loop joins it every hop.
-    spark.sql(
-      s"""WITH cents AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-         |  FROM nsw_normed_t WHERE vec_id BETWEEN 100 AND 115),
-         |memb AS (
-         |  SELECT vec_id, c_id FROM (
-         |    SELECT n.vec_id, c.c_id,
-         |           row_number() OVER (PARTITION BY n.vec_id
-         |             ORDER BY ${dotS("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
-         |                      c.c_id) AS crnk
-         |    FROM nsw_normed_t n CROSS JOIN cents c) WHERE crnk <= 2),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
-         |  FROM memb a JOIN memb b
-         |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
-         |gscored AS (
-         |  SELECT c.vec_id, c.nbr_id,
-         |         CAST(round(${dotS("x.embedding", "y.embedding")}
-         |               / (x.nrm * y.nrm) * 1000000, 0) AS BIGINT) AS sim_micro
-         |  FROM cand c
-         |  JOIN nsw_normed_t x ON x.vec_id = c.vec_id
-         |  JOIN nsw_normed_t y ON y.vec_id = c.nbr_id)
-         |SELECT vec_id, nbr_id FROM (
+      s"""SELECT vec_id, nbr_id FROM (
          |  SELECT vec_id, nbr_id,
          |         row_number() OVER (PARTITION BY vec_id
          |           ORDER BY sim_micro DESC, nbr_id) AS rnk
-         |  FROM gscored) WHERE rnk <= $NswM""".stripMargin)
+         |  FROM nsw_gsc_t) WHERE rnk <= $NswM""".stripMargin)
       .pinned()
       .createOrReplaceTempView("nsw_gedges_t")
     // Beam 0: every probe starts at the single global entry point.
@@ -1668,6 +1694,173 @@ object SimilarityQueries {
        |           row_number() OVER (PARTITION BY vec_id
        |             ORDER BY sim_micro DESC, nbr_id) AS rnk
        |    FROM gscored) WHERE rnk <= $NswM),
+       |f0 AS (
+       |  SELECT q.vec_id AS q_id, e.entry AS vec_id
+       |  FROM (SELECT vec_id FROM normed WHERE vec_id < 3) q
+       |  CROSS JOIN (SELECT min(vec_id) AS entry FROM normed) e),
+       |$hops
+       |SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, sim_micro
+       |FROM (SELECT q_id, vec_id, sim_micro,
+       |             row_number() OVER (PARTITION BY q_id
+       |               ORDER BY sim_micro DESC, vec_id) AS rnk
+       |      FROM (SELECT f.q_id, a.vec_id, f.sim_micro
+       |            FROM f$NswHops f
+       |            JOIN alln a ON a.rep_id = f.vec_id)
+       |      WHERE vec_id <> q_id)
+       |WHERE rnk <= 3""".stripMargin
+  }
+
+  // ── ann_nsw_diverse ★ (r12) — NSW serving over a DIVERSITY-SELECTED
+  // graph (Malkov & Yashunin's select-neighbors heuristic, the part of
+  // HNSW that survives near-duplicate corpora): instead of the raw
+  // top-M edges, each node picks its M out-neighbors GREEDILY — a
+  // candidate is kept only if it is closer to the node than to any
+  // already-kept neighbor, so a clump of near-identical candidates
+  // spends ONE edge slot, not all of them, and the remaining slots buy
+  // long-range diversity. The exact-duplicate collapse (ann_nsw_topk's
+  // build step) handles bit-identical copies; this heuristic is the
+  // GENERAL fix for near-dup clumps no dedup can catch. Relationally:
+  // top-[[DivC]] candidates per node, then [[DivM]] greedy rounds —
+  // per round ONE per-node argmax (window over the shrinking candidate
+  // relation) and one anti-domination filter (equi-join to the scored
+  // pair relation; a candidate pair absent from the co-list relation is
+  // conservatively kept). All decisions in integer micro-units; the
+  // DuckDB oracle replays every greedy round AND the search as CTEs.
+  //
+  // Scale shape: the candidate cap bounds each round's relation at
+  // n·C rows; rounds are a constant M; everything is equi-joins and
+  // per-node windows. Search cost is the NSW serving shape.
+  private val DivC = 16
+  private val DivM = 8
+
+  def annNswDiverse(spark: SparkSession, dir: String): DataFrame = {
+    val (alln, normed, gsc) = nswBuild(spark, dir)
+    alln.createOrReplaceTempView("ndv_all_t")
+    normed.createOrReplaceTempView("ndv_normed_t")
+    gsc.createOrReplaceTempView("ndv_gsc_t")
+    spark.sql(
+      s"""SELECT vec_id, nbr_id, sim_micro FROM (
+         |  SELECT vec_id, nbr_id, sim_micro,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY sim_micro DESC, nbr_id) AS rnk
+         |  FROM ndv_gsc_t) WHERE rnk <= $DivC""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("ndv_rem0_t")
+    // Greedy diversity rounds: pick the best remaining candidate per
+    // node, then drop candidates closer to the pick than to the node.
+    // Only rem_k pins (it is consumed twice next round); pick is one
+    // window over the already-pinned rem and stays lazy.
+    (1 to DivM).foreach { k =>
+      spark.sql(
+        s"""SELECT vec_id, nbr_id, sim_micro FROM (
+           |  SELECT vec_id, nbr_id, sim_micro,
+           |         row_number() OVER (PARTITION BY vec_id
+           |           ORDER BY sim_micro DESC, nbr_id) AS rn
+           |  FROM ndv_rem${k - 1}_t) WHERE rn = 1""".stripMargin)
+        .createOrReplaceTempView(s"ndv_pick${k}_t")
+      spark.sql(
+        s"""SELECT r.vec_id, r.nbr_id, r.sim_micro
+           |FROM ndv_rem${k - 1}_t r
+           |JOIN ndv_pick${k}_t p ON p.vec_id = r.vec_id
+           |LEFT JOIN ndv_gsc_t g
+           |  ON g.vec_id = r.nbr_id AND g.nbr_id = p.nbr_id
+           |WHERE r.nbr_id <> p.nbr_id
+           |  AND (g.sim_micro IS NULL OR g.sim_micro <= r.sim_micro)""".stripMargin)
+        .pinned()
+        .createOrReplaceTempView(s"ndv_rem${k}_t")
+    }
+    spark.sql((1 to DivM)
+      .map(k => s"SELECT vec_id, nbr_id FROM ndv_pick${k}_t")
+      .mkString("\nUNION ALL\n"))
+      .pinned()
+      .createOrReplaceTempView("ndv_edges_t")
+    spark.sql(
+      """SELECT q.vec_id AS q_id, e.entry AS vec_id
+        |FROM (SELECT vec_id FROM ndv_normed_t WHERE vec_id < 3) q
+        |CROSS JOIN (SELECT min(vec_id) AS entry FROM ndv_normed_t) e""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("ndv_f0_t")
+    (1 to NswHops).foreach { h =>
+      spark.sql(hnswHopSql(s"ndv_f${h - 1}_t", "ndv_edges_t", "ndv_normed_t",
+        NswBeam, dotS))
+        .pinned()
+        .createOrReplaceTempView(s"ndv_f${h}_t")
+    }
+    spark.sql(
+      s"""SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, sim_micro
+         |FROM (SELECT q_id, vec_id, sim_micro,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY sim_micro DESC, vec_id) AS rnk
+         |      FROM (SELECT f.q_id, a.vec_id, f.sim_micro
+         |            FROM ndv_f${NswHops}_t f
+         |            JOIN ndv_all_t a ON a.rep_id = f.vec_id)
+         |      WHERE vec_id <> q_id)
+         |WHERE rnk <= 3""".stripMargin)
+  }
+
+  lazy val annNswDiverseSql: String = {
+    val dot = (a: String, b: String) => dotD(a, b)
+    val rounds = (1 to DivM).map { k =>
+      s"""pick$k AS MATERIALIZED (
+         |  SELECT vec_id, nbr_id, sim_micro FROM (
+         |    SELECT vec_id, nbr_id, sim_micro,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY sim_micro DESC, nbr_id) AS rn
+         |    FROM rem${k - 1}) WHERE rn = 1),
+         |rem$k AS MATERIALIZED (
+         |  SELECT r.vec_id, r.nbr_id, r.sim_micro
+         |  FROM rem${k - 1} r
+         |  JOIN pick$k p ON p.vec_id = r.vec_id
+         |  LEFT JOIN gsc g
+         |    ON g.vec_id = r.nbr_id AND g.nbr_id = p.nbr_id
+         |  WHERE r.nbr_id <> p.nbr_id
+         |    AND (g.sim_micro IS NULL OR g.sim_micro <= r.sim_micro))""".stripMargin
+    }.mkString(",\n")
+    val edgesUnion = (1 to DivM)
+      .map(k => s"  SELECT vec_id, nbr_id FROM pick$k")
+      .mkString("\n  UNION ALL\n")
+    val hops = (1 to NswHops).map { h =>
+      s"""f$h AS MATERIALIZED (
+         |${hnswHopSql(s"f${h - 1}", "dedges", "normed", NswBeam, dot)})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH alln AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm,
+       |         min(vec_id) OVER (PARTITION BY embedding) AS rep_id
+       |  FROM (SELECT vec_id, embedding,
+       |               sqrt(${dotD("embedding", "embedding")}) AS nrm
+       |        FROM embeddings)),
+       |normed AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm FROM alln WHERE vec_id = rep_id),
+       |cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM normed WHERE vec_id BETWEEN 100 AND 115),
+       |memb AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT n.vec_id, c.c_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${dotD("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+       |                      c.c_id) AS crnk
+       |    FROM normed n CROSS JOIN cents c) WHERE crnk <= 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+       |  FROM memb a JOIN memb b
+       |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+       |gsc AS MATERIALIZED (
+       |  SELECT c.vec_id, c.nbr_id,
+       |         CAST(round(${dotD("x.embedding", "y.embedding")}
+       |               / (x.nrm * y.nrm) * 1000000, 0) AS BIGINT) AS sim_micro
+       |  FROM cand c
+       |  JOIN normed x ON x.vec_id = c.vec_id
+       |  JOIN normed y ON y.vec_id = c.nbr_id),
+       |rem0 AS MATERIALIZED (
+       |  SELECT vec_id, nbr_id, sim_micro FROM (
+       |    SELECT vec_id, nbr_id, sim_micro,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY sim_micro DESC, nbr_id) AS rnk
+       |    FROM gsc) WHERE rnk <= $DivC),
+       |$rounds,
+       |dedges AS MATERIALIZED (
+       |$edgesUnion),
        |f0 AS (
        |  SELECT q.vec_id AS q_id, e.entry AS vec_id
        |  FROM (SELECT vec_id FROM normed WHERE vec_id < 3) q
@@ -1758,24 +1951,15 @@ object SimilarityQueries {
   }
 
   def annHnswTopk(spark: SparkSession, dir: String): DataFrame = {
-    viewEmb(spark, dir)
-    graft.expr.GraftFunctions.register(spark)
     val h = hSpark("CAST(vec_id AS STRING)")
     // Index over DISTINCT vectors (the ann_nsw_topk duplicate-collapse:
     // duplicate classes otherwise consume every out-edge and shatter
-    // the graph into cliques); expand back at serve.
-    spark.sql(
-      s"""SELECT vec_id, embedding, nrm,
-         |       min(vec_id) OVER (PARTITION BY embedding) AS rep_id
-         |FROM (SELECT vec_id, embedding,
-         |             sqrt(${dotS("embedding", "embedding")}) AS nrm
-         |      FROM embeddings)""".stripMargin)
-      .pinned()
-      .createOrReplaceTempView("hnsw_all_t")
-    spark.sql(
-      "SELECT vec_id, embedding, nrm FROM hnsw_all_t WHERE vec_id = rep_id")
-      .pinned()
-      .createOrReplaceTempView("hnsw_normed_t")
+    // the graph into cliques); expand back at serve. Shared memoized
+    // build ([[nswBuild]]).
+    val (alln, normed, gsc) = nswBuild(spark, dir)
+    alln.createOrReplaceTempView("hnsw_all_t")
+    normed.createOrReplaceTempView("hnsw_normed_t")
+    gsc.createOrReplaceTempView("hnsw_gsc_t")
     spark.sql(
       s"""SELECT vec_id,
          |       CASE WHEN $h % 16 = 0 THEN 2
@@ -1783,31 +1967,8 @@ object SimilarityQueries {
          |FROM hnsw_normed_t""".stripMargin)
       .pinned()
       .createOrReplaceTempView("hnsw_lv_t")
-    // Co-list pairs scored ONCE (the nsw graph build); every layer's
-    // edge set re-ranks this relation.
-    spark.sql(
-      s"""WITH cents AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-         |  FROM hnsw_normed_t WHERE vec_id BETWEEN 100 AND 115),
-         |memb AS (
-         |  SELECT vec_id, c_id FROM (
-         |    SELECT n.vec_id, c.c_id,
-         |           row_number() OVER (PARTITION BY n.vec_id
-         |             ORDER BY ${dotS("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
-         |                      c.c_id) AS crnk
-         |    FROM hnsw_normed_t n CROSS JOIN cents c) WHERE crnk <= 2),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
-         |  FROM memb a JOIN memb b
-         |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id)
-         |SELECT c.vec_id, c.nbr_id,
-         |       CAST(round(${dotS("x.embedding", "y.embedding")}
-         |             / (x.nrm * y.nrm) * 1000000, 0) AS BIGINT) AS sim_micro
-         |FROM cand c
-         |JOIN hnsw_normed_t x ON x.vec_id = c.vec_id
-         |JOIN hnsw_normed_t y ON y.vec_id = c.nbr_id""".stripMargin)
-      .pinned()
-      .createOrReplaceTempView("hnsw_gsc_t")
+    // Layer-0 pairs come scored from the shared build (hnsw_gsc_t);
+    // every layer's edge set re-ranks that relation.
     // Upper-layer pair relation: lvl ≥ 1 nodes only, crnk ≤ 4 lists —
     // the long-range links the descent needs to cross clusters.
     spark.sql(
@@ -2342,6 +2503,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_nsw_topk" -> (annNswTopk _),
     "ann_hnsw_topk" -> (annHnswTopk _),
+    "ann_nsw_diverse" -> (annNswDiverse _),
     "ann_ivf_trained_topk" -> (annIvfTrainedTopk _),
     "ann_kmeans_centroids" -> (annKmeansCentroids _),
     "emb_mrl_recall" -> (embMrlRecall _),
@@ -2369,6 +2531,7 @@ object SimilarityQueries {
   val oracle: Map[String, String] = Map(
     "ann_nsw_topk" -> annNswTopkSql,
     "ann_hnsw_topk" -> annHnswTopkSql,
+    "ann_nsw_diverse" -> annNswDiverseSql,
     "ann_ivf_trained_topk" -> annIvfTrainedTopkSql,
     "ann_kmeans_centroids" -> annKmeansCentroidsSql,
     "emb_mrl_recall" -> embMrlRecallSql,

@@ -1185,6 +1185,23 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (w, res) => assert(res === viterbi(w), s"word '$w'") }
   }
 
+  test("ann_nsw_diverse at sf≈1: diversity-selected search converges to exact copies") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Same invariant as ann_nsw_topk over the diversity-selected graph:
+    // the duplicate collapse plus the select-neighbors heuristic must
+    // keep every probe's copy clique reachable — all 9 results at a
+    // perfect 1,000,000 micro-similarity.
+    val rows = timed("ann_nsw_diverse @ sf~1") {
+      SparkEntry.queries("ann_nsw_diverse")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    }
+    assert(rows.length == 9, s"expected 3 probes x top-3, got ${rows.length}")
+    val below = rows.filter(_._3 < 1000000L)
+    assert(below.isEmpty,
+      s"${below.size} diversity-graph results below perfect similarity: " +
+        below.take(5).mkString(", "))
+  }
+
   test("ann_hnsw_topk at sf≈1: hierarchical search converges to exact copies") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     // The ann_nsw_topk invariant on the hierarchical path: every probe
