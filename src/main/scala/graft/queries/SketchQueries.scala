@@ -639,12 +639,23 @@ object SketchQueries {
         greatest(expr(s"n_docs div $QdK"), lit(1L)).as("theta"))
       .pinned()
     nd.createOrReplaceTempView("qd_nd_t")
-    // Per-level pins: ps is consumed twice (kept filter + promote) and
-    // lvl twice (ps + kept) — unpinned, the lineage doubles per round
-    // (the graph_bfs pathology). Every pinned relation is ≤ the leaf
-    // histogram and shrinks geometrically.
-    var lvl = vals.groupBy(col("lang"), col("v").as("id"))
+    val lvl0 = vals.groupBy(col("lang"), col("v").as("id"))
       .agg(count(lit(1)).as("c")).pinned()
+    compressLeaves(lvl0, nd)
+  }
+
+  /** The B compression rounds from a pinned leaf histogram
+    * (lang, id, c) and the per-group (lang, n_docs, theta) relation —
+    * shared by the batch query and [[graft.tools.SketchStore]] serving
+    * (which rebuilds the identical sketch from SUMMED shard leaves: leaf
+    * counts are a commutative monoid, so merge-then-compress equals the
+    * from-scratch build bit-for-bit). Per-level pins: ps is consumed
+    * twice (kept filter + promote) and lvl twice (ps + kept) — unpinned,
+    * the lineage doubles per round (the graph_bfs pathology). Every
+    * pinned relation is ≤ the leaf histogram and shrinks geometrically. */
+  private[graft] def compressLeaves(lvl0: DataFrame, nd: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    var lvl = lvl0
     var kept: DataFrame = null
     for (l <- 0 until QdB) {
       val ps = lvl.groupBy(col("lang"), expr("id div 2").as("p"))

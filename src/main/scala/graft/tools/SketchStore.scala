@@ -77,4 +77,66 @@ object SketchStore {
          |         * pow(2.0, CAST(mmax AS DOUBLE)) / num AS hll_estimate
          |FROM nums""".stripMargin)
   }
+
+  /** Fold `docs` (columns: lang, n_chars) into a per-(lang, value) LEAF
+    * histogram shard for the q-digest quantile sketch and write it under
+    * the shard's OWN path with overwrite — a replayed micro-batch
+    * rewrites identical rows, so at-least-once delivery is idempotent
+    * (counts are NOT a semilattice like HLL maxima; path-per-shard
+    * overwrite is what makes the count monoid replay-safe). */
+  def appendQdigest(spark: SparkSession, docs: DataFrame, storeDir: String,
+      shardId: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SketchQueries.QdMax
+    docs
+      .select(col("lang"),
+        least(col("n_chars"), lit(QdMax.toLong)).cast("long").as("id"))
+      .groupBy("lang", "id")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/qdigest/$shardId")
+  }
+
+  /** Serve per-language quantile ESTIMATES from the store alone: shard
+    * leaf histograms SUM into the global histogram (a commutative
+    * monoid — bit-identical to a from-scratch pass), then the identical
+    * compression + rank walk as the batch `sk_qdigest`. Serving reads
+    * only sketch rows, never documents, so the exact/err witness columns
+    * of the batch query are by design absent here. */
+  def serveQuantiles(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Pin.PinSyntax
+    import graft.queries.SketchQueries
+    import graft.queries.SketchQueries.QdK
+    val leaves = spark.read.parquet(s"$storeDir/qdigest/*")
+      .groupBy("lang", "id").agg(sum(col("c")).as("c")).pinned()
+    val nd = leaves.groupBy("lang").agg(sum(col("c")).as("n_docs"))
+      .select(col("lang"), col("n_docs"),
+        greatest(expr(s"n_docs div $QdK"), lit(1L)).as("theta"))
+      .pinned()
+    val kept = SketchQueries.compressLeaves(leaves, nd)
+    kept.createOrReplaceTempView("qd_store_kept_t")
+    nd.createOrReplaceTempView("qd_store_nd_t")
+    spark.sql(
+      s"""WITH cum AS (
+         |  SELECT lang, hi, lvl, c,
+         |         sum(c) OVER (PARTITION BY lang ORDER BY hi, lvl
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM qd_store_kept_t),
+         |targets AS (
+         |  SELECT n.lang, g.q_pct, n.n_docs, n.theta,
+         |         CAST((g.q_pct * n.n_docs + 99) div 100 AS BIGINT) AS target
+         |  FROM qd_store_nd_t n
+         |  CROSS JOIN (SELECT q_pct
+         |              FROM VALUES (25), (50), (75), (90) AS g(q_pct)) g),
+         |est AS (
+         |  SELECT t.lang, t.q_pct, t.n_docs, t.theta, min(c.hi) AS est_value
+         |  FROM targets t JOIN cum c ON c.lang = t.lang AND c.cum >= t.target
+         |  GROUP BY t.lang, t.q_pct, t.n_docs, t.theta),
+         |sketch_size AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS kept_nodes
+         |  FROM qd_store_kept_t GROUP BY lang)
+         |SELECT e.lang, CAST(e.q_pct AS INT) AS q_pct, e.n_docs, e.theta,
+         |       e.est_value, ss.kept_nodes
+         |FROM est e JOIN sketch_size ss ON ss.lang = e.lang""".stripMargin)
+  }
 }
