@@ -403,34 +403,47 @@ object GraphQueries {
   /** Support floor on common neighbors (see header: the minsup lever). */
   val LinkPredictMinCommon = 3
 
+  /** Shared base relations for the link-prediction family (exact /
+    * pruned / cut audit), memoized per (session, dir) and re-published
+    * as temp views: the co-purchase edge list, and the ra-annotated
+    * adjacency (c = the token/hub node whose degree d and pre-quantized
+    * RA contribution ride along). SHARED-checkpointed so one catalog
+    * pass builds the graph once for all three queries. */
+  private def linkPredictViews(spark: SparkSession, dir: String): Unit = {
+    val (pairs, adj) = graft.operators.SessionMemo.cached(
+      spark, s"lpviews/$dir") {
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .createOrReplaceTempView("lp_li_t")
+      val pairs = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+        """SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+          |FROM lp_li_t a JOIN lp_li_t b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin))
+      pairs.createOrReplaceTempView("lp_pairs_t")
+      // Packed-key guard: same 1e8 contract as graph_triangles.
+      val maxId = spark.sql("SELECT max(p2) FROM lp_pairs_t").head.getLong(0)
+      require(maxId < 100000000L,
+        s"graph_link_predict: node id $maxId >= 1e8 breaks the packed edge key")
+      // Adjacency with the hub's degree and its pre-quantized RA
+      // contribution attached once (the pagerank edge_deg layout) — both
+      // wedge legs read it.
+      val adj = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+        """WITH adj AS (
+          |  SELECT p1 AS c, p2 AS x FROM lp_pairs_t
+          |  UNION ALL
+          |  SELECT p2 AS c, p1 AS x FROM lp_pairs_t),
+          |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY c)
+          |SELECT a.c, a.x, d.d, 1000000 div d.d AS ra
+          |FROM adj a JOIN deg d ON d.c = a.c""".stripMargin))
+      (pairs, adj)
+    }
+    pairs.createOrReplaceTempView("lp_pairs_t")
+    adj.createOrReplaceTempView("lp_adj_t")
+  }
+
   def graphLinkPredict(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .createOrReplaceTempView("lp_li_t")
-    spark.sql(
-      """SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
-        |FROM lp_li_t a JOIN lp_li_t b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin)
-      .pinned()
-      .createOrReplaceTempView("lp_pairs_t")
-    // Packed-key guard: same 1e8 contract as graph_triangles.
-    val maxId = spark.sql("SELECT max(p2) FROM lp_pairs_t").head.getLong(0)
-    require(maxId < 100000000L,
-      s"graph_link_predict: node id $maxId >= 1e8 breaks the packed edge key")
-    // Adjacency with the hub's degree and its pre-quantized RA
-    // contribution attached once (the pagerank edge_deg layout) — both
-    // wedge legs read it.
-    spark.sql(
-      """WITH adj AS (
-        |  SELECT p1 AS c, p2 AS x FROM lp_pairs_t
-        |  UNION ALL
-        |  SELECT p2 AS c, p1 AS x FROM lp_pairs_t),
-        |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY c)
-        |SELECT a.c, a.x, d.d, 1000000 div d.d AS ra
-        |FROM adj a JOIN deg d ON d.c = a.c""".stripMargin)
-      .pinned()
-      .createOrReplaceTempView("lp_adj_t")
+    linkPredictViews(spark, dir)
     // Planner hint (session-level, physical-only — results unaffected):
     // the wedge stream has a ~1.0 combine ratio, so a hash aggregate
     // builds a giant partial map per task and spills. DISTRIBUTE BY pk
@@ -507,6 +520,366 @@ object GraphQueries {
       |JOIN deg d2 ON d2.c = c.p2
       |ORDER BY jaccard_micro DESC, c.p1, c.p2
       |LIMIT 50""".stripMargin
+
+  // ── graph_link_predict_pruned ★ (r13) — THRESHOLD-DRIVEN candidate
+  // generation for link prediction: the r12 verdict's named lever,
+  // realized by running the dd_prefix_jaccard PPJoin+ cascade OVER
+  // ADJACENCY LISTS. Each node is a "document" whose tokens are its
+  // neighbors; the rarest-first global order is ASCENDING DEGREE — an
+  // exact identity, because a neighbor token c appears in exactly
+  // deg(c) lists, so df(c) = deg(c). The query answers the production
+  // question a link-prediction deployment actually serves — "which
+  // non-edge pairs have adjacency Jaccard ≥ t" (a CONFIDENCE FLOOR, t =
+  // 1/3 here) — by generating candidates from prefix collisions instead
+  // of the exhaustive wedge stream:
+  //  - probing prefix n − ⌈t·n⌉ + 1 (prefix-filter theorem, exactly
+  //    dd_prefix_jaccard's);
+  //  - INDEX prefix n − ⌈2t/(1+t)·n⌉ + 1 on the smaller side — sound
+  //    because pairing is oriented larger-probes-smaller (b.n < a.n, id
+  //    tiebreak), so O ≥ t/(1+t)(n_a+n_b) ≥ 2t/(1+t)·n_b; the prefix
+  //    theorem then needs only the (n_b − O_min + 1)-prefix on b;
+  //  - the l-EXTENDED prefixes with the cnt ≥ l generation floor
+  //    ([[LinkPredictGenFloor]] — the move that makes the cascade work
+  //    at ALL on flat-df data);
+  //  - the positional + suffix-slot bounds — sound under asymmetric
+  //    prefixes, because they only use the positions of SHARED tokens
+  //    in the one global (df, g) order.
+  // Verification computes the exact row (common, ra, jaccard) by
+  // intersecting PACKED ADJACENCY ARRAYS (see linkPredictRankedViews)
+  // over the surviving candidates — O(deg) per pair, no per-(pair,
+  // token) row stream; existing edges leave by anti-join; minsup and
+  // the cross-multiplied threshold test are integer-exact. THE ORACLE
+  // IS THE NAIVE DEFINITION (the exact operator's wedge pipeline + the
+  // same threshold filter), so the hash match machine-checks the
+  // cascade's LOSSLESSNESS on the graph exactly as dd_prefix_jaccard's
+  // does on text.
+  //
+  // Honest fixture framing: the co-purchase fixture is DENSE and
+  // degree-homogeneous (sf0.1: 20k nodes, deg ≈ 119 ± 30, top-50
+  // jaccard floor 0.035) — at confidence floors that low NO candidate
+  // pruning can beat the exhaustive wedge stream (a 0.97-prefix is the
+  // whole list), which is why graph_link_predict keeps the exact wedge
+  // plan. The pruned variant earns its keep where thresholds are real:
+  // at t = 1/3 the top-50 EQUALS the exact operator's wherever the
+  // data's score floor clears t (LinkPredictPrunedSpec pins this on
+  // sf0.001, floor 0.42), and returns the honest empty set where no
+  // pair clears the floor. graph_link_predict_cut audits the cascade's
+  // stage-by-stage cut against the Σ C(deg,2) wedge volume it avoids.
+  //
+  // Scale shape (100 TB): prefix volume is Σ_c probe_df(c)·index_df(c)
+  // where BOTH factors exclude the highest-degree hubs first (they rank
+  // last in every list) — the PPJoin economics, now on degrees; the
+  // verification join touches only survivors. At t = 1/3 the join
+  // volume is a third of the wedge stream on THIS homogeneous graph and
+  // collapses further on power-law graphs (the hot hubs that dominate
+  // Σ C(deg,2) never enter a prefix).
+  def graphLinkPredictPrunedAt(spark: SparkSession, dir: String,
+      p: Int, q: Int): DataFrame = {
+    require(p >= 1 && q > p, s"threshold p/q must be in (0, 1), got $p/$q")
+    linkPredictRankedViews(spark, dir)
+    lpJoinedView(spark, dir, p, q)
+    // NO depth-1 suffix probe here — the task-#1 gate lesson applied at
+    // the design level: on the graph the probe cut 17% of candidates
+    // (sf0.01) while costing a |cand|·deg-row aggregation, yet
+    // verification below is an ARRAY INTERSECTION — O(deg) per pair
+    // with NO intermediate row explosion — i.e. verification is CHEAPER
+    // than the probe that would thin it. The probe pays only when
+    // verification is expensive (the dd text cascade); here it never
+    // can.
+    spark.sql(
+      s"""WITH ${lpCand0Cte(p, q, "div", "lpp_joined_t")},
+        |inter AS (
+        |  SELECT c.d1, c.d2, c.n1, c.n2,
+        |         array_intersect(x1.arr, x2.arr) AS iv
+        |  FROM cand0 c
+        |  JOIN lpp_arr_t x1 ON x1.x = c.d1
+        |  JOIN lpp_arr_t x2 ON x2.x = c.d2),
+        |common AS (
+        |  SELECT d1, d2, n1, n2,
+        |         CAST(size(iv) AS BIGINT) AS cm,
+        |         aggregate(iv, CAST(0 AS BIGINT),
+        |           (acc, v) -> acc + v % 1048576) AS ra_micro
+        |  FROM inter),
+        |qual AS (
+        |  SELECT least(d1, d2) AS p1, greatest(d1, d2) AS p2,
+        |         CASE WHEN d1 < d2 THEN n1 ELSE n2 END AS deg1,
+        |         CASE WHEN d1 < d2 THEN n2 ELSE n1 END AS deg2,
+        |         cm, ra_micro
+        |  FROM common
+        |  WHERE cm >= $LinkPredictMinCommon
+        |    AND $q * cm >= $p * (n1 + n2 - cm))
+        |SELECT t.p1, t.p2, t.deg1, t.deg2, t.cm AS common,
+        |       CAST(t.cm * 1000000 div (t.deg1 + t.deg2 - t.cm) AS BIGINT)
+        |         AS jaccard_micro,
+        |       t.ra_micro
+        |FROM qual t
+        |LEFT ANTI JOIN lp_pairs_t e ON t.p1 = e.p1 AND t.p2 = e.p2
+        |ORDER BY jaccard_micro DESC, t.p1, t.p2
+        |LIMIT 50""".stripMargin)
+  }
+
+  /** The t = 1/3 confidence-floor instantiation (see header). */
+  def graphLinkPredictPruned(spark: SparkSession, dir: String): DataFrame =
+    graphLinkPredictPrunedAt(spark, dir, 1, 3)
+
+  /** Degree-ranked adjacency-list relation + node sizes for the prefix
+    * cascade, memoized/SHARED-pinned like the base graph. */
+  private def linkPredictRankedViews(spark: SparkSession, dir: String): Unit = {
+    linkPredictViews(spark, dir)
+    val (ranked, sizes, arr) = graft.operators.SessionMemo.cached(
+      spark, s"lprankedviews/$dir") {
+      val ranked = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+        """SELECT x AS doc_id, c AS g, d AS df,
+          |       row_number() OVER (PARTITION BY x ORDER BY d, c) AS rn
+          |FROM lp_adj_t""".stripMargin))
+      val sizes = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+        """SELECT c AS doc_id, CAST(count(*) AS BIGINT) AS n
+          |FROM lp_adj_t GROUP BY c""".stripMargin))
+      // Per-node adjacency packed as one array row: element =
+      // c · 2²⁰ + ra(c) (ra = 1e6 div deg ≤ 1e6 < 2²⁰; c < 1e8 keeps
+      // the product < 2⁴⁷). Verification intersects two such arrays —
+      // equal elements ⟺ same neighbor — so common = size and the RA
+      // sum unpacks with one modulo, all without a per-(pair, token)
+      // row stream. Nodes-sized (not edges-sized): the relation joins
+      // by node id and degrades from broadcast to shuffle join
+      // naturally as the graph grows.
+      val arr = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+        """SELECT x, collect_list(c * 1048576 + ra) AS arr
+          |FROM lp_adj_t GROUP BY x""".stripMargin))
+      (ranked, sizes, arr)
+    }
+    ranked.createOrReplaceTempView("lpp_ranked_t")
+    sizes.createOrReplaceTempView("lpp_sizes_t")
+    arr.createOrReplaceTempView("lpp_arr_t")
+  }
+
+  /** The prefix-collision candidate relation (grouped pairs with every
+    * cascade bound attached), memoized/SHARED-pinned per (session, dir,
+    * p, q): the cascade's one expensive stage, consumed by both the
+    * pruned query and the cut audit. */
+  /** Builds (once per session/dir/threshold) the FLOORED candidate
+    * relation — collision pairs with cnt ≥ l and their cascade bounds —
+    * and the two pre-floor volume stats the cut audit reports
+    * (collision pairs, raw join rows), captured by `observe()` on the
+    * same pass (bounded driver metadata, the GlobalOrder precedent):
+    * the 54.8M-pair pre-floor relation is never materialized — only
+    * streamed through the sort-aggregate into the observation and the
+    * 38×-smaller floored output. */
+  private def lpJoinedView(spark: SparkSession, dir: String,
+      p: Int, q: Int): (Long, Long) = {
+    val (flt, prefixPairs, prefixRows) = graft.operators.SessionMemo.cached(
+      spark, s"lpjoined/$p/$q/$dir") {
+      // Same session conf the exact operator's wedge aggregation sets:
+      // physical-only, results unaffected (see graphLinkPredict).
+      spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
+      val obs = new org.apache.spark.sql.Observation()
+      val flt = graft.operators.PinnedStages.sharedCheckpoint(
+        spark.sql(s"WITH ${lpCascadeJoinCtes(p, q, "div",
+          "lpp_ranked_t", "lpp_sizes_t",
+          dist = "DISTRIBUTE BY pk SORT BY pk")}\nSELECT * FROM joined")
+          .observe(obs, count(lit(1)).as("prefix_pairs"),
+            sum(col("cnt")).as("prefix_rows"))
+          .where(col("cnt") >= LinkPredictGenFloor))
+      val m = obs.get // blocks until the checkpoint action completes
+      (flt, m("prefix_pairs").asInstanceOf[Long],
+        m("prefix_rows").asInstanceOf[Long])
+    }
+    flt.createOrReplaceTempView("lpp_joined_t")
+    (prefixPairs, prefixRows)
+  }
+
+  /** cand0 from the slim joined relation: unpack the pair key and
+    * re-derive the suffix-slot bound and overlap floor (engine-shared
+    * text; `rel` is the slim relation's name). */
+  private def lpCand0Cte(p: Int, q: Int, idiv: String, rel: String): String =
+    s"""cand0 AS (
+       |  SELECT pk $idiv 100000000 AS d1, pk % 100000000 AS d2,
+       |         n1, n2, cnt, px, py,
+       |         ($p * (n1 + n2) + ${p + q - 1}) $idiv ${p + q} AS alpha
+       |  FROM $rel
+       |  WHERE least(ub, cnt + least(n1 - px, n2 - py))
+       |        >= ($p * (n1 + n2) + ${p + q - 1}) $idiv ${p + q})""".stripMargin
+
+  /** Generation floor l: candidate pairs must share ≥ l tokens across
+    * the l-EXTENDED prefixes (Adapt-Join's l-prefix scheme, Wang et al.
+    * 2012). Soundness: a qualifying pair has O ≥ max(α, minsup) ≥ l
+    * common tokens; its l-th smallest (global order) common token has
+    * at most O − l common tokens after it, so it sits within position
+    * n − O + l ≤ n − floor + l on BOTH sides (floor = each side's O
+    * lower bound) — the first l common tokens all land inside both
+    * extended prefixes, giving ≥ l collisions. Why it exists: on
+    * degree-HOMOGENEOUS graphs every token has similar df, so at l = 1
+    * nearly every 2-hop pair collides once and candidate state
+    * explodes (54.8M pairs at sf0.1 — the all-pairs regime PPJoin's
+    * zipf assumption normally prevents); requiring l = minsup = 3
+    * collisions costs two extra prefix tokens of join volume and cuts
+    * candidates 38× (54.8M → 1.45M measured). l = LinkPredictMinCommon
+    * keeps the floors aligned: generation never prunes a pair the
+    * minsup gate would have kept. */
+  val LinkPredictGenFloor = 3
+
+  /** ONE cascade-join text for both engines (the suffixProbe
+    * discipline): l-extended probing/index prefixes over the ranked
+    * relation, the candidate pairs PACKED into one BIGINT key and
+    * aggregated with the exact operator's streaming discipline — `dist`
+    * injects Spark's `DISTRIBUTE BY pk SORT BY pk` (with
+    * `replaceHashWithSortAgg` both aggregate halves stream in O(1)
+    * memory over the ~1.0-combine-ratio collision stream; the hash form
+    * built multi-million-entry partial maps per task and died at
+    * sf0.1), empty for DuckDB. `joined` carries the minimal per-pair
+    * state (n1, n2, cnt, px, py, ub); the suffix-slot bound
+    * ub2 = cnt + least(n1−px, n2−py) and the overlap floor alpha are
+    * recomputed by the consumer — 7 slim columns in the one
+    * materialized relation. */
+  private def lpCascadeJoinCtes(p: Int, q: Int, idiv: String,
+      ranked: String, sizes: String, dist: String = ""): String = {
+    val ext = LinkPredictGenFloor // prefix lengths carry + (l − 1) + 1 = + l
+    s"""lpprobe AS (
+       |  SELECT r.doc_id, r.g, r.rn, z.n
+       |  FROM $ranked r JOIN $sizes z ON r.doc_id = z.doc_id
+       |  WHERE r.rn <= z.n - ($p * z.n + ${q - 1}) $idiv $q + $ext),
+       |lpindex AS (
+       |  SELECT r.doc_id, r.g, r.rn, z.n
+       |  FROM $ranked r JOIN $sizes z ON r.doc_id = z.doc_id
+       |  WHERE r.rn <= z.n - (2 * $p * z.n + ${p + q - 1}) $idiv ${p + q} + $ext),
+       |lprows AS (
+       |  SELECT a.doc_id * 100000000 + b.doc_id AS pk,
+       |         a.n AS an, b.n AS bn, a.rn AS arn, b.rn AS brn
+       |  FROM lpprobe a JOIN lpindex b
+       |    ON a.g = b.g AND (b.n < a.n OR (b.n = a.n AND b.doc_id < a.doc_id))
+       |    AND b.n * $q >= a.n * $p),
+       |lpshuf AS (SELECT pk, an, bn, arn, brn FROM lprows $dist),
+       |joined AS (
+       |  SELECT pk, max(an) AS n1, max(bn) AS n2,
+       |         CAST(count(*) AS BIGINT) AS cnt,
+       |         max(arn) AS px, max(brn) AS py,
+       |         max(least(an - arn, bn - brn)) + 1 AS ub
+       |  FROM lpshuf
+       |  GROUP BY pk)""".stripMargin
+  }
+
+  /** Naive thresholded oracle: the exact operator's wedge pipeline plus
+    * the identical cross-multiplied threshold test — matching it IS the
+    * losslessness proof for the graph cascade. */
+  def graphLinkPredictPrunedSqlAt(p: Int, q: Int): String =
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |adj AS (
+      |  SELECT p1 AS c, p2 AS x FROM pairs
+      |  UNION ALL
+      |  SELECT p2 AS c, p1 AS x FROM pairs),
+      |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY c),
+      |adjd AS (
+      |  SELECT a.c, a.x, d.d, 1000000 // d.d AS ra
+      |  FROM adj a JOIN deg d ON d.c = a.c),
+      |wedges AS (
+      |  SELECT e1.x * 100000000 + e2.x AS pk,
+      |         CAST(count(*) AS BIGINT) AS common,
+      |         CAST(sum(e1.ra) AS BIGINT) AS ra_micro
+      |  FROM adjd e1 JOIN adjd e2 ON e1.c = e2.c AND e1.x < e2.x
+      |  GROUP BY e1.x * 100000000 + e2.x
+      |  HAVING count(*) >= $LinkPredictMinCommon),
+      |cand AS (
+      |  SELECT CAST(w.pk // 100000000 AS BIGINT) AS p1,
+      |         CAST(w.pk % 100000000 AS BIGINT) AS p2,
+      |         w.common, w.ra_micro
+      |  FROM wedges w
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM pairs e WHERE e.p1 * 100000000 + e.p2 = w.pk))
+      |SELECT c.p1, c.p2, d1.d AS deg1, d2.d AS deg2, c.common,
+      |       CAST(c.common * 1000000 // (d1.d + d2.d - c.common) AS BIGINT)
+      |         AS jaccard_micro,
+      |       c.ra_micro
+      |FROM cand c
+      |JOIN deg d1 ON d1.c = c.p1
+      |JOIN deg d2 ON d2.c = c.p2
+      |WHERE $q * c.common >= $p * (d1.d + d2.d - c.common)
+      |ORDER BY jaccard_micro DESC, c.p1, c.p2
+      |LIMIT 50""".stripMargin
+
+  val graphLinkPredictPrunedSql: String = graphLinkPredictPrunedSqlAt(1, 3)
+
+  // ── graph_link_predict_cut ★ (r13) — the cascade AUDIT for
+  // graph_link_predict_pruned (the dd_prefix_stats discipline): the
+  // exhaustive wedge volume Σ C(deg, 2) the lever avoids (closed form
+  // over the degree relation — never materialized), the prefix-join
+  // row volume actually paid, candidate pairs at each cascade stage,
+  // and the qualifying count. BOTH engines run the identical cascade
+  // text, so every count is oracle-pinned — these ratios are what a
+  // deployment reads to decide exact-wedge vs threshold-cascade per
+  // graph (the probe2-gate discipline, one level up).
+  def graphLinkPredictCut(spark: SparkSession, dir: String): DataFrame = {
+    linkPredictRankedViews(spark, dir)
+    val (prefixPairs, prefixRows) = lpJoinedView(spark, dir, 1, 3)
+    spark.sql(
+      s"""WITH ${lpCand0Cte(1, 3, "div", "lpp_joined_t")},
+        |common AS (
+        |  SELECT c.d1, c.d2, c.n1, c.n2,
+        |         CAST(size(array_intersect(x1.arr, x2.arr)) AS BIGINT) AS cm
+        |  FROM cand0 c
+        |  JOIN lpp_arr_t x1 ON x1.x = c.d1
+        |  JOIN lpp_arr_t x2 ON x2.x = c.d2),
+        |qual AS (
+        |  SELECT least(d1, d2) AS p1, greatest(d1, d2) AS p2
+        |  FROM common
+        |  WHERE cm >= $LinkPredictMinCommon AND 3 * cm >= n1 + n2 - cm),
+        |nonedge AS (
+        |  SELECT t.p1 FROM qual t
+        |  LEFT ANTI JOIN lp_pairs_t e ON t.p1 = e.p1 AND t.p2 = e.p2)
+        |SELECT (SELECT CAST(sum(n * (n - 1) div 2) AS BIGINT)
+        |        FROM lpp_sizes_t) AS wedge_rows,
+        |       CAST($prefixRows AS BIGINT) AS prefix_rows,
+        |       CAST($prefixPairs AS BIGINT) AS prefix_pairs,
+        |       (SELECT count(*) FROM lpp_joined_t) AS floor_pairs,
+        |       (SELECT count(*) FROM cand0) AS bound_pairs,
+        |       (SELECT count(*) FROM nonedge) AS qualifying_pairs""".stripMargin)
+  }
+
+  val graphLinkPredictCutSql: String =
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |adjb AS (
+      |  SELECT p1 AS c, p2 AS x FROM pairs
+      |  UNION ALL
+      |  SELECT p2 AS c, p1 AS x FROM pairs),
+      |degb AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM adjb GROUP BY c),
+      |adjd AS (
+      |  SELECT a.c, a.x, d.d, 1000000 // d.d AS ra
+      |  FROM adjb a JOIN degb d ON d.c = a.c),
+      |lppr AS (
+      |  SELECT x AS doc_id, c AS g, d AS df,
+      |         row_number() OVER (PARTITION BY x ORDER BY d, c) AS rn
+      |  FROM adjd),
+      |lsz AS (SELECT c AS doc_id, d AS n FROM degb),
+      |${lpCascadeJoinCtes(1, 3, "//", "lppr", "lsz")},
+      |floored AS (
+      |  SELECT * FROM joined WHERE cnt >= $LinkPredictGenFloor),
+      |${lpCand0Cte(1, 3, "//", "floored")},
+      |common AS (
+      |  SELECT c.d1, c.d2, c.n1, c.n2, CAST(count(*) AS BIGINT) AS cm
+      |  FROM cand0 c
+      |  JOIN adjd a1 ON a1.x = c.d1
+      |  JOIN adjd a2 ON a2.x = c.d2 AND a2.c = a1.c
+      |  GROUP BY c.d1, c.d2, c.n1, c.n2),
+      |qual AS (
+      |  SELECT least(d1, d2) AS p1, greatest(d1, d2) AS p2
+      |  FROM common
+      |  WHERE cm >= $LinkPredictMinCommon AND 3 * cm >= n1 + n2 - cm),
+      |nonedge AS (
+      |  SELECT t.p1 FROM qual t
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM pairs e WHERE e.p1 = t.p1 AND e.p2 = t.p2))
+      |SELECT (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) FROM lsz)
+      |         AS wedge_rows,
+      |       (SELECT CAST(sum(cnt) AS BIGINT) FROM joined) AS prefix_rows,
+      |       (SELECT count(*) FROM joined) AS prefix_pairs,
+      |       (SELECT count(*) FROM floored) AS floor_pairs,
+      |       (SELECT count(*) FROM cand0) AS bound_pairs,
+      |       (SELECT count(*) FROM nonedge) AS qualifying_pairs""".stripMargin
 
   // ── graph_bfs ★ (r12) — multi-source shortest hop distances ──────────
   // Frontier propagation from a fixed probe set (customers 1, 2 and
@@ -952,6 +1325,8 @@ object GraphQueries {
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
     "graph_link_predict" -> (graphLinkPredict _),
+    "graph_link_predict_pruned" -> (graphLinkPredictPruned _),
+    "graph_link_predict_cut" -> (graphLinkPredictCut _),
     "graph_bfs" -> (graphBfs _),
     "graph_cc" -> (graphCc _),
     "graph_lpa" -> (graphLpa _),
@@ -962,6 +1337,8 @@ object GraphQueries {
     "graph_triangles" -> graphTrianglesSql,
     "graph_kcore" -> graphKcoreSql,
     "graph_link_predict" -> graphLinkPredictSql,
+    "graph_link_predict_pruned" -> graphLinkPredictPrunedSql,
+    "graph_link_predict_cut" -> graphLinkPredictCutSql,
     "graph_bfs" -> graphBfsSql,
     "graph_cc" -> graphCcSql,
     "graph_lpa" -> graphLpaSql,

@@ -1354,8 +1354,28 @@ object PipelineQueries {
 
   private def dsirCtes(idiv: String, split: String, explode: String,
       h: String => String, shl: (String, String) => String): String = {
-    val lgT = dsirLg("((c_t + 1) * t.n_r)", idiv, shl)
-    val lgR = dsirLg("((c_r + 1) * t.n_t)", idiv, shl)
+    // The log-ratio is computed as a DIFFERENCE of two lg's over
+    // REDUCED Q10 rationals — lg((c_t+1)·1024 div (c_r+1)) −
+    // lg(n_t·1024 div n_r) — never as lg((c_t+1)·n_r) −
+    // lg((c_r+1)·n_t) (ADVICE r12): those products overflow 2^63 at
+    // ~3e9 corpus tokens with a hot bucket — silently and identically
+    // in both engines, so the oracle gate could never catch it.
+    // Reduced, each operand stays in range up to ~9e15 tokens (≈
+    // 100 TB of text). The STRUCTURE matters as much as the range: the
+    // interpolation UNDERESTIMATES each lg by up to 0.086 bits, so the
+    // two biases must sit on opposite signs — a neutral bucket
+    // (c_t/c_r = n_t/n_r) has near-identical mantissas on both sides
+    // and its score cancels to ~0 exactly. (A 4-separate-lg split and
+    // a sum form were both tried; their additive ±0.17–0.35-bit biases
+    // drowned the within-octave signal — DsirSpec's sign contract
+    // caught it.) Both ratios are ≤ 1024 (c_t ≤ c_r, n_t ≤ n_r); the
+    // greatest(…, 1) guards floor them at −10 bits when a hot bucket
+    // exceeds 2^10·(c_t+1) — documented saturation, not overflow.
+    val lgT = dsirLg(
+      s"greatest(((c_t + 1) * 1024) $idiv (c_r + 1), CAST(1 AS BIGINT))",
+      idiv, shl)
+    val lgR = dsirLg(
+      s"greatest((t.n_t * 1024) $idiv t.n_r, CAST(1 AS BIGINT))", idiv, shl)
     s"""words AS (
        |  SELECT doc_id, lang, ${h("w")} % $DsirBuckets AS b
        |  FROM (SELECT doc_id, lang, $split AS ws FROM documents) d

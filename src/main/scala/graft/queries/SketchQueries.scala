@@ -49,7 +49,10 @@ object SketchQueries {
   private val shingleMemo = scala.collection.mutable.Map[
     (String, String), org.apache.spark.sql.DataFrame]()
 
-  private[graft] def clearSessionMemos(): Unit = shingleMemo.clear()
+  private[graft] def clearSessionMemos(): Unit = {
+    shingleMemo.clear()
+    graft.operators.SessionMemo.clear()
+  }
 
   private def langShingles(spark: SparkSession, dir: String): DataFrame =
     shingleMemo.getOrElseUpdate(
@@ -629,19 +632,27 @@ object SketchQueries {
     * against an independent driver-side build. */
   private[graft] def qdigestKept(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    viewDocs(spark, dir)
-    val vals = spark.sql(
-      s"""SELECT lang, CAST(least(n_chars, $QdMax) AS BIGINT) AS v, doc_id
-         |FROM documents""".stripMargin).pinned()
+    // Session memo (r13): sk_qdigest and sk_qdigest_range serve from
+    // the SAME sketch — build it once per (session, dir).
+    val (vals, nd, kept) = graft.operators.SessionMemo.cached(
+      spark, s"qdigest/$dir") {
+      viewDocs(spark, dir)
+      val vals = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+        s"""SELECT lang, CAST(least(n_chars, $QdMax) AS BIGINT) AS v, doc_id
+           |FROM documents""".stripMargin))
+      val nd = graft.operators.PinnedStages.sharedCheckpoint(
+        vals.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .select(col("lang"), col("n_docs"),
+            greatest(expr(s"n_docs div $QdK"), lit(1L)).as("theta")))
+      val lvl0 = vals.groupBy(col("lang"), col("v").as("id"))
+        .agg(count(lit(1)).as("c")).pinned()
+      val kept = graft.operators.PinnedStages.sharedCheckpoint(
+        compressLeaves(lvl0, nd))
+      (vals, nd, kept)
+    }
     vals.createOrReplaceTempView("qd_vals_t")
-    val nd = vals.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      .select(col("lang"), col("n_docs"),
-        greatest(expr(s"n_docs div $QdK"), lit(1L)).as("theta"))
-      .pinned()
     nd.createOrReplaceTempView("qd_nd_t")
-    val lvl0 = vals.groupBy(col("lang"), col("v").as("id"))
-      .agg(count(lit(1)).as("c")).pinned()
-    compressLeaves(lvl0, nd)
+    kept
   }
 
   /** The B compression rounds from a pinned leaf histogram
@@ -770,13 +781,72 @@ object SketchQueries {
             "//", "kept", "nd", "vals")}""".stripMargin
   }
 
+  // ── sk_qdigest_range ★ (r13) — RANGE-COUNT queries over the same
+  // kept nodes (the COVERAGE known-limits entry: rank(hi) − rank(lo),
+  // one more aggregation, no new machinery). est_rank(x) sums kept
+  // nodes with node.hi ≤ x — every value in such a node is truly ≤ x,
+  // so est_rank ≤ true_rank, and the deficit is confined to nodes
+  // STRADDLING x: the ≤ [[QdB]] ancestors of x's leaf path, each an
+  // internal survivor carrying ≤ θ by construction (level ≥ 1 nodes
+  // exist only via promotion with s ≤ θ). Hence per-endpoint rank
+  // error ≤ B·θ and the range count est(lo,hi] = rank(hi) − rank(lo)
+  // carries the ε·n witness |err| ≤ 2·B·θ — EMITTED as `err_bound`
+  // next to the realized `err_rank`, both oracle-pinned integers
+  // (the oracle replays the compression, so the hash gate proves the
+  // bound held on the actual sketch, not in prose).
+  //
+  // Scale shape: one conditional sum over the ≤ k·B kept nodes per
+  // group × a constant 4-row range grid; the exact side is the audit
+  // (one pass over values) — production serves from the sketch alone.
+  private def qdRangeSql(grid: String, kept: String, nd: String,
+      vals: String): String =
+    s"""est AS (
+       |  SELECT k.lang, r.lo, r.hi,
+       |         CAST(sum(CASE WHEN k.hi > r.lo AND k.hi <= r.hi
+       |                       THEN k.c ELSE 0 END) AS BIGINT) AS est_count
+       |  FROM $kept k CROSS JOIN ($grid) r
+       |  GROUP BY k.lang, r.lo, r.hi),
+       |exact AS (
+       |  SELECT x.lang, r.lo, r.hi,
+       |         CAST(sum(CASE WHEN x.v > r.lo AND x.v <= r.hi
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS exact_count
+       |  FROM $vals x CROSS JOIN ($grid) r
+       |  GROUP BY x.lang, r.lo, r.hi)
+       |SELECT e.lang, CAST(e.lo AS BIGINT) AS lo, CAST(e.hi AS BIGINT) AS hi,
+       |       n.n_docs, n.theta, e.est_count, x.exact_count,
+       |       e.est_count - x.exact_count AS err_rank,
+       |       CAST(2 * $QdB * n.theta AS BIGINT) AS err_bound
+       |FROM est e
+       |JOIN exact x ON x.lang = e.lang AND x.lo = e.lo AND x.hi = e.hi
+       |JOIN $nd n ON n.lang = e.lang""".stripMargin
+
+  private val QdRangeGridSpark =
+    "SELECT lo, hi FROM VALUES (0, 100), (100, 300), (300, 600), " +
+      s"(600, $QdMax) AS r(lo, hi)"
+  private val QdRangeGridDuck =
+    "SELECT lo, hi FROM (VALUES (0, 100), (100, 300), (300, 600), " +
+      s"(600, $QdMax)) AS r(lo, hi)"
+
+  def skQdigestRange(spark: SparkSession, dir: String): DataFrame = {
+    qdigestKept(spark, dir).createOrReplaceTempView("qd_kept_t")
+    spark.sql("WITH " + qdRangeSql(QdRangeGridSpark,
+      "qd_kept_t", "qd_nd_t", "qd_vals_t"))
+  }
+
+  val skQdigestRangeSql: String = {
+    // Same generated build CTEs as skQdigestSql, different query tail.
+    val build = skQdigestSql.substring(0, skQdigestSql.indexOf("cum AS ("))
+    build + qdRangeSql(QdRangeGridDuck, "kept", "nd", "vals")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_hll_distinct" -> (skHllDistinct _),
     "sk_hll_union" -> (skHllUnion _),
     "sk_cms_topk" -> (skCmsTopk _),
     "sk_kmv_intersect" -> (skKmvIntersect _),
     "sk_sample_quantiles" -> (skSampleQuantiles _),
-    "sk_qdigest" -> (skQdigest _))
+    "sk_qdigest" -> (skQdigest _),
+    "sk_qdigest_range" -> (skQdigestRange _))
 
   val oracle: Map[String, String] = Map(
     "sk_hll_distinct" -> skHllDistinctSql,
@@ -784,5 +854,6 @@ object SketchQueries {
     "sk_cms_topk" -> skCmsTopkSql,
     "sk_kmv_intersect" -> skKmvIntersectSql,
     "sk_sample_quantiles" -> skSampleQuantilesSql,
-    "sk_qdigest" -> skQdigestSql)
+    "sk_qdigest" -> skQdigestSql,
+    "sk_qdigest_range" -> skQdigestRangeSql)
 }

@@ -60,9 +60,13 @@ class DsirSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nR = toks.length.toLong
     val nT = toks.count(_._2 == "en").toLong
     val byB = toks.groupBy(_._3)
+    // r13 reduced-rational form: difference of two Q10-ratio lg's so
+    // the interpolation biases cancel (see dsirCtes).
     val score = byB.map { case (b, g) =>
-      b -> (lg((g.count(_._2 == "en") + 1L) * nR) -
-        lg((g.length + 1L) * nT))
+      val cT = g.count(_._2 == "en") + 1L
+      val cR = g.length + 1L
+      b -> (lg(math.max(cT * 1024L / cR, 1L)) -
+        lg(math.max(nT * 1024L / nR, 1L)))
     }
     val expected = toks.groupBy(_._2).map { case (lang, g) =>
       val wQ10 = g.map(t => score(t._3)).sum

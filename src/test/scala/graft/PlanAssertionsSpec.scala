@@ -82,8 +82,11 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("ann_ivf_topk: no sort-merge join anywhere on the scoring path") {
     // The 16-row centroid side and the tiny query-probe side must both
     // broadcast — a SortMergeJoin would mean the full embedding table
-    // shuffled for one of them.
-    val p = plan("ann_ivf_topk")
+    // shuffled for one of them. Inspect the UNDERLYING pipeline, not the
+    // catalog entry: the entry returns the served-output memo (r13), a
+    // checkpointed scan whose plan no longer shows the joins.
+    val p = graft.queries.SimilarityQueries.annIvfTopk(spark, dir)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }

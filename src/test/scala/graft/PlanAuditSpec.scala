@@ -63,7 +63,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ann_ivf_trained_topk" -> "trained centroid table is k=8 rows by construction (trainMicro output), broadcast; the probe scan is an equi-join on the posting-list id",
     "ann_kmeans_centroids" -> "same k=8 trained-centroid broadcast in the final assignment; the stats join is a left equi-join of the 512-row centroid-dim table against the 8-row size aggregate",
     "ann_ivfpq_topk" -> "same 16-row centroid assignment cross join in the index build; the probe scan itself is an equi-join on the posting-list id",
-    "ann_recall_report" -> "composition of the ten ANN pipelines — each nested loop is one of their allowlisted fixed-probe/centroid broadcasts; the report's own joins are equi-joins on (q_id, vec_id) and method",
+    "ann_recall_report" -> "composition of the eleven ANN pipelines — each nested loop is one of their allowlisted fixed-probe/centroid broadcasts; the report's own joins are equi-joins on (q_id, vec_id) and method",
     "ann_nsw_diverse" -> "16-row centroid assignment cross join (the shared graph build) plus the 1-row entry-point scalar cross-joined to the 3-probe set; every greedy diversity round is a per-node window + equi-joins over the capped n x C candidate relation, and search hops are equi-joins of the probes x beam frontier",
     "ann_hnsw_topk" -> "16-row centroid assignment cross join (the shared graph build) plus the 1-row entry-point scalar cross-joined to the 3-probe set; every layer's edge set re-ranks the once-scored pair relation via equi-joins, and every descent hop is an equi-join of the probes x beam frontier against the edge/normed relations",
     "ann_nsw_topk" -> "16-row centroid assignment cross join (graph build, the ann_knn_graph shape) plus the 1-row entry-point scalar cross-joined to the 3-probe set; every search hop is an equi-join of the probes x beam frontier against the edge/normed relations",
@@ -116,6 +116,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "pipe_drift_report" -> "the 1-row corpus-epoch scalar and the 1-row (ref_total, cur_total) aggregate cross-joined as broadcast constants over the <=|types|x4 bucket table",
     "graph_hits" -> "the 1-row L1-total scalar cross-joined as a broadcast constant per normalization (2 per round); every propagation is an equi-join of the per-node score vector against the resident edge relation",
     "sk_qdigest" -> "the 4-row quantile grid cross-joined against the per-lang size/threshold aggregate (~5 rows); the rank probe is an equi-join on lang with a cum >= target residual over the <= k*B-row kept-node sketch",
+    "sk_qdigest_range" -> "the constant 4-row range grid cross-joined against the <= k*B-row kept-node sketch and the value relation (one conditional-sum pass each); est/exact/nd joins are equi-joins on (lang, lo, hi)",
     "pipe_dsir_weights" -> "the 1-row (n_r, n_t) corpus-total scalar cross-joined onto the 256-row bucket-stats aggregate; the scoring join back onto the token stream is an equi-join on the bucket key")
 
   /** An unpartitioned window is legitimate ONLY over a table whose row
