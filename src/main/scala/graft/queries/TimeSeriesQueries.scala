@@ -1031,7 +1031,308 @@ object TimeSeriesQueries {
         s"SELECT CAST(unnest(range(0, $CpDays)) AS BIGINT) AS day",
         d => s"(CAST(1 AS BIGINT) << CAST($d AS INT))")
 
+  /** FastDTW coarsening factor (fine hours per coarse bucket). */
+  val FdC = 8
+  /** FastDTW projection radius in coarse cells. */
+  val FdR = 1
+
+  // ── ts_fastdtw ★ (r13) — LONG-SERIES elastic alignment by FastDTW
+  // coarsening (Salvador & Chan 2007 — the ts family's documented
+  // remaining lever): align the corpus's two length-[[StompN]] = 720
+  // hourly behavior series (click vs view counts — the calendar fixes
+  // n at every SF) WITHOUT the 518,400-cell full DP. One
+  // coarsen→project→refine pass:
+  //  1. COARSEN by [[FdC]] = 8 (integer block sums) → two length-90
+  //     series; run the FULL coarse DP (both directions).
+  //  2. The optimal-path cells fall out RELATIONALLY — no backtrace
+  //     loop: cell (I,J) is on an optimal path iff
+  //     F(I,J) + B(I,J) − cost(I,J) = F(N−1,N−1), with B read off the
+  //     SAME forward-DP expression over the reversed series
+  //     (B(i,j) = F_rev(N−1−i, N−1−j)) — the text_unigram_train
+  //     forward×backward trick on a 2-D grid. Ties keep ALL optimal
+  //     paths' cells (deterministic; a backtrace would have to pick).
+  //  3. PROJECT the path ± [[FdR]] coarse cells, take each coarse
+  //     row's [min, max] span (contiguous — the dilation of a monotone
+  //     staircase), and REFINE: the fine DP runs only inside the
+  //     projected per-row bounds (Inf outside), via the ts_dtw_topk
+  //     nested-fold kernel with the Sakoe-Chiba test swapped for the
+  //     row-indexed bound arrays.
+  // Output pins the REFINEMENT COST against the full-resolution DP:
+  // cells_refined (Σ projected-band area) vs cells_full = n², plus the
+  // coarse side's 2·N² — all oracle-checked integers, so the claimed
+  // speedup ratio is machine-verified, not prose. The radius is the
+  // accuracy knob and the operator is PARAMETERIZED by it
+  // ([[tsFastDtwAt]]); the catalog entry runs the paper's default
+  // r = 1 (16× cell cut, measured) and FastDtwSpec pins the honest
+  // tradeoff against the exact full DP computed independently in
+  // driver Scala: the banded distance can only OVER-estimate
+  // (restricting paths — r = 1 lands ~16% high at sf0.01 on these
+  // SPARSE hourly series, FastDTW's documented hard case), shrinks
+  // monotonically in r, and at r = 6 recovers the exact optimum on
+  // both fixtures while still cutting cells 3.8×.
+  //
+  // Scale shape (100 TB): the series build is one map-side-combined
+  // hourly aggregation (corpus collapses before anything quadratic);
+  // everything after is per-row expression work over ONE packed pair —
+  // at production (per-entity pairs) the same plan runs per group with
+  // cells_refined ≈ n·(2r+2)·C per pair instead of n², which is the
+  // entire point of FastDTW.
+  def tsFastDtw(spark: SparkSession, dir: String): DataFrame =
+    tsFastDtwAt(spark, dir, FdR)
+
+  def tsFastDtwAt(spark: SparkSession, dir: String, r: Int): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    val n = StompN
+    val cn = n / FdC
+    spark.sql(
+      s"""WITH bounds AS (SELECT min(unix_micros(ts)) AS t0 FROM events_t),
+        |hourly AS (
+        |  SELECT CAST((unix_micros(ts) - b.t0) div 3600000000 AS BIGINT) AS h,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS cx,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS cy
+        |  FROM events_t CROSS JOIN bounds b
+        |  WHERE (unix_micros(ts) - b.t0) div 3600000000 < $n
+        |  GROUP BY CAST((unix_micros(ts) - b.t0) div 3600000000 AS BIGINT)),
+        |grid AS (SELECT CAST(x AS BIGINT) AS h
+        |         FROM (SELECT explode(sequence(0, ${n - 1})) AS x)),
+        |xs AS (
+        |  SELECT g.h, coalesce(s.cx, CAST(0 AS BIGINT)) AS x,
+        |         coalesce(s.cy, CAST(0 AS BIGINT)) AS y
+        |  FROM grid g LEFT JOIN hourly s ON s.h = g.h),
+        |vec AS (
+        |  SELECT transform(array_sort(collect_list(struct(h, x))),
+        |           t -> t.x) AS xv,
+        |         transform(array_sort(collect_list(struct(h, y))),
+        |           t -> t.y) AS yv
+        |  FROM xs),
+        |cvec AS (
+        |  SELECT xv, yv,
+        |         transform(sequence(0, ${cn - 1}), i ->
+        |           aggregate(slice(xv, i * $FdC + 1, $FdC),
+        |             CAST(0 AS BIGINT), (a, b) -> a + b)) AS cxv,
+        |         transform(sequence(0, ${cn - 1}), i ->
+        |           aggregate(slice(yv, i * $FdC + 1, $FdC),
+        |             CAST(0 AS BIGINT), (a, b) -> a + b)) AS cyv
+        |  FROM vec),
+        |rvec AS (SELECT *, reverse(cxv) AS rxv, reverse(cyv) AS ryv
+        |         FROM cvec),
+        |mats AS (
+        |  SELECT xv, yv, cxv, cyv,
+        |         ${dtwMatrixExpr(cn, "cxv", "cyv")} AS fm,
+        |         ${dtwMatrixExpr(cn, "rxv", "ryv")} AS bm
+        |  FROM rvec),
+        |opath AS (
+        |  SELECT p.pos div $cn AS ci, p.pos % $cn AS cj
+        |  FROM mats m LATERAL VIEW posexplode(m.fm) p AS pos, col
+        |  WHERE p.col + element_at(m.bm, ${cn * cn} - p.pos)
+        |        - (element_at(m.cxv, CAST(p.pos div $cn + 1 AS INT))
+        |            - element_at(m.cyv, p.pos % $cn + 1))
+        |          * (element_at(m.cxv, CAST(p.pos div $cn + 1 AS INT))
+        |            - element_at(m.cyv, p.pos % $cn + 1))
+        |        = element_at(m.fm, ${cn * cn})),
+        |dil AS (
+        |  SELECT DISTINCT ci + di AS ci, cj + dj AS cj
+        |  FROM opath
+        |  LATERAL VIEW explode(sequence(-$r, $r)) AS di
+        |  LATERAL VIEW explode(sequence(-$r, $r)) AS dj
+        |  WHERE ci + di BETWEEN 0 AND ${cn - 1}
+        |    AND cj + dj BETWEEN 0 AND ${cn - 1}),
+        |rowband AS (
+        |  SELECT ci, min(cj) AS cjlo, max(cj) AS cjhi FROM dil GROUP BY ci),
+        |bandv AS (
+        |  SELECT transform(array_sort(collect_list(struct(ci, cjlo))),
+        |           t -> CAST(t.cjlo * $FdC AS BIGINT)) AS lov,
+        |         transform(array_sort(collect_list(struct(ci, cjhi))),
+        |           t -> CAST(t.cjhi * $FdC + ${FdC - 1} AS BIGINT)) AS hiv,
+        |         CAST(sum((cjhi - cjlo + 1) * ${FdC.toLong * FdC} ) AS BIGINT)
+        |           AS cells_refined
+        |  FROM rowband)
+        |SELECT CAST($n AS BIGINT) AS n, CAST($cn AS BIGINT) AS coarse_n,
+        |       CAST(${n.toLong * n} AS BIGINT) AS cells_full,
+        |       CAST(${2L * cn * cn} AS BIGINT) AS cells_coarse,
+        |       b.cells_refined,
+        |       ${dtwBandDistExpr(n, FdC, "m.xv", "m.yv", "b.lov", "b.hiv")}
+        |         AS dtw_fast
+        |FROM mats m CROSS JOIN bandv b""".stripMargin)
+  }
+
+  /** Full-matrix DTW forward DP as ONE nested fold (the dtwAggExpr
+    * kernel, accumulating every row): returns the n² row-major cell
+    * array. D[i-1][·] reads back into the accumulated matrix, D[i][j-1]
+    * into the row being built — no second accumulator needed. */
+  def dtwMatrixExpr(n: Int, qCol: String, cCol: String): String = {
+    val inf = s"CAST($DtwInf AS BIGINT)"
+    s"""aggregate(sequence(0, ${n - 1}), CAST(array() AS ARRAY<BIGINT>),
+       |  (m, i) -> concat(m,
+       |    aggregate(sequence(0, ${n - 1}), CAST(array() AS ARRAY<BIGINT>),
+       |      (nr, j) -> concat(nr, array(least($inf,
+       |        (element_at($qCol, i + 1) - element_at($cCol, j + 1))
+       |          * (element_at($qCol, i + 1) - element_at($cCol, j + 1))
+       |        + CASE WHEN i = 0 AND j = 0 THEN CAST(0 AS BIGINT)
+       |          ELSE least(
+       |            CASE WHEN i > 0 THEN element_at(m, (i - 1) * $n + j + 1)
+       |                 ELSE $inf END,
+       |            CASE WHEN i > 0 AND j > 0
+       |                 THEN element_at(m, (i - 1) * $n + j) ELSE $inf END,
+       |            CASE WHEN j > 0 THEN element_at(nr, j) ELSE $inf END)
+       |          END))))))""".stripMargin
+  }
+
+  /** The dtwAggExpr kernel with the Sakoe-Chiba test replaced by
+    * per-row projected bounds: row i's admissible j span is
+    * [lo[i div cf], hi[i div cf]] (coarse-indexed arrays). */
+  def dtwBandDistExpr(n: Int, cf: Int, qCol: String, cCol: String,
+      loCol: String, hiCol: String): String = {
+    val inf = s"CAST($DtwInf AS BIGINT)"
+    s"""aggregate(
+       |  sequence(0, ${n - 1}),
+       |  concat(array(CAST(0 AS BIGINT)),
+       |         transform(sequence(1, $n), x -> $inf)),
+       |  (pe, i) -> concat(array($inf),
+       |    aggregate(sequence(0, ${n - 1}), CAST(array() AS ARRAY<BIGINT>),
+       |      (nr, j) -> concat(nr, array(
+       |        CASE WHEN j < element_at($loCol, CAST(i div $cf + 1 AS INT))
+       |               OR j > element_at($hiCol, CAST(i div $cf + 1 AS INT))
+       |             THEN $inf
+       |        ELSE least($inf,
+       |          (element_at($qCol, i + 1) - element_at($cCol, j + 1))
+       |            * (element_at($qCol, i + 1) - element_at($cCol, j + 1))
+       |          + least(element_at(pe, j + 2), element_at(pe, j + 1),
+       |                  CASE WHEN j > 0 THEN element_at(nr, j)
+       |                       ELSE $inf END))
+       |        END)))),
+       |  pe -> element_at(pe, ${n + 1}))""".stripMargin
+  }
+
+  val tsFastDtwSql: String = {
+    val n = StompN
+    val cn = n / FdC
+    val inf = s"$DtwInf::BIGINT"
+    // Anti-diagonal recursions (the tsDtwTopkSql pattern): coarse
+    // forward, coarse backward (reversed lists), fine banded.
+    def coarseDp(px: String, xcol: String, ycol: String) =
+      s"""${px} AS (
+         |  SELECT 0 AS s, $xcol AS q, $ycol AS c,
+         |         list_transform(range(0, $cn), i ->
+         |           CASE WHEN i = 0
+         |                THEN ($xcol[1] - $ycol[1]) * ($xcol[1] - $ycol[1])
+         |                ELSE $inf END) AS d1,
+         |         list_transform(range(0, $cn), i -> $inf) AS d0
+         |  FROM cvec
+         |  UNION ALL
+         |  SELECT s + 1, q, c,
+         |         list_transform(range(0, $cn), i ->
+         |           CASE WHEN (s + 1 - i) BETWEEN 0 AND ${cn - 1}
+         |                THEN least($inf,
+         |                  (q[i + 1] - c[s + 1 - i + 1])
+         |                    * (q[i + 1] - c[s + 1 - i + 1])
+         |                  + least(coalesce(d1[i], $inf),
+         |                          coalesce(d1[i + 1], $inf),
+         |                          coalesce(d0[i], $inf)))
+         |                ELSE $inf END) AS d1,
+         |         d1 AS d0
+         |  FROM $px WHERE s < ${2 * cn - 2})""".stripMargin
+    s"""WITH RECURSIVE bounds AS (
+       |  SELECT min(epoch_us(ts)) AS t0 FROM events),
+       |hourly AS (
+       |  SELECT CAST((epoch_us(ts) - b.t0) // 3600000000 AS BIGINT) AS h,
+       |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS cx,
+       |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS cy
+       |  FROM events CROSS JOIN bounds b
+       |  WHERE (epoch_us(ts) - b.t0) // 3600000000 < $n
+       |  GROUP BY CAST((epoch_us(ts) - b.t0) // 3600000000 AS BIGINT)),
+       |grid AS (SELECT CAST(unnest(range(0, $n)) AS BIGINT) AS h),
+       |xs AS (
+       |  SELECT g.h, coalesce(s.cx, CAST(0 AS BIGINT)) AS x,
+       |         coalesce(s.cy, CAST(0 AS BIGINT)) AS y
+       |  FROM grid g LEFT JOIN hourly s ON s.h = g.h),
+       |vec AS (
+       |  SELECT list(x ORDER BY h) AS xv, list(y ORDER BY h) AS yv FROM xs),
+       |cvec AS (
+       |  SELECT xv, yv,
+       |         list_transform(range(0, $cn), i ->
+       |           CAST(list_sum(xv[i * $FdC + 1 : i * $FdC + $FdC])
+       |             AS BIGINT)) AS cxv,
+       |         list_transform(range(0, $cn), i ->
+       |           CAST(list_sum(yv[i * $FdC + 1 : i * $FdC + $FdC])
+       |             AS BIGINT)) AS cyv
+       |  FROM vec),
+       |${coarseDp("dpf", "cxv", "cyv")},
+       |${coarseDp("dpb", "list_reverse(cxv)", "list_reverse(cyv)")},
+       |fcells AS (
+       |  SELECT t.i AS ci, dp.s - t.i AS cj, dp.d1[t.i + 1] AS f
+       |  FROM dpf dp, unnest(range(0, $cn)) AS t(i)
+       |  WHERE (dp.s - t.i) BETWEEN 0 AND ${cn - 1}),
+       |bcells AS (
+       |  SELECT ${cn - 1} - t.i AS ci, ${cn - 1} - (dp.s - t.i) AS cj,
+       |         dp.d1[t.i + 1] AS bv
+       |  FROM dpb dp, unnest(range(0, $cn)) AS t(i)
+       |  WHERE (dp.s - t.i) BETWEEN 0 AND ${cn - 1}),
+       |ctotal AS (
+       |  SELECT f AS total FROM fcells
+       |  WHERE ci = ${cn - 1} AND cj = ${cn - 1}),
+       |opath AS (
+       |  SELECT fc.ci, fc.cj
+       |  FROM fcells fc
+       |  JOIN bcells bc ON bc.ci = fc.ci AND bc.cj = fc.cj
+       |  CROSS JOIN ctotal t
+       |  CROSS JOIN cvec v
+       |  WHERE fc.f + bc.bv
+       |        - (v.cxv[fc.ci + 1] - v.cyv[fc.cj + 1])
+       |          * (v.cxv[fc.ci + 1] - v.cyv[fc.cj + 1])
+       |        = t.total),
+       |dil AS (
+       |  SELECT DISTINCT o.ci + a.di AS ci, o.cj + b.dj AS cj
+       |  FROM opath o,
+       |       unnest(range(-$FdR, ${FdR + 1})) AS a(di),
+       |       unnest(range(-$FdR, ${FdR + 1})) AS b(dj)
+       |  WHERE o.ci + a.di BETWEEN 0 AND ${cn - 1}
+       |    AND o.cj + b.dj BETWEEN 0 AND ${cn - 1}),
+       |rowband AS (
+       |  SELECT ci, min(cj) AS cjlo, max(cj) AS cjhi FROM dil GROUP BY ci),
+       |bandv AS (
+       |  SELECT list(CAST(cjlo * $FdC AS BIGINT) ORDER BY ci) AS lov,
+       |         list(CAST(cjhi * $FdC + ${FdC - 1} AS BIGINT) ORDER BY ci)
+       |           AS hiv,
+       |         CAST(sum((cjhi - cjlo + 1) * ${FdC.toLong * FdC})
+       |           AS BIGINT) AS cells_refined
+       |  FROM rowband),
+       |dpz AS (
+       |  SELECT 0 AS s, v.xv AS q, v.yv AS c, b.lov, b.hiv, b.cells_refined,
+       |         list_transform(range(0, $n), i ->
+       |           CASE WHEN i = 0
+       |                THEN (v.xv[1] - v.yv[1]) * (v.xv[1] - v.yv[1])
+       |                ELSE $inf END) AS d1,
+       |         list_transform(range(0, $n), i -> $inf) AS d0
+       |  FROM vec v CROSS JOIN bandv b
+       |  UNION ALL
+       |  SELECT s + 1, q, c, lov, hiv, cells_refined,
+       |         list_transform(range(0, $n), i ->
+       |           CASE WHEN (s + 1 - i) BETWEEN 0 AND ${n - 1}
+       |                     AND (s + 1 - i) >= lov[i // $FdC + 1]
+       |                     AND (s + 1 - i) <= hiv[i // $FdC + 1]
+       |                THEN least($inf,
+       |                  (q[i + 1] - c[s + 1 - i + 1])
+       |                    * (q[i + 1] - c[s + 1 - i + 1])
+       |                  + least(coalesce(d1[i], $inf),
+       |                          coalesce(d1[i + 1], $inf),
+       |                          coalesce(d0[i], $inf)))
+       |                ELSE $inf END) AS d1,
+       |         d1 AS d0
+       |  FROM dpz WHERE s < ${2 * n - 2})
+       |SELECT CAST($n AS BIGINT) AS n, CAST($cn AS BIGINT) AS coarse_n,
+       |       CAST(${n.toLong * n} AS BIGINT) AS cells_full,
+       |       CAST(${2L * cn * cn} AS BIGINT) AS cells_coarse,
+       |       cells_refined, d1[$n] AS dtw_fast
+       |FROM dpz WHERE s = ${2 * n - 2}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_fastdtw" -> (tsFastDtw _),
     "pipe_drift_report" -> (pipeDriftReport _),
     "ts_changepoint" -> (tsChangepoint _),
     "ts_ewma" -> (tsEwma _),
@@ -1047,6 +1348,7 @@ object TimeSeriesQueries {
     "ts_dtw_topk" -> (tsDtwTopk _))
 
   val oracle: Map[String, String] = Map(
+    "ts_fastdtw" -> tsFastDtwSql,
     "pipe_drift_report" -> pipeDriftReportSql,
     "ts_changepoint" -> tsChangepointSql,
     "ts_ewma" -> tsEwmaSql,
