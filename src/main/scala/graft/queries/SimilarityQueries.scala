@@ -1740,38 +1740,59 @@ object SimilarityQueries {
   private val DivC = 16
   private val DivM = 8
 
-  /** The [[DivM]] greedy select-neighbors rounds over a candidate view
-    * `<px>_rem0_t` (vec_id, nbr_id, sim_micro), anti-dominating against
-    * the scored pair view `gscView`; materializes `<px>_pick{k}_t` /
-    * `<px>_rem{k}_t` and the union `<px>_edges_t` (WITH sim — consumers
-    * may project it away). Only rem_k pins (it is consumed twice next
-    * round); pick is one window over the already-pinned rem and stays
-    * lazy. Shared by ann_nsw_diverse (forward pass) and ann_nsw_bidir
-    * (forward pass + the reverse-edge re-selection). */
+  /** The [[DivM]]-pick greedy select-neighbors pass over a candidate
+    * view `<px>_rem0_t` (vec_id, nbr_id, sim_micro), anti-dominating
+    * against the scored pair view `gscView`; materializes
+    * `<px>_edges_t` (WITH sim — consumers may project it away).
+    *
+    * ONE per-node array fold, not [[DivM]] driver rounds (r13: the
+    * round form cost ~16 sequential pin jobs per pass and made
+    * ann_nsw_bidir the catalog's #1 wall-clock entry at 35 s; this
+    * form is 3 shuffles total). Equivalence to the round form the
+    * DuckDB oracle still replays ([[diversityRoundsSqlD]]) is the
+    * textbook one: each round picks the (sim DESC, nbr ASC)-max
+    * SURVIVOR, and domination only ever removes candidates without
+    * changing scores, so scanning candidates once in that global order
+    * and keeping each iff (< M kept) ∧ (not dominated by an
+    * already-kept pick) selects the identical set — and the hash gate
+    * machine-checks that equivalence every Verify run. Domination
+    * lookups come from a per-node map of candidate-pair sims (absent
+    * pair → conservative keep, exactly the round form's LEFT JOIN
+    * NULL arm; `try_element_at` keeps the missing-key probe
+    * ANSI-safe). */
   private def diversityRounds(spark: SparkSession, px: String,
       gscView: String): Unit = {
-    (1 to DivM).foreach { k =>
-      spark.sql(
-        s"""SELECT vec_id, nbr_id, sim_micro FROM (
-           |  SELECT vec_id, nbr_id, sim_micro,
-           |         row_number() OVER (PARTITION BY vec_id
-           |           ORDER BY sim_micro DESC, nbr_id) AS rn
-           |  FROM ${px}_rem${k - 1}_t) WHERE rn = 1""".stripMargin)
-        .createOrReplaceTempView(s"${px}_pick${k}_t")
-      spark.sql(
-        s"""SELECT r.vec_id, r.nbr_id, r.sim_micro
-           |FROM ${px}_rem${k - 1}_t r
-           |JOIN ${px}_pick${k}_t p ON p.vec_id = r.vec_id
-           |LEFT JOIN $gscView g
-           |  ON g.vec_id = r.nbr_id AND g.nbr_id = p.nbr_id
-           |WHERE r.nbr_id <> p.nbr_id
-           |  AND (g.sim_micro IS NULL OR g.sim_micro <= r.sim_micro)""".stripMargin)
-        .pinned()
-        .createOrReplaceTempView(s"${px}_rem${k}_t")
-    }
-    spark.sql((1 to DivM)
-      .map(k => s"SELECT vec_id, nbr_id, sim_micro FROM ${px}_pick${k}_t")
-      .mkString("\nUNION ALL\n"))
+    val noSim = "CAST(-2000000000 AS BIGINT)" // < any cosine micro-sim
+    spark.sql(
+      s"""WITH cl AS (
+         |  SELECT vec_id,
+         |         transform(array_sort(collect_list(struct(
+         |             CAST(-sim_micro AS BIGINT) AS ns, nbr_id, sim_micro))),
+         |           t -> struct(t.nbr_id AS nbr, t.sim_micro AS sim)) AS cands
+         |  FROM ${px}_rem0_t GROUP BY vec_id),
+         |pm AS (
+         |  SELECT a.vec_id,
+         |         map_from_entries(collect_list(struct(
+         |             a.nbr_id * 100000000 + b.nbr_id, g.sim_micro))) AS m
+         |  FROM ${px}_rem0_t a
+         |  JOIN ${px}_rem0_t b
+         |    ON b.vec_id = a.vec_id AND b.nbr_id <> a.nbr_id
+         |  JOIN $gscView g ON g.vec_id = a.nbr_id AND g.nbr_id = b.nbr_id
+         |  GROUP BY a.vec_id),
+         |sel AS (
+         |  SELECT c.vec_id,
+         |         aggregate(c.cands,
+         |           CAST(array() AS ARRAY<STRUCT<nbr: BIGINT, sim: BIGINT>>),
+         |           (kept, cd) -> CASE
+         |             WHEN size(kept) >= $DivM THEN kept
+         |             WHEN size(filter(kept, k ->
+         |                 coalesce(try_element_at(p.m,
+         |                     cd.nbr * 100000000 + k.nbr), $noSim)
+         |                   > cd.sim)) > 0 THEN kept
+         |             ELSE concat(kept, array(cd)) END) AS picks
+         |  FROM cl c LEFT JOIN pm p ON p.vec_id = c.vec_id)
+         |SELECT vec_id, pk.nbr AS nbr_id, pk.sim AS sim_micro
+         |FROM sel LATERAL VIEW explode(picks) AS pk""".stripMargin)
       .pinned()
       .createOrReplaceTempView(s"${px}_edges_t")
   }

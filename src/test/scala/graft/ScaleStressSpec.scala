@@ -1218,4 +1218,64 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${below.size} hierarchical results below perfect similarity: " +
         below.take(5).mkString(", "))
   }
+
+  test("ann_nsw_bidir at sf≈1: reverse-edge re-selection keeps copy cliques reachable") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // The diversity invariant survives the reverse pass: re-selecting
+    // each node's M edges from forward ∪ reverse candidates can only ADD
+    // reachability relative to the forward graph's duplicate-collapsed
+    // cliques — all 9 results at perfect 1,000,000 micro-similarity.
+    val rows = timed("ann_nsw_bidir @ sf~1") {
+      SparkEntry.queries("ann_nsw_bidir")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    }
+    assert(rows.length == 9, s"expected 3 probes x top-3, got ${rows.length}")
+    val below = rows.filter(_._3 < 1000000L)
+    assert(below.isEmpty,
+      s"${below.size} bidir results below perfect similarity: " +
+        below.take(5).mkString(", "))
+  }
+
+  test("graph_link_predict_cut: every cascade stage count EXACTLY invariant under order-replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // The distinct co-purchase edge set is replication-invariant, so
+    // degrees, the degree-ranked lists, both prefix lengths, every
+    // collision pair, the generation floor, the bounds, and the
+    // qualifying set are all bit-identical — only the pair build pays
+    // the 10x lineitem volume. The audit row IS the invariant: seven
+    // stage counts, each of which would move if any cascade relation
+    // leaked replication volume.
+    def row(d: String) = SparkEntry.queries("graph_link_predict_cut")(spark, d)
+      .collect().head.toSeq
+    val base = row("/root/testdata/sf0.1")
+    val scaled = timed("graph_link_predict_cut @ sf~1")(row(dir))
+    assert(scaled === base, "cascade stage counts diverged under replication")
+    // And the pruned serving output (empty at this fixture's score
+    // floor — the threshold's honest answer) stays identical too.
+    val prunedBase = SparkEntry.queries("graph_link_predict_pruned")(
+      spark, "/root/testdata/sf0.1").collect().toSeq
+    val prunedScaled = timed("graph_link_predict_pruned @ sf~1")(
+      SparkEntry.queries("graph_link_predict_pruned")(spark, dir)
+        .collect().toSeq)
+    assert(prunedScaled === prunedBase)
+  }
+
+  test("ts_fastdtw at sf~1: band identical, distance EXACTLY 100x under user-replication") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // Events replicate with identical temporal behavior, so every hourly
+    // count — and every coarse block sum — is exactly 10x the base
+    // series. Squared-difference costs therefore scale by exactly 100,
+    // which preserves EVERY argmin in both DP levels: the coarse optimal
+    // path, the projected band, and cells_refined are bit-identical,
+    // and dtw_fast is exactly 100x the base distance.
+    def row(d: String) = SparkEntry.queries("ts_fastdtw")(spark, d)
+      .collect().head
+    val base = row("/root/testdata/sf0.1")
+    val scaled = timed("ts_fastdtw @ sf~1")(row(dir))
+    assert(scaled.getLong(4) === base.getLong(4),
+      "projected band diverged — the coarse path must be scale-free")
+    assert(scaled.getLong(5) === base.getLong(5) * 100L,
+      s"dtw must scale exactly 100x: base=${base.getLong(5)} " +
+        s"scaled=${scaled.getLong(5)}")
+  }
 }
