@@ -1069,6 +1069,125 @@ object TokenizerQueries {
        |JOIN sd$UniMaxLen dp ON dp.word = p.word AND dp.pos = length(p.word)""".stripMargin
   }
 
+  // ── text_unigram_lm_score ★ (r13) — LM-PERPLEXITY QUALITY FILTERING (the
+  // CCNet/Wenzek et al. 2020 curation step: score every document by a
+  // small LM's bits-per-token and filter/bucket on it), the third
+  // consumer of the trained unigram vocabulary — the SUBWORD
+  // complement of the word-bigram `text_lm_score` in LearnedQueries
+  // (that one scores predictability from a bigram table; this one
+  // scores encodability under the TRAINED tokenizer): every DISTINCT
+  // scorable word gets its Viterbi minimum bit cost under
+  // `text_unigram_train`'s pruned vocab — the DP now runs over the
+  // FULL distinct-word relation, the production shape the trainer's
+  // scale note promised (work linear in vocabulary, never corpus) —
+  // and documents aggregate to per-language token counts, OOV shares
+  // (tokens outside the scorable class), total bits, and the mean
+  // bits-per-token in Q10 units. All integers; the DuckDB oracle
+  // replays the training AND the all-words DP as generated CTEs.
+  //
+  // Scale shape (100 TB): one distinct-word aggregation (map-side
+  // combined), the bounded-round DP over |vocab|·13 rows, one
+  // broadcast-shaped cost join back onto the token stream, one
+  // per-lang aggregate. The fixture's synthetic corpus has a tiny
+  // closed vocabulary (30 words at sf0.1), so the DP side is
+  // degenerate there — the join and aggregation shapes are what carry
+  // to a real corpus.
+  def textUnigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    trainUnigram(spark, dir)
+    spark.sql(
+      s"""SELECT DISTINCT w AS word
+         |FROM (SELECT w FROM documents
+         |      LATERAL VIEW explode(split(text, ' ')) AS w)
+         |WHERE w rlike '^[a-z]{2,$UniMaxLen}$$'""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("lms_words_t")
+    spark.sql(
+      s"""WITH pg AS (
+         |  SELECT p.word, i - 1 AS src, i + n - 1 AS dst,
+         |         substring(p.word, i, n) AS g
+         |  FROM lms_words_t p
+         |  LATERAL VIEW explode(sequence(1, length(p.word))) AS i
+         |  LATERAL VIEW explode(sequence(1, $UniMaxGram)) AS n
+         |  WHERE i + n - 1 <= length(p.word))
+         |SELECT pg.word, pg.src, pg.dst, v.cost * 64 + 1 AS step
+         |FROM pg JOIN unit_keep_t v ON v.g = pg.g""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("lms_edges_t")
+    uniRelax(spark, "lms_edges_t", "src", "dst",
+      spark.sql("SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS val " +
+        "FROM lms_words_t"))
+      .createOrReplaceTempView("lms_dp_t")
+    spark.sql(
+      """SELECT w.word, CAST(dp.val div 64 AS BIGINT) AS bits
+        |FROM lms_words_t w
+        |JOIN lms_dp_t dp ON dp.word = w.word AND dp.pos = length(w.word)""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("lms_cost_t")
+    spark.sql(
+      """WITH toks AS (
+        |  SELECT doc_id, lang, w FROM documents
+        |  LATERAL VIEW explode(split(text, ' ')) AS w),
+        |scored AS (
+        |  SELECT t.lang, t.doc_id,
+        |         coalesce(c.bits, CAST(0 AS BIGINT)) AS bits,
+        |         CASE WHEN c.word IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM toks t LEFT JOIN lms_cost_t c ON c.word = t.w)
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(sum(1 - oov) AS BIGINT) AS tokens,
+        |       CAST(sum(oov) AS BIGINT) AS oov_tokens,
+        |       CAST(sum(bits) AS BIGINT) AS bits_sum,
+        |       CAST(sum(bits) * 1024 div sum(1 - oov) AS BIGINT)
+        |         AS mean_bits_q10
+        |FROM scored GROUP BY lang""".stripMargin)
+  }
+
+  val textUnigramLmScoreSql: String = {
+    val dpRounds = (1 to UniMaxLen).map { i =>
+      s"""ld$i AS MATERIALIZED (
+         |  SELECT word, pos, CAST(min(val) AS BIGINT) AS val FROM (
+         |    SELECT word, pos, val FROM ld${i - 1}
+         |    UNION ALL
+         |    SELECT e.word, e.dst AS pos, p.val + e.step AS val
+         |    FROM ledges e JOIN ld${i - 1} p
+         |      ON p.word = e.word AND p.pos = e.src)
+         |  GROUP BY word, pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $uniTrainCtesDuck,
+       |lwords AS MATERIALIZED (
+       |  SELECT DISTINCT w AS word
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]{2,$UniMaxLen}$$')),
+       |ledges AS MATERIALIZED (
+       |  SELECT p.word, i - 1 AS src, i + n - 1 AS dst,
+       |         v.cost * 64 + 1 AS step
+       |  FROM lwords p,
+       |       unnest(range(1, length(p.word) + 1)) AS t1(i),
+       |       unnest(range(1, $UniMaxGram + 1)) AS t2(n)
+       |  JOIN keep${UniTrainKeep.size} v ON v.g = substr(p.word, i, n)
+       |  WHERE i + n - 1 <= length(p.word)),
+       |ld0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS val FROM lwords),
+       |$dpRounds,
+       |lcost AS MATERIALIZED (
+       |  SELECT w.word, CAST(dp.val // 64 AS BIGINT) AS bits
+       |  FROM lwords w
+       |  JOIN ld$UniMaxLen dp ON dp.word = w.word AND dp.pos = length(w.word)),
+       |toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |scored AS (
+       |  SELECT t.lang, t.doc_id,
+       |         coalesce(c.bits, CAST(0 AS BIGINT)) AS bits,
+       |         CASE WHEN c.word IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM toks t LEFT JOIN lcost c ON c.word = t.w)
+       |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(sum(1 - oov) AS BIGINT) AS tokens,
+       |       CAST(sum(oov) AS BIGINT) AS oov_tokens,
+       |       CAST(sum(bits) AS BIGINT) AS bits_sum,
+       |       CAST(sum(bits) * 1024 // sum(1 - oov) AS BIGINT)
+       |         AS mean_bits_q10
+       |FROM scored GROUP BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
@@ -1076,7 +1195,8 @@ object TokenizerQueries {
     "pipe_tokenize_pack" -> (pipeTokenizePack _),
     "text_unigram_segment" -> (textUnigramSegment _),
     "text_unigram_train" -> (textUnigramTrain _),
-    "text_unigram_segment_trained" -> (textUnigramSegmentTrained _))
+    "text_unigram_segment_trained" -> (textUnigramSegmentTrained _),
+    "text_unigram_lm_score" -> (textUnigramLmScore _))
 
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> textBpeTrainSql,
@@ -1085,5 +1205,6 @@ object TokenizerQueries {
     "pipe_tokenize_pack" -> pipeTokenizePackSql,
     "text_unigram_segment" -> textUnigramSegmentSql,
     "text_unigram_train" -> textUnigramTrainSql,
-    "text_unigram_segment_trained" -> textUnigramSegmentTrainedSql)
+    "text_unigram_segment_trained" -> textUnigramSegmentTrainedSql,
+    "text_unigram_lm_score" -> textUnigramLmScoreSql)
 }
