@@ -224,6 +224,28 @@ class PrefixJaccardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "t = 0.7 must drop the J = 0.6 pair the t = 0.5 run keeps")
   }
 
+  test("the adaptive depth-2 gate never changes results, only cost (r13)") {
+    // Losslessness is depth-independent: the gate decides whether the
+    // recursive probe RUNS, never what qualifies. Force both arms on
+    // the real fixture — probe compelled (bound 0) vs probe suppressed
+    // (bound maxed) — and the qualifying sets must be bit-identical.
+    val dir = "/root/testdata/sf0.001"
+    val key = graft.queries.DedupQueries.Probe2MinSurvivorsKey
+    def run(): Set[Seq[Any]] =
+      graft.queries.DedupQueries.ddPrefixJaccardAt(spark, dir, 1, 2)
+        .collect().map(_.toSeq).toSet
+    try {
+      spark.conf.set(key, "0")
+      val forced = run()
+      spark.conf.set(key, Long.MaxValue.toString)
+      val skipped = run()
+      assert(forced.nonEmpty, "fixture must produce qualifying pairs")
+      assert(forced === skipped,
+        "gating the depth-2 probe changed the qualifying set — the " +
+          "cascade is no longer lossless")
+    } finally spark.conf.unset(key)
+  }
+
   test("an empty x tail bounds the after-overlap at zero") {
     // x fully consumed (px = n1), y has 6 unseen tokens: xl = xr = xm =
     // 0, H₁ = yl + yr + 1 = uy → after-bound (ux + uy − uy)/2 = 0, so
