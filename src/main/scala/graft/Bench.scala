@@ -122,7 +122,32 @@ object Bench {
       .map { case (k, v) => s""""$k":${d4(v)}""" }.mkString("{", ",", "}")
     val passTotals = passResults
       .map(p => d4(p.map(_._2).filter(_.isFinite).sum)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir","n_queries":${results.size},"errors":$errors,"passes":$passes,"pass_totals":$passTotals,"loadavg":[${d2(loadStart)},${d2(loadEnd)}]}""")
+    // Self-contained artifact (r13 verdict #6): the driver keeps only a
+    // bounded TAIL of stdout, so the full per-query table above may lose
+    // its head. Persist the complete run — every {q, sec, pp} plus the
+    // contract fields — to a JSON file (default under records/, where
+    // the round's wrap-up commit preserves it), and point to it from the
+    // final contract line. Best-effort: an unwritable path must not fail
+    // the bench.
+    val perQuery = results.map { case (k, v) =>
+      val pp = byPass.map(p => d4(fin(p(k)))).mkString("[", ",", "]")
+      s"""  {"q":"$k","sec":${d4(v)},"pp":$pp}"""
+    }.mkString("[\n", ",\n", "\n]")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "records/bench_full.json")
+    val wrote = try {
+      val p = java.nio.file.Paths.get(fullPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (s"""{"metric":"total","value":${d4(total)},"unit":"sec","sf":"$sfDir",""" +
+          s""""n_queries":${results.size},"errors":$errors,"passes":$passes,""" +
+          s""""pass_totals":$passTotals,"loadavg":[${d2(loadStart)},${d2(loadEnd)}],""" +
+          s"""\n"results":$perQuery}\n""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      true
+    } catch { case _: Throwable => false }
+    val fullRef = if (wrote) s""","full":"$fullPath"""" else ""
+    println(s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir","n_queries":${results.size},"errors":$errors,"passes":$passes,"pass_totals":$passTotals,"loadavg":[${d2(loadStart)},${d2(loadEnd)}]$fullRef}""")
     spark.stop()
   }
 }

@@ -29,18 +29,31 @@ import org.apache.spark.sql.SparkSession
   */
 object SessionMemo {
 
-  private final case class Entry(spark: SparkSession, value: Any)
-  private val memo = scala.collection.mutable.Map[(String, String), Entry]()
+  // Lazy holder (ADVICE r13): the map's critical section only INSTALLS
+  // the cell — the Spark build itself evaluates outside the object-wide
+  // lock, under the cell's own lazy-val monitor. This removes both the
+  // reentrant getOrElseUpdate hazard (nested memos — served →
+  // prefixViews/nswBuild/linkPredictViews — re-enter cached() while an
+  // outer build is running) and the serialization of all memo builds
+  // across concurrent sessions. A build that THROWS leaves the lazy
+  // uninitialized, so the next caller retries instead of caching the
+  // failure.
+  private final class Cell(val spark: SparkSession, thunk: () => Any) {
+    lazy val value: Any = thunk()
+  }
+  private val memo = scala.collection.mutable.Map[(String, String), Cell]()
 
   private def sessionKey(spark: SparkSession): String =
     spark.sparkContext.applicationId + "/" + spark.sparkContext.startTime
 
-  def cached[T](spark: SparkSession, tag: String)(build: => T): T =
-    synchronized {
+  def cached[T](spark: SparkSession, tag: String)(build: => T): T = {
+    val cell = synchronized {
       memo.filterInPlace((_, e) => !e.spark.sparkContext.isStopped)
-      memo.getOrElseUpdate((sessionKey(spark), tag), Entry(spark, build))
-        .value.asInstanceOf[T]
+      memo.getOrElseUpdate((sessionKey(spark), tag),
+        new Cell(spark, () => build))
     }
+    cell.value.asInstanceOf[T]
+  }
 
   def clear(): Unit = synchronized(memo.clear())
 

@@ -442,16 +442,29 @@ object GraphQueries {
     adj.createOrReplaceTempView("lp_adj_t")
   }
 
+  /** Scoped planner hint (ADVICE r13 — no session-wide leak): the wedge
+    * / prefix-collision streams have a ~1.0 combine ratio, so a hash
+    * aggregate builds a giant partial map per task and spills;
+    * DISTRIBUTE BY pk SORT BY pk + this conf turn both aggregate halves
+    * into STREAMING sort-aggregates over the one exchange — O(1)
+    * aggregation memory regardless of candidate cardinality (measured 3×
+    * at sf0.1). Physical-only, results unaffected. The body MUST force
+    * physical planning (pin / checkpoint) — the previous value is
+    * restored on exit, so a lazy plan would miss the hint. */
+  private def withSortAgg[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.execution.replaceHashWithSortAgg"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   def graphLinkPredict(spark: SparkSession, dir: String): DataFrame = {
     linkPredictViews(spark, dir)
-    // Planner hint (session-level, physical-only — results unaffected):
-    // the wedge stream has a ~1.0 combine ratio, so a hash aggregate
-    // builds a giant partial map per task and spills. DISTRIBUTE BY pk
-    // SORT BY pk below + this conf turn both aggregate halves into
-    // STREAMING sort-aggregates over the one exchange — O(1) aggregation
-    // memory regardless of candidate cardinality (measured 3× at sf0.1).
-    spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
-    spark.sql(
+    withSortAgg(spark) { spark.sql(
       s"""WITH wedge_rows AS (
         |  SELECT e1.x * 100000000 + e2.x AS pk, e1.ra AS ra
         |  FROM lp_adj_t e1 JOIN lp_adj_t e2
@@ -481,7 +494,7 @@ object GraphQueries {
         |JOIN nodeg d1 ON d1.c = c.p1
         |JOIN nodeg d2 ON d2.c = c.p2
         |ORDER BY jaccard_micro DESC, c.p1, c.p2
-        |LIMIT 50""".stripMargin)
+        |LIMIT 50""".stripMargin).pinned() }
   }
 
   val graphLinkPredictSql: String =
@@ -578,34 +591,14 @@ object GraphQueries {
     require(p >= 1 && q > p, s"threshold p/q must be in (0, 1), got $p/$q")
     linkPredictRankedViews(spark, dir)
     lpJoinedView(spark, dir, p, q)
-    // NO depth-1 suffix probe here — the task-#1 gate lesson applied at
-    // the design level: on the graph the probe cut 17% of candidates
-    // (sf0.01) while costing a |cand|·deg-row aggregation, yet
-    // verification below is an ARRAY INTERSECTION — O(deg) per pair
-    // with NO intermediate row explosion — i.e. verification is CHEAPER
-    // than the probe that would thin it. The probe pays only when
-    // verification is expensive (the dd text cascade); here it never
-    // can.
+    lpVerifiedView(spark, dir, p, q)
     spark.sql(
-      s"""WITH ${lpCand0Cte(p, q, "div", "lpp_joined_t")},
-        |inter AS (
-        |  SELECT c.d1, c.d2, c.n1, c.n2,
-        |         array_intersect(x1.arr, x2.arr) AS iv
-        |  FROM cand0 c
-        |  JOIN lpp_arr_t x1 ON x1.x = c.d1
-        |  JOIN lpp_arr_t x2 ON x2.x = c.d2),
-        |common AS (
-        |  SELECT d1, d2, n1, n2,
-        |         CAST(size(iv) AS BIGINT) AS cm,
-        |         aggregate(iv, CAST(0 AS BIGINT),
-        |           (acc, v) -> acc + v % 1048576) AS ra_micro
-        |  FROM inter),
-        |qual AS (
+      s"""WITH qual AS (
         |  SELECT least(d1, d2) AS p1, greatest(d1, d2) AS p2,
         |         CASE WHEN d1 < d2 THEN n1 ELSE n2 END AS deg1,
         |         CASE WHEN d1 < d2 THEN n2 ELSE n1 END AS deg2,
         |         cm, ra_micro
-        |  FROM common
+        |  FROM lpp_common_t
         |  WHERE cm >= $LinkPredictMinCommon
         |    AND $q * cm >= $p * (n1 + n2 - cm))
         |SELECT t.p1, t.p2, t.deg1, t.deg2, t.cm AS common,
@@ -618,9 +611,60 @@ object GraphQueries {
         |LIMIT 50""".stripMargin)
   }
 
+  /** The VERIFIED candidate relation — every floored+bounded collision
+    * pair with its exact (common, ra) from the packed-array
+    * intersection — memoized/SHARED-pinned per (session, dir, p, q):
+    * the cascade's second expensive stage, consumed by both the pruned
+    * query and the cut audit (r14: previously each re-ran the
+    * intersection over millions of pairs; one threshold's family now
+    * verifies once per pass).
+    *
+    * NO depth-1 suffix probe before it — the r13 gate lesson applied at
+    * the design level: on the graph the probe cut 17% of candidates
+    * (sf0.01) while costing a |cand|·deg-row aggregation, yet
+    * verification is an ARRAY INTERSECTION — O(deg) per pair with NO
+    * intermediate row explosion — i.e. verification is CHEAPER than the
+    * probe that would thin it. The probe pays only when verification is
+    * expensive (the dd text cascade); here it never can. */
+  private def lpVerifiedView(spark: SparkSession, dir: String,
+      p: Int, q: Int): Unit = {
+    val common = graft.operators.SessionMemo.cached(
+      spark, s"lpverified/$p/$q/$dir") {
+      graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+        s"""WITH ${lpCand0Cte(p, q, "div", "lpp_joined_t")},
+          |inter AS (
+          |  SELECT c.d1, c.d2, c.n1, c.n2,
+          |         array_intersect(x1.arr, x2.arr) AS iv
+          |  FROM cand0 c
+          |  JOIN lpp_arr_t x1 ON x1.x = c.d1
+          |  JOIN lpp_arr_t x2 ON x2.x = c.d2)
+          |SELECT d1, d2, n1, n2,
+          |       CAST(size(iv) AS BIGINT) AS cm,
+          |       aggregate(iv, CAST(0 AS BIGINT),
+          |         (acc, v) -> acc + v % 1048576) AS ra_micro
+          |FROM inter""".stripMargin))
+    }
+    common.createOrReplaceTempView("lpp_common_t")
+  }
+
   /** The t = 1/3 confidence-floor instantiation (see header). */
   def graphLinkPredictPruned(spark: SparkSession, dir: String): DataFrame =
     graphLinkPredictPrunedAt(spark, dir, 1, 3)
+
+  /** r14 (verdict #2): the threshold that BITES at the correctness
+    * gate's own scale — at sf0.01 the non-edge score ceiling is exactly
+    * 0.1 (one pair) and 94,376 candidate pairs clear t = 1/20, so the
+    * driver's oracle equality checks 50 REAL qualifying pairs where the
+    * t = 1/3 entry returns the honest empty set (its floor sits above
+    * the fixture's ceiling there). Honest economics note: at t = 1/20
+    * the probing prefix is ≈ 0.95·n + l — on this degree-homogeneous
+    * graph the cascade's join volume approaches the exhaustive wedge
+    * stream, exactly the regime the cut audit (graph_link_predict_cut_t20)
+    * quantifies; the entry's value is gate-scale PROOF of cascade
+    * losslessness on real pairs, with the same plan that prunes hard
+    * when degrees are skewed or thresholds are real. */
+  def graphLinkPredictPrunedT20(spark: SparkSession, dir: String): DataFrame =
+    graphLinkPredictPrunedAt(spark, dir, 1, 20)
 
   /** Degree-ranked adjacency-list relation + node sizes for the prefix
     * cascade, memoized/SHARED-pinned like the base graph. */
@@ -669,20 +713,21 @@ object GraphQueries {
       p: Int, q: Int): (Long, Long) = {
     val (flt, prefixPairs, prefixRows) = graft.operators.SessionMemo.cached(
       spark, s"lpjoined/$p/$q/$dir") {
-      // Same session conf the exact operator's wedge aggregation sets:
-      // physical-only, results unaffected (see graphLinkPredict).
-      spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
-      val obs = new org.apache.spark.sql.Observation()
-      val flt = graft.operators.PinnedStages.sharedCheckpoint(
-        spark.sql(s"WITH ${lpCascadeJoinCtes(p, q, "div",
-          "lpp_ranked_t", "lpp_sizes_t",
-          dist = "DISTRIBUTE BY pk SORT BY pk")}\nSELECT * FROM joined")
-          .observe(obs, count(lit(1)).as("prefix_pairs"),
-            sum(col("cnt")).as("prefix_rows"))
-          .where(col("cnt") >= LinkPredictGenFloor))
-      val m = obs.get // blocks until the checkpoint action completes
-      (flt, m("prefix_pairs").asInstanceOf[Long],
-        m("prefix_rows").asInstanceOf[Long])
+      // Scoped sort-agg hint (see withSortAgg): the sharedCheckpoint is
+      // an EAGER action, so planning happens inside the scope.
+      withSortAgg(spark) {
+        val obs = new org.apache.spark.sql.Observation()
+        val flt = graft.operators.PinnedStages.sharedCheckpoint(
+          spark.sql(s"WITH ${lpCascadeJoinCtes(p, q, "div",
+            "lpp_ranked_t", "lpp_sizes_t",
+            dist = "DISTRIBUTE BY pk SORT BY pk")}\nSELECT * FROM joined")
+            .observe(obs, count(lit(1)).as("prefix_pairs"),
+              sum(col("cnt")).as("prefix_rows"))
+            .where(col("cnt") >= LinkPredictGenFloor))
+        val m = obs.get // blocks until the checkpoint action completes
+        (flt, m("prefix_pairs").asInstanceOf[Long],
+          m("prefix_rows").asInstanceOf[Long])
+      }
     }
     flt.createOrReplaceTempView("lpp_joined_t")
     (prefixPairs, prefixRows)
@@ -810,21 +855,18 @@ object GraphQueries {
   // text, so every count is oracle-pinned — these ratios are what a
   // deployment reads to decide exact-wedge vs threshold-cascade per
   // graph (the probe2-gate discipline, one level up).
-  def graphLinkPredictCut(spark: SparkSession, dir: String): DataFrame = {
+  def graphLinkPredictCutAt(spark: SparkSession, dir: String,
+      p: Int, q: Int): DataFrame = {
     linkPredictRankedViews(spark, dir)
-    val (prefixPairs, prefixRows) = lpJoinedView(spark, dir, 1, 3)
+    val (prefixPairs, prefixRows) = lpJoinedView(spark, dir, p, q)
+    lpVerifiedView(spark, dir, p, q)
+    // All counts serve from the two memoized relations (one row per
+    // cand0 survivor in lpp_common_t, so bound_pairs = its count).
     spark.sql(
-      s"""WITH ${lpCand0Cte(1, 3, "div", "lpp_joined_t")},
-        |common AS (
-        |  SELECT c.d1, c.d2, c.n1, c.n2,
-        |         CAST(size(array_intersect(x1.arr, x2.arr)) AS BIGINT) AS cm
-        |  FROM cand0 c
-        |  JOIN lpp_arr_t x1 ON x1.x = c.d1
-        |  JOIN lpp_arr_t x2 ON x2.x = c.d2),
-        |qual AS (
+      s"""WITH qual AS (
         |  SELECT least(d1, d2) AS p1, greatest(d1, d2) AS p2
-        |  FROM common
-        |  WHERE cm >= $LinkPredictMinCommon AND 3 * cm >= n1 + n2 - cm),
+        |  FROM lpp_common_t
+        |  WHERE cm >= $LinkPredictMinCommon AND $q * cm >= $p * (n1 + n2 - cm)),
         |nonedge AS (
         |  SELECT t.p1 FROM qual t
         |  LEFT ANTI JOIN lp_pairs_t e ON t.p1 = e.p1 AND t.p2 = e.p2)
@@ -833,11 +875,24 @@ object GraphQueries {
         |       CAST($prefixRows AS BIGINT) AS prefix_rows,
         |       CAST($prefixPairs AS BIGINT) AS prefix_pairs,
         |       (SELECT count(*) FROM lpp_joined_t) AS floor_pairs,
-        |       (SELECT count(*) FROM cand0) AS bound_pairs,
+        |       (SELECT count(*) FROM lpp_common_t) AS bound_pairs,
         |       (SELECT count(*) FROM nonedge) AS qualifying_pairs""".stripMargin)
   }
 
-  val graphLinkPredictCutSql: String =
+  def graphLinkPredictCut(spark: SparkSession, dir: String): DataFrame =
+    graphLinkPredictCutAt(spark, dir, 1, 3)
+
+  /** The audit row for the gate-biting t = 1/20 (see
+    * graphLinkPredictPrunedT20): on this homogeneous graph it records
+    * the cascade's DEGRADED economics honestly — prefix volume
+    * approaching wedge volume — the number a deployment reads before
+    * choosing exact-wedge at low confidence floors. Shares the joined
+    * relation memo with the pruned query, so a catalog pass pays the
+    * prefix join once per threshold. */
+  def graphLinkPredictCutT20(spark: SparkSession, dir: String): DataFrame =
+    graphLinkPredictCutAt(spark, dir, 1, 20)
+
+  def graphLinkPredictCutSqlAt(p: Int, q: Int): String =
     s"""WITH pairs AS (
       |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
       |  FROM lineitem a JOIN lineitem b
@@ -855,10 +910,10 @@ object GraphQueries {
       |         row_number() OVER (PARTITION BY x ORDER BY d, c) AS rn
       |  FROM adjd),
       |lsz AS (SELECT c AS doc_id, d AS n FROM degb),
-      |${lpCascadeJoinCtes(1, 3, "//", "lppr", "lsz")},
+      |${lpCascadeJoinCtes(p, q, "//", "lppr", "lsz")},
       |floored AS (
       |  SELECT * FROM joined WHERE cnt >= $LinkPredictGenFloor),
-      |${lpCand0Cte(1, 3, "//", "floored")},
+      |${lpCand0Cte(p, q, "//", "floored")},
       |common AS (
       |  SELECT c.d1, c.d2, c.n1, c.n2, CAST(count(*) AS BIGINT) AS cm
       |  FROM cand0 c
@@ -868,7 +923,7 @@ object GraphQueries {
       |qual AS (
       |  SELECT least(d1, d2) AS p1, greatest(d1, d2) AS p2
       |  FROM common
-      |  WHERE cm >= $LinkPredictMinCommon AND 3 * cm >= n1 + n2 - cm),
+      |  WHERE cm >= $LinkPredictMinCommon AND $q * cm >= $p * (n1 + n2 - cm)),
       |nonedge AS (
       |  SELECT t.p1 FROM qual t
       |  WHERE NOT EXISTS (
@@ -880,6 +935,8 @@ object GraphQueries {
       |       (SELECT count(*) FROM floored) AS floor_pairs,
       |       (SELECT count(*) FROM cand0) AS bound_pairs,
       |       (SELECT count(*) FROM nonedge) AS qualifying_pairs""".stripMargin
+
+  val graphLinkPredictCutSql: String = graphLinkPredictCutSqlAt(1, 3)
 
   // ── graph_bfs ★ (r12) — multi-source shortest hop distances ──────────
   // Frontier propagation from a fixed probe set (customers 1, 2 and
@@ -1326,7 +1383,9 @@ object GraphQueries {
     "graph_kcore" -> (graphKcore _),
     "graph_link_predict" -> (graphLinkPredict _),
     "graph_link_predict_pruned" -> (graphLinkPredictPruned _),
+    "graph_link_predict_pruned_t20" -> (graphLinkPredictPrunedT20 _),
     "graph_link_predict_cut" -> (graphLinkPredictCut _),
+    "graph_link_predict_cut_t20" -> (graphLinkPredictCutT20 _),
     "graph_bfs" -> (graphBfs _),
     "graph_cc" -> (graphCc _),
     "graph_lpa" -> (graphLpa _),
@@ -1338,7 +1397,9 @@ object GraphQueries {
     "graph_kcore" -> graphKcoreSql,
     "graph_link_predict" -> graphLinkPredictSql,
     "graph_link_predict_pruned" -> graphLinkPredictPrunedSql,
+    "graph_link_predict_pruned_t20" -> graphLinkPredictPrunedSqlAt(1, 20),
     "graph_link_predict_cut" -> graphLinkPredictCutSql,
+    "graph_link_predict_cut_t20" -> graphLinkPredictCutSqlAt(1, 20),
     "graph_bfs" -> graphBfsSql,
     "graph_cc" -> graphCcSql,
     "graph_lpa" -> graphLpaSql,

@@ -186,6 +186,151 @@ object PipelineQueries {
       |FROM packed
       |GROUP BY source, chunk""".stripMargin
 
+  // ── pipe_pack_bestfit ★ (r14) — NO-SPLIT sequence packing by
+  // first-fit-decreasing (the §8 corpus-assembly family's missing
+  // production variant): where pipe_pack's concat-and-chunk SPLITS
+  // documents across 512-token chunks (zero padding, fractured
+  // documents), this packs each document WHOLE into the first bin with
+  // room, processing per source in (tokens DESC, doc_id) order — FFD,
+  // the 11/9·OPT + 6/9 classic (Johnson 1973; next-fit, the arrival-
+  // order loader baseline it beats, is only 2·OPT). Oversize documents
+  // (> 512 estimated tokens) open their own bin, which never fits
+  // anything else (its residual goes negative) — the standard
+  // convention. Emitted per source: the bin-count/padding-waste ledger
+  // against BOTH the next-fit baseline and the splitting lower bound
+  // ⌈total/512⌉ — the fill-rate numbers a pretraining loader reads to
+  // choose split vs no-split packing. All integers; the DuckDB oracle
+  // replays both folds rank-by-rank as one recursive CTE, so the hash
+  // gate proves the whole packing trajectory.
+  //
+  // Scale shape (100 TB): one map-side token estimate, one groupBy
+  // (source) collect into the fold — each source's fold is bounded by
+  // its doc count (a production run packs per (source, shard), keeping
+  // groups bounded; the fold is O(docs·bins) with bins ≈ tokens/512).
+  // No corpus-sized shuffle beyond the per-source grouping — the same
+  // sharding story as pipe_pack's window.
+  def pipePackBestfit(spark: SparkSession, dir: String): DataFrame = {
+    viewDocs(spark, dir)
+    // FFD fold: bins = residual-capacity array; first fit by index
+    // probe (bins are small — tokens/512 per source — so the inline
+    // position re-evaluation inside the update transform stays cheap).
+    val ffdFold =
+      """aggregate(fsz, CAST(array() AS ARRAY<BIGINT>),
+        |  (bins, s) -> CASE
+        |    WHEN size(filter(bins, b -> b >= s)) = 0
+        |    THEN concat(bins, array(CAST(512 AS BIGINT) - s))
+        |    ELSE transform(zip_with(bins, sequence(1, size(bins)),
+        |                            (b, i) -> struct(b AS b, i AS i)),
+        |      t -> CASE WHEN t.i = element_at(
+        |                   filter(sequence(1, size(bins)),
+        |                          j -> element_at(bins, j) >= s), 1)
+        |                THEN t.b - s ELSE t.b END)
+        |    END)""".stripMargin
+    val nfFold =
+      """aggregate(nsz, CAST(array() AS ARRAY<BIGINT>),
+        |  (bins, s) -> CASE
+        |    WHEN size(bins) > 0 AND element_at(bins, size(bins)) >= s
+        |    THEN concat(slice(bins, 1, size(bins) - 1),
+        |                array(element_at(bins, size(bins)) - s))
+        |    ELSE concat(bins, array(CAST(512 AS BIGINT) - s))
+        |    END)""".stripMargin
+    spark.sql(
+      s"""WITH toks AS (
+        |  SELECT doc_id, source,
+        |         cast(ceil(length(text) / 4.0) as bigint) AS est_tokens
+        |  FROM documents),
+        |grouped AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(est_tokens) AS BIGINT) AS total_tokens,
+        |         transform(array_sort(collect_list(
+        |             struct(-est_tokens AS neg, doc_id))),
+        |           t -> -t.neg) AS fsz,
+        |         transform(array_sort(collect_list(
+        |             struct(doc_id, est_tokens AS sz))),
+        |           t -> t.sz) AS nsz
+        |  FROM toks GROUP BY source),
+        |packed AS (
+        |  SELECT source, n_docs, total_tokens,
+        |         $ffdFold AS fb,
+        |         $nfFold AS nb
+        |  FROM grouped)
+        |SELECT source, n_docs, total_tokens,
+        |       CAST((total_tokens + 511) div 512 AS BIGINT) AS bins_lb,
+        |       CAST(size(fb) AS BIGINT) AS bins_ffd,
+        |       CAST(size(nb) AS BIGINT) AS bins_nextfit,
+        |       aggregate(fb, CAST(0 AS BIGINT),
+        |         (a, b) -> a + greatest(b, CAST(0 AS BIGINT)))
+        |         AS waste_ffd,
+        |       aggregate(nb, CAST(0 AS BIGINT),
+        |         (a, b) -> a + greatest(b, CAST(0 AS BIGINT)))
+        |         AS waste_nextfit,
+        |       CAST(total_tokens * 1000 div (size(fb) * 512) AS BIGINT)
+        |         AS fill_ffd_milli,
+        |       CAST(total_tokens * 1000 div (size(nb) * 512) AS BIGINT)
+        |         AS fill_nextfit_milli
+        |FROM packed""".stripMargin)
+  }
+
+  val pipePackBestfitSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, source,
+      |         CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+      |  FROM documents),
+      |rffd AS (
+      |  SELECT source, est_tokens AS s,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY est_tokens DESC, doc_id) AS rk
+      |  FROM toks),
+      |rnf AS (
+      |  SELECT source, est_tokens AS s,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      |  FROM toks),
+      |rec AS (
+      |  SELECT source, 0 AS r,
+      |         CAST([] AS BIGINT[]) AS fb, CAST([] AS BIGINT[]) AS nb
+      |  FROM (SELECT DISTINCT source FROM toks)
+      |  UNION ALL
+      |  SELECT rec.source, rec.r + 1,
+      |         CASE
+      |           WHEN len(list_filter(rec.fb, b -> b >= f.s)) = 0
+      |           THEN list_append(rec.fb, CAST(512 AS BIGINT) - f.s)
+      |           ELSE list_transform(range(1, len(rec.fb) + 1),
+      |             i -> CASE WHEN i = list_filter(range(1, len(rec.fb) + 1),
+      |                              j -> rec.fb[j] >= f.s)[1]
+      |                       THEN rec.fb[i] - f.s ELSE rec.fb[i] END)
+      |           END,
+      |         CASE
+      |           WHEN len(rec.nb) > 0 AND rec.nb[len(rec.nb)] >= g.s
+      |           THEN list_append(rec.nb[1 : len(rec.nb) - 1],
+      |                            rec.nb[len(rec.nb)] - g.s)
+      |           ELSE list_append(rec.nb, CAST(512 AS BIGINT) - g.s)
+      |           END
+      |  FROM rec
+      |  JOIN rffd f ON f.source = rec.source AND f.rk = rec.r + 1
+      |  JOIN rnf g ON g.source = rec.source AND g.rk = rec.r + 1),
+      |cnt AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(est_tokens) AS BIGINT) AS total_tokens
+      |  FROM toks GROUP BY source),
+      |final AS (
+      |  SELECT r.source, r.fb, r.nb
+      |  FROM rec r JOIN cnt c ON c.source = r.source AND r.r = c.n_docs)
+      |SELECT c.source, c.n_docs, c.total_tokens,
+      |       CAST((c.total_tokens + 511) // 512 AS BIGINT) AS bins_lb,
+      |       CAST(len(f.fb) AS BIGINT) AS bins_ffd,
+      |       CAST(len(f.nb) AS BIGINT) AS bins_nextfit,
+      |       CAST(coalesce(list_sum(list_transform(f.fb,
+      |              b -> greatest(b, CAST(0 AS BIGINT)))), 0)
+      |         AS BIGINT) AS waste_ffd,
+      |       CAST(coalesce(list_sum(list_transform(f.nb,
+      |              b -> greatest(b, CAST(0 AS BIGINT)))), 0)
+      |         AS BIGINT) AS waste_nextfit,
+      |       CAST(c.total_tokens * 1000 // (len(f.fb) * 512) AS BIGINT)
+      |         AS fill_ffd_milli,
+      |       CAST(c.total_tokens * 1000 // (len(f.nb) * 512) AS BIGINT)
+      |         AS fill_nextfit_milli
+      |FROM cnt c JOIN final f ON f.source = c.source""".stripMargin
+
   // ── pipe_mix ★ — domain-mixture sampling: given per-source target
   // weights (derived here from the source id; in production a config
   // table), compute each source's admission rate so the KEPT corpus
@@ -1436,6 +1581,7 @@ object PipelineQueries {
     "pipe_decontaminate" -> (pipeDecontaminate _),
     "pipe_decontaminate_bloom" -> (pipeDecontaminateBloom _),
     "pipe_pack" -> (pipePack _),
+    "pipe_pack_bestfit" -> (pipePackBestfit _),
     "pipe_mix" -> (pipeMix _),
     "pipe_upsample" -> (pipeUpsample _),
     "pipe_quota_sample" -> (pipeQuotaSample _),
@@ -1461,6 +1607,7 @@ object PipelineQueries {
     // Bloom path exact-verifies its candidates → identical output, same oracle.
     "pipe_decontaminate_bloom" -> pipeDecontaminateSql,
     "pipe_pack" -> pipePackSql,
+    "pipe_pack_bestfit" -> pipePackBestfitSql,
     "pipe_mix" -> pipeMixSql,
     "pipe_upsample" -> pipeUpsampleSql,
     "pipe_quota_sample" -> pipeQuotaSampleSql,

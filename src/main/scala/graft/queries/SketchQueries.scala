@@ -741,7 +741,12 @@ object SketchQueries {
       "div", "qd_kept_t", "qd_nd_t", "qd_vals_t"))
   }
 
-  val skQdigestSql: String = {
+  /** The generated q-digest BUILD (bounds → compression levels → kept
+    * nodes) as one named CTE block — shared verbatim by [[skQdigestSql]]
+    * and [[skQdigestRangeSql]] (ADVICE r13: the range oracle previously
+    * derived this by substring surgery on the finished quantile SQL,
+    * coupling the two through a magic CTE-name marker). */
+  private val qdBuildCtesDuck: String = {
     val levels = (0 until QdB).map { l =>
       s"""ps$l AS MATERIALIZED (
          |  SELECT v.lang, v.id // 2 AS p, CAST(sum(v.c) AS BIGINT) AS s
@@ -760,7 +765,7 @@ object SketchQueries {
     }.mkString(",\n")
     val keptUnion = (0 until QdB).map(l => s"SELECT * FROM kept$l")
       .mkString("\n  UNION ALL ")
-    s"""WITH vals AS MATERIALIZED (
+    s"""vals AS MATERIALIZED (
        |  SELECT lang, CAST(least(n_chars, $QdMax) AS BIGINT) AS v, doc_id
        |  FROM documents),
        |nd AS MATERIALIZED (
@@ -775,11 +780,14 @@ object SketchQueries {
        |  $keptUnion
        |  UNION ALL
        |  SELECT lang, $QdB AS lvl, id, c, CAST($QdMax AS BIGINT) AS hi
-       |  FROM lvl$QdB),
+       |  FROM lvl$QdB)""".stripMargin
+  }
+
+  val skQdigestSql: String =
+    s"""WITH $qdBuildCtesDuck,
        |${qdQuerySql(
             "SELECT q_pct FROM (VALUES (25), (50), (75), (90)) AS q(q_pct)",
             "//", "kept", "nd", "vals")}""".stripMargin
-  }
 
   // ── sk_qdigest_range ★ (r13) — RANGE-COUNT queries over the same
   // kept nodes (the COVERAGE known-limits entry: rank(hi) − rank(lo),
@@ -833,11 +841,9 @@ object SketchQueries {
       "qd_kept_t", "qd_nd_t", "qd_vals_t"))
   }
 
-  val skQdigestRangeSql: String = {
-    // Same generated build CTEs as skQdigestSql, different query tail.
-    val build = skQdigestSql.substring(0, skQdigestSql.indexOf("cum AS ("))
-    build + qdRangeSql(QdRangeGridDuck, "kept", "nd", "vals")
-  }
+  val skQdigestRangeSql: String =
+    s"""WITH $qdBuildCtesDuck,
+       |${qdRangeSql(QdRangeGridDuck, "kept", "nd", "vals")}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_hll_distinct" -> (skHllDistinct _),

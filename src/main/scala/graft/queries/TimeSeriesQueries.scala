@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.fixtures.SyntheticCdc
+import graft.operators.Pin.PinSyntax
 
 /** Time-series similarity search over behavioral activity series — the
   * EDBT/ICDE distributed-similarity-search family (PAA/SAX indexing,
@@ -1331,8 +1332,517 @@ object TimeSeriesQueries {
        |FROM dpz WHERE s = ${2 * n - 2}""".stripMargin
   }
 
+  /** Pyramid fine resolution: quarter-hour buckets over the SAME fixed
+    * 30-day calendar the hourly build uses (720 h × 4 = 2880 buckets of
+    * 900 s) — divisible by FdC² = 64, so TWO full coarsening levels run:
+    * 2880 → 360 → 45. (The verdict sketched minute resolution n = 5760;
+    * 2880 keeps the oracle's fine-level recursion ~6 s in DuckDB where
+    * 5760 measured 4× that — the pyramid STRUCTURE, not the bucket
+    * width, is what this entry adds.) */
+  val FdPyrN = 2880
+
+  // ── ts_fastdtw_pyramid ★ (r14) — the MULTI-LEVEL FastDTW recursion
+  // (Salvador & Chan 2007 §4, full algorithm — r13 shipped one
+  // coarsen/project/refine pass; this is the named remaining half):
+  // quarter-hour series (n = [[FdPyrN]]) coarsened twice by [[FdC]],
+  // then refined level by level, EACH LEVEL'S PROJECTION FEEDING THE
+  // NEXT:
+  //  1. L2 (n = 45): FULL DP both directions; optimal-path cells fall
+  //     out relationally (forward×backward, the r13 trick).
+  //  2. L1 (n = 360): the L2 path dilated ± [[FdR]] becomes per-row
+  //     column bounds; BOTH L1 DPs run BANDED (Inf outside — a cell on
+  //     the L1 optimal path is exactly a cell optimal WITHIN the
+  //     projected corridor, the FastDTW definition); path extraction is
+  //     the same forward×backward identity, now over banded matrices
+  //     (sound unchanged: in-corridor F/B values are exact corridor-
+  //     restricted costs, and Inf cells cannot fake the equality — the
+  //     Inf sum sits ≥ 2⁶² above any real total).
+  //  3. L0 (n = 2880): the L1 path's dilation becomes the fine bounds;
+  //     one banded forward DP yields the distance.
+  // Output pins the per-level refinement ledger: cells_full = n² vs
+  // cells_coarse (2·45²) vs cells_l1 vs cells_l0 — all oracle-checked
+  // integers, so the pyramid's claimed cell economy is machine-verified
+  // level by level. Radius-parameterized like the 1-level operator;
+  // FastDtwSpec pins the 2-level accuracy tradeoff against the exact
+  // full-resolution DP (over-estimate only; exact at larger r).
+  //
+  // Scale shape (100 TB): identical to ts_fastdtw — the corpus
+  // collapses in one map-side bucket aggregation; everything after is
+  // per-row expression work over one packed pair, cells linear in n per
+  // level instead of n², which is the entire point of the recursion.
+  def tsFastDtwPyramid(spark: SparkSession, dir: String): DataFrame =
+    tsFastDtwPyramidAt(spark, dir, FdR)
+
+  def tsFastDtwPyramidAt(spark: SparkSession, dir: String, r: Int): DataFrame = {
+    SyntheticCdc.events(spark, dir).createOrReplaceTempView("events_t")
+    val n = FdPyrN
+    val n1 = n / FdC
+    val n2 = n1 / FdC
+    // THREE pinned stages, not one statement: Spark's ProjectCollapse
+    // substitutes array-building expressions into their consumers, so a
+    // DP kernel referencing an un-materialized vector RE-EVALUATES the
+    // whole build per element_at (measured: 14 s for this query
+    // single-statement vs ~2 s staged). Each pin is a one-row relation;
+    // the kernels then read true columns.
+    // Stage A — the series vectors: fine (quarter-hour), L1 and L2
+    // block sums (relational, map-side combinable) and their reversals.
+    spark.sql(
+      s"""WITH bounds AS (SELECT min(unix_micros(ts)) AS t0 FROM events_t),
+        |qh AS (
+        |  SELECT CAST((unix_micros(ts) - b.t0) div 900000000 AS BIGINT) AS h,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS cx,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS cy
+        |  FROM events_t CROSS JOIN bounds b
+        |  WHERE (unix_micros(ts) - b.t0) div 900000000 < $n
+        |  GROUP BY CAST((unix_micros(ts) - b.t0) div 900000000 AS BIGINT)),
+        |grid AS (SELECT CAST(x AS BIGINT) AS h
+        |         FROM (SELECT explode(sequence(0, ${n - 1})) AS x)),
+        |xs AS (
+        |  SELECT g.h, coalesce(s.cx, CAST(0 AS BIGINT)) AS x,
+        |         coalesce(s.cy, CAST(0 AS BIGINT)) AS y
+        |  FROM grid g LEFT JOIN qh s ON s.h = g.h),
+        |vec AS (
+        |  SELECT transform(array_sort(collect_list(struct(h, x))),
+        |           t -> t.x) AS xv,
+        |         transform(array_sort(collect_list(struct(h, y))),
+        |           t -> t.y) AS yv
+        |  FROM xs),
+        |xs1 AS (
+        |  SELECT CAST(h div $FdC AS BIGINT) AS hb,
+        |         CAST(sum(x) AS BIGINT) AS bx, CAST(sum(y) AS BIGINT) AS by2
+        |  FROM xs GROUP BY h div $FdC),
+        |xs2 AS (
+        |  SELECT CAST(hb div $FdC AS BIGINT) AS hb2,
+        |         CAST(sum(bx) AS BIGINT) AS bx, CAST(sum(by2) AS BIGINT) AS by2
+        |  FROM xs1 GROUP BY hb div $FdC),
+        |cv1 AS (
+        |  SELECT transform(array_sort(collect_list(struct(hb, bx))),
+        |           t -> t.bx) AS c1x,
+        |         transform(array_sort(collect_list(struct(hb, by2))),
+        |           t -> t.by2) AS c1y,
+        |         transform(array_sort(collect_list(struct(-hb AS nh, bx))),
+        |           t -> t.bx) AS r1x,
+        |         transform(array_sort(collect_list(struct(-hb AS nh, by2))),
+        |           t -> t.by2) AS r1y
+        |  FROM xs1),
+        |cv2 AS (
+        |  SELECT transform(array_sort(collect_list(struct(hb2, bx))),
+        |           t -> t.bx) AS c2x,
+        |         transform(array_sort(collect_list(struct(hb2, by2))),
+        |           t -> t.by2) AS c2y,
+        |         transform(array_sort(collect_list(struct(-hb2 AS nh, bx))),
+        |           t -> t.bx) AS r2x,
+        |         transform(array_sort(collect_list(struct(-hb2 AS nh, by2))),
+        |           t -> t.by2) AS r2y
+        |  FROM xs2)
+        |SELECT v.xv, v.yv, a.c1x, a.c1y, a.r1x, a.r1y,
+        |       b.c2x, b.c2y, b.r2x, b.r2y
+        |FROM vec v CROSS JOIN cv1 a CROSS JOIN cv2 b""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("pyr_vec_t")
+    // Stage B — the per-level corridors: L2 full DPs + path, the BANDED
+    // L1 DPs (compact representation) + path, and the projected fine
+    // bounds. One pinned row of band arrays + cell ledgers.
+    spark.sql(
+      s"""WITH m2 AS (
+        |  SELECT c2x, c2y, ${dtwMatrixExpr(n2, "c2x", "c2y")} AS fm2,
+        |         ${dtwMatrixExpr(n2, "r2x", "r2y")} AS bm2
+        |  FROM pyr_vec_t),
+        |opath2 AS (
+        |  SELECT p.pos div $n2 AS ci, p.pos % $n2 AS cj
+        |  FROM m2 m LATERAL VIEW posexplode(m.fm2) p AS pos, col
+        |  WHERE p.col + element_at(m.bm2, ${n2 * n2} - p.pos)
+        |        - (element_at(m.c2x, CAST(p.pos div $n2 + 1 AS INT))
+        |            - element_at(m.c2y, p.pos % $n2 + 1))
+        |          * (element_at(m.c2x, CAST(p.pos div $n2 + 1 AS INT))
+        |            - element_at(m.c2y, p.pos % $n2 + 1))
+        |        = element_at(m.fm2, ${n2 * n2})),
+        |dil2 AS (
+        |  SELECT DISTINCT ci + di AS ci, cj + dj AS cj
+        |  FROM opath2
+        |  LATERAL VIEW explode(sequence(-$r, $r)) AS di
+        |  LATERAL VIEW explode(sequence(-$r, $r)) AS dj
+        |  WHERE ci + di BETWEEN 0 AND ${n2 - 1}
+        |    AND cj + dj BETWEEN 0 AND ${n2 - 1}),
+        |rowband2 AS (
+        |  SELECT ci, min(cj) AS cjlo, max(cj) AS cjhi FROM dil2 GROUP BY ci),
+        |band1 AS (
+        |  SELECT transform(array_sort(collect_list(struct(ci, cjlo))),
+        |           t -> CAST(t.cjlo * $FdC AS BIGINT)) AS lo1,
+        |         transform(array_sort(collect_list(struct(ci, cjhi))),
+        |           t -> CAST(t.cjhi * $FdC + ${FdC - 1} AS BIGINT)) AS hi1,
+        |         transform(array_sort(collect_list(struct(-ci AS nc, cjhi))),
+        |           t -> CAST(${n1 - 1} - (t.cjhi * $FdC + ${FdC - 1})
+        |             AS BIGINT)) AS rlo1,
+        |         transform(array_sort(collect_list(struct(-ci AS nc, cjlo))),
+        |           t -> CAST(${n1 - 1} - t.cjlo * $FdC AS BIGINT)) AS rhi1,
+        |         CAST(sum((cjhi - cjlo + 1) * ${FdC.toLong * FdC}) AS BIGINT)
+        |           AS cells_l1
+        |  FROM rowband2),
+        |m1 AS (
+        |  SELECT
+        |    ${dtwBandMatrixCompactExpr(n1, FdC, "v.c1x", "v.c1y", "b.lo1", "b.hi1")}
+        |      AS fm1,
+        |    ${dtwBandMatrixCompactExpr(n1, FdC, "v.r1x", "v.r1y", "b.rlo1", "b.rhi1")}
+        |      AS bm1
+        |  FROM pyr_vec_t v CROSS JOIN band1 b),
+        |f1c AS (
+        |  SELECT pe.i AS ci, CAST(st.os AS INT) + pe2.k AS cj, pe2.f AS f
+        |  FROM m1
+        |  LATERAL VIEW posexplode(fm1) pe AS i, st
+        |  LATERAL VIEW posexplode(st.vs) pe2 AS k, f
+        |  WHERE pe2.f < ${DtwInf}L),
+        |b1c AS (
+        |  SELECT ${n1 - 1} - pe.i AS ci,
+        |         ${n1 - 1} - (CAST(st.os AS INT) + pe2.k) AS cj, pe2.f AS bv
+        |  FROM m1
+        |  LATERAL VIEW posexplode(bm1) pe AS i, st
+        |  LATERAL VIEW posexplode(st.vs) pe2 AS k, f
+        |  WHERE pe2.f < ${DtwInf}L),
+        |tot1 AS (
+        |  SELECT f AS total FROM f1c
+        |  WHERE ci = ${n1 - 1} AND cj = ${n1 - 1}),
+        |opath1 AS (
+        |  SELECT fc.ci, fc.cj
+        |  FROM f1c fc
+        |  JOIN b1c bc ON bc.ci = fc.ci AND bc.cj = fc.cj
+        |  CROSS JOIN tot1 t
+        |  CROSS JOIN pyr_vec_t v
+        |  WHERE fc.f + bc.bv
+        |        - (element_at(v.c1x, fc.ci + 1) - element_at(v.c1y, fc.cj + 1))
+        |          * (element_at(v.c1x, fc.ci + 1) - element_at(v.c1y, fc.cj + 1))
+        |        = t.total),
+        |dil1 AS (
+        |  SELECT DISTINCT ci + di AS ci, cj + dj AS cj
+        |  FROM opath1
+        |  LATERAL VIEW explode(sequence(-$r, $r)) AS di
+        |  LATERAL VIEW explode(sequence(-$r, $r)) AS dj
+        |  WHERE ci + di BETWEEN 0 AND ${n1 - 1}
+        |    AND cj + dj BETWEEN 0 AND ${n1 - 1}),
+        |rowband1 AS (
+        |  SELECT ci, min(cj) AS cjlo, max(cj) AS cjhi FROM dil1 GROUP BY ci),
+        |band0 AS (
+        |  SELECT transform(array_sort(collect_list(struct(ci, cjlo))),
+        |           t -> CAST(t.cjlo * $FdC AS BIGINT)) AS lo0,
+        |         transform(array_sort(collect_list(struct(ci, cjhi))),
+        |           t -> CAST(t.cjhi * $FdC + ${FdC - 1} AS BIGINT)) AS hi0,
+        |         CAST(sum((cjhi - cjlo + 1) * ${FdC.toLong * FdC}) AS BIGINT)
+        |           AS cells_l0
+        |  FROM rowband1)
+        |SELECT b1.cells_l1, b0.lo0, b0.hi0, b0.cells_l0
+        |FROM band1 b1 CROSS JOIN band0 b0""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("pyr_band_t")
+    // Stage C — the banded fine DP over pinned columns.
+    spark.sql(
+      s"""SELECT CAST($n AS BIGINT) AS n, CAST($n1 AS BIGINT) AS l1_n,
+        |       CAST($n2 AS BIGINT) AS l2_n,
+        |       CAST(${n.toLong * n} AS BIGINT) AS cells_full,
+        |       CAST(${2L * n2 * n2} AS BIGINT) AS cells_coarse,
+        |       b.cells_l1, b.cells_l0,
+        |       ${dtwBandDistCompactExpr(n, FdC, "v.xv", "v.yv", "b.lo0", "b.hi0")}
+        |         AS dtw_fast
+        |FROM pyr_vec_t v CROSS JOIN pyr_band_t b""".stripMargin)
+  }
+
+  /** Banded DTW distance as a COMPACT row fold: each row's array holds
+    * ONLY its band cells (offset-indexed — the accumulator carries
+    * (prevOff, prevRow)), so the per-cell append copies O(band width)
+    * instead of O(n) and the whole fold is O(n·w²) instead of the
+    * full-row kernel's O(n³)-ish concat cost — at the pyramid's
+    * n = 2880 the full-row form measured 4 min vs seconds compact.
+    * Reads: up = prev(i−1, j), diag = prev(i−1, j−1) via the offset
+    * guards (out-of-prev-band → Inf), left = the row being built. */
+  def dtwBandDistCompactExpr(n: Int, cf: Int, qCol: String, cCol: String,
+      loCol: String, hiCol: String): String = {
+    val inf = s"CAST($DtwInf AS BIGINT)"
+    def prev(shift: Int) =
+      s"""CASE WHEN j - acc.poff - $shift BETWEEN 0 AND size(acc.prow) - 1
+         |     THEN element_at(acc.prow, CAST(j - acc.poff - $shift + 1 AS INT))
+         |     ELSE $inf END""".stripMargin
+    s"""aggregate(sequence(0, ${n - 1}),
+       |  named_struct('poff', CAST(0 AS BIGINT),
+       |               'prow', CAST(array() AS ARRAY<BIGINT>)),
+       |  (acc, i) -> named_struct(
+       |    'poff', element_at($loCol, CAST(i div $cf + 1 AS INT)),
+       |    'prow', aggregate(
+       |      sequence(element_at($loCol, CAST(i div $cf + 1 AS INT)),
+       |               element_at($hiCol, CAST(i div $cf + 1 AS INT))),
+       |      CAST(array() AS ARRAY<BIGINT>),
+       |      (nr, j) -> concat(nr, array(least($inf,
+       |        (element_at($qCol, CAST(i + 1 AS INT))
+       |          - element_at($cCol, CAST(j + 1 AS INT)))
+       |          * (element_at($qCol, CAST(i + 1 AS INT))
+       |            - element_at($cCol, CAST(j + 1 AS INT)))
+       |        + CASE WHEN i = 0 AND j = 0 THEN CAST(0 AS BIGINT)
+       |          ELSE least(
+       |            ${prev(0)},
+       |            ${prev(1)},
+       |            CASE WHEN j > element_at($loCol, CAST(i div $cf + 1 AS INT))
+       |                 THEN element_at(nr, CAST(
+       |                   j - element_at($loCol, CAST(i div $cf + 1 AS INT))
+       |                   AS INT))
+       |                 ELSE $inf END)
+       |          END))))),
+       |  acc -> element_at(acc.prow, CAST(${n - 1} - acc.poff + 1 AS INT)))
+       |""".stripMargin
+  }
+
+  /** Banded DTW MATRIX in the compact per-row representation — an
+    * array of (os = band start, vs = band cells) structs, one per row —
+    * built with the same O(n·w²) fold discipline as
+    * [[dtwBandDistCompactExpr]] (the full-width matrix form measured
+    * ~10 s per 360² matrix from the O(n³) concat cost; this is
+    * milliseconds). The pyramid's mid-level path extraction explodes it
+    * to (i, j, value) cells. */
+  def dtwBandMatrixCompactExpr(n: Int, cf: Int, qCol: String, cCol: String,
+      loCol: String, hiCol: String): String = {
+    val inf = s"CAST($DtwInf AS BIGINT)"
+    val loI = s"element_at($loCol, CAST(i div $cf + 1 AS INT))"
+    val hiI = s"element_at($hiCol, CAST(i div $cf + 1 AS INT))"
+    val poff = "element_at(m, size(m)).os"
+    val pvs = "element_at(m, size(m)).vs"
+    def prev(shift: Int) =
+      s"""CASE WHEN size(m) > 0 AND j - $poff - $shift >= 0
+         |            AND j - $poff - $shift <= size($pvs) - 1
+         |     THEN element_at($pvs, CAST(j - $poff - $shift + 1 AS INT))
+         |     ELSE $inf END""".stripMargin
+    s"""aggregate(sequence(0, ${n - 1}),
+       |  CAST(array() AS ARRAY<STRUCT<os: BIGINT, vs: ARRAY<BIGINT>>>),
+       |  (m, i) -> concat(m, array(named_struct(
+       |    'os', $loI,
+       |    'vs', aggregate(sequence($loI, $hiI),
+       |      CAST(array() AS ARRAY<BIGINT>),
+       |      (nr, j) -> concat(nr, array(least($inf,
+       |        (element_at($qCol, CAST(i + 1 AS INT))
+       |          - element_at($cCol, CAST(j + 1 AS INT)))
+       |          * (element_at($qCol, CAST(i + 1 AS INT))
+       |            - element_at($cCol, CAST(j + 1 AS INT)))
+       |        + CASE WHEN i = 0 AND j = 0 THEN CAST(0 AS BIGINT)
+       |          ELSE least(
+       |            ${prev(0)},
+       |            ${prev(1)},
+       |            CASE WHEN j > $loI
+       |                 THEN element_at(nr, CAST(j - $loI AS INT))
+       |                 ELSE $inf END)
+       |          END))))))))""".stripMargin
+  }
+
+  /** DuckDB replay of the full 2-level pyramid trajectory (generated
+    * CTE chains, the tsFastDtwSql discipline): L2 full anti-diagonal
+    * DPs, relational path extraction, banded L1 anti-diagonal DPs (full-
+    * length lists, Inf-guarded — in-band cells only are real), the same
+    * forward×backward identity over banded cells, then the banded fine
+    * recursion. Every cells_* integer and the final distance replays
+    * bit-for-bit. */
+  val tsFastDtwPyramidSql: String = {
+    val n = FdPyrN
+    val n1 = n / FdC
+    val n2 = n1 / FdC
+    val r = FdR
+    val inf = s"$DtwInf::BIGINT"
+    def fullDp(px: String, m: Int, xcol: String, ycol: String) =
+      s"""$px AS (
+         |  SELECT 0 AS s, $xcol AS q, $ycol AS c,
+         |         list_transform(range(0, $m), i ->
+         |           CASE WHEN i = 0
+         |                THEN ($xcol[1] - $ycol[1]) * ($xcol[1] - $ycol[1])
+         |                ELSE $inf END) AS d1,
+         |         list_transform(range(0, $m), i -> $inf) AS d0
+         |  FROM cv2
+         |  UNION ALL
+         |  SELECT s + 1, q, c,
+         |         list_transform(range(0, $m), i ->
+         |           CASE WHEN (s + 1 - i) BETWEEN 0 AND ${m - 1}
+         |                THEN least($inf,
+         |                  (q[i + 1] - c[s + 1 - i + 1])
+         |                    * (q[i + 1] - c[s + 1 - i + 1])
+         |                  + least(coalesce(d1[i], $inf),
+         |                          coalesce(d1[i + 1], $inf),
+         |                          coalesce(d0[i], $inf)))
+         |                ELSE $inf END) AS d1,
+         |         d1 AS d0
+         |  FROM $px WHERE s < ${2 * m - 2})""".stripMargin
+    def bandDp(px: String, m: Int, xcol: String, ycol: String,
+        locol: String, hicol: String) =
+      s"""$px AS (
+         |  SELECT 0 AS s, $xcol AS q, $ycol AS c, $locol AS lo, $hicol AS hi,
+         |         list_transform(range(0, $m), i ->
+         |           CASE WHEN i = 0
+         |                THEN ($xcol[1] - $ycol[1]) * ($xcol[1] - $ycol[1])
+         |                ELSE $inf END) AS d1,
+         |         list_transform(range(0, $m), i -> $inf) AS d0
+         |  FROM cv2 CROSS JOIN band1
+         |  UNION ALL
+         |  SELECT s + 1, q, c, lo, hi,
+         |         list_transform(range(0, $m), i ->
+         |           CASE WHEN (s + 1 - i) BETWEEN lo[i // $FdC + 1]
+         |                                     AND hi[i // $FdC + 1]
+         |                THEN least($inf,
+         |                  (q[i + 1] - c[s + 1 - i + 1])
+         |                    * (q[i + 1] - c[s + 1 - i + 1])
+         |                  + least(coalesce(d1[i], $inf),
+         |                          coalesce(d1[i + 1], $inf),
+         |                          coalesce(d0[i], $inf)))
+         |                ELSE $inf END) AS d1,
+         |         d1 AS d0
+         |  FROM $px WHERE s < ${2 * m - 2})""".stripMargin
+    s"""WITH RECURSIVE bounds AS (
+       |  SELECT min(epoch_us(ts)) AS t0 FROM events),
+       |qh AS (
+       |  SELECT CAST((epoch_us(ts) - b.t0) // 900000000 AS BIGINT) AS h,
+       |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS cx,
+       |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS cy
+       |  FROM events CROSS JOIN bounds b
+       |  WHERE (epoch_us(ts) - b.t0) // 900000000 < $n
+       |  GROUP BY CAST((epoch_us(ts) - b.t0) // 900000000 AS BIGINT)),
+       |grid AS (SELECT CAST(unnest(range(0, $n)) AS BIGINT) AS h),
+       |xs AS (
+       |  SELECT g.h, coalesce(s.cx, CAST(0 AS BIGINT)) AS x,
+       |         coalesce(s.cy, CAST(0 AS BIGINT)) AS y
+       |  FROM grid g LEFT JOIN qh s ON s.h = g.h),
+       |vec AS MATERIALIZED (
+       |  SELECT list(x ORDER BY h) AS xv, list(y ORDER BY h) AS yv FROM xs),
+       |cv AS MATERIALIZED (
+       |  SELECT xv, yv,
+       |         list_transform(range(0, $n1), i ->
+       |           CAST(list_sum(xv[i * $FdC + 1 : i * $FdC + $FdC])
+       |             AS BIGINT)) AS c1x,
+       |         list_transform(range(0, $n1), i ->
+       |           CAST(list_sum(yv[i * $FdC + 1 : i * $FdC + $FdC])
+       |             AS BIGINT)) AS c1y
+       |  FROM vec),
+       |cv2 AS MATERIALIZED (
+       |  SELECT *,
+       |         list_transform(range(0, $n2), i ->
+       |           CAST(list_sum(c1x[i * $FdC + 1 : i * $FdC + $FdC])
+       |             AS BIGINT)) AS c2x,
+       |         list_transform(range(0, $n2), i ->
+       |           CAST(list_sum(c1y[i * $FdC + 1 : i * $FdC + $FdC])
+       |             AS BIGINT)) AS c2y
+       |  FROM cv),
+       |${fullDp("dpf2", n2, "c2x", "c2y")},
+       |${fullDp("dpb2", n2, "list_reverse(c2x)", "list_reverse(c2y)")},
+       |f2cells AS (
+       |  SELECT t.i AS ci, dp.s - t.i AS cj, dp.d1[t.i + 1] AS f
+       |  FROM dpf2 dp, unnest(range(0, $n2)) AS t(i)
+       |  WHERE (dp.s - t.i) BETWEEN 0 AND ${n2 - 1}),
+       |b2cells AS (
+       |  SELECT ${n2 - 1} - t.i AS ci, ${n2 - 1} - (dp.s - t.i) AS cj,
+       |         dp.d1[t.i + 1] AS bv
+       |  FROM dpb2 dp, unnest(range(0, $n2)) AS t(i)
+       |  WHERE (dp.s - t.i) BETWEEN 0 AND ${n2 - 1}),
+       |ctot2 AS (
+       |  SELECT f AS total FROM f2cells
+       |  WHERE ci = ${n2 - 1} AND cj = ${n2 - 1}),
+       |opath2 AS (
+       |  SELECT fc.ci, fc.cj
+       |  FROM f2cells fc
+       |  JOIN b2cells bc ON bc.ci = fc.ci AND bc.cj = fc.cj
+       |  CROSS JOIN ctot2 t
+       |  CROSS JOIN cv2 v
+       |  WHERE fc.f + bc.bv
+       |        - (v.c2x[fc.ci + 1] - v.c2y[fc.cj + 1])
+       |          * (v.c2x[fc.ci + 1] - v.c2y[fc.cj + 1])
+       |        = t.total),
+       |dil2 AS (
+       |  SELECT DISTINCT o.ci + a.di AS ci, o.cj + b.dj AS cj
+       |  FROM opath2 o,
+       |       unnest(range(-$r, ${r + 1})) AS a(di),
+       |       unnest(range(-$r, ${r + 1})) AS b(dj)
+       |  WHERE o.ci + a.di BETWEEN 0 AND ${n2 - 1}
+       |    AND o.cj + b.dj BETWEEN 0 AND ${n2 - 1}),
+       |rowband2 AS (
+       |  SELECT ci, min(cj) AS cjlo, max(cj) AS cjhi FROM dil2 GROUP BY ci),
+       |band1 AS MATERIALIZED (
+       |  SELECT list(CAST(cjlo * $FdC AS BIGINT) ORDER BY ci) AS lo1,
+       |         list(CAST(cjhi * $FdC + ${FdC - 1} AS BIGINT) ORDER BY ci)
+       |           AS hi1,
+       |         CAST(sum((cjhi - cjlo + 1) * ${FdC.toLong * FdC})
+       |           AS BIGINT) AS cells_l1
+       |  FROM rowband2),
+       |${bandDp("pf1", n1, "c1x", "c1y", "lo1", "hi1")},
+       |${bandDp("pb1", n1, "list_reverse(c1x)", "list_reverse(c1y)",
+          s"list_reverse(list_transform(hi1, x -> ${n1 - 1} - x))",
+          s"list_reverse(list_transform(lo1, x -> ${n1 - 1} - x))")},
+       |f1cells AS MATERIALIZED (
+       |  SELECT t.i AS ci, dp.s - t.i AS cj, dp.d1[t.i + 1] AS f
+       |  FROM pf1 dp, unnest(range(0, $n1)) AS t(i)
+       |  WHERE (dp.s - t.i) BETWEEN 0 AND ${n1 - 1}
+       |    AND dp.d1[t.i + 1] < $inf),
+       |b1cells AS MATERIALIZED (
+       |  SELECT ${n1 - 1} - t.i AS ci, ${n1 - 1} - (dp.s - t.i) AS cj,
+       |         dp.d1[t.i + 1] AS bv
+       |  FROM pb1 dp, unnest(range(0, $n1)) AS t(i)
+       |  WHERE (dp.s - t.i) BETWEEN 0 AND ${n1 - 1}
+       |    AND dp.d1[t.i + 1] < $inf),
+       |ctot1 AS (
+       |  SELECT f AS total FROM f1cells
+       |  WHERE ci = ${n1 - 1} AND cj = ${n1 - 1}),
+       |opath1 AS (
+       |  SELECT fc.ci, fc.cj
+       |  FROM f1cells fc
+       |  JOIN b1cells bc ON bc.ci = fc.ci AND bc.cj = fc.cj
+       |  CROSS JOIN ctot1 t
+       |  CROSS JOIN cv2 v
+       |  WHERE fc.f + bc.bv
+       |        - (v.c1x[fc.ci + 1] - v.c1y[fc.cj + 1])
+       |          * (v.c1x[fc.ci + 1] - v.c1y[fc.cj + 1])
+       |        = t.total),
+       |dil1 AS (
+       |  SELECT DISTINCT o.ci + a.di AS ci, o.cj + b.dj AS cj
+       |  FROM opath1 o,
+       |       unnest(range(-$r, ${r + 1})) AS a(di),
+       |       unnest(range(-$r, ${r + 1})) AS b(dj)
+       |  WHERE o.ci + a.di BETWEEN 0 AND ${n1 - 1}
+       |    AND o.cj + b.dj BETWEEN 0 AND ${n1 - 1}),
+       |rowband1 AS (
+       |  SELECT ci, min(cj) AS cjlo, max(cj) AS cjhi FROM dil1 GROUP BY ci),
+       |band0 AS MATERIALIZED (
+       |  SELECT list(CAST(cjlo * $FdC AS BIGINT) ORDER BY ci) AS lo0,
+       |         list(CAST(cjhi * $FdC + ${FdC - 1} AS BIGINT) ORDER BY ci)
+       |           AS hi0,
+       |         CAST(sum((cjhi - cjlo + 1) * ${FdC.toLong * FdC})
+       |           AS BIGINT) AS cells_l0
+       |  FROM rowband1),
+       |dpz0 AS (
+       |  SELECT 0 AS s, v.xv AS q, v.yv AS c, b.lo0 AS lo, b.hi0 AS hi,
+       |         list_transform(range(0, $n), i ->
+       |           CASE WHEN i = 0
+       |                THEN (v.xv[1] - v.yv[1]) * (v.xv[1] - v.yv[1])
+       |                ELSE $inf END) AS d1,
+       |         list_transform(range(0, $n), i -> $inf) AS d0
+       |  FROM vec v CROSS JOIN band0 b
+       |  UNION ALL
+       |  SELECT s + 1, q, c, lo, hi,
+       |         list_transform(range(0, $n), i ->
+       |           CASE WHEN (s + 1 - i) BETWEEN lo[i // $FdC + 1]
+       |                                     AND hi[i // $FdC + 1]
+       |                THEN least($inf,
+       |                  (q[i + 1] - c[s + 1 - i + 1])
+       |                    * (q[i + 1] - c[s + 1 - i + 1])
+       |                  + least(coalesce(d1[i], $inf),
+       |                          coalesce(d1[i + 1], $inf),
+       |                          coalesce(d0[i], $inf)))
+       |                ELSE $inf END) AS d1,
+       |         d1 AS d0
+       |  FROM dpz0 WHERE s < ${2 * n - 2})
+       |SELECT CAST($n AS BIGINT) AS n, CAST($n1 AS BIGINT) AS l1_n,
+       |       CAST($n2 AS BIGINT) AS l2_n,
+       |       CAST(${n.toLong * n} AS BIGINT) AS cells_full,
+       |       CAST(${2L * n2 * n2} AS BIGINT) AS cells_coarse,
+       |       b1.cells_l1, b0.cells_l0, z.d1[$n] AS dtw_fast
+       |FROM dpz0 z CROSS JOIN band1 b1 CROSS JOIN band0 b0
+       |WHERE z.s = ${2 * n - 2}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_fastdtw" -> (tsFastDtw _),
+    "ts_fastdtw_pyramid" -> (tsFastDtwPyramid _),
     "pipe_drift_report" -> (pipeDriftReport _),
     "ts_changepoint" -> (tsChangepoint _),
     "ts_ewma" -> (tsEwma _),
@@ -1349,6 +1859,7 @@ object TimeSeriesQueries {
 
   val oracle: Map[String, String] = Map(
     "ts_fastdtw" -> tsFastDtwSql,
+    "ts_fastdtw_pyramid" -> tsFastDtwPyramidSql,
     "pipe_drift_report" -> pipeDriftReportSql,
     "ts_changepoint" -> tsChangepointSql,
     "ts_ewma" -> tsEwmaSql,

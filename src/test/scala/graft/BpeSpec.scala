@@ -176,4 +176,33 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deltaStop == fullStop && deltaStop.size < 8,
       s"early-stop parity: $deltaStop vs $fullStop")
   }
+
+  test("inverted-index trainer schedules BIT-IDENTICAL to the instr-scan delta trainer") {
+    // r14: the (pair, seg) posting index replaces the per-round instr
+    // vocab scan with an equi-join probe. If the index maintenance ever
+    // missed an affected word (a stale posting row after its seg string
+    // changed, or a missing row for a freshly created pair), the
+    // affected set would be wrong, a count would drift, and the greedy
+    // schedule would diverge within 32 merges on the high-diversity
+    // corpus — the same witness the other two equalities use.
+    spark.sql(
+      """SELECT id AS doc_id,
+        |       translate(md5(cast(id AS string)),
+        |                 '0123456789', 'ghijklmnop') AS text
+        |FROM range(400)""".stripMargin)
+      .createOrReplaceTempView("documents")
+    val full = TokenizerQueries.trainMergesOnView(spark, 32)
+    val indexed = TokenizerQueries.trainMergesIndexed(spark, 32)
+    assert(indexed == full, {
+      val firstDiff = indexed.zip(full).indexWhere { case (a, b) => a != b }
+      s"schedules diverge at merge $firstDiff: " +
+        s"${indexed.lift(firstDiff)} vs ${full.lift(firstDiff)}"
+    })
+    // Early-stop parity (the maintained index must not resurrect words).
+    docs(Seq("ab", "ab", "cd"))
+    val fullStop = TokenizerQueries.trainMergesOnView(spark, 8)
+    val idxStop = TokenizerQueries.trainMergesIndexed(spark, 8)
+    assert(idxStop == fullStop && idxStop.size < 8,
+      s"early-stop parity: $idxStop vs $fullStop")
+  }
 }

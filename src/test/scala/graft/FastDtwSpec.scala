@@ -69,6 +69,69 @@ class FastDtwSpec extends AnyFunSuite with BeforeAndAfterAll {
     prev(n)
   }
 
+  /** The pyramid's fine series: quarter-hour buckets, n = FdPyrN. */
+  private def pyrSeries(dir: String): (Array[Long], Array[Long]) = {
+    import graft.queries.TimeSeriesQueries.FdPyrN
+    graft.fixtures.SyntheticCdc.events(spark, dir)
+      .createOrReplaceTempView("events_fd_t")
+    val rows = spark.sql(
+      s"""WITH b AS (SELECT min(unix_micros(ts)) AS t0 FROM events_fd_t)
+         |SELECT CAST((unix_micros(ts) - b.t0) div 900000000 AS BIGINT) AS h,
+         |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS cx,
+         |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS cy
+         |FROM events_fd_t CROSS JOIN b
+         |WHERE (unix_micros(ts) - b.t0) div 900000000 < $FdPyrN
+         |GROUP BY 1""".stripMargin).collect()
+    val x = Array.fill(FdPyrN)(0L)
+    val y = Array.fill(FdPyrN)(0L)
+    rows.foreach { r =>
+      x(r.getLong(0).toInt) = r.getLong(1); y(r.getLong(0).toInt) = r.getLong(2)
+    }
+    (x, y)
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"2-level pyramid: sound over-estimate, monotone in r, exact at r=12 ($sf)") {
+      // Two levels of projection COMPOUND the banding error (each
+      // level's path is only optimal within the previous corridor), and
+      // the quarter-hour series is 4x sparser per bucket than the
+      // hourly one — so exactness needs a wider radius than the
+      // 1-level operator's r=6: measured, r=6 lands ~1-2% high on both
+      // fixtures and r=12 recovers the exact optimum on both while
+      // still cutting fine-level cells ~7x. That compounding IS the
+      // documented FastDTW accuracy/radius tradeoff, pinned here.
+      val dir = s"/root/testdata/$sf"
+      def run(r: Int): (Long, Long, Long, Long) = {
+        val row = graft.queries.TimeSeriesQueries
+          .tsFastDtwPyramidAt(spark, dir, r).collect().head
+        // (dtw_fast, cells_l0, cells_l1, cells_full)
+        (row.getLong(7), row.getLong(6), row.getLong(5), row.getLong(3))
+      }
+      val (fast1, l0c1, l1c1, full) = run(1)
+      val (fast6, _, _, _) = run(6)
+      val (fast12, l0c12, _, _) = run(12)
+      val (x, y) = pyrSeries(dir)
+      val exact = fullDtw(x, y)
+      assert(fast1 >= exact && fast6 >= exact && fast12 >= exact,
+        "a corridor-restricted DP can never beat the unrestricted optimum")
+      assert(fast1 >= fast6 && fast6 >= fast12,
+        "widening the per-level projection can only improve the distance")
+      assert(fast12 === exact,
+        s"r=12 pyramid lost the optimal path: fast=$fast12 exact=$exact")
+      // The per-level ledger must show the recursion's economics: the
+      // fine band a small fraction of n², and the mid band a small
+      // fraction of the mid level's full DP (360²).
+      assert(l0c1 < full / 20,
+        s"r=1 fine band $l0c1 must undercut the full DP by >20x")
+      assert(l1c1 < 360L * 360L / 4,
+        s"r=1 mid band $l1c1 must undercut the mid-level full DP by >4x")
+      assert(l0c12 < full / 5,
+        s"r=12 fine band $l0c12 must still undercut the full DP by >5x")
+    }
+  }
+
   for (sf <- Seq("sf0.001", "sf0.01")) {
     test(s"radius sweep: sound over-estimate at r=1, exact at r=6 ($sf)") {
       val dir = s"/root/testdata/$sf"

@@ -41,6 +41,23 @@ class LinkPredictPrunedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned === exact)
   }
 
+  test("t20 top-50 equals the exact operator at the correctness-gate SF (r14)") {
+    // The gate-biting instantiation (verdict r13 #2): at sf0.01 the
+    // non-edge ceiling is 0.1 and ~94k pairs clear 1/20, so the exact
+    // operator's global top-50 all sit above t and must equal the
+    // cascade's qualifying top-50 — on the SAME scale the driver's
+    // oracle gate runs at.
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.queries.GraphQueries.graphLinkPredict(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val floor = exact.map(_(5).asInstanceOf[Long]).min
+    assert(floor >= 50000L,
+      s"fixture drifted: top-50 jaccard floor $floor no longer clears 1/20")
+    val pruned = graft.queries.GraphQueries
+      .graphLinkPredictPrunedT20(spark, dir).collect().map(_.toSeq).toSeq
+    assert(pruned === exact)
+  }
+
   test("the threshold discriminates on a crafted co-purchase graph") {
     // Orders are cliques over their parts. Parts 1, 2 both touch the
     // filler sets {101..106} through parallel orders plus one private

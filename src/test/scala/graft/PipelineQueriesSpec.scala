@@ -156,6 +156,50 @@ class PipelineQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan("pipe_pack").contains("Exchange SinglePartition"))
   }
 
+  test("pipe_pack_bestfit: FFD dominates next-fit and a driver-side replay (r14)") {
+    val rows = run("pipe_pack_bestfit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, nDocs, total) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (lb, ffd, nf) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      val (wFfd, wNf) = (r.getLong(6), r.getLong(7))
+      // Sound packing: every bin count at least the splitting lower
+      // bound; FFD never worse than arrival-order next-fit (it packs a
+      // superset-compatible schedule over sorted sizes).
+      assert(lb <= ffd && ffd <= nf, s"$src: lb=$lb ffd=$ffd nf=$nf")
+      assert(wFfd <= wNf, s"$src: waste ffd=$wFfd nf=$wNf")
+      // Conservation: padding waste accounts for exactly the non-total
+      // capacity of the bins (oversize bins carry zero padding, so the
+      // identity is an inequality: waste <= bins*512 - total).
+      assert(wFfd <= ffd * 512 - total || ffd * 512 < total,
+        s"$src: ffd waste $wFfd vs capacity ${ffd * 512} total $total")
+      assert(nDocs > 0 && total > 0)
+    }
+    // Driver-side FFD replay over the same token estimates — bin counts
+    // must agree exactly (the fold IS first-fit-decreasing).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("source", "doc_id",
+        "cast(ceil(length(text) / 4.0) as bigint) AS t").collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val sizes = docs(r.getString(0))
+        .sortBy(x => (-x.getLong(2), x.getLong(1))).map(_.getLong(2))
+      val bins = scala.collection.mutable.ArrayBuffer[Long]()
+      sizes.foreach { s =>
+        bins.indexWhere(_ >= s) match {
+          case -1 => bins += 512L - s
+          case i  => bins(i) -= s
+        }
+      }
+      assert(bins.size.toLong === r.getLong(4),
+        s"${r.getString(0)}: driver FFD ${bins.size} bins vs ${r.getLong(4)}")
+    }
+    // Non-vacuity: somewhere FFD strictly beats next-fit, else the
+    // comparison ledger demonstrates nothing on this fixture.
+    assert(rows.exists(r => r.getLong(4) < r.getLong(5)),
+      "FFD never beat next-fit on the fixture — ledger is vacuous")
+  }
+
   test("pipe_mix: rates are capped, deterministic, and kept <= docs") {
     val rows = run("pipe_mix").collect()
     assert(rows.length == 20)

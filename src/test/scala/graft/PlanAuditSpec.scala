@@ -110,6 +110,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ts_forecast_baseline" -> "the 1-row corpus-epoch scalar cross-joined as a broadcast constant; the backtest lookups are equi-joins on day-7/day-1 over the <=30-row daily aggregate",
     "ts_stomp_discord" -> "the 1-row corpus-epoch scalar cross-joined to bucket hours; every quadratic-stage join (diagonal expansion, ss/qt assembly, mp/nn) is an equi-join on h/i/k over the 720-row calendar-bounded series",
     "ts_fastdtw" -> "single-pair alignment: every cross join is between 1-row scalar relations (epoch bound, packed series vector, coarse DP matrices, band bounds); the DP itself is per-row expression work, the only multi-row joins are the 720-row grid/hourly equi-join and the bounded coarse-cell relations",
+    "ts_fastdtw_pyramid" -> "same single-pair shape as ts_fastdtw with one more level: all cross joins are 1-row scalar relations (epoch bound, packed vectors, per-level band-bound rows); multi-row joins are the 2880-row grid/bucket equi-join and the banded L1/L2 cell relations (bounded by the projected corridors)",
     "ts_motif" -> "same body as ts_stomp_discord: the 1-row corpus-epoch scalar cross-joined to bucket hours; all quadratic-stage joins are equi-joins on h/i/k over the 720-row calendar-bounded series",
     "ts_changepoint" -> "the 1-row corpus-epoch scalar and the 30-row day grid cross-joined as broadcast constants to densify per-user series; the CUSUM argmax joins are equi-joins on (user_id, dev)/(user_id, t)",
     "ts_ewma" -> "the same series densification as ts_changepoint: 1-row epoch scalar + 30-row day grid broadcasts; residual argmax joins are equi-joins on (user_id, dev_milli)/(user_id, day)",

@@ -352,6 +352,49 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.operators.PinnedStages.sweepTransient(spark)
   }
 
+  test("inverted-index BPE trainer: identical schedule at depth, probe vs instr scan measured") {
+    assume(stressEnabled, "set GRAFT_STRESS=1 to run")
+    // r14: the (pair, seg) posting index replaces the delta trainer's
+    // per-round instr vocab scan with an equi-join probe. At depth the
+    // accepted pairs' posting lists shrink while the instr scan stays
+    // flat at full vocab character mass — the crossover the index
+    // exists for. Same 10k-word high-diversity corpus as the 1,024-
+    // merge demo; 512 merges keeps both runs inside the suite budget.
+    spark.sql(
+      """SELECT id AS doc_id,
+        |       translate(concat(md5(cast(id AS string)),
+        |                        md5(cast(id + 1000000 AS string))),
+        |                 '0123456789', 'ghijklmnop') AS text
+        |FROM range(10000)""".stripMargin)
+      .repartition(32).createOrReplaceTempView("documents")
+    def run(f: => Seq[graft.queries.TokenizerQueries.Merge]) = {
+      val t0 = System.nanoTime(); val m = f
+      (m, (System.nanoTime() - t0) / 1e9)
+    }
+    // Storage-creep bound as a DELTA around this test's own runs (the
+    // absolute count also sees other tests' shared pins and in-flight
+    // async unpersists — the first form of this assertion flaked on
+    // exactly that).
+    graft.operators.PinnedStages.sweepTransient(spark)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    val (delta, tDelta) = run(
+      graft.queries.TokenizerQueries.trainMergesDelta(spark, 512))
+    val (indexed, tIndexed) = run(
+      graft.queries.TokenizerQueries.trainMergesIndexed(spark, 512))
+    assert(indexed == delta, {
+      val d = indexed.zip(delta).indexWhere { case (a, b) => a != b }
+      s"schedules diverge at merge $d: ${indexed.lift(d)} vs ${delta.lift(d)}"
+    })
+    info(f"512 merges: instr-scan delta $tDelta%.1f s, " +
+      f"indexed probe $tIndexed%.1f s (${tDelta / tIndexed}%.2fx)")
+    // No storage creep from the third maintained relation: after the
+    // sweep, this test's own residue must be bounded (not ~rounds).
+    graft.operators.PinnedStages.sweepTransient(spark)
+    val pinnedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(pinnedAfter <= pinnedBefore + 8,
+      s"pinned RDDs crept across the trainer runs: $pinnedBefore -> $pinnedAfter")
+  }
+
   test("dd_span_rewrite at sf≈1: later copies empty out; copy 0 is replication-invariant") {
     assume(stressEnabled, "set GRAFT_STRESS=1 to run")
     def rows(d: String) = SparkEntry.queries("dd_span_rewrite")(spark, d)

@@ -76,6 +76,26 @@ class UnigramSegmentSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(_._2 > 1L))
   }
 
+  test("array-fold relaxation equals the round-form relaxation, both directions") {
+    import graft.queries.TokenizerQueries
+    // Registers uni_words_t / uni_edges_t over the fixture corpus.
+    SparkEntry.queries("text_unigram_segment")(spark, dir).collect()
+    def initF = spark.sql(
+      "SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS val FROM uni_words_t " +
+        s"ORDER BY freq DESC, word LIMIT $UniProbes")
+    def initB = spark.sql(
+      "SELECT word, length(word) AS pos, CAST(0 AS BIGINT) AS val " +
+        "FROM (SELECT word, freq FROM uni_words_t " +
+        s"ORDER BY freq DESC, word LIMIT $UniProbes)")
+    for ((from, to, init) <- Seq(("src", "dst", initF), ("dst", "src", initB))) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      val fold = rows(TokenizerQueries.uniRelax(spark, "uni_edges_t", from, to, init))
+      val rounds = rows(TokenizerQueries.uniRelaxRounds(spark, "uni_edges_t", from, to, init))
+      assert(fold.nonEmpty && fold === rounds, s"direction $from->$to")
+    }
+  }
+
   test("bit-exact determinism across independent runs") {
     def run() = SparkEntry.queries("text_unigram_segment")(spark, dir)
       .orderBy("word").collect().toSeq
