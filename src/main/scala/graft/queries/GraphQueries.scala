@@ -626,7 +626,7 @@ object GraphQueries {
     * intermediate row explosion — i.e. verification is CHEAPER than the
     * probe that would thin it. The probe pays only when verification is
     * expensive (the dd text cascade); here it never can. */
-  private def lpVerifiedView(spark: SparkSession, dir: String,
+  private[graft] def lpVerifiedView(spark: SparkSession, dir: String,
       p: Int, q: Int): Unit = {
     val common = graft.operators.SessionMemo.cached(
       spark, s"lpverified/$p/$q/$dir") {
@@ -668,7 +668,7 @@ object GraphQueries {
 
   /** Degree-ranked adjacency-list relation + node sizes for the prefix
     * cascade, memoized/SHARED-pinned like the base graph. */
-  private def linkPredictRankedViews(spark: SparkSession, dir: String): Unit = {
+  private[graft] def linkPredictRankedViews(spark: SparkSession, dir: String): Unit = {
     linkPredictViews(spark, dir)
     val (ranked, sizes, arr) = graft.operators.SessionMemo.cached(
       spark, s"lprankedviews/$dir") {
@@ -709,12 +709,19 @@ object GraphQueries {
     * the 54.8M-pair pre-floor relation is never materialized — only
     * streamed through the sort-aggregate into the observation and the
     * 38×-smaller floored output. */
-  private def lpJoinedView(spark: SparkSession, dir: String,
+  private[graft] def lpJoinedView(spark: SparkSession, dir: String,
       p: Int, q: Int): (Long, Long) = {
     val (flt, prefixPairs, prefixRows) = graft.operators.SessionMemo.cached(
       spark, s"lpjoined/$p/$q/$dir") {
-      // Scoped sort-agg hint (see withSortAgg): the sharedCheckpoint is
-      // an EAGER action, so planning happens inside the scope.
+      // Streaming sort-aggregate over the one exchange (scoped conf —
+      // see withSortAgg; the sharedCheckpoint is an EAGER action, so
+      // planning happens inside the scope). An r14 experiment swapped
+      // in the plain hash aggregate — 1.5-2× faster at t = 1/20 in a
+      // FRESH session — but in the real catalog context (the family's
+      // pinned relations occupying unified memory) the 94M-pair partial
+      // maps failed at sf0.1, re-confirming the r13 measurement: O(1)
+      // aggregation memory is the property that matters here, not the
+      // isolated wall clock.
       withSortAgg(spark) {
         val obs = new org.apache.spark.sql.Observation()
         val flt = graft.operators.PinnedStages.sharedCheckpoint(
@@ -769,14 +776,16 @@ object GraphQueries {
     * aggregated with the exact operator's streaming discipline — `dist`
     * injects Spark's `DISTRIBUTE BY pk SORT BY pk` (with
     * `replaceHashWithSortAgg` both aggregate halves stream in O(1)
-    * memory over the ~1.0-combine-ratio collision stream; the hash form
-    * built multi-million-entry partial maps per task and died at
-    * sf0.1), empty for DuckDB. `joined` carries the minimal per-pair
+    * memory over the collision stream; an r14 experiment re-confirmed
+    * that the hash form's multi-million-entry partial maps fail at
+    * sf0.1 once the family's pinned relations crowd unified memory —
+    * see lpJoinedView), empty for DuckDB.
+    * `joined` carries the minimal per-pair
     * state (n1, n2, cnt, px, py, ub); the suffix-slot bound
     * ub2 = cnt + least(n1−px, n2−py) and the overlap floor alpha are
     * recomputed by the consumer — 7 slim columns in the one
     * materialized relation. */
-  private def lpCascadeJoinCtes(p: Int, q: Int, idiv: String,
+  private[graft] def lpCascadeJoinCtes(p: Int, q: Int, idiv: String,
       ranked: String, sizes: String, dist: String = ""): String = {
     val ext = LinkPredictGenFloor // prefix lengths carry + (l − 1) + 1 = + l
     s"""lpprobe AS (
