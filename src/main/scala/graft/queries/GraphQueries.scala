@@ -590,6 +590,7 @@ object GraphQueries {
       p: Int, q: Int): DataFrame = {
     require(p >= 1 && q > p, s"threshold p/q must be in (0, 1), got $p/$q")
     linkPredictRankedViews(spark, dir)
+    lpJoinedView(spark, dir, p, q)
     lpVerifiedView(spark, dir, p, q)
     spark.sql(
       s"""WITH qual AS (
@@ -626,61 +627,24 @@ object GraphQueries {
     * probe that would thin it. The probe pays only when verification is
     * expensive (the dd text cascade); here it never can. */
   private[graft] def lpVerifiedView(spark: SparkSession, dir: String,
-      p: Int, q: Int): (Long, Long, Long) = {
-    val (common, prefixPairs, prefixRows, floorPairs) =
-      graft.operators.SessionMemo.cached(spark, s"lpverified/$p/$q/$dir") {
-      // ONE observed pass, r14: cascade join (streaming sort-agg over
-      // the one exchange — see withSortAgg), generation floor, cand0
-      // bound, and the packed-array verification all stream into the
-      // single checkpointed VERIFIED relation; the three
-      // pre-verification volume stats the cut audit reports ride the
-      // same pass as an observation. Nothing pre-verification is
-      // materialized — the previously checkpointed floored relation
-      // (7M rows at sf0.1 t = 1/20) had no consumer other than this
-      // stage and its write/read cost ~13 s in context.
-      //
-      // Streaming sort-aggregate, not hash (re-confirmed r14): a plain
-      // hash aggregate is 1.5-2x faster at t = 1/20 in a FRESH session,
-      // but in the real catalog context (the family's pinned relations
-      // occupying unified memory) its 94M-pair partial maps failed at
-      // sf0.1 — O(1) aggregation memory is the property that matters.
-      withSortAgg(spark) {
-        val obs = new org.apache.spark.sql.Observation()
-        // One chained Dataset, NOT a temp view: an Observation only
-        // fires for executions of the Dataset chain it was attached to
-        // — a view embedding the observed plan into a second query
-        // never delivers the metrics and obs.get blocks forever
-        // (measured the hard way).
-        val alpha = s"($p * (n1 + n2) + ${p + q - 1}) div ${p + q}"
-        val common = graft.operators.PinnedStages.sharedCheckpoint(
-          spark.sql(s"WITH ${lpCascadeJoinCtes(p, q, "div",
-            "lpp_ranked_t", "lpp_sizes_t",
-            dist = "DISTRIBUTE BY pk SORT BY pk")}\nSELECT * FROM joined")
-            .observe(obs, count(lit(1)).as("prefix_pairs"),
-              sum(col("cnt")).as("prefix_rows"),
-              count(when(col("cnt") >= LinkPredictGenFloor, 1))
-                .as("floor_pairs"))
-            .where(col("cnt") >= LinkPredictGenFloor)
-            .where(expr(
-              s"least(ub, cnt + least(n1 - px, n2 - py)) >= $alpha"))
-            .selectExpr("pk div 100000000 AS d1", "pk % 100000000 AS d2",
-              "n1", "n2")
-            .join(spark.table("lpp_arr_t").as("x1"), expr("x1.x = d1"))
-            .join(spark.table("lpp_arr_t").as("x2"), expr("x2.x = d2"))
-            .selectExpr("d1", "d2", "n1", "n2",
-              "array_intersect(x1.arr, x2.arr) AS iv")
-            .selectExpr("d1", "d2", "n1", "n2",
-              "CAST(size(iv) AS BIGINT) AS cm",
-              "aggregate(iv, CAST(0 AS BIGINT), " +
-                "(acc, v) -> acc + v % 1048576) AS ra_micro"))
-        val m = obs.get // blocks until the checkpoint action completes
-        (common, m("prefix_pairs").asInstanceOf[Long],
-          m("prefix_rows").asInstanceOf[Long],
-          m("floor_pairs").asInstanceOf[Long])
-      }
+      p: Int, q: Int): Unit = {
+    val common = graft.operators.SessionMemo.cached(
+      spark, s"lpverified/$p/$q/$dir") {
+      graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+        s"""WITH ${lpCand0Cte(p, q, "div", "lpp_joined_t")},
+          |inter AS (
+          |  SELECT c.d1, c.d2, c.n1, c.n2,
+          |         array_intersect(x1.arr, x2.arr) AS iv
+          |  FROM cand0 c
+          |  JOIN lpp_arr_t x1 ON x1.x = c.d1
+          |  JOIN lpp_arr_t x2 ON x2.x = c.d2)
+          |SELECT d1, d2, n1, n2,
+          |       CAST(size(iv) AS BIGINT) AS cm,
+          |       aggregate(iv, CAST(0 AS BIGINT),
+          |         (acc, v) -> acc + v % 1048576) AS ra_micro
+          |FROM inter""".stripMargin))
     }
     common.createOrReplaceTempView("lpp_common_t")
-    (prefixPairs, prefixRows, floorPairs)
   }
 
   /** The t = 1/3 confidence-floor instantiation (see header). */
@@ -731,6 +695,49 @@ object GraphQueries {
     ranked.createOrReplaceTempView("lpp_ranked_t")
     sizes.createOrReplaceTempView("lpp_sizes_t")
     arr.createOrReplaceTempView("lpp_arr_t")
+  }
+
+  /** The prefix-collision candidate relation (grouped pairs with every
+    * cascade bound attached), memoized/SHARED-pinned per (session, dir,
+    * p, q): the cascade's one expensive stage, consumed by both the
+    * pruned query and the cut audit. */
+  /** Builds (once per session/dir/threshold) the FLOORED candidate
+    * relation — collision pairs with cnt ≥ l and their cascade bounds —
+    * and the two pre-floor volume stats the cut audit reports
+    * (collision pairs, raw join rows), captured by `observe()` on the
+    * same pass (bounded driver metadata, the GlobalOrder precedent):
+    * the 54.8M-pair pre-floor relation is never materialized — only
+    * streamed through the sort-aggregate into the observation and the
+    * 38×-smaller floored output. */
+  private[graft] def lpJoinedView(spark: SparkSession, dir: String,
+      p: Int, q: Int): (Long, Long) = {
+    val (flt, prefixPairs, prefixRows) = graft.operators.SessionMemo.cached(
+      spark, s"lpjoined/$p/$q/$dir") {
+      // Streaming sort-aggregate over the one exchange (scoped conf —
+      // see withSortAgg; the sharedCheckpoint is an EAGER action, so
+      // planning happens inside the scope). An r14 experiment swapped
+      // in the plain hash aggregate — 1.5-2× faster at t = 1/20 in a
+      // FRESH session — but in the real catalog context (the family's
+      // pinned relations occupying unified memory) the 94M-pair partial
+      // maps failed at sf0.1, re-confirming the r13 measurement: O(1)
+      // aggregation memory is the property that matters here, not the
+      // isolated wall clock.
+      withSortAgg(spark) {
+        val obs = new org.apache.spark.sql.Observation()
+        val flt = graft.operators.PinnedStages.sharedCheckpoint(
+          spark.sql(s"WITH ${lpCascadeJoinCtes(p, q, "div",
+            "lpp_ranked_t", "lpp_sizes_t",
+            dist = "DISTRIBUTE BY pk SORT BY pk")}\nSELECT * FROM joined")
+            .observe(obs, count(lit(1)).as("prefix_pairs"),
+              sum(col("cnt")).as("prefix_rows"))
+            .where(col("cnt") >= LinkPredictGenFloor))
+        val m = obs.get // blocks until the checkpoint action completes
+        (flt, m("prefix_pairs").asInstanceOf[Long],
+          m("prefix_rows").asInstanceOf[Long])
+      }
+    }
+    flt.createOrReplaceTempView("lpp_joined_t")
+    (prefixPairs, prefixRows)
   }
 
   /** cand0 from the slim joined relation: unpack the pair key and
@@ -860,10 +867,10 @@ object GraphQueries {
   def graphLinkPredictCutAt(spark: SparkSession, dir: String,
       p: Int, q: Int): DataFrame = {
     linkPredictRankedViews(spark, dir)
-    val (prefixPairs, prefixRows, floorPairs) = lpVerifiedView(spark, dir, p, q)
-    // All counts serve from the one memoized VERIFIED relation (one row
-    // per cand0 survivor, so bound_pairs = its count) plus the observed
-    // pre-verification stats.
+    val (prefixPairs, prefixRows) = lpJoinedView(spark, dir, p, q)
+    lpVerifiedView(spark, dir, p, q)
+    // All counts serve from the two memoized relations (one row per
+    // cand0 survivor in lpp_common_t, so bound_pairs = its count).
     spark.sql(
       s"""WITH qual AS (
         |  SELECT least(d1, d2) AS p1, greatest(d1, d2) AS p2
@@ -876,7 +883,7 @@ object GraphQueries {
         |        FROM lpp_sizes_t) AS wedge_rows,
         |       CAST($prefixRows AS BIGINT) AS prefix_rows,
         |       CAST($prefixPairs AS BIGINT) AS prefix_pairs,
-        |       CAST($floorPairs AS BIGINT) AS floor_pairs,
+        |       (SELECT count(*) FROM lpp_joined_t) AS floor_pairs,
         |       (SELECT count(*) FROM lpp_common_t) AS bound_pairs,
         |       (SELECT count(*) FROM nonedge) AS qualifying_pairs""".stripMargin)
   }
