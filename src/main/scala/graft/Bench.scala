@@ -145,7 +145,7 @@ object Bench {
           s"""\n"results":$perQuery}\n""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       true
-    } catch { case _: Throwable => false }
+    } catch { case scala.util.control.NonFatal(_) => false }
     val fullRef = if (wrote) s""","full":"$fullPath"""" else ""
     println(s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir","n_queries":${results.size},"errors":$errors,"passes":$passes,"pass_totals":$passTotals,"loadavg":[${d2(loadStart)},${d2(loadEnd)}]$fullRef}""")
     spark.stop()

@@ -32,9 +32,26 @@ object Pin {
 
   val ModeKey = "graft.pin.mode"
   val DirKey = "graft.pin.dir"
+  /** Debug/audit hook (r15): when set, every pin writes the FORMATTED
+    * physical plan of the relation being pinned to
+    * `<dir>/<tag>_pinNN.txt` before materializing it — the pinned
+    * stages are where the library's interesting plans live (the
+    * returned Dataset is just a block scan). Never set in production;
+    * `graft.tools.ExplainDump` drives it. */
+  val ExplainDirKey = "graft.pin.explain.dir"
+  val ExplainTagKey = "graft.pin.explain.tag"
+  private val explainSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def pin[T](ds: Dataset[T], eager: Boolean = true): Dataset[T] = {
     val spark = ds.sparkSession
+    spark.conf.getOption(ExplainDirKey).foreach { d =>
+      val tag = spark.conf.get(ExplainTagKey, "pin")
+      val p = java.nio.file.Paths.get(d,
+        f"${tag}_pin${explainSeq.incrementAndGet()}%02d.txt")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, ds.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
     spark.conf.get(ModeKey, "local") match {
       case "local" => ds.localCheckpoint(eager)
       case "reliable" =>

@@ -31,19 +31,46 @@ object PinnedStages {
   private val shared = scala.collection.mutable.Set[Int]()
 
   /** `localCheckpoint` that registers the resulting blocks as SHARED so
-    * [[sweepTransient]] leaves them alone. Registration works by diffing
-    * the context's persistent-RDD set around the checkpoint call (the
-    * checkpointed internal RDD's id is not reachable through a public
-    * Dataset API). Single-writer assumption: concurrent *unregistered*
-    * checkpoints during this call would be misclassified as shared —
-    * acceptable here because memo producers run serially inside query
-    * evaluation. */
-  def sharedCheckpoint[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    * [[sweepTransient]] leaves them alone. Registration reads the
+    * checkpointed RDD's id straight off the returned Dataset's
+    * `LogicalRDD` plan root (r15, ADVICE r14: the previous
+    * before/after diff of the persistent-RDD set could misclassify a
+    * concurrent build's transient pin as shared, and serialized every
+    * eager build under this object's lock). Reliable-mode pins register
+    * no persistent RDD and are correctly left unregistered. */
+  def sharedCheckpoint[T](ds: Dataset[T]): Dataset[T] = {
     val sc = ds.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = Pin.pin(ds) // reliable mode registers no persistent RDDs → no-op diff
-    shared ++= sc.getPersistentRDDs.keySet.diff(before)
+    val out = Pin.pin(ds)
+    val pinnedId = out.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+    synchronized {
+      pinnedId.filter(sc.getPersistentRDDs.contains).foreach(shared += _)
+    }
     out
+  }
+
+  /** [[sharedCheckpoint]] that PRESERVES the relation's physical layout
+    * (r15). Under AQE, `Dataset.localCheckpoint` records
+    * UnknownPartitioning and no ordering in the LogicalRDD (measured on
+    * 4.1.2), so consumers re-exchange and re-sort relations that were
+    * deliberately repartitioned/sorted before the pin. Scoping AQE off
+    * around the checkpoint's planning records the HashPartitioning +
+    * ordering, letting co-partitioned consumers skip the exchange and
+    * the sort entirely (the graph family's edge-resident layouts). AQE
+    * stays on for every consumer; only this build plans without it —
+    * the pinned builds here are simple repartition/aggregate shapes
+    * that need no runtime re-optimization. */
+  def sharedCheckpointPartitioned[T](ds: Dataset[T]): Dataset[T] = {
+    val spark = ds.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try sharedCheckpoint(ds)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Unpersist every persistent RDD not registered as shared. Call only

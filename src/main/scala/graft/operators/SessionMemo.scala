@@ -38,8 +38,12 @@ object SessionMemo {
   // across concurrent sessions. A build that THROWS leaves the lazy
   // uninitialized, so the next caller retries instead of caching the
   // failure.
-  private final class Cell(val spark: SparkSession, thunk: () => Any) {
-    lazy val value: Any = thunk()
+  private final class Cell(val spark: SparkSession,
+      @volatile private var thunk: () => Any) {
+    // Null out the thunk after evaluation (ADVICE r14): the closure can
+    // capture large driver-side state that would otherwise live as long
+    // as the memo entry.
+    lazy val value: Any = { val v = thunk(); thunk = null; v }
   }
   private val memo = scala.collection.mutable.Map[(String, String), Cell]()
 

@@ -38,23 +38,45 @@ object GraphQueries {
   /** Fixed iteration count (constant; convergence is geometric in 0.85). */
   val Iterations = 5
 
+  /** The distinct customer↔supplier bipartite pair relation (customer
+    * c ↦ 2c, supplier s ↦ 2s+1 — disjoint keys), memoized/SHARED-pinned
+    * per (session, dir): pagerank, kcore, bfs and hits all derive their
+    * edge relations from this ONE orders⋈lineitem build — r15, previously
+    * each of the four re-ran the join+distinct from the parquet scans.
+    * hits' directed (custkey, suppkey) edge set is the same relation
+    * through the bijective decode (src div 2, dst div 2). */
+  private[graft] def bipartiteHalf(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionMemo.cached(spark, s"bipartitehalf/$dir") {
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      graft.operators.PinnedStages.sharedCheckpoint(
+        orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct())
+    }
+
+  /** Both-direction bipartite edges, hash-partitioned + sorted on the
+    * probe key `dst` — the Pregel edge-resident layout kcore and bfs
+    * share (identical relation, previously built twice per pass). */
+  private[graft] def bipartiteEdgesByDst(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionMemo.cached(spark, s"bipartiteedgesdst/$dir") {
+      val half = bipartiteHalf(spark, dir)
+      graft.operators.PinnedStages.sharedCheckpointPartitioned(
+        half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("dst")).sortWithinPartitions("dst"))
+    }
+
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    // Node encoding: customer c ↦ 2c, supplier s ↦ 2s+1 (disjoint keys).
-    // The distinct pair relation and the degree table are CACHED: r0, the
-    // final join, and the node count all read them — uncached, each
-    // consumer re-runs the orders⋈lineitem build (16 parquet scans in the
-    // full plan; 2 with the caches).
-    val half = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-      .persist()
+    // The distinct pair relation comes from the family-shared memo; the
+    // degree table is CACHED: r0, the final join, and the node count all
+    // read it — uncached, each consumer re-runs the aggregation.
+    val half = bipartiteHalf(spark, dir)
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
+    // (half is a shared checkpoint — no per-query persist needed.)
     // One materialization, reused by all rounds — CACHED (not
     // checkpointed) hash-partitioned + sorted on the join key, so the
     // InMemoryRelation advertises its partitioning/ordering and every
@@ -140,19 +162,53 @@ object GraphQueries {
   //
   // Engine-exact: counts and the floor-div clustering coefficient
   // (3T·1e6 div Σ C(d,2)) are all BIGINT arithmetic.
+  /** The grouped co-purchase pair relation (p1 < p2, with the shared
+    * order count), memoized/SHARED-pinned per (session, dir) — r15: the
+    * SAME self-join explode + pair aggregation was previously built three
+    * times per pass (graph_triangles' distinct pairs, the link-predict
+    * family's edge set, and cc/lpa's thresholded strong-tie set). The
+    * distinct pair relation is exactly this relation's group keys; the
+    * strong-tie set is the n_orders ≥ [[CcMinOrders]] filter. Grouping
+    * costs the same aggregation the DISTINCT paid. */
+  private[graft] def coPurchaseCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionMemo.cached(spark, s"copurchase/$dir") {
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .createOrReplaceTempView("copurchase_li_t")
+      // Plain pin (AQE stays on): this build has the catalog's biggest
+      // self-join inside — an AQE-off scope here made the whole
+      // explode+aggregate plan statically (measured: graph_cc, its first
+      // payer, 3.3 → 8.6 s), which dwarfs the one anti-join build-side
+      // exchange that preserving hash(p1, p2) would have saved.
+      graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+        """SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+          |       CAST(count(*) AS BIGINT) AS n_orders
+          |FROM copurchase_li_t a JOIN copurchase_li_t b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |GROUP BY a.l_partkey, b.l_partkey""".stripMargin))
+    }
+
+  /** cc/lpa's strong-tie edge set (support ≥ [[CcMinOrders]]), both
+    * directions, hash-partitioned + sorted on the probe key — identical
+    * relation previously built by BOTH graph_cc and graph_lpa. */
+  private[graft] def strongTieEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionMemo.cached(spark, s"strongtie/$dir") {
+      val half = coPurchaseCounts(spark, dir)
+        .where(col("n_orders") >= CcMinOrders)
+        .select(col("p1"), col("p2"))
+      graft.operators.PinnedStages.sharedCheckpointPartitioned(
+        half.union(half.select(col("p2").as("p1"), col("p1").as("p2")))
+          .select(col("p1").as("src"), col("p2").as("dst"))
+          .repartition(col("dst")).sortWithinPartitions("dst"))
+    }
+
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .createOrReplaceTempView("li_t")
-    // The distinct co-purchase edge relation feeds degree + orientation
-    // (and through `oriented`, three join legs): pin it once — uncached,
-    // Catalyst re-runs the self-join explode per consumer.
-    spark.sql(
-      """SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
-        |FROM li_t a JOIN li_t b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin)
-      .pinned()
+    // The distinct co-purchase edge relation (= the shared grouped
+    // relation's keys) feeds degree + orientation (and through
+    // `oriented`, three join legs) straight from the family checkpoint.
+    coPurchaseCounts(spark, dir)
+      .select(col("p1"), col("p2"))
       .createOrReplaceTempView("tri_pairs_t")
     // The (degree, id) sort key per node — 20k rows, consumed by BOTH
     // legs of the orientation join: pin once.
@@ -279,21 +335,10 @@ object GraphQueries {
 
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val half = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    // Cached (not checkpointed) so the InMemoryRelation advertises its
-    // hash partitioning on the probe key `dst`: every round's join then
-    // exchanges ONLY the h vector (the graph_pagerank layout).
-    val edges = half
-      .union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst")).sortWithinPartitions("dst")
-      .persist()
+    // Family-shared edge relation, checkpointed hash-partitioned on the
+    // probe key `dst` (partitioning survives the pin): every round's
+    // join exchanges ONLY the h vector (the graph_pagerank layout).
+    val edges = bipartiteEdgesByDst(spark, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
 
     def step(prev: DataFrame): DataFrame = {
@@ -412,14 +457,9 @@ object GraphQueries {
   private def linkPredictViews(spark: SparkSession, dir: String): Unit = {
     val (pairs, adj) = graft.operators.SessionMemo.cached(
       spark, s"lpviews/$dir") {
-      spark.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_partkey"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .createOrReplaceTempView("lp_li_t")
-      val pairs = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
-        """SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
-          |FROM lp_li_t a JOIN lp_li_t b
-          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin))
+      // The edge set is the family-shared grouped co-purchase relation's
+      // keys (see coPurchaseCounts) — no second self-join explode.
+      val pairs = coPurchaseCounts(spark, dir).select(col("p1"), col("p2"))
       pairs.createOrReplaceTempView("lp_pairs_t")
       // Packed-key guard: same 1e8 contract as graph_triangles.
       val maxId = spark.sql("SELECT max(p2) FROM lp_pairs_t").head.getLong(0)
@@ -427,15 +467,21 @@ object GraphQueries {
         s"graph_link_predict: node id $maxId >= 1e8 breaks the packed edge key")
       // Adjacency with the hub's degree and its pre-quantized RA
       // contribution attached once (the pagerank edge_deg layout) — both
-      // wedge legs read it.
-      val adj = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+      // wedge legs read it. Hash-partitioned + sorted on the wedge key
+      // `c` BEFORE the checkpoint (r15): the pin preserves partitioning
+      // and ordering, so the exact operator's wedge self-join on c runs
+      // with ZERO exchanges and ZERO sorts on the adjacency (previously
+      // both legs re-shuffled it), and `nodeg`'s GROUP BY c aggregates
+      // exchange-free.
+      val adj = graft.operators.PinnedStages.sharedCheckpointPartitioned(spark.sql(
         """WITH adj AS (
           |  SELECT p1 AS c, p2 AS x FROM lp_pairs_t
           |  UNION ALL
           |  SELECT p2 AS c, p1 AS x FROM lp_pairs_t),
           |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY c)
           |SELECT a.c, a.x, d.d, 1000000 div d.d AS ra
-          |FROM adj a JOIN deg d ON d.c = a.c""".stripMargin))
+          |FROM adj a JOIN deg d ON d.c = a.c""".stripMargin)
+        .repartition(col("c")).sortWithinPartitions("c"))
       (pairs, adj)
     }
     pairs.createOrReplaceTempView("lp_pairs_t")
@@ -590,7 +636,6 @@ object GraphQueries {
       p: Int, q: Int): DataFrame = {
     require(p >= 1 && q > p, s"threshold p/q must be in (0, 1), got $p/$q")
     linkPredictRankedViews(spark, dir)
-    lpJoinedView(spark, dir, p, q)
     lpVerifiedView(spark, dir, p, q)
     spark.sql(
       s"""WITH qual AS (
@@ -627,24 +672,70 @@ object GraphQueries {
     * probe that would thin it. The probe pays only when verification is
     * expensive (the dd text cascade); here it never can. */
   private[graft] def lpVerifiedView(spark: SparkSession, dir: String,
-      p: Int, q: Int): Unit = {
-    val common = graft.operators.SessionMemo.cached(
-      spark, s"lpverified/$p/$q/$dir") {
-      graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
-        s"""WITH ${lpCand0Cte(p, q, "div", "lpp_joined_t")},
-          |inter AS (
-          |  SELECT c.d1, c.d2, c.n1, c.n2,
-          |         array_intersect(x1.arr, x2.arr) AS iv
-          |  FROM cand0 c
-          |  JOIN lpp_arr_t x1 ON x1.x = c.d1
-          |  JOIN lpp_arr_t x2 ON x2.x = c.d2)
-          |SELECT d1, d2, n1, n2,
-          |       CAST(size(iv) AS BIGINT) AS cm,
-          |       aggregate(iv, CAST(0 AS BIGINT),
-          |         (acc, v) -> acc + v % 1048576) AS ra_micro
-          |FROM inter""".stripMargin))
+      p: Int, q: Int): (Long, Long, Long) = {
+    val (common, prefixPairs, prefixRows, floorPairs) =
+      graft.operators.SessionMemo.cached(spark, s"lpverified/$p/$q/$dir") {
+      // ONE observed pass (re-landed r15; first attempted r14): cascade
+      // join (streaming sort-agg over the one exchange — see
+      // withSortAgg), generation floor, cand0 bound, and the
+      // packed-array verification all stream into the single
+      // checkpointed VERIFIED relation; the three pre-verification
+      // volume stats the cut audit reports ride the same pass as an
+      // observation. Nothing pre-verification is materialized — the
+      // previously checkpointed floored relation (7M rows at sf0.1
+      // t = 1/20) had no consumer other than this stage, and its
+      // executor-storage pin was the family's largest resident block
+      // (the r14 spill driver under the bench host's memory pressure).
+      //
+      // Streaming sort-aggregate, not hash (re-confirmed r14): a plain
+      // hash aggregate is 1.5-2x faster at t = 1/20 in a FRESH session,
+      // but in the real catalog context (the family's pinned relations
+      // occupying unified memory) its multi-million-pair partial maps
+      // failed at sf0.1 — O(1) aggregation memory is the property that
+      // matters.
+      withSortAgg(spark) {
+        val obs = new org.apache.spark.sql.Observation()
+        // One chained Dataset, NOT a temp view: an Observation only
+        // fires for executions of the Dataset chain it was attached to
+        // — a view embedding the observed plan into a second query
+        // never delivers the metrics and obs.get blocks forever
+        // (measured the hard way, r14).
+        val alpha = s"($p * (n1 + n2) + ${p + q - 1}) div ${p + q}"
+        val common = graft.operators.PinnedStages.sharedCheckpoint(
+          spark.sql(
+            s"WITH ${lpCascadeJoinCtesSpark(p, q)}\nSELECT * FROM joined")
+            .observe(obs, count(lit(1)).as("prefix_pairs"),
+              sum(col("cnt")).as("prefix_rows"),
+              count(when(col("cnt") >= LinkPredictGenFloor, 1))
+                .as("floor_pairs"))
+            .where(col("cnt") >= LinkPredictGenFloor)
+            .where(expr(
+              s"least(ub, cnt + least(n1 - px, n2 - py)) >= $alpha"))
+            .selectExpr("pk div 100000000 AS d1", "pk % 100000000 AS d2",
+              "n1", "n2")
+            // SHUFFLE_HASH with the nodes-sized array relation as the
+            // build side: a sort-merge here would SORT the candidate
+            // stream twice (by d1, then d2) for no benefit — the hash
+            // build is per-partition nodes-sized, so the plan stays
+            // fully distributed at any graph size (no broadcast cap).
+            .join(spark.table("lpp_arr_t").as("x1").hint("shuffle_hash"),
+              expr("x1.x = d1"))
+            .join(spark.table("lpp_arr_t").as("x2").hint("shuffle_hash"),
+              expr("x2.x = d2"))
+            .selectExpr("d1", "d2", "n1", "n2",
+              "array_intersect(x1.arr, x2.arr) AS iv")
+            .selectExpr("d1", "d2", "n1", "n2",
+              "CAST(size(iv) AS BIGINT) AS cm",
+              "aggregate(iv, CAST(0 AS BIGINT), " +
+                "(acc, v) -> acc + v % 1048576) AS ra_micro"))
+        val m = obs.get // blocks until the checkpoint action completes
+        (common, m("prefix_pairs").asInstanceOf[Long],
+          m("prefix_rows").asInstanceOf[Long],
+          m("floor_pairs").asInstanceOf[Long])
+      }
     }
     common.createOrReplaceTempView("lpp_common_t")
+    (prefixPairs, prefixRows, floorPairs)
   }
 
   /** The t = 1/3 confidence-floor instantiation (see header). */
@@ -672,11 +763,27 @@ object GraphQueries {
     linkPredictViews(spark, dir)
     val (ranked, sizes, arr) = graft.operators.SessionMemo.cached(
       spark, s"lprankedviews/$dir") {
-      val ranked = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+      // r15, two structural moves on the ranked relation:
+      //  1. The node's list size n rides ALONG in the same window pass
+      //     that ranks tokens (count over the same x-partition — the
+      //     adjacency is symmetric, so count per x ≡ sizes' count per
+      //     c). The engine-side prefix legs then need NO sizes join at
+      //     all — previously each leg re-shuffled the 4.7M-row ranked
+      //     relation by doc_id just to attach one integer.
+      //  2. Hash-partitioned + sorted on the collision key `g` BEFORE
+      //     the checkpoint: probe and index are now pure FILTERS of
+      //     this relation, so the cascade's prefix self-join on g runs
+      //     with ZERO exchanges and ZERO sorts — previously both legs
+      //     re-shuffled per threshold (2 exchanges × 2 thresholds per
+      //     pass).
+      val ranked = graft.operators.PinnedStages.sharedCheckpointPartitioned(spark.sql(
         """SELECT x AS doc_id, c AS g, d AS df,
-          |       row_number() OVER (PARTITION BY x ORDER BY d, c) AS rn
-          |FROM lp_adj_t""".stripMargin))
-      val sizes = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+          |       row_number() OVER (PARTITION BY x ORDER BY d, c) AS rn,
+          |       CAST(count(*) OVER (PARTITION BY x) AS BIGINT) AS n
+          |FROM lp_adj_t""".stripMargin)
+        .repartition(col("g")).sortWithinPartitions("g"))
+      // Exchange-free aggregation: lp_adj_t is c-partitioned.
+      val sizes = graft.operators.PinnedStages.sharedCheckpointPartitioned(spark.sql(
         """SELECT c AS doc_id, CAST(count(*) AS BIGINT) AS n
           |FROM lp_adj_t GROUP BY c""".stripMargin))
       // Per-node adjacency packed as one array row: element =
@@ -687,7 +794,10 @@ object GraphQueries {
       // row stream. Nodes-sized (not edges-sized): the relation joins
       // by node id and degrades from broadcast to shuffle join
       // naturally as the graph grows.
-      val arr = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+      // Partition-preserving pin: the groupBy leaves hash(x) — exactly
+      // the key the verification's SHUFFLE_HASH probes join on, so the
+      // build side never re-exchanges.
+      val arr = graft.operators.PinnedStages.sharedCheckpointPartitioned(spark.sql(
         """SELECT x, collect_list(c * 1048576 + ra) AS arr
           |FROM lp_adj_t GROUP BY x""".stripMargin))
       (ranked, sizes, arr)
@@ -695,49 +805,6 @@ object GraphQueries {
     ranked.createOrReplaceTempView("lpp_ranked_t")
     sizes.createOrReplaceTempView("lpp_sizes_t")
     arr.createOrReplaceTempView("lpp_arr_t")
-  }
-
-  /** The prefix-collision candidate relation (grouped pairs with every
-    * cascade bound attached), memoized/SHARED-pinned per (session, dir,
-    * p, q): the cascade's one expensive stage, consumed by both the
-    * pruned query and the cut audit. */
-  /** Builds (once per session/dir/threshold) the FLOORED candidate
-    * relation — collision pairs with cnt ≥ l and their cascade bounds —
-    * and the two pre-floor volume stats the cut audit reports
-    * (collision pairs, raw join rows), captured by `observe()` on the
-    * same pass (bounded driver metadata, the GlobalOrder precedent):
-    * the 54.8M-pair pre-floor relation is never materialized — only
-    * streamed through the sort-aggregate into the observation and the
-    * 38×-smaller floored output. */
-  private[graft] def lpJoinedView(spark: SparkSession, dir: String,
-      p: Int, q: Int): (Long, Long) = {
-    val (flt, prefixPairs, prefixRows) = graft.operators.SessionMemo.cached(
-      spark, s"lpjoined/$p/$q/$dir") {
-      // Streaming sort-aggregate over the one exchange (scoped conf —
-      // see withSortAgg; the sharedCheckpoint is an EAGER action, so
-      // planning happens inside the scope). An r14 experiment swapped
-      // in the plain hash aggregate — 1.5-2× faster at t = 1/20 in a
-      // FRESH session — but in the real catalog context (the family's
-      // pinned relations occupying unified memory) the 94M-pair partial
-      // maps failed at sf0.1, re-confirming the r13 measurement: O(1)
-      // aggregation memory is the property that matters here, not the
-      // isolated wall clock.
-      withSortAgg(spark) {
-        val obs = new org.apache.spark.sql.Observation()
-        val flt = graft.operators.PinnedStages.sharedCheckpoint(
-          spark.sql(s"WITH ${lpCascadeJoinCtes(p, q, "div",
-            "lpp_ranked_t", "lpp_sizes_t",
-            dist = "DISTRIBUTE BY pk SORT BY pk")}\nSELECT * FROM joined")
-            .observe(obs, count(lit(1)).as("prefix_pairs"),
-              sum(col("cnt")).as("prefix_rows"))
-            .where(col("cnt") >= LinkPredictGenFloor))
-        val m = obs.get // blocks until the checkpoint action completes
-        (flt, m("prefix_pairs").asInstanceOf[Long],
-          m("prefix_rows").asInstanceOf[Long])
-      }
-    }
-    flt.createOrReplaceTempView("lpp_joined_t")
-    (prefixPairs, prefixRows)
   }
 
   /** cand0 from the slim joined relation: unpack the pair key and
@@ -770,16 +837,53 @@ object GraphQueries {
     * minsup gate would have kept. */
   val LinkPredictGenFloor = 3
 
-  /** ONE cascade-join text for both engines (the suffixProbe
-    * discipline): l-extended probing/index prefixes over the ranked
-    * relation, the candidate pairs PACKED into one BIGINT key and
-    * aggregated with the exact operator's streaming discipline — `dist`
+  /** The ENGINE-side cascade-join text (r15): semantically identical to
+    * [[lpCascadeJoinCtes]] (the oracle's text — the end-to-end result
+    * equality stays machine-checked every Verify run), but the probing
+    * and index prefixes are pure FILTERS over the n-carrying ranked
+    * relation instead of a ranked⋈sizes join: n rides on the ranked row
+    * (attached in the same window pass — see linkPredictRankedViews), so
+    * with the g-partitioned checkpoint the whole candidate generation up
+    * to the one pk exchange is exchange-free. Same prefix bounds, same
+    * orientation predicate, same packed pk, same slim `joined` schema. */
+  private def lpCascadeJoinCtesSpark(p: Int, q: Int): String = {
+    val ext = LinkPredictGenFloor
+    s"""lpprobe AS (
+       |  SELECT doc_id, g, rn, n FROM lpp_ranked_t
+       |  WHERE rn <= n - ($p * n + ${q - 1}) div $q + $ext),
+       |lpindex AS (
+       |  SELECT doc_id, g, rn, n FROM lpp_ranked_t
+       |  WHERE rn <= n - (2 * $p * n + ${p + q - 1}) div ${p + q} + $ext),
+       |lprows AS (
+       |  SELECT a.doc_id * 100000000 + b.doc_id AS pk,
+       |         a.n AS an, b.n AS bn, a.rn AS arn, b.rn AS brn
+       |  FROM lpprobe a JOIN lpindex b
+       |    ON a.g = b.g AND (b.n < a.n OR (b.n = a.n AND b.doc_id < a.doc_id))
+       |    AND b.n * $q >= a.n * $p),
+       |lpshuf AS (SELECT pk, an, bn, arn, brn FROM lprows
+       |           DISTRIBUTE BY pk SORT BY pk),
+       |joined AS (
+       |  SELECT pk, max(an) AS n1, max(bn) AS n2,
+       |         CAST(count(*) AS BIGINT) AS cnt,
+       |         max(arn) AS px, max(brn) AS py,
+       |         max(least(an - arn, bn - brn)) + 1 AS ub
+       |  FROM lpshuf
+       |  GROUP BY pk)""".stripMargin
+  }
+
+  /** ONE cascade-join text shared with the ORACLE (the suffixProbe
+    * discipline; since r15 the engine runs [[lpCascadeJoinCtesSpark]] —
+    * same cascade, prefix legs as filters over the n-carrying ranked
+    * relation — and the oracle keeps this join form; result equality is
+    * the machine-checked contract): l-extended probing/index prefixes
+    * over the ranked relation, the candidate pairs PACKED into one
+    * BIGINT key — `dist`
     * injects Spark's `DISTRIBUTE BY pk SORT BY pk` (with
     * `replaceHashWithSortAgg` both aggregate halves stream in O(1)
     * memory over the collision stream; an r14 experiment re-confirmed
     * that the hash form's multi-million-entry partial maps fail at
-    * sf0.1 once the family's pinned relations crowd unified memory —
-    * see lpJoinedView), empty for DuckDB.
+    * sf0.1 once the family's pinned relations crowd unified memory),
+    * empty for DuckDB.
     * `joined` carries the minimal per-pair
     * state (n1, n2, cnt, px, py, ub); the suffix-slot bound
     * ub2 = cnt + least(n1−px, n2−py) and the overlap floor alpha are
@@ -867,10 +971,11 @@ object GraphQueries {
   def graphLinkPredictCutAt(spark: SparkSession, dir: String,
       p: Int, q: Int): DataFrame = {
     linkPredictRankedViews(spark, dir)
-    val (prefixPairs, prefixRows) = lpJoinedView(spark, dir, p, q)
-    lpVerifiedView(spark, dir, p, q)
-    // All counts serve from the two memoized relations (one row per
-    // cand0 survivor in lpp_common_t, so bound_pairs = its count).
+    val (prefixPairs, prefixRows, floorPairs) =
+      lpVerifiedView(spark, dir, p, q)
+    // All counts serve from the ONE memoized VERIFIED relation (one row
+    // per cand0 survivor, so bound_pairs = its count) plus the observed
+    // pre-verification stats riding that pass.
     spark.sql(
       s"""WITH qual AS (
         |  SELECT least(d1, d2) AS p1, greatest(d1, d2) AS p2
@@ -883,7 +988,7 @@ object GraphQueries {
         |        FROM lpp_sizes_t) AS wedge_rows,
         |       CAST($prefixRows AS BIGINT) AS prefix_rows,
         |       CAST($prefixPairs AS BIGINT) AS prefix_pairs,
-        |       (SELECT count(*) FROM lpp_joined_t) AS floor_pairs,
+        |       CAST($floorPairs AS BIGINT) AS floor_pairs,
         |       (SELECT count(*) FROM lpp_common_t) AS bound_pairs,
         |       (SELECT count(*) FROM nonedge) AS qualifying_pairs""".stripMargin)
   }
@@ -976,18 +1081,9 @@ object GraphQueries {
     Seq(("cust_1", 2L), ("cust_2", 4L), ("supp_1", 3L))
 
   def graphBfs(spark: SparkSession, dir: String): DataFrame = {
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val half = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    val edges = half
-      .union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst")).sortWithinPartitions("dst")
-      .persist()
+    // Family-shared dst-partitioned edge relation (identical to
+    // graph_kcore's — previously each built its own).
+    val edges = bipartiteEdgesByDst(spark, dir)
     import spark.implicits._
     // Pin EVERY round (the text_spell_cluster loop discipline): the
     // self-union puts the previous round's lineage in the plan TWICE, so
@@ -1088,23 +1184,9 @@ object GraphQueries {
   val CcRounds = 20
 
   def graphCc(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .createOrReplaceTempView("cc_li_t")
-    val half = spark.sql(
-      s"""SELECT p1, p2 FROM (
-         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
-         |         count(*) AS n_orders
-         |  FROM cc_li_t a JOIN cc_li_t b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  GROUP BY a.l_partkey, b.l_partkey)
-         |WHERE n_orders >= $CcMinOrders""".stripMargin)
-    val edges = half
-      .union(half.select(col("p2").as("p1"), col("p1").as("p2")))
-      .select(col("p1").as("src"), col("p2").as("dst"))
-      .repartition(col("dst")).sortWithinPartitions("dst")
-      .persist()
+    // Family-shared strong-tie edge relation (identical to graph_lpa's;
+    // derived from the shared grouped co-purchase relation).
+    val edges = strongTieEdges(spark, dir)
     // Per-round pins, same reason as graph_bfs: the self-union doubles
     // unpinned lineage per round; the pinned label vector is small.
     // Early-exit at the observed fixpoint, same argument as graph_bfs.
@@ -1196,23 +1278,8 @@ object GraphQueries {
 
   def graphLpa(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .createOrReplaceTempView("lpa_li_t")
-    val half = spark.sql(
-      s"""SELECT p1, p2 FROM (
-         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
-         |         count(*) AS n_orders
-         |  FROM lpa_li_t a JOIN lpa_li_t b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  GROUP BY a.l_partkey, b.l_partkey)
-         |WHERE n_orders >= $CcMinOrders""".stripMargin)
-    val edges = half
-      .union(half.select(col("p2").as("p1"), col("p1").as("p2")))
-      .select(col("p1").as("src"), col("p2").as("dst"))
-      .repartition(col("dst")).sortWithinPartitions("dst")
-      .persist()
+    // Family-shared strong-tie edge relation (identical to graph_cc's).
+    val edges = strongTieEdges(spark, dir)
     // Per-round pins (the label vector is per-node small); the plurality
     // pick runs on the aggregated histogram, never the neighbor stream.
     var lab = edges.select(col("src").as("node")).distinct()
@@ -1306,16 +1373,12 @@ object GraphQueries {
   val HitsRounds = 4
 
   def graphHits(spark: SparkSession, dir: String): DataFrame = {
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    // Directed edges: customer → supplier, distinct. Resident for all
-    // 2·HitsRounds joins (the Pregel edge layout).
-    val edges = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-      .distinct()
-      .persist()
+    // Directed edges: customer → supplier, distinct — the family-shared
+    // bipartite pair relation through the bijective decode (c ↦ 2c,
+    // s ↦ 2s+1 are injective, so the decoded projection stays distinct).
+    // Resident (checkpoint blocks) for all 2·HitsRounds joins.
+    val edges = bipartiteHalf(spark, dir)
+      .select(expr("src div 2").as("src"), expr("dst div 2").as("dst"))
     val nHubs = edges.select("src").distinct().count() // bounded metadata
     val h0 = HitsScale / nHubs
 
