@@ -40,6 +40,10 @@ object Pin {
     * `graft.tools.ExplainDump` drives it. */
   val ExplainDirKey = "graft.pin.explain.dir"
   val ExplainTagKey = "graft.pin.explain.tag"
+  /** Debug/profile hook (r15): when "true", print each pin's wall-clock
+    * materialization time tagged by [[ExplainTagKey]] — attributes a
+    * query's cost to its build stages without a UI. */
+  val TimeKey = "graft.pin.time"
   private val explainSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def pin[T](ds: Dataset[T], eager: Boolean = true): Dataset[T] = {
@@ -52,7 +56,8 @@ object Pin {
       java.nio.file.Files.writeString(p, ds.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     }
-    spark.conf.get(ModeKey, "local") match {
+    val t0 = System.nanoTime()
+    val out = spark.conf.get(ModeKey, "local") match {
       case "local" => ds.localCheckpoint(eager)
       case "reliable" =>
         val sc = spark.sparkContext
@@ -63,6 +68,10 @@ object Pin {
       case other => throw new IllegalArgumentException(
         s"$ModeKey must be 'local' or 'reliable', got '$other'")
     }
+    if (spark.conf.get(TimeKey, "false") == "true")
+      println(f"[pin] ${spark.conf.get(ExplainTagKey, "pin")}" +
+        f"#${explainSeq.incrementAndGet()} ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    out
   }
 
   /** `df.pinned()` — the mechanical drop-in for `df.localCheckpoint()`. */

@@ -1272,16 +1272,29 @@ object DedupQueries {
            |      WHERE size(ws) >= 5)
            |LATERAL VIEW explode(gs) AS g""".stripMargin))
       sh.createOrReplaceTempView("pj_sh_t")
-      val ranked = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
+      // r15 (the graph-family layout moves, applied to the text cascade):
+      //  - the doc's list size n rides ALONG in the same window pass
+      //    that ranks shingles (count over the same doc_id partition) —
+      //    the prefix CTEs become pure FILTERS of this relation instead
+      //    of a ranked⋈sizes join that re-exchanged both sides;
+      //  - the pin PRESERVES the window's natural layout (hash(doc_id),
+      //    sorted (doc_id, df, g) — sorted-by-doc_id prefix), so the
+      //    suffix probes' med/probe joins on ranked.doc_id skip their
+      //    exchange AND sort of the ranked side;
+      //  - sizes is a LAZY rn = 1 filter view over the pinned relation —
+      //    the separate aggregation job (and its pin) disappears.
+      // The oracle texts keep the ranked⋈sizes join; end-to-end equality
+      // stays machine-checked every Verify run.
+      val ranked = graft.operators.PinnedStages.sharedCheckpointPartitioned(spark.sql(
         """WITH df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM pj_sh_t GROUP BY g)
           |SELECT s.doc_id, s.g, d.df,
           |       row_number() OVER (PARTITION BY s.doc_id
-          |         ORDER BY d.df, s.g) AS rn
+          |         ORDER BY d.df, s.g) AS rn,
+          |       CAST(count(*) OVER (PARTITION BY s.doc_id) AS BIGINT) AS n
           |FROM pj_sh_t s JOIN df d ON s.g = d.g""".stripMargin))
       ranked.createOrReplaceTempView("pj_ranked_t")
-      val sizes = graft.operators.PinnedStages.sharedCheckpoint(spark.sql(
-        """SELECT doc_id, CAST(max(rn) AS BIGINT) AS n
-          |FROM pj_ranked_t GROUP BY doc_id""".stripMargin))
+      val sizes = spark.sql(
+        "SELECT doc_id, n FROM pj_ranked_t WHERE rn = 1")
       (sh, ranked, sizes)
     }
     sh.createOrReplaceTempView("pj_sh_t")
@@ -1295,9 +1308,8 @@ object DedupQueries {
     prefixViews(spark, dir)
     val cand1 = spark.sql(
       s"""WITH prefix AS (
-        |  SELECT r.doc_id, r.g, r.rn, z.n
-        |  FROM pj_ranked_t r JOIN pj_sizes_t z ON r.doc_id = z.doc_id
-        |  WHERE r.rn <= z.n - ($p * z.n + ${q - 1}) div $q + 1),
+        |  SELECT doc_id, g, rn, n FROM pj_ranked_t
+        |  WHERE rn <= n - ($p * n + ${q - 1}) div $q + 1),
         |cand0 AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
         |         CAST(count(*) AS BIGINT) AS cnt,
@@ -1375,9 +1387,8 @@ object DedupQueries {
       .createOrReplaceTempView("pj_qualify_t")
     spark.sql(
       """WITH prefix AS (
-        |  SELECT r.doc_id, r.g, r.rn, z.n
-        |  FROM pj_ranked_t r JOIN pj_sizes_t z ON r.doc_id = z.doc_id
-        |  WHERE r.rn <= z.n - (z.n + 1) div 2 + 1)
+        |  SELECT doc_id, g, rn, n FROM pj_ranked_t
+        |  WHERE rn <= n - (n + 1) div 2 + 1)
         |SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
         |       CAST(count(*) AS BIGINT) AS cnt,
         |       max(a.rn) AS px, max(b.rn) AS py,

@@ -488,35 +488,55 @@ object GraphQueries {
     adj.createOrReplaceTempView("lp_adj_t")
   }
 
-  /** Scoped planner hint (ADVICE r13 — no session-wide leak): the wedge
-    * / prefix-collision streams have a ~1.0 combine ratio, so a hash
-    * aggregate builds a giant partial map per task and spills;
-    * DISTRIBUTE BY pk SORT BY pk + this conf turn both aggregate halves
-    * into STREAMING sort-aggregates over the one exchange — O(1)
-    * aggregation memory regardless of candidate cardinality (measured 3×
-    * at sf0.1). Physical-only, results unaffected. The body MUST force
-    * physical planning (pin / checkpoint) — the previous value is
-    * restored on exit, so a lazy plan would miss the hint. */
-  private def withSortAgg[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.execution.replaceHashWithSortAgg"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+  // (r13–r14 these streams ran as streaming sort-aggregates via a scoped
+  // replaceHashWithSortAgg conf; r15 retired that helper — the fix for
+  // the giant PARTIAL maps is exchanging first, not sorting always. See
+  // the aggregation-shape comments in graphLinkPredict /
+  // lpCascadeJoinCtesSpark.)
+
+  /** Pair-aggregation exchange width, derived from the graph's OWN wedge
+    * volume Σ_c C(deg_c, 2) — the exact row count of the exact
+    * operator's collision stream and a tight upper bound on the
+    * cascade's (the prefixes are subsets of the full lists). One row
+    * group per ~1M stream rows bounds each reduce task's aggregation
+    * state (hash map or sort buffer) to ~10⁶ entries REGARDLESS of
+    * total volume — the §5 "more partitions, smaller per-task state"
+    * remedy, scale-adaptive instead of inheriting the session's
+    * core-count shuffle width (at sf0.1 that width put 4.1M rows and
+    * up to 1.7M groups in each of 32 tasks, which is exactly the state
+    * that spilled under the r14 driver host's memory pressure).
+    * Clamped to [defaultParallelism, 4096]; the memoized volume is one
+    * 20k-row driver scalar per (session, dir). */
+  private def lpAggParts(spark: SparkSession, dir: String): Int = {
+    val wedgeRows = graft.operators.SessionMemo.cached(
+      spark, s"lpwedgevol/$dir") {
+      spark.sql(
+        """SELECT CAST(sum(d * (d - 1) div 2) AS BIGINT)
+          |FROM (SELECT c, max(d) AS d FROM lp_adj_t GROUP BY c)""".stripMargin)
+        .head.getLong(0)
     }
+    math.max(spark.sparkContext.defaultParallelism,
+      math.min(4096L, wedgeRows / 1000000L + 1).toInt)
   }
 
   def graphLinkPredict(spark: SparkSession, dir: String): DataFrame = {
     linkPredictViews(spark, dir)
-    withSortAgg(spark) { spark.sql(
+    // Aggregation shape (r15): explicit REPARTITION(parts, pk) — width
+    // from lpAggParts — then a hash aggregate whose maps run entirely
+    // AFTER the exchange. Each task holds one narrow partition's groups
+    // (~10⁶ ceiling) and spills to the sort fallback only under real
+    // pressure, where the previous DISTRIBUTE + SORT + streaming
+    // sort-agg ALWAYS sorted the full 138M-row wedge stream. No conf
+    // scope and no planning-forcing pin needed anymore (the r14-flagged
+    // per-invocation localCheckpoint leak goes with it).
+    val parts = lpAggParts(spark, dir)
+    spark.sql(
       s"""WITH wedge_rows AS (
         |  SELECT e1.x * 100000000 + e2.x AS pk, e1.ra AS ra
         |  FROM lp_adj_t e1 JOIN lp_adj_t e2
         |    ON e1.c = e2.c AND e1.x < e2.x),
         |shuffled AS (
-        |  SELECT pk, ra FROM wedge_rows DISTRIBUTE BY pk SORT BY pk),
+        |  SELECT /*+ REPARTITION($parts, pk) */ pk, ra FROM wedge_rows),
         |wedges AS (
         |  SELECT pk,
         |         CAST(count(*) AS BIGINT) AS common,
@@ -540,7 +560,7 @@ object GraphQueries {
         |JOIN nodeg d1 ON d1.c = c.p1
         |JOIN nodeg d2 ON d2.c = c.p2
         |ORDER BY jaccard_micro DESC, c.p1, c.p2
-        |LIMIT 50""".stripMargin).pinned() }
+        |LIMIT 50""".stripMargin)
   }
 
   val graphLinkPredictSql: String =
@@ -687,13 +707,15 @@ object GraphQueries {
       // executor-storage pin was the family's largest resident block
       // (the r14 spill driver under the bench host's memory pressure).
       //
-      // Streaming sort-aggregate, not hash (re-confirmed r14): a plain
-      // hash aggregate is 1.5-2x faster at t = 1/20 in a FRESH session,
-      // but in the real catalog context (the family's pinned relations
-      // occupying unified memory) its multi-million-pair partial maps
-      // failed at sf0.1 — O(1) aggregation memory is the property that
-      // matters.
-      withSortAgg(spark) {
+      // Aggregation shape (r15, revising the r14 sort-agg verdict): the
+      // r14 failure was the PRE-exchange partial hash maps of a plain
+      // GROUP BY — a ~1.0 combine ratio over the whole collision stream.
+      // lpCascadeJoinCtesSpark now exchanges FIRST (DISTRIBUTE BY pk, no
+      // sort) so the hash maps hold only one partition's groups, spill
+      // to the sort fallback under pressure, and skip the guaranteed
+      // full sort the streaming sort-agg paid (measured: 26.0 s →
+      // 13.5 s warm at sf0.1 t = 1/20 with the slimmed stream).
+      locally {
         val obs = new org.apache.spark.sql.Observation()
         // One chained Dataset, NOT a temp view: an Observation only
         // fires for executions of the Dataset chain it was attached to
@@ -703,7 +725,8 @@ object GraphQueries {
         val alpha = s"($p * (n1 + n2) + ${p + q - 1}) div ${p + q}"
         val common = graft.operators.PinnedStages.sharedCheckpoint(
           spark.sql(
-            s"WITH ${lpCascadeJoinCtesSpark(p, q)}\nSELECT * FROM joined")
+            s"WITH ${lpCascadeJoinCtesSpark(p, q, lpAggParts(spark, dir))}\n" +
+              "SELECT * FROM joined")
             .observe(obs, count(lit(1)).as("prefix_pairs"),
               sum(col("cnt")).as("prefix_rows"),
               count(when(col("cnt") >= LinkPredictGenFloor, 1))
@@ -846,8 +869,29 @@ object GraphQueries {
     * with the g-partitioned checkpoint the whole candidate generation up
     * to the one pk exchange is exchange-free. Same prefix bounds, same
     * orientation predicate, same packed pk, same slim `joined` schema. */
-  private def lpCascadeJoinCtesSpark(p: Int, q: Int): String = {
+  private def lpCascadeJoinCtesSpark(p: Int, q: Int, parts: Int): String = {
     val ext = LinkPredictGenFloor
+    // r15 shuffle diet (§2.3 shuffle fewer bytes + §2.1): the collision
+    // stream is 132.7M rows at sf0.1 t = 1/20, and its aggregation is
+    // the cascade's whole bill (the prefix join itself noop-times at
+    // ~1 s). Three moves, measured on that stream:
+    //  - the per-row suffix-slot term least(an−arn, bn−brn) is computed
+    //    BEFORE the exchange and an/bn are DROPPED from the stream
+    //    (they are functions of pk — max(an) ≡ sizes[pk div 1e8] — so
+    //    n1/n2 re-attach from the 20k-row node-sizes relation by
+    //    broadcast after the groups collapse): 5 carried columns → 4,
+    //    and the aggregate runs 4 functions instead of 6;
+    //  - REPARTITION(parts, pk) WITHOUT the sort, width from
+    //    lpAggParts: the post-exchange HASH aggregate's map holds only
+    //    one NARROW partition's groups (the pre-exchange partial maps
+    //    that failed in r14 saw the whole near-cartesian stream with a
+    //    ~1.0 combine ratio; at the session's 32-wide shuffle the
+    //    post-exchange maps still spilled under catalog pin pressure —
+    //    the width must track the stream volume, not the core count);
+    // Fresh-session measurement at sf0.1 t = 1/20 (warm pass): sort-agg
+    // 26.0 s, dist+hash same columns 18.6 s, this shape 13.5 s; the
+    // oracle text (lpCascadeJoinCtes) keeps the naive max(an)/max(bn)
+    // aggregation and the end-to-end equality stays machine-checked.
     s"""lpprobe AS (
        |  SELECT doc_id, g, rn, n FROM lpp_ranked_t
        |  WHERE rn <= n - ($p * n + ${q - 1}) div $q + $ext),
@@ -856,19 +900,24 @@ object GraphQueries {
        |  WHERE rn <= n - (2 * $p * n + ${p + q - 1}) div ${p + q} + $ext),
        |lprows AS (
        |  SELECT a.doc_id * 100000000 + b.doc_id AS pk,
-       |         a.n AS an, b.n AS bn, a.rn AS arn, b.rn AS brn
+       |         a.rn AS arn, b.rn AS brn,
+       |         least(a.n - a.rn, b.n - b.rn) AS v
        |  FROM lpprobe a JOIN lpindex b
        |    ON a.g = b.g AND (b.n < a.n OR (b.n = a.n AND b.doc_id < a.doc_id))
        |    AND b.n * $q >= a.n * $p),
-       |lpshuf AS (SELECT pk, an, bn, arn, brn FROM lprows
-       |           DISTRIBUTE BY pk SORT BY pk),
-       |joined AS (
-       |  SELECT pk, max(an) AS n1, max(bn) AS n2,
-       |         CAST(count(*) AS BIGINT) AS cnt,
-       |         max(arn) AS px, max(brn) AS py,
-       |         max(least(an - arn, bn - brn)) + 1 AS ub
+       |lpshuf AS (SELECT /*+ REPARTITION($parts, pk) */ pk, arn, brn, v
+       |           FROM lprows),
+       |lpagg AS (
+       |  SELECT pk, CAST(count(*) AS BIGINT) AS cnt,
+       |         max(arn) AS px, max(brn) AS py, max(v) + 1 AS ub
        |  FROM lpshuf
-       |  GROUP BY pk)""".stripMargin
+       |  GROUP BY pk),
+       |joined AS (
+       |  SELECT /*+ BROADCAST(s1, s2) */
+       |         pk, s1.n AS n1, s2.n AS n2, cnt, px, py, ub
+       |  FROM lpagg
+       |  JOIN lpp_sizes_t s1 ON s1.doc_id = pk div 100000000
+       |  JOIN lpp_sizes_t s2 ON s2.doc_id = pk % 100000000)""".stripMargin
   }
 
   /** ONE cascade-join text shared with the ORACLE (the suffixProbe

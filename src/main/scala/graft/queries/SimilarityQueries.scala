@@ -1588,6 +1588,55 @@ object SimilarityQueries {
   private val NswBeam = 12
   private val NswHops = 6
 
+  /** ENGINE-side lazy hop chain (r15): the serve loop's hops as chained
+    * CTEs instead of one pinned localCheckpoint per hop. The pinned form
+    * existed because a hop references its frontier TWICE (frontier ∪
+    * frontier⋈edges — lazy chaining doubles the subtree per hop,
+    * exponential at 6 hops); over a SELF-LOOP-augmented edge relation
+    * (every index node carries (v, v)) the same set is
+    * DISTINCT(frontier ⋈ edges_sl) — ONE frontier reference per hop, so
+    * the whole chain plans linearly and the serve runs as ONE Spark job
+    * instead of `hops` sequential pin jobs (measured on ann_nsw_topk's
+    * 6-hop serve at sf0.1: 2.0–2.7 s pinned → 0.8–1.1 s lazy, identical
+    * rows). Set-equivalence: every frontier node is in `normed`, so its
+    * self-loop keeps it in the expansion exactly as the UNION arm did;
+    * the oracle texts keep the UNION form and the gate machine-checks
+    * end-to-end equality. Frontier width stays beam·|probes| rows —
+    * tiny — so the per-hop DISTINCT and window exchanges are
+    * AQE-coalesced micro-stages within the one job. */
+  private def nswHopChainCtes(f0: String, edgesSl: String, normed: String,
+      beam: Int, hops: Int, px: String): String =
+    (1 to hops).map { h =>
+      val prev = if (h == 1) f0 else s"${px}hop${h - 1}"
+      s"""${px}hop$h AS (
+         |SELECT q_id, vec_id, sim_micro FROM (
+         |  SELECT q_id, vec_id, sim_micro,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY sim_micro DESC, vec_id) AS rnk
+         |  FROM (
+         |    SELECT x.q_id, x.vec_id,
+         |           CAST(round(${dotS("q.embedding", "c.embedding")}
+         |                 / (q.nrm * c.nrm) * 1000000, 0) AS BIGINT) AS sim_micro
+         |    FROM (SELECT DISTINCT f.q_id, e.nbr_id AS vec_id
+         |          FROM $prev f JOIN $edgesSl e ON e.vec_id = f.vec_id) x
+         |    JOIN $normed q ON q.vec_id = x.q_id
+         |    JOIN $normed c ON c.vec_id = x.vec_id))
+         |WHERE rnk <= $beam)""".stripMargin
+    }.mkString(",\n")
+
+  /** The duplicate-class expansion + top-3 tail every NSW serve ends
+    * with, as a SELECT over the last hop CTE. */
+  private def nswServeTailSpark(lastHop: String, alln: String): String =
+    s"""SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, sim_micro
+       |FROM (SELECT q_id, vec_id, sim_micro,
+       |             row_number() OVER (PARTITION BY q_id
+       |               ORDER BY sim_micro DESC, vec_id) AS rnk
+       |      FROM (SELECT f.q_id, a.vec_id, f.sim_micro
+       |            FROM $lastHop f
+       |            JOIN $alln a ON a.rep_id = f.vec_id)
+       |      WHERE vec_id <> q_id)
+       |WHERE rnk <= 3""".stripMargin
+
   /** One search hop over relations `<prev>` (q_id, vec_id), `gedges`,
     * and `<normed>`; dialect differences injected via `dot`. */
   private def nswHopSql(prev: String, normed: String,
@@ -1623,16 +1672,19 @@ object SimilarityQueries {
     normed.createOrReplaceTempView("nsw_normed_t")
     gsc.createOrReplaceTempView("nsw_gsc_t")
     // The navigable out-edge relation: top-M by micro-similarity over
-    // the shared scored pairs. Pinned — the search loop joins it every
+    // the shared scored pairs, SELF-LOOP-augmented for the lazy hop
+    // chain (see nswHopChainCtes). Pinned — the search joins it every
     // hop.
     spark.sql(
       s"""SELECT vec_id, nbr_id FROM (
          |  SELECT vec_id, nbr_id,
          |         row_number() OVER (PARTITION BY vec_id
          |           ORDER BY sim_micro DESC, nbr_id) AS rnk
-         |  FROM nsw_gsc_t) WHERE rnk <= $NswM""".stripMargin)
+         |  FROM nsw_gsc_t) WHERE rnk <= $NswM
+         |UNION ALL
+         |SELECT vec_id, vec_id AS nbr_id FROM nsw_normed_t""".stripMargin)
       .pinned()
-      .createOrReplaceTempView("nsw_gedges_t")
+      .createOrReplaceTempView("nsw_gedges_sl_t")
     // Beam 0: every probe starts at the single global entry point.
     spark.sql(
       """SELECT q.vec_id AS q_id, e.entry AS vec_id
@@ -1640,24 +1692,11 @@ object SimilarityQueries {
         |CROSS JOIN (SELECT min(vec_id) AS entry FROM nsw_normed_t) e""".stripMargin)
       .pinned()
       .createOrReplaceTempView("nsw_f0_t")
-    for (h <- 1 to NswHops) {
-      spark.sql("WITH gedges AS (SELECT * FROM nsw_gedges_t)\n" +
-          nswHopSql(s"nsw_f${h - 1}_t", "nsw_normed_t", dotS))
-        .pinned()
-        .createOrReplaceTempView(s"nsw_f${h}_t")
-    }
-    // Serve-time expansion: each frontier representative fans back out
-    // to its duplicate class (identical vectors share the rep's sim).
+    // The whole 6-hop serve + duplicate-class expansion: ONE lazy job.
     spark.sql(
-      s"""SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, sim_micro
-         |FROM (SELECT q_id, vec_id, sim_micro,
-         |             row_number() OVER (PARTITION BY q_id
-         |               ORDER BY sim_micro DESC, vec_id) AS rnk
-         |      FROM (SELECT f.q_id, a.vec_id, f.sim_micro
-         |            FROM nsw_f${NswHops}_t f
-         |            JOIN nsw_all_t a ON a.rep_id = f.vec_id)
-         |      WHERE vec_id <> q_id)
-         |WHERE rnk <= 3""".stripMargin)
+      s"""WITH ${nswHopChainCtes("nsw_f0_t", "nsw_gedges_sl_t",
+            "nsw_normed_t", NswBeam, NswHops, "nsw")}
+         |${nswServeTailSpark(s"nswhop$NswHops", "nsw_all_t")}""".stripMargin)
   }
 
   lazy val annNswTopkSql: String = {
@@ -1813,28 +1852,24 @@ object SimilarityQueries {
     // Greedy diversity rounds: pick the best remaining candidate per
     // node, then drop candidates closer to the pick than to the node.
     diversityRounds(spark, "ndv", "ndv_gsc_t")
+    // Self-loop-augmented serve edges for the lazy hop chain (the
+    // spec-pinned ndv/nbd edge views keep their exact contents).
+    spark.sql(
+      """SELECT vec_id, nbr_id FROM ndv_edges_t
+        |UNION ALL
+        |SELECT vec_id, vec_id AS nbr_id FROM ndv_normed_t""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("ndv_edges_sl_t")
     spark.sql(
       """SELECT q.vec_id AS q_id, e.entry AS vec_id
         |FROM (SELECT vec_id FROM ndv_normed_t WHERE vec_id < 3) q
         |CROSS JOIN (SELECT min(vec_id) AS entry FROM ndv_normed_t) e""".stripMargin)
       .pinned()
       .createOrReplaceTempView("ndv_f0_t")
-    (1 to NswHops).foreach { h =>
-      spark.sql(hnswHopSql(s"ndv_f${h - 1}_t", "ndv_edges_t", "ndv_normed_t",
-        NswBeam, dotS))
-        .pinned()
-        .createOrReplaceTempView(s"ndv_f${h}_t")
-    }
     spark.sql(
-      s"""SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, sim_micro
-         |FROM (SELECT q_id, vec_id, sim_micro,
-         |             row_number() OVER (PARTITION BY q_id
-         |               ORDER BY sim_micro DESC, vec_id) AS rnk
-         |      FROM (SELECT f.q_id, a.vec_id, f.sim_micro
-         |            FROM ndv_f${NswHops}_t f
-         |            JOIN ndv_all_t a ON a.rep_id = f.vec_id)
-         |      WHERE vec_id <> q_id)
-         |WHERE rnk <= 3""".stripMargin)
+      s"""WITH ${nswHopChainCtes("ndv_f0_t", "ndv_edges_sl_t",
+            "ndv_normed_t", NswBeam, NswHops, "ndv")}
+         |${nswServeTailSpark(s"ndvhop$NswHops", "ndv_all_t")}""".stripMargin)
   }
 
   /** The [[DivM]] greedy rounds as generated oracle CTEs, prefixed so a
@@ -1977,28 +2012,24 @@ object SimilarityQueries {
       .pinned()
       .createOrReplaceTempView("nbd2_rem0_t")
     diversityRounds(spark, "nbd2", "nbd_gsc_t")
+    // Self-loop-augmented serve edges (nbd2_edges_t itself stays exactly
+    // the spec-pinned re-selected edge set).
+    spark.sql(
+      """SELECT vec_id, nbr_id FROM nbd2_edges_t
+        |UNION ALL
+        |SELECT vec_id, vec_id AS nbr_id FROM nbd_normed_t""".stripMargin)
+      .pinned()
+      .createOrReplaceTempView("nbd2_edges_sl_t")
     spark.sql(
       """SELECT q.vec_id AS q_id, e.entry AS vec_id
         |FROM (SELECT vec_id FROM nbd_normed_t WHERE vec_id < 3) q
         |CROSS JOIN (SELECT min(vec_id) AS entry FROM nbd_normed_t) e""".stripMargin)
       .pinned()
       .createOrReplaceTempView("nbd_f0_t")
-    (1 to NswHops).foreach { h =>
-      spark.sql(hnswHopSql(s"nbd_f${h - 1}_t", "nbd2_edges_t",
-        "nbd_normed_t", NswBeam, dotS))
-        .pinned()
-        .createOrReplaceTempView(s"nbd_f${h}_t")
-    }
     spark.sql(
-      s"""SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, sim_micro
-         |FROM (SELECT q_id, vec_id, sim_micro,
-         |             row_number() OVER (PARTITION BY q_id
-         |               ORDER BY sim_micro DESC, vec_id) AS rnk
-         |      FROM (SELECT f.q_id, a.vec_id, f.sim_micro
-         |            FROM nbd_f${NswHops}_t f
-         |            JOIN nbd_all_t a ON a.rep_id = f.vec_id)
-         |      WHERE vec_id <> q_id)
-         |WHERE rnk <= 3""".stripMargin)
+      s"""WITH ${nswHopChainCtes("nbd_f0_t", "nbd2_edges_sl_t",
+            "nbd_normed_t", NswBeam, NswHops, "nbd")}
+         |${nswServeTailSpark(s"nbdhop$NswHops", "nbd_all_t")}""".stripMargin)
   }
 
   lazy val annNswBidirSql: String =
@@ -2135,11 +2166,15 @@ object SimilarityQueries {
          |JOIN hnsw_normed_t y ON y.vec_id = c.nbr_id""".stripMargin)
       .pinned()
       .createOrReplaceTempView("hnsw_gscu_t")
+    // Per-layer edge pins, SELF-LOOP-augmented (see nswHopChainCtes):
+    // self-loops come from the FULL index node set, so any frontier
+    // node survives a hop on any layer exactly as the UNION arm kept it.
     Seq((0, HnswM0, "hnsw_gsc_t", 0), (1, HnswMU, "hnsw_gscu_t", 0),
         (2, HnswMU, "hnsw_gscu_t", 2)).foreach { case (l, m, gsc, filt) =>
-      spark.sql(hnswEdgesSql(filt, m, gsc, "hnsw_lv_t"))
+      spark.sql(hnswEdgesSql(filt, m, gsc, "hnsw_lv_t") +
+          "\nUNION ALL\nSELECT vec_id, vec_id AS nbr_id FROM hnsw_normed_t")
         .pinned()
-        .createOrReplaceTempView(s"hnsw_ed${l}_t")
+        .createOrReplaceTempView(s"hnsw_ed${l}sl_t")
     }
     // Entry: the highest non-empty layer's least node.
     spark.sql(
@@ -2151,42 +2186,23 @@ object SimilarityQueries {
         |    (SELECT min(vec_id) FROM hnsw_lv_t)) AS entry) e""".stripMargin)
       .pinned()
       .createOrReplaceTempView("hnsw_f0_t")
-    val upper =
-      Seq.fill(HnswHopsU)(("hnsw_ed2_t", HnswBeamU)) ++
-        Seq.fill(HnswHopsU)(("hnsw_ed1_t", HnswBeamU))
-    upper.zipWithIndex.foreach { case ((ed, beam), i) =>
-      spark.sql(hnswHopSql(s"hnsw_f${i}_t", ed, "hnsw_normed_t", beam, dotS))
-        .pinned()
-        .createOrReplaceTempView(s"hnsw_f${i + 1}_t")
-    }
-    // Layer-0 seeds: the descended frontier PLUS the layer-0 global
-    // entry (multi-seed ef-search — the descent contributes its zoomed-
-    // in region without ever being allowed to do worse than the flat
-    // NSW entry).
+    // The whole descent (2 hops on layer 2, 2 on layer 1), the
+    // multi-seeded layer-0 frontier (descended ∪ flat entry), and the
+    // 6-hop ef-search: ONE lazy job (previously 11 pinned hop jobs).
     spark.sql(
-      s"""SELECT q_id, vec_id FROM hnsw_f${upper.size}_t
-         |UNION
-         |SELECT q.vec_id AS q_id, e.entry AS vec_id
-         |FROM (SELECT vec_id FROM hnsw_normed_t WHERE vec_id < 3) q
-         |CROSS JOIN (SELECT min(vec_id) AS entry FROM hnsw_normed_t) e""".stripMargin)
-      .pinned()
-      .createOrReplaceTempView(s"hnsw_s0_t")
-    (1 to HnswHops0).foreach { i =>
-      val prev = if (i == 1) "hnsw_s0_t" else s"hnsw_s${i - 1}_t"
-      spark.sql(hnswHopSql(prev, "hnsw_ed0_t", "hnsw_normed_t", HnswBeam0, dotS))
-        .pinned()
-        .createOrReplaceTempView(s"hnsw_s${i}_t")
-    }
-    spark.sql(
-      s"""SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, sim_micro
-         |FROM (SELECT q_id, vec_id, sim_micro,
-         |             row_number() OVER (PARTITION BY q_id
-         |               ORDER BY sim_micro DESC, vec_id) AS rnk
-         |      FROM (SELECT f.q_id, a.vec_id, f.sim_micro
-         |            FROM hnsw_s${HnswHops0}_t f
-         |            JOIN hnsw_all_t a ON a.rep_id = f.vec_id)
-         |      WHERE vec_id <> q_id)
-         |WHERE rnk <= 3""".stripMargin)
+      s"""WITH ${nswHopChainCtes("hnsw_f0_t", "hnsw_ed2sl_t",
+            "hnsw_normed_t", HnswBeamU, HnswHopsU, "hu2")},
+         |${nswHopChainCtes(s"hu2hop$HnswHopsU", "hnsw_ed1sl_t",
+            "hnsw_normed_t", HnswBeamU, HnswHopsU, "hu1")},
+         |hseed AS (
+         |  SELECT q_id, vec_id FROM hu1hop$HnswHopsU
+         |  UNION
+         |  SELECT q.vec_id AS q_id, e.entry AS vec_id
+         |  FROM (SELECT vec_id FROM hnsw_normed_t WHERE vec_id < 3) q
+         |  CROSS JOIN (SELECT min(vec_id) AS entry FROM hnsw_normed_t) e),
+         |${nswHopChainCtes("hseed", "hnsw_ed0sl_t",
+            "hnsw_normed_t", HnswBeam0, HnswHops0, "hs")}
+         |${nswServeTailSpark(s"hshop$HnswHops0", "hnsw_all_t")}""".stripMargin)
   }
 
   lazy val annHnswTopkSql: String = {

@@ -644,8 +644,10 @@ object SketchQueries {
         vals.groupBy("lang").agg(count(lit(1)).as("n_docs"))
           .select(col("lang"), col("n_docs"),
             greatest(expr(s"n_docs div $QdK"), lit(1L)).as("theta")))
+      // lvl0 feeds ONE consumer (the r15 single-fold compressLeaves) —
+      // no pin needed anymore.
       val lvl0 = vals.groupBy(col("lang"), col("v").as("id"))
-        .agg(count(lit(1)).as("c")).pinned()
+        .agg(count(lit(1)).as("c"))
       val kept = graft.operators.PinnedStages.sharedCheckpoint(
         compressLeaves(lvl0, nd))
       (vals, nd, kept)
@@ -655,39 +657,74 @@ object SketchQueries {
     kept
   }
 
-  /** The B compression rounds from a pinned leaf histogram
-    * (lang, id, c) and the per-group (lang, n_docs, theta) relation —
-    * shared by the batch query and [[graft.tools.SketchStore]] serving
-    * (which rebuilds the identical sketch from SUMMED shard leaves: leaf
-    * counts are a commutative monoid, so merge-then-compress equals the
-    * from-scratch build bit-for-bit). Per-level pins: ps is consumed
-    * twice (kept filter + promote) and lvl twice (ps + kept) — unpinned,
-    * the lineage doubles per round (the graph_bfs pathology). Every
-    * pinned relation is ≤ the leaf histogram and shrinks geometrically. */
+  /** The B compression rounds from a leaf histogram (lang, id, c) and
+    * the per-group (lang, n_docs, theta) relation — shared by the batch
+    * query and [[graft.tools.SketchStore]] serving (which rebuilds the
+    * identical sketch from SUMMED shard leaves: leaf counts are a
+    * commutative monoid, so merge-then-compress equals the from-scratch
+    * build bit-for-bit).
+    *
+    * ONE per-lang array fold, not B pinned relational rounds (r15, the
+    * unigram-DP/FastDTW fold discipline): the histogram is BOUNDED BY
+    * CONSTRUCTION (ids ≤ [[QdMax]] after the clamp, so ≤ 1024 entries
+    * per lang regardless of corpus size — this is the q-digest's own
+    * size guarantee), which made the round form pure job-scheduling
+    * overhead: 21 pinned micro-jobs of ≤ a few thousand rows each
+    * (measured ≈ 2.5 s of the query's 4.2 s warm). The fold walks the
+    * id-sorted entry array once per level with a sentinel flush:
+    * adjacent entries sharing id div 2 merge into their parent (a
+    * binary-tree level has ≤ 2 children per parent), parents over theta
+    * emit their children as kept nodes at this level, parents at or
+    * under theta promote. Identical (lang, lvl, id, c, hi) row set —
+    * QdigestSpec's independent driver-side build and the DuckDB
+    * round-form oracle both machine-check that. Returns an UNPINNED
+    * relation (callers checkpoint); one fold job replaces the 21. */
   private[graft] def compressLeaves(lvl0: DataFrame, nd: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    var lvl = lvl0
-    var kept: DataFrame = null
-    for (l <- 0 until QdB) {
-      val ps = lvl.groupBy(col("lang"), expr("id div 2").as("p"))
-        .agg(sum(col("c")).as("s"))
-        .join(nd, "lang")
-        .pinned()
-      val keptL = lvl.as("v")
-        .join(ps.as("p"),
-          col("v.lang") === col("p.lang") && expr("v.id div 2") === col("p.p"))
-        .where(col("p.s") > col("p.theta"))
-        .select(col("v.lang").as("lang"), lit(l).as("lvl"),
-          col("v.id").as("id"), col("v.c").as("c"),
-          ((col("v.id") + 1) * lit(1L << l) - 1).as("hi"))
-      kept = if (kept == null) keptL else kept.union(keptL)
-      lvl = ps.where(col("s") <= col("theta"))
-        .select(col("lang"), col("p").as("id"), col("s").as("c"))
-        .pinned()
-    }
-    // Whatever survives all B rounds sits at the root.
-    kept.union(lvl.select(col("lang"), lit(QdB).as("lvl"), col("id"),
-      col("c"), lit(QdMax.toLong).as("hi"))).pinned()
+    val sentinel =
+      "array(struct(CAST(4096 AS BIGINT) AS id, CAST(0 AS BIGINT) AS c))"
+    val emitKept =
+      """concat(a.kp, transform(a.pend,
+        |  y -> struct(CAST(l AS INT) AS lvl, y.id AS id, y.c AS c,
+        |              (y.id + 1) * shiftleft(CAST(1 AS BIGINT), l) - 1 AS hi)))"""
+        .stripMargin
+    lvl0.groupBy(col("lang"))
+      .agg(expr("array_sort(collect_list(struct(id, c)))").as("h"))
+      .join(nd, "lang")
+      .selectExpr("lang",
+        s"""aggregate(
+           |  sequence(0, ${QdB - 1}),
+           |  struct(h AS cur,
+           |         CAST(array() AS ARRAY<STRUCT<lvl: INT, id: BIGINT,
+           |                                      c: BIGINT, hi: BIGINT>>) AS kept),
+           |  (st, l) -> aggregate(
+           |    concat(st.cur, $sentinel),
+           |    struct(CAST(-1 AS BIGINT) AS pp, CAST(0 AS BIGINT) AS ps,
+           |           CAST(array() AS ARRAY<STRUCT<id: BIGINT, c: BIGINT>>) AS pend,
+           |           CAST(array() AS ARRAY<STRUCT<id: BIGINT, c: BIGINT>>) AS nxt,
+           |           st.kept AS kp),
+           |    (a, x) -> CASE
+           |      WHEN a.pp = -1 OR x.id div 2 = a.pp THEN struct(
+           |        x.id div 2 AS pp,
+           |        CASE WHEN a.pp = -1 THEN x.c ELSE a.ps + x.c END AS ps,
+           |        CASE WHEN a.pp = -1 THEN array(x)
+           |             ELSE array_append(a.pend, x) END AS pend,
+           |        a.nxt AS nxt, a.kp AS kp)
+           |      ELSE struct(
+           |        x.id div 2 AS pp, x.c AS ps, array(x) AS pend,
+           |        CASE WHEN a.ps <= theta
+           |             THEN array_append(a.nxt, struct(a.pp AS id, a.ps AS c))
+           |             ELSE a.nxt END AS nxt,
+           |        CASE WHEN a.ps > theta THEN $emitKept ELSE a.kp END AS kp)
+           |      END,
+           |    fin -> struct(fin.nxt AS cur, fin.kp AS kept))) AS res""".stripMargin)
+      .selectExpr("lang",
+        s"""explode(concat(res.kept,
+           |  transform(res.cur, x -> struct(CAST($QdB AS INT) AS lvl,
+           |    x.id AS id, x.c AS c, CAST(${QdMax.toLong} AS BIGINT) AS hi))))
+           |  AS k""".stripMargin)
+      .selectExpr("lang", "k.lvl AS lvl", "k.id AS id", "k.c AS c",
+        "k.hi AS hi")
   }
 
   /** Query stage shared between dialects: `grid` is the 4-row quantile

@@ -113,7 +113,9 @@ object SketchStore {
       .select(col("lang"), col("n_docs"),
         greatest(expr(s"n_docs div $QdK"), lit(1L)).as("theta"))
       .pinned()
-    val kept = SketchQueries.compressLeaves(leaves, nd)
+    // compressLeaves returns unpinned since r15 (one fold job) — pin
+    // here: the serve SQL references the kept view more than once.
+    val kept = SketchQueries.compressLeaves(leaves, nd).pinned()
     kept.createOrReplaceTempView("qd_store_kept_t")
     nd.createOrReplaceTempView("qd_store_nd_t")
     spark.sql(
