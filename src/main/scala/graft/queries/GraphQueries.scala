@@ -361,10 +361,17 @@ object GraphQueries {
     var changed = -1L
     var round = 0
     while (changed != 0L && round < KcoreRounds) {
-      val next = step(h).pinned()
-      changed = next.as("a")
-        .join(h.as("b"), col("a.node") === col("b.node"))
-        .where(col("a.h") =!= col("b.h")).count()
+      // Fixpoint count as an observe() on the round's own pinned pass
+      // (r15; was a separate join+count job per round). h is monotone
+      // non-increasing and every node keeps a row, so the inner join
+      // the old count used is exactly this join.
+      val obs = new org.apache.spark.sql.Observation()
+      val next = step(h)
+        .join(h.select(col("node"), col("h").as("old")), "node")
+        .observe(obs, count(when(col("h") =!= col("old"), 1)).as("changed"))
+        .select(col("node"), col("h"))
+        .pinned()
+      changed = obs.get("changed").asInstanceOf[Long]
       h = next
       round += 1
     }
@@ -1150,18 +1157,24 @@ object GraphQueries {
     var changed = -1L
     var round = 0
     while (changed != 0L && round < BfsRounds) {
-      val next = dist.union(
-          edges.join(dist, edges("dst") === dist("node"))
-            .select(col("probe"), edges("src").as("node"),
-              (col("d") + 1L).as("d")))
-        .groupBy("probe", "node").agg(min(col("d")).as("d"))
+      // Fixpoint count as an observe() on the round's own pinned pass
+      // (r15; replaces the per-round full-outer-join count job). The
+      // old distance rides the tagged self-arm; entries only ever ADD
+      // (a settled min never rises), so the full-outer's dist-only arm
+      // was vacuous and changed ≡ count(old IS NULL OR d ≠ old).
+      val obs = new org.apache.spark.sql.Observation()
+      val next = dist
+        .select(col("probe"), col("node"), col("d"), lit(true).as("own"))
+        .union(edges.join(dist, edges("dst") === dist("node"))
+          .select(col("probe"), edges("src").as("node"),
+            (col("d") + 1L).as("d"), lit(false).as("own")))
+        .groupBy("probe", "node")
+        .agg(min(col("d")).as("d"), min(when(col("own"), col("d"))).as("old"))
+        .observe(obs, count(when(col("old").isNull ||
+          col("d") =!= col("old"), 1)).as("changed"))
+        .select(col("probe"), col("node"), col("d"))
         .pinned()
-      changed = next.as("a")
-        .join(dist.as("b"),
-          col("a.probe") === col("b.probe") && col("a.node") === col("b.node"),
-          "full_outer")
-        .where(col("a.d").isNull || col("b.d").isNull || col("a.d") =!= col("b.d"))
-        .count()
+      changed = obs.get("changed").asInstanceOf[Long]
       dist = next
       round += 1
     }
@@ -1244,14 +1257,23 @@ object GraphQueries {
     var changed = -1L
     var round = 0
     while (changed != 0L && round < CcRounds) {
-      val next = lab.union(
-          edges.join(lab, edges("dst") === lab("node"))
-            .select(edges("src").as("node"), col("lab")))
-        .groupBy("node").agg(min(col("lab")).as("lab"))
+      // The fixpoint count rides the round's OWN pinned pass as an
+      // observe() (r15 — previously a separate join+count job per
+      // round): the old label is the min over the tagged self-arm
+      // (every node appears there exactly once), so changed =
+      // count(new ≠ old) is exact by construction.
+      val obs = new org.apache.spark.sql.Observation()
+      val next = lab.select(col("node"), col("lab"), lit(true).as("own"))
+        .union(edges.join(lab, edges("dst") === lab("node"))
+          .select(edges("src").as("node"), col("lab"), lit(false).as("own")))
+        .groupBy("node")
+        .agg(min(col("lab")).as("lab"),
+          min(when(col("own"), col("lab"))).as("old"))
+        .observe(obs,
+          count(when(col("lab") =!= col("old"), 1)).as("changed"))
+        .select(col("node"), col("lab"))
         .pinned()
-      changed = next.as("a")
-        .join(lab.as("b"), col("a.node") === col("b.node"))
-        .where(col("a.lab") =!= col("b.lab")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       lab = next
       round += 1
     }
@@ -1341,14 +1363,21 @@ object GraphQueries {
         .agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("node")
         .orderBy(col("cnt").desc, col("lab"))
+      // Fixpoint count as an observe() on the round's own pinned pass
+      // (r15): the old label joins into the pass (per-node relation,
+      // one row each; every voted node is in lab and vice versa — the
+      // same inner join the separate per-round count job used to run).
+      val obs = new org.apache.spark.sql.Observation()
       val next = votes
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") === 1)
         .select(col("node"), col("lab"))
+        .join(lab.select(col("node"), col("lab").as("old")), "node")
+        .observe(obs,
+          count(when(col("lab") =!= col("old"), 1)).as("changed"))
+        .select(col("node"), col("lab"))
         .pinned()
-      changed = next.as("a")
-        .join(lab.as("b"), col("a.node") === col("b.node"))
-        .where(col("a.lab") =!= col("b.lab")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       lab = next
       round += 1
     }
