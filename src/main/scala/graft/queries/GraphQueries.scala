@@ -739,8 +739,10 @@ object GraphQueries {
               count(when(col("cnt") >= LinkPredictGenFloor, 1))
                 .as("floor_pairs"))
             .where(col("cnt") >= LinkPredictGenFloor)
-            .where(expr(
-              s"least(ub, cnt + least(n1 - px, n2 - py)) >= $alpha"))
+            // cnt + mnv ≡ cnt + least(n1 − px, n2 − py): see the slim-
+            // stream identity in lpCascadeJoinCtesSpark (the oracle text
+            // keeps the px/py form; result equality is machine-checked).
+            .where(expr(s"least(ub, cnt + mnv) >= $alpha"))
             .selectExpr("pk div 100000000 AS d1", "pk % 100000000 AS d2",
               "n1", "n2")
             // SHUFFLE_HASH with the nodes-sized array relation as the
@@ -883,11 +885,20 @@ object GraphQueries {
     // the cascade's whole bill (the prefix join itself noop-times at
     // ~1 s). Three moves, measured on that stream:
     //  - the per-row suffix-slot term least(an−arn, bn−brn) is computed
-    //    BEFORE the exchange and an/bn are DROPPED from the stream
-    //    (they are functions of pk — max(an) ≡ sizes[pk div 1e8] — so
-    //    n1/n2 re-attach from the 20k-row node-sizes relation by
-    //    broadcast after the groups collapse): 5 carried columns → 4,
-    //    and the aggregate runs 4 functions instead of 6;
+    //    BEFORE the exchange and an/bn/arn/brn are ALL dropped from the
+    //    stream — the only downstream consumer of px = max(arn) /
+    //    py = max(brn) is the cand0 bound's least(n1 − px, n2 − py),
+    //    and min_r least(x_r, y_r) = least(min_r x_r, min_r y_r) (each
+    //    side of a pk-group shares its n, and the row holding the
+    //    global-min component attains it as its least), so that term
+    //    IS min(v): the stream is 2 columns (pk, v), 24-byte UnsafeRows
+    //    instead of 40, and the aggregate runs 3 functions
+    //    (count, min(v), max(v)) instead of 4. (The dd text cascade
+    //    keeps px/py — its depth-1/2 suffix probes read the positions
+    //    themselves; the graph cascade has no suffix probe BY DESIGN,
+    //    see lpVerifiedView.) n1/n2 re-attach from the 20k-row
+    //    node-sizes relation by broadcast after the groups collapse
+    //    (they are functions of pk);
     //  - REPARTITION(parts, pk) WITHOUT the sort, width from
     //    lpAggParts: the post-exchange HASH aggregate's map holds only
     //    one NARROW partition's groups (the pre-exchange partial maps
@@ -907,21 +918,19 @@ object GraphQueries {
        |  WHERE rn <= n - (2 * $p * n + ${p + q - 1}) div ${p + q} + $ext),
        |lprows AS (
        |  SELECT a.doc_id * 100000000 + b.doc_id AS pk,
-       |         a.rn AS arn, b.rn AS brn,
        |         least(a.n - a.rn, b.n - b.rn) AS v
        |  FROM lpprobe a JOIN lpindex b
        |    ON a.g = b.g AND (b.n < a.n OR (b.n = a.n AND b.doc_id < a.doc_id))
        |    AND b.n * $q >= a.n * $p),
-       |lpshuf AS (SELECT /*+ REPARTITION($parts, pk) */ pk, arn, brn, v
-       |           FROM lprows),
+       |lpshuf AS (SELECT /*+ REPARTITION($parts, pk) */ pk, v FROM lprows),
        |lpagg AS (
        |  SELECT pk, CAST(count(*) AS BIGINT) AS cnt,
-       |         max(arn) AS px, max(brn) AS py, max(v) + 1 AS ub
+       |         min(v) AS mnv, max(v) + 1 AS ub
        |  FROM lpshuf
        |  GROUP BY pk),
        |joined AS (
        |  SELECT /*+ BROADCAST(s1, s2) */
-       |         pk, s1.n AS n1, s2.n AS n2, cnt, px, py, ub
+       |         pk, s1.n AS n1, s2.n AS n2, cnt, mnv, ub
        |  FROM lpagg
        |  JOIN lpp_sizes_t s1 ON s1.doc_id = pk div 100000000
        |  JOIN lpp_sizes_t s2 ON s2.doc_id = pk % 100000000)""".stripMargin
